@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A named set of conformance queries plus their DuckDB oracle SQL.
+  *
+  * Contract (driver-enforced, see /root/repo/SURVEY.md §5):
+  *   - every query must be deterministic: total ORDER BY, ties broken by a
+  *     unique key, no wall-clock, no partition-order dependence;
+  *   - column names must match the oracle exactly (driver sorts columns by
+  *     name, then hashes values);
+  *   - floating aggregates go through exact decimal arithmetic and are cast
+  *     to double only at the end, so Spark and DuckDB agree bit-for-bit
+  *     regardless of summation order (decimal addition is associative).
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}
+
+/** Exact-arithmetic helpers shared by query modules. */
+object Exact {
+  /** Cast a 2-dp double column to exact decimal (lossless for testdata
+    * lineitem/customer money columns, which are generated at 2 dp). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** For full-precision doubles (e.g. o_totalprice): fix a 4-dp grid before
+    * aggregation so both engines sum identical decimals. */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Order-independent exact sum of a 2-dp double column, surfaced as
+    * double (bit-identical in Spark and DuckDB). */
+  def sumExact2(c: Column): Column = sum(dec2(c)).cast("double")
+
+  def sumExact4(c: Column): Column = sum(dec4(c)).cast("double")
+
+  /** avg = exact decimal sum (as double) / count — one IEEE division, same
+    * result in both engines. */
+  def avgExact2(c: Column): Column =
+    sum(dec2(c)).cast("double") / count(lit(1))
+}

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Relational conformance queries over the synthetic TPC-H-ish tables.
+  *
+  * Each query re-expresses one operator class from SURVEY.md §2 (the
+  * knightshift operator inventory) as an idiomatic Spark plan, with a
+  * DuckDB oracle. Scale notes are on each query: these plans are written
+  * to survive a 1000-executor / 100 TB scale-up — dimension joins are
+  * broadcast, aggregates are partial+final hash aggs, scans are pruned
+  * to the referenced columns and pushed-down predicates.
+  */
+object Relational extends QueryModule {
+
+  // ---- S3: full-table scan (cleaning pass input; reference did SELECT *
+  //      then client-side filtering — validate_tv_channel_games.py:168).
+  //      Here the scan stays distributed; ORDER BY only for determinism.
+  private def s3ScanFull(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).orderBy("r_regionkey")
+
+  // ---- S4: projection scan with column pruning reaching the parquet
+  //      reader (backfill_user_profiles.py:136-140).
+  private def s4ScanProject(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // ---- S5: filtered scan, 6-way disjunctive predicate pushed into the
+  //      scan (backfill_opening_names.py:88-106).
+  private def s5ScanFilteredDisjunctive(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(
+        o("o_orderstatus") === "F" ||
+        o("o_orderpriority") === "1-URGENT" ||
+        o("o_totalprice") > 400000.0)
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
+  // ---- A2: COUNT(*) health probe (knightshift_dag.py:34-37).
+  private def a2CountStar(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+
+  // ---- A5: top-k popularity ("most popular openings" analog,
+  //      docs/CHANGELOG.md:52-53). Two-phase hash agg then tiny sorted
+  //      limit — at 100 TB the shuffle carries only (group, partial count).
+  private def a5TopkPopularity(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(desc("n_parts"), asc("p_brand"))
+      .limit(10)
+
+  // ---- Flagship: TPC-H Q1-style pricing summary. Exercises the typed
+  //      cast pipeline (F5-F7 null-safe numeric handling) + grouped
+  //      aggregation. Exact decimal arithmetic → order-independent sums.
+  private def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val one = lit(new java.math.BigDecimal("1.00"))
+    l.filter(l("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumExact2(col("l_quantity")).as("sum_qty"),
+        sumExact2(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+            * (one + dec2(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        avgExact2(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ---- J4: read-side equi-join games⋈users analog: revenue per nation.
+  //      nation (25 rows) broadcasts; customer⋈orders shuffles on the
+  //      join key — the partitioning a real cluster would use at 100 TB.
+  private def j4JoinRevenuePerNation(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sumExact4(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  // ---- J1 (semi): PK existence probe as a set-oriented left-semi join
+  //      (game_upsert.py:92-94 did it one row at a time).
+  private def j1SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  // ---- J1 (anti): insert-if-absent probe (backfill_user_profiles.py:
+  //      169-175) — customers with no orders at all.
+  private def j1AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // ---- A1/W2: keyed dedup, last-write-wins (game_upsert.py:96-101):
+  //      arg-max by recency via row_number. At scale this is one shuffle
+  //      on the key — exactly the MERGE the reference pushed to Postgres.
+  private def a1DedupLastWrite(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("latest_orderkey"),
+        to_date(col("o_orderdate")).as("latest_orderdate"))
+      .orderBy("o_custkey")
+  }
+
+  // ---- U1/A4: distinct union of two key projections (the white∪black
+  //      user-key extraction, backfill_user_profiles.py:140-141).
+  private def u1UnionDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  // ---- O2: pagination (Flask read API, docs/CHANGELOG.md:50-51): page 3
+  //      of 50 by (price desc, key) via row_number window filter.
+  private def o2Pagination(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val w = Window.orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    o.withColumn("page_row", row_number().over(w))
+      .filter(col("page_row") > 100 && col("page_row") <= 150)
+      .select("page_row", "o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("page_row")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s3_scan_full"            -> (s3ScanFull _),
+    "s4_scan_project"         -> (s4ScanProject _),
+    "s5_scan_filtered"        -> (s5ScanFilteredDisjunctive _),
+    "a2_count_star"           -> (a2CountStar _),
+    "a5_topk_popularity"      -> (a5TopkPopularity _),
+    "q1_pricing_summary"      -> (q1PricingSummary _),
+    "j4_join_revenue_nation"  -> (j4JoinRevenuePerNation _),
+    "j1_semi_join"            -> (j1SemiJoin _),
+    "j1_anti_join"            -> (j1AntiJoin _),
+    "a1_dedup_lastwrite"      -> (a1DedupLastWrite _),
+    "u1_union_distinct"       -> (u1UnionDistinct _),
+    "o2_pagination"           -> (o2Pagination _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s3_scan_full" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "s4_scan_project" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+
+    "s5_scan_filtered" ->
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderstatus = 'F' OR o_orderpriority = '1-URGENT'
+            OR o_totalprice > 400000.0
+         ORDER BY o_orderkey""",
+
+    "a2_count_star" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+
+    "a5_topk_popularity" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+         GROUP BY p_brand ORDER BY n_parts DESC, p_brand LIMIT 10""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                         * (CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "j4_join_revenue_nation" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "j1_semi_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+         ORDER BY c_custkey""",
+
+    "j1_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 450000.0)
+         ORDER BY c_custkey""",
+
+    "a1_dedup_lastwrite" ->
+      """SELECT o_custkey,
+                o_orderkey AS latest_orderkey,
+                CAST(o_orderdate AS DATE) AS latest_orderdate
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders)
+         WHERE rn = 1
+         ORDER BY o_custkey""",
+
+    "u1_union_distinct" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+         UNION
+         SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+
+    "o2_pagination" ->
+      """SELECT page_row, o_orderkey, o_custkey, o_totalprice
+         FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                      row_number() OVER
+                        (ORDER BY o_totalprice DESC, o_orderkey) AS page_row
+               FROM orders)
+         WHERE page_row > 100 AND page_row <= 150
+         ORDER BY page_row"""
+  )
+}
