@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{QueryModule, Relational}
+import graft.queries.{Aggregates, Joins, QueryModule, Relational, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,10 @@ import graft.queries.{QueryModule, Relational}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    Relational
+    Relational,
+    Transforms,
+    Joins,
+    Aggregates
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Aggregation / window / set-operation conformance queries:
+  * SURVEY.md §2.5 (A1-A7), §2.6 (W1-W3, O1-O2, U1-U2).
+  *
+  * All grouped aggregates are two-phase (partial map-side combine +
+  * final) hash aggregates — the shuffle carries only (key, partial
+  * state), which is what keeps them viable at 100 TB.
+  */
+object Aggregates extends QueryModule {
+
+  // ---- A3: run counters — added/updated/deleted tallies
+  //      (get_games_from_tv.py:128-135, validate_tv_channel_games.py:
+  //      172-190) as conditional counts in ONE pass over the data.
+  private def a3ConditionalCounters(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+      count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+      count(when(col("o_orderstatus") === "P", 1)).as("n_pending"),
+      count(lit(1)).as("n_total"))
+
+  // ---- A4: distinct key-set from two columns (white ∪ black users,
+  //      backfill_user_profiles.py:140-141) via explode — one shuffle
+  //      for the distinct, no self-union double-scan.
+  private def a4DistinctTwoCols(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(explode(array(col("l_suppkey"), col("l_partkey"))).as("key"))
+      .distinct()
+      .orderBy("key")
+
+  // ---- A6: per-group run stats (batch size/min/max/avg,
+  //      docs/CHANGELOG.md:13-15).
+  private def a6RunStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        sumExact2(col("value")).as("sum_v"),
+        avgExact2(col("value")).as("avg_v"))
+      .orderBy("event_type")
+
+  // ---- A7: rollup with grouping indicators.
+  private def a7Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"),
+        count(lit(1)).as("n"),
+        sumExact2(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  // ---- A7: cube.
+  private def a7Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_prio"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  // ---- A7: exact distinct aggregation (two-phase distinct agg).
+  private def a7CountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      count(lit(1)).as("n_rows"))
+
+  // ---- A7: approximate distinct (HLL++). Engine-specific sketch, so
+  //      no DuckDB oracle — the driver records a rows-only check; the
+  //      ScalaTest suite asserts the estimate is within 5% of exact.
+  private def a7ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+
+  // ---- W1: sessionization — the stateful record-boundary detection of
+  //      the PGN stream (F1, get_games_from_tv.py:196-199) generalized:
+  //      per-user sessions split on >1h inactivity gaps, assigned by a
+  //      running sum over an ordered window (one shuffle on user_id).
+  private def w1Sessionization(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 3600L * 1000000L, 1)
+        .otherwise(0))
+      .groupBy("user_id")
+      .agg(
+        sum(col("boundary")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // ---- W3: analytic window functions — rank/dense_rank/ntile/lag/lead
+  //      + a moving frame aggregate, per-customer order history.
+  private def w3WindowAnalytics(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        sum(dec4(col("o_totalprice")))
+          .over(w.rowsBetween(-2, 0)).cast("double").as("moving_sum3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---- O1: deterministic cap (MAX_GAMES batch cap,
+  //      get_games_from_tv.py:61,137-142): ordered limit, then verify
+  //      the capped set by aggregate fingerprint.
+  private def o1LimitCap(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy("o_orderdate", "o_orderkey")
+      .limit(5000)
+      .agg(
+        count(lit(1)).as("n_capped"),
+        max(col("o_orderkey")).as("max_key_in_cap"),
+        to_date(max(col("o_orderdate"))).as("max_date_in_cap"))
+
+  // ---- U2: intersect / except.
+  private def u2Intersect(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  private def u2Except(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(col("n_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, d).filter(col("s_acctbal") > 5000.0)
+        .select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a3_conditional_counters" -> (a3ConditionalCounters _),
+    "a4_distinct_two_cols"    -> (a4DistinctTwoCols _),
+    "a6_run_stats"            -> (a6RunStats _),
+    "a7_rollup"               -> (a7Rollup _),
+    "a7_cube"                 -> (a7Cube _),
+    "a7_count_distinct"       -> (a7CountDistinct _),
+    "a7_approx_distinct"      -> (a7ApproxDistinct _),
+    "w1_sessionization"       -> (w1Sessionization _),
+    "w3_window_analytics"     -> (w3WindowAnalytics _),
+    "o1_limit_cap"            -> (o1LimitCap _),
+    "u2_intersect"            -> (u2Intersect _),
+    "u2_except"               -> (u2Except _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a3_conditional_counters" ->
+      """SELECT count(CASE WHEN o_orderstatus='O' THEN 1 END) AS n_open,
+                count(CASE WHEN o_orderstatus='F' THEN 1 END) AS n_finished,
+                count(CASE WHEN o_orderstatus='P' THEN 1 END) AS n_pending,
+                count(*) AS n_total
+         FROM orders""",
+
+    "a4_distinct_two_cols" ->
+      """SELECT DISTINCT key FROM
+           (SELECT l_suppkey AS key FROM lineitem
+            UNION ALL SELECT l_partkey FROM lineitem)
+         ORDER BY key""",
+
+    "a6_run_stats" ->
+      """SELECT event_type, count(*) AS n,
+                min(value) AS min_v, max(value) AS max_v,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "a7_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                grouping(l_returnflag) AS g_flag,
+                grouping(l_linestatus) AS g_status,
+                count(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY g_flag, g_status,
+                  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "a7_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                grouping(o_orderstatus) AS g_status,
+                grouping(o_orderpriority) AS g_prio,
+                count(*) AS n
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_prio,
+                  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "a7_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps,
+                count(DISTINCT l_orderkey) AS n_orders,
+                count(*) AS n_rows
+         FROM lineitem""",
+
+    "w1_sessionization" ->
+      """SELECT user_id, SUM(boundary) AS n_sessions, count(*) AS n_events
+         FROM (SELECT user_id,
+                      CASE WHEN prev_us IS NULL
+                             OR ts_us - prev_us > CAST(3600000000 AS BIGINT)
+                           THEN 1 ELSE 0 END AS boundary
+               FROM (SELECT user_id,
+                            epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                            lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+                              (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+                     FROM events))
+         GROUP BY user_id ORDER BY user_id""",
+
+    "w3_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+                rank() OVER w AS rnk,
+                dense_rank() OVER w AS drnk,
+                ntile(4) OVER w AS quartile,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_orderkey, 1) OVER w AS next_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "o1_limit_cap" ->
+      """SELECT count(*) AS n_capped,
+                max(o_orderkey) AS max_key_in_cap,
+                CAST(max(o_orderdate) AS DATE) AS max_date_in_cap
+         FROM (SELECT * FROM orders
+               ORDER BY o_orderdate, o_orderkey LIMIT 5000)""",
+
+    "u2_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+
+    "u2_except" ->
+      """SELECT n_nationkey AS nationkey FROM nation
+         EXCEPT
+         SELECT s_nationkey AS nationkey FROM supplier
+         WHERE s_acctbal > 5000.0
+         ORDER BY nationkey"""
+  )
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Join conformance queries: SURVEY.md §2.4 (J1-J5) — the merge/probe
+  * semantics knightshift delegated to Postgres one row at a time,
+  * re-expressed as set-oriented distributed joins, plus the join shapes
+  * the engine must offer beyond the reference (full outer, cross,
+  * range, as-of).
+  *
+  * Scale notes: dimension sides broadcast; the as-of join avoids the
+  * classic per-key nested loop by a union + running-window scan (one
+  * shuffle on the key, linear in events); the disjunctive semi-join
+  * avoids an OR-join nested loop by decomposing into two equi
+  * semi-joins (SURVEY J2's explode pattern).
+  */
+object Joins extends QueryModule {
+
+  // ---- J2: disjunctive-key semi-join (the white-OR-black flag update,
+  //      backfill_user_profiles.py:223-235). An OR join predicate would
+  //      force a nested loop; decompose into two equi semi-joins and
+  //      union-distinct — each side a broadcast/hash join at scale.
+  private def j2DisjunctiveSemi(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+      "l_suppkey", "l_partkey")
+    val hiSupp = Tables.supplier(s, d)
+      .filter(col("s_acctbal") > 5000.0).select("s_suppkey")
+    val hiPart = Tables.part(s, d)
+      .filter(col("p_retailprice") > 1500.0).select("p_partkey")
+    li.join(broadcast(hiSupp), li("l_suppkey") === hiSupp("s_suppkey"), "left_semi")
+      .unionByName(
+        li.join(broadcast(hiPart), li("l_partkey") === hiPart("p_partkey"), "left_semi"))
+      .select("l_orderkey", "l_linenumber")
+      .distinct()
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---- J3: keyed upsert merge, last-write-wins (game_upsert.py:84-110).
+  //      incoming = re-delivered rows with updated values; merge =
+  //      existing ⟕anti incoming ∪ incoming. One shuffle on the key —
+  //      the set-oriented MERGE the reference did row-at-a-time.
+  private def j3UpsertMerge(s: SparkSession, d: String): DataFrame = {
+    val existing = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("existing").as("src"))
+    val incoming = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit("incoming").as("src"))
+    existing.join(incoming, Seq("o_orderkey"), "left_anti")
+      .unionByName(incoming)
+      .orderBy("o_orderkey")
+  }
+
+  // ---- S9: insert-if-absent merge, first-write-wins
+  //      (backfill_user_profiles.py:169-220): incoming rows whose key
+  //      already exists are DISCARDED (asymmetric with J3 — the
+  //      reference's games overwrite but users don't).
+  private def j3FirstWriteWins(s: SparkSession, d: String): DataFrame = {
+    val existing = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"))
+    // re-delivery of known keys (must lose) + genuinely new keys (must win)
+    val incoming = Tables.customer(s, d)
+      .filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), lit("UPDATED-MUST-NOT-APPEAR").as("c_name"))
+      .unionByName(
+        Tables.customer(s, d).filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(lit("new-"), col("c_name")).as("c_name")))
+    existing.unionByName(
+        incoming.join(existing, Seq("c_custkey"), "left_anti"))
+      .orderBy("c_custkey")
+  }
+
+  // ---- J5 (range): equi + range predicate — lineitems shipped within
+  //      60 days of their order date. The equi key carries the shuffle;
+  //      the range predicate is evaluated post-match (no nested loop).
+  private def j5RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        li("l_shipdate") >= o("o_orderdate") &&
+        li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), sumExact2(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---- J5 (as-of): for each purchase event, the most recent view by
+  //      the same user at-or-before it. Implemented scalably: tag and
+  //      union both sides, one window scan per user ordered by time —
+  //      last("view") over an unbounded-preceding frame. No per-row
+  //      probes, no nested loop; one shuffle on user_id.
+  private def j5AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val tagged = views.withColumn("purchase_id", lit(null).cast("long"))
+      .unionByName(purchases.withColumn("view_id", lit(null).cast("long")))
+    // views sort before purchases at equal ts (nulls last) so an
+    // exactly-simultaneous view is visible to the purchase — matching
+    // the inclusive `p.ts >= v.ts` of a textbook ASOF join.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("view_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("asof_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("purchase_id").isNotNull)
+      .select(col("purchase_id"), col("asof_view_id"))
+      .orderBy("purchase_id")
+  }
+
+  // ---- full outer: per-nation customer vs supplier presence — nulls on
+  //      both sides exercised (suppliers cover few nations).
+  private def jFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+    val sp = Tables.supplier(s, d).groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sp, c("c_nationkey") === sp("s_nationkey"), "full_outer")
+      .select(
+        coalesce(c("c_nationkey"), sp("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  // ---- cross join (small × small): region pairs.
+  private def jCross(s: SparkSession, d: String): DataFrame = {
+    val r1 = Tables.region(s, d).select(col("r_regionkey").as("rk1"))
+    val r2 = Tables.region(s, d).select(col("r_regionkey").as("rk2"))
+    r1.crossJoin(r2).filter(col("rk1") < col("rk2")).orderBy("rk1", "rk2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j2_disjunctive_semi"  -> (j2DisjunctiveSemi _),
+    "j3_upsert_merge"      -> (j3UpsertMerge _),
+    "j3_first_write_wins"  -> (j3FirstWriteWins _),
+    "j5_range_join"        -> (j5RangeJoin _),
+    "j5_asof_join"         -> (j5AsofJoin _),
+    "j_full_outer"         -> (jFullOuter _),
+    "j_cross"              -> (jCross _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j2_disjunctive_semi" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM supplier
+                       WHERE s_suppkey = l_suppkey AND s_acctbal > 5000.0)
+            OR EXISTS (SELECT 1 FROM part
+                       WHERE p_partkey = l_partkey AND p_retailprice > 1500.0)
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "j3_upsert_merge" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                     ELSE o_totalprice END AS o_totalprice,
+                CASE WHEN o_orderkey % 3 = 0 THEN 'incoming'
+                     ELSE 'existing' END AS src
+         FROM orders ORDER BY o_orderkey""",
+
+    "j3_first_write_wins" ->
+      """SELECT c_custkey, c_name FROM customer
+         UNION ALL
+         SELECT c_custkey + 1000000 AS c_custkey, 'new-' || c_name AS c_name
+         FROM customer WHERE c_custkey % 7 = 0
+         ORDER BY c_custkey""",
+
+    "j5_range_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "j5_asof_join" ->
+      """SELECT p.purchase_id, v.view_id AS asof_view_id
+         FROM (SELECT event_id AS purchase_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT event_id AS view_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.purchase_id""",
+
+    "j_full_outer" ->
+      """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+                COALESCE(c.n_cust, 0) AS n_cust,
+                COALESCE(s.n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+               GROUP BY c_nationkey) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+               GROUP BY s_nationkey) s
+           ON c.c_nationkey = s.s_nationkey
+         ORDER BY nationkey""",
+
+    "j_cross" ->
+      """SELECT r1.r_regionkey AS rk1, r2.r_regionkey AS rk2
+         FROM region r1 CROSS JOIN region r2
+         WHERE r1.r_regionkey < r2.r_regionkey
+         ORDER BY rk1, rk2"""
+  )
+}
