@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed merge semantics — the two upsert flavors the reference
+  * implements with per-row SELECT-then-INSERT/UPDATE round trips,
+  * re-expressed as set-oriented merges (SURVEY.md §2.4 J1/J3, §2.5 A1).
+  *
+  * Scale: one shuffle on the key per merge; the incoming side is
+  * deduped map-side first (row_number over key). This is the same
+  * idempotent-merge property the reference relies on for crash safety
+  * (docs/failure_simulation.md) — re-running a batch converges.
+  */
+object Upsert {
+
+  /** Last-write-wins (games, game_upsert.py:84-110): incoming rows
+    * replace existing rows with the same key; within incoming, the
+    * highest `orderCol` (ties: arbitrary-but-deterministic via the key)
+    * wins — the reference's "later upsert overwrites" semantics.
+    */
+  def lastWriteWins(existing: DataFrame, incoming: DataFrame,
+      key: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(desc(orderCol), asc(key))
+    val dedup = incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    existing.join(dedup, Seq(key), "left_anti").unionByName(dedup)
+  }
+
+  /** First-write-wins (users, backfill_user_profiles.py:169-220):
+    * incoming rows whose key already exists are DISCARDED — existing
+    * rows are never updated (docs/assumptions.md:36).
+    */
+  def firstWriteWins(existing: DataFrame, incoming: DataFrame,
+      key: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(asc(orderCol), asc(key))
+    val dedup = incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    existing.unionByName(dedup.join(existing, Seq(key), "left_anti"))
+  }
+}

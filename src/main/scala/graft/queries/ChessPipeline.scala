@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Cleaning, Normalize}
+import graft.pgn.PgnParser
+
+/** End-to-end conformance for the chess PGN pipeline (SURVEY.md §2.2,
+  * §2.3, §3.3) under the DuckDB oracle: PGN text is synthesized
+  * DETERMINISTICALLY from the customer table (key-modulo variations
+  * cover every cleaning rule), then the REAL production path runs —
+  * PgnParser.parseLines → Normalize.buildGameData →
+  * Cleaning.validateAndClean — and the oracle recomputes the expected
+  * output directly from the base table with portable SQL.
+  *
+  * This hash-checks: F1 block boundaries, F2 header parse, F3 defaults,
+  * F4 id extraction, F5 elo casts, F6 date parse, F10 title, F11 eco,
+  * F12 termination, F15 notes, P1 required fields, P2 result domain,
+  * P3 delete-on-invalid routing.
+  */
+object ChessPipeline extends QueryModule {
+
+  private def synthesizedLines(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    val result = when(k % 10 === 1, lit("*"))
+      .otherwise(element_at(
+        array(lit("1-0"), lit("0-1"), lit("1/2-1/2")), (k % 3).cast("int") + 1))
+    val term = element_at(array(lit("Normal"), lit("Time forfeit"),
+      lit("Unterminated"), lit("RESIGNED"), lit("abandoned ")),
+      (k % 5).cast("int") + 1)
+    val eco = when(k % 5 === 0, lit("?")).otherwise(lit("C20"))
+    val elo = when(k % 6 === 0, lit("bad"))
+      .otherwise((lit(1000) + k % 1500).cast("string"))
+    val blackLine = when(k % 11 === 7, lit("[Event \"synthetic\"]"))
+      .otherwise(concat(lit("[Black \"u"), k, lit("b\"]")))
+
+    Tables.customer(s, d).select(k)
+      .select(k, posexplode(array(
+        concat(lit("[Site \"https://lichess.org/g"), k, lit("\"]")),
+        concat(lit("[Date \"2025.05.0"), (k % 9).cast("int") + 1, lit("\"]")),
+        concat(lit("[White \"u"), k, lit("w\"]")),
+        blackLine,
+        concat(lit("[Result \""), result, lit("\"]")),
+        concat(lit("[WhiteElo \""), elo, lit("\"]")),
+        concat(lit("[ECO \""), eco, lit("\"]")),
+        concat(lit("[Termination \""), term, lit("\"]")),
+        lit("1. e4 e5 2. Nf3 Nc6"))))
+      .select(lit("synth").as("src_file"),
+        (k * 100 + col("pos")).as("line_no"),
+        col("col").as("line"))
+  }
+
+  private def runPipeline(s: SparkSession, d: String): Cleaning.CleanResult = {
+    val parsed = PgnParser.parseLines(synthesizedLines(s, d))
+    val normalized = Normalize.buildGameData(parsed,
+      ingestedAt = lit("2025-05-02 00:00:00").cast("timestamp"))
+    Cleaning.validateAndClean(normalized,
+      validatedAt = lit("2025-05-02 00:00:00").cast("timestamp"))
+  }
+
+  private val outCols: Seq[String] = Seq("id_game", "id_user_white",
+    "id_user_black", "val_result", "val_termination", "val_elo_white",
+    "val_opening_eco_code", "val_title_white", "val_moves_pgn",
+    "dt_game", "val_validation_notes", "ind_validated")
+
+  private def pgnCleanE2e(s: SparkSession, d: String): DataFrame =
+    runPipeline(s, d).cleaned
+      .select(outCols.map(col): _*)
+      .orderBy("id_game")
+
+  private def pgnRejectsE2e(s: SparkSession, d: String): DataFrame =
+    runPipeline(s, d).rejected
+      .select(col("id_game"), col("val_validation_notes"))
+      .orderBy("id_game")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pgn_clean_e2e"   -> (pgnCleanE2e _),
+    "pgn_rejects_e2e" -> (pgnRejectsE2e _)
+  )
+
+  // The oracle recomputes expected outputs directly from `customer`,
+  // mirroring the synthesis rules + the reference cleaning semantics.
+  private val synthCte =
+    """WITH synth AS (
+         SELECT 'g' || c_custkey AS id_game,
+                'u' || c_custkey || 'w' AS id_user_white,
+                CASE WHEN c_custkey % 11 = 7 THEN ''
+                     ELSE 'u' || c_custkey || 'b' END AS id_user_black,
+                CASE WHEN c_custkey % 10 = 1 THEN '*'
+                     WHEN c_custkey % 3 = 0 THEN '1-0'
+                     WHEN c_custkey % 3 = 1 THEN '0-1'
+                     ELSE '1/2-1/2' END AS val_result,
+                CASE WHEN c_custkey % 5 = 0 THEN 'Normal'
+                     WHEN c_custkey % 5 = 1 THEN 'Time forfeit'
+                     WHEN c_custkey % 5 = 2 THEN 'Unterminated'
+                     WHEN c_custkey % 5 = 3 THEN 'RESIGNED'
+                     ELSE 'abandoned ' END AS raw_term,
+                CASE WHEN c_custkey % 6 = 0 THEN NULL
+                     ELSE CAST(1000 + c_custkey % 1500 AS INT) END AS val_elo_white,
+                CASE WHEN c_custkey % 5 = 0 THEN NULL
+                     ELSE 'C20' END AS val_opening_eco_code,
+                CAST('2025-05-0' || CAST(c_custkey % 9 + 1 AS VARCHAR) AS DATE) AS dt_game
+         FROM customer
+       )"""
+
+  val oracles: Map[String, String] = Map(
+    "pgn_clean_e2e" -> (synthCte +
+      """
+         SELECT id_game, id_user_white, id_user_black, val_result,
+                CASE upper(trim(raw_term))
+                  WHEN 'TIME FORFEIT' THEN 'TIME_FORFEIT'
+                  WHEN 'UNTERMINATED' THEN 'NORMAL'
+                  WHEN 'NORMAL' THEN 'NORMAL'
+                  WHEN 'RESIGNED' THEN 'RESIGNED'
+                  WHEN 'ABANDONED' THEN 'ABANDONED'
+                  ELSE 'NORMAL' END AS val_termination,
+                val_elo_white, val_opening_eco_code,
+                'None' AS val_title_white,
+                '1. e4 e5 2. Nf3 Nc6' AS val_moves_pgn,
+                dt_game,
+                CASE WHEN val_opening_eco_code IS NULL AND upper(trim(raw_term)) = 'TIME FORFEIT'
+                       THEN 'Set val_opening_eco_code to NULL, Normalized termination: ' || raw_term || ' → TIME_FORFEIT'
+                     WHEN val_opening_eco_code IS NULL AND upper(trim(raw_term)) = 'UNTERMINATED'
+                       THEN 'Set val_opening_eco_code to NULL, Normalized termination: ' || raw_term || ' → NORMAL'
+                     WHEN val_opening_eco_code IS NULL
+                       THEN 'Set val_opening_eco_code to NULL'
+                     WHEN upper(trim(raw_term)) = 'TIME FORFEIT'
+                       THEN 'Normalized termination: ' || raw_term || ' → TIME_FORFEIT'
+                     WHEN upper(trim(raw_term)) = 'UNTERMINATED'
+                       THEN 'Normalized termination: ' || raw_term || ' → NORMAL'
+                     ELSE 'Valid' END AS val_validation_notes,
+                TRUE AS ind_validated
+         FROM synth
+         WHERE id_user_black <> '' AND val_result IN ('1-0','0-1','1/2-1/2')
+         ORDER BY id_game"""),
+
+    "pgn_rejects_e2e" -> (synthCte +
+      """
+         SELECT id_game,
+                CASE WHEN id_user_black = '' THEN 'Missing field: id_user_black'
+                     ELSE 'Invalid result: ' || val_result END AS val_validation_notes
+         FROM synth
+         WHERE id_user_black = '' OR val_result NOT IN ('1-0','0-1','1/2-1/2')
+         ORDER BY id_game""")
+  )
+}
