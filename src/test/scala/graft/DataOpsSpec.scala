@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+
+/** Semantic checks for the training-data-pipeline operators (beyond
+  * the DuckDB hash conformance): planted duplicates are found, the
+  * approximate paths agree with exact baselines, sketches behave.
+  */
+class DataOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf001)
+  private def embs = Tables.embeddings(spark, sf001)
+
+  test("MinHash-LSH candidates cover the true Jaccard near-dup pairs") {
+    val truePairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val dict = Dedup.shingleDictionary(sh)
+    val enc = sh.join(dict, Seq("shingle")).select("id", "sid")
+    val cand = Dedup.lshCandidates(
+      Dedup.minhashSignatures(enc, 16), 2)
+      .as[(Long, Long)].collect().toSet
+    val recall = truePairs.count(cand).toDouble / truePairs.size
+    assert(truePairs.nonEmpty)
+    withClue(s"LSH recall $recall over ${truePairs.size} true pairs: ") {
+      assert(recall >= 0.8)
+    }
+  }
+
+  test("LSH ANN top-k has reasonable recall vs brute force") {
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(embs, pred, 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.lshTopK(embs, pred, 10, numPlanes = 4)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every query must return k results and overlap the exact set:
+    // 4 planes → 16 buckets of ~31 vectors; bucket-local top-10 of a
+    // near-orthogonal corpus keeps only coarse recall — assert the
+    // mechanism works, not a tuned recall number.
+    assert(approx.nonEmpty)
+    val avgOverlap = exact.keys.toSeq.map { q =>
+      approx.get(q).map(a => (a & exact(q)).size).getOrElse(0)
+    }.sum.toDouble / exact.size
+    withClue(s"avg top-10 overlap $avgOverlap: ") { assert(avgOverlap >= 1.0) }
+  }
+
+  test("exact dedup finds exactly the planted duplicate groups") {
+    val planted = docs.select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val groups = Dedup.exactGroups(planted, "doc_id", "text").collect()
+    val expected = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(groups.length == expected)
+    assert(groups.forall(_.getAs[Long]("n_copies") == 2))
+  }
+
+  test("multimodal decode: per-partition batching yields typed metadata") {
+    implicit val s = spark
+    val meta = Multimodal.decodeMeta(
+      Multimodal.assetsFromText(docs, "doc_id", "text")).collect()
+    assert(meta.length == docs.count())
+    assert(meta.forall(m => m.width >= 1 && m.width <= 640))
+    assert(meta.forall(m => m.n_sampled_frames == (m.n_frames + 4) / 5))
+    val videos = meta.filter(_.media_type == "video")
+    assert(videos.nonEmpty && videos.forall(_.n_frames >= 1))
+    assert(meta.filter(_.media_type != "video").forall(_.n_frames == 1))
+  }
+
+  test("simhash: identical docs get identical sketches") {
+    val sh = Dedup.shingles(docs.limit(50), "doc_id", "text")
+    val dict = Dedup.shingleDictionary(sh)
+    val enc = sh.join(dict, Seq("shingle")).select("id", "sid")
+    val sk1 = Dedup.simhash(enc, 32).orderBy("id").collect()
+    val sk2 = Dedup.simhash(enc, 32).orderBy("id").collect()
+    assert(sk1.sameElements(sk2))
+  }
+}
