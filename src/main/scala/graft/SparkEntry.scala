@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ChessPipeline, DataOps, Joins, QueryModule, Relational, Transforms}
+import graft.queries.{Aggregates, ChessPipeline, DataOps, Joins, QueryModule, Relational, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
     Joins,
     Aggregates,
     ChessPipeline,
-    DataOps
+    DataOps,
+    Windows
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

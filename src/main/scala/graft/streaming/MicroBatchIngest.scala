@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Normalize, Upsert}
+import graft.pgn.{ParsedGame, PgnParser}
+
+/** T1-T3 micro-batch ingestion (SURVEY.md §2.7): the reference's
+  * poll→parse→upsert loop (get_games_from_tv.py:122-147) re-expressed
+  * as batch merges into a Parquet table.
+  *
+  * Design decision (SURVEY §7.4.6): state lives in the TARGET TABLE,
+  * not in streaming operator state — identical to the reference's
+  * "dedup state is the Postgres table" model. Each batch is an
+  * idempotent last-write-wins merge, so re-running a crashed batch
+  * converges (the property docs/failure_simulation.md demonstrates).
+  * A game re-seen in a later batch simply overwrites (T3: no watermark,
+  * late data always accepted — reference semantics).
+  *
+  * The HTTP channel poll is a pluggable `fetch: Int => Seq[String]`
+  * (batch index → PGN documents), matching how the reference's tests
+  * mock `requests` (test_get_games_from_tv.py:64-69). Retry/backoff/
+  * rate-limit (T5/T6) belong to that source wrapper, not the plan.
+  */
+object MicroBatchIngest {
+
+  case class BatchStats(batch: Int, parsedGames: Long, tableRows: Long)
+
+  /** Parse one micro-batch of PGN documents into normalized game rows.
+    * `flatMap` over documents — per-partition, no shuffle (F1/F2 via
+    * the imperative splitter shared with the batch parser). */
+  def parseBatch(spark: SparkSession, docs: Seq[String],
+      ingestedAt: java.sql.Timestamp): DataFrame = {
+    import spark.implicits._
+    val games: DataFrame = docs.toDS()
+      .flatMap(PgnParser.splitBlocks _)
+      .toDF("headers", "moves")
+    Normalize.buildGameData(games, ingestedAt = lit(ingestedAt))
+  }
+
+  /** Merge a batch into the Parquet target (create if absent):
+    * last-write-wins on id_game ordered by tm_ingested. Write goes
+    * through a temp directory + atomic-ish swap so the source table is
+    * fully read before being replaced. */
+  def mergeIntoTable(spark: SparkSession, batch: DataFrame,
+      tablePath: String): Long = {
+    val target = Paths.get(tablePath)
+    val merged =
+      if (Files.exists(target)) {
+        val existing = spark.read.parquet(tablePath)
+        Upsert.lastWriteWins(existing, batch, "id_game", "tm_ingested")
+      } else batch
+    val tmp = tablePath + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    deleteRecursively(target)
+    Files.move(Paths.get(tmp), target)
+    n
+  }
+
+  /** The micro-batch loop: `numBatches` polls of `fetch`, each merged
+    * into the table; per-batch stats mirror the reference's
+    * added/updated tallies (A3). Batch timestamps are deterministic
+    * (epoch + batch index) so tests and oracles are stable. */
+  def run(spark: SparkSession, fetch: Int => Seq[String],
+      tablePath: String, numBatches: Int): Seq[BatchStats] =
+    (0 until numBatches).map { b =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.ofEpochSecond(1700000000L + b * 60, 0,
+          java.time.ZoneOffset.UTC))
+      val batch = parseBatch(spark, fetch(b), ts)
+      val n = mergeIntoTable(spark, batch, tablePath)
+      BatchStats(b, batch.count(), n)
+    }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+    }
+}

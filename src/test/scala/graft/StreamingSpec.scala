@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.MicroBatchIngest
+
+/** Streaming-layer tests: micro-batch PGN ingest loop (T1-T3) and
+  * Structured Streaming window/dedup parity with batch (T2/T4). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def pgn(id: String, white: String, result: String) =
+    s"""[Site "https://lichess.org/$id"]
+       |[White "$white"]
+       |[Black "opponent"]
+       |[Result "$result"]
+       |[Termination "Normal"]
+       |1. e4 e5 $result
+       |""".stripMargin
+
+  test("T1-T3: micro-batch loop merges batches, last write wins, idempotent") {
+    val dir = Files.createTempDirectory("mb").toString
+    val table = s"$dir/tv_channel_games"
+    val batches: Int => Seq[String] = {
+      case 0 => Seq(pgn("aaaa1111", "alice", "1-0") + "\n" + pgn("bbbb2222", "bob", "0-1"))
+      case 1 => Seq(pgn("aaaa1111", "alice_updated", "1/2-1/2"),
+                    pgn("cccc3333", "carol", "1-0"))
+      case _ => Seq.empty
+    }
+    val stats = MicroBatchIngest.run(spark, batches, table, numBatches = 3)
+    assert(stats.map(_.tableRows) == Seq(2, 3, 3))
+    val finalRows = spark.read.parquet(table)
+      .select("id_game", "id_user_white", "val_result")
+      .orderBy("id_game").as[(String, String, String)].collect().toSeq
+    assert(finalRows == Seq(
+      ("aaaa1111", "alice_updated", "1/2-1/2"),   // batch-1 overwrite (T3)
+      ("bbbb2222", "bob", "0-1"),
+      ("cccc3333", "carol", "1-0")))
+    // idempotence: re-running the last batch converges to the same table
+    MicroBatchIngest.run(spark, _ => batches(1), table, numBatches = 1)
+    assert(spark.read.parquet(table).count() == 3)
+  }
+
+  test("T4: streaming tumbling-window agg matches the batch result") {
+    val events = Tables.events(spark, sf0001).cache()
+    val src = Files.createTempDirectory("ev").toString
+    events.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("tumbling_out")
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect().toSeq
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("T2: streaming dropDuplicates removes cross-batch re-deliveries") {
+    val events = Tables.events(spark, sf0001).limit(100).cache()
+    val src = Files.createTempDirectory("dup").toString
+    // two identical files = the same events delivered twice
+    events.write.mode("overwrite").parquet(s"$src/a")
+    events.write.mode("overwrite").parquet(s"$src/b")
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+      .dropDuplicates("event_id")
+      .groupBy().count()
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("dedup_out").as[Long].head() == 100L)
+  }
+}
