@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump `explain("formatted")` for representative queries so
+  * plan regressions (lost pushdown, missed broadcast, codegen breaks)
+  * are visible in review. Usage:
+  *   sbt 'runMain graft.Explain <sfDir> [queryName ...]'
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("s5_scan_filtered", "q1_pricing_summary",
+        "j4_join_revenue_nation", "a1_dedup_lastwrite",
+        "j2_disjunctive_semi", "w1_sessionization", "dedup_minhash_lsh",
+        "sim_ann_lsh", "t4_tumbling_window")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

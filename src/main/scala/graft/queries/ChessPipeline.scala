@@ -47,7 +47,10 @@ object ChessPipeline extends QueryModule {
         concat(lit("[ECO \""), eco, lit("\"]")),
         concat(lit("[Termination \""), term, lit("\"]")),
         lit("1. e4 e5 2. Nf3 Nc6"))))
-      .select(lit("synth").as("src_file"),
+      // shard the synthetic corpus across 32 virtual files so the
+      // parser's per-file sessionization window parallelizes (a game's
+      // lines share one k → never split across shards)
+      .select(concat(lit("synth"), k % 32).as("src_file"),
         (k * 100 + col("pos")).as("line_no"),
         col("col").as("line"))
   }

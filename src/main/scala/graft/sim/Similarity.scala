@@ -25,12 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import graft.functions.ArrayDotProduct.array_dot
+
   /** embedding column (array<float>) → array<double>, exact cast. */
   private val asDouble = "transform(embedding, x -> cast(x AS double))"
 
-  /** Strict sequential fold for the declarative (bucketed) path. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)"
+  /** Strict sequential fold for the declarative (bucketed) path —
+    * the custom codegen'd [[graft.functions.ArrayDotProduct]]. */
+  private def dotCol(a: Column, b: Column): Column = array_dot(a, b)
 
   /** Sequential dot product — the single source of float semantics for
     * the fast paths. */
@@ -57,7 +59,7 @@ object Similarity {
   def withNorms(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("vd", expr(asDouble))
-      .withColumn("norm", expr(s"sqrt(${dotExpr("vd", "vd")})"))
+      .withColumn("norm", sqrt(dotCol(col("vd"), col("vd"))))
 
   /** All-pairs cosine scores of `embeddings` against a broadcast block,
     * one output row per (row, block entry) passing `keep`. */
@@ -141,7 +143,7 @@ object Similarity {
     val scored = q.join(cand, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
-        expr(dotExpr("qd", "vd")) / (col("qnorm") * col("norm")))
+        dotCol(col("qd"), col("vd")) / (col("qnorm") * col("norm")))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), asc("cand_id"))
     scored

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ArrayDotProduct.array_dot
+import graft.streaming.SourceGuard
+
+/** Custom expression + source-guard unit tests. */
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("array_dot: codegen'd sequential dot product") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -0.5), Array(2.0, 2.0)))
+      .toDF("a", "b")
+    val got = df.select(array_dot(col("a"), col("b"))).as[Double].collect()
+    assert(got.toSeq == Seq(32.0, 0.0))
+    // null array → null result; interpreted path agrees with codegen
+    val withNull = Seq((Some(Array(1.0)), None: Option[Array[Double]]))
+      .toDF("a", "b")
+    assert(withNull.select(array_dot(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+  }
+
+  test("array_dot matches the HOF fold bit-for-bit on real embeddings") {
+    val e = Tables.embeddings(spark, sf0001).limit(50)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS double))"))
+    val both = e.select(
+      array_dot(col("vd"), col("vd")).as("fast"),
+      expr("aggregate(zip_with(vd, vd, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)")
+        .as("ref")).as[(Double, Double)].collect()
+    assert(both.forall { case (f, r) => f == r })   // exact, not approx
+  }
+
+  test("SourceGuard.retry: recovers after transient failures, None after budget") {
+    var calls = 0
+    val ok = SourceGuard.retry(3, 0, _ => ()) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      42
+    }
+    assert(ok.contains(42) && calls == 3)
+    assert(SourceGuard.retry(2, 0, _ => ())(throw new RuntimeException("x"))
+      .isEmpty)
+  }
+
+  test("SourceGuard.RateLimiter: spaces acquisitions at the configured rate") {
+    var now = 0L
+    var slept = 0L
+    val rl = new SourceGuard.RateLimiter(2.0, () => now, ms => slept += ms)
+    rl.acquire()            // first: free
+    rl.acquire()            // second: must wait 500ms
+    assert(slept == 500L)
+  }
+
+  test("SourceGuard.TimeBudget: gates on the injected clock") {
+    var now = 0L
+    val tb = new SourceGuard.TimeBudget(1000, () => now)
+    assert(tb.proceed())
+    now = 1500
+    assert(!tb.proceed())
+  }
+}
