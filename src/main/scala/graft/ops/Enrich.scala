@@ -41,6 +41,33 @@ object Enrich {
     when(c.isNull || lower(trim(c)).isin(sentinels: _*), lit(null))
       .otherwise(lower(trim(c)).isin("true", "1"))
 
+  /** S6/S7: the per-key lookup source — `mapPartitions` with one
+    * client + rate limiter per partition (connection reuse ≈ the
+    * reference's requests.Session, backfill_user_profiles.py:123-129;
+    * throttle ≈ TIME_PER_USER). `mkClient` runs ONCE per partition on
+    * the executor (HTTP session setup); `fetch` runs per key under the
+    * limiter, None on any error after retries (S6's error contract).
+    * Output: (id_user, json) for successful lookups.
+    */
+  def lookupPartitioned(keys: DataFrame,
+      mkClient: () => String => Option[String],
+      ratePerSec: Double = 0.0): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.select(col("id_user")).as[String].mapPartitions { it =>
+      val fetch = mkClient()
+      val limiter = if (ratePerSec > 0)
+        Some(new graft.streaming.SourceGuard.RateLimiter(ratePerSec))
+      else None
+      it.flatMap { key =>
+        limiter.foreach(_.acquire())
+        graft.streaming.SourceGuard.retry(attempts = 3, pauseMillis = 0) {
+          fetch(key)
+        }.flatten.map(json => (key, json))
+      }
+    }.toDF("id_user", "json")
+  }
+
   /** F14: flatten profile JSON bodies (id_user, json) → lichess_users
     * rows (backfill_user_profiles.py:178-214). Rows with no `id` in the
     * body are dropped (P7 guard :240-241).
