@@ -125,12 +125,35 @@ object Dedup {
       .agg(sum("bitval").as("simhash"))
   }
 
-  /** SimHash near-dup pairs: Hamming distance ≤ maxDist. */
-  def simhashPairs(sketches: DataFrame, maxDist: Int): DataFrame = {
-    val a = sketches.select(col("id").as("id1"), col("simhash").as("h1"))
-    val b = sketches.select(col("id").as("id2"), col("simhash").as("h2"))
-    a.crossJoin(b)
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist.
+    *
+    * Candidate generation is BANDED, not an N² cross join: split the
+    * sketch into `bands` equal bit-bands and hash-join docs sharing any
+    * band value. By pigeonhole this is EXACT whenever maxDist < bands
+    * (≤ maxDist differing bits cannot touch every band), so the result
+    * is identical to the naive pair scan — but the shuffle key is
+    * (band, value) and the work is proportional to collisions, which is
+    * what survives a 1000× corpus. */
+  def simhashPairs(sketches: DataFrame, maxDist: Int, bits: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(maxDist < bands, s"banding is only exact for maxDist < bands")
+    require(bits % bands == 0)
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"(simhash >> ${b * width}) & $mask").as("v")))
+    val banded = sketches
+      .select(col("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bv"))
+      .select(col("id"), col("simhash"), col("bv.band"), col("bv.v"))
+    val l = banded.select(col("band"), col("v"),
+      col("id").as("id1"), col("simhash").as("h1"))
+    val r = banded.select(col("band"), col("v"),
+      col("id").as("id2"), col("simhash").as("h2"))
+    l.join(r, Seq("band", "v"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "h1", "h2").distinct()
       .withColumn("hamming", bit_count(expr("h1 ^ h2")))
       .filter(col("hamming") <= maxDist)
       .select("id1", "id2", "hamming")

@@ -75,6 +75,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(meta.filter(_.media_type != "video").forall(_.n_frames == 1))
   }
 
+  test("banded simhash pairing equals the naive cross-join pair scan") {
+    val sh = Dedup.shingles(docs.limit(120), "doc_id", "text")
+    val dict = Dedup.shingleDictionary(sh)
+    val enc = sh.join(dict, Seq("shingle")).select("id", "sid")
+    val sk = Dedup.simhash(enc, 32).cache()
+    val banded = Dedup.simhashPairs(sk, maxDist = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val naive = {
+      val a = sk.select(col("id").as("id1"), col("simhash").as("h1"))
+      val b = sk.select(col("id").as("id2"), col("simhash").as("h2"))
+      a.crossJoin(b).filter(col("id1") < col("id2"))
+        .withColumn("hamming", bit_count(expr("h1 ^ h2")))
+        .filter(col("hamming") <= 6)
+        .select("id1", "id2", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+    }
+    assert(banded == naive)
+  }
+
   test("simhash: identical docs get identical sketches") {
     val sh = Dedup.shingles(docs.limit(50), "doc_id", "text")
     val dict = Dedup.shingleDictionary(sh)
