@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+import graft.schema.ChessSchema
+
+/** Source-format coverage (SURVEY §1: parquet is canonical; the
+  * reference's other surfaces were Postgres rows and HTTP JSON — here:
+  * csv and json round-trips through the canonical schema) and skew
+  * utilities. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("csv and json round-trip the tv_channel_games schema") {
+    val dir = Files.createTempDirectory("src").toString
+    val games = Seq(
+      ("g1", "alice", "bob", "1-0", 2400, true),
+      ("g2", "carol", "dave", "0-1", 2200, false))
+      .toDF("id_game", "id_user_white", "id_user_black", "val_result",
+        "val_elo_white", "ind_validated")
+
+    games.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    games.write.mode("overwrite").json(s"$dir/json")
+
+    val csvBack = spark.read.option("header", "true")
+      .schema("id_game string, id_user_white string, id_user_black string, " +
+        "val_result string, val_elo_white int, ind_validated boolean")
+      .csv(s"$dir/csv").orderBy("id_game")
+    val jsonBack = spark.read.json(s"$dir/json")
+      .select(games.columns.map(col): _*).orderBy("id_game")
+
+    assert(csvBack.collect().toSeq == games.orderBy("id_game").collect().toSeq)
+    assert(jsonBack.collect().toSeq == games.orderBy("id_game").collect().toSeq)
+  }
+
+  test("canonical schema accepts a full games row (schema sanity)") {
+    val row = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row]),
+      ChessSchema.tvChannelGames)
+    assert(row.schema.fieldNames.length == 24)
+    assert(ChessSchema.lichessUsers.fieldNames.length == 27)
+  }
+
+  test("saltedJoin equals plain join (skew-spread, same result)") {
+    val big = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
+    val small = Tables.customer(spark, sf0001).select("c_custkey", "c_name")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = big.join(small, Seq("o_custkey"))
+      .orderBy("o_orderkey").collect().toSeq
+    val salted = Skew.saltedJoin(big, small, "o_custkey", buckets = 8)
+      .select("o_custkey", "o_orderkey", "c_name")
+      .orderBy("o_orderkey").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    val li = Tables.lineitem(spark, sf0001)
+    val plain = li.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+      .orderBy("l_suppkey").as[(Long, Long)].collect().toSeq
+    val salted = Skew.saltedCount(li, "l_suppkey", 16)
+      .orderBy("l_suppkey").as[(Long, Long)].collect().toSeq
+    assert(salted == plain)
+  }
+}
