@@ -46,28 +46,26 @@ object PgnParser {
     val numbered = trimmed.withColumn("game_idx",
       coalesce(sum(when(!col("is_header"), 1L).otherwise(0L)).over(w), lit(0L)))
 
-    // F2a: header lines → lowercased-key map (keys unique per block).
-    val headers = numbered.filter(col("is_header"))
-      .select(col("src_file"), col("game_idx"),
-        lower(regexp_extract(col("line"), headerRe, 1)).as("k"),
-        regexp_extract(col("line"), headerRe, 2).as("v"))
+    // F2: ONE grouped aggregation builds both the header map and the
+    // ordered moves string (collect_list skips the NULLs the CASE
+    // branches produce, so header and move lines separate without a
+    // second shuffle + join). Move order is restored via array_sort on
+    // (line_no, text) pairs — collect_list alone is
+    // partition-order-dependent.
+    numbered
+      .select(col("src_file"), col("game_idx"), col("line_no"),
+        col("line"), col("is_header"),
+        when(col("is_header"),
+          struct(lower(regexp_extract(col("line"), headerRe, 1)).as("k"),
+            regexp_extract(col("line"), headerRe, 2).as("v"))).as("hkv"),
+        when(!col("is_header"),
+          struct(col("line_no"), col("line"))).as("mv"))
       .groupBy("src_file", "game_idx")
-      .agg(map_from_entries(collect_list(struct(col("k"), col("v"))))
-        .as("headers"))
-
-    // F2b: move lines → ordered join with " " (order restored via
-    // array_sort on (line_no, text) pairs — collect_list alone is
-    // partition-order-dependent).
-    val moves = numbered.filter(!col("is_header"))
-      .groupBy("src_file", "game_idx")
-      .agg(concat_ws(" ",
-        expr("transform(array_sort(collect_list(struct(line_no, line))), x -> x.line)"))
-        .as("moves"))
-
-    headers.join(moves, Seq("src_file", "game_idx"), "full_outer")
-      .withColumn("headers",
-        coalesce(col("headers"), expr("cast(map() AS map<string,string>)")))
-      .withColumn("moves", coalesce(col("moves"), lit("")))
+      .agg(
+        map_from_entries(collect_list(col("hkv"))).as("headers"),
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(mv)), x -> x.line)"))
+          .as("moves"))
   }
 
   /** Convenience: read a PGN text file (or directory of files) and parse.
