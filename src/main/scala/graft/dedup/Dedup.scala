@@ -77,6 +77,35 @@ object Dedup {
       .select("id1", "id2", "n_common", "jaccard")
   }
 
+  /** MinHash signature arrays via the one-pass typed UDAF
+    * ([[graft.functions.MinHashAgg]]): (id, sigs: array<bigint>).
+    * Same hash family as [[minhashSignatures]]; the shuffle carries one
+    * K-long buffer per doc partial instead of K rows. */
+  def minhashSignaturesAgg(encoded: DataFrame, numHashes: Int): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MinHashAgg(numHashes))
+    encoded.groupBy("id").agg(agg(col("sid")).as("sigs"))
+  }
+
+  /** LSH banding over signature ARRAYS — no k-shuffle at all: bands are
+    * array slices, candidates come from one (band, sig) hash join. */
+  def lshCandidatesFromSigs(sigs: DataFrame, rowsPerBand: Int,
+      numHashes: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    val bands = numHashes / rowsPerBand
+    val banded = sigs.select(col("id"), expr(
+        s"""explode(transform(sequence(0, ${bands - 1}), b -> struct(
+              b AS band,
+              array_join(transform(slice(sigs, b * $rowsPerBand + 1, $rowsPerBand),
+                         x -> cast(x AS string)), '-') AS sig)))""").as("bv"))
+      .select(col("id"), col("bv.band").as("band"), col("bv.sig").as("sig"))
+    val l = banded.select(col("band"), col("sig"), col("id").as("id1"))
+    val r = banded.select(col("band"), col("sig"), col("id").as("id2"))
+    l.join(r, Seq("band", "sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
   /** MinHash signatures: K universal-hash permutations over encoded
     * shingle ids: h_k(doc) = min over shingles of (a_k·sid + b_k) mod p.
     * `encoded` columns: (id, sid). Returns (id, k, minhash). */

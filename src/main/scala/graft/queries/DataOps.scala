@@ -38,8 +38,8 @@ object DataOps extends QueryModule {
     val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
     val dict = Dedup.shingleDictionary(sh)
     val encoded = sh.join(dict, Seq("shingle")).select("id", "sid")
-    val sigs = Dedup.minhashSignatures(encoded, numHashes = 16)
-    Dedup.lshCandidates(sigs, rowsPerBand = 2)
+    val sigs = Dedup.minhashSignaturesAgg(encoded, numHashes = 16)
+    Dedup.lshCandidatesFromSigs(sigs, rowsPerBand = 2, numHashes = 16)
       .select(col("id1"), col("id2"))
       .orderBy("id1", "id2")
   }

@@ -75,6 +75,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(meta.filter(_.media_type != "video").forall(_.n_frames == 1))
   }
 
+  test("one-pass MinHash UDAF equals the cross-join signature path") {
+    val sh = Dedup.shingles(docs.limit(100), "doc_id", "text")
+    val dict = Dedup.shingleDictionary(sh)
+    val enc = sh.join(dict, Seq("shingle")).select("id", "sid").cache()
+    val viaAgg = Dedup.minhashSignaturesAgg(enc, 16)
+      .select(col("id"), expr("posexplode(sigs) AS (k, minhash)"))
+      .select("id", "k", "minhash")
+      .as[(Long, Int, Long)].collect().toSet
+    val viaJoin = Dedup.minhashSignatures(enc, 16)
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, k, m) => (i, k.toInt, m) }.toSet
+    assert(viaAgg == viaJoin)
+    // and the banded candidates agree too
+    val c1 = Dedup.lshCandidatesFromSigs(
+      Dedup.minhashSignaturesAgg(enc, 16), 2, 16)
+      .as[(Long, Long)].collect().toSet
+    val c2 = Dedup.lshCandidates(Dedup.minhashSignatures(enc, 16), 2)
+      .as[(Long, Long)].collect().toSet
+    assert(c1 == c2)
+  }
+
   test("banded simhash pairing equals the naive cross-join pair scan") {
     val sh = Dedup.shingles(docs.limit(120), "doc_id", "text")
     val dict = Dedup.shingleDictionary(sh)
