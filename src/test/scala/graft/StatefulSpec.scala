@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Layout
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.{ClosedSession, Event}
+
+/** Custom keyed state (flatMapGroupsWithState) and physical layout. */
+class StatefulSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("flatMapGroupsWithState sessions ≡ session_window (closed ∪ open)") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Event].cache()
+
+    val viaState = StatefulSessions.closedSessions(evs).collect().toSet ++
+      StatefulSessions.openSessionTails(spark, evs).collect().toSet
+
+    val viaBuiltin = Tables.events(spark, sf0001)
+      .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, s, e, n) => ClosedSession(u, s, e, n) }.toSet
+
+    assert(viaState == viaBuiltin)
+  }
+
+  test("date-partitioned layout prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("layout").toString
+    val games = Seq(
+      ("g1", java.sql.Date.valueOf("2025-01-01")),
+      ("g2", java.sql.Date.valueOf("2025-01-02")),
+      ("g3", java.sql.Date.valueOf("2025-01-03")),
+      ("g4", null.asInstanceOf[java.sql.Date]))
+      .toDF("id_game", "dt_game")
+    Layout.writePartitionedByDate(games, dir)
+
+    // physical layout: one directory per date + the null bucket
+    val parts = new java.io.File(dir).list().filter(_.startsWith("dt_part="))
+    assert(parts.toSet == Set("dt_part=2025-01-01", "dt_part=2025-01-02",
+      "dt_part=2025-01-03", "dt_part=unknown"))
+
+    val pruned = Layout.scanDateRange(spark, dir, "2025-01-02", "2025-01-03")
+    assert(pruned.select("id_game").as[String].collect().toSet ==
+      Set("g2", "g3"))
+    // the filter must be a partition filter, not a data filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("dt_part"))
+  }
+}
