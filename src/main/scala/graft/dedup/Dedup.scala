@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *     shuffle-on-shingle / shuffle-on-band, never an O(n²) cross join;
   *   - SimHash reduces each doc to a small integer; banding or sorted
   *     neighborhoods bound the pair search at scale (here: pair join on
-  *     the 16-bit space);
+  *     banded buckets);
   *   - the oracle-checked variants use a rank-encoded shingle dictionary
   *     (deterministic across engines); the production path [[shingleHash]]
   *     uses xxhash64 — same operator shape, no global sort.
@@ -137,9 +137,9 @@ object Dedup {
   }
 
   /** SimHash over encoded tokens (id, sid, possibly repeated): bit b of
-    * the 16-bit sketch is the sign of Σ_tokens (2·bit_b(sid) − 1) where
+    * the sketch is the sign of Σ_tokens (2·bit_b(sid) − 1) where
     * bit_b(sid) = ((sid·(2b+3) + (3b+1)) mod 100003) mod 2. */
-  def simhash(encodedTokens: DataFrame, bits: Int = 16): DataFrame = {
+  def simhash(encodedTokens: DataFrame, bits: Int = 32): DataFrame = {
     val p = 100003L
     val bitsDf = encodedTokens.sparkSession.range(bits).toDF("b")
     encodedTokens.crossJoin(broadcast(bitsDf))

@@ -34,9 +34,6 @@ object Enrich {
   private def cleanStr(c: Column): Column =
     when(c.isNull || lower(trim(c)).isin(sentinels: _*), lit(null))
       .otherwise(trim(c))
-  private def cleanInt(c: Column): Column =
-    when(c.isNull || lower(trim(c)).isin(sentinels: _*), lit(null))
-      .otherwise(c.cast("string")).cast("int")         // try-semantics via non-failing path
   private def cleanBool(c: Column): Column =
     when(c.isNull || lower(trim(c)).isin(sentinels: _*), lit(null))
       .otherwise(lower(trim(c)).isin("true", "1"))

@@ -21,11 +21,15 @@ object Normalize {
   private def h(key: String): Column = col("headers").getItem(key)
   private def hs(key: String): Column = coalesce(h(key), lit(""))
 
+  /** @param keepCols extra input columns carried through unchanged —
+    *   typically a per-row delivery sequence so the downstream
+    *   last-write-wins merge has a total order (see Upsert). */
   def buildGameData(raw: DataFrame,
-      ingestedAt: Column = current_timestamp()): DataFrame =
+      ingestedAt: Column = current_timestamp(),
+      keepCols: Seq[String] = Nil): DataFrame =
     raw
       .filter(h("site").isNotNull && h("site") =!= "")   // P7 falsy-key guard
-      .select(
+      .select(keepCols.map(col) ++ Seq(
         element_at(split(h("site"), "/"), -1).as("id_game"),
         hs("event").as("val_event_name"),
         hs("site").as("val_site_url"),
@@ -50,5 +54,5 @@ object Normalize {
         lit(null).cast("timestamp").as("tm_validated"),
         lit(false).as("ind_validated"),
         lit(null).cast("string").as("val_validation_notes"),
-        lit(false).as("ind_profile_updated"))
+        lit(false).as("ind_profile_updated")): _*)
 }

@@ -42,10 +42,14 @@ object ReadApi {
       .withColumn("won",
         (col("color") === "white" && col("res") === "1-0") ||
         (col("color") === "black" && col("res") === "0-1"))
+      .withColumn("lost",
+        (col("color") === "white" && col("res") === "0-1") ||
+        (col("color") === "black" && col("res") === "1-0"))
       .groupBy("id_user")
       .agg(
         count(lit(1)).as("n_games"),
         count(when(col("won"), 1)).as("n_wins"),
+        count(when(col("lost"), 1)).as("n_losses"),
         count(when(col("res") === "1/2-1/2", 1)).as("n_draws"),
         avg(col("opp_elo")).as("avg_opponent_elo"))
   }

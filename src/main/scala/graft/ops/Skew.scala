@@ -21,10 +21,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int): DataFrame = {
     require(buckets > 0)
-    // deterministic salt: spread rows by a hash of the whole row's
-    // position-independent content, not rand() (reruns must converge)
+    // salt = hash(row content, row position): the position term spreads
+    // IDENTICAL rows (the archetypal hot key) across buckets too; the
+    // join OUTPUT is salt-independent, so partition-dependent ids are
+    // safe here, unlike in anything result-bearing
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets)))
+      pmod(xxhash64(struct(big.columns.map(col) :+
+        monotonically_increasing_id(): _*)), lit(buckets)))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
       .withColumn("__salt", col("__salt").cast("bigint"))
@@ -39,7 +42,8 @@ object Skew {
     * REDUCERS in the first shuffle. */
   def saltedCount(df: DataFrame, key: String, buckets: Int): DataFrame =
     df.withColumn("__salt",
-        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets)))
+        pmod(xxhash64(struct(df.columns.map(col) :+
+          monotonically_increasing_id(): _*)), lit(buckets)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

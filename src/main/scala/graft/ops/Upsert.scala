@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,28 +17,39 @@ object Upsert {
 
   /** Last-write-wins (games, game_upsert.py:84-110): incoming rows
     * replace existing rows with the same key; within incoming, the
-    * highest `orderCol` (ties: arbitrary-but-deterministic via the key)
-    * wins — the reference's "later upsert overwrites" semantics.
-    */
+    * FIRST row under `orderCols` wins. Pass a TOTAL order (e.g.
+    * `Seq(desc("tm_ingested"), desc("__seq"))` with a per-row delivery
+    * sequence) — ordering by a batch-constant timestamp alone leaves
+    * the winner to partition order. */
   def lastWriteWins(existing: DataFrame, incoming: DataFrame,
-      key: String, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(desc(orderCol), asc(key))
+      key: String, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
     val dedup = incoming
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     existing.join(dedup, Seq(key), "left_anti").unionByName(dedup)
   }
 
+  /** Convenience: newest `orderCol` wins (callers must ensure it is
+    * unique per key, or use the Seq overload with a tiebreaker). */
+  def lastWriteWins(existing: DataFrame, incoming: DataFrame,
+      key: String, orderCol: String): DataFrame =
+    lastWriteWins(existing, incoming, key, Seq(desc(orderCol)))
+
   /** First-write-wins (users, backfill_user_profiles.py:169-220):
     * incoming rows whose key already exists are DISCARDED — existing
     * rows are never updated (docs/assumptions.md:36).
     */
   def firstWriteWins(existing: DataFrame, incoming: DataFrame,
-      key: String, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(asc(orderCol), asc(key))
+      key: String, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
     val dedup = incoming
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     existing.unionByName(dedup.join(existing, Seq(key), "left_anti"))
   }
+
+  def firstWriteWins(existing: DataFrame, incoming: DataFrame,
+      key: String, orderCol: String): DataFrame =
+    firstWriteWins(existing, incoming, key, Seq(asc(orderCol)))
 }

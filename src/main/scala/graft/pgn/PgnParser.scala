@@ -34,6 +34,10 @@ object PgnParser {
     * moves: String) — one row per game block.
     */
   def parseLines(lines: DataFrame): DataFrame = {
+    // duplicate tags in one block: LAST wins, like splitBlocks' map
+    // update (and Python dict assignment in the reference). The entries
+    // are sorted by line_no below, so last-wins is well-defined.
+    lines.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     val trimmed = lines
       .withColumn("line", trim(col("line")))
       .filter(length(col("line")) > 0)                 // S2: blank-skip
@@ -52,17 +56,23 @@ object PgnParser {
     // second shuffle + join). Move order is restored via array_sort on
     // (line_no, text) pairs — collect_list alone is
     // partition-order-dependent.
+    // malformed '['-prefixed lines (no `[Tag "value"]` shape) still act
+    // as header-ish for boundary purposes but contribute no entry —
+    // matching splitBlocks, whose regex match simply fails.
     numbered
       .select(col("src_file"), col("game_idx"), col("line_no"),
         col("line"), col("is_header"),
-        when(col("is_header"),
-          struct(lower(regexp_extract(col("line"), headerRe, 1)).as("k"),
+        when(col("is_header") && col("line").rlike(headerRe),
+          struct(col("line_no"),
+            lower(regexp_extract(col("line"), headerRe, 1)).as("k"),
             regexp_extract(col("line"), headerRe, 2).as("v"))).as("hkv"),
         when(!col("is_header"),
           struct(col("line_no"), col("line"))).as("mv"))
       .groupBy("src_file", "game_idx")
       .agg(
-        map_from_entries(collect_list(col("hkv"))).as("headers"),
+        map_from_entries(expr(
+          "transform(array_sort(collect_list(hkv)), x -> struct(x.k, x.v))"))
+          .as("headers"),
         concat_ws(" ",
           expr("transform(array_sort(collect_list(mv)), x -> x.line)"))
           .as("moves"))

@@ -117,9 +117,14 @@ object DataOps extends QueryModule {
 
   // Shared oracle CTEs -----------------------------------------------
 
+  // ts mirrors TextAnalysis.tokens (split on ' +'): single-space split
+  // with empty fragments removed ≡ regex runs-of-spaces split.
   private val tokCte =
     """tok AS (
-         SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts, text
+         SELECT doc_id,
+                list_filter(string_split(lower(trim(text)), ' '),
+                            t -> t <> '') AS ts,
+                text
          FROM documents
        )"""
 

@@ -37,8 +37,9 @@ object Similarity {
   /** Sequential dot product — the single source of float semantics for
     * the fast paths. */
   private def dot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)   // ragged-safe, like ArrayDotProduct
     var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    while (i < n) { s += a(i) * b(i); i += 1 }
     s
   }
 

@@ -32,14 +32,23 @@ object MicroBatchIngest {
 
   /** Parse one micro-batch of PGN documents into normalized game rows.
     * `flatMap` over documents — per-partition, no shuffle (F1/F2 via
-    * the imperative splitter shared with the batch parser). */
+    * the imperative splitter shared with the batch parser). Each row
+    * carries `__seq`, its delivery order within the batch (document
+    * index × block index) — the tiebreaker that makes in-batch
+    * re-delivery of a game deterministic (last block wins, like the
+    * reference's sequential upsert loop). */
   def parseBatch(spark: SparkSession, docs: Seq[String],
       ingestedAt: java.sql.Timestamp): DataFrame = {
     import spark.implicits._
-    val games: DataFrame = docs.toDS()
-      .flatMap(PgnParser.splitBlocks _)
-      .toDF("headers", "moves")
-    Normalize.buildGameData(games, ingestedAt = lit(ingestedAt))
+    val games: DataFrame = spark.createDataset(docs.zipWithIndex)
+      .flatMap { case (doc, docIdx) =>
+        PgnParser.splitBlocks(doc).zipWithIndex.map { case (g, blockIdx) =>
+          (g.headers, g.moves, docIdx.toLong * 1000000L + blockIdx)
+        }
+      }
+      .toDF("headers", "moves", "__seq")
+    Normalize.buildGameData(games, ingestedAt = lit(ingestedAt),
+      keepCols = Seq("__seq"))
   }
 
   /** Merge a batch into the Parquet target (create if absent):
@@ -49,11 +58,15 @@ object MicroBatchIngest {
   def mergeIntoTable(spark: SparkSession, batch: DataFrame,
       tablePath: String): Long = {
     val target = Paths.get(tablePath)
+    // in-batch dedup first (total order: batch ts, then delivery seq),
+    // then the merge proper — the stored table carries no __seq.
+    val deduped = Upsert.lastWriteWins(batch.limit(0), batch, "id_game",
+      Seq(desc("tm_ingested"), desc("__seq"))).drop("__seq")
     val merged =
       if (Files.exists(target)) {
         val existing = spark.read.parquet(tablePath)
-        Upsert.lastWriteWins(existing, batch, "id_game", "tm_ingested")
-      } else batch
+        Upsert.lastWriteWins(existing, deduped, "id_game", "tm_ingested")
+      } else deduped
     val tmp = tablePath + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     val n = spark.read.parquet(tmp).count()

@@ -12,7 +12,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Emits one row per CLOSED session (append-mode friendly); open
   * sessions persist in state until the gap elapses via processing-time
-  * timeout in live streams, or until `flushOpenSessions` in tests.
+  * timeout in live streams (`withTimeout = true`), or are derived
+  * batch-side by [[StatefulSessions.openSessionTails]].
   */
 object StatefulSessions {
 
@@ -24,9 +25,20 @@ object StatefulSessions {
   val GapUs: Long = 3600L * 1000000L   // 1h inactivity gap
 
   /** The state-transition function: events for one user (any order
-    * within the batch — sorted here), current state → closed sessions. */
-  def updateUser(userId: Long, events: Iterator[Event],
+    * within the batch — sorted here), current state → closed sessions.
+    * On a processing-time timeout fire (no events for the user since
+    * the gap), the open session is emitted and state cleared — without
+    * this, live-stream state grows forever and quiet users' last
+    * sessions never close. */
+  def updateUser(withTimeout: Boolean)(userId: Long,
+      events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(s =>
+        ClosedSession(userId, s.startUs, s.lastUs + GapUs, s.n)).iterator
+      state.remove()
+      return out
+    }
     val sorted = events.toSeq.sortBy(_.ts_us)
     var closed = List.empty[ClosedSession]
     var cur = state.getOption
@@ -42,16 +54,24 @@ object StatefulSessions {
       }
     }
     cur.foreach(state.update)
+    if (withTimeout && state.exists) {
+      state.setTimeoutDuration(GapUs / 1000L)   // gap in millis
+    }
     closed.reverseIterator
   }
 
-  /** Wire the state machine over a (streaming or batch) event Dataset. */
-  def closedSessions(events: Dataset[Event]): Dataset[ClosedSession] = {
+  /** Wire the state machine over an event Dataset. `withTimeout=true`
+    * (live streams) closes idle sessions via processing-time timeout;
+    * batch runs use `false` (one pass sees all data — the per-user
+    * tails come from [[openSessionTails]]). */
+  def closedSessions(events: Dataset[Event],
+      withTimeout: Boolean = false): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(updateUser)
+        if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(updateUser(withTimeout))
   }
 
   /** Test/batch helper: what the still-open sessions would emit if the

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, lowercased. */
+  /** Whitespace tokens, lowercased. Runs of spaces collapse (the
+    * DuckDB oracles mirror this by filtering empty fragments from a
+    * single-space split — keep the two in sync). */
   def tokens(text: Column): Column = split(lower(trim(text)), " +")
 
   // --- Language ID: stopword-count heuristic over small marker sets.

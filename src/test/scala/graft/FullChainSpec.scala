@@ -54,14 +54,15 @@ class FullChainSpec extends AnyFunSuite {
     val games = corpus.split("\n").toSeq.zipWithIndex.toDF("line", "line_no")
       .withColumn("src_file", lit("corpus.pgn"))
     val parsed = PgnParser.parseLines(games)
+    // PGN re-delivery within one batch: later block wins (A1). The
+    // delivery order is game_idx from the parser — a REAL order, not a
+    // partition-dependent id.
     val normalized = Normalize.buildGameData(parsed,
-      ingestedAt = lit("2025-06-01 00:00:00").cast("timestamp"))
-      // PGN re-delivery within one batch: later block wins (A1). The
-      // batch order proxy here is game_idx carried through parseLines.
+      ingestedAt = lit("2025-06-01 00:00:00").cast("timestamp"),
+      keepCols = Seq("game_idx"))
     assert(normalized.count() == 4)
-    val withSeq = normalized.withColumn("__seq", monotonically_increasing_id())
-    val upserted = Upsert.lastWriteWins(withSeq.limit(0), withSeq,
-      "id_game", "__seq").drop("__seq")
+    val upserted = Upsert.lastWriteWins(normalized.limit(0), normalized,
+      "id_game", "game_idx").drop("game_idx")
     assert(upserted.count() == 3)
     assert(upserted.filter(col("id_game") === "game0001")
       .select("id_user_black").as[String].head() == "bob_rematch")

@@ -84,6 +84,26 @@ class PgnPipelineSpec extends AnyFunSuite {
     assert(imperative(2).headers.get("site").isEmpty)
   }
 
+  test("F1/F2: duplicate tags last-win; malformed bracket lines drop (both parsers)") {
+    val messy =
+      """[Event "first"]
+        |[Event "second"]
+        |[garbage no quotes
+        |[Site "https://lichess.org/dup1"]
+        |1. e4 e5 1-0
+        |""".stripMargin
+    val viaImperative = PgnParser.splitBlocks(messy)
+    assert(viaImperative.length == 1)
+    assert(viaImperative.head.headers("event") == "second")
+    assert(!viaImperative.head.headers.contains(""))
+    val lines = messy.split("\n").toSeq.zipWithIndex
+      .toDF("line", "line_no").withColumn("src_file", lit("m.pgn"))
+    val viaDeclarative = PgnParser.parseLines(lines).head()
+    val h = viaDeclarative.getAs[Map[String, String]]("headers")
+    assert(h("event") == "second" && !h.contains(""))
+    assert(h("site") == "https://lichess.org/dup1")
+  }
+
   test("F3-F8: normalize — defaults, null-on-error casts, P7 site guard") {
     val norm = Normalize.buildGameData(parsedFixture,
       ingestedAt = lit("2025-05-02 00:00:00").cast("timestamp"))
