@@ -41,6 +41,28 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct estimates within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.lineitem(spark, sf001)
+    val row = df.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).head()
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("registry covers every SURVEY §2 operator family") {
+    val keys = SparkEntry.queries.keySet
+    val families = Seq("s3_", "s4_", "s5_", "a1_", "a2_", "a3_", "a4_",
+      "a5_", "a6_", "a7_", "f4_", "f5_", "f6_", "f7_", "f10_", "f11_",
+      "f12_", "f13_", "f14_", "f15_", "f16_", "p1_", "p2_", "j1_",
+      "j2_", "j3_", "j4_", "j5_", "w1_", "w3_", "o1_", "o2_", "u1_",
+      "u2_", "t4_", "pgn_", "dedup_", "text_", "sim_", "mm_")
+    val missing = families.filterNot(f => keys.exists(_.startsWith(f)))
+    assert(missing.isEmpty, s"no query for operator families: $missing")
+  }
+
   test("queries with oracles return at least one row on sf0.01 (hash checks need data)") {
     SparkEntry.queries.filterKeys(SparkEntry.oracleSql.contains).foreach {
       case (name, fn) =>

@@ -35,6 +35,36 @@ class StatefulSpec extends AnyFunSuite {
     assert(viaState == viaBuiltin)
   }
 
+  test("timeout branch: idle session emitted and state cleared") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val open = TestGroupState.create[StatefulSessions.SessionState](
+      optionalState = org.apache.spark.api.java.Optional.of(StatefulSessions.SessionState(1000L, 2000L, 5L)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = StatefulSessions.updateUser(withTimeout = true)(
+      7L, Iterator.empty, open).toSeq
+    assert(out == Seq(StatefulSessions.ClosedSession(
+      7L, 1000L, 2000L + StatefulSessions.GapUs, 5L)))
+    assert(open.isRemoved)
+  }
+
+  test("update branch: events extend state and arm the timeout") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[StatefulSessions.SessionState](
+      optionalState = org.apache.spark.api.java.Optional.empty[StatefulSessions.SessionState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out = StatefulSessions.updateUser(withTimeout = true)(
+      7L, Iterator(Event(7L, 100L), Event(7L, 200L)), st).toSeq
+    assert(out.isEmpty)
+    assert(st.get == StatefulSessions.SessionState(100L, 200L, 2L))
+    assert(st.getTimeoutTimestampMs.isPresent)
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     val dir = Files.createTempDirectory("layout").toString
     val games = Seq(
