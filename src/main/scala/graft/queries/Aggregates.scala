@@ -149,7 +149,61 @@ object Aggregates extends QueryModule {
         .select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  // ---- A7: explicit grouping sets (beyond rollup/cube).
+  private def a7GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("__orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+                grouping(o_orderstatus) AS g_status,
+                grouping(o_orderpriority) AS g_prio,
+                count(*) AS n
+         FROM __orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY g_status, g_prio,
+                  o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""")
+  }
+
+  // ---- A7: pivot — per-nation counts pivoted by order status. The
+  //      oracle uses portable FILTER-ed counts (same result, no
+  //      engine-specific PIVOT syntax).
+  private def a7Pivot(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_nationkey")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .withColumnRenamed("F", "n_f")
+      .withColumnRenamed("O", "n_o")
+      .withColumnRenamed("P", "n_p")
+      .orderBy("c_nationkey")
+  }
+
+  // ---- U2: multiset except (duplicates preserved).
+  private def u2ExceptAll(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .exceptAll(Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
+  // ---- A6: median (exact, linear interpolation — identical IEEE
+  //      arithmetic in both engines on the same sorted doubles).
+  private def a6Median(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        median(col("value")).as("median_v"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a7_grouping_sets"        -> (a7GroupingSets _),
+    "a7_pivot"                -> (a7Pivot _),
+    "u2_except_all"           -> (u2ExceptAll _),
+    "a6_median"               -> (a6Median _),
     "a3_conditional_counters" -> (a3ConditionalCounters _),
     "a4_distinct_two_cols"    -> (a4DistinctTwoCols _),
     "a6_run_stats"            -> (a6RunStats _),
@@ -165,6 +219,38 @@ object Aggregates extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a7_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                grouping(o_orderstatus) AS g_status,
+                grouping(o_orderpriority) AS g_prio,
+                count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY g_status, g_prio,
+                  o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+
+    "a7_pivot" ->
+      """SELECT c_nationkey,
+                count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                count(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "u2_except_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           EXCEPT ALL
+           SELECT s_nationkey AS nationkey FROM supplier)
+         GROUP BY nationkey ORDER BY nationkey""",
+
+    "a6_median" ->
+      """SELECT event_type,
+                median(value) AS median_v,
+                count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "a3_conditional_counters" ->
       """SELECT count(CASE WHEN o_orderstatus='O' THEN 1 END) AS n_open,
                 count(CASE WHEN o_orderstatus='F' THEN 1 END) AS n_finished,
