@@ -35,6 +35,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(both.forall { case (f, r) => f == r })   // exact, not approx
   }
 
+  test("array_dot registers for SQL use (session + extensions class)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(r == 11.0)
+    // the extensions injector constructs cleanly (cluster wiring path)
+    new graft.functions.GraftExtensions()
+  }
+
   test("SourceGuard.retry: recovers after transient failures, None after budget") {
     var calls = 0
     val ok = SourceGuard.retry(3, 0, _ => ()) {
