@@ -181,7 +181,39 @@ object Transforms extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  // ---- F17 (breadth): the string-function surface a full engine
+  //      offers — pad/translate/repeat/reverse/edit-distance — all
+  //      codegen'd, all portable.
+  private def f17StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("translated"),
+        reverse(col("p_name")).as("reversed"),
+        repeat(col("p_brand"), 2).as("repeated"),
+        levenshtein(col("p_name"), col("p_brand")).as("edit_dist"))
+      .orderBy("p_partkey")
+
+  // ---- A8 (breadth): array-function surface over grouped data —
+  //      collect, sort, dedupe, slice, positional access.
+  private def a8ArrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .select(
+        col("l_orderkey"),
+        size(col("lines")).as("n_lines"),
+        element_at(col("lines"), 1).as("first_line"),
+        element_at(col("lines"), -1).as("last_line"),
+        slice(col("lines"), 1, 2).as("first_two"),
+        array_sort(array_distinct(col("lines"))).as("distinct_lines"),
+        array_contains(col("lines"), 1).as("has_line1"))
+      .orderBy("l_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f17_string_funcs"     -> (f17StringFuncs _),
+    "a8_array_funcs"       -> (a8ArrayFuncs _),
     "f4_extract_key"       -> (f4ExtractKey _),
     "f5_try_cast_int"      -> (f5TryCastInt _),
     "f6_try_parse_date"    -> (f6TryParseDate _),
@@ -198,6 +230,28 @@ object Transforms extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "f17_string_funcs" ->
+      """SELECT p_partkey,
+                lpad(p_brand, 12, '*') AS padded,
+                translate(p_type, 'AEIOU', 'aeiou') AS translated,
+                reverse(p_name) AS reversed,
+                repeat(p_brand, 2) AS repeated,
+                CAST(levenshtein(p_name, p_brand) AS INT) AS edit_dist
+         FROM part ORDER BY p_partkey""",
+
+    "a8_array_funcs" ->
+      """SELECT l_orderkey,
+                len(lines) AS n_lines,
+                lines[1] AS first_line,
+                lines[-1] AS last_line,
+                lines[1:2] AS first_two,
+                list_sort(list_distinct(lines)) AS distinct_lines,
+                list_contains(lines, 1) AS has_line1
+         FROM (SELECT l_orderkey,
+                      list(l_linenumber ORDER BY l_linenumber) AS lines
+               FROM lineitem GROUP BY l_orderkey)
+         ORDER BY l_orderkey""",
+
     "f4_extract_key" ->
       """SELECT c_custkey, split_part(c_name, '#', 2) AS name_seg,
                 TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) AS name_num
