@@ -300,7 +300,7 @@ object Aggregates extends QueryModule {
          FROM lineitem""",
 
     "w1_sessionization" ->
-      """SELECT user_id, SUM(boundary) AS n_sessions, count(*) AS n_events
+      """SELECT user_id, CAST(SUM(boundary) AS BIGINT) AS n_sessions, count(*) AS n_events
          FROM (SELECT user_id,
                       CASE WHEN prev_us IS NULL
                              OR ts_us - prev_us > CAST(3600000000 AS BIGINT)

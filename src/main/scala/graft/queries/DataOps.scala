@@ -26,7 +26,10 @@ object DataOps extends QueryModule {
     val planted = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     Dedup.exactGroups(docs.unionByName(planted), "doc_id", "text")
-      .select("canonical_id", "n_copies", "member_ids")
+      // member_ids serialized to a CSV string: the driver's pandas compare
+      // cannot hash array cells; semantics unchanged.
+      .select(col("canonical_id"), col("n_copies"),
+        array_join(col("member_ids").cast("array<string>"), ",").as("member_ids"))
       .orderBy("canonical_id")
   }
 
@@ -152,7 +155,7 @@ object DataOps extends QueryModule {
          )
          SELECT min(doc_id) AS canonical_id,
                 count(*) AS n_copies,
-                list(doc_id ORDER BY doc_id) AS member_ids
+                array_to_string(list(doc_id ORDER BY doc_id), ',') AS member_ids
          FROM u GROUP BY text HAVING count(*) > 1
          ORDER BY canonical_id""",
 

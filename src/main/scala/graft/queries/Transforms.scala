@@ -206,8 +206,12 @@ object Transforms extends QueryModule {
         size(col("lines")).as("n_lines"),
         element_at(col("lines"), 1).as("first_line"),
         element_at(col("lines"), -1).as("last_line"),
-        slice(col("lines"), 1, 2).as("first_two"),
-        array_sort(array_distinct(col("lines"))).as("distinct_lines"),
+        // Arrays serialized to CSV strings: the driver's pandas compare
+        // cannot hash array cells, and the semantics are unchanged.
+        array_join(slice(col("lines"), 1, 2).cast("array<string>"), ",")
+          .as("first_two"),
+        array_join(array_sort(array_distinct(col("lines"))).cast("array<string>"), ",")
+          .as("distinct_lines"),
         array_contains(col("lines"), 1).as("has_line1"))
       .orderBy("l_orderkey")
 
@@ -244,8 +248,8 @@ object Transforms extends QueryModule {
                 len(lines) AS n_lines,
                 lines[1] AS first_line,
                 lines[-1] AS last_line,
-                lines[1:2] AS first_two,
-                list_sort(list_distinct(lines)) AS distinct_lines,
+                array_to_string(lines[1:2], ',') AS first_two,
+                array_to_string(list_sort(list_distinct(lines)), ',') AS distinct_lines,
                 list_contains(lines, 1) AS has_line1
          FROM (SELECT l_orderkey,
                       list(l_linenumber ORDER BY l_linenumber) AS lines
