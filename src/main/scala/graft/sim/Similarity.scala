@@ -105,14 +105,51 @@ object Similarity {
       .select("query_id", "rank", "cand_id", "cosine")
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (exact,
-    * tiled-broadcast N² — the re-rank/verify stage of a dedup pipeline;
-    * candidate generation at scale is MinHash/LSH). */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val block = collectBlock(embeddings)
-    scoreAgainstBlock(embeddings, block,
-      (a, b, c) => a < b && c > threshold)
-      .select(col("id_a").as("id1"), col("id_b").as("id2"), col("cosine"))
+  /** Embedding-cosine near-duplicate pairs above a threshold — EXACT
+    * all-pairs, fully distributed via a block-pair self-join (no driver
+    * materialization of the corpus):
+    *
+    *   1. each vector lands in one of B blocks (hash of vec_id);
+    *   2. the B·(B+1)/2 unordered block pairs (bi ≤ bj) are a tiny
+    *      broadcast table; each side replicates to its pair groups
+    *      (replication factor (B+1)/2 per side);
+    *   3. the equi-join on the pair id produces exactly the
+    *      block_i × block_j cartesian inside each group — per-task
+    *      memory is one block's hash build, never the corpus;
+    *   4. scoring is the codegen'd [[graft.functions.ArrayDotProduct]].
+    *
+    * Each unordered vector pair meets in exactly one group (vectors
+    * belong to one block each), so no distinct is needed: cross-block
+    * groups emit (least, greatest), the diagonal group filters id1 < id2.
+    * Cosine is order-symmetric bit-for-bit (the fold is index-ordered
+    * and x·y multiplication commutes), so results match the sequential
+    * oracle exactly.
+    *
+    * This is the verify/re-rank stage of a dedup pipeline; at 100 TB,
+    * candidate generation first goes through MinHash/LSH ([[lshTopK]]'s
+    * bucketing) and this exact join runs only on the candidate set. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = withNorms(embeddings)
+      .select(col("vec_id"), col("vd"), col("norm"),
+        pmod(hash(col("vec_id")), lit(numBlocks)).as("blk"))
+    val blockPairs = (for { bi <- 0 until numBlocks; bj <- bi until numBlocks }
+      yield (bi, bj, bi * numBlocks + bj)).toDF("bi", "bj", "pair_id")
+    val l = v.join(broadcast(blockPairs), col("blk") === col("bi"))
+      .select(col("pair_id"), col("bi"), col("bj"),
+        col("vec_id").as("ida"), col("vd").as("vda"), col("norm").as("na"))
+    val r = v.join(broadcast(blockPairs), col("blk") === col("bj"))
+      .select(col("pair_id"), col("vec_id").as("idb"),
+        col("vd").as("vdb"), col("norm").as("nb"))
+    l.join(r, Seq("pair_id"))
+      .filter(col("bi") < col("bj") || col("ida") < col("idb"))
+      .withColumn("cosine",
+        dotCol(col("vda"), col("vdb")) / (col("na") * col("nb")))
+      .filter(col("cosine") > threshold)
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplane component: plane p,

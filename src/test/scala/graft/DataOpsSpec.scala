@@ -34,6 +34,46 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("production xxhash64 MinHash/SimHash paths cover true Jaccard pairs") {
+    val sh = Dedup.shingles(docs, "doc_id", "text").cache()
+    val truth = Dedup.jaccardPairsFromShingles(sh, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val mh = Dedup.minhashCandidatesProd(sh)
+      .as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashPairs(Dedup.simhashProd(sh), maxDist = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val mhRecall = truth.count(mh).toDouble / truth.size
+    val simRecall = truth.count(sim).toDouble / truth.size
+    withClue(s"prod minhash recall $mhRecall, simhash recall $simRecall: ") {
+      assert(mhRecall >= 0.8)
+      assert(simRecall >= 0.8)
+    }
+  }
+
+  test("block-pair cosine near-dup join is invariant to block count") {
+    val b1 = Similarity.cosineNearDupPairs(embs, 0.35, numBlocks = 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val b5 = Similarity.cosineNearDupPairs(embs, 0.35, numBlocks = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(b1.nonEmpty)
+    assert(b1 == b5)
+  }
+
+  test("Jaccard stop-shingle cap drops ubiquitous shingles but keeps pairs") {
+    // τ above the corpus max df is a no-op; τ=1 keeps only unique
+    // shingles so no pair can share one — brackets the cap's behavior.
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3,
+      maxShingleDf = Long.MaxValue).select("id1", "id2")
+      .as[(Long, Long)].collect().toSet
+    val default = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val capped1 = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3,
+      maxShingleDf = 1L)
+    assert(uncapped == default)
+    assert(capped1.count() == 0)
+  }
+
   test("LSH ANN top-k has reasonable recall vs brute force") {
     val pred = col("vec_id") % 50 === 0
     val exact = Similarity.bruteForceTopK(embs, pred, 10)
