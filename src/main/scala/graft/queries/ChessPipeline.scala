@@ -61,15 +61,12 @@ object ChessPipeline extends QueryModule {
   // and persist it per (session, dir) so the reject split is a cached
   // filter instead of a second full parse. validateAndClean itself is
   // a pure projection+filter — cheap to re-derive.
-  private val normalizedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def runPipeline(s: SparkSession, d: String): Cleaning.CleanResult = {
-    val normalized = normalizedCache.computeIfAbsent((s, d), _ => {
+    val normalized = SessionMemo(s, d, "pgn_normalized") {
       val parsed = PgnParser.parseLines(synthesizedLines(s, d))
       Normalize.buildGameData(parsed,
         ingestedAt = lit("2025-05-02 00:00:00").cast("timestamp")).persist()
-    })
+    }
     Cleaning.validateAndClean(normalized,
       validatedAt = lit("2025-05-02 00:00:00").cast("timestamp"))
   }

@@ -37,19 +37,17 @@ object DataOps extends QueryModule {
   // entries (jaccard, minhash, simhash) that a Verify/Bench run calls
   // back-to-back — memoize and persist them per (session, dir) so the
   // explode+distinct and the dictionary's global sort run once.
-  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
-
+  // (SessionMemo is weak on the session: stopped sessions GC.)
   /** (sh: (id, shingle) persisted, encoded: (id, sid) persisted). */
   private def sharedShingles(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    shingleCache.computeIfAbsent((s, d), _ => {
+    SessionMemo(s, d, "dedup_shingles") {
       val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
         .persist()
       val dict = Dedup.shingleDictionary(sh)
       val encoded = sh.join(dict, Seq("shingle")).select("id", "sid")
         .persist()
       (sh, encoded)
-    })
+    }
 
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairsFromShingles(sharedShingles(s, d)._1, 0.3)
@@ -85,7 +83,11 @@ object DataOps extends QueryModule {
     // truth is computed on the SAME sample so recall stays well-defined.
     val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
     val sh = Dedup.shingles(docs, "doc_id", "text").cache()
-    val truth = Dedup.jaccardPairsFromShingles(sh, 0.5)
+    // truth must be EXACT: disable the stop-shingle cap here — the
+    // capped variant is itself an approximation and would make the
+    // recall floor self-referential.
+    val truth = Dedup.jaccardPairsFromShingles(sh, 0.5,
+        maxShingleDf = Long.MaxValue)
       .select("id1", "id2").cache()
     // One-pass tally: full-outer join of candidates and truth, then a
     // single aggregate — each candidate set is evaluated exactly once.

@@ -20,6 +20,30 @@ trait QueryModule {
   def oracles: Map[String, String]
 }
 
+/** Per-session memo for DataFrames shared by several registry queries
+  * in one Verify/Bench run. The outer map is WEAK on the SparkSession,
+  * so a stopped session (and everything it persisted) becomes
+  * collectable — a long-lived service does not accumulate entries
+  * across sessions. Within one live session the memo is by design:
+  * registry queries are read-only over immutable testdata dirs. */
+object SessionMemo {
+  private val bySession = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  def apply[T <: AnyRef](s: SparkSession, dir: String, tag: String)(
+      build: => T): T = {
+    val inner = bySession.synchronized {
+      var m = bySession.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        bySession.put(s, m)
+      }
+      m
+    }
+    inner.computeIfAbsent(s"$tag|$dir", _ => build).asInstanceOf[T]
+  }
+}
+
 /** Exact-arithmetic helpers shared by query modules. */
 object Exact {
   /** Cast a 2-dp double column to exact decimal (lossless for testdata

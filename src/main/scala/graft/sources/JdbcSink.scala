@@ -34,37 +34,56 @@ import org.apache.spark.sql.functions._
 object JdbcSink {
 
   /** Last-write-wins upsert into `table`: UPDATE each key's row, INSERT
-    * when absent (batched; insert only where the update matched zero
-    * rows). Within `df`, the first row per key under `orderCols` wins —
-    * pass a total order, exactly as in [[graft.ops.Upsert]]. */
+    * when absent. Within `df`, the first row per key under `orderCols`
+    * wins — pass a total order, exactly as in [[graft.ops.Upsert]].
+    *
+    * `versionCol` (recommended): a monotone column (ingest sequence /
+    * timestamp) guarding the UPDATE with `versionCol <= incoming`, so
+    * replaying an OLDER batch after a newer one committed cannot
+    * regress rows — full last-write-wins across batches, not just
+    * within one. Without it, cross-batch semantics are
+    * latest-batch-wins (the reference's own ON CONFLICT DO UPDATE
+    * behavior); same-batch replay still converges either way.
+    *
+    * The insert leg is a guarded `INSERT ... WHERE NOT EXISTS` rather
+    * than trusting `executeBatch` update counts — drivers may return
+    * `SUCCESS_NO_INFO` (-2) for batches, so "count == 0 → absent" is
+    * not portable. The guarded form is correct under any driver and
+    * idempotent under replay. */
   def upsert(df: DataFrame, key: String, orderCols: Seq[Column],
       url: String, table: String, batchSize: Int = 500,
-      numWriters: Int = 0): Unit = {
+      numWriters: Int = 0, versionCol: Option[String] = None,
+      dualTable: String = "SYSIBM.SYSDUMMY1"): Unit = {
     val cols = df.columns.toSeq
     val nonKey = cols.filterNot(_ == key)
+    val guard = versionCol.map(v => s" AND $v <= ?").getOrElse("")
     val updateSql = s"UPDATE $table SET " +
-      nonKey.map(c => s"$c = ?").mkString(", ") + s" WHERE $key = ?"
-    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (" +
-      cols.map(_ => "?").mkString(", ") + ")"
+      nonKey.map(c => s"$c = ?").mkString(", ") + s" WHERE $key = ?" + guard
+    val from = if (dualTable.isEmpty) "" else s" FROM $dualTable"
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) SELECT " +
+      cols.map(_ => "?").mkString(", ") + from +
+      s" WHERE NOT EXISTS (SELECT 1 FROM $table WHERE $key = ?)"
     foreachKeyPartition(dedupByKey(df, key, orderCols), key, url, numWriters) {
       (conn, rows) =>
         val upd = conn.prepareStatement(updateSql)
         val ins = conn.prepareStatement(insertSql)
         try rows.grouped(batchSize).foreach { group =>
           group.foreach { r =>
-            nonKey.zipWithIndex.foreach { case (c, i) =>
-              upd.setObject(i + 1, r.getAs[AnyRef](c)) }
-            upd.setObject(nonKey.size + 1, r.getAs[AnyRef](key))
+            var i = 0
+            nonKey.foreach { c =>
+              i += 1; upd.setObject(i, r.getAs[AnyRef](c)) }
+            i += 1; upd.setObject(i, r.getAs[AnyRef](key))
+            versionCol.foreach { v =>
+              i += 1; upd.setObject(i, r.getAs[AnyRef](v)) }
             upd.addBatch()
+            // guarded insert: no-op when the key exists (whether the
+            // update above touched it or a newer version blocked it)
+            cols.zipWithIndex.foreach { case (c, j) =>
+              ins.setObject(j + 1, r.getAs[AnyRef](c)) }
+            ins.setObject(cols.size + 1, r.getAs[AnyRef](key))
+            ins.addBatch()
           }
-          val updated = upd.executeBatch()
-          group.iterator.zip(updated.iterator)
-            .filter(_._2 == 0)                     // key absent → insert
-            .foreach { case (r, _) =>
-              cols.zipWithIndex.foreach { case (c, i) =>
-                ins.setObject(i + 1, r.getAs[AnyRef](c)) }
-              ins.addBatch()
-            }
+          upd.executeBatch()
           ins.executeBatch()
           conn.commit()
         } finally { upd.close(); ins.close() }

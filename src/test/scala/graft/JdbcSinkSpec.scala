@@ -64,6 +64,29 @@ class JdbcSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("versionCol guard keeps upsert monotone when an older batch replays") {
+    withTable("replay_sink") {
+      val newer = Seq(("g1", 1650, "TIME_FORFEIT", 5L))
+        .toDF("id_game", "elo", "term", "seq")
+      val older = Seq(("g1", 1500, "NORMAL", 3L))
+        .toDF("id_game", "elo", "term", "seq")
+      JdbcSink.upsert(newer, "id_game", Seq(desc("seq")), url, "replay_sink",
+        versionCol = Some("seq"))
+      // crash-recovery replay of a batch that had already been superseded
+      JdbcSink.upsert(older, "id_game", Seq(desc("seq")), url, "replay_sink",
+        versionCol = Some("seq"))
+      assert(readBack("replay_sink") ===
+        Map("g1" -> ((1650, "TIME_FORFEIT", 5L))))
+      // and the guard still lets genuinely newer data through
+      val newest = Seq(("g1", 1700, "RESIGNED", 7L))
+        .toDF("id_game", "elo", "term", "seq")
+      JdbcSink.upsert(newest, "id_game", Seq(desc("seq")), url, "replay_sink",
+        versionCol = Some("seq"))
+      assert(readBack("replay_sink") ===
+        Map("g1" -> ((1700, "RESIGNED", 7L))))
+    }
+  }
+
   test("insertIfAbsent never updates existing rows") {
     withTable("users_sink") {
       val batch1 = Seq(("u1", 1500, "first", 1L))
