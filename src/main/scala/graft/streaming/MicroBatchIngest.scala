@@ -52,20 +52,31 @@ object MicroBatchIngest {
   }
 
   /** Merge a batch into the Parquet target (create if absent):
-    * last-write-wins on id_game ordered by tm_ingested. Write goes
-    * through a temp directory + atomic-ish swap so the source table is
-    * fully read before being replaced. */
+    * last-write-wins on id_game ordered by tm_ingested. */
   def mergeIntoTable(spark: SparkSession, batch: DataFrame,
       tablePath: String): Long = {
-    val target = Paths.get(tablePath)
     // in-batch dedup first (total order: batch ts, then delivery seq),
     // then the merge proper — the stored table carries no __seq.
     val deduped = Upsert.lastWriteWins(batch.limit(0), batch, "id_game",
       Seq(desc("tm_ingested"), desc("__seq"))).drop("__seq")
+    mergeParquet(spark, deduped, tablePath, "id_game",
+      Seq(desc("tm_ingested")))
+  }
+
+  /** Generalized idempotent parquet merge (also the `foreachBatch` body
+    * of [[StreamMerge]]): dedup incoming per key under `orderCols`,
+    * last-write-wins against the existing table, write through a temp
+    * directory + swap so the source table is fully read before being
+    * replaced. Returns the merged row count. */
+  def mergeParquet(spark: SparkSession, incoming: DataFrame,
+      tablePath: String, key: String, orderCols: Seq[org.apache.spark.sql.Column]): Long = {
+    val target = Paths.get(tablePath)
+    val deduped = Upsert.lastWriteWins(incoming.limit(0), incoming, key,
+      orderCols)
     val merged =
       if (Files.exists(target)) {
         val existing = spark.read.parquet(tablePath)
-        Upsert.lastWriteWins(existing, deduped, "id_game", "tm_ingested")
+        Upsert.lastWriteWins(existing, deduped, key, orderCols)
       } else deduped
     val tmp = tablePath + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)

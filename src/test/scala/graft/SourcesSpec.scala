@@ -46,6 +46,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(ChessSchema.lichessUsers.fieldNames.length == 27)
   }
 
+  test("bucketed tables join with no Exchange on either side") {
+    import graft.sources.Bucketing
+    val base = Files.createTempDirectory("bk").toString
+    val orders = Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // testdata is small enough to broadcast, which would sidestep the
+      // bucketed path entirely — force the shuffle-join planner so the
+      // test exercises what bucketing buys at fact-to-fact scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Bucketing.writeBucketed(orders, "bk_orders", s"$base/o",
+        "o_orderkey", buckets = 8)
+      Bucketing.writeBucketed(lineitem, "bk_lineitem", s"$base/l",
+        "o_orderkey", buckets = 8)
+      val joined = Bucketing.read(spark, "bk_orders")
+        .join(Bucketing.read(spark, "bk_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket metadata satisfies the join's required distribution:
+      // the per-query shuffle is gone from BOTH sides
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("ShuffleExchange"),
+        s"unexpected shuffle Exchange in:\n$plan")
+      // and the result is the plain join's result
+      assert(joined.count() ===
+        orders.join(lineitem, "o_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    }
+  }
+
   test("saltedJoin equals plain join (skew-spread, same result)") {
     val big = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
     val small = Tables.customer(spark, sf0001).select("c_custkey", "c_name")
