@@ -82,6 +82,24 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout prunes directories for partition predicates") {
+    import graft.sources.Bucketing
+    val base = Files.createTempDirectory("pt").toString + "/events"
+    val events = Tables.events(spark, sf001)
+      .withColumn("dt", to_date(col("ts")))
+    Bucketing.writePartitioned(events, base, "dt")
+    val oneDay = events.select(max("dt")).head().getDate(0).toString
+    val pruned = spark.read.parquet(base).filter(col("dt") === oneDay)
+    val scan = pruned.queryExecution.executedPlan.toString
+    // the predicate must reach the file index as a PartitionFilter —
+    // directory pruning, not a post-scan filter
+    assert(scan.contains("PartitionFilters") &&
+      scan.matches("(?s).*PartitionFilters: \\[[^\\]]*dt[^\\]]*\\].*"),
+      s"partition predicate not pushed in:\n$scan")
+    assert(pruned.count() ===
+      events.filter(col("dt") === oneDay).count())
+  }
+
   test("saltedJoin equals plain join (skew-spread, same result)") {
     val big = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
     val small = Tables.customer(spark, sf0001).select("c_custkey", "c_name")
