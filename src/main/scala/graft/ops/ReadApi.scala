@@ -67,6 +67,28 @@ object ReadApi {
       .drop("__rn")
   }
 
+  /** Keyset (cursor) pagination — the scale-correct form of O2. OFFSET
+    * pagination needs a global row numbering (single-partition window);
+    * keyset passes the last row of the previous page as a cursor, so
+    * the predicate bounds the scan and the sort becomes a distributed
+    * top-k (`TakeOrderedAndProject`: per-partition limit, then a
+    * pageSize-row merge — no global sort at any corpus size).
+    *
+    * Page order is (dt_game DESC, id_game ASC); `cursor` = (dt_game,
+    * id_game) of the previous page's last row, None for page one. */
+  def gameHistoryAfter(games: DataFrame, user: String,
+      cursor: Option[(java.sql.Date, String)], pageSize: Int): DataFrame = {
+    val mine = games.filter(
+      col("id_user_white") === user || col("id_user_black") === user)
+    val after = cursor match {
+      case Some((d, g)) => mine.filter(
+        col("dt_game") < lit(d) ||
+        (col("dt_game") === lit(d) && col("id_game") > g))
+      case None => mine
+    }
+    after.orderBy(desc("dt_game"), asc("id_game")).limit(pageSize)
+  }
+
   /** A5: most popular openings among validated games. */
   def topOpenings(games: DataFrame, k: Int): DataFrame =
     games

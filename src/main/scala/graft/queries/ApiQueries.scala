@@ -70,10 +70,21 @@ object ApiQueries extends QueryModule {
         "dt_game")
       .orderBy(desc("dt_game"), asc("id_game"))
 
+  // Keyset pagination (the scale form of O2 — no global row numbering;
+  // plans as TakeOrderedAndProject). Fixed literal cursor so the oracle
+  // is an exact mirror.
+  private def apiGameHistoryKeyset(s: SparkSession, d: String): DataFrame =
+    ReadApi.gameHistoryAfter(synthGames(s, d), "u42",
+      Some((java.sql.Date.valueOf("1998-06-01"), "g0")), pageSize = 20)
+      .select("id_game", "id_user_white", "id_user_black", "val_result",
+        "dt_game")
+      .orderBy(desc("dt_game"), asc("id_game"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "api_player_stats" -> (apiPlayerStats _),
     "api_top_openings" -> (apiTopOpenings _),
-    "api_game_history" -> (apiGameHistory _)
+    "api_game_history" -> (apiGameHistory _),
+    "api_game_history_keyset" -> (apiGameHistoryKeyset _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,6 +123,16 @@ object ApiQueries extends QueryModule {
          GROUP BY val_opening_name
          ORDER BY n_games DESC, val_opening_name
          LIMIT 3"""),
+
+    "api_game_history_keyset" -> (synthCte +
+      """
+         SELECT id_game, id_user_white, id_user_black, val_result, dt_game
+         FROM games
+         WHERE (id_user_white = 'u42' OR id_user_black = 'u42')
+           AND (dt_game < DATE '1998-06-01'
+                OR (dt_game = DATE '1998-06-01' AND id_game > 'g0'))
+         ORDER BY dt_game DESC, id_game
+         LIMIT 20"""),
 
     "api_game_history" -> (synthCte +
       """
