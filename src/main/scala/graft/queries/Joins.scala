@@ -132,6 +132,21 @@ object Joins extends QueryModule {
       .orderBy("nationkey")
   }
 
+  // ---- J6: salted skew join (ops/Skew) under the oracle — the salt is
+  //      pure plan plumbing, so the aggregate must equal the plain join
+  //      exactly. Revenue per nation through the salted path, exact
+  //      decimal sums (order-independent → salt-layout-independent).
+  private def j6SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    graft.ops.Skew.saltedJoin(o, c, "o_custkey", buckets = 8)
+      .groupBy("c_nationkey")
+      .agg(sumExact4(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_nationkey")
+  }
+
   // ---- cross join (small × small): region pairs.
   private def jCross(s: SparkSession, d: String): DataFrame = {
     val r1 = Tables.region(s, d).select(col("r_regionkey").as("rk1"))
@@ -146,7 +161,8 @@ object Joins extends QueryModule {
     "j5_range_join"        -> (j5RangeJoin _),
     "j5_asof_join"         -> (j5AsofJoin _),
     "j_full_outer"         -> (jFullOuter _),
-    "j_cross"              -> (jCross _)
+    "j_cross"              -> (jCross _),
+    "j6_salted_join"       -> (j6SaltedJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +181,13 @@ object Joins extends QueryModule {
                 CASE WHEN o_orderkey % 3 = 0 THEN 'incoming'
                      ELSE 'existing' END AS src
          FROM orders ORDER BY o_orderkey""",
+
+    "j6_salted_join" ->
+      """SELECT c_nationkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
 
     "j3_first_write_wins" ->
       """SELECT c_custkey, c_name FROM customer

@@ -38,6 +38,26 @@ class ReadApiSpec extends AnyFunSuite {
     assert(p1 == Seq("g2", "g3"))
   }
 
+  test("gameHistoryAfter: keyset pages tile exactly like offset pages") {
+    // chain keyset pages over the alice fixture and compare with the
+    // offset pagination of the same order
+    val all = ReadApi.gameHistory(games, "alice", 0, 100)
+      .select("id_game", "dt_game")
+      .as[(String, java.sql.Date)].collect().toSeq
+    assert(all.size == 4)
+    val page1 = ReadApi.gameHistoryAfter(games, "alice", None, 2)
+      .select("id_game", "dt_game")
+      .as[(String, java.sql.Date)].collect().toSeq
+    val cursor = Some((page1.last._2, page1.last._1))
+    val page2 = ReadApi.gameHistoryAfter(games, "alice", cursor, 2)
+      .select("id_game", "dt_game")
+      .as[(String, java.sql.Date)].collect().toSeq
+    assert(page1 ++ page2 == all)
+    // a cursor at the very end yields an empty page, not an error
+    val end = Some((page2.last._2, page2.last._1))
+    assert(ReadApi.gameHistoryAfter(games, "alice", end, 2).count() == 0)
+  }
+
   test("topOpenings: validated games only, count desc") {
     val top = ReadApi.topOpenings(games, 2)
       .as[(String, Long)].collect().toSeq
