@@ -38,12 +38,43 @@ object Dedup {
   /** Production-path shingle key: 8-byte hash, no global sort. */
   def shingleHash(c: Column): Column = xxhash64(c)
 
-  /** Oracle-path shingle key: rank dictionary (deterministic in any
-    * engine; the global sort is the price of cross-engine parity and is
-    * replaced by [[shingleHash]] in production). */
-  def shingleDictionary(sh: DataFrame): DataFrame =
-    sh.select("shingle").distinct()
-      .withColumn("sid", dense_rank().over(Window.orderBy("shingle")))
+  /** Oracle-path shingle key: rank dictionary — sid = lexicographic
+    * rank of the shingle among all distinct shingles, exactly what
+    * `dense_rank() OVER (ORDER BY shingle)` yields (deterministic in
+    * any engine), but computed WITHOUT a single-partition global sort:
+    *
+    *   1. bucket by a fixed-length binary prefix — order-consistent
+    *      (prefix(a) < prefix(b) ⟹ a < b for binary strings), so
+    *      bucket-local ranks + bucket offsets compose to global ranks;
+    *   2. per-bucket `row_number` windows run in parallel (distinct
+    *      shingles → row_number ≡ dense_rank);
+    *   3. bucket counts → cumulative offsets on the driver (metadata
+    *      only: one small row per prefix) → broadcast back.
+    *
+    * Production still uses [[shingleHash]]; this path exists for
+    * cross-engine oracle parity. */
+  def shingleDictionary(sh: DataFrame): DataFrame = {
+    // persisted: the bucket-count pass and the rank pass share one scan
+    val distinct = sh.select("shingle").distinct()
+      .withColumn("__bk", substring(col("shingle"), 1, 4))
+      .persist()
+    val counts = distinct.groupBy("__bk")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("__bk")
+      .collect()
+    val offsets =
+      if (counts.isEmpty) Seq.empty[(String, Long)]
+      else counts.scanLeft(("", 0L)) { case ((_, acc), r) =>
+        (r.getString(0), acc + r.getLong(1))
+      }.sliding(2).collect { case Array((_, off), (bk, _)) => (bk, off) }.toSeq
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val offsetsDf = broadcast(offsets.toDF("__bk", "__off"))
+    val w = Window.partitionBy("__bk").orderBy("shingle")
+    distinct.join(offsetsDf, Seq("__bk"))
+      .withColumn("sid", col("__off") + row_number().over(w))
+      .select("shingle", "sid")
+  }
 
   /** Exact duplicate groups: same full text → (canonical_id = min id,
     * n_copies, member ids). */
