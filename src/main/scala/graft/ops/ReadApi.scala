@@ -55,7 +55,10 @@ object ReadApi {
   }
 
   /** Paged game history for one player (O2 pagination; J2-style
-    * disjunctive match on either color, decomposed to a union). */
+    * disjunctive match on either color, decomposed to a union).
+    * OFFSET-style: needs a global row numbering, so the window is
+    * single-partition — fine for interactive depths, but deep paging
+    * at corpus scale should use [[gameHistoryAfter]] (keyset). */
   def gameHistory(games: DataFrame, user: String,
       page: Int, pageSize: Int): DataFrame = {
     val mine = games.filter(

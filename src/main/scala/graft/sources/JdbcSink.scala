@@ -117,6 +117,22 @@ object JdbcSink {
     }
   }
 
+  /** Partitioned parallel JDBC read — the source-side counterpart of
+    * the sinks: N executors each scan one stride of `partitionCol`
+    * (numeric) between the bounds, so a large table ingests N-way
+    * parallel instead of through one connection. Push filters onto the
+    * returned DataFrame — Spark turns them into WHERE clauses on each
+    * stride query (JDBC predicate pushdown). */
+  def readPartitioned(spark: org.apache.spark.sql.SparkSession, url: String,
+      table: String, partitionCol: String, lowerBound: Long,
+      upperBound: Long, numPartitions: Int): DataFrame =
+    spark.read
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .jdbc(url, table, new java.util.Properties())
+
   /** In-batch dedup: first row per key under `orderCols` wins — the
     * same contract as [[graft.ops.Upsert.lastWriteWins]]. */
   private def dedupByKey(df: DataFrame, key: String,
