@@ -54,10 +54,12 @@ object Dedup {
     * Production still uses [[shingleHash]]; this path exists for
     * cross-engine oracle parity. */
   def shingleDictionary(sh: DataFrame): DataFrame = {
-    // persisted: the bucket-count pass and the rank pass share one scan
+    // NOT persisted: callers persist `sh` (the expensive input), so the
+    // two passes (bucket counts, ranks) recompute only a cheap distinct
+    // from cache — persisting here would pin blocks with no unpersist
+    // point (the result is consumed lazily by the caller).
     val distinct = sh.select("shingle").distinct()
       .withColumn("__bk", substring(col("shingle"), 1, 4))
-      .persist()
     val counts = distinct.groupBy("__bk")
       .agg(count(lit(1)).as("n"))
       .orderBy("__bk")

@@ -77,19 +77,26 @@ object ReadApi {
     * top-k (`TakeOrderedAndProject`: per-partition limit, then a
     * pageSize-row merge — no global sort at any corpus size).
     *
-    * Page order is (dt_game DESC, id_game ASC); `cursor` = (dt_game,
-    * id_game) of the previous page's last row, None for page one. */
+    * Page order is (dt_game DESC NULLS LAST, id_game ASC); `cursor` =
+    * (dt_game, id_game) of the previous page's last row, None for page
+    * one. Null dates (unparseable PGN dates survive as null) sort last,
+    * so a non-null cursor keeps them in scope for later pages and a
+    * null-date cursor pages within the null tail. */
   def gameHistoryAfter(games: DataFrame, user: String,
       cursor: Option[(java.sql.Date, String)], pageSize: Int): DataFrame = {
     val mine = games.filter(
       col("id_user_white") === user || col("id_user_black") === user)
     val after = cursor match {
+      case Some((null, g)) =>
+        mine.filter(col("dt_game").isNull && col("id_game") > g)
       case Some((d, g)) => mine.filter(
         col("dt_game") < lit(d) ||
-        (col("dt_game") === lit(d) && col("id_game") > g))
+        (col("dt_game") === lit(d) && col("id_game") > g) ||
+        col("dt_game").isNull)
       case None => mine
     }
-    after.orderBy(desc("dt_game"), asc("id_game")).limit(pageSize)
+    after.orderBy(desc_nulls_last("dt_game"), asc("id_game"))
+      .limit(pageSize)
   }
 
   /** A5: most popular openings among validated games. */

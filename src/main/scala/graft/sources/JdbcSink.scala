@@ -126,12 +126,8 @@ object JdbcSink {
   def readPartitioned(spark: org.apache.spark.sql.SparkSession, url: String,
       table: String, partitionCol: String, lowerBound: Long,
       upperBound: Long, numPartitions: Int): DataFrame =
-    spark.read
-      .option("partitionColumn", partitionCol)
-      .option("lowerBound", lowerBound)
-      .option("upperBound", upperBound)
-      .option("numPartitions", numPartitions)
-      .jdbc(url, table, new java.util.Properties())
+    spark.read.jdbc(url, table, partitionCol, lowerBound, upperBound,
+      numPartitions, new java.util.Properties())
 
   /** In-batch dedup: first row per key under `orderCols` wins — the
     * same contract as [[graft.ops.Upsert.lastWriteWins]]. */

@@ -57,22 +57,39 @@ object MicroBatchIngest {
       tablePath: String): Long = {
     // in-batch dedup first (total order: batch ts, then delivery seq),
     // then the merge proper — the stored table carries no __seq.
+    // assumeDeduped: the __seq window already made keys unique; a second
+    // dedup window in mergeParquet would be a redundant shuffle.
     val deduped = Upsert.lastWriteWins(batch.limit(0), batch, "id_game",
       Seq(desc("tm_ingested"), desc("__seq"))).drop("__seq")
     mergeParquet(spark, deduped, tablePath, "id_game",
-      Seq(desc("tm_ingested")))
+      Seq(desc("tm_ingested")), assumeDeduped = true)
   }
 
   /** Generalized idempotent parquet merge (also the `foreachBatch` body
-    * of [[StreamMerge]]): dedup incoming per key under `orderCols`,
-    * last-write-wins against the existing table, write through a temp
-    * directory + swap so the source table is fully read before being
-    * replaced. Returns the merged row count. */
+    * of [[StreamMerge]]): dedup incoming per key under `orderCols`
+    * (skipped when the caller already did — `assumeDeduped`),
+    * last-write-wins against the existing table, write through a
+    * tmp-write / target→backup / tmp→target swap. Returns the merged
+    * row count.
+    *
+    * Crash safety (what makes StreamMerge's replay convergence hold):
+    * the old table is MOVED to a backup, never deleted before the new
+    * table is in place, and a missing target with a backup present is
+    * recovered on entry — so a crash at ANY point leaves either the old
+    * or the new table reachable, and the replayed batch re-merges
+    * against it. */
   def mergeParquet(spark: SparkSession, incoming: DataFrame,
-      tablePath: String, key: String, orderCols: Seq[org.apache.spark.sql.Column]): Long = {
+      tablePath: String, key: String,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      assumeDeduped: Boolean = false): Long = {
     val target = Paths.get(tablePath)
-    val deduped = Upsert.lastWriteWins(incoming.limit(0), incoming, key,
-      orderCols)
+    val backup = Paths.get(tablePath + ".bak")
+    // recover from a crash between the two moves of a previous merge
+    if (!Files.exists(target) && Files.exists(backup))
+      Files.move(backup, target)
+    val deduped =
+      if (assumeDeduped) incoming
+      else Upsert.lastWriteWins(incoming.limit(0), incoming, key, orderCols)
     val merged =
       if (Files.exists(target)) {
         val existing = spark.read.parquet(tablePath)
@@ -81,8 +98,10 @@ object MicroBatchIngest {
     val tmp = tablePath + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     val n = spark.read.parquet(tmp).count()
-    deleteRecursively(target)
+    deleteRecursively(backup)                       // stale from last merge
+    if (Files.exists(target)) Files.move(target, backup)
     Files.move(Paths.get(tmp), target)
+    deleteRecursively(backup)
     n
   }
 

@@ -42,12 +42,12 @@ class JdbcPropertySpec extends AnyFunSuite {
     } finally conn.close()
   }
 
-  // a batch: up to 6 rows over a 4-key pool; versions unique per run so
-  // the expected winner is unambiguous (assigned globally below)
+  // a batch: 0 to 6 rows over a 4-key pool (empty batches included —
+  // the sink must no-op on them); versions unique per run so the
+  // expected winner is unambiguous (assigned globally below)
   private val batchShape: Gen[List[(String, Int)]] =
-    Gen.listOfN(6, Gen.zip(
-      Gen.oneOf("k1", "k2", "k3", "k4"), Gen.choose(0, 999)))
-      .map(_.take(6))
+    Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, Gen.zip(
+      Gen.oneOf("k1", "k2", "k3", "k4"), Gen.choose(0, 999))))
 
   test("upsert with versionCol equals the version-max fold for any batch sequence") {
     val scenarios: Gen[List[List[(String, Int)]]] =

@@ -58,6 +58,27 @@ class ReadApiSpec extends AnyFunSuite {
     assert(ReadApi.gameHistoryAfter(games, "alice", end, 2).count() == 0)
   }
 
+  test("gameHistoryAfter: null game dates stay reachable and page last") {
+    val withNulls = Seq(
+      ("gA", "dana", "x", "1-0", java.sql.Date.valueOf("2025-05-02")),
+      ("gB", "dana", "x", "0-1", null.asInstanceOf[java.sql.Date]),
+      ("gC", "dana", "x", "1-0", java.sql.Date.valueOf("2025-05-01")),
+      ("gD", "dana", "x", "0-1", null.asInstanceOf[java.sql.Date]))
+      .toDF("id_game", "id_user_white", "id_user_black", "val_result",
+        "dt_game")
+    def page(cur: Option[(java.sql.Date, String)]) =
+      ReadApi.gameHistoryAfter(withNulls, "dana", cur, 2)
+        .select("id_game").as[String].collect().toSeq
+    val p1 = page(None)
+    assert(p1 == Seq("gA", "gC"))
+    // cursor at the last dated row: the null-date tail must follow
+    val p2 = page(Some((java.sql.Date.valueOf("2025-05-01"), "gC")))
+    assert(p2 == Seq("gB", "gD"))
+    // null-date cursor pages within the tail and terminates
+    assert(page(Some((null, "gB"))) == Seq("gD"))
+    assert(page(Some((null, "gD"))).isEmpty)
+  }
+
   test("topOpenings: validated games only, count desc") {
     val top = ReadApi.topOpenings(games, 2)
       .as[(String, Long)].collect().toSeq

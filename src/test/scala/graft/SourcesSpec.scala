@@ -70,7 +70,10 @@ class SourcesSpec extends AnyFunSuite {
       // bucket metadata satisfies the join's required distribution:
       // the per-query shuffle is gone from BOTH sides
       assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
-      assert(!plan.contains("ShuffleExchange"),
+      // shuffle exchanges print as "Exchange hashpartitioning(...)";
+      // matching "ShuffleExchange" would be vacuous (nodeName is the
+      // bare "Exchange")
+      assert(!plan.contains("Exchange hashpartitioning"),
         s"unexpected shuffle Exchange in:\n$plan")
       // and the result is the plain join's result
       assert(joined.count() ===

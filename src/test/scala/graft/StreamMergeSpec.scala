@@ -63,6 +63,28 @@ class StreamMergeSpec extends AnyFunSuite {
     assert(tableRows() === expected)
   }
 
+  test("mergeParquet recovers the table from a backup left by a crashed swap") {
+    import java.nio.file.Paths
+    import graft.streaming.MicroBatchIngest.mergeParquet
+    val table = Files.createTempDirectory("rc").toString + "/t"
+    val batch1 = Seq(("k1", "v1", ts("2025-05-01 10:00:00")),
+      ("k2", "v1", ts("2025-05-01 10:00:00")))
+      .toDF("id_game", "id_user_white", "tm_ingested")
+    mergeParquet(spark, batch1, table, "id_game", Seq(desc("tm_ingested")))
+    // simulate a crash in the swap window: old table moved to .bak, the
+    // new table never arrived
+    Files.move(Paths.get(table), Paths.get(table + ".bak"))
+    val batch2 = Seq(("k2", "v2", ts("2025-05-01 10:05:00")),
+      ("k3", "v1", ts("2025-05-01 10:05:00")))
+      .toDF("id_game", "id_user_white", "tm_ingested")
+    mergeParquet(spark, batch2, table, "id_game", Seq(desc("tm_ingested")))
+    val rows = spark.read.parquet(table)
+      .select("id_game", "id_user_white")
+      .as[(String, String)].collect().toSet
+    // batch1's rows survived the crash; batch2 merged on top
+    assert(rows === Set("k1" -> "v1", "k2" -> "v2", "k3" -> "v1"))
+  }
+
   test("append-mode watermark: late rows dropped, only finalized windows emit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
