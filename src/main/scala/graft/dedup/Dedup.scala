@@ -163,6 +163,54 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Near-duplicate CLUSTERS from a pair list: connected components by
+    * iterative min-label propagation — the step that turns "these docs
+    * are similar pairwise" into "keep one canonical doc per group".
+    *
+    * Each round: every node adopts the minimum label among itself and
+    * its neighbors (one shuffle on the edge key per round); convergence
+    * in O(log diameter) rounds — near-dup components are tiny (pairs to
+    * handfuls), so this terminates in 2-4 rounds in practice. The loop
+    * is driver-side CONTROL only (a per-round changed-count, metadata
+    * not data); labels live in executors throughout, so the operator
+    * scales with the cluster, and every step is deterministic (min is
+    * order-free).
+    *
+    * Input: pairs (id1, id2). Output: (id, cluster_id = min id reachable
+    * in the component) for every id appearing in a pair. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // localCheckpoint (eager) TRUNCATES LINEAGE — without it, every
+    // round's plan contains the full upstream query (e.g. the Jaccard
+    // self-join) and Catalyst re-analyzes the growing tree each
+    // iteration: planning time, not execution, dominates. On a real
+    // cluster prefer reliable checkpoint() (HDFS) for fault tolerance;
+    // local checkpoints live in executor storage.
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // min over self-label and all neighbor labels; the old label rides
+      // along so the convergence check reads the checkpointed result
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b")
+          .withColumnRenamed("label", "nl"), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min("nl").as("nl"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.drop("__old")
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Production-path MinHash+LSH candidate pairs: shingle keys come
     * from [[shingleHash]] (xxhash64 — no dictionary, no global sort),
     * signatures from the one-pass UDAF, candidates from array banding.

@@ -38,23 +38,35 @@ object DataOps extends QueryModule {
   // back-to-back — memoize and persist them per (session, dir) so the
   // explode+distinct and the dictionary's global sort run once.
   // (SessionMemo is weak on the session: stopped sessions GC.)
-  /** (sh: (id, shingle) persisted, encoded: (id, sid) persisted). */
-  private def sharedShingles(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  /** (id, shingle), persisted. */
+  private def sharedShingles(s: SparkSession, d: String): DataFrame =
     SessionMemo(s, d, "dedup_shingles") {
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
-        .persist()
-      val dict = Dedup.shingleDictionary(sh)
-      val encoded = sh.join(dict, Seq("shingle")).select("id", "sid")
-        .persist()
-      (sh, encoded)
+      Dedup.shingles(Tables.documents(s, d), "doc_id", "text").persist()
+    }
+
+  /** (id, sid) — dictionary-encoded, persisted. Separate memo entry:
+    * the rank dictionary does driver-side bucket-offset work eagerly,
+    * and only the minhash/simhash oracle paths need it — jaccard and
+    * clustering must not pay for it. */
+  private def sharedEncoded(s: SparkSession, d: String): DataFrame =
+    SessionMemo(s, d, "dedup_encoded") {
+      val sh = sharedShingles(s, d)
+      sh.join(Dedup.shingleDictionary(sh), Seq("shingle"))
+        .select("id", "sid").persist()
+    }
+
+  /** Jaccard>0.3 pairs feed two registry entries (the pair list and the
+    * clusters built on it) — one posting-list self-join, memoized. */
+  private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame =
+    SessionMemo(s, d, "jaccard_pairs") {
+      Dedup.jaccardPairsFromShingles(sharedShingles(s, d), 0.3).persist()
     }
 
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairsFromShingles(sharedShingles(s, d)._1, 0.3)
-      .orderBy("id1", "id2")
+    sharedJaccardPairs(s, d).orderBy("id1", "id2")
 
   private def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val encoded = sharedShingles(s, d)._2
+    val encoded = sharedEncoded(s, d)
     val sigs = Dedup.minhashSignaturesAgg(encoded, numHashes = 16)
     Dedup.lshCandidatesFromSigs(sigs, rowsPerBand = 2, numHashes = 16)
       .select(col("id1"), col("id2"))
@@ -65,10 +77,19 @@ object DataOps extends QueryModule {
   // features cannot discriminate on a corpus that shares one small
   // vocabulary; shingles separate near-dups from the background.
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val encoded = sharedShingles(s, d)._2
+    val encoded = sharedEncoded(s, d)
     Dedup.simhashPairs(Dedup.simhash(encoded, bits = 32), maxDist = 6)
       .orderBy("id1", "id2")
   }
+
+  // Near-dup clusters: connected components over the Jaccard pair list
+  // — the step a dedup pipeline actually keys its "keep one canonical
+  // doc per group" decision on. Oracle = DuckDB recursive reachability
+  // (components are tiny, so path enumeration is bounded).
+  private def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      sharedJaccardPairs(s, d).select("id1", "id2"))
+      .orderBy("id")
 
   // Production-path conformance for the xxhash64 shingle-key dedup
   // (the no-global-sort path promised by Dedup.shingleHash): MinHash/LSH
@@ -158,6 +179,7 @@ object DataOps extends QueryModule {
     "dedup_ngram_jaccard"  -> (dedupJaccard _),
     "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
     "dedup_simhash"        -> (dedupSimhash _),
+    "dedup_clusters"       -> (dedupClusters _),
     "dedup_prod_paths"     -> (dedupProdConformance _),
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
     "text_langid"          -> (textLangid _),
@@ -227,6 +249,30 @@ object DataOps extends QueryModule {
           JOIN sizes s2 ON s2.id = id2
           WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) > 0.3
           ORDER BY id1, id2"""),
+
+    "dedup_clusters" ->
+      (s"""WITH RECURSIVE $tokCte, $shCte,
+          keep AS (SELECT shingle FROM sh GROUP BY shingle
+                   HAVING count(*) <= 1000),
+          shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+          sizes AS (SELECT id, count(*) AS n_sh FROM shc GROUP BY id),
+          common AS (
+            SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY a.id, b.id),
+          pairs AS (
+            SELECT id1, id2 FROM common
+            JOIN sizes s1 ON s1.id = id1
+            JOIN sizes s2 ON s2.id = id2
+            WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) > 0.3),
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                    UNION SELECT id2, id1 FROM pairs),
+          reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+          SELECT a AS id, least(a, min(b)) AS cluster_id
+          FROM reach GROUP BY a ORDER BY id"""),
 
     "dedup_minhash_lsh" ->
       (s"""WITH $tokCte, $shCte,

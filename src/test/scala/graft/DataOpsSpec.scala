@@ -51,6 +51,17 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: transitive chains collapse to the min label") {
+    // chain 2-5-9-11 (diameter 3 → multi-round propagation), a pair,
+    // and a 3-node path — labels must be the component minimum
+    val pairs = Seq((5L, 2L), (5L, 9L), (9L, 11L), (20L, 21L),
+      (31L, 30L), (31L, 32L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 2L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
   test("block-pair cosine near-dup join is invariant to block count") {
     val b1 = Similarity.cosineNearDupPairs(embs, 0.35, numBlocks = 1)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
