@@ -168,17 +168,21 @@ object Dedup {
     * are similar pairwise" into "keep one canonical doc per group".
     *
     * Each round: every node adopts the minimum label among itself and
-    * its neighbors (one shuffle on the edge key per round); convergence
-    * in O(log diameter) rounds — near-dup components are tiny (pairs to
-    * handfuls), so this terminates in 2-4 rounds in practice. The loop
-    * is driver-side CONTROL only (a per-round changed-count, metadata
-    * not data); labels live in executors throughout, so the operator
-    * scales with the cluster, and every step is deterministic (min is
-    * order-free).
+    * its neighbors (one shuffle on the edge key per round). Propagation
+    * is one hop per round, so convergence takes O(component diameter)
+    * rounds — near-dup components are tiny (pairs to handfuls), 2-4
+    * rounds in practice; a corpus with genuinely long similarity chains
+    * should raise `maxIters` (or move to a large-star/small-star
+    * scheme, which is the O(log n)-round upgrade path). The loop is
+    * driver-side CONTROL only (a per-round changed-count, metadata not
+    * data); labels live in executors throughout, and every step is
+    * deterministic (min is order-free). Throws if `maxIters` rounds do
+    * not converge — a partially-propagated labeling would silently keep
+    * near-duplicates, which is worse than failing.
     *
     * Input: pairs (id1, id2). Output: (id, cluster_id = min id reachable
     * in the component) for every id appearing in a pair. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // localCheckpoint (eager) TRUNCATES LINEAGE — without it, every
     // round's plan contains the full upstream query (e.g. the Jaccard
     // self-join) and Catalyst re-analyzes the growing tree each
@@ -204,10 +208,18 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
       val changed = next.filter(col("label") =!= col("__old")).count()
+      // overwriting `labels` drops the only reference to the previous
+      // generation's checkpoint; ContextCleaner reclaims its blocks
+      // (localCheckpoint storage is not CacheManager-managed, so an
+      // explicit unpersist() here would be a no-op)
       labels = next.drop("__old")
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "raise maxIters (component diameter exceeds it)")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

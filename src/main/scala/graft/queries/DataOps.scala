@@ -47,20 +47,25 @@ object DataOps extends QueryModule {
   /** (id, sid) — dictionary-encoded, persisted. Separate memo entry:
     * the rank dictionary does driver-side bucket-offset work eagerly,
     * and only the minhash/simhash oracle paths need it — jaccard and
-    * clustering must not pay for it. */
-  private def sharedEncoded(s: SparkSession, d: String): DataFrame =
+    * clustering must not pay for it. The shingle memo is resolved
+    * BEFORE this entry's thunk: a nested computeIfAbsent on the same
+    * map violates the ConcurrentHashMap contract (recursive update). */
+  private def sharedEncoded(s: SparkSession, d: String): DataFrame = {
+    val sh = sharedShingles(s, d)
     SessionMemo(s, d, "dedup_encoded") {
-      val sh = sharedShingles(s, d)
       sh.join(Dedup.shingleDictionary(sh), Seq("shingle"))
         .select("id", "sid").persist()
     }
+  }
 
   /** Jaccard>0.3 pairs feed two registry entries (the pair list and the
     * clusters built on it) — one posting-list self-join, memoized. */
-  private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame =
+  private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = sharedShingles(s, d)   // resolved before the thunk (no nesting)
     SessionMemo(s, d, "jaccard_pairs") {
-      Dedup.jaccardPairsFromShingles(sharedShingles(s, d), 0.3).persist()
+      Dedup.jaccardPairsFromShingles(sh, 0.3).persist()
     }
+  }
 
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
     sharedJaccardPairs(s, d).orderBy("id1", "id2")
@@ -214,6 +219,27 @@ object DataOps extends QueryModule {
          WHERE length(shingle) > 0
        )"""
 
+  /** Jaccard>0.3 pair pipeline (df-capped), shared verbatim by the
+    * dedup_ngram_jaccard and dedup_clusters oracles so the pair
+    * definition cannot drift between them. */
+  private val jpCte =
+    """keep AS (SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) <= 1000),
+       shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+       sizes AS (SELECT id, count(*) AS n_sh FROM shc GROUP BY id),
+       common AS (
+         SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+         FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+         GROUP BY a.id, b.id),
+       jp AS (
+         SELECT id1, id2, n_common,
+                CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common)
+                  AS jaccard
+         FROM common
+         JOIN sizes s1 ON s1.id = id1
+         JOIN sizes s2 ON s2.id = id2
+         WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) > 0.3)"""
+
   private val enList = "['the','a','of','and','to','in']"
   private val esList = "['el','la','de','y','que','los']"
   private val deList = "['der','die','das','und','ist']"
@@ -233,40 +259,14 @@ object DataOps extends QueryModule {
          ORDER BY canonical_id""",
 
     "dedup_ngram_jaccard" ->
-      (s"""WITH $tokCte, $shCte,
-          keep AS (SELECT shingle FROM sh GROUP BY shingle
-                   HAVING count(*) <= 1000),
-          shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
-          sizes AS (SELECT id, count(*) AS n_sh FROM shc GROUP BY id),
-          common AS (
-            SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
-            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
-            GROUP BY a.id, b.id)
-          SELECT id1, id2, n_common,
-                 CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
-          FROM common
-          JOIN sizes s1 ON s1.id = id1
-          JOIN sizes s2 ON s2.id = id2
-          WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) > 0.3
+      (s"""WITH $tokCte, $shCte, $jpCte
+          SELECT id1, id2, n_common, jaccard FROM jp
           ORDER BY id1, id2"""),
 
     "dedup_clusters" ->
-      (s"""WITH RECURSIVE $tokCte, $shCte,
-          keep AS (SELECT shingle FROM sh GROUP BY shingle
-                   HAVING count(*) <= 1000),
-          shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
-          sizes AS (SELECT id, count(*) AS n_sh FROM shc GROUP BY id),
-          common AS (
-            SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
-            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
-            GROUP BY a.id, b.id),
-          pairs AS (
-            SELECT id1, id2 FROM common
-            JOIN sizes s1 ON s1.id = id1
-            JOIN sizes s2 ON s2.id = id2
-            WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) > 0.3),
-          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-                    UNION SELECT id2, id1 FROM pairs),
+      (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte,
+          edges AS (SELECT id1 AS a, id2 AS b FROM jp
+                    UNION SELECT id2, id1 FROM jp),
           reach AS (
             SELECT a, b FROM edges
             UNION
