@@ -29,17 +29,28 @@ object Bench {
       // a failed query is recorded as -1, never as a (fast) timing
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // Persist the parsed line so the round total survives sbt log noise.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def toJson(rs: Seq[(String, Double)], extra: String): String = {
+      val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = fmt(results.map(_._2).filter(_ >= 0).sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+    }
+    // Full per-query detail: persisted to a file (sbt log noise cannot
+    // truncate a file) and printed for humans reading the whole log.
+    val full = toJson(results, "")
+    println(full)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      json.getBytes("UTF-8"))
+      full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // LAST stdout line: a short summary (top-20 slowest only). Harness
+    // log capture keeps a bounded tail of stdout; the full 74-query line
+    // is ~2.3 KB and gets its head cut off, so this guarantees one
+    // complete, parseable {"metric":...} line inside any tail window.
+    println(toJson(results.sortBy(-_._2).take(20),
+      s""","n_queries":${results.size},"detail":"$out""""))
     spark.stop()
   }
 }

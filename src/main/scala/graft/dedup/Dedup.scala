@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 3-gram word shingles, distinct per doc: (id, shingle). */
+  /** 3-gram word shingles, distinct per doc: (id, shingle).
+    * `array_distinct` runs BEFORE the explode, so (id, shingle) rows are
+    * unique by construction — no global distinct (that would be a full
+    * extra shuffle of the exploded index for nothing). */
   def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         split(lower(trim(col(textCol))), " +").as("__ts"))
@@ -33,7 +36,6 @@ object Dedup {
             sequence(0, greatest(size(__ts) - 3, 0)),
             i -> concat_ws(' ', slice(__ts, i + 1, 3)))))""").as("shingle"))
       .filter(length(col("shingle")) > 0)
-      .distinct()
 
   /** Production-path shingle key: 8-byte hash, no global sort. */
   def shingleHash(c: Column): Column = xxhash64(c)
@@ -181,8 +183,13 @@ object Dedup {
     * near-duplicates, which is worse than failing.
     *
     * Input: pairs (id1, id2). Output: (id, cluster_id = min id reachable
-    * in the component) for every id appearing in a pair. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    * in the component) for every id appearing in a pair.
+    *
+    * Below `driverThreshold` edges the same labeling is computed by
+    * exact union-find over one collect (see inline note); the loop
+    * documented above is the > threshold scale path. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+      driverThreshold: Long = 1L << 20): DataFrame = {
     // localCheckpoint (eager) TRUNCATES LINEAGE — without it, every
     // round's plan contains the full upstream query (e.g. the Jaccard
     // self-join) and Catalyst re-analyzes the growing tree each
@@ -192,6 +199,37 @@ object Dedup {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct().localCheckpoint()
+    // Two regimes. A near-dup edge list is usually METADATA-scale (pairs
+    // over the tiny duplicated fraction, not the corpus): below the
+    // threshold, exact union-find on the driver replaces O(diameter)
+    // shuffle rounds with one collect of the already-deduped edges —
+    // same labels (union by min root ≡ min reachable id), none of the
+    // per-round job overhead. Past the threshold (up to ~16 M edges at
+    // the default; raise it on a big driver) the distributed
+    // min-label-propagation loop below is the scale path.
+    val nEdges = edges.count()
+    if (nEdges <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect().foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union by MIN root keeps the canonical label
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      return parent.keys.toSeq.map(id => (id, find(id))).sortBy(_._1)
+        .toDF("id", "cluster_id")
+    }
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var iter = 0
@@ -274,23 +312,30 @@ object Dedup {
 
   /** SimHash over encoded tokens (id, sid, possibly repeated): bit b of
     * the sketch is the sign of Σ_tokens (2·bit_b(sid) − 1) where
-    * bit_b(sid) = ((sid·(2b+3) + (3b+1)) mod 100003) mod 2. */
+    * bit_b(sid) = ((sid·(2b+3) + (3b+1)) mod 100003) mod 2.
+    *
+    * Single-pass shape: the b loop is unrolled into `bits` conditional
+    * SUM columns inside ONE hash aggregate (map-side partials, one
+    * shuffle of `bits` longs per doc), and the sketch is folded from
+    * those sums in a codegen'd projection. The naive alternative —
+    * crossJoin with a bits table then two groupBys — materializes a
+    * rows×bits intermediate through two shuffles; same arithmetic,
+    * bits× the shuffle volume. */
   def simhash(encodedTokens: DataFrame, bits: Int = 32): DataFrame = {
     val p = 100003L
-    val bitsDf = encodedTokens.sparkSession.range(bits).toDF("b")
-    encodedTokens.crossJoin(broadcast(bitsDf))
-      // sid is reduced mod p BEFORE the multiply: same residue as
-      // (sid·c + d) mod p (mod arithmetic), but bounded so the product
-      // cannot overflow a long under ANSI even for xxhash64 sids.
-      .withColumn("contrib",
-        ((pmod(col("sid"), lit(p)) * (col("b") * 2 + 3) + (col("b") * 3 + 1)) % p % 2) * 2 - 1)
-      .groupBy("id", "b")
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(1L, cast(b AS INT))"))
-          .otherwise(0L))
-      .groupBy("id")
-      .agg(sum("bitval").as("simhash"))
+    // sid is reduced mod p BEFORE the multiply: same residue as
+    // (sid·c + d) mod p (mod arithmetic), but bounded so the product
+    // cannot overflow a long under ANSI even for xxhash64 sids.
+    val sidMod = pmod(col("sid"), lit(p))
+    val sums = (0 until bits).map { b =>
+      sum(((sidMod * (b * 2 + 3) + (b * 3 + 1)) % p % 2) * 2 - 1).as(s"__s$b")
+    }
+    val sketch = (0 until bits).map { b =>
+      when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    encodedTokens.groupBy("id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), sketch.as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist.

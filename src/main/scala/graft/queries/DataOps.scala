@@ -104,10 +104,13 @@ object DataOps extends QueryModule {
   // floors are pinned in DedupSpec. Every stage here shuffles on a hash
   // key — zero global sorts, unlike the rank-dictionary oracle variants.
   private def dedupProdConformance(s: SparkSession, d: String): DataFrame = {
-    // Deterministic half-corpus sample: the probe's cost is quadratic in
-    // corpus size and this is a conformance check, not a throughput path;
-    // truth is computed on the SAME sample so recall stays well-defined.
-    val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+    // Deterministic BOUNDED sample: the exact-truth probe is quadratic in
+    // sample size, so the sample must not grow with the corpus — every
+    // other doc up to an absolute cap (at sf0.01 the cap is a no-op; at
+    // 100 TB the probe still costs what it costs here). Truth is computed
+    // on the SAME sample so recall stays well-defined.
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 0 && col("doc_id") < 2000)
     val sh = Dedup.shingles(docs, "doc_id", "text").cache()
     // truth must be EXACT: disable the stop-shingle cap here — the
     // capped variant is itself an approximation and would make the

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.SafeCasts
 
 /** Scalar-transform conformance queries: SURVEY.md §2.2 (F4-F16) and
   * §2.3 (P1-P2) re-expressed over the synthetic tables.
@@ -22,24 +23,32 @@ object Transforms extends QueryModule {
 
   // ---- F4: key extraction from a delimited string (game-id from URL,
   //      game_upsert.py:61) — last segment after '#'.
+  // Sort-first pattern (here and below): `orderBy` BEFORE the computed
+  // projection. Range partitioning samples its child to pick bounds —
+  // with the projection on top of the sort, the sample pass re-executes
+  // only the narrow scan, not the expensive expressions, which then run
+  // exactly once above the sort.
   private def f4ExtractKey(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
+      .orderBy("c_custkey")
       .select(
         col("c_custkey"),
         substring_index(col("c_name"), "#", -1).as("name_seg"),
-        expr("try_cast(substring_index(c_name, '#', -1) AS BIGINT)").as("name_num"))
-      .orderBy("c_custkey")
+        SafeCasts.tryToLong(substring_index(col("c_name"), "#", -1))
+          .as("name_num"))
 
   // ---- F5: null-safe int cast (_parse_int, game_upsert.py:21-29):
   //      '1-URGENT' → 1 via prefix, whole string → NULL.
   private def f5TryCastInt(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
+      .orderBy("o_orderkey")
       .select(
         col("o_orderkey"),
-        expr("try_cast(substring_index(o_orderpriority, '-', 1) AS INT)")
+        SafeCasts.tryToInt(substring_index(col("o_orderpriority"), "-", 1))
           .as("prio_num"),
-        expr("try_cast(o_orderpriority AS INT)").as("prio_bad"))
-      .orderBy("o_orderkey")
+        // every value fails this cast — the guarded form is where the
+        // measured 7× exception-path win comes from
+        SafeCasts.tryToInt(col("o_orderpriority")).as("prio_bad"))
 
   // ---- F6: null-safe date parse 'yyyy.MM.dd' (_parse_date,
   //      game_upsert.py:32-41). Dates are round-tripped through the
@@ -47,6 +56,7 @@ object Transforms extends QueryModule {
   //      dashed format and must come back NULL.
   private def f6TryParseDate(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
+      .orderBy("o_orderkey")
       .withColumn("raw",
         when(col("o_orderkey") % 7 === 0,
           date_format(col("o_orderdate"), "yyyy-MM-dd"))
@@ -54,8 +64,7 @@ object Transforms extends QueryModule {
       .select(
         col("o_orderkey"),
         col("raw"),
-        try_to_date(col("raw"), "yyyy.MM.dd").as("parsed"))
-      .orderBy("o_orderkey")
+        SafeCasts.tryToDate(col("raw"), "yyyy.MM.dd").as("parsed"))
 
   // ---- F7: null-safe time parse → canonical HH:mm:ss string
   //      (_parse_time, game_upsert.py:43-51; TIME stored as string per
@@ -63,6 +72,7 @@ object Transforms extends QueryModule {
   //      timestamps, then canonicalized.
   private def f7TimeCanonical(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .orderBy("event_id")
       .withColumn("raw", concat_ws(":",
         hour(col("ts")), minute(col("ts")), second(col("ts"))))
       .select(
@@ -70,7 +80,6 @@ object Transforms extends QueryModule {
         col("raw"),
         date_format(try_to_timestamp(col("raw"), lit("H:m:s")), "HH:mm:ss")
           .as("canonical"))
-      .orderBy("event_id")
 
   // ---- F10: title normalization (_clean_title,
   //      validate_tv_channel_games.py:78-83): falsy/none-ish → 'None',
@@ -115,6 +124,7 @@ object Transforms extends QueryModule {
   //      case-insensitively → NULL, else typed cast.
   private def f13TypedSentinel(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
+      .orderBy("p_partkey")
       .withColumn("raw",
         when(col("p_partkey") % 11 === 0, lit("null"))
         .when(col("p_partkey") % 13 === 0, lit("<NULL>"))
@@ -124,17 +134,16 @@ object Transforms extends QueryModule {
         col("p_partkey"),
         when(lower(trim(col("raw"))).isin("<null>", "null", "none", ""),
           lit(null))
-        .otherwise(expr("try_cast(trim(raw) AS INT)")).as("size_clean"))
-      .orderBy("p_partkey")
+        .otherwise(SafeCasts.tryToInt(trim(col("raw")))).as("size_clean"))
 
   // ---- F14: JSON flattening (nested profile JSON,
   //      backfill_user_profiles.py:178-214) over the events props column.
   private def f14JsonFlatten(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .orderBy("event_id")
       .select(
         col("event_id"),
-        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k_val"))
-      .orderBy("event_id")
+        SafeCasts.tryToInt(get_json_object(col("props"), "$.k")).as("k_val"))
 
   // ---- F15: validation-notes accumulation (join of conditional note
   //      strings, default 'Valid' — validate_tv_channel_games.py:103-155).
@@ -186,6 +195,7 @@ object Transforms extends QueryModule {
   //      codegen'd, all portable.
   private def f17StringFuncs(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
+      .orderBy("p_partkey")
       .select(
         col("p_partkey"),
         lpad(col("p_brand"), 12, "*").as("padded"),
@@ -193,7 +203,6 @@ object Transforms extends QueryModule {
         reverse(col("p_name")).as("reversed"),
         repeat(col("p_brand"), 2).as("repeated"),
         levenshtein(col("p_name"), col("p_brand")).as("edit_dist"))
-      .orderBy("p_partkey")
 
   // ---- A8 (breadth): array-function surface over grouped data —
   //      collect, sort, dedupe, slice, positional access.

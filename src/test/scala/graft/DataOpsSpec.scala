@@ -56,10 +56,26 @@ class DataOpsSpec extends AnyFunSuite {
     // and a 3-node path — labels must be the component minimum
     val pairs = Seq((5L, 2L), (5L, 9L), (9L, 11L), (20L, 21L),
       (31L, 30L), (31L, 32L)).toDF("id1", "id2")
-    val cc = Dedup.connectedComponents(pairs)
+    val expected = Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 2L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L)
+    val ccDriver = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(cc === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 2L,
-      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
+    // driverThreshold = 0 forces the distributed label-propagation loop;
+    // both regimes must produce the identical labeling
+    val ccLoop = Dedup.connectedComponents(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(ccDriver === expected)
+    assert(ccLoop === expected)
+  }
+
+  test("union-find and label-propagation CC agree on real Jaccard pairs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+      .select("id1", "id2").cache()
+    assert(pairs.count() > 0)
+    val a = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toSet
+    val b = Dedup.connectedComponents(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
   }
 
   test("block-pair cosine near-dup join is invariant to block count") {

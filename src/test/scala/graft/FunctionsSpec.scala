@@ -73,4 +73,42 @@ class FunctionsSpec extends AnyFunSuite {
     now = 1500
     assert(!tb.proceed())
   }
+
+  test("SafeCasts.tryToInt/tryToLong agree with bare try_cast on adversarial strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.SafeCasts
+    val adversarial: Gen[String] = Gen.oneOf(
+      Gen.choose(Int.MinValue, Int.MaxValue).map(_.toString),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(_.toString), // int overflow
+      Gen.const("99999999999999999999999"),                     // long overflow
+      Gen.oneOf("", " ", "+", "-", "1-URGENT", "12.5", "1e3", "0x1f",
+        " 42 ", "+7", "-0", "007", "nan", "null", "\t9\n"),
+      Gen.listOf(Gen.oneOf(Gen.numChar, Gen.alphaChar,
+        Gen.oneOf(' ', '.', '-', '+'))).map(_.mkString))
+    val prop = Prop.forAll(Gen.listOfN(40, adversarial)) { ss =>
+      val df = ss.toDF("s")
+      val got = df.select(
+        SafeCasts.tryToInt(col("s")).as("gi"),
+        col("s").try_cast("int").as("ri"),
+        SafeCasts.tryToLong(col("s")).as("gl"),
+        col("s").try_cast("bigint").as("rl"))
+        .collect()
+      got.forall(r => r.get(0) == r.get(1) && r.get(2) == r.get(3))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("SafeCasts.tryToDate agrees with bare try_to_date on mixed-format input") {
+    import graft.functions.SafeCasts
+    val inputs = Seq("1995.01.03", "1995-01-03", "1995.1.3", "1995.13.40",
+      " 1995.01.03 ", "01.03.1995", "", "garbage", "1995.01", "1995.01.03.04",
+      "19950103", "0000.00.00").toDF("s")
+    val rows = inputs.select(
+      SafeCasts.tryToDate(col("s"), "yyyy.MM.dd").as("g"),
+      try_to_date(col("s"), "yyyy.MM.dd").as("r")).collect()
+    assert(rows.forall(r => r.get(0) == r.get(1)),
+      rows.map(r => (r.get(0), r.get(1))).mkString(", "))
+  }
 }
