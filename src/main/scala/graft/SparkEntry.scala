@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ApiQueries, ChessPipeline, DataOps, Joins, QueryModule, Relational, Transforms, Windows}
+import graft.queries.{Aggregates, ApiQueries, ChessPipeline, DataOps, Joins, QueryModule, Relational, SamplingOps, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
     ChessPipeline,
     DataOps,
     Windows,
-    ApiQueries
+    ApiQueries,
+    SamplingOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

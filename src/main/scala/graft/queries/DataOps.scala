@@ -174,6 +174,14 @@ object DataOps extends QueryModule {
       col("vec_id") % 50 === 0, k = 10, numPlanes = 4)
       .orderBy("query_id", "rank")
 
+  // IVF ANN — centroid index, nprobe cells per query; engine-specific
+  // (Lloyd centroids), so rows-only here; nprobe=all ≡ brute-force
+  // equality and recall floors asserted in ScalaTest.
+  private def simIvfTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d),
+      col("vec_id") % 50 === 0, k = 10, numCells = 8, nprobe = 3)
+      .orderBy("query_id", "rank")
+
   private def mmDecodeMeta(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     Multimodal.decodeMeta(
@@ -196,6 +204,7 @@ object DataOps extends QueryModule {
     "text_fingerprint"     -> (textFingerprint _),
     "sim_cosine_topk"      -> (simCosineTopk _),
     "sim_ann_lsh"          -> (simAnnLsh _),
+    "sim_ivf_topk"         -> (simIvfTopk _),
     "mm_decode_meta"       -> (mmDecodeMeta _)
   )
 

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sampling.Sampling
+
+/** Conformance queries for the deterministic sampling / splitting
+  * operators ([[graft.sampling.Sampling]]) — the dataset-versioning leg
+  * of a training-data pipeline (hash split, stratified sample, group
+  * rebalance). md5 is identical in Spark and DuckDB, so every decision
+  * is oracle-checkable down to the row. */
+object SamplingOps extends QueryModule {
+
+  // Train/test split at 0.8: membership depends only on (salt, doc_id),
+  // so re-running on a grown corpus never reassigns an existing doc.
+  private def sampTrainTest(s: SparkSession, d: String): DataFrame =
+    Sampling.hashSplit(Tables.documents(s, d), "doc_id", 0.8)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+
+  private def sampTrainTestRows(s: SparkSession, d: String): DataFrame =
+    Sampling.hashSplit(Tables.documents(s, d), "doc_id", 0.8)
+      .orderBy("doc_id")
+      .select("doc_id", "split")
+
+  // Stratified 50% by language: ceil(|group|/2) rows per lang, members
+  // chosen by hash order — proportions preserved under the en-heavy mix.
+  private def sampStratified(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "lang")
+
+  // Balance the 20-source mix to ≤10 docs per source (the "downsample
+  // the dominant domain" step of data mixing).
+  private def sampBalanced(s: SparkSession, d: String): DataFrame =
+    Sampling.balancedSample(Tables.documents(s, d), "source", "doc_id", 10)
+      .orderBy("doc_id")
+      .select("doc_id", "source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_train_test"      -> (sampTrainTest _),
+    "samp_train_test_rows" -> (sampTrainTestRows _),
+    "samp_stratified"      -> (sampStratified _),
+    "samp_balanced"        -> (sampBalanced _)
+  )
+
+  // 0.8 → ⌊0.8·65536⌋ = 52428 = 0xcccc (the 16-bit quantized fraction)
+  private val splitCase =
+    """CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+            THEN 'train' ELSE 'test' END"""
+
+  val oracles: Map[String, String] = Map(
+    "samp_train_test" ->
+      s"""SELECT lang, $splitCase AS split, count(*) AS n
+          FROM documents
+          GROUP BY lang, 2 ORDER BY lang, split""",
+
+    "samp_train_test_rows" ->
+      s"""SELECT doc_id, $splitCase AS split
+          FROM documents ORDER BY doc_id""",
+
+    "samp_stratified" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)), doc_id)
+                    AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         WHERE rn <= ceil(n * 0.5)
+         ORDER BY doc_id""",
+
+    "samp_balanced" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5('bal' || CAST(doc_id AS VARCHAR)), doc_id)
+                    AS rn
+           FROM documents)
+         WHERE rn <= 10
+         ORDER BY doc_id"""
+  )
+}

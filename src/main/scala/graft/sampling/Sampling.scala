@@ -1,0 +1,73 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for training-data pipelines:
+  * hash-based train/test assignment, per-group stratified sampling, and
+  * per-group balanced downsampling.
+  *
+  * All three key every decision on `md5(salt || id)` — a content-free,
+  * engine-portable hash — so results are reproducible run-to-run,
+  * independent of partitioning and row order, and stable under corpus
+  * growth (adding documents never flips an existing document's split,
+  * the property that keeps eval sets uncontaminated across dataset
+  * versions). A salt change is a fresh independent assignment.
+  *
+  * Scale shape: [[hashSplit]] is a pure projection (no shuffle).
+  * [[stratifiedSample]] / [[balancedSample]] shuffle once on the group
+  * key and stream each group through a ranking window (row_number over
+  * a sort — no per-group buffering). Group skew equals data skew: a
+  * 100 TB corpus with a dominant group sorts that group across its
+  * partition; if a single group outgrows a partition, pre-split it
+  * with a salted secondary key and cap per-salt, or switch the
+  * per-group quota to a threshold on the hash itself (quantile cut,
+  * no count pass) — both are one-line variants of the same hash order.
+  */
+object Sampling {
+
+  /** Hex md5 of (salt ++ id), the shared sort/assignment key. */
+  def idHash(id: Column, salt: String): Column =
+    md5(concat(lit(salt), id.cast("string")))
+
+  /** Split assignment from the first 4 hex digits (16-bit quantization:
+    * the train fraction is realized as ⌊frac·65536⌋/65536). Appending
+    * rows never changes existing assignments. */
+  def hashSplit(df: DataFrame, idCol: String, trainFrac: Double,
+      salt: String = "split"): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, "trainFrac must be in (0,1)")
+    val threshold = f"${(trainFrac * 65536).toInt}%04x"
+    df.withColumn("split",
+      when(substring(idHash(col(idCol), salt), 1, 4) < lit(threshold),
+        lit("train")).otherwise(lit("test")))
+  }
+
+  /** Per-group fraction `frac`, exact per group (⌈frac·|group|⌉ rows),
+    * members chosen by hash order — a stratified sample that preserves
+    * group proportions. One shuffle on `groupCol`. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+      frac: Double, salt: String = "strat"): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0,1]")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(idHash(col(idCol), salt), col(idCol))
+    val cnt = Window.partitionBy(groupCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .filter(col("__rn") <= ceil(col("__n") * frac))
+      .drop("__rn", "__n")
+  }
+
+  /** Per-group cap: at most `maxPerGroup` rows per group, chosen by
+    * hash order — rebalances a skewed group mix (the "downsample the
+    * dominant domain" step of a data-mixing pipeline). */
+  def balancedSample(df: DataFrame, groupCol: String, idCol: String,
+      maxPerGroup: Int, salt: String = "bal"): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(idHash(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerGroup)
+      .drop("__rn")
+  }
+}

@@ -152,6 +152,123 @@ object Similarity {
         greatest(col("ida"), col("idb")).as("id2"), col("cosine"))
   }
 
+  /** Nearest-centroid assignment by cosine (query-side norm cancels in
+    * the per-row argmax): (vec_id, cell). Ties → lowest cell index. */
+  private def assignCells(vecs: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val norms = cents.map(c => math.sqrt(dot(c, c)))
+    val bc = spark.sparkContext.broadcast((cents, norms))
+    vecs.select("vec_id", "vd").as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (cs, ns) = bc.value
+        it.map { case (id, vdSeq) =>
+          val v = vdSeq.toArray
+          var best = 0
+          var bestScore = Double.NegativeInfinity
+          var j = 0
+          while (j < cs.length) {
+            val s = if (ns(j) == 0) Double.NegativeInfinity
+                    else dot(v, cs(j)) / ns(j)
+            if (s > bestScore) { bestScore = s; best = j }
+            j += 1
+          }
+          (id, best)
+        }
+      }.toDF("vec_id", "cell")
+  }
+
+  /** Top-`nprobe` centroids per query, same metric and tie-break as
+    * [[assignCells]]: (query_id, cell) — one row per probed cell. */
+  private def probeCells(queries: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val norms = cents.map(c => math.sqrt(dot(c, c)))
+    val bc = spark.sparkContext.broadcast((cents, norms))
+    queries.select("vec_id", "vd").as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (cs, ns) = bc.value
+        it.flatMap { case (id, vdSeq) =>
+          val v = vdSeq.toArray
+          (0 until cs.length).map { j =>
+            val s = if (ns(j) == 0) Double.NegativeInfinity
+                    else dot(v, cs(j)) / ns(j)
+            (s, j)
+          }.sortBy { case (s, j) => (-s, j) }
+            .take(nprobe).map { case (_, j) => (id, j) }
+        }
+      }.toDF("query_id", "cell")
+  }
+
+  /** IVF (inverted-file) ANN top-k — the index-backed scale path next
+    * to [[lshTopK]]'s hash buckets:
+    *
+    *   1. `numCells` centroids, seeded from the lowest-id vectors and
+    *      refined by `iters` Lloyd rounds — assignment is distributed,
+    *      recentering aggregates per (cell, dimension) with DECIMAL
+    *      sums so the means are exact and order-independent (float
+    *      reduction order would make the index nondeterministic);
+    *      centroids are C·d doubles — metadata, broadcast each round;
+    *   2. every vector lands in its nearest cell (one narrow pass);
+    *      at 100 TB the (cell, vec) table is the materialized index,
+    *      partitioned by cell;
+    *   3. each query probes only its `nprobe` nearest cells: the join
+    *      key is the cell id, so per-query work is the probed cells'
+    *      posting lists, not the corpus.
+    *
+    * Each vector belongs to exactly one cell, so candidates never
+    * duplicate across probes. With nprobe = numCells the candidate set
+    * is the whole corpus and the result equals [[bruteForceTopK]]
+    * bit-for-bit (same sequential-fold dot, same tie order) — asserted
+    * in DataOpsSpec; recall-vs-exact at nprobe < numCells is the
+    * tunable retrieval trade. */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      numCells: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = withNorms(embeddings)
+      .select("vec_id", "vd", "norm").cache()
+    var cents: Array[Array[Double]] = vecs.orderBy("vec_id")
+      .limit(numCells).select("vd").as[Seq[Double]].collect()
+      .map(_.toArray)
+    for (_ <- 0 until iters) {
+      val sums = assignCells(vecs, cents).join(vecs, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("vd")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x").cast("decimal(38,18)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val (cell, pos) = (r.getInt(0), r.getInt(1))
+        next(cell)(pos) =
+          (r.getDecimal(2).doubleValue() / r.getLong(3).toDouble)
+      } // cells that captured no vectors keep their previous centroid
+      cents = next
+    }
+    val cells = assignCells(vecs, cents)
+    val q = vecs.filter(queryPred)
+    val probes = probeCells(q, cents, nprobe)
+    val qSide = q.select(col("vec_id").as("query_id"), col("vd").as("qd"),
+        col("norm").as("qnorm"))
+      .join(probes, Seq("query_id"))
+    val cand = cells.join(vecs, Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("cand_id"), col("vd"),
+        col("norm"))
+    val scored = qSide.join(cand, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        dotCol(col("qd"), col("vd")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+
   /** Deterministic pseudo-random hyperplane component: plane p,
     * dimension j → small signed int in [-9, 9]. */
   private def planeComponent(p: Int, j: String): String =

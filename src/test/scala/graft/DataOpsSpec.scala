@@ -120,6 +120,36 @@ class DataOpsSpec extends AnyFunSuite {
     withClue(s"avg top-10 overlap $avgOverlap: ") { assert(avgOverlap >= 1.0) }
   }
 
+  test("IVF with nprobe = numCells equals brute force bit-for-bit") {
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(embs, pred, 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val ivfAll = Similarity.ivfTopK(embs, pred, 10,
+        numCells = 8, nprobe = 8)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(exact.nonEmpty)
+    assert(ivfAll == exact)   // exact floats, not approx
+  }
+
+  test("IVF probe subset: every query answered, results drawn from exact ranking") {
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(embs, pred, 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(embs, pred, 10, numCells = 8, nprobe = 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.keySet == exact.keySet) // no query starves
+    val avgOverlap = exact.keys.toSeq.map { q =>
+      ivf.get(q).map(a => (a & exact(q)).size).getOrElse(0)
+    }.sum.toDouble / exact.size
+    // 3 of 8 cells probed: coarse recall on a near-orthogonal corpus —
+    // assert the mechanism retrieves real neighbors, not a tuned number
+    withClue(s"avg top-10 overlap $avgOverlap: ") { assert(avgOverlap >= 1.0) }
+  }
+
   test("exact dedup finds exactly the planted duplicate groups") {
     val planted = docs.select("doc_id", "text")
       .unionByName(docs.filter(col("doc_id") % 10 === 0)

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sampling.Sampling
+
+/** Semantic checks for the deterministic sampling/splitting operators
+  * (beyond the DuckDB hash conformance): reproducibility, stability
+  * under corpus growth, exact per-group quotas. */
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf001)
+
+  test("hashSplit: reproducible, near-fraction, and stable under growth") {
+    val full = Sampling.hashSplit(docs, "doc_id", 0.8)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val again = Sampling.hashSplit(docs, "doc_id", 0.8)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(full == again)
+    val frac = full.count(_._2 == "train").toDouble / full.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    // growth stability: the split computed on HALF the corpus agrees
+    // with the full-corpus assignment on every shared doc — adding data
+    // never reassigns an existing doc (no eval-set contamination)
+    val half = Sampling.hashSplit(docs.filter(col("doc_id") < 250),
+        "doc_id", 0.8)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(half.forall { case (id, s) => full(id) == s })
+    // a different salt is an independent assignment (some docs flip)
+    val resalted = Sampling.hashSplit(docs, "doc_id", 0.8, salt = "v2")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(resalted.exists { case (id, s) => full(id) != s })
+  }
+
+  test("stratifiedSample: exactly ceil(frac·|group|) rows per group") {
+    val got = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.5)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == full.keySet)
+    full.foreach { case (g, n) =>
+      assert(got(g) == (n + 1) / 2, s"group $g: ${got(g)} of $n")
+    }
+    // sampled rows are a subset of the input
+    val ids = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(all))
+  }
+
+  test("balancedSample: caps each group, keeps small groups whole") {
+    val capped = Sampling.balancedSample(docs, "source", "doc_id", 10)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(capped.values.forall(_ <= 10))
+    // cap above every group size = identity
+    val loose = Sampling.balancedSample(docs, "source", "doc_id", 100000)
+    assert(loose.count() == docs.count())
+  }
+}
