@@ -71,6 +71,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("T2 at scale: dropDuplicatesWithinWatermark dedups inside the bound, evicts state after it") {
+    // Unbounded dropDuplicates keeps EVERY key in state forever — at
+    // 100 TB that state is the corpus. The production form bounds state
+    // to the watermark window: exact dedup for re-deliveries within the
+    // delay, keys evicted once the watermark passes them (a later
+    // re-delivery is then treated as new — the documented trade).
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(offsetMin: Long) = new Timestamp(t0 + offsetMin * 60000L)
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("wm_dedup_out").outputMode("append").start()
+    try {
+      // batch 1: 50 ids, each delivered twice → 50 survivors
+      input.addData((1L to 50L).flatMap(i => Seq((i, ts(0)), (i, ts(1)))))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup_out").count() == 50)
+      // batch 2: same ids re-delivered 10 min later — still inside the
+      // watermark, all dropped
+      input.addData((1L to 50L).map(i => (i, ts(10))))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup_out").count() == 50)
+      // batch 3: one late-window event pushes the watermark past the
+      // old keys; batch 4 re-delivers them — state was evicted, so they
+      // pass through as new (bounded state, not amnesia-free dedup)
+      input.addData(Seq((999L, ts(600))))
+      q.processAllAvailable()
+      input.addData((1L to 50L).map(i => (i, ts(601))))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup_out").count() == 50 + 1 + 50)
+      // and the state store is holding the recent keys only, not every
+      // key ever seen (51 live: the 50 re-delivered + the late marker)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 51, s"state rows $stateRows")
+    } finally q.stop()
+  }
+
   test("T2: streaming dropDuplicates removes cross-batch re-deliveries") {
     val events = Tables.events(spark, sf0001).limit(100).cache()
     val src = Files.createTempDirectory("dup").toString
