@@ -10,10 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM (codegen, parquet reader, shuffle machinery) on the
-    // tiny SF so the first timed query doesn't absorb ~3s of startup.
+    // Warm the JVM on the tiny SF so the first timed query doesn't
+    // absorb startup: codegen + parquet machinery (entry), the
+    // interpreted higher-order-function paths of the shingle pipeline
+    // (jaccard/simhash — measured ~3s of one-time JIT otherwise charged
+    // to the first dedup query), and the array_dot codegen kernel.
+    val warmSf = "/root/testdata/sf0.001"
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
+    Seq("dedup_ngram_jaccard", "dedup_simhash", "sim_cosine_topk").foreach { q =>
+      try SparkEntry.queries(q)(spark, warmSf).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+    }
     // Alphabetical order: stable across rounds, so shared memoized
     // builds (shingle index, parsed PGN corpus) are always charged to
     // the same (first alphabetical) consumer and per-query numbers
