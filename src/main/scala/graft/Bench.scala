@@ -15,12 +15,26 @@ object Bench {
     // interpreted higher-order-function paths of the shingle pipeline
     // (jaccard/simhash — measured ~3s of one-time JIT otherwise charged
     // to the first dedup query), and the array_dot codegen kernel.
-    val warmSf = "/root/testdata/sf0.001"
+    val warmSf = SparkEntry.TinySfDir
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
-    Seq("dedup_ngram_jaccard", "dedup_simhash", "sim_cosine_topk").foreach { q =>
-      try SparkEntry.queries(q)(spark, warmSf).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
+    // Skipped when benching the warm dir itself: the dedup warm queries
+    // populate SessionMemo shared builds keyed on (session, dir), and
+    // reusing them in the timed loop would zero out the build cost the
+    // alphabetical-attribution contract below charges to the first
+    // consumer.
+    if (sfDir != warmSf) {
+      Seq("dedup_ngram_jaccard", "dedup_simhash", "sim_cosine_topk").foreach { q =>
+        SparkEntry.queries.get(q) match {
+          case Some(fn) =>
+            // catch only runtime failures (e.g. missing testdata), not a
+            // renamed registry key — that would silently un-warm the JIT
+            try fn(spark, warmSf).queryExecution.toRdd.count()
+            catch { case _: Throwable => () }
+          case None =>
+            System.err.println(s"Bench warm-up: registry query '$q' missing")
+        }
+      }
     }
     // Alphabetical order: stable across rounds, so shared memoized
     // builds (shingle index, parsed PGN corpus) are always charged to

@@ -24,9 +24,12 @@ object SparkEntry {
     SamplingOps
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** The driver-provisioned tiny scale factor (smoke/warm-up data). */
+  private[graft] val TinySfDir = "/root/testdata/sf0.001"
+
+  /** Flagship query on the tiny SF; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    Relational.queries("q1_pricing_summary")(spark, TinySfDir)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
