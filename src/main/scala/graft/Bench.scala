@@ -67,12 +67,18 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    // LAST stdout line: a short summary (top-20 slowest only). Harness
-    // log capture keeps a bounded tail of stdout; the full 74-query line
-    // is ~2.3 KB and gets its head cut off, so this guarantees one
-    // complete, parseable {"metric":...} line inside any tail window.
-    println(toJson(results.sortBy(-_._2).take(20),
-      s""","n_queries":${results.size},"detail":"$out""""))
+    // LAST stdout line: a short summary. Harness log capture keeps a
+    // bounded tail of stdout; the full per-query line is ~2.3 KB and
+    // gets its head cut off, so this guarantees one complete, parseable
+    // {"metric":...} line inside any tail window. FAILED queries (-1)
+    // lead the list — a summary that only showed the top-20 slowest
+    // successes would render a failing run green.
+    val failedFirst = results.sortBy { case (_, t) =>
+      (if (t < 0) 0 else 1, -t)
+    }
+    val esc = out.replace("\\", "\\\\").replace("\"", "\\\"")
+    println(toJson(failedFirst.take(20),
+      s""","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"detail":"$esc""""))
     spark.stop()
   }
 }

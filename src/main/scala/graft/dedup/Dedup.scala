@@ -27,7 +27,12 @@ object Dedup {
   /** 3-gram word shingles, distinct per doc: (id, shingle).
     * `array_distinct` runs BEFORE the explode, so (id, shingle) rows are
     * unique by construction — no global distinct (that would be a full
-    * extra shuffle of the exploded index for nothing). */
+    * extra shuffle of the exploded index for nothing).
+    *
+    * PRECONDITION: `idCol` is unique in `df` (one row per document).
+    * A doc ingested twice under the same id doubles its posting-list
+    * rows and corrupts every downstream df/size/intersection count —
+    * run exact dedup / `dropDuplicates(idCol)` first on dirty input. */
   def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         split(lower(trim(col(textCol))), " +").as("__ts"))
@@ -207,8 +212,13 @@ object Dedup {
     // per-round job overhead. Past the threshold (up to ~16 M edges at
     // the default; raise it on a big driver) the distributed
     // min-label-propagation loop below is the scale path.
+    // The union-find regime assumes 8-byte ids; any other id type (the
+    // loop below works on anything ordered) takes the distributed path
+    // so the operator's contract never depends on data volume.
+    val longIds = edges.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
     val nEdges = edges.count()
-    if (nEdges <= driverThreshold) {
+    if (longIds && nEdges <= driverThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -219,7 +229,7 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.select(col("a").cast("long"), col("b").cast("long"))
+      edges.select(col("a"), col("b"))
         .as[(Long, Long)].collect().foreach { case (a, b) =>
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
           val (ra, rb) = (find(a), find(b))

@@ -26,11 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object SafeCasts {
 
-  // Spark's string→integral cast accepts optional surrounding
-  // whitespace and a sign; anything else fails. (Fractional strings
-  // like '12.5' fail string→INT try_cast, and the guard rejects them
-  // too — consistent.)
-  private val integralRe = "^\\s*[+-]?[0-9]+\\s*$"
+  // Spark's string→integral cast trims EVERY byte <= 0x20 (not just
+  // regex \s — verified: try_cast(' 42' AS INT) = 42, while
+  // '  42' fails), then accepts an optional sign and digits;
+  // anything else fails. The guard mirrors that trim class exactly.
+  // (Fractional strings like '12.5' fail string→INT try_cast, and the
+  // guard rejects them too — consistent.)
+  private val pad = "[\\x00-\\x20]*"
+  private val integralRe = s"^$pad[+-]?[0-9]+$pad$$"
 
   /** `try_cast(c AS INT)` minus per-row exceptions on junk input. */
   def tryToInt(c: Column): Column =
@@ -56,7 +59,16 @@ object SafeCasts {
       .otherwise(lit(null).cast("timestamp"))
 
   private[functions] def shapeRe(fmt: String): String = {
-    val sb = new StringBuilder("^\\s*")
+    // Fail FAST on pattern letters the shape derivation doesn't model:
+    // quoting them as literals would turn the "permissive" guard into
+    // reject-everything (all-NULL output with no error) for formats
+    // like 'HH:mm:ss.SSS' or 'hh a'.
+    val unsupported = fmt.filter(c => c.isLetter && "yMdHms".indexOf(c) < 0)
+    require(unsupported.isEmpty,
+      s"SafeCasts guard supports pattern letters yMdHms only; " +
+        s"'$fmt' uses '${unsupported.distinct}' — use bare try_to_date/" +
+        "try_to_timestamp for this format")
+    val sb = new StringBuilder("^" + pad)
     var i = 0
     while (i < fmt.length) {
       val ch = fmt.charAt(i)
@@ -70,6 +82,6 @@ object SafeCasts {
         i += 1
       }
     }
-    sb.append("\\s*$").toString
+    sb.append(pad + "$").toString
   }
 }

@@ -228,8 +228,13 @@ object Similarity {
       numCells: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // localCheckpoint, not cache(): the Lloyd rounds below run actions
+    // against vecs, and the returned (lazy) plan reads it once more —
+    // checkpoint blocks are reclaimed by the ContextCleaner when the
+    // caller drops the result, whereas a cache() here would pin corpus
+    // blocks for the session lifetime with no unpersist point.
     val vecs = withNorms(embeddings)
-      .select("vec_id", "vd", "norm").cache()
+      .select("vec_id", "vd", "norm").localCheckpoint()
     var cents: Array[Array[Double]] = vecs.orderBy("vec_id")
       .limit(numCells).select("vd").as[Seq[Double]].collect()
       .map(_.toArray)

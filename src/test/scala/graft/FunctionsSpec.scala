@@ -82,9 +82,13 @@ class FunctionsSpec extends AnyFunSuite {
       Gen.choose(Long.MinValue, Long.MaxValue).map(_.toString), // int overflow
       Gen.const("99999999999999999999999"),                     // long overflow
       Gen.oneOf("", " ", "+", "-", "1-URGENT", "12.5", "1e3", "0x1f",
-        " 42 ", "+7", "-0", "007", "nan", "null", "\t9\n"),
+        " 42 ", "+7", "-0", "007", "nan", "null", "\t9\n",
+        // Spark's cast trims every byte <= 0x20, wider than regex \s —
+        // and does NOT trim non-breaking space (0xA0)
+        "\u000142", "\u001f42\u0002", "\u00a042", "\u000b 7 \u0000"),
       Gen.listOf(Gen.oneOf(Gen.numChar, Gen.alphaChar,
-        Gen.oneOf(' ', '.', '-', '+'))).map(_.mkString))
+        Gen.choose(0.toChar, 0x20.toChar),
+        Gen.oneOf(' ', '.', '-', '+', '\u00a0'))).map(_.mkString))
     val prop = Prop.forAll(Gen.listOfN(40, adversarial)) { ss =>
       val df = ss.toDF("s")
       val got = df.select(
@@ -110,5 +114,16 @@ class FunctionsSpec extends AnyFunSuite {
       try_to_date(col("s"), "yyyy.MM.dd").as("r")).collect()
     assert(rows.forall(r => r.get(0) == r.get(1)),
       rows.map(r => (r.get(0), r.get(1))).mkString(", "))
+  }
+
+  test("SafeCasts rejects format letters its shape guard cannot model") {
+    import graft.functions.SafeCasts
+    // silently quoting 'S'/'a' as literals would make the guard reject
+    // every row (all-NULL output); the contract is fail-fast instead
+    val e = intercept[IllegalArgumentException](
+      SafeCasts.tryToTimestamp(col("x"), "HH:mm:ss.SSS"))
+    assert(e.getMessage.contains("yMdHms"))
+    intercept[IllegalArgumentException](
+      SafeCasts.tryToDate(col("x"), "dd MMM yyyy a"))
   }
 }
