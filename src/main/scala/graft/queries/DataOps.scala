@@ -162,6 +162,23 @@ object DataOps extends QueryModule {
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
 
+  // Per-language token-length distribution — the "is this corpus slice
+  // the right shape" check before mixing. Exact interpolated quantiles
+  // at DYADIC fractions (.25/.5/.75): on integer token counts every
+  // intermediate (h = p·(n−1), the fraction, the lerp) is exact in
+  // a double, so Spark's percentile and DuckDB's quantile_cont agree
+  // bit-for-bit regardless of their lerp formulation. Non-dyadic
+  // fractions (0.1) would NOT be cross-engine hash-stable.
+  private def textQuantiles(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, d))
+      .groupBy("lang")
+      .agg(
+        expr("percentile(n_bpe_tokens, 0.25)").as("p25"),
+        expr("percentile(n_bpe_tokens, 0.5)").as("p50"),
+        expr("percentile(n_bpe_tokens, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
   private def simCosineTopk(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, d),
       col("vec_id") % 50 === 0, k = 10)
@@ -202,6 +219,7 @@ object DataOps extends QueryModule {
     "text_quality"         -> (textQuality _),
     "text_tokens"          -> (textTokens _),
     "text_fingerprint"     -> (textFingerprint _),
+    "text_quantiles"       -> (textQuantiles _),
     "sim_cosine_topk"      -> (simCosineTopk _),
     "sim_ann_lsh"          -> (simAnnLsh _),
     "sim_ivf_topk"         -> (simIvfTopk _),
@@ -388,6 +406,17 @@ object DataOps extends QueryModule {
                      (length(x) * 131 + ascii(x) * 31 + ascii(substr(x, -1, 1)))),
                    (a, b) -> (a + b) % 2147483647) AS fingerprint
           FROM tok ORDER BY doc_id"""),
+
+    "text_quantiles" ->
+      (s"""SELECT lang,
+                  quantile_cont(nb, 0.25) AS p25,
+                  quantile_cont(nb, 0.5) AS p50,
+                  quantile_cont(nb, 0.75) AS p75,
+                  count(*) AS n
+           FROM (SELECT lang,
+                        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS nb
+                 FROM documents)
+           GROUP BY lang ORDER BY lang"""),
 
     "sim_cosine_topk" ->
       """WITH v AS (

@@ -40,11 +40,24 @@ object SamplingOps extends QueryModule {
       .orderBy("doc_id")
       .select("doc_id", "source")
 
+  // Blend the language sub-corpora at target rates (en 100%, es 50%,
+  // de 25%) — each doc's keep-decision is independent and re-runnable.
+  private def sampWeightedMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Sampling.weightedMix(Seq(
+        docs.filter(col("lang") === "en") -> 1.0,
+        docs.filter(col("lang") === "es") -> 0.5,
+        docs.filter(col("lang") === "de") -> 0.25), "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "lang", "mix_source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_train_test"      -> (sampTrainTest _),
     "samp_train_test_rows" -> (sampTrainTestRows _),
     "samp_stratified"      -> (sampStratified _),
-    "samp_balanced"        -> (sampBalanced _)
+    "samp_balanced"        -> (sampBalanced _),
+    "samp_weighted_mix"    -> (sampWeightedMix _)
   )
 
   // 0.8 → ⌊0.8·65536⌋ = 52428 = 0xcccc (the 16-bit quantized fraction)
@@ -83,6 +96,21 @@ object SamplingOps extends QueryModule {
                     AS rn
            FROM documents)
          WHERE rn <= 10
+         ORDER BY doc_id""",
+
+    // 0.5 → 0x8000, 0.25 → 0x4000 (16-bit quantized weights)
+    "samp_weighted_mix" ->
+      """SELECT doc_id, lang, mix_source FROM (
+           SELECT doc_id, lang, 0 AS mix_source FROM documents
+           WHERE lang = 'en'
+           UNION ALL
+           SELECT doc_id, lang, 1 FROM documents
+           WHERE lang = 'es'
+             AND substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+           UNION ALL
+           SELECT doc_id, lang, 2 FROM documents
+           WHERE lang = 'de'
+             AND substr(md5('mix2' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
          ORDER BY doc_id"""
   )
 }

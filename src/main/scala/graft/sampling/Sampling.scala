@@ -58,6 +58,26 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Weighted dataset mix: each source keeps a deterministic
+    * hash-fraction of its rows (weight ∈ (0, 1]; 16-bit quantized like
+    * [[hashSplit]]) and is tagged with its index in `mix_source` —
+    * the "blend N corpora at target rates" step of data mixing. Each
+    * source uses an index-derived salt, so a row id present in several
+    * sources draws independently per source. Pure projection + union:
+    * no shuffle, no count pass, stable under per-source growth. */
+  def weightedMix(sources: Seq[(DataFrame, Double)], idCol: String,
+      salt: String = "mix"): DataFrame = {
+    require(sources.nonEmpty, "weightedMix needs at least one source")
+    sources.zipWithIndex.map { case ((df, w), i) =>
+      require(w > 0 && w <= 1, s"weight must be in (0,1], got $w")
+      val tagged = df.withColumn("mix_source", lit(i))
+      if (w == 1.0) tagged   // 'ffff' < '10000' is false lexicographically
+      else tagged.filter(
+        substring(idHash(col(idCol), s"$salt$i"), 1, 4) <
+          lit(f"${(w * 65536).toInt}%04x"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group cap: at most `maxPerGroup` rows per group, chosen by
     * hash order — rebalances a skewed group mix (the "downsample the
     * dominant domain" step of a data-mixing pipeline). */

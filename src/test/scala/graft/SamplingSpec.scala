@@ -52,6 +52,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids.subsetOf(all))
   }
 
+  test("weightedMix: weight-1 source intact, fractional sources near-rate, reproducible") {
+    val en = docs.filter(col("lang") === "en")
+    val es = docs.filter(col("lang") === "es")
+    def mix() = Sampling.weightedMix(Seq(en -> 1.0, es -> 0.25), "doc_id")
+    val m = mix().select("doc_id", "mix_source").as[(Long, Int)].collect()
+    assert(m.toSet == mix().select("doc_id", "mix_source")
+      .as[(Long, Int)].collect().toSet)
+    assert(m.count(_._2 == 0).toLong == en.count())   // weight 1.0 = all
+    val esKept = m.count(_._2 == 1).toDouble / es.count()
+    assert(esKept > 0.1 && esKept < 0.4, s"es kept fraction $esKept")
+    // raising a weight only ADDS rows (thresholds nest): 0.25 ⊂ 0.5
+    val wider = Sampling.weightedMix(Seq(en -> 1.0, es -> 0.5), "doc_id")
+      .select("doc_id", "mix_source").as[(Long, Int)].collect().toSet
+    assert(m.toSet.subsetOf(wider))
+  }
+
   test("balancedSample: caps each group, keeps small groups whole") {
     val capped = Sampling.balancedSample(docs, "source", "doc_id", 10)
       .groupBy("source").agg(count(lit(1)).as("n"))
