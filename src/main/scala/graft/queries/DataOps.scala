@@ -179,6 +179,23 @@ object DataOps extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy("lang")
 
+  // PII scrubbing over a corpus with planted contacts: every 5th doc
+  // gains an email, every 7th a URL (the synthetic corpus has none, so
+  // the redaction is exercised against known ground truth).
+  private def textRedact(s: SparkSession, d: String): DataFrame = {
+    val dirty = Tables.documents(s, d)
+      .orderBy("doc_id")
+      .withColumn("dirty", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://example.org/d"), col("doc_id")))
+          .otherwise(lit(""))))
+    TextAnalysis.redact(dirty, "dirty")
+      .select("doc_id", "n_emails", "n_urls", "redacted")
+  }
+
   private def simCosineTopk(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, d),
       col("vec_id") % 50 === 0, k = 10)
@@ -220,6 +237,7 @@ object DataOps extends QueryModule {
     "text_tokens"          -> (textTokens _),
     "text_fingerprint"     -> (textFingerprint _),
     "text_quantiles"       -> (textQuantiles _),
+    "text_redact"          -> (textRedact _),
     "sim_cosine_topk"      -> (simCosineTopk _),
     "sim_ann_lsh"          -> (simAnnLsh _),
     "sim_ivf_topk"         -> (simIvfTopk _),
@@ -406,6 +424,25 @@ object DataOps extends QueryModule {
                      (length(x) * 131 + ascii(x) * 31 + ascii(substr(x, -1, 1)))),
                    (a, b) -> (a + b) % 2147483647) AS fingerprint
           FROM tok ORDER BY doc_id"""),
+
+    "text_redact" ->
+      """WITH dirty AS (
+           SELECT doc_id,
+                  text
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN ' see https://example.org/d' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_%-]+')) AS INT) AS n_urls,
+                regexp_replace(
+                  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g') AS redacted
+         FROM dirty ORDER BY doc_id""",
 
     "text_quantiles" ->
       (s"""SELECT lang,

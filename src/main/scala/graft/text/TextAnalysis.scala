@@ -82,4 +82,22 @@ object TextAnalysis {
                (length(x) * 131L + ascii(x) * 31L + ascii(substring(x, -1, 1)))),
              0L, (acc, x) -> (acc + x) % 2147483647L)"""))
       .drop("__toks")
+
+  // --- PII scrubbing: count + redact email addresses and URLs.
+  //     Patterns stay in the portable regex subset (character classes,
+  //     bounded quantifiers — identical semantics in Java regex and
+  //     RE2), so the operation is oracle-checkable. Codegen'd
+  //     regexp_replace: linear scan per row, no shuffle.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[A-Za-z0-9./_%-]+"
+
+  /** (…, n_emails, n_urls, redacted): matches counted, then replaced
+    * with <EMAIL>/<URL> placeholders. Emails are redacted BEFORE urls
+    * so an address inside a query string cannot survive partially. */
+  def redact(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_urls", regexp_count(col(textCol), lit(UrlRe)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"))
 }

@@ -160,6 +160,21 @@ class DataOpsSpec extends AnyFunSuite {
     assert(groups.forall(_.getAs[Long]("n_copies") == 2))
   }
 
+  test("redact: planted contacts are counted and fully scrubbed") {
+    import graft.text.TextAnalysis
+    val dirty = docs.withColumn("dirty", concat(col("text"),
+      lit(" mail a.b-c_d@sub.example.co see http://x.org/p%20q and"),
+      lit(" https://y.net/a_b")))
+    val r = TextAnalysis.redact(dirty, "dirty")
+    assert(r.filter(col("n_emails") =!= 1 || col("n_urls") =!= 2).count() == 0)
+    // nothing matchable survives in the redacted text
+    assert(r.filter(
+      regexp_count(col("redacted"), lit(TextAnalysis.EmailRe)) > 0 ||
+      regexp_count(col("redacted"), lit(TextAnalysis.UrlRe)) > 0)
+      .count() == 0)
+    assert(r.head().getAs[String]("redacted").contains("<EMAIL>"))
+  }
+
   test("multimodal decode: per-partition batching yields typed metadata") {
     implicit val s = spark
     val meta = Multimodal.decodeMeta(
