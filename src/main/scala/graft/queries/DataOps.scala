@@ -412,7 +412,7 @@ object DataOps extends QueryModule {
       (s"""WITH $tokCte
           SELECT doc_id,
                  len(ts) AS n_ws_tokens,
-                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe_tokens
           FROM tok ORDER BY doc_id"""),
 
     "text_fingerprint" ->
@@ -435,14 +435,18 @@ object DataOps extends QueryModule {
                   || CASE WHEN doc_id % 7 = 0
                           THEN ' see https://example.org/d' || CAST(doc_id AS VARCHAR)
                           ELSE '' END AS t
-           FROM documents)
+           FROM documents),
+         red AS (
+           SELECT doc_id,
+                  regexp_replace(
+                    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    'https?://[A-Za-z0-9./_%?=&#:~+-]+', '<URL>', 'g') AS redacted
+           FROM dirty)
          SELECT doc_id,
-                CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-                CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_%-]+')) AS INT) AS n_urls,
-                regexp_replace(
-                  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                  'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g') AS redacted
-         FROM dirty ORDER BY doc_id""",
+                CAST(len(regexp_extract_all(redacted, '<EMAIL>')) AS INT) AS n_emails,
+                CAST(len(regexp_extract_all(redacted, '<URL>')) AS INT) AS n_urls,
+                redacted
+         FROM red ORDER BY doc_id""",
 
     "text_quantiles" ->
       (s"""SELECT lang,
@@ -451,7 +455,7 @@ object DataOps extends QueryModule {
                   quantile_cont(nb, 0.75) AS p75,
                   count(*) AS n
            FROM (SELECT lang,
-                        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS nb
+                        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS nb
                  FROM documents)
            GROUP BY lang ORDER BY lang"""),
 

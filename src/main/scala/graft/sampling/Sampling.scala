@@ -31,13 +31,25 @@ object Sampling {
   def idHash(id: Column, salt: String): Column =
     md5(concat(lit(salt), id.cast("string")))
 
+  /** A fraction as a 4-hex-digit md5-prefix threshold (16-bit
+    * quantization, shared by [[hashSplit]] and [[weightedMix]]).
+    * Rejects fractions that quantize to zero — they would silently
+    * keep no rows at all. */
+  private def quantHex(frac: Double): String = {
+    val q = (frac * 65536).toInt
+    require(q >= 1,
+      f"fraction $frac quantizes to zero at 16-bit resolution " +
+        "(minimum representable is 1/65536)")
+    f"$q%04x"
+  }
+
   /** Split assignment from the first 4 hex digits (16-bit quantization:
     * the train fraction is realized as ⌊frac·65536⌋/65536). Appending
     * rows never changes existing assignments. */
   def hashSplit(df: DataFrame, idCol: String, trainFrac: Double,
       salt: String = "split"): DataFrame = {
     require(trainFrac > 0 && trainFrac < 1, "trainFrac must be in (0,1)")
-    val threshold = f"${(trainFrac * 65536).toInt}%04x"
+    val threshold = quantHex(trainFrac)
     df.withColumn("split",
       when(substring(idHash(col(idCol), salt), 1, 4) < lit(threshold),
         lit("train")).otherwise(lit("test")))
@@ -73,8 +85,7 @@ object Sampling {
       val tagged = df.withColumn("mix_source", lit(i))
       if (w == 1.0) tagged   // 'ffff' < '10000' is false lexicographically
       else tagged.filter(
-        substring(idHash(col(idCol), s"$salt$i"), 1, 4) <
-          lit(f"${(w * 65536).toInt}%04x"))
+        substring(idHash(col(idCol), s"$salt$i"), 1, 4) < lit(quantHex(w)))
     }.reduce(_ unionByName _)
   }
 

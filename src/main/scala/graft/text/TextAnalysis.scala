@@ -67,7 +67,11 @@ object TextAnalysis {
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("n_ws_tokens", size(tokens(col(textCol))))
       .withColumn("n_bpe_tokens",
-        regexp_count(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")))
+        // explicit whitespace class, not \s: Java regex \s includes
+        // \x0B but RE2's does not — the literal class means the DuckDB
+        // oracle tokenizes identically on any input
+        regexp_count(col(textCol),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]")))
 
   // --- Document fingerprinting: order-aware position-weighted hash.
   //     v(token) = len*131 + first_char*31 + last_char; fp = Σ (i+1)·v_i
@@ -89,15 +93,22 @@ object TextAnalysis {
   //     RE2), so the operation is oracle-checkable. Codegen'd
   //     regexp_replace: linear scan per row, no shuffle.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRe = "https?://[A-Za-z0-9./_%-]+"
+  // query strings, fragments and ports are part of the URL — and often
+  // the part carrying PII — so ? = & # : ~ are in the class
+  val UrlRe = "https?://[A-Za-z0-9./_%?=&#:~+-]+"
 
-  /** (…, n_emails, n_urls, redacted): matches counted, then replaced
-    * with <EMAIL>/<URL> placeholders. Emails are redacted BEFORE urls
-    * so an address inside a query string cannot survive partially. */
+  /** (…, n_emails, n_urls, redacted): emails replaced first (so an
+    * address in URL userinfo is scrubbed even when the remaining URL
+    * prefix no longer matches), then URLs; counts are derived from the
+    * REDACTED text's placeholders, so n_emails/n_urls always agree
+    * with the output by construction — counting on the input would
+    * disagree whenever one pass consumes the other's match. (A source
+    * text already containing a literal placeholder inflates its count;
+    * acceptable for a scrubbing report.) */
   def redact(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
-      .withColumn("n_urls", regexp_count(col(textCol), lit(UrlRe)))
-      .withColumn("redacted",
+    df.withColumn("redacted",
         regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           UrlRe, "<URL>"))
+      .withColumn("n_emails", regexp_count(col("redacted"), lit("<EMAIL>")))
+      .withColumn("n_urls", regexp_count(col("redacted"), lit("<URL>")))
 }

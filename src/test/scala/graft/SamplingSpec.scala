@@ -56,9 +56,16 @@ class SamplingSpec extends AnyFunSuite {
     val en = docs.filter(col("lang") === "en")
     val es = docs.filter(col("lang") === "es")
     def mix() = Sampling.weightedMix(Seq(en -> 1.0, es -> 0.25), "doc_id")
-    val m = mix().select("doc_id", "mix_source").as[(Long, Int)].collect()
-    assert(m.toSet == mix().select("doc_id", "mix_source")
-      .as[(Long, Int)].collect().toSet)
+    // multiset compare (sorted Seq, not Set): catches duplicate rows a
+    // union bug could emit, and repartitioning first makes the second
+    // run execute a different physical plan — the decisions must not
+    // depend on partitioning
+    val m = mix().select("doc_id", "mix_source").as[(Long, Int)]
+      .collect().sorted.toSeq
+    val m2 = Sampling.weightedMix(
+        Seq(en.repartition(7) -> 1.0, es.repartition(3) -> 0.25), "doc_id")
+      .select("doc_id", "mix_source").as[(Long, Int)].collect().sorted.toSeq
+    assert(m == m2)
     assert(m.count(_._2 == 0).toLong == en.count())   // weight 1.0 = all
     val esKept = m.count(_._2 == 1).toDouble / es.count()
     assert(esKept > 0.1 && esKept < 0.4, s"es kept fraction $esKept")
