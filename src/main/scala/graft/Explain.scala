@@ -14,7 +14,10 @@ object Explain {
       else Seq("s5_scan_filtered", "q1_pricing_summary",
         "j4_join_revenue_nation", "a1_dedup_lastwrite",
         "j2_disjunctive_semi", "w1_sessionization", "dedup_minhash_lsh",
-        "sim_ann_lsh", "t4_tumbling_window")
+        "sim_ann_lsh", "t4_tumbling_window", "api_game_history_keyset",
+        "dedup_embed_cosine", "dedup_ngram_jaccard", "j6_salted_join",
+        "samp_stratified", "samp_train_test", "f5_try_cast_int",
+        "sim_ivf_topk")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
