@@ -36,10 +36,13 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         split(lower(trim(col(textCol))), " +").as("__ts"))
+      // word_ngrams is the codegen'd Expression; bit-parity with the
+      // interpreted transform/slice/concat_ws composition is pinned in
+      // FunctionsSpec (this scan runs over EVERY document)
       .select(col("id"),
-        expr("""explode(array_distinct(transform(
-            sequence(0, greatest(size(__ts) - 3, 0)),
-            i -> concat_ws(' ', slice(__ts, i + 1, 3)))))""").as("shingle"))
+        explode(array_distinct(
+          graft.functions.WordNGrams.word_ngrams(col("__ts"), 3)))
+          .as("shingle"))
       .filter(length(col("shingle")) > 0)
 
   /** Production-path shingle key: 8-byte hash, no global sort. */

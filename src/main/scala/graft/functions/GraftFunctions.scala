@@ -20,21 +20,46 @@ object GraftFunctions {
     ArrayDotProduct(exprs.head, exprs(1))
   }
 
-  /** Make `array_dot` callable from SQL on an existing session. */
-  def registerAll(spark: SparkSession): Unit =
+  private def wordNGramsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "word_ngrams(tokens, n) takes two arguments")
+    val n = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"word_ngrams: n must be an integer literal, got $other")
+    }
+    WordNGrams(exprs.head, n)
+  }
+
+  /** Make the custom expressions callable from SQL on a live session. */
+  def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", arrayDotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", wordNGramsBuilder, "built-in")
+  }
 
   val arrayDotInfo: ExpressionInfo = new ExpressionInfo(
     classOf[ArrayDotProduct].getCanonicalName, null, "array_dot",
     "_FUNC_(a, b) - sequential dot product of two array<double> columns",
     "", "", "", "", "", "", "scala_udf")
+
+  val wordNGramsInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[WordNGrams].getCanonicalName, null, "word_ngrams",
+    "_FUNC_(tokens, n) - space-joined word n-grams of an array<string> column",
+    "", "", "", "", "", "", "scala_udf")
+
+  private[functions] def wordNGramsSqlBuilder(
+      exprs: Seq[Expression]): Expression = wordNGramsBuilder(exprs)
 }
 
 /** `spark.sql.extensions` injector. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("array_dot"),
       GraftFunctions.arrayDotInfo,
       exprs => ArrayDotProduct(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("word_ngrams"),
+      GraftFunctions.wordNGramsInfo,
+      GraftFunctions.wordNGramsSqlBuilder))
+  }
 }

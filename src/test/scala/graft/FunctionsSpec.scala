@@ -116,6 +116,47 @@ class FunctionsSpec extends AnyFunSuite {
       rows.map(r => (r.get(0), r.get(1))).mkString(", "))
   }
 
+  test("word_ngrams: codegen matches the interpreted HOF composition bit-for-bit") {
+    import graft.functions.WordNGrams.word_ngrams
+    val hof = expr("""transform(
+        sequence(0, greatest(size(ts) - 3, 0)),
+        i -> concat_ws(' ', slice(ts, i + 1, 3)))""")
+    // real corpus: every document's token array
+    val docs = Tables.documents(spark, sf001)
+      .select(split(lower(trim(col("text"))), " +").as("ts"))
+    val mism = docs.select(word_ngrams(col("ts"), 3).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mism == 0)
+    // edge shapes: empty, shorter-than-n, exactly-n, null elements
+    val edge = Seq(
+      Seq.empty[String],
+      Seq("a"),
+      Seq("a", "b"),
+      Seq("a", "b", "c"),
+      Seq("a", "b", "c", "d")).toDF("ts")
+    val pairs = edge.select(word_ngrams(col("ts"), 3).as("fast"), hof.as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    pairs.foreach { case (f, r) => assert(f == r, s"$f != $r") }
+    assert(pairs(0)._1 == Seq(""))            // empty array → one empty gram
+    assert(pairs(1)._1 == Seq("a"))           // partial gram for short docs
+    assert(pairs(4)._1 == Seq("a b c", "b c d"))
+    // null array → null; null elements skipped like concat_ws
+    val withNulls = Seq(
+      (Some(Seq(Some("a"), None, Some("c")))),
+      (None: Option[Seq[Option[String]]])).toDF("ts")
+    val nres = withNulls.select(word_ngrams(col("ts"), 3)).collect()
+    assert(nres(0).getSeq[String](0) == Seq("a c"))
+    assert(nres(1).isNullAt(0))
+  }
+
+  test("word_ngrams registers for SQL use (session + extensions)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT word_ngrams(array('x', 'y', 'z'), 2) AS g")
+      .as[Seq[String]].head()
+    assert(r == Seq("x y", "y z"))
+  }
+
   test("SafeCasts rejects format letters its shape guard cannot model") {
     import graft.functions.SafeCasts
     // silently quoting 'S'/'a' as literals would make the guard reject
