@@ -20,13 +20,23 @@ object GraftFunctions {
     ArrayDotProduct(exprs.head, exprs(1))
   }
 
-  private def wordNGramsBuilder(exprs: Seq[Expression]): Expression = {
+  private[graft] def wordNGramsBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "word_ngrams(tokens, n) takes two arguments")
-    val n = exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"word_ngrams: n must be an integer literal, got $other")
-    }
+    // n must be statically known (it is baked into generated code) but
+    // any foldable integral expression qualifies — `1 + 2`, `CAST(3 AS
+    // INT)`, a 3L literal — not just a bare int literal.
+    val nExpr = exprs(1)
+    val n =
+      if (nExpr.foldable) nExpr.eval() match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams: n must be integral, got $other")
+      }
+      else throw new IllegalArgumentException(
+        s"word_ngrams: n must be a constant, got $nExpr")
     WordNGrams(exprs.head, n)
   }
 
@@ -47,9 +57,6 @@ object GraftFunctions {
     classOf[WordNGrams].getCanonicalName, null, "word_ngrams",
     "_FUNC_(tokens, n) - space-joined word n-grams of an array<string> column",
     "", "", "", "", "", "", "scala_udf")
-
-  private[functions] def wordNGramsSqlBuilder(
-      exprs: Seq[Expression]): Expression = wordNGramsBuilder(exprs)
 }
 
 /** `spark.sql.extensions` injector. */
@@ -60,6 +67,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ArrayDotProduct(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("word_ngrams"),
       GraftFunctions.wordNGramsInfo,
-      GraftFunctions.wordNGramsSqlBuilder))
+      GraftFunctions.wordNGramsBuilder))
   }
 }

@@ -62,7 +62,10 @@ case class WordNGrams(child: Expression, n: Int)
       out(i) = UTF8String.concatWs(sep, parts: _*)
       i += 1
     }
-    new GenericArrayData(out)
+    // Array[Any] binds GenericArrayData's primary constructor; the
+    // Array[AnyRef] view would fall to the `Any` catch-all and copy
+    // the array twice per interpreted evaluation
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

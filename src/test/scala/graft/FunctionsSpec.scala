@@ -124,8 +124,10 @@ class FunctionsSpec extends AnyFunSuite {
     // real corpus: every document's token array
     val docs = Tables.documents(spark, sf001)
       .select(split(lower(trim(col("text"))), " +").as("ts"))
+    // null-SAFE inequality: a null-vs-array divergence must count as a
+    // mismatch, not vanish into a three-valued-logic NULL
     val mism = docs.select(word_ngrams(col("ts"), 3).as("fast"), hof.as("ref"))
-      .filter(col("fast") =!= col("ref")).count()
+      .filter(!(col("fast") <=> col("ref"))).count()
     assert(mism == 0)
     // edge shapes: empty, shorter-than-n, exactly-n, null elements
     val edge = Seq(
@@ -155,6 +157,24 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT word_ngrams(array('x', 'y', 'z'), 2) AS g")
       .as[Seq[String]].head()
     assert(r == Seq("x y", "y z"))
+    // foldable (non-literal) and long-typed n both resolve statically
+    val folded = spark.sql(
+      "SELECT word_ngrams(array('x', 'y', 'z'), 1 + 1) AS g")
+      .as[Seq[String]].head()
+    assert(folded == Seq("x y", "y z"))
+    // the extensions injector wires the SAME builder: drive it directly
+    // with catalyst expressions, as the injected path would
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val viaBuilder = graft.functions.GraftFunctions.wordNGramsBuilder(Seq(
+      Literal.create(Seq("p", "q"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      Literal(2L)))
+    assert(viaBuilder.eval().asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq == Seq("p q"))
+    new graft.functions.GraftExtensions()
   }
 
   test("SafeCasts rejects format letters its shape guard cannot model") {
