@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." banner after a run: the driver's bench
+// parse reads the LAST stdout line as JSON, and the banner sbt appends
+// after graft.Bench's summary defeated it three rounds running.
+ThisBuild / showSuccess := false
+// Raw pass-through for the forked run's stdout (no "[info] " prefix on
+// every line) — Bench's summary JSON must be byte-parseable as-is.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

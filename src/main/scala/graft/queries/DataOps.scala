@@ -216,6 +216,24 @@ object DataOps extends QueryModule {
       col("vec_id") % 50 === 0, k = 10, numCells = 8, nprobe = 3)
       .orderBy("query_id", "rank")
 
+  // Exhaustive-mode ANN conformance: with nprobe = numCells every cell
+  // is probed, so the candidate set is the whole corpus and the IVF
+  // join machinery (Lloyd index, cell-keyed probe join, per-query
+  // window) must reproduce brute force bit-for-bit — pinned here
+  // against the same DuckDB oracle as sim_cosine_topk.
+  private def simIvfExhaustive(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d),
+      col("vec_id") % 50 === 0, k = 10, numCells = 8, nprobe = 8)
+      .orderBy("query_id", "rank")
+
+  // Same trick for LSH: numPlanes = 0 → one bucket ≡ exhaustive. The
+  // single-bucket join is a degenerate plan (conformance-only, sf0.01);
+  // production retrieval is sim_ann_lsh's real bucketing.
+  private def simLshExhaustive(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d),
+      col("vec_id") % 50 === 0, k = 10, numPlanes = 0)
+      .orderBy("query_id", "rank")
+
   private def mmDecodeMeta(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     Multimodal.decodeMeta(
@@ -241,6 +259,8 @@ object DataOps extends QueryModule {
     "sim_cosine_topk"      -> (simCosineTopk _),
     "sim_ann_lsh"          -> (simAnnLsh _),
     "sim_ivf_topk"         -> (simIvfTopk _),
+    "sim_ivf_exhaustive"   -> (simIvfExhaustive _),
+    "sim_lsh_exhaustive"   -> (simLshExhaustive _),
     "mm_decode_meta"       -> (mmDecodeMeta _)
   )
 
@@ -459,7 +479,30 @@ object DataOps extends QueryModule {
                  FROM documents)
            GROUP BY lang ORDER BY lang"""),
 
-    "sim_cosine_topk" ->
+    "sim_cosine_topk" -> cosineTopkOracle,
+
+    // Exhaustive-mode ANN entries reduce to the same exact-top-k truth.
+    "sim_ivf_exhaustive" -> cosineTopkOracle,
+    "sim_lsh_exhaustive" -> cosineTopkOracle,
+
+    "mm_decode_meta" ->
+      """SELECT doc_id AS asset_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'video'
+                     WHEN doc_id % 3 = 1 THEN 'image'
+                     ELSE 'audio' END AS media_type,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+                CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+                CAST(CASE WHEN doc_id % 3 = 0
+                          THEN octet_length(encode(text)) % 30 + 1
+                          ELSE 1 END AS INT) AS n_frames,
+                CAST((CASE WHEN doc_id % 3 = 0
+                           THEN octet_length(encode(text)) % 30 + 1
+                           ELSE 1 END + 4) // 5 AS INT) AS n_sampled_frames
+         FROM documents ORDER BY asset_id"""
+  )
+
+  private lazy val cosineTopkOracle: String =
       """WITH v AS (
            SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
          ),
@@ -481,22 +524,5 @@ object DataOps extends QueryModule {
                  (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
                FROM scored)
          WHERE rank <= 10
-         ORDER BY query_id, rank""",
-
-    "mm_decode_meta" ->
-      """SELECT doc_id AS asset_id,
-                CASE WHEN doc_id % 3 = 0 THEN 'video'
-                     WHEN doc_id % 3 = 1 THEN 'image'
-                     ELSE 'audio' END AS media_type,
-                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-                CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-                CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
-                CAST(CASE WHEN doc_id % 3 = 0
-                          THEN octet_length(encode(text)) % 30 + 1
-                          ELSE 1 END AS INT) AS n_frames,
-                CAST((CASE WHEN doc_id % 3 = 0
-                           THEN octet_length(encode(text)) % 30 + 1
-                           ELSE 1 END + 4) // 5 AS INT) AS n_sampled_frames
-         FROM documents ORDER BY asset_id"""
-  )
+         ORDER BY query_id, rank"""
 }

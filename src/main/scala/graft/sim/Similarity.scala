@@ -90,11 +90,39 @@ object Similarity {
   }
 
   /** Exact cosine top-k: for each query vector, the k nearest others by
-    * (cosine desc, vec_id asc). Queries are the broadcast block; the
-    * full corpus streams against it — no shuffle on the big side. */
-  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val qBlock = collectBlock(embeddings.filter(queryPred))
-    val scored = scoreAgainstBlock(embeddings, qBlock, (_, _, _) => true)
+    * (cosine desc, vec_id asc). Queries are broadcast in BOUNDED tiles
+    * (`tileRows` expected rows each, hash-assigned on vec_id); the full
+    * corpus streams against each tile — no shuffle on the big side and
+    * no driver materialization that grows with the corpus: per-pass
+    * driver/broadcast memory is one tile (~tileRows·d doubles), however
+    * large the query fraction gets at 100 TB. Cost is one corpus scan
+    * per tile — the classic tiled-broadcast trade.
+    *
+    * Each query lands in exactly one tile, so the per-tile top-k
+    * windows partition cleanly and their union equals the untiled
+    * result row-for-row (asserted in DataOpsSpec with a tiny tileRows).
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      tileRows: Int = 4096): DataFrame = {
+    val q = embeddings.filter(queryPred)
+    val numTiles = math.max(1L,
+      (q.count() + tileRows - 1) / tileRows).toInt
+    val perTile = (0 until numTiles).flatMap { t =>
+      val tileQ = if (numTiles == 1) q
+        else q.filter(pmod(hash(col("vec_id")), lit(numTiles)) === t)
+      val block = collectBlock(tileQ)
+      // hash assignment makes tiles ~uniform (tileRows is an expected,
+      // not hard, bound); an unlucky-empty tile needs no corpus pass
+      if (block.ids.isEmpty && numTiles > 1) None else Some(topKAgainst(
+        embeddings, block, k))
+    }
+    perTile.reduce(_ union _)
+  }
+
+  /** Top-k of the corpus against one broadcast query block. */
+  private def topKAgainst(embeddings: DataFrame, block: Block,
+      k: Int): DataFrame = {
+    val scored = scoreAgainstBlock(embeddings, block, (_, _, _) => true)
       .select(col("id_b").as("query_id"), col("id_a").as("cand_id"),
         col("cosine"))
     val w = Window.partitionBy("query_id")
@@ -279,8 +307,11 @@ object Similarity {
   private def planeComponent(p: Int, j: String): String =
     s"cast((($p * 131 + $j * 37) % 19) - 9 AS double)"
 
-  /** Random-hyperplane LSH bucket id from `numPlanes` sign bits. */
+  /** Random-hyperplane LSH bucket id from `numPlanes` sign bits.
+    * numPlanes = 0 degenerates to one bucket — retrieval becomes
+    * exhaustive (used by the oracle-pinned conformance entry). */
   def lshBucket(numPlanes: Int): Column = {
+    if (numPlanes == 0) return lit(0L)
     val bits = (0 until numPlanes).map { p =>
       val dot =
         s"aggregate(transform(vd, (x, j) -> x * ${planeComponent(p, "j")}), cast(0.0 AS double), (acc, x) -> acc + x)"

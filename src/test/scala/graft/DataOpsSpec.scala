@@ -133,6 +133,32 @@ class DataOpsSpec extends AnyFunSuite {
     assert(ivfAll == exact)   // exact floats, not approx
   }
 
+  test("tiled brute-force top-k equals single-tile result row-for-row") {
+    val pred = col("vec_id") % 50 === 0
+    val single = Similarity.bruteForceTopK(embs, pred, 10,
+        tileRows = Int.MaxValue)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // tiny tile bound forces many tiles (~7 queries per tile at sf0.001)
+    val tiled = Similarity.bruteForceTopK(embs, pred, 10, tileRows = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(single.nonEmpty)
+    assert(tiled == single)
+  }
+
+  test("LSH with numPlanes = 0 (one bucket) equals brute force bit-for-bit") {
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(embs, pred, 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val lshAll = Similarity.lshTopK(embs, pred, 10, numPlanes = 0)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(exact.nonEmpty)
+    assert(lshAll == exact)
+  }
+
   test("IVF probe subset: every query answered, results drawn from exact ranking") {
     val pred = col("vec_id") % 50 === 0
     val exact = Similarity.bruteForceTopK(embs, pred, 10)
