@@ -32,7 +32,8 @@ object Dedup {
     * PRECONDITION: `idCol` is unique in `df` (one row per document).
     * A doc ingested twice under the same id doubles its posting-list
     * rows and corrupts every downstream df/size/intersection count —
-    * run exact dedup / `dropDuplicates(idCol)` first on dirty input. */
+    * run exact dedup / `dropDuplicates(idCol)` first on dirty input,
+    * or gate with [[requireUniqueIds]] in conformance/debug paths. */
   def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         split(lower(trim(col(textCol))), " +").as("__ts"))
@@ -44,6 +45,22 @@ object Dedup {
           graft.functions.WordNGrams.word_ngrams(col("__ts"), 3)))
           .as("shingle"))
       .filter(length(col("shingle")) > 0)
+
+  /** Debug/conformance gate for [[shingles]]'s unique-id precondition:
+    * one aggregate over the id column (cheap next to any dedup
+    * pipeline), throwing with the duplicate count on violation. Returns
+    * `df` unchanged so it chains: `shingles(requireUniqueIds(df, "id"),
+    * …)`. Not called on the production path — there the caller owns
+    * the guarantee (the scaladoc contract) and the agg would be a
+    * wasted corpus pass per query. */
+  def requireUniqueIds(df: DataFrame, idCol: String): DataFrame = {
+    val dups = df.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).count()
+    require(dups == 0,
+      s"shingles precondition violated: $dups duplicate values in " +
+        s"'$idCol' — run dropDuplicates/exact dedup first")
+    df
+  }
 
   /** Production-path shingle key: 8-byte hash, no global sort. */
   def shingleHash(c: Column): Column = xxhash64(c)
@@ -220,8 +237,9 @@ object Dedup {
     // so the operator's contract never depends on data volume.
     val longIds = edges.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
-    val nEdges = edges.count()
-    if (longIds && nEdges <= driverThreshold) {
+    // count() gated behind the schema check: non-long ids can never take
+    // the driver regime, so they skip the extra action entirely
+    if (longIds && edges.count() <= driverThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.Map.empty[Long, Long]

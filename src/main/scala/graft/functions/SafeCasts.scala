@@ -75,8 +75,11 @@ object SafeCasts {
       if ("yMdHms".indexOf(ch) >= 0) {
         while (i < fmt.length && fmt.charAt(i) == ch) i += 1
         // flexible width: java.time's lenient segments can consume
-        // more or fewer digits than the pattern letter count
-        sb.append("[0-9]{1,6}")
+        // more or fewer digits than the pattern letter count; the year
+        // segment (appendValue width 4..19) accepts up to 19 digits, so
+        // its guard must too — a narrower cap would reject strings the
+        // inner try-cast accepts, breaking the permissive contract
+        sb.append(if (ch == 'y') "[0-9]{1,19}" else "[0-9]{1,6}")
       } else {
         sb.append(java.util.regex.Pattern.quote(ch.toString))
         i += 1

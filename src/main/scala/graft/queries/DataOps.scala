@@ -180,8 +180,9 @@ object DataOps extends QueryModule {
       .orderBy("lang")
 
   // PII scrubbing over a corpus with planted contacts: every 5th doc
-  // gains an email, every 7th a URL (the synthetic corpus has none, so
-  // the redaction is exercised against known ground truth).
+  // gains an email, every 7th a URL, every 3rd a phone, every 11th an
+  // IPv4 literal (the synthetic corpus has none, so the redaction is
+  // exercised against known ground truth).
   private def textRedact(s: SparkSession, d: String): DataFrame = {
     val dirty = Tables.documents(s, d)
       .orderBy("doc_id")
@@ -191,9 +192,17 @@ object DataOps extends QueryModule {
           .otherwise(lit("")),
         when(col("doc_id") % 7 === 0,
           concat(lit(" see https://example.org/d"), col("doc_id")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 192.168."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 250).cast("string")))
           .otherwise(lit(""))))
     TextAnalysis.redact(dirty, "dirty")
-      .select("doc_id", "n_emails", "n_urls", "redacted")
+      .select("doc_id", "n_emails", "n_urls", "n_phones", "n_ips", "redacted")
   }
 
   private def simCosineTopk(s: SparkSession, d: String): DataFrame =
@@ -454,17 +463,29 @@ object DataOps extends QueryModule {
                           ELSE '' END
                   || CASE WHEN doc_id % 7 = 0
                           THEN ' see https://example.org/d' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0
+                          THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
                           ELSE '' END AS t
            FROM documents),
          red AS (
            SELECT doc_id,
                   regexp_replace(
-                    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                    'https?://[A-Za-z0-9./_%?=&#:~+-]+', '<URL>', 'g') AS redacted
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        'https?://[A-Za-z0-9./_%?=&#:~+-]+', '<URL>', 'g'),
+                      '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{1,4})?', '<PHONE>', 'g'),
+                    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
            FROM dirty)
          SELECT doc_id,
                 CAST(len(regexp_extract_all(redacted, '<EMAIL>')) AS INT) AS n_emails,
                 CAST(len(regexp_extract_all(redacted, '<URL>')) AS INT) AS n_urls,
+                CAST(len(regexp_extract_all(redacted, '<PHONE>')) AS INT) AS n_phones,
+                CAST(len(regexp_extract_all(redacted, '<IP>')) AS INT) AS n_ips,
                 redacted
          FROM red ORDER BY doc_id""",
 

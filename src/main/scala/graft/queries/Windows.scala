@@ -46,10 +46,34 @@ object Windows extends QueryModule {
         col("n_events"))
       .orderBy("user_id", "sess_start_us")
 
+  // ---- F1 stateful sessionization through the REAL
+  //      flatMapGroupsWithState machine (streaming/StatefulSessions),
+  //      run in batch mode (supported: state starts empty, one
+  //      invocation per key). closedSessions emits sessions followed by
+  //      a later one; the per-user tail (what a timeout fire would
+  //      close) comes from openSessionTails — together, every session.
+  //      Oracle = gap sessionization SQL, same truth as
+  //      t4_session_window, so the custom state machine is hash-checked
+  //      against declarative SQL semantics.
+  private def f1StatefulSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulSessions
+    val events = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[StatefulSessions.Event]
+    StatefulSessions.closedSessions(events)
+      .unionByName(StatefulSessions.openSessionTails(s, events))
+      .toDF()
+      .select(col("user_id"), col("start_us").as("sess_start_us"),
+        col("end_us").as("sess_end_us"), col("n_events"))
+      .orderBy("user_id", "sess_start_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t4_tumbling_window" -> (t4Tumbling _),
     "t4_sliding_window"  -> (t4Sliding _),
-    "t4_session_window"  -> (t4Session _)
+    "t4_session_window"  -> (t4Session _),
+    "f1_stateful_sessions" -> (f1StatefulSessions _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -70,6 +94,38 @@ object Windows extends QueryModule {
          GROUP BY win_start_us ORDER BY win_start_us""",
 
     "t4_session_window" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  event_id
+           FROM events
+         ),
+         marked AS (
+           SELECT user_id, us,
+                  CASE WHEN prev_us IS NULL
+                         OR us - prev_us > CAST(3600000000 AS BIGINT)
+                       THEN 1 ELSE 0 END AS boundary
+           FROM (SELECT user_id, us, event_id,
+                        lag(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS prev_us
+                 FROM e)
+         ),
+         sess AS (
+           SELECT user_id, us,
+                  SUM(boundary) OVER (PARTITION BY user_id
+                                      ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked
+         )
+         SELECT user_id,
+                min(us) AS sess_start_us,
+                max(us) + CAST(3600000000 AS BIGINT) AS sess_end_us,
+                count(*) AS n_events
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, sess_start_us""",
+
+    // identical truth to t4_session_window — the state machine and the
+    // built-in session_window must agree with the same SQL
+    "f1_stateful_sessions" ->
       """WITH e AS (
            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
                   event_id

@@ -31,6 +31,16 @@ object Sampling {
   def idHash(id: Column, salt: String): Column =
     md5(concat(lit(salt), id.cast("string")))
 
+  /** Output/temp names are reserved: an input already carrying one
+    * would be silently overwritten (withColumn replaces) or dropped —
+    * fail fast instead. */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved sampling column(s) " +
+        s"${clash.mkString("'", "', '", "'")} — rename before sampling")
+  }
+
   /** A fraction as a 4-hex-digit md5-prefix threshold (16-bit
     * quantization, shared by [[hashSplit]] and [[weightedMix]]).
     * Rejects fractions that quantize to zero — they would silently
@@ -49,6 +59,7 @@ object Sampling {
   def hashSplit(df: DataFrame, idCol: String, trainFrac: Double,
       salt: String = "split"): DataFrame = {
     require(trainFrac > 0 && trainFrac < 1, "trainFrac must be in (0,1)")
+    requireFresh(df, "split")
     val threshold = quantHex(trainFrac)
     df.withColumn("split",
       when(substring(idHash(col(idCol), salt), 1, 4) < lit(threshold),
@@ -61,6 +72,7 @@ object Sampling {
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
       frac: Double, salt: String = "strat"): DataFrame = {
     require(frac > 0 && frac <= 1, "frac must be in (0,1]")
+    requireFresh(df, "__rn", "__n")
     val w = Window.partitionBy(groupCol)
       .orderBy(idHash(col(idCol), salt), col(idCol))
     val cnt = Window.partitionBy(groupCol)
@@ -82,6 +94,7 @@ object Sampling {
     require(sources.nonEmpty, "weightedMix needs at least one source")
     sources.zipWithIndex.map { case ((df, w), i) =>
       require(w > 0 && w <= 1, s"weight must be in (0,1], got $w")
+      requireFresh(df, "mix_source")
       val tagged = df.withColumn("mix_source", lit(i))
       if (w == 1.0) tagged   // 'ffff' < '10000' is false lexicographically
       else tagged.filter(
@@ -95,6 +108,7 @@ object Sampling {
   def balancedSample(df: DataFrame, groupCol: String, idCol: String,
       maxPerGroup: Int, salt: String = "bal"): DataFrame = {
     require(maxPerGroup > 0, "maxPerGroup must be positive")
+    requireFresh(df, "__rn")
     val w = Window.partitionBy(groupCol)
       .orderBy(idHash(col(idCol), salt), col(idCol))
     df.withColumn("__rn", row_number().over(w))

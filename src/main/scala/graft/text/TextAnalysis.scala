@@ -96,19 +96,34 @@ object TextAnalysis {
   // query strings, fragments and ports are part of the URL — and often
   // the part carrying PII — so ? = & # : ~ are in the class
   val UrlRe = "https?://[A-Za-z0-9./_%?=&#:~+-]+"
+  // E.164-ish dashed international form (+CC-NNN-NNNN…): one canonical
+  // shape keeps the pattern in the portable subset; local formats are a
+  // normalization concern upstream of scrubbing
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{1,4})?"
+  // \b blocks matches glued to word chars ("v1.2.3.4" stays); a dotted
+  // run of 5+ octets still partial-matches its first four ('.' is a
+  // non-word char so \b holds there, and RE2 has no lookbehind to
+  // exclude it portably) — over-redaction, the safe direction for PII.
+  // ASCII word-boundary semantics agree between Java regex and RE2.
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
-  /** (…, n_emails, n_urls, redacted): emails replaced first (so an
-    * address in URL userinfo is scrubbed even when the remaining URL
-    * prefix no longer matches), then URLs; counts are derived from the
-    * REDACTED text's placeholders, so n_emails/n_urls always agree
-    * with the output by construction — counting on the input would
-    * disagree whenever one pass consumes the other's match. (A source
-    * text already containing a literal placeholder inflates its count;
-    * acceptable for a scrubbing report.) */
+  /** (…, n_emails, n_urls, n_phones, n_ips, redacted): emails replaced
+    * first (so an address in URL userinfo is scrubbed even when the
+    * remaining URL prefix no longer matches), then URLs (consuming any
+    * phone/IP embedded in them — `+` and digits are in the URL class),
+    * then phones, then bare IPv4 literals. Counts are derived from the
+    * REDACTED text's placeholders, so they always agree with the output
+    * by construction — counting on the input would disagree whenever
+    * one pass consumes another's match. (A source text already
+    * containing a literal placeholder inflates its count; acceptable
+    * for a scrubbing report.) */
   def redact(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("redacted",
-        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-          UrlRe, "<URL>"))
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col(textCol), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>"))
       .withColumn("n_emails", regexp_count(col("redacted"), lit("<EMAIL>")))
       .withColumn("n_urls", regexp_count(col("redacted"), lit("<URL>")))
+      .withColumn("n_phones", regexp_count(col("redacted"), lit("<PHONE>")))
+      .withColumn("n_ips", regexp_count(col("redacted"), lit("<IP>")))
 }

@@ -186,19 +186,36 @@ class DataOpsSpec extends AnyFunSuite {
     assert(groups.forall(_.getAs[Long]("n_copies") == 2))
   }
 
+  test("requireUniqueIds passes unique input and rejects duplicated ids") {
+    val d = docs
+    assert(Dedup.requireUniqueIds(d, "doc_id") eq d)
+    val doubled = docs.unionByName(docs.limit(3))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.requireUniqueIds(doubled, "doc_id")
+    }
+    assert(e.getMessage.contains("3 duplicate"))
+  }
+
   test("redact: planted contacts are counted and fully scrubbed") {
     import graft.text.TextAnalysis
     val dirty = docs.withColumn("dirty", concat(col("text"),
       lit(" mail a.b-c_d@sub.example.co see http://x.org/p%20q and"),
-      lit(" https://y.net/a_b")))
+      lit(" https://y.net/a_b ring +44-207-946-0958 or +1-555-0142"),
+      lit(" box 10.0.312.7 v1.2.3 ver 1.2.3.4.5")))
     val r = TextAnalysis.redact(dirty, "dirty")
-    assert(r.filter(col("n_emails") =!= 1 || col("n_urls") =!= 2).count() == 0)
+    // 10.0.312.7 IS redacted (shape-, not range-, checked); glued
+    // v1.2.3 isn't (\b); the 5-run over-redacts its first 4 octets
+    assert(r.filter(col("n_emails") =!= 1 || col("n_urls") =!= 2 ||
+      col("n_phones") =!= 2 || col("n_ips") =!= 2).count() == 0)
     // nothing matchable survives in the redacted text
     assert(r.filter(
       regexp_count(col("redacted"), lit(TextAnalysis.EmailRe)) > 0 ||
-      regexp_count(col("redacted"), lit(TextAnalysis.UrlRe)) > 0)
+      regexp_count(col("redacted"), lit(TextAnalysis.UrlRe)) > 0 ||
+      regexp_count(col("redacted"), lit(TextAnalysis.PhoneRe)) > 0)
       .count() == 0)
-    assert(r.head().getAs[String]("redacted").contains("<EMAIL>"))
+    val red = r.head().getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") &&
+      red.contains("v1.2.3") && red.contains("<IP>.5"))
   }
 
   test("multimodal decode: per-partition batching yields typed metadata") {

@@ -108,7 +108,10 @@ class FunctionsSpec extends AnyFunSuite {
     import graft.functions.SafeCasts
     val inputs = Seq("1995.01.03", "1995-01-03", "1995.1.3", "1995.13.40",
       " 1995.01.03 ", "01.03.1995", "", "garbage", "1995.01", "1995.01.03.04",
-      "19950103", "0000.00.00").toDF("s")
+      "19950103", "0000.00.00",
+      // 7+-digit years: java.time's year segment takes up to 19 digits,
+      // so the guard must admit them too (ADVICE r3)
+      "1234567.01.03", "1234567890123456789.01.03").toDF("s")
     val rows = inputs.select(
       SafeCasts.tryToDate(col("s"), "yyyy.MM.dd").as("g"),
       try_to_date(col("s"), "yyyy.MM.dd").as("r")).collect()

@@ -35,6 +35,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(resalted.exists { case (id, s) => full(id) != s })
   }
 
+  test("reserved output/temp column names fail fast on collision") {
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(docs.withColumn("split", lit("x")), "doc_id", 0.8))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(docs.withColumn("__rn", lit(1)),
+        "lang", "doc_id", 0.5))
+    intercept[IllegalArgumentException](
+      Sampling.balancedSample(docs.withColumn("__rn", lit(1)),
+        "lang", "doc_id", 10))
+    intercept[IllegalArgumentException](
+      Sampling.weightedMix(
+        Seq((docs.withColumn("mix_source", lit(9)), 0.5)), "doc_id"))
+  }
+
   test("stratifiedSample: exactly ceil(frac·|group|) rows per group") {
     val got = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.5)
       .groupBy("lang").agg(count(lit(1)).as("n"))
