@@ -190,29 +190,31 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
-  /** Near-duplicate CLUSTERS from a pair list: connected components by
-    * iterative min-label propagation — the step that turns "these docs
-    * are similar pairwise" into "keep one canonical doc per group".
+  /** Near-duplicate CLUSTERS from a pair list: connected components —
+    * the step that turns "these docs are similar pairwise" into "keep
+    * one canonical doc per group".
     *
-    * Each round: every node adopts the minimum label among itself and
-    * its neighbors (one shuffle on the edge key per round). Propagation
-    * is one hop per round, so convergence takes O(component diameter)
-    * rounds — near-dup components are tiny (pairs to handfuls), 2-4
-    * rounds in practice; a corpus with genuinely long similarity chains
-    * should raise `maxIters` (or move to a large-star/small-star
-    * scheme, which is the O(log n)-round upgrade path). The loop is
-    * driver-side CONTROL only (a per-round changed-count, metadata not
-    * data); labels live in executors throughout, and every step is
-    * deterministic (min is order-free). Throws if `maxIters` rounds do
-    * not converge — a partially-propagated labeling would silently keep
-    * near-duplicates, which is worse than failing.
+    * The distributed regime is the alternating large-star/small-star
+    * scheme (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each round rewires every edge toward the
+    * minimum id seen in its endpoint's neighborhood ([[largeStar]] /
+    * [[smallStar]] below), collapsing paths multiplicatively — proven
+    * O(log² n) rounds on any topology (observed ~log n), where per-hop
+    * min-label propagation needs O(diameter) (a 1000-link similarity
+    * chain: ~10 rounds vs ~1000; pinned in DataOpsSpec). Each round is two
+    * shuffle-on-endpoint aggregations; the driver sees only the
+    * fixed-point check (edge counts — metadata, not data), and every
+    * step is deterministic (min is order-free). Throws if `maxIters`
+    * alternations do not reach the fixed point — a partially-converged
+    * labeling would silently keep near-duplicates, which is worse than
+    * failing.
     *
     * Input: pairs (id1, id2). Output: (id, cluster_id = min id reachable
     * in the component) for every id appearing in a pair.
     *
     * Below `driverThreshold` edges the same labeling is computed by
-    * exact union-find over one collect (see inline note); the loop
-    * documented above is the > threshold scale path. */
+    * exact union-find over one collect (see inline note); the star
+    * alternation documented above is the > threshold scale path. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
       driverThreshold: Long = 1L << 20): DataFrame = {
     // localCheckpoint (eager) TRUNCATES LINEAGE — without it, every
@@ -261,35 +263,67 @@ object Dedup {
       return parent.keys.toSeq.map(id => (id, find(id))).sortBy(_._1)
         .toDF("id", "cluster_id")
     }
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // canonical undirected form (u < v), the shape both star ops emit
+    var cur = edges.filter(col("a") < col("b"))
+      .select(col("a").as("u"), col("b").as("v")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // min over self-label and all neighbor labels; the old label rides
-      // along so the convergence check reads the checkpointed result
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "b")
-          .withColumnRenamed("label", "nl"), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min("nl").as("nl"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
-      val changed = next.filter(col("label") =!= col("__old")).count()
-      // overwriting `labels` drops the only reference to the previous
+      // overwriting `cur` drops the only reference to the previous
       // generation's checkpoint; ContextCleaner reclaims its blocks
       // (localCheckpoint storage is not CacheManager-managed, so an
       // explicit unpersist() here would be a no-op)
-      labels = next.drop("__old")
-      converged = changed == 0
+      val n0 = cur.count()
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // Fixed point ⟺ sets equal; both sides are distinct sets, so
+      // equal counts + empty one-sided difference suffice. At the fixed
+      // point every component is a star rooted at its minimum — the
+      // labeling falls straight out of the edge list.
+      converged = next.count() == n0 &&
+        next.exceptAll(cur).isEmpty
+      cur = next
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds — " +
-          "raise maxIters (component diameter exceeds it)")
-    labels.select(col("id"), col("label").as("cluster_id"))
+        s"connectedComponents did not converge in $maxIters star rounds " +
+          "— raise maxIters")
+    cur.select(col("v").as("id"), col("u").as("cluster_id"))
+      .unionByName(cur.select(col("u").as("id"), col("u").as("cluster_id"))
+        .distinct())
+  }
+
+  /** One large-star round: every edge, seen from its SMALLER endpoint
+    * a, is rewired to connect the larger endpoint to
+    * m = min(a ∪ neighbors(a)) — long tails collapse toward minima.
+    * Input/output: canonical distinct (u < v) edges. */
+  private[dedup] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    val mins = sym.groupBy("a")
+      .agg(min("b").as("mb"))
+      .select(col("a"), least(col("a"), col("mb")).as("m"))
+    // only b > a emits (each undirected edge handled once, from its
+    // smaller endpoint); m ≤ a < b keeps the canonical orientation
+    sym.join(mins, Seq("a"))
+      .filter(col("b") > col("a"))
+      .select(col("m").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every edge, seen from its LARGER endpoint a,
+    * reattaches a and a's smaller neighbors to m = min neighbor —
+    * stars re-center on their minimum. Canonical (u < v) in and out. */
+  private[dedup] def smallStar(e: DataFrame): DataFrame = {
+    // a = the larger endpoint: every canonical edge appears exactly once
+    val small = e.select(col("v").as("a"), col("u").as("b"))
+    val mins = small.groupBy("a").agg(min("b").as("m"))
+    small.join(mins, Seq("a"))
+      .filter(col("b") =!= col("m"))
+      .select(col("m").as("u"), col("b").as("v"))
+      .unionAll(mins.select(col("m").as("u"), col("a").as("v")))
+      .distinct()
   }
 
   /** Production-path MinHash+LSH candidate pairs: shingle keys come

@@ -68,7 +68,7 @@ class DataOpsSpec extends AnyFunSuite {
     assert(ccLoop === expected)
   }
 
-  test("union-find and label-propagation CC agree on real Jaccard pairs") {
+  test("union-find and star-alternation CC agree on real Jaccard pairs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
       .select("id1", "id2").cache()
     assert(pairs.count() > 0)
@@ -76,6 +76,36 @@ class DataOpsSpec extends AnyFunSuite {
     val b = Dedup.connectedComponents(pairs, driverThreshold = 0L)
       .as[(Long, Long)].collect().toSet
     assert(a == b)
+  }
+
+  test("star-alternation CC: 100-link chain converges in far fewer rounds than its diameter") {
+    // a 100-edge path (diameter 100): per-hop min-label propagation
+    // would need ~100 rounds; the star alternation must finish in ≤ 10.
+    // Shuffled edge order, endpoints interleaved so min-ids aren't
+    // already adjacent.
+    val chain = scala.util.Random.shuffle(
+      (0 until 100).map(i => (((i * 37) % 101).toLong, ((i + 1) * 37 % 101).toLong)))
+      .toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(chain, maxIters = 10,
+        driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 101)
+    assert(labels.values.forall(_ == 0L))   // one component, min id 0
+  }
+
+  test("star-alternation CC equals union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 30
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("id1", "id2")
+      val uf = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+      val star = Dedup.connectedComponents(pairs, driverThreshold = 0L)
+        .as[(Long, Long)].collect().toSet
+      withClue(s"trial $trial: ") { assert(star == uf) }
+    }
   }
 
   test("block-pair cosine near-dup join is invariant to block count") {
