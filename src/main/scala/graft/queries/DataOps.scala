@@ -225,6 +225,36 @@ object DataOps extends QueryModule {
       col("vec_id") % 50 === 0, k = 10, numCells = 8, nprobe = 3)
       .orderBy("query_id", "rank")
 
+  // Within-doc duplicate 3-gram fraction — the "repetitive document"
+  // filter signal (drives the codegen word_ngrams kernel through an
+  // oracle-checked aggregate, not just the dedup pipelines).
+  private def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, d))
+      .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_frac")
+      .orderBy("doc_id")
+
+  // Gopher-style rule gate: word-count bounds, mean word length,
+  // symbol ratio — the pre-model quality filter of an LLM pipeline.
+  private def textQualityGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityGate(Tables.documents(s, d))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio", "keep")
+      .orderBy("doc_id")
+
+  // Corpus vocabulary: token → frequency, top 500 by (count desc,
+  // token) — tokenizer/vocab-building step; one shuffle + TakeOrdered.
+  private def vocabTopk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(500)
+
+  // Per-label embedding centroids (decimal-exact means — the building
+  // block behind IVF recentering and class prototypes).
+  private def embCentroids(s: SparkSession, d: String): DataFrame =
+    Similarity.labelCentroids(Tables.embeddings(s, d))
+      .orderBy("label", "pos")
+
   // Exhaustive-mode ANN conformance: with nprobe = numCells every cell
   // is probed, so the candidate set is the whole corpus and the IVF
   // join machinery (Lloyd index, cell-keyed probe join, per-query
@@ -265,6 +295,10 @@ object DataOps extends QueryModule {
     "text_fingerprint"     -> (textFingerprint _),
     "text_quantiles"       -> (textQuantiles _),
     "text_redact"          -> (textRedact _),
+    "text_repetition"      -> (textRepetition _),
+    "text_quality_gate"    -> (textQualityGate _),
+    "vocab_topk"           -> (vocabTopk _),
+    "emb_centroids"        -> (embCentroids _),
     "sim_cosine_topk"      -> (simCosineTopk _),
     "sim_ann_lsh"          -> (simAnnLsh _),
     "sim_ivf_topk"         -> (simIvfTopk _),
@@ -499,6 +533,66 @@ object DataOps extends QueryModule {
                         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS nb
                  FROM documents)
            GROUP BY lang ORDER BY lang"""),
+
+    "text_repetition" ->
+      (s"""WITH $tokCte,
+          g AS (
+            SELECT doc_id,
+                   list_filter(
+                     [array_to_string(ts[i:i+2], ' ')
+                      for i in range(1, greatest(len(ts)-2, 1) + 1)],
+                     x -> length(x) > 0) AS gs
+            FROM tok)
+          SELECT doc_id,
+                 CAST(len(gs) AS INT) AS n_grams,
+                 CAST(len(list_distinct(gs)) AS INT) AS n_distinct_grams,
+                 CASE WHEN len(gs) > 0
+                      THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
+                      ELSE 0.0 END AS dup_gram_frac
+          FROM g ORDER BY doc_id"""),
+
+    "text_quality_gate" ->
+      (s"""WITH $tokCte,
+          m AS (
+            SELECT doc_id,
+                   CAST(len(ts) AS INT) AS n_words,
+                   CASE WHEN len(ts) > 0
+                        THEN CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / len(ts)
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)
+                        ELSE 0.0 END AS symbol_ratio
+            FROM tok)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                 (n_words BETWEEN 30 AND 10000)
+                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                   AND (symbol_ratio <= 0.1) AS keep
+          FROM m ORDER BY doc_id"""),
+
+    "vocab_topk" ->
+      (s"""WITH $tokCte
+          SELECT token, count(*) AS n
+          FROM (SELECT unnest(ts) AS token FROM tok)
+          WHERE token <> ''
+          GROUP BY token
+          ORDER BY n DESC, token
+          LIMIT 500"""),
+
+    // 2^24 grid snap: power-of-two multiply is IEEE-exact, floor is
+    // unambiguous, integer sums are order-free — see labelCentroids
+    "emb_centroids" ->
+      """WITH x AS (
+           SELECT label,
+                  unnest(list_transform(embedding,
+                    (v, i) -> struct_pack(pos := i - 1, x := CAST(v AS DOUBLE)))) AS u
+           FROM embeddings)
+         SELECT label,
+                CAST(u.pos AS INT) AS pos,
+                CAST(SUM(CAST(floor(u.x * 16777216.0) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 16777216.0) AS mean_x,
+                count(*) AS n
+         FROM x GROUP BY label, u.pos
+         ORDER BY label, pos""",
 
     "sim_cosine_topk" -> cosineTopkOracle,
 

@@ -180,6 +180,33 @@ object Similarity {
         greatest(col("ida"), col("idb")).as("id2"), col("cosine"))
   }
 
+  /** Per-label embedding centroids: mean vector per label, one row per
+    * (label, dimension), order- AND engine-deterministic:
+    * each component is snapped to the 2⁻²⁴ grid via `floor(x · 2²⁴)` —
+    * a power-of-two multiply is EXACT in IEEE (it only shifts the
+    * exponent) and floor is unambiguous, so the per-element integers
+    * are bit-identical in any engine — then summed as longs
+    * (associative, partitioning-independent) and divided once. 2⁻²⁴ is
+    * float's own mantissa width, so the grid loses nothing above |x| ≥
+    * 1 and stays below float's representational error there.
+    *
+    * Why not the DECIMAL-sum pattern of [[ivfTopK]]'s recentering: that
+    * guarantees order-independence WITHIN Spark, but a float→decimal
+    * cast is not exact-quantization in every engine (DuckDB's goes
+    * through double arithmetic — verified divergent), so decimals can't
+    * anchor a cross-engine oracle. One shuffle on (label, pos); output
+    * is labels·d rows — metadata at any corpus size. */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val q = 16777216.0   // 2^24
+    embeddings
+      .select(col("label"), posexplode(expr(asDouble)).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("x") * lit(q)).cast("long")).as("__s"),
+        count(lit(1)).as("n"))
+      .withColumn("mean_x", col("__s").cast("double") / (col("n") * lit(q)))
+      .select("label", "pos", "mean_x", "n")
+  }
+
   /** Nearest-centroid assignment by cosine (query-side norm cancels in
     * the per-row argmax): (vec_id, cell). Ties → lowest cell index. */
   private def assignCells(vecs: DataFrame,

@@ -87,6 +87,52 @@ object TextAnalysis {
              0L, (acc, x) -> (acc + x) % 2147483647L)"""))
       .drop("__toks")
 
+  // --- Within-document repetition (the Gopher/RefinedWeb "repetitive
+  //     doc" dedup signal): fraction of duplicate word 3-grams. Reuses
+  //     the codegen'd word_ngrams kernel; counts are integers and the
+  //     fraction one IEEE division, so it's oracle-exact.
+  def repetition(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("__g", filter(
+        graft.functions.WordNGrams.word_ngrams(
+          split(lower(trim(col(textCol))), " +"), 3),
+        g => length(g) > 0))
+      .withColumn("n_grams", size(col("__g")))
+      .withColumn("n_distinct_grams", size(array_distinct(col("__g"))))
+      .withColumn("dup_gram_frac",
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("n_distinct_grams")).cast("double") /
+            col("n_grams"))
+          .otherwise(lit(0.0)))
+      .drop("__g")
+
+  // --- Gopher-style quality gate: the rule-based document filter every
+  //     large pretraining pipeline runs before model-based scoring.
+  //     Thresholds are constructor-style parameters; each rule is an
+  //     integer count or one IEEE division, so the gate is portable.
+  def qualityGate(df: DataFrame, textCol: String = "text",
+      minWords: Int = 30, maxWords: Int = 10000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_words", size(t))
+      .withColumn("__wchars", aggregate(transform(t, w => length(w)),
+        lit(0), (acc, x) => acc + x))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          col("__wchars").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn("symbol_ratio",
+        when(length(col(textCol)) > 0,
+          regexp_count(col(textCol), lit("[^a-zA-Z0-9 ]")).cast("double") /
+            length(col(textCol)))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("symbol_ratio") <= maxSymbolRatio)
+      .drop("__wchars")
+  }
+
   // --- PII scrubbing: count + redact email addresses and URLs.
   //     Patterns stay in the portable regex subset (character classes,
   //     bounded quantifiers — identical semantics in Java regex and

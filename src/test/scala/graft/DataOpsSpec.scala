@@ -248,6 +248,49 @@ class DataOpsSpec extends AnyFunSuite {
       red.contains("v1.2.3") && red.contains("<IP>.5"))
   }
 
+  test("repetition: duplicate 3-grams are counted, clean docs score zero") {
+    import graft.text.TextAnalysis
+    val df = Seq(
+      (1L, "one two three four five six"),            // all grams unique
+      (2L, "a b c a b c a b c"),                      // heavy repetition
+      (3L, "x")                                       // single short gram
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df)
+      .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_frac")
+      .as[(Long, Int, Int, Double)].collect().sortBy(_._1)
+    assert(r(0)._4 == 0.0)
+    assert(r(1)._2 > r(1)._3 && r(1)._4 > 0.5)        // 7 grams, 3 distinct
+    assert(r(2)._2 == 1 && r(2)._4 == 0.0)
+  }
+
+  test("qualityGate: word-count, word-length and symbol rules gate keep") {
+    import graft.text.TextAnalysis
+    val longOk = ("word " * 50).trim
+    val df = Seq(
+      (1L, longOk),                                   // passes all rules
+      (2L, "too short"),                              // n_words < 30
+      (3L, ("@@@@@ " * 50).trim)                      // symbol ratio high
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityGate(df)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(r(1L) && !r(2L) && !r(3L))
+  }
+
+  test("labelCentroids: constant vectors yield the vector, quantized grid is exact") {
+    val df = Seq(
+      (1L, Seq(0.5f, -0.25f), 7),
+      (2L, Seq(0.5f, -0.25f), 7),
+      (3L, Seq(1.0f, 1.0f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroids(df)
+      .select("label", "pos", "mean_x", "n")
+      .as[(Int, Int, Double, Long)].collect()
+      .map { case (l, p, m, n) => ((l, p), (m, n)) }.toMap
+    // 0.5 and -0.25 sit on the 2^-24 grid — means are exact
+    assert(r((7, 0)) == ((0.5, 2L)) && r((7, 1)) == ((-0.25, 2L)))
+    assert(r((8, 0)) == ((1.0, 1L)))
+  }
+
   test("multimodal decode: per-partition batching yields typed metadata") {
     implicit val s = spark
     val meta = Multimodal.decodeMeta(
