@@ -263,9 +263,14 @@ object Dedup {
       return parent.keys.toSeq.map(id => (id, find(id))).sortBy(_._1)
         .toDF("id", "cluster_id")
     }
-    // canonical undirected form (u < v), the shape both star ops emit
+    // canonical undirected form (u < v), the shape both star ops emit;
+    // self-pairs (a = b) drop out of the rewiring but their ids must
+    // still be labeled (the union-find regime labels them) — `nodes`
+    // re-adds them at the end
+    val nodes = edges.select(col("a").as("id")).distinct()
     var cur = edges.filter(col("a") < col("b"))
       .select(col("a").as("u"), col("b").as("v")).localCheckpoint()
+    var nCur = cur.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -273,24 +278,28 @@ object Dedup {
       // generation's checkpoint; ContextCleaner reclaims its blocks
       // (localCheckpoint storage is not CacheManager-managed, so an
       // explicit unpersist() here would be a no-op)
-      val n0 = cur.count()
       val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nNext = next.count()
       // Fixed point ⟺ sets equal; both sides are distinct sets, so
       // equal counts + empty one-sided difference suffice. At the fixed
       // point every component is a star rooted at its minimum — the
       // labeling falls straight out of the edge list.
-      converged = next.count() == n0 &&
-        next.exceptAll(cur).isEmpty
+      converged = nNext == nCur && next.exceptAll(cur).isEmpty
       cur = next
+      nCur = nNext
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters star rounds " +
           "— raise maxIters")
-    cur.select(col("v").as("id"), col("u").as("cluster_id"))
+    val starLabels = cur.select(col("v").as("id"), col("u").as("cluster_id"))
       .unionByName(cur.select(col("u").as("id"), col("u").as("cluster_id"))
         .distinct())
+    // ids seen only in self-pairs label themselves
+    nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id"))
+        .as("cluster_id"))
   }
 
   /** One large-star round: every edge, seen from its SMALLER endpoint

@@ -93,46 +93,25 @@ object Windows extends QueryModule {
          )
          GROUP BY win_start_us ORDER BY win_start_us""",
 
-    "t4_session_window" ->
-      """WITH e AS (
-           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-                  event_id
-           FROM events
-         ),
-         marked AS (
-           SELECT user_id, us,
-                  CASE WHEN prev_us IS NULL
-                         OR us - prev_us > CAST(3600000000 AS BIGINT)
-                       THEN 1 ELSE 0 END AS boundary
-           FROM (SELECT user_id, us, event_id,
-                        lag(us) OVER (PARTITION BY user_id
-                                      ORDER BY us, event_id) AS prev_us
-                 FROM e)
-         ),
-         sess AS (
-           SELECT user_id, us,
-                  SUM(boundary) OVER (PARTITION BY user_id
-                                      ORDER BY us
-                                      ROWS UNBOUNDED PRECEDING) AS sid
-           FROM marked
-         )
-         SELECT user_id,
-                min(us) AS sess_start_us,
-                max(us) + CAST(3600000000 AS BIGINT) AS sess_end_us,
-                count(*) AS n_events
-         FROM sess GROUP BY user_id, sid
-         ORDER BY user_id, sess_start_us""",
+    // one truth, two entries: the built-in session_window and the
+    // flatMapGroupsWithState machine must agree with the same SQL
+    "t4_session_window"    -> sessionOracle,
+    "f1_stateful_sessions" -> sessionOracle
+  )
 
-    // identical truth to t4_session_window — the state machine and the
-    // built-in session_window must agree with the same SQL
-    "f1_stateful_sessions" ->
+  // Gap sessionization over (us, event_id)-ordered events. BOTH windows
+  // carry the event_id tiebreak: with only `ORDER BY us`, a duplicate
+  // timestamp at a session boundary could frame the tied peer before
+  // the boundary row and count it into the previous session — an
+  // assignment neither Spark path can produce.
+  private lazy val sessionOracle: String =
       """WITH e AS (
            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
                   event_id
            FROM events
          ),
          marked AS (
-           SELECT user_id, us,
+           SELECT user_id, us, event_id,
                   CASE WHEN prev_us IS NULL
                          OR us - prev_us > CAST(3600000000 AS BIGINT)
                        THEN 1 ELSE 0 END AS boundary
@@ -144,7 +123,7 @@ object Windows extends QueryModule {
          sess AS (
            SELECT user_id, us,
                   SUM(boundary) OVER (PARTITION BY user_id
-                                      ORDER BY us
+                                      ORDER BY us, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sid
            FROM marked
          )
@@ -154,5 +133,4 @@ object Windows extends QueryModule {
                 count(*) AS n_events
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, sess_start_us"""
-  )
 }

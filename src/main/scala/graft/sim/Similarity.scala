@@ -104,7 +104,10 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       tileRows: Int = 4096): DataFrame = {
-    val q = embeddings.filter(queryPred)
+    // checkpoint the query side once: without it every tile's collect
+    // re-runs the corpus-wide filter (2T+1 scans for T tiles); with it
+    // tiles read executor-stored query rows
+    val q = embeddings.filter(queryPred).localCheckpoint()
     val numTiles = math.max(1L,
       (q.count() + tileRows - 1) / tileRows).toInt
     val perTile = (0 until numTiles).flatMap { t =>

@@ -93,8 +93,7 @@ object TextAnalysis {
   //     fraction one IEEE division, so it's oracle-exact.
   def repetition(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("__g", filter(
-        graft.functions.WordNGrams.word_ngrams(
-          split(lower(trim(col(textCol))), " +"), 3),
+        graft.functions.WordNGrams.word_ngrams(tokens(col(textCol)), 3),
         g => length(g) > 0))
       .withColumn("n_grams", size(col("__g")))
       .withColumn("n_distinct_grams", size(array_distinct(col("__g"))))
@@ -114,7 +113,10 @@ object TextAnalysis {
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1): DataFrame = {
     val t = tokens(col(textCol))
-    df.withColumn("n_words", size(t))
+    // filtered size: empty/whitespace-only text splits to [""] — that
+    // phantom token must not count as a word (the oracles' tok CTE
+    // filters empty fragments)
+    df.withColumn("n_words", size(filter(t, w => length(w) > 0)))
       .withColumn("__wchars", aggregate(transform(t, w => length(w)),
         lit(0), (acc, x) => acc + x))
       .withColumn("mean_word_len",

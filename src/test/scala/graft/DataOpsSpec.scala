@@ -54,10 +54,13 @@ class DataOpsSpec extends AnyFunSuite {
   test("connectedComponents: transitive chains collapse to the min label") {
     // chain 2-5-9-11 (diameter 3 → multi-round propagation), a pair,
     // and a 3-node path — labels must be the component minimum
+    // (40,40): an id seen only in a self-pair must still be labeled,
+    // identically in both regimes
     val pairs = Seq((5L, 2L), (5L, 9L), (9L, 11L), (20L, 21L),
-      (31L, 30L), (31L, 32L)).toDF("id1", "id2")
+      (31L, 30L), (31L, 32L), (40L, 40L)).toDF("id1", "id2")
     val expected = Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 2L,
-      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L)
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L,
+      40L -> 40L)
     val ccDriver = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     // driverThreshold = 0 forces the distributed label-propagation loop;
@@ -269,11 +272,17 @@ class DataOpsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, longOk),                                   // passes all rules
       (2L, "too short"),                              // n_words < 30
-      (3L, ("@@@@@ " * 50).trim)                      // symbol ratio high
+      (3L, ("@@@@@ " * 50).trim),                     // symbol ratio high
+      (4L, ""),                                       // empty text
+      (5L, "   ")                                     // whitespace only
     ).toDF("doc_id", "text")
     val r = TextAnalysis.qualityGate(df)
-      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
-    assert(r(1L) && !r(2L) && !r(3L))
+      .select("doc_id", "n_words", "keep")
+      .as[(Long, Int, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L)._2 && !r(2L)._2 && !r(3L)._2)
+    // the phantom empty token of split('') must not count as a word
+    assert(r(4L) == ((0, false)) && r(5L) == ((0, false)))
   }
 
   test("labelCentroids: constant vectors yield the vector, quantized grid is exact") {
