@@ -96,6 +96,24 @@ object DataOps extends QueryModule {
       sharedJaccardPairs(s, d).select("id1", "id2"))
       .orderBy("id")
 
+  // The composed OUTPUT of the dedup stage: one keep/drop decision per
+  // document — near-dup cluster members defer to the cluster minimum
+  // (canonical), everything else keeps itself. The cluster table is
+  // metadata-scale (members of near-dup pairs only), so the decision
+  // join broadcasts against the full corpus — the shape that holds at
+  // 100 TB.
+  private def dedupKeepList(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val clusters = Dedup.connectedComponents(
+      sharedJaccardPairs(s, d).select("id1", "id2"))
+    docs.join(broadcast(clusters), docs("doc_id") === clusters("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
   // Production-path conformance for the xxhash64 shingle-key dedup
   // (the no-global-sort path promised by Dedup.shingleHash): MinHash/LSH
   // and SimHash candidate sets, each measured as recall against the
@@ -287,6 +305,7 @@ object DataOps extends QueryModule {
     "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
     "dedup_simhash"        -> (dedupSimhash _),
     "dedup_clusters"       -> (dedupClusters _),
+    "dedup_keep_list"      -> (dedupKeepList _),
     "dedup_prod_paths"     -> (dedupProdConformance _),
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
     "text_langid"          -> (textLangid _),
@@ -384,6 +403,22 @@ object DataOps extends QueryModule {
             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           SELECT a AS id, least(a, min(b)) AS cluster_id
           FROM reach GROUP BY a ORDER BY id"""),
+
+    "dedup_keep_list" ->
+      (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte,
+          edges AS (SELECT id1 AS a, id2 AS b FROM jp
+                    UNION SELECT id2, id1 FROM jp),
+          reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+                  FROM reach GROUP BY a)
+          SELECT d.doc_id,
+                 COALESCE(lab.cluster_id, d.doc_id) AS canonical_id,
+                 COALESCE(lab.cluster_id, d.doc_id) = d.doc_id AS keep
+          FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+          ORDER BY d.doc_id"""),
 
     "dedup_minhash_lsh" ->
       (s"""WITH $tokCte, $shCte,
