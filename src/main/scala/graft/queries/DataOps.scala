@@ -70,6 +70,15 @@ object DataOps extends QueryModule {
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
     sharedJaccardPairs(s, d).orderBy("id1", "id2")
 
+  /** The cluster labeling feeds two registry entries (the cluster list
+    * and the keep-list decision built on it) — one CC pass, memoized. */
+  private def sharedClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = sharedJaccardPairs(s, d)   // resolved before the thunk
+    SessionMemo(s, d, "dedup_clusters") {
+      Dedup.connectedComponents(pairs.select("id1", "id2")).persist()
+    }
+  }
+
   private def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val encoded = sharedEncoded(s, d)
     val sigs = Dedup.minhashSignaturesAgg(encoded, numHashes = 16)
@@ -92,9 +101,7 @@ object DataOps extends QueryModule {
   // doc per group" decision on. Oracle = DuckDB recursive reachability
   // (components are tiny, so path enumeration is bounded).
   private def dedupClusters(s: SparkSession, d: String): DataFrame =
-    Dedup.connectedComponents(
-      sharedJaccardPairs(s, d).select("id1", "id2"))
-      .orderBy("id")
+    sharedClusters(s, d).orderBy("id")
 
   // The composed OUTPUT of the dedup stage: one keep/drop decision per
   // document — near-dup cluster members defer to the cluster minimum
@@ -104,8 +111,7 @@ object DataOps extends QueryModule {
   // 100 TB.
   private def dedupKeepList(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id")
-    val clusters = Dedup.connectedComponents(
-      sharedJaccardPairs(s, d).select("id1", "id2"))
+    val clusters = sharedClusters(s, d)
     docs.join(broadcast(clusters), docs("doc_id") === clusters("id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
