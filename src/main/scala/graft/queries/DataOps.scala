@@ -103,6 +103,31 @@ object DataOps extends QueryModule {
   private def dedupClusters(s: SparkSession, d: String): DataFrame =
     sharedClusters(s, d).orderBy("id")
 
+  // Benchmark decontamination (the GPT-3-style n-gram overlap check):
+  // flag every training doc sharing ANY word 3-gram with the held-out
+  // benchmark slice (doc_id % 97 == 0 plays the benchmark here;
+  // production uses 13-grams — same operator, different n). The check
+  // is an inverted-index LEFT SEMI join on the shingle — work scales
+  // with postings of benchmark shingles, never doc × doc; at 100 TB
+  // the benchmark shingle set is a broadcast.
+  private def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = sharedShingles(s, d)
+    val benchShingles = sh.filter(col("id") % 97 === 0)
+      .select("shingle").distinct()
+    val flagged = sh.filter(col("id") % 97 =!= 0)
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select(col("id").as("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    // flagged grows with the corpus (worst case: everything) — equi
+    // join on doc_id, never a broadcast
+    Tables.documents(s, d).filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   // The composed OUTPUT of the dedup stage: one keep/drop decision per
   // document — near-dup cluster members defer to the cluster minimum
   // (canonical), everything else keeps itself. The cluster table is
@@ -312,6 +337,7 @@ object DataOps extends QueryModule {
     "dedup_simhash"        -> (dedupSimhash _),
     "dedup_clusters"       -> (dedupClusters _),
     "dedup_keep_list"      -> (dedupKeepList _),
+    "text_decontaminate"   -> (textDecontaminate _),
     "dedup_prod_paths"     -> (dedupProdConformance _),
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
     "text_langid"          -> (textLangid _),
@@ -409,6 +435,18 @@ object DataOps extends QueryModule {
             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           SELECT a AS id, least(a, min(b)) AS cluster_id
           FROM reach GROUP BY a ORDER BY id"""),
+
+    "text_decontaminate" ->
+      (s"""WITH $tokCte, $shCte,
+          bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+          flagged AS (
+            SELECT DISTINCT id FROM sh
+            WHERE id % 97 <> 0
+              AND shingle IN (SELECT shingle FROM bench))
+          SELECT d.doc_id, (f.id IS NOT NULL) AS contaminated
+          FROM documents d LEFT JOIN flagged f ON f.id = d.doc_id
+          WHERE d.doc_id % 97 <> 0
+          ORDER BY d.doc_id"""),
 
     "dedup_keep_list" ->
       (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte,
