@@ -18,7 +18,8 @@ object Explain {
         "dedup_embed_cosine", "dedup_ngram_jaccard", "j6_salted_join",
         "samp_stratified", "samp_train_test", "f5_try_cast_int",
         "sim_ivf_topk", "sim_cosine_topk", "vocab_topk", "emb_centroids",
-        "text_repetition", "f1_stateful_sessions")
+        "text_repetition", "f1_stateful_sessions", "dedup_keep_list",
+        "text_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

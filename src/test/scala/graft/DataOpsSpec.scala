@@ -96,6 +96,34 @@ class DataOpsSpec extends AnyFunSuite {
     assert(labels.values.forall(_ == 0L))   // one component, min id 0
   }
 
+  test("star CC equals a reference union-find on arbitrary graphs (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgeGen = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    val prop = Prop.forAll(edgeGen) { edges =>
+      // independent truth: plain-Scala union-find with min-root labels
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val ref = parent.keys.map(id => id -> find(id)).toMap
+      // driverThreshold = -1 forces the star regime on every size,
+      // including the empty graph
+      val star = Dedup.connectedComponents(edges.toDF("id1", "id2"),
+          driverThreshold = -1L)
+        .as[(Long, Long)].collect().toMap
+      star == ref
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("star-alternation CC equals union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {
