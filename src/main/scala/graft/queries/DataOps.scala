@@ -103,6 +103,46 @@ object DataOps extends QueryModule {
   private def dedupClusters(s: SparkSession, d: String): DataFrame =
     sharedClusters(s, d).orderBy("id")
 
+  // Incremental dedup — the daily-ingest shape: a NEW batch (doc_id %
+  // 4 == 0 plays the increment) is admitted against the EXISTING corpus
+  // without re-clustering anything. A new doc is rejected if its text
+  // exact-matches an existing doc (semi-join on text; at scale, on
+  // xxhash64(text) buckets) or if it near-matches one (the shared pair
+  // list filtered to cross (new, old) pairs — candidate generation
+  // already touches only shingle-colliding docs, so the increment
+  // never pays a corpus-wide scan beyond its own shingles).
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // the synthetic corpus has no cross-slice exact copies, so plant
+    // some: re-ingested existing docs under fresh increment ids (both
+    // engines mirror the planting). Planted docs are not in the shared
+    // shingle index, so they exercise the exact branch specifically —
+    // the near branch is exercised by the organic doc_id%4 slice.
+    val planted = docs.filter(col("doc_id") % 40 === 1)
+      .select((lit(100000L) + col("doc_id") * 4).as("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 4 === 0)
+      .select("doc_id", "text").unionByName(planted)
+    val existing = docs.filter(col("doc_id") % 4 =!= 0)
+    val exactIds = incoming.join(existing.select("text"), Seq("text"),
+        "left_semi")
+      .select(col("doc_id")).withColumn("exact_dup", lit(true))
+    val pairs = sharedJaccardPairs(s, d)
+    val nearIds = pairs
+      .filter((col("id1") % 4 === 0) =!= (col("id2") % 4 === 0))
+      .select(when(col("id1") % 4 === 0, col("id1")).otherwise(col("id2"))
+        .as("doc_id"))
+      .distinct().withColumn("near_dup", lit(true))
+    incoming.select("doc_id")
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        (coalesce(col("exact_dup"), lit(false)) ||
+          coalesce(col("near_dup"), lit(false))).unary_!.as("admitted"))
+      .orderBy("doc_id")
+  }
+
   // Benchmark decontamination (the GPT-3-style n-gram overlap check):
   // flag every training doc sharing ANY word 3-gram with the held-out
   // benchmark slice (doc_id % 97 == 0 plays the benchmark here;
@@ -338,6 +378,7 @@ object DataOps extends QueryModule {
     "dedup_clusters"       -> (dedupClusters _),
     "dedup_keep_list"      -> (dedupKeepList _),
     "text_decontaminate"   -> (textDecontaminate _),
+    "dedup_incremental"    -> (dedupIncremental _),
     "dedup_prod_paths"     -> (dedupProdConformance _),
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
     "text_langid"          -> (textLangid _),
@@ -435,6 +476,27 @@ object DataOps extends QueryModule {
             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           SELECT a AS id, least(a, min(b)) AS cluster_id
           FROM reach GROUP BY a ORDER BY id"""),
+
+    "dedup_incremental" ->
+      (s"""WITH $tokCte, $shCte, $jpCte,
+          inc AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT 100000 + doc_id * 4 AS doc_id, text FROM documents
+            WHERE doc_id % 40 = 1),
+          flags AS (
+            SELECT d.doc_id,
+                   EXISTS(SELECT 1 FROM documents o
+                          WHERE o.doc_id % 4 <> 0 AND o.text = d.text)
+                     AS exact_dup,
+                   EXISTS(SELECT 1 FROM jp
+                          WHERE (jp.id1 = d.doc_id AND jp.id2 % 4 <> 0)
+                             OR (jp.id2 = d.doc_id AND jp.id1 % 4 <> 0))
+                     AS near_dup
+            FROM inc d)
+          SELECT doc_id, exact_dup, near_dup,
+                 NOT (exact_dup OR near_dup) AS admitted
+          FROM flags ORDER BY doc_id"""),
 
     "text_decontaminate" ->
       (s"""WITH $tokCte, $shCte,
