@@ -58,8 +58,9 @@ object DataOps extends QueryModule {
     }
   }
 
-  /** Jaccard>0.3 pairs feed two registry entries (the pair list and the
-    * clusters built on it) — one posting-list self-join, memoized. */
+  /** Jaccard>0.3 pairs feed three registry entries (the pair list, the
+    * clusters built on it, and the incremental-admission near check) —
+    * one posting-list self-join, memoized. */
   private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = sharedShingles(s, d)   // resolved before the thunk (no nesting)
     SessionMemo(s, d, "jaccard_pairs") {
@@ -118,6 +119,12 @@ object DataOps extends QueryModule {
     // engines mirror the planting). Planted docs are not in the shared
     // shingle index, so they exercise the exact branch specifically —
     // the near branch is exercised by the organic doc_id%4 slice.
+    // planted ids live above 100000; if the corpus ever reaches that
+    // range the planted and organic id spaces would overlap and the
+    // Spark plan and oracle would disagree on the duplicated id — fail
+    // fast instead (conformance fixture bound, not an operator limit)
+    require(docs.agg(max("doc_id")).head().getLong(0) < 100000L,
+      "dedup_incremental planting assumes doc_id < 100000")
     val planted = docs.filter(col("doc_id") % 40 === 1)
       .select((lit(100000L) + col("doc_id") * 4).as("doc_id"), col("text"))
     val incoming = docs.filter(col("doc_id") % 4 === 0)
