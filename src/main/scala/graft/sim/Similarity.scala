@@ -284,12 +284,29 @@ object Similarity {
     * tunable retrieval trade. */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       numCells: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val idx = buildIvfIndex(embeddings, numCells, iters)
+    ivfQuery(idx, queryPred, k, nprobe)
+  }
+
+  /** A built IVF index: Lloyd-refined centroids (C·d metadata) plus the
+    * (vec_id, cell) assignment and the normed vector table it indexes.
+    * At 100 TB, `cells` joined to `vecs` is what you persist partitioned
+    * by cell (the materialized posting lists); centroids go to a
+    * metadata store. Build once, serve many query batches. */
+  case class IvfIndex(centroids: Array[Array[Double]], cells: DataFrame,
+      vecs: DataFrame)
+
+  /** Build the IVF index — the expensive, corpus-wide, query-independent
+    * part of [[ivfTopK]], split out so production callers amortize it
+    * across query batches instead of re-running Lloyd per lookup. */
+  def buildIvfIndex(embeddings: DataFrame, numCells: Int = 8,
+      iters: Int = 2): IvfIndex = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // localCheckpoint, not cache(): the Lloyd rounds below run actions
-    // against vecs, and the returned (lazy) plan reads it once more —
+    // against vecs, and the query plans read it again later —
     // checkpoint blocks are reclaimed by the ContextCleaner when the
-    // caller drops the result, whereas a cache() here would pin corpus
+    // caller drops the index, whereas a cache() here would pin corpus
     // blocks for the session lifetime with no unpersist point.
     val vecs = withNorms(embeddings)
       .select("vec_id", "vd", "norm").localCheckpoint()
@@ -311,13 +328,20 @@ object Similarity {
       } // cells that captured no vectors keep their previous centroid
       cents = next
     }
-    val cells = assignCells(vecs, cents)
-    val q = vecs.filter(queryPred)
-    val probes = probeCells(q, cents, nprobe)
+    IvfIndex(cents, assignCells(vecs, cents), vecs)
+  }
+
+  /** Serve one query batch from a built index: probe `nprobe` cells per
+    * query, score only their posting lists. `queryPred` selects the
+    * query vectors out of the indexed table. */
+  def ivfQuery(idx: IvfIndex, queryPred: Column, k: Int,
+      nprobe: Int): DataFrame = {
+    val q = idx.vecs.filter(queryPred)
+    val probes = probeCells(q, idx.centroids, nprobe)
     val qSide = q.select(col("vec_id").as("query_id"), col("vd").as("qd"),
         col("norm").as("qnorm"))
       .join(probes, Seq("query_id"))
-    val cand = cells.join(vecs, Seq("vec_id"))
+    val cand = idx.cells.join(idx.vecs, Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("cand_id"), col("vd"),
         col("norm"))
     val scored = qSide.join(cand, Seq("cell"))

@@ -220,6 +220,22 @@ class DataOpsSpec extends AnyFunSuite {
     assert(lshAll == exact)
   }
 
+  test("IVF index built once serves multiple query batches identically to inline runs") {
+    val idx = Similarity.buildIvfIndex(embs, numCells = 8, iters = 2)
+    for (m <- Seq(50L, 37L)) {
+      val pred = col("vec_id") % m === 0
+      val fromIndex = Similarity.ivfQuery(idx, pred, 10, nprobe = 3)
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val inline = Similarity.ivfTopK(embs, pred, 10,
+          numCells = 8, nprobe = 3)
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(fromIndex.nonEmpty)
+      withClue(s"pred %$m: ") { assert(fromIndex == inline) }
+    }
+  }
+
   test("IVF probe subset: every query answered, results drawn from exact ranking") {
     val pred = col("vec_id") % 50 === 0
     val exact = Similarity.bruteForceTopK(embs, pred, 10)
