@@ -313,6 +313,14 @@ object DataOps extends QueryModule {
       col("vec_id") % 50 === 0, k = 10, numPlanes = 4)
       .orderBy("query_id", "rank")
 
+  // Multi-probe variant: Hamming-ball probes recover recall lost to
+  // single-bucket LSH (monotone-recall spec in DataOpsSpec); rows-only
+  // like sim_ann_lsh (engine-specific bucketing).
+  private def simAnnLshMultiProbe(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopKMultiProbe(Tables.embeddings(s, d),
+      col("vec_id") % 50 === 0, k = 10, numPlanes = 4, flips = 1)
+      .orderBy("query_id", "rank")
+
   // IVF ANN — centroid index, nprobe cells per query; engine-specific
   // (Lloyd centroids), so rows-only here; nprobe=all ≡ brute-force
   // equality and recall floors asserted in ScalaTest.
@@ -400,6 +408,7 @@ object DataOps extends QueryModule {
     "emb_centroids"        -> (embCentroids _),
     "sim_cosine_topk"      -> (simCosineTopk _),
     "sim_ann_lsh"          -> (simAnnLsh _),
+    "sim_ann_lsh_mp"       -> (simAnnLshMultiProbe _),
     "sim_ivf_topk"         -> (simIvfTopk _),
     "sim_ivf_exhaustive"   -> (simIvfExhaustive _),
     "sim_lsh_exhaustive"   -> (simLshExhaustive _),

@@ -378,11 +378,37 @@ object Similarity {
     * Trades recall for a bucket-local search — the retrieval path,
     * where the bucket id is the shuffle/partition key. */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-      numPlanes: Int = 4): DataFrame = {
+      numPlanes: Int = 4): DataFrame =
+    lshTopKMultiProbe(embeddings, queryPred, k, numPlanes, flips = 0)
+
+  /** Multi-probe LSH top-k: each query probes its own bucket PLUS every
+    * bucket within `flips` sign-bit flips (Hamming ball over the plane
+    * bits) — the standard recall-recovery technique: a near neighbor
+    * lost to one hyperplane's sign flip is found in the adjacent
+    * bucket, at probe cost (1 + numPlanes choose ≤flips) instead of a
+    * bigger table. flips = 0 degenerates to [[lshTopK]]'s single
+    * probe. Each candidate lives in exactly one bucket and probe
+    * buckets are distinct, so no (query, candidate) pair scores twice;
+    * candidates only ever get ADDED as flips grows, and exact scoring
+    * makes top-k overlap with the true top-k monotone in the candidate
+    * set (spec-asserted). Probe fan-out is a per-query array explode —
+    * the shuffle key stays the bucket id. */
+  def lshTopKMultiProbe(embeddings: DataFrame, queryPred: Column, k: Int,
+      numPlanes: Int = 4, flips: Int = 1): DataFrame = {
+    require(flips >= 0 && flips <= 2, s"flips ∈ [0,2] supported, got $flips")
     val vecs = withNorms(embeddings).withColumn("bucket", lshBucket(numPlanes))
+    val flipMasks: Seq[Long] = {
+      val one = (0 until numPlanes).map(p => 1L << p)
+      val two = for { i <- 0 until numPlanes; j <- i + 1 until numPlanes }
+        yield (1L << i) | (1L << j)
+      Seq(0L) ++ (if (flips >= 1) one else Nil) ++
+        (if (flips >= 2) two else Nil)
+    }
     val q = vecs.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("vd").as("qd"),
-        col("norm").as("qnorm"), col("bucket"))
+        col("norm").as("qnorm"),
+        explode(array(flipMasks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val cand = vecs.select(col("vec_id").as("cand_id"), col("vd"),
       col("norm"), col("bucket"))
     val scored = q.join(cand, Seq("bucket"))

@@ -220,6 +220,29 @@ class DataOpsSpec extends AnyFunSuite {
     assert(lshAll == exact)
   }
 
+  test("multi-probe LSH: recall vs brute force is monotone in probe radius") {
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(embs, pred, 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(flips: Int): Double = {
+      val got = Similarity.lshTopKMultiProbe(embs, pred, 10,
+          numPlanes = 4, flips = flips)
+        .select("query_id", "cand_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.keys.toSeq.map { q =>
+        got.get(q).map(a => (a & exact(q)).size).getOrElse(0)
+      }.sum.toDouble / (exact.size * 10)
+    }
+    val r0 = recall(0); val r1 = recall(1); val r2 = recall(2)
+    // candidates only get added as the Hamming ball grows, and exact
+    // scoring makes top-k overlap monotone in the candidate set
+    withClue(s"recalls $r0 / $r1 / $r2: ") {
+      assert(r1 >= r0 && r2 >= r1)
+      assert(r2 > r0)   // the wider ball must actually help on this corpus
+    }
+  }
+
   test("IVF index built once serves multiple query batches identically to inline runs") {
     val idx = Similarity.buildIvfIndex(embs, numCells = 8, iters = 2)
     for (m <- Seq(50L, 37L)) {
