@@ -104,6 +104,27 @@ object DataOps extends QueryModule {
   private def dedupClusters(s: SparkSession, d: String): DataFrame =
     sharedClusters(s, d).orderBy("id")
 
+  // Keep-BEST canonical selection: real pipelines keep the highest-
+  // quality member of each near-dup cluster, not the lowest id. One
+  // window per cluster (argmax by text length, id tiebreak) over the
+  // metadata-scale cluster membership — the corpus is only touched to
+  // look up member quality.
+  private def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      length(col("text")).as("quality"))
+    val members = sharedClusters(s, d)
+      .join(docs, col("id") === col("doc_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("quality"), asc("id"))
+    members
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(max(when(col("__rn") === 1, col("id"))).as("best_id"),
+        max(when(col("__rn") === 1, col("quality"))).as("best_quality"),
+        count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+  }
+
   // Incremental dedup — the daily-ingest shape: a NEW batch (doc_id %
   // 4 == 0 plays the increment) is admitted against the EXISTING corpus
   // without re-clustering anything. A new doc is rejected if its text
@@ -392,6 +413,7 @@ object DataOps extends QueryModule {
     "dedup_simhash"        -> (dedupSimhash _),
     "dedup_clusters"       -> (dedupClusters _),
     "dedup_keep_list"      -> (dedupKeepList _),
+    "dedup_keep_best"      -> (dedupKeepBest _),
     "text_decontaminate"   -> (textDecontaminate _),
     "dedup_incremental"    -> (dedupIncremental _),
     "dedup_prod_paths"     -> (dedupProdConformance _),
@@ -492,6 +514,29 @@ object DataOps extends QueryModule {
             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           SELECT a AS id, least(a, min(b)) AS cluster_id
           FROM reach GROUP BY a ORDER BY id"""),
+
+    "dedup_keep_best" ->
+      (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte,
+          edges AS (SELECT id1 AS a, id2 AS b FROM jp
+                    UNION SELECT id2, id1 FROM jp),
+          reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+                  FROM reach GROUP BY a),
+          m AS (
+            SELECT lab.cluster_id, lab.id,
+                   CAST(length(d.text) AS INT) AS quality,
+                   row_number() OVER (PARTITION BY lab.cluster_id
+                                      ORDER BY length(d.text) DESC, lab.id)
+                     AS rn
+            FROM lab JOIN documents d ON d.doc_id = lab.id)
+          SELECT cluster_id,
+                 max(CASE WHEN rn = 1 THEN id END) AS best_id,
+                 max(CASE WHEN rn = 1 THEN quality END) AS best_quality,
+                 count(*) AS n_members
+          FROM m GROUP BY cluster_id ORDER BY cluster_id"""),
 
     "dedup_incremental" ->
       (s"""WITH $tokCte, $shCte, $jpCte,
