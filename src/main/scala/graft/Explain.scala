@@ -19,7 +19,8 @@ object Explain {
         "samp_stratified", "samp_train_test", "f5_try_cast_int",
         "sim_ivf_topk", "sim_cosine_topk", "vocab_topk", "emb_centroids",
         "text_repetition", "f1_stateful_sessions", "dedup_keep_list",
-        "text_decontaminate")
+        "text_decontaminate", "dedup_incremental", "dedup_keep_best",
+        "sim_ann_lsh_mp")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
