@@ -112,7 +112,7 @@ object DataOps extends QueryModule {
   private def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"),
       length(col("text")).as("quality"))
-    val members = sharedClusters(s, d)
+    val members = broadcast(sharedClusters(s, d))
       .join(docs, col("id") === col("doc_id"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(desc("quality"), asc("id"))
@@ -481,6 +481,20 @@ object DataOps extends QueryModule {
          JOIN sizes s2 ON s2.id = id2
          WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) > 0.3)"""
 
+  /** Connected-component labeling over the jp pair list (symmetrized
+    * edges → recursive reachability → min-reachable label), shared by
+    * the dedup_clusters / dedup_keep_list / dedup_keep_best oracles so
+    * the label rule cannot drift between them. Requires WITH RECURSIVE. */
+  private val ccCte =
+    """edges AS (SELECT id1 AS a, id2 AS b FROM jp
+                 UNION SELECT id2, id1 FROM jp),
+       reach AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+               FROM reach GROUP BY a)"""
+
   private val enList = "['the','a','of','and','to','in']"
   private val esList = "['el','la','de','y','que','los']"
   private val deList = "['der','die','das','und','ist']"
@@ -505,26 +519,11 @@ object DataOps extends QueryModule {
           ORDER BY id1, id2"""),
 
     "dedup_clusters" ->
-      (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte,
-          edges AS (SELECT id1 AS a, id2 AS b FROM jp
-                    UNION SELECT id2, id1 FROM jp),
-          reach AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-          SELECT a AS id, least(a, min(b)) AS cluster_id
-          FROM reach GROUP BY a ORDER BY id"""),
+      (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte, $ccCte
+          SELECT id, cluster_id FROM lab ORDER BY id"""),
 
     "dedup_keep_best" ->
-      (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte,
-          edges AS (SELECT id1 AS a, id2 AS b FROM jp
-                    UNION SELECT id2, id1 FROM jp),
-          reach AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-          lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
-                  FROM reach GROUP BY a),
+      (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte, $ccCte,
           m AS (
             SELECT lab.cluster_id, lab.id,
                    CAST(length(d.text) AS INT) AS quality,
@@ -572,15 +571,7 @@ object DataOps extends QueryModule {
           ORDER BY d.doc_id"""),
 
     "dedup_keep_list" ->
-      (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte,
-          edges AS (SELECT id1 AS a, id2 AS b FROM jp
-                    UNION SELECT id2, id1 FROM jp),
-          reach AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-          lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
-                  FROM reach GROUP BY a)
+      (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte, $ccCte
           SELECT d.doc_id,
                  COALESCE(lab.cluster_id, d.doc_id) AS canonical_id,
                  COALESCE(lab.cluster_id, d.doc_id) = d.doc_id AS keep

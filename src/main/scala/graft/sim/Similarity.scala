@@ -328,7 +328,10 @@ object Similarity {
       } // cells that captured no vectors keep their previous centroid
       cents = next
     }
-    IvfIndex(cents, assignCells(vecs, cents), vecs)
+    // cells materialized like vecs: without this every query batch
+    // would re-run the corpus-wide assignment pass, defeating the
+    // build-once amortization this split exists for
+    IvfIndex(cents, assignCells(vecs, cents).localCheckpoint(), vecs)
   }
 
   /** Serve one query batch from a built index: probe `nprobe` cells per
