@@ -26,6 +26,14 @@ object StatefulSessions {
 
   /** The state-transition function: events for one user (any order
     * within the batch — sorted here), current state → closed sessions.
+    *
+    * Scale note: the iterator is buffered to sort, so per-invocation
+    * memory is ONE user's events in the current batch (streaming:
+    * bounded by the trigger interval; batch: that user's whole
+    * history). A pathologically hot key should be pre-split by
+    * (user, time bucket) upstream — the same treatment as any skewed
+    * group-by — or served by the built-in `session_window`, which
+    * streams through a sort instead of buffering.
     * On a processing-time timeout fire (no events for the user since
     * the gap), the open session is emitted and state cleared — without
     * this, live-stream state grows forever and quiet users' last
