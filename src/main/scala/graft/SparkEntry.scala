@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ApiQueries, ChessPipeline, DataOps, Joins, QueryModule, Relational, SamplingOps, Transforms, Windows}
+import graft.queries.{Aggregates, ApiQueries, ChessPipeline, DataOps, Joins, QueryModule, Relational, SamplingOps, TrainPrep, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     DataOps,
     Windows,
     ApiQueries,
-    SamplingOps
+    SamplingOps,
+    TrainPrep
   )
 
   /** The driver-provisioned tiny scale factor (smoke/warm-up data). */

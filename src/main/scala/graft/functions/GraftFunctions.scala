@@ -20,6 +20,11 @@ object GraftFunctions {
     ArrayDotProduct(exprs.head, exprs(1))
   }
 
+  private def arrayDotI8Builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "array_dot_i8(a, b) takes two arguments")
+    ArrayDotI8(exprs.head, exprs(1))
+  }
+
   private[graft] def wordNGramsBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "word_ngrams(tokens, n) takes two arguments")
     // n must be statically known (it is baked into generated code) but
@@ -46,6 +51,8 @@ object GraftFunctions {
       "array_dot", arrayDotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", wordNGramsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot_i8", arrayDotI8Builder, "built-in")
   }
 
   val arrayDotInfo: ExpressionInfo = new ExpressionInfo(
@@ -56,6 +63,11 @@ object GraftFunctions {
   val wordNGramsInfo: ExpressionInfo = new ExpressionInfo(
     classOf[WordNGrams].getCanonicalName, null, "word_ngrams",
     "_FUNC_(tokens, n) - space-joined word n-grams of an array<string> column",
+    "", "", "", "", "", "", "scala_udf")
+
+  val arrayDotI8Info: ExpressionInfo = new ExpressionInfo(
+    classOf[ArrayDotI8].getCanonicalName, null, "array_dot_i8",
+    "_FUNC_(a, b) - integer dot product of two array<tinyint> columns",
     "", "", "", "", "", "", "scala_udf")
 }
 
@@ -68,5 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_ngrams"),
       GraftFunctions.wordNGramsInfo,
       GraftFunctions.wordNGramsBuilder))
+    e.injectFunction((FunctionIdentifier("array_dot_i8"),
+      GraftFunctions.arrayDotI8Info,
+      exprs => ArrayDotI8(exprs.head, exprs(1))))
   }
 }

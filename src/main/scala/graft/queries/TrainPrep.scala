@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sampling.Sampling
+import graft.sim.Quantize
+import graft.text.{Packing, SegmentDedup, TextAnalysis}
+
+/** Round-4 training-data-preparation tier: segment-level exact dedup
+  * (C4/RefinedWeb paragraph pass), text canonicalization, distinctive
+  * terms (integer-exact tf-idf ranking), sequence packing, temperature
+  * mixing, and int8 embedding quantization with quantized top-k.
+  *
+  * Every entry is oracle-paired: all arithmetic is integer, md5-hash
+  * thresholds, or IEEE operations that are correctly rounded in both
+  * engines (sqrt, power-of-two multiply), so DuckDB reproduces each
+  * result bit-for-bit.
+  */
+object TrainPrep extends QueryModule {
+
+  // Segment dedup needs cross-document duplicate segments: plant full
+  // copies (doc_id+100000) of every 10th document — same planting as
+  // dedup_exact, so the copies lose ALL their segments (the clean_text
+  // = '' husk branch is live), while organically shared 8-word windows
+  // exercise the partial-drop branch.
+  private def dedupParagraph(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    SegmentDedup.dedupSegments(docs.unionByName(planted),
+        "doc_id", "text", segWords = 8)
+      .orderBy("doc_id")
+  }
+
+  private def textNormalize(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.normalize(Tables.documents(s, d))
+      .select("doc_id", "norm_text", "n_chars_before", "n_chars_after")
+      .orderBy("doc_id")
+
+  private def textTfidfTopk(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id", k = 3)
+      .orderBy("doc_id", "rank")
+
+  // 512-token budget over the whitespace token count (the filtered
+  // size, consistent with text_tokens' n_ws semantics).
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("n_tokens",
+      size(filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)))
+    Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        // "offset" is a DuckDB keyword; rename so the oracle needs no
+        // quoting and the driver's name-sorted compare aligns
+        col("offset").as("tok_offset"), col("bin_id"))
+      .orderBy("doc_id")
+  }
+
+  private def sampTemperature(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureSqrtMix(Tables.documents(s, d), "source", "doc_id")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  private def embQuantize(s: SparkSession, d: String): DataFrame =
+    Quantize.quantize(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        array_join(transform(col("q8"), c => c.cast("string")), ",")
+          .as("codes"),
+        col("n_clipped"))
+      .orderBy("vec_id")
+
+  // Same query set as sim_cosine_topk (every 50th vector); numTiles=2
+  // exercises the bounded-broadcast tile loop on the conformance path
+  // (results are provably tile-count-independent).
+  private def simQ8Topk(s: SparkSession, d: String): DataFrame =
+    Quantize.q8TopK(Tables.embeddings(s, d),
+        col("vec_id") % 50 === 0, k = 10, numTiles = 2)
+      .orderBy("query_id", "rank")
+
+  // Two-stage: 30 quantized candidates re-ranked by exact cosine to 10.
+  private def simQ8Rerank(s: SparkSession, d: String): DataFrame =
+    Quantize.q8Rerank(Tables.embeddings(s, d),
+        col("vec_id") % 50 === 0, k = 10, m = 30, numTiles = 2)
+      .orderBy("query_id", "rank")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph" -> (dedupParagraph _),
+    "text_normalize"  -> (textNormalize _),
+    "text_tfidf_topk" -> (textTfidfTopk _),
+    "pack_sequences"  -> (packSequences _),
+    "samp_temperature" -> (sampTemperature _),
+    "emb_quantize"    -> (embQuantize _),
+    "sim_q8_topk"     -> (simQ8Topk _),
+    "sim_q8_rerank"   -> (simQ8Rerank _)
+  )
+
+  // ts mirrors TextAnalysis.tokens (lowercased ' +' split); rawTs is
+  // the case-preserving variant SegmentDedup uses (exact dedup is
+  // byte-exact, so no lowering there).
+  private val tokCte =
+    """tok AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(trim(text)), ' '),
+                            t -> t <> '') AS ts
+         FROM documents
+       )"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_paragraph" ->
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents
+           WHERE doc_id % 10 = 0
+         ),
+         tk AS (
+           SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '), t -> t <> '')
+                    AS ts
+           FROM u
+         ),
+         segs AS (
+           SELECT doc_id,
+                  unnest([struct_pack(
+                            seg_idx := i - 1,
+                            segment := array_to_string(
+                              ts[(i-1)*8+1:(i-1)*8+8], ' '))
+                          for i in range(1,
+                            CAST(ceil(len(ts) / 8.0) AS BIGINT) + 1)]) AS u
+           FROM tk WHERE len(ts) > 0
+         ),
+         s2 AS (SELECT doc_id, CAST(u.seg_idx AS INT) AS seg_idx,
+                       u.segment AS segment
+                FROM segs),
+         kept AS (
+           SELECT doc_id, seg_idx, segment FROM (
+             SELECT s2.*, row_number() OVER (
+                      PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn
+             FROM s2)
+           WHERE rn = 1
+         ),
+         reasm AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  array_to_string(list(segment ORDER BY seg_idx), ' ')
+                    AS clean_text
+           FROM kept GROUP BY doc_id
+         ),
+         tot AS (SELECT doc_id, count(*) AS n_segments FROM s2
+                 GROUP BY doc_id)
+         SELECT t.doc_id,
+                coalesce(r.clean_text, '') AS clean_text,
+                CAST(t.n_segments AS INT) AS n_segments,
+                CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+                CAST(t.n_segments - coalesce(r.n_kept, 0) AS INT)
+                  AS n_dropped
+         FROM tot t LEFT JOIN reasm r USING (doc_id)
+         ORDER BY doc_id""",
+
+    "text_normalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                  ' +', ' ', 'g')) AS norm_text,
+                CAST(length(text) AS INT) AS n_chars_before,
+                CAST(length(trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                  ' +', ' ', 'g'))) AS INT) AS n_chars_after
+         FROM documents ORDER BY doc_id""",
+
+    "text_tfidf_topk" ->
+      (s"""WITH $tokCte,
+          t AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+          tf AS (SELECT doc_id, term, count(*) AS tf
+                 FROM t GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+          SELECT doc_id, rank, term, tf, df FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                   CAST(row_number() OVER (
+                     PARTITION BY tf.doc_id
+                     ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS INT)
+                     AS rank
+            FROM tf JOIN dfq USING (term))
+          WHERE rank <= 3
+          ORDER BY doc_id, rank"""),
+
+    "pack_sequences" ->
+      (s"""WITH $tokCte,
+          n AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+                       md5('pack' || CAST(doc_id AS VARCHAR)) AS h
+                FROM tok),
+          p AS (SELECT doc_id, n_tokens, substr(h, 1, 2) AS bucket,
+                       sum(CAST(n_tokens AS BIGINT)) OVER (
+                         PARTITION BY substr(h, 1, 2) ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens
+                         AS tok_offset
+                FROM n)
+          SELECT doc_id, n_tokens, bucket,
+                 CAST(tok_offset AS BIGINT) AS tok_offset,
+                 CAST(tok_offset // 512 AS BIGINT) AS bin_id
+          FROM p ORDER BY doc_id"""),
+
+    "samp_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+                    GROUP BY source),
+         m AS (SELECT max(n) AS nmax FROM c),
+         r AS (SELECT source, n, nmax,
+                      printf('%04x', CAST(least(65535, greatest(1,
+                        floor(sqrt(CAST(n AS DOUBLE) / nmax) * 65536)))
+                        AS BIGINT)) AS thr
+               FROM c, m)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN r USING (source)
+         WHERE r.n = r.nmax
+            OR substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 4) < r.thr
+         ORDER BY doc_id""",
+
+    // floor(x·64): power-of-two multiply is IEEE-exact on the
+    // float→double cast, so codes are bit-identical cross-engine
+    "emb_quantize" ->
+      """SELECT vec_id,
+                array_to_string(list_transform(embedding::DOUBLE[], x ->
+                  CAST(greatest(-128, least(127, floor(x * 64)))
+                       AS BIGINT)), ',') AS codes,
+                CAST(len(list_filter(embedding::DOUBLE[], x ->
+                  floor(x * 64) < -128 OR floor(x * 64) > 127)) AS INT)
+                  AS n_clipped
+         FROM embeddings ORDER BY vec_id""",
+
+    "sim_q8_topk" ->
+      """WITH qc AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[], x ->
+                    greatest(-128, least(127, floor(x * 64)))) AS c
+           FROM embeddings
+         ),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  CAST(list_reduce(list_transform(q.c, (x, i) -> x * c.c[i]),
+                                   (a, b) -> a + b) AS BIGINT) AS qdot
+           FROM qc q JOIN qc c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id % 50 = 0
+         )
+         SELECT query_id, rank, cand_id, qdot
+         FROM (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY qdot DESC, cand_id) AS INT)
+                 AS rank
+               FROM scored)
+         WHERE rank <= 10
+         ORDER BY query_id, rank""",
+
+    // stage 1 = sim_q8_topk's integer ranking at m=30; stage 2 = the
+    // exact float cosine of sim_cosine_topk's oracle over just those
+    // candidates (index-order sums — cross-engine bit-exact)
+    "sim_q8_rerank" ->
+      """WITH qc AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[], x ->
+                    greatest(-128, least(127, floor(x * 64)))) AS c
+           FROM embeddings
+         ),
+         s1 AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  CAST(list_reduce(list_transform(q.c, (x, i) -> x * c.c[i]),
+                                   (a, b) -> a + b) AS BIGINT) AS qdot
+           FROM qc q JOIN qc c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id % 50 = 0
+         ),
+         cand AS (
+           SELECT query_id, cand_id
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY qdot DESC, cand_id)
+                   AS rn
+                 FROM s1)
+           WHERE rn <= 30
+         ),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         n AS (
+           SELECT vec_id, vd,
+                  sqrt(list_reduce(list_transform(vd, (x, i) -> x * vd[i]),
+                                   (a, b) -> a + b)) AS nrm
+           FROM v
+         ),
+         rer AS (
+           SELECT cand.query_id, cand.cand_id,
+                  list_reduce(list_transform(q.vd, (x, i) -> x * c.vd[i]),
+                              (a, b) -> a + b) / (q.nrm * c.nrm) AS cosine
+           FROM cand
+           JOIN n q ON q.vec_id = cand.query_id
+           JOIN n c ON c.vec_id = cand.cand_id
+         )
+         SELECT query_id, rank, cand_id, cosine
+         FROM (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT)
+                 AS rank
+               FROM rer)
+         WHERE rank <= 10
+         ORDER BY query_id, rank"""
+  )
+}

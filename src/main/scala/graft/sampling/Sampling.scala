@@ -102,6 +102,40 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Temperature-flattened group mix at α = 0.5: group `g` keeps a
+    * hash-fraction rate_g = √(n_g / n_max) of its rows — the standard
+    * "raise rare languages/domains, cap the dominant one" rebalance
+    * (multilingual-pretraining temperature sampling), at the one α
+    * whose power function (sqrt) IEEE-754 requires to be correctly
+    * rounded, so the per-group thresholds are bit-identical across
+    * engines and the whole decision is oracle-checkable. (General α
+    * via `pow` works identically but `pow` is not correctly-rounded,
+    * so cross-engine conformance would need a quantized-rate table.)
+    *
+    * Scale: the rate table is one row per group (metadata-scale,
+    * broadcast); the corpus itself is touched by one counting pass and
+    * one filtering pass, both shuffle-free on the big side. */
+  def temperatureSqrtMix(df: DataFrame, groupCol: String, idCol: String,
+      salt: String = "temp"): DataFrame = {
+    requireFresh(df, "__n", "__nmax", "__thr")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val mx = counts.agg(max(col("__n")).as("__nmax"))
+    // 16-bit quantized threshold as a 4-hex string (same comparison
+    // convention as hashSplit); rate < 1 whenever __n < __nmax, so the
+    // floor is always <= 65535 and 4 hex digits suffice
+    // clamp to [1, 65535]: the upper clamp matters because n/nmax can
+    // ROUND to 1.0 for n = nmax-1 at huge nmax, and hex(65536) is 5
+    // digits (lpad truncates, silently corrupting the threshold)
+    val rates = counts.crossJoin(broadcast(mx)).withColumn("__thr",
+      lower(lpad(hex(least(lit(65535L), greatest(lit(1L),
+        floor(sqrt(col("__n").cast("double") / col("__nmax")) * 65536)))),
+        4, "0")))
+    df.join(broadcast(rates), groupCol)
+      .filter(col("__n") === col("__nmax") ||   // rate 1: keep all
+        substring(idHash(col(idCol), salt), 1, 4) < col("__thr"))
+      .drop("__n", "__nmax", "__thr")
+  }
+
   /** Per-group cap: at most `maxPerGroup` rows per group, chosen by
     * hash order — rebalances a skewed group mix (the "downsample the
     * dominant domain" step of a data-mixing pipeline). */

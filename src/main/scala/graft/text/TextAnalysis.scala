@@ -135,6 +135,45 @@ object TextAnalysis {
       .drop("__wchars")
   }
 
+  // --- Canonicalization: the normalize-before-shingle step of a dedup
+  //     pipeline (lowercase, strip punctuation to spaces, collapse
+  //     whitespace runs, trim). Idempotent by construction; the regexes
+  //     stay in the portable subset so the DuckDB oracle mirrors them
+  //     verbatim. Pure codegen'd projection — linear, no shuffle.
+  def normalize(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("n_chars_before", length(col(textCol)))
+      .withColumn("n_chars_after", length(col("norm_text")))
+
+  /** Per-document distinctive terms — tf-idf's ranking without its
+    * float: terms ranked by (tf DESC, df ASC, term ASC). For any fixed
+    * document that order is EXACTLY the tf·log(N/df) order (log is
+    * monotone decreasing in df; N is constant), so the top-k matches
+    * real tf-idf while every sort key stays an integer — cross-engine
+    * exact where a float idf would need summation-order pinning.
+    *
+    * Scale: token explode → two hash aggregations (doc-term tf, term
+    * df — both partial-agg combinable) → one shuffle join on term →
+    * per-doc rank window. The df join is term-sharded; a hot term is
+    * one row on the df side, so no skew amplification. */
+  def distinctiveTerms(df: DataFrame, idCol: String,
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // one row per (doc, term) in tf, so count(*) here IS document freq
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df")
+  }
+
   // --- PII scrubbing: count + redact email addresses and URLs.
   //     Patterns stay in the portable regex subset (character classes,
   //     bounded quantifiers — identical semantics in Java regex and

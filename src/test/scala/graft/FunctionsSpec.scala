@@ -45,6 +45,35 @@ class FunctionsSpec extends AnyFunSuite {
     new graft.functions.GraftExtensions()
   }
 
+  test("array_dot_i8: byte kernel matches the double HOF path on real codes") {
+    import graft.functions.ArrayDotI8.array_dot_i8
+    val e = Tables.embeddings(spark, sf0001).limit(50)
+      .withColumn("q8", graft.sim.Quantize.q8Codes(col("embedding"), 64))
+    val both = e.select(
+      array_dot_i8(col("q8"), col("q8")).as("fast"),
+      expr("""aggregate(
+                zip_with(q8, q8, (x, y) -> cast(x AS bigint) * cast(y AS bigint)),
+                0L, (acc, v) -> acc + v)""").as("ref"))
+      .as[(Long, Long)].collect()
+    assert(both.forall { case (f, r) => f == r })
+    // null array → null; null elements contribute zero; ragged-safe
+    // (Seq[Byte], not Array[Byte]: the latter encodes as BinaryType)
+    val edge = Seq(
+      (Some(Seq[Byte](127, -128)), Some(Seq[Byte](127, -128, 5))),
+      (Some(Seq[Byte](1)), None))
+      .toDF("a", "b")
+    val rows = edge.select(array_dot_i8(col("a"), col("b"))).collect()
+    assert(rows(0).getLong(0) == 127L * 127 + 128L * 128)
+    assert(rows(1).isNullAt(0))
+    // SQL registration
+    graft.functions.GraftFunctions.registerAll(spark)
+    val s = spark.sql(
+      """SELECT array_dot_i8(array(CAST(2 AS TINYINT), CAST(-3 AS TINYINT)),
+                             array(CAST(4 AS TINYINT), CAST(5 AS TINYINT))) AS d""")
+      .as[Long].head()
+    assert(s == -7L)
+  }
+
   test("SourceGuard.retry: recovers after transient failures, None after budget") {
     var calls = 0
     val ok = SourceGuard.retry(3, 0, _ => ()) {

@@ -58,7 +58,8 @@ class RegistrySpec extends AnyFunSuite {
       "a5_", "a6_", "a7_", "f4_", "f5_", "f6_", "f7_", "f10_", "f11_",
       "f12_", "f13_", "f14_", "f15_", "f16_", "p1_", "p2_", "j1_",
       "j2_", "j3_", "j4_", "j5_", "w1_", "w3_", "o1_", "o2_", "u1_",
-      "u2_", "t4_", "pgn_", "dedup_", "text_", "sim_", "mm_")
+      "u2_", "t4_", "pgn_", "dedup_", "text_", "sim_", "mm_",
+      "samp_", "pack_", "emb_", "vocab_")
     val missing = families.filterNot(f => keys.exists(_.startsWith(f)))
     assert(missing.isEmpty, s"no query for operator families: $missing")
   }

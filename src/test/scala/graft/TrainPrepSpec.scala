@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sampling.Sampling
+import graft.sim.Quantize
+import graft.text.{Packing, SegmentDedup, TextAnalysis}
+
+/** Semantic checks for the round-4 training-prep tier (beyond the
+  * DuckDB hash conformance): segment-dedup keep rules, quantizer
+  * exactness and tile invariance, packing conservation, temperature
+  * rates, normalization idempotence, tf-idf ordering. */
+class TrainPrepSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // --- SegmentDedup -------------------------------------------------
+
+  test("dedupSegments: exact copy loses everything, first doc keeps all") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),        // 2 segments of 8 -> [8w][2w]
+      (2L, "a b c d e f g h i j"),        // exact copy: all dropped
+      (3L, "x y z a b c d e f g h i j")   // different 8-grams: kept
+    ).toDF("doc_id", "text")
+    val out = SegmentDedup.dedupSegments(df, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int, Int)].collect()
+    assert(out(0) == ((1L, "a b c d e f g h i j", 2, 2, 0)))
+    assert(out(1) == ((2L, "", 2, 0, 2)))
+    // doc 3's windows differ from doc 1's, so both survive intact
+    assert(out(2) == ((3L, "x y z a b c d e f g h i j", 2, 2, 0)))
+  }
+
+  test("dedupSegments: within-doc repeats drop; reassembly preserves order") {
+    // segWords=2 -> segments: [p q][p q][r s] — the second [p q] drops
+    val df = Seq((7L, "p q p q r s")).toDF("doc_id", "text")
+    val out = SegmentDedup.dedupSegments(df, "doc_id", "text", 2)
+      .as[(Long, String, Int, Int, Int)].head()
+    assert(out == ((7L, "p q r s", 3, 2, 1)))
+  }
+
+  test("dedupSegments: hash-keyed production path ≡ text-keyed output") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val byText = SegmentDedup.dedupSegments(docs, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int, Int)].collect()
+    val byHash = SegmentDedup
+      .dedupSegments(docs, "doc_id", "text", 8, hashKeys = true)
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int, Int)].collect()
+    assert(byText.sameElements(byHash))
+  }
+
+  test("segments: empty text yields no segments") {
+    val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(SegmentDedup.segments(df, "doc_id", "text", 4).count() == 0)
+  }
+
+  // --- Quantize -----------------------------------------------------
+
+  test("q8Codes: clamp and floor semantics, scale must be a power of two") {
+    val df = Seq((1L, Array(0.5f, -0.5f, 3.0f, -3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val codes = df.select(Quantize.q8Codes(col("embedding"), 64))
+      .as[Seq[Byte]].head()
+    assert(codes == Seq[Byte](32, -32, 127, -128, 0))
+    intercept[IllegalArgumentException](Quantize.q8Codes(col("embedding"), 48))
+  }
+
+  test("quantize: n_clipped counts saturated dims") {
+    val df = Seq((1L, Array(3.0f, -3.0f, 0.1f))).toDF("vec_id", "embedding")
+    val n = Quantize.quantize(df).select("n_clipped").as[Int].head()
+    assert(n == 2)
+  }
+
+  test("q8TopK: tile count does not change results; agrees with direct recompute") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pred = col("vec_id") % 50 === 0
+    val t1 = Quantize.q8TopK(emb, pred, k = 5, numTiles = 1)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Long)].collect()
+    val t3 = Quantize.q8TopK(emb, pred, k = 5, numTiles = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(t1.sameElements(t3))
+    // direct recompute of one query's ranking on the driver
+    val all = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    def code(x: Float): Long =
+      math.max(-128L, math.min(127L, math.floor(x.toDouble * 64).toLong))
+    val q = all.find(_._1 == t1.head._1).get
+    val qc = q._2.map(code)
+    val expect = all.filter(_._1 != q._1)
+      .map { case (id, v) =>
+        (id, v.map(code).zip(qc).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, d) => (-d, id) }.take(5)
+    val got = t1.filter(_._1 == q._1).map(r => (r._3, r._4))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("q8Rerank: exact-cosine re-ranking of the quantized candidate pool") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pred = col("vec_id") % 50 === 0
+    val out = Quantize.q8Rerank(emb, pred, k = 5, m = 20)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect()
+    val all = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    def code(x: Float): Long =
+      math.max(-128L, math.min(127L, math.floor(x.toDouble * 64).toLong))
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val q = all.find(_._1 == out.head._1).get
+    val qc = q._2.map(code)
+    val qd = q._2.map(_.toDouble)
+    val qn = math.sqrt(dot(qd, qd))
+    val pool = all.filter(_._1 != q._1)
+      .map { case (id, v) =>
+        (id, v.map(code).zip(qc).map { case (a, b) => a * b }.sum, v) }
+      .sortBy { case (id, d, _) => (-d, id) }.take(20)
+    val expect = pool.map { case (id, _, v) =>
+        val vd = v.map(_.toDouble)
+        (id, dot(qd, vd) / (qn * math.sqrt(dot(vd, vd)))) }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    val got = out.filter(_._1 == q._1).map(r => (r._3, r._4))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  // --- Packing ------------------------------------------------------
+
+  test("packSequences: offsets are per-bucket prefix sums; bins by start token") {
+    val docs = Tables.documents(spark, sf0001).withColumn("n_tokens",
+      size(filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)))
+    val out = Packing.packSequences(docs, "doc_id", "n_tokens", 512)
+      .select("doc_id", "n_tokens", "bucket", "offset", "bin_id")
+      .as[(Long, Int, String, Long, Long)].collect()
+    assert(out.length == docs.count())
+    // per bucket: sorted offsets tile exactly (conservation: next offset
+    // = prev offset + prev length), and every bin_id = offset div 512
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._2)
+        case _ =>
+      }
+      sorted.foreach(r => assert(r._5 == r._4 / 512))
+    }
+    // deterministic: same assignment on re-run
+    val again = Packing.packSequences(docs, "doc_id", "n_tokens", 512)
+      .select("doc_id", "n_tokens", "bucket", "offset", "bin_id")
+      .as[(Long, Int, String, Long, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  // --- temperature mix ----------------------------------------------
+
+  test("temperatureSqrtMix: dominant group fully kept, rates ~ sqrt(n/nmax)") {
+    val docs = Tables.documents(spark, sf001)
+    val before = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val nmax = before.values.max
+    val after = Sampling.temperatureSqrtMix(docs, "source", "doc_id")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val dominant = before.maxBy(_._2)._1
+    assert(after(dominant) == before(dominant))
+    // every group's realized rate is within 4 sigma of sqrt(n/nmax)
+    before.foreach { case (src, n) =>
+      val rate = math.sqrt(n.toDouble / nmax)
+      val kept = after.getOrElse(src, 0L).toDouble
+      val sigma = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(kept - n * rate) <= 4 * sigma + 1,
+        s"$src: kept $kept of $n, expected ~${n * rate}")
+    }
+  }
+
+  // --- normalize / tf-idf -------------------------------------------
+
+  test("normalize is idempotent and strips to [a-z0-9 ]") {
+    val df = Seq((1L, "  Hello,   WORLD!! x_1  ")).toDF("doc_id", "text")
+    val once = TextAnalysis.normalize(df).select("norm_text").as[String].head()
+    assert(once == "hello world x 1")
+    val twice = TextAnalysis.normalize(
+      Seq((1L, once)).toDF("doc_id", "text"))
+      .select("norm_text").as[String].head()
+    assert(twice == once)
+  }
+
+  test("distinctiveTerms ranks by (tf desc, df asc, term)") {
+    val df = Seq(
+      (1L, "zz zz zz common rare"),
+      (2L, "common common other")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.distinctiveTerms(df, "doc_id", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Int, String, Long, Long)].collect()
+    // doc 1: zz tf=3 wins; tie tf=1 between common(df=2) and rare(df=1)
+    // -> rare first by df asc
+    assert(out(0) == ((1L, 1, "zz", 3L, 1L)))
+    assert(out(1) == ((1L, 2, "rare", 1L, 1L)))
+    // doc 2: common tf=2; then other (df=1)
+    assert(out(2) == ((2L, 1, "common", 2L, 2L)))
+    assert(out(3) == ((2L, 2, "other", 1L, 1L)))
+  }
+}
