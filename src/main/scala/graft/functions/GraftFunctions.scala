@@ -20,7 +20,7 @@ object GraftFunctions {
     ArrayDotProduct(exprs.head, exprs(1))
   }
 
-  private def arrayDotI8Builder(exprs: Seq[Expression]): Expression = {
+  private[graft] def arrayDotI8Builder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "array_dot_i8(a, b) takes two arguments")
     ArrayDotI8(exprs.head, exprs(1))
   }
@@ -82,6 +82,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.wordNGramsBuilder))
     e.injectFunction((FunctionIdentifier("array_dot_i8"),
       GraftFunctions.arrayDotI8Info,
-      exprs => ArrayDotI8(exprs.head, exprs(1))))
+      GraftFunctions.arrayDotI8Builder))
   }
 }

@@ -33,8 +33,9 @@ object Sampling {
 
   /** Output/temp names are reserved: an input already carrying one
     * would be silently overwritten (withColumn replaces) or dropped —
-    * fail fast instead. */
-  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    * fail fast instead. (Shared with [[graft.text.Packing]], which has
+    * the same reserved-name contract.) */
+  private[graft] def requireFresh(df: DataFrame, names: String*): Unit = {
     val clash = names.filter(df.columns.contains)
     require(clash.isEmpty,
       s"input already has reserved sampling column(s) " +

@@ -67,10 +67,12 @@ object Quantize {
     val codes = q8Codes(col("embedding"), scale)
     val corpus = embeddings.select(col("vec_id"), codes.as("__cc"))
     // checkpoint the (small) query projection so each tile's branch
-    // re-reads it instead of re-running the corpus filter numTiles times
-    val qAll = embeddings.filter(queryPred)
+    // re-reads it instead of re-running the corpus filter numTiles
+    // times; with one tile there is one consumer and the eager
+    // checkpoint job would be pure overhead
+    val qProj = embeddings.filter(queryPred)
       .select(col("vec_id").as("query_id"), codes.as("__qc"))
-      .localCheckpoint()
+    val qAll = if (numTiles == 1) qProj else qProj.localCheckpoint()
     val w = Window.partitionBy("query_id")
       .orderBy(col("qdot").desc, col("cand_id"))
     val perTile = (0 until numTiles).map { t =>

@@ -35,6 +35,7 @@ object Packing {
   def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
       budget: Int, salt: String = "pack"): DataFrame = {
     require(budget > 0, "budget must be positive")
+    Sampling.requireFresh(df, "__h", "bucket", "offset", "bin_id")
     val h = Sampling.idHash(col(idCol), salt)
     val w = Window.partitionBy("bucket").orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
