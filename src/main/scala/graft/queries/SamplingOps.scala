@@ -52,7 +52,15 @@ object SamplingOps extends QueryModule {
       .select("doc_id", "lang", "mix_source")
   }
 
+  // Fixed-100 eval-set carve — plans as TakeOrderedAndProject (per-
+  // partition limit + one 100-row merge), never a global sort.
+  private def sampFixedN(s: SparkSession, d: String): DataFrame =
+    Sampling.fixedSample(Tables.documents(s, d), "doc_id", 100)
+      .orderBy("doc_id")
+      .select("doc_id", "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_fixed_n"         -> (sampFixedN _),
     "samp_train_test"      -> (sampTrainTest _),
     "samp_train_test_rows" -> (sampTrainTestRows _),
     "samp_stratified"      -> (sampStratified _),
@@ -66,6 +74,13 @@ object SamplingOps extends QueryModule {
             THEN 'train' ELSE 'test' END"""
 
   val oracles: Map[String, String] = Map(
+    "samp_fixed_n" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang FROM documents
+           ORDER BY md5('fix' || CAST(doc_id AS VARCHAR)), doc_id
+           LIMIT 100)
+         ORDER BY doc_id""",
+
     "samp_train_test" ->
       s"""SELECT lang, $splitCase AS split, count(*) AS n
           FROM documents

@@ -137,6 +137,21 @@ object Sampling {
       .drop("__n", "__nmax", "__thr")
   }
 
+  /** Exactly `n` rows (corpus permitting), chosen by hash order — the
+    * "carve a fixed-size eval/calibration set" operator. Unlike
+    * [[hashSplit]]'s rate-based membership, a fixed-N sample is
+    * necessarily growth-SENSITIVE (new rows can hash below the old
+    * n-th rank and displace members); use hashSplit when assignment
+    * stability matters more than exact size.
+    *
+    * Scale: plans as a distributed top-k (TakeOrderedAndProject —
+    * per-partition limit, then one n-row merge), never a global sort. */
+  def fixedSample(df: DataFrame, idCol: String, n: Int,
+      salt: String = "fix"): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.orderBy(idHash(col(idCol), salt), col(idCol)).limit(n)
+  }
+
   /** Per-group cap: at most `maxPerGroup` rows per group, chosen by
     * hash order — rebalances a skewed group mix (the "downsample the
     * dominant domain" step of a data-mixing pipeline). */

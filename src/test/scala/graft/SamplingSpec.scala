@@ -35,6 +35,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(resalted.exists { case (id, s) => full(id) != s })
   }
 
+  test("fixedSample: exact size, reproducible, nested across sizes") {
+    val s100 = Sampling.fixedSample(docs, "doc_id", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s100.size == 100)
+    val again = Sampling.fixedSample(docs, "doc_id", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s100 == again)
+    // hash-order prefixes nest: the 100-sample is inside the 150-sample
+    val s150 = Sampling.fixedSample(docs, "doc_id", 150)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s100.subsetOf(s150))
+    // n >= corpus: returns everything
+    val all = Sampling.fixedSample(docs, "doc_id", 1000000)
+      .select("doc_id").as[Long].collect()
+    assert(all.length == docs.count())
+  }
+
   test("reserved output/temp column names fail fast on collision") {
     intercept[IllegalArgumentException](
       Sampling.hashSplit(docs.withColumn("split", lit("x")), "doc_id", 0.8))

@@ -58,6 +58,34 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(SegmentDedup.segments(df, "doc_id", "text", 4).count() == 0)
   }
 
+  test("dedupSegments property: on an all-unique corpus the pass is identity") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // docs of random word counts (including non-multiples of segWords);
+    // per-doc distinct vocabularies => no segment can repeat anywhere,
+    // so every segment survives and reassembly must reproduce the
+    // whitespace-normalized text exactly
+    val gen = Gen.choose(1, 40)
+    val prop = Prop.forAll(Gen.listOfN(6, gen), Gen.choose(1, 9)) {
+      (lens: List[Int], segWords: Int) =>
+        val rows = lens.zipWithIndex.map { case (n, i) =>
+          (i.toLong, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+        }
+        val out = SegmentDedup
+          .dedupSegments(rows.toDF("doc_id", "text"), "doc_id", "text",
+            segWords)
+          .orderBy("doc_id")
+          .as[(Long, String, Int, Int, Int)].collect()
+        out.length == rows.length && out.zip(rows).forall {
+          case ((id, clean, nSeg, nKept, nDrop), (rid, text)) =>
+            id == rid && clean == text && nKept == nSeg && nDrop == 0 &&
+              nSeg == math.ceil(text.split(" ").length / segWords.toDouble).toInt
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // --- Quantize -----------------------------------------------------
 
   test("q8Codes: clamp and floor semantics, scale must be a power of two") {
