@@ -213,6 +213,51 @@ object DataOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The whole curation pipeline composed end-to-end over a planted
+    * corpus (originals ∪ copies of every 10th doc): Gopher quality
+    * gate → exact dedup (keep-first-by-id) → near-dup keep decision
+    * (Jaccard clusters, canonical = min member) → train/test split.
+    * One row per document with every stage's verdict — the "switch
+    * your pipeline to this library" query. All four stages are
+    * individually hash-proven; this entry proves their COMPOSITION
+    * against one SQL transcript of the same rules.
+    *
+    * Scale notes: the exact stage's text-keyed arg-min/join would key
+    * on xxhash64(text) in production (Dedup scaladoc); the cluster
+    * table is metadata-scale and broadcasts; gate and split are pure
+    * projections. Planted copies keep every branch live: a copy is
+    * exact-dup AND near-loser; organic near-dups hit only the near
+    * branch; short docs hit only the gate. */
+  private def pipelineCurate(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    // planted ids live above 100000 (same fixture bound as the other
+    // planted entries — fail fast on overlap)
+    require(base.agg(max("doc_id")).head().getLong(0) < 100000L,
+      "pipeline_curate planting assumes doc_id < 100000")
+    val u = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val clusters = Dedup.connectedComponents(
+      Dedup.jaccardPairs(u, "doc_id", "text", 0.3).select("id1", "id2"))
+    val gated = graft.text.TextAnalysis.qualityGate(u)
+      .select(col("doc_id"), col("text"), col("keep").as("keep_quality"))
+    // arg-min by aggregation (no text-partitioned window); renamed
+    // columns — firstByText derives from u, same-name join columns
+    // would hit ambiguous-self-join resolution
+    val firstByText = u.groupBy("text").agg(min("doc_id").as("__first_id"))
+      .withColumnRenamed("text", "__t")
+    val labeled = gated.join(firstByText, col("text") === col("__t"))
+      .withColumn("is_exact_dup", col("doc_id") =!= col("__first_id"))
+      .join(broadcast(clusters), col("doc_id") === col("id"), "left")
+      .withColumn("is_near_loser",
+        coalesce(col("cluster_id") =!= col("doc_id"), lit(false)))
+      .withColumn("admitted",
+        col("keep_quality") && !col("is_exact_dup") && !col("is_near_loser"))
+    graft.sampling.Sampling.hashSplit(labeled, "doc_id", 0.8)
+      .select("doc_id", "keep_quality", "is_exact_dup", "is_near_loser",
+        "admitted", "split")
+      .orderBy("doc_id")
+  }
+
   // Production-path conformance for the xxhash64 shingle-key dedup
   // (the no-global-sort path promised by Dedup.shingleHash): MinHash/LSH
   // and SimHash candidate sets, each measured as recall against the
@@ -416,6 +461,7 @@ object DataOps extends QueryModule {
     "dedup_keep_best"      -> (dedupKeepBest _),
     "text_decontaminate"   -> (textDecontaminate _),
     "dedup_incremental"    -> (dedupIncremental _),
+    "pipeline_curate"      -> (pipelineCurate _),
     "dedup_prod_paths"     -> (dedupProdConformance _),
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
     "text_langid"          -> (textLangid _),
@@ -441,14 +487,20 @@ object DataOps extends QueryModule {
 
   // ts mirrors TextAnalysis.tokens (split on ' +'): single-space split
   // with empty fragments removed ≡ regex runs-of-spaces split.
-  private val tokCte =
-    """tok AS (
+  // Parameterized on the source relation so the planted-corpus
+  // composition (pipeline_curate) reuses the SAME definition — the
+  // tokenization cannot drift between the per-operator oracles and the
+  // composed one.
+  private def tokCteFor(src: String) =
+    s"""tok AS (
          SELECT doc_id,
                 list_filter(string_split(lower(trim(text)), ' '),
                             t -> t <> '') AS ts,
                 text
-         FROM documents
+         FROM $src
        )"""
+
+  private val tokCte = tokCteFor("documents")
 
   private val shCte =
     """sh AS (
@@ -536,6 +588,46 @@ object DataOps extends QueryModule {
                  max(CASE WHEN rn = 1 THEN quality END) AS best_quality,
                  count(*) AS n_members
           FROM m GROUP BY cluster_id ORDER BY cluster_id"""),
+
+    // Composition entry: every stage's rule is copied VERBATIM from its
+    // per-operator oracle (gate = text_quality_gate, pairs/labels = the
+    // shared jp/cc CTEs over the planted corpus, split = samp_train_test's
+    // 0.8 'cccc' threshold) — the transcript proves the stages compose.
+    "pipeline_curate" ->
+      (s"""WITH RECURSIVE u AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 100000 AS doc_id, text FROM documents
+             WHERE doc_id % 10 = 0
+           ),
+           ${tokCteFor("u")}, $shCte, $jpCte, $ccCte,
+           m AS (
+             SELECT doc_id,
+                    (CAST(len(ts) AS INT) BETWEEN 30 AND 10000)
+                      AND ((CASE WHEN len(ts) > 0
+                            THEN CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / len(ts)
+                            ELSE 0.0 END) BETWEEN 3.0 AND 10.0)
+                      AND ((CASE WHEN length(text) > 0
+                            THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)
+                            ELSE 0.0 END) <= 0.1) AS keep_quality
+             FROM tok),
+           ex AS (
+             SELECT doc_id,
+                    doc_id <> min(doc_id) OVER (PARTITION BY text)
+                      AS is_exact_dup
+             FROM u)
+           SELECT d.doc_id, m.keep_quality, ex.is_exact_dup,
+                  coalesce(lab.id <> lab.cluster_id, FALSE) AS is_near_loser,
+                  m.keep_quality AND NOT ex.is_exact_dup
+                    AND NOT coalesce(lab.id <> lab.cluster_id, FALSE)
+                    AS admitted,
+                  CASE WHEN substr(md5('split' || CAST(d.doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                       THEN 'train' ELSE 'test' END AS split
+           FROM u d
+           JOIN m ON m.doc_id = d.doc_id
+           JOIN ex ON ex.doc_id = d.doc_id
+           LEFT JOIN lab ON lab.id = d.doc_id
+           ORDER BY d.doc_id"""),
 
     "dedup_incremental" ->
       (s"""WITH $tokCte, $shCte, $jpCte,

@@ -427,4 +427,17 @@ class DataOpsSpec extends AnyFunSuite {
     val sk2 = Dedup.simhash(enc, 32).orderBy("id").collect()
     assert(sk1.sameElements(sk2))
   }
+
+  test("pipeline_curate: every composed branch is live on the planted corpus") {
+    val out = SparkEntry.queries("pipeline_curate")(spark, sf0001)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, String)].collect()
+    assert(out.exists(!_._2), "gate rejects nothing")
+    assert(out.exists(_._3), "no exact dup (planting broken)")
+    assert(out.exists(r => r._4 && !r._3), "no organic near-dup loser")
+    assert(out.exists(_._5), "nothing admitted")
+    // every planted copy is an exact dup, a near loser, and rejected
+    val planted = out.filter(_._1 >= 100000L)
+    assert(planted.nonEmpty && planted.forall(r => r._3 && r._4 && !r._5))
+    assert(out.map(_._6).distinct.sorted.toSeq == Seq("test", "train"))
+  }
 }
