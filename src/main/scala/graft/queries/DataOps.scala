@@ -140,12 +140,7 @@ object DataOps extends QueryModule {
     // engines mirror the planting). Planted docs are not in the shared
     // shingle index, so they exercise the exact branch specifically —
     // the near branch is exercised by the organic doc_id%4 slice.
-    // planted ids live above 100000; if the corpus ever reaches that
-    // range the planted and organic id spaces would overlap and the
-    // Spark plan and oracle would disagree on the duplicated id — fail
-    // fast instead (conformance fixture bound, not an operator limit)
-    require(docs.agg(max("doc_id")).head().getLong(0) < 100000L,
-      "dedup_incremental planting assumes doc_id < 100000")
+    Planting.requireHeadroom(docs, "doc_id", "dedup_incremental")
     val planted = docs.filter(col("doc_id") % 40 === 1)
       .select((lit(100000L) + col("doc_id") * 4).as("doc_id"), col("text"))
     val incoming = docs.filter(col("doc_id") % 4 === 0)
@@ -229,13 +224,21 @@ object DataOps extends QueryModule {
     * exact-dup AND near-loser; organic near-dups hit only the near
     * branch; short docs hit only the gate. */
   private def pipelineCurate(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).select("doc_id", "text")
-    // planted ids live above 100000 (same fixture bound as the other
-    // planted entries — fail fast on overlap)
-    require(base.agg(max("doc_id")).head().getLong(0) < 100000L,
-      "pipeline_curate planting assumes doc_id < 100000")
-    val u = base.unionByName(base.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    // text is coalesced to '' at the corpus seam: a NULL text would
+    // otherwise vanish in the text-keyed exact-dedup join (NULL never
+    // equi-joins) while the oracle keeps the row — normalizing once
+    // makes every downstream stage null-free and engine-identical.
+    // The planted union feeds three full-corpus consumers (shingle
+    // scan, gate, exact arg-min) — memoized + persisted so they share
+    // one materialization; the headroom guard runs once in the build.
+    val u = SessionMemo(s, d, "curate_u") {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      Planting.requireHeadroom(base, "doc_id", "pipeline_curate")
+      base.unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + Planting.Offset).as("doc_id"), col("text")))
+        .persist()
+    }
     val clusters = Dedup.connectedComponents(
       Dedup.jaccardPairs(u, "doc_id", "text", 0.3).select("id1", "id2"))
     val gated = graft.text.TextAnalysis.qualityGate(u)
@@ -595,9 +598,10 @@ object DataOps extends QueryModule {
     // 0.8 'cccc' threshold) — the transcript proves the stages compose.
     "pipeline_curate" ->
       (s"""WITH RECURSIVE u AS (
-             SELECT doc_id, text FROM documents
+             SELECT doc_id, coalesce(text, '') AS text FROM documents
              UNION ALL
-             SELECT doc_id + 100000 AS doc_id, text FROM documents
+             SELECT doc_id + 100000 AS doc_id, coalesce(text, '') AS text
+             FROM documents
              WHERE doc_id % 10 = 0
            ),
            ${tokCteFor("u")}, $shCte, $jpCte, $ccCte,

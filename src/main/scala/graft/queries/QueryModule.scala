@@ -44,6 +44,22 @@ object SessionMemo {
   }
 }
 
+/** Shared guard for conformance entries that plant duplicate rows
+  * above a fixed id offset: fail fast (with a clear message, not an
+  * NPE on an empty table) if the organic id space ever grows into the
+  * planted range — there the Spark plan and the oracle could disagree
+  * on the doubled id. A fixture bound, not an operator limit. */
+object Planting {
+  val Offset = 100000L
+
+  def requireHeadroom(df: DataFrame, idCol: String, name: String): Unit = {
+    val row = df.agg(max(idCol)).head()
+    // empty table: max is NULL — trivially under the bound
+    require(row.isNullAt(0) || row.getLong(0) < Offset,
+      s"$name planting assumes $idCol < $Offset")
+  }
+}
+
 /** Exact-arithmetic helpers shared by query modules. */
 object Exact {
   /** Cast a 2-dp double column to exact decimal (lossless for testdata

@@ -27,15 +27,12 @@ object TrainPrep extends QueryModule {
   // exercise the partial-drop branch.
   private def dedupParagraph(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    // planted ids live above 100000: an overlap with organic ids would
-    // merge two documents under one id, where Spark's reassembly
-    // tie-break (struct sort incl. segment text) and the oracle's
-    // unspecified equal-seg_idx list order diverge — fail fast
-    // (conformance fixture bound, not an operator limit)
-    require(docs.agg(max("doc_id")).head().getLong(0) < 100000L,
-      "dedup_paragraph planting assumes doc_id < 100000")
+    // an id overlap would merge two documents under one id, where
+    // Spark's reassembly tie-break (struct sort incl. segment text)
+    // and the oracle's unspecified equal-seg_idx list order diverge
+    Planting.requireHeadroom(docs, "doc_id", "dedup_paragraph")
     val planted = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + Planting.Offset).as("doc_id"), col("text"))
     SegmentDedup.dedupSegments(docs.unionByName(planted),
         "doc_id", "text", segWords = 8)
       .orderBy("doc_id")

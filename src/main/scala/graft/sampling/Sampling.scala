@@ -38,8 +38,8 @@ object Sampling {
   private[graft] def requireFresh(df: DataFrame, names: String*): Unit = {
     val clash = names.filter(df.columns.contains)
     require(clash.isEmpty,
-      s"input already has reserved sampling column(s) " +
-        s"${clash.mkString("'", "', '", "'")} — rename before sampling")
+      s"input already has reserved output/temp column(s) " +
+        s"${clash.mkString("'", "', '", "'")} — rename before calling")
   }
 
   /** A fraction as a 4-hex-digit md5-prefix threshold (16-bit
