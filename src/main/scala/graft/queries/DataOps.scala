@@ -228,9 +228,9 @@ object DataOps extends QueryModule {
     // otherwise vanish in the text-keyed exact-dedup join (NULL never
     // equi-joins) while the oracle keeps the row — normalizing once
     // makes every downstream stage null-free and engine-identical.
-    // The planted union feeds three full-corpus consumers (shingle
-    // scan, gate, exact arg-min) — memoized + persisted so they share
-    // one materialization; the headroom guard runs once in the build.
+    // The planted union feeds two full-corpus consumers (gate, exact
+    // arg-min) — memoized + persisted so they share one
+    // materialization; the headroom guard runs once in the build.
     val u = SessionMemo(s, d, "curate_u") {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
@@ -239,8 +239,17 @@ object DataOps extends QueryModule {
         .select((col("doc_id") + Planting.Offset).as("doc_id"), col("text")))
         .persist()
     }
+    // The planted corpus's shingle index is DERIVED from the memoized
+    // organic one (a copy's shingles are the original's rows under the
+    // shifted id — shingles() is per-doc deterministic, and null text
+    // produces no shingle rows either way), so the explode over the
+    // corpus is shared with the jaccard/minhash/simhash entries
+    // instead of re-run.
+    val sh = sharedShingles(s, d)
+    val plantedSh = sh.unionByName(sh.filter(col("id") % 10 === 0)
+      .select((col("id") + Planting.Offset).as("id"), col("shingle")))
     val clusters = Dedup.connectedComponents(
-      Dedup.jaccardPairs(u, "doc_id", "text", 0.3).select("id1", "id2"))
+      Dedup.jaccardPairsFromShingles(plantedSh, 0.3).select("id1", "id2"))
     val gated = graft.text.TextAnalysis.qualityGate(u)
       .select(col("doc_id"), col("text"), col("keep").as("keep_quality"))
     // arg-min by aggregation (no text-partitioned window); renamed
