@@ -21,7 +21,8 @@ object Explain {
         "text_repetition", "f1_stateful_sessions", "dedup_keep_list",
         "text_decontaminate", "dedup_incremental", "dedup_keep_best",
         "sim_ann_lsh_mp", "dedup_paragraph", "sim_q8_topk",
-        "pack_sequences", "samp_temperature", "text_tfidf_topk")
+        "pack_sequences", "samp_temperature", "text_tfidf_topk",
+        "pipeline_curate", "samp_fixed_n")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
