@@ -65,6 +65,16 @@ object TrainPrep extends QueryModule {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  // General-α temperature mixing at α = 7/10 — the quantized-rate-table
+  // path (pure integer threshold derivation, no `pow`), with the
+  // realized per-group rate exposed as rate_q so the oracle verifies
+  // the table itself, not just the kept set.
+  private def sampTemperatureAlpha(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureMix(Tables.documents(s, d), "source", "doc_id",
+        alphaNum = 7, alphaDen = 10)
+      .select("doc_id", "source", "rate_q")
+      .orderBy("doc_id")
+
   private def embQuantize(s: SparkSession, d: String): DataFrame =
     Quantize.quantize(Tables.embeddings(s, d))
       .select(col("vec_id"),
@@ -93,6 +103,7 @@ object TrainPrep extends QueryModule {
     "text_tfidf_topk" -> (textTfidfTopk _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),
+    "samp_temperature_alpha" -> (sampTemperatureAlpha _),
     "emb_quantize"    -> (embQuantize _),
     "sim_q8_topk"     -> (simQ8Topk _),
     "sim_q8_rerank"   -> (simQ8Rerank _)
@@ -216,6 +227,32 @@ object TrainPrep extends QueryModule {
          FROM documents d JOIN r USING (source)
          WHERE r.n = r.nmax
             OR substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 4) < r.thr
+         ORDER BY doc_id""",
+
+    // α = 7/10 rate table by pure integer arithmetic (a=7 threshold
+    // bits, b=8 ratio bits): t = max{t ≤ 128 : t^10·256^7 ≤ 128^10·r^7}
+    // with r = (n·256)//nmax. Every product ≤ 2^126 fits HUGEINT;
+    // 1180591620717411303424 = 128^10, 72057594037927936 = 256^7.
+    // Identical to Sampling.temperatureMix's DECIMAL(38,0) derivation.
+    "samp_temperature_alpha" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+                    GROUP BY source),
+         m AS (SELECT max(n) AS nmax FROM c),
+         r0 AS (SELECT source, n, nmax, (n * 256) // nmax AS rq FROM c, m),
+         g AS (SELECT unnest(range(1, 129)) AS t),
+         tm AS (SELECT r0.source, r0.n, r0.nmax,
+                       coalesce(max(CASE WHEN
+                         (CAST(t AS HUGEINT)*t*t*t*t*t*t*t*t*t)
+                           * 72057594037927936
+                         <= 1180591620717411303424 *
+                            (CAST(rq AS HUGEINT)*rq*rq*rq*rq*rq*rq)
+                         THEN t END), 1) AS tq
+                FROM r0, g GROUP BY r0.source, r0.n, r0.nmax)
+         SELECT d.doc_id, d.source, CAST(tm.tq AS INT) AS rate_q
+         FROM documents d JOIN tm USING (source)
+         WHERE tm.n = tm.nmax
+            OR substr(md5('tempa' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+                 < printf('%04x', tm.tq * 512)
          ORDER BY doc_id""",
 
     // floor(x·64): power-of-two multiply is IEEE-exact on the

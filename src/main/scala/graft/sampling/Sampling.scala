@@ -137,6 +137,90 @@ object Sampling {
       .drop("__n", "__nmax", "__thr")
   }
 
+  /** Temperature-flattened group mix at a general rational α = p/q:
+    * group `g` keeps a hash-fraction rate_g = (n_g / n_max)^α of its
+    * rows. Unlike [[temperatureSqrtMix]] (α = 0.5, the one power IEEE
+    * requires correctly rounded), general α cannot lean on floating
+    * `pow` — its rounding is engine-specific, so a threshold computed
+    * with `pow` is not reproducible bit-for-bit across engines. This
+    * operator instead derives a QUANTIZED-RATE TABLE with pure integer
+    * arithmetic, which any engine with 128-bit integers (or 38-digit
+    * decimals) reproduces exactly:
+    *
+    *   - ratio quantization:  r_g = ⌊2^b · n_g / n_max⌋  (integer div)
+    *   - threshold:  t_g = max{ t ∈ [1, 2^a] :
+    *                            t^q · 2^(b·p) ≤ 2^(a·q) · r_g^p }
+    *     ≡ ⌊2^a · (r_g / 2^b)^(p/q)⌋ clamped to ≥ 1 — found by a
+    *     broadcast grid probe (2^a rows × #groups, metadata-scale),
+    *     no root-finding and no floating point anywhere
+    *   - keep iff group is the max group (rate 1) or the row's 16-bit
+    *     md5 prefix < t_g · 2^(16-a)
+    *
+    * Resolutions are α-adaptive so every product stays below 2^126
+    * (fits DECIMAL(38,0) and two's-complement 128-bit):
+    * a = min(16, (126 − 8p) / q) threshold bits, b = min(32,
+    * (126 − a·q) / p) ratio bits. For α = 7/10 that is a=7, b=8
+    * (rate granularity 1/128); for α = 1/2 it is a=16, b=32, where the
+    * rule degenerates to t = isqrt(⌊2^32·n/nmax⌋) = ⌊2^16·√(n/nmax)⌋ —
+    * the same thresholds as [[temperatureSqrtMix]] (parity is pinned in
+    * SamplingSpec).
+    *
+    * Output carries the realized rate table as a `rate_q` column
+    * (t_g, i.e. ⌊rate·2^a⌋) so downstream consumers — and the DuckDB
+    * oracle — can verify the thresholds rather than trust them.
+    *
+    * Scale: identical shape to [[temperatureSqrtMix]] — one counting
+    * pass, a metadata-scale broadcast rate table (the grid probe is
+    * #groups · 2^a rows, driver-free), one shuffle-free filtering pass.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+      alphaNum: Int, alphaDen: Int, salt: String = "tempa"): DataFrame = {
+    require(alphaNum >= 1 && alphaDen >= 1,
+      s"alpha must be a positive rational, got $alphaNum/$alphaDen")
+    val g = BigInt(alphaNum).gcd(BigInt(alphaDen)).toInt
+    val (p, q) = (alphaNum / g, alphaDen / g)
+    val a = math.min(16, (126 - 8 * p) / q)
+    require(a >= 4,
+      s"alpha $p/$q needs threshold resolution < 4 bits to stay inside " +
+        "128-bit arithmetic — quantization would be meaninglessly coarse")
+    val b = math.min(32, (126 - a * q) / p)
+    requireFresh(df, "__n", "__nmax", "__rq", "__tq", "__thr", "rate_q")
+
+    def dec(x: BigInt): Column =
+      lit(new java.math.BigDecimal(x.bigInteger)).cast("decimal(38,0)")
+    // exact small-exponent power: a left-associated multiply chain whose
+    // intermediates are all ≤ the final value, which the resolution rule
+    // keeps < 2^126 < 10^38 (so DECIMAL(38,0) never overflows)
+    def ipow(c: Column, e: Int): Column =
+      Iterator.fill(e)(c.cast("decimal(38,0)")).reduce(_ * _)
+
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val mx = counts.agg(max(col("__n")).as("__nmax"))
+    val withRatio = counts.crossJoin(broadcast(mx))
+      // exact integral division (Spark's `div` on decimal is exact,
+      // unlike decimal `/` whose scale-6 rounding could cross a floor)
+      .withColumn("__rq",
+        expr(s"CAST(__n AS DECIMAL(38,0)) * ${BigInt(2).pow(b)} DIV __nmax"))
+    val grid = broadcast(
+      df.sparkSession.range(1, (1L << a) + 1).toDF("__t"))
+    val tmax = withRatio.join(grid,
+        ipow(col("__t"), q) * dec(BigInt(2).pow(b.toInt * p)) <=
+          dec(BigInt(2).pow(a * q)) * ipow(col("__rq"), p),
+        "left")
+      .groupBy(groupCol, "__n", "__nmax")
+      // a group whose rate quantizes to zero keeps the minimum
+      // representable rate 2^(16-a)/65536 instead of silently vanishing
+      // (same convention as quantHex's lower clamp)
+      .agg(coalesce(max(col("__t")), lit(1L)).as("__tq"))
+    val rates = tmax.withColumn("__thr",
+      lower(lpad(hex(col("__tq") * (1L << (16 - a))), 4, "0")))
+    df.join(broadcast(rates), groupCol)
+      .filter(col("__n") === col("__nmax") ||   // rate 1: keep all
+        substring(idHash(col(idCol), salt), 1, 4) < col("__thr"))
+      .withColumn("rate_q", col("__tq").cast("int"))
+      .drop("__n", "__nmax", "__rq", "__tq", "__thr")
+  }
+
   /** Exactly `n` rows (corpus permitting), chosen by hash order — the
     * "carve a fixed-size eval/calibration set" operator. Unlike
     * [[hashSplit]]'s rate-based membership, a fixed-N sample is

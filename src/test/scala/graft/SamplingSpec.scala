@@ -106,6 +106,54 @@ class SamplingSpec extends AnyFunSuite {
     assert(m.toSet.subsetOf(wider))
   }
 
+  test("temperatureMix: α=1/2 reproduces temperatureSqrtMix exactly") {
+    // at p/q = 1/2 the adaptive resolutions are a=16, b=32, where the
+    // integer grid rule degenerates to t = isqrt(⌊2^32·n/nmax⌋) =
+    // ⌊2^16·√(n/nmax)⌋ — the same 16-bit thresholds the sqrt path
+    // computes in (correctly-rounded) floating point. Same salt ⇒ the
+    // kept sets must be identical row-for-row.
+    val sqrtPath = Sampling.temperatureSqrtMix(docs, "source", "doc_id",
+        salt = "temp").select("doc_id", "source")
+      .as[(Long, String)].collect().sorted.toSeq
+    val tablePath = Sampling.temperatureMix(docs, "source", "doc_id",
+        alphaNum = 1, alphaDen = 2, salt = "temp")
+      .select("doc_id", "source")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(tablePath == sqrtPath)
+  }
+
+  test("temperatureMix: α=7/10 keeps more than α=1/2 of rare groups, all of max") {
+    val byGroup = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val maxGroup = byGroup.maxBy(_._2)._1
+    val a07 = Sampling.temperatureMix(docs, "source", "doc_id", 7, 10)
+    // the max group is kept whole (rate 1) and reports full rate_q=128
+    val maxKept = a07.filter(col("source") === maxGroup)
+    assert(maxKept.count() == byGroup(maxGroup))
+    assert(maxKept.select("rate_q").distinct().as[Int].collect()
+      .toSeq == Seq(128))
+    // flattening is monotone in α: (n/nmax)^0.7 ≤ (n/nmax)^0.5 for
+    // ratios ≤ 1, so every group's realized integer rate at α=0.7 is
+    // ≤ its α=0.5 rate — compare the rate tables directly
+    val r07 = a07.select("source", "rate_q").distinct()
+      .as[(String, Int)].collect().toMap
+    val r05 = Sampling.temperatureMix(docs, "source", "doc_id", 1, 2)
+      .select("source", "rate_q").distinct()
+      .as[(String, Int)].collect().toMap
+    r07.filter(_._2 > 1).foreach { case (g, t7) =>
+      // a=7 vs a=16 resolutions: compare in the shared 16-bit space
+      // (t7=1 is the min-rate clamp, where the inequality can't hold)
+      assert(t7.toLong * 512 <= r05(g).toLong,
+        s"group $g: α=0.7 rate ${t7 * 512} > α=0.5 rate ${r05(g)}")
+    }
+    // extreme α is rejected rather than silently coarse
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(docs, "source", "doc_id", 16, 1))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(docs.withColumn("rate_q", lit(1)),
+        "source", "doc_id", 7, 10))
+  }
+
   test("balancedSample: caps each group, keeps small groups whole") {
     val capped = Sampling.balancedSample(docs, "source", "doc_id", 10)
       .groupBy("source").agg(count(lit(1)).as("n"))
