@@ -45,6 +45,11 @@ object GraftFunctions {
     WordNGrams(exprs.head, n)
   }
 
+  private[graft] def nfcNormalizeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "nfc_normalize(text) takes one argument")
+    NfcNormalize(exprs.head)
+  }
+
   /** Make the custom expressions callable from SQL on a live session. */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -53,6 +58,8 @@ object GraftFunctions {
       "word_ngrams", wordNGramsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot_i8", arrayDotI8Builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", nfcNormalizeBuilder, "built-in")
   }
 
   val arrayDotInfo: ExpressionInfo = new ExpressionInfo(
@@ -69,6 +76,11 @@ object GraftFunctions {
     classOf[ArrayDotI8].getCanonicalName, null, "array_dot_i8",
     "_FUNC_(a, b) - integer dot product of two array<tinyint> columns",
     "", "", "", "", "", "", "scala_udf")
+
+  val nfcNormalizeInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[NfcNormalize].getCanonicalName, null, "nfc_normalize",
+    "_FUNC_(text) - Unicode NFC composition of a string column",
+    "", "", "", "", "", "", "scala_udf")
 }
 
 /** `spark.sql.extensions` injector. */
@@ -83,5 +95,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("array_dot_i8"),
       GraftFunctions.arrayDotI8Info,
       GraftFunctions.arrayDotI8Builder))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      GraftFunctions.nfcNormalizeInfo,
+      GraftFunctions.nfcNormalizeBuilder))
   }
 }

@@ -43,6 +43,42 @@ object TrainPrep extends QueryModule {
       .select("doc_id", "norm_text", "n_chars_before", "n_chars_after")
       .orderBy("doc_id")
 
+  // Multilingual planted rows for the Unicode canonicalizer: the
+  // synthesized corpus is ASCII, so every non-trivial branch — NFC
+  // composition, non-Latin lowercasing, Unicode-space/dash/emoji
+  // stripping — needs planted coverage. The SAME literals feed the
+  // Spark union and the generated oracle VALUES, so the two engines see
+  // byte-identical input. (Greek avoids word-final Σ: its context-
+  // sensitive lowering is locale-rule territory, not \p{L} semantics.)
+  private[queries] val UniRows: Seq[(Long, String)] = Seq(
+    (Planting.Offset + 1, "Cafe\u0301 au LAIT"),  // NFD: e + combining acute
+    (Planting.Offset + 2, "Caf\u00e9 au lait!"),  // NFC: converges with row 1
+    (Planting.Offset + 3,                          // Greek (no final sigma)
+      "\u0394\u0395\u039b\u03a4\u0391 \u03b4\u03ad\u03bb\u03c4\u03b1"),
+    (Planting.Offset + 4,                          // Cyrillic + punctuation
+      "\u041f\u0440\u0438\u0432\u0435\u0442, \u041c\u0418\u0420 42"),
+    (Planting.Offset + 5,                          // U-umlaut, em-dash, eszett
+      "\u00dcber\u2014Stra\u00dfe"),
+    (Planting.Offset + 6,                          // CJK (caseless)
+      "\u65e5\u672c\u8a9e \u30c6\u30ad\u30b9\u30c8 123"),
+    (Planting.Offset + 7,                          // NBSP + em-space (Zs -> ' ')
+      "nbsp\u00a0and\u2003emsp"),
+    (Planting.Offset + 8,                          // rocket (supplementary plane)
+      "emoji \ud83d\ude80 rocket"))
+
+  private def textNormalizeUni(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    Planting.requireHeadroom(docs, "doc_id", "text_normalize_uni")
+    val planted = UniRows.toDF("doc_id", "text")
+    TextAnalysis.normalizeUnicode(docs.unionByName(planted))
+      .withColumn("n_tokens", size(filter(
+        TextAnalysis.tokensUnicode(col("text")), w => length(w) > 0)))
+      .select("doc_id", "norm_text", "n_chars_before", "n_chars_after",
+        "n_tokens")
+      .orderBy("doc_id")
+  }
+
   private def textTfidfTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id", k = 3)
       .orderBy("doc_id", "rank")
@@ -100,6 +136,7 @@ object TrainPrep extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_paragraph" -> (dedupParagraph _),
     "text_normalize"  -> (textNormalize _),
+    "text_normalize_uni" -> (textNormalizeUni _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),
@@ -228,6 +265,30 @@ object TrainPrep extends QueryModule {
          WHERE r.n = r.nmax
             OR substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 4) < r.thr
          ORDER BY doc_id""",
+
+    // the planted VALUES are generated from UniRows — byte-identical to
+    // the Spark union's literals; nfc_normalize and \p{L}\p{N} are
+    // Unicode-standard semantics both engines implement
+    "text_normalize_uni" ->
+      (s"""WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES ${
+             UniRows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+           }) AS v(doc_id, text)
+         ),
+         n AS (SELECT doc_id, text,
+                      trim(regexp_replace(regexp_replace(
+                        lower(nfc_normalize(text)),
+                        '[^\\p{L}\\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))
+                        AS norm_text
+               FROM u)
+         SELECT doc_id, norm_text,
+                CAST(length(text) AS INT) AS n_chars_before,
+                CAST(length(norm_text) AS INT) AS n_chars_after,
+                CAST(len(list_filter(string_split(norm_text, ' '),
+                  t -> t <> '')) AS INT) AS n_tokens
+         FROM n ORDER BY doc_id"""),
 
     // α = 7/10 rate table by pure integer arithmetic (a=7 threshold
     // bits, b=8 ratio bits): t = max{t ≤ 128 : t^10·256^7 ≤ 128^10·r^7}

@@ -147,6 +147,37 @@ object TextAnalysis {
       .withColumn("n_chars_before", length(col(textCol)))
       .withColumn("n_chars_after", length(col("norm_text")))
 
+  // --- Unicode-aware canonicalization: the multilingual-corpus form of
+  //     [[normalize]]. NFC-compose first (decomposed `e`+U+0301 and
+  //     precomposed `é` must canonicalize identically), lowercase, then
+  //     strip everything outside Unicode letters/digits/ASCII space —
+  //     `[^\p{L}\p{N} ]` → space, which also collapses NBSP, em-spaces,
+  //     dashes, and emoji (they are not L/N). Both Java regex and RE2
+  //     give \p{L}/\p{N} Unicode-general-category semantics, and NFC is
+  //     a Unicode-standard algorithm DuckDB's nfc_normalize mirrors, so
+  //     the whole pipeline stays oracle-checkable. On ASCII input the
+  //     result is byte-identical to [[normalize]] (ASCII is closed
+  //     under NFC; [a-z0-9] ≡ the ASCII slice of \p{L}\p{N}).
+  def normalizeUnicode(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace(
+            lower(graft.functions.NfcNormalize.nfc_normalize(col(textCol))),
+            "[^\\p{L}\\p{N} ]", " "),
+          " +", " ")))
+      .withColumn("n_chars_before", length(col(textCol)))
+      .withColumn("n_chars_after", length(col("norm_text")))
+
+  /** Unicode-aware tokens: whitespace split of the [[normalizeUnicode]]
+    * canonical form. Callers filter empty fragments (same contract as
+    * [[tokens]]); on ASCII text this agrees with `tokens ∘ normalize`. */
+  def tokensUnicode(text: Column): Column =
+    split(trim(regexp_replace(
+      regexp_replace(
+        lower(graft.functions.NfcNormalize.nfc_normalize(text)),
+        "[^\\p{L}\\p{N} ]", " "),
+      " +", " ")), " ")
+
   /** Per-document distinctive terms — tf-idf's ranking without its
     * float: terms ranked by (tf DESC, df ASC, term ASC). For any fixed
     * document that order is EXACTLY the tf·log(N/df) order (log is

@@ -183,6 +183,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nres(1).isNullAt(0))
   }
 
+  test("nfc_normalize: composes NFD, preserves ASCII, idempotent, null-safe") {
+    import graft.functions.NfcNormalize.nfc_normalize
+    val rows = Seq(
+      Some("Café"),          // NFD: must compose to é
+      Some("Café"),           // already NFC: unchanged
+      Some("plain ascii 123"),     // ASCII fast path: unchanged
+      Some(""),                    // empty
+      None).toDF("t")
+    val got = rows.select(nfc_normalize(col("t")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got(0) == "Caf\u00e9")
+    assert(got(1) == "Caf\u00e9")
+    assert(got(2) == "plain ascii 123")
+    assert(got(3) == "")
+    assert(got(4) == null)
+    // idempotent: nfc(nfc(x)) == nfc(x) over real corpus + planted rows
+    val docs = Tables.documents(spark, sf001).select(col("text").as("t"))
+      .unionByName(rows.filter(col("t").isNotNull))
+    val mism = docs.select(nfc_normalize(col("t")).as("once"),
+        nfc_normalize(nfc_normalize(col("t"))).as("twice"))
+      .filter(!(col("once") <=> col("twice"))).count()
+    assert(mism == 0)
+    // SQL registration (session path)
+    graft.functions.GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT nfc_normalize('Café') AS n")
+      .head().getString(0) == "Café")
+  }
+
   test("word_ngrams registers for SQL use (session + extensions)") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql(
