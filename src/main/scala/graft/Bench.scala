@@ -79,6 +79,8 @@ object Bench {
     val esc = out.replace("\\", "\\\\").replace("\"", "\\\"")
     println(toJson(failedFirst.take(20),
       s""","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"detail":"$esc""""))
+    // lifecycle hygiene: no graft-pinned blocks outlive the run
+    graft.queries.SessionMemo.release(spark)
     spark.stop()
   }
 }

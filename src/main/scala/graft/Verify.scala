@@ -43,6 +43,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // lifecycle hygiene: no graft-pinned blocks outlive the run
+    graft.queries.SessionMemo.release(spark)
     spark.stop()
   }
 }

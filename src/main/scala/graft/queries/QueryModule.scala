@@ -42,6 +42,20 @@ object SessionMemo {
     }
     inner.computeIfAbsent(s"$tag|$dir", _ => build).asInstanceOf[T]
   }
+
+  /** Explicit lifecycle end for library consumers (one-shot mains call
+    * it before `spark.stop()`): unpersist every memoized DataFrame,
+    * forget the memo, and drain [[graft.CacheScope]]'s operator-internal
+    * caches. After release the session holds no graft-pinned blocks;
+    * re-running a registry query simply rebuilds (and re-memoizes). */
+  def release(s: SparkSession): Unit = {
+    val inner = bySession.synchronized(bySession.remove(s))
+    if (inner != null) inner.values.forEach {
+      case df: org.apache.spark.sql.Dataset[_] => df.unpersist(false)
+      case _ => ()   // non-DataFrame memo values hold no storage
+    }
+    graft.CacheScope.releaseAll(s)
+  }
 }
 
 /** Shared guard for conformance entries that plant duplicate rows
