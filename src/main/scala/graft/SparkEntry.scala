@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ApiQueries, ChessPipeline, DataOps, Joins, QueryModule, Relational, SamplingOps, TrainPrep, Transforms, Windows}
+import graft.queries.{Aggregates, ApiQueries, ChessPipeline, DataOps, Joins, LayoutOps, QueryModule, Relational, SamplingOps, TrainPrep, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
     Windows,
     ApiQueries,
     SamplingOps,
-    TrainPrep
+    TrainPrep,
+    LayoutOps
   )
 
   /** The driver-provisioned tiny scale factor (smoke/warm-up data). */

@@ -76,9 +76,13 @@ object ChessPipeline extends QueryModule {
     "val_opening_eco_code", "val_title_white", "val_moves_pgn",
     "dt_game", "val_validation_notes", "ind_validated")
 
+  /** The cleaned-games table (stable output columns, incl. dt_game) —
+    * shared with LayoutOps' partition-layout proof. */
+  private[queries] def cleanedGames(s: SparkSession, d: String): DataFrame =
+    runPipeline(s, d).cleaned.select(outCols.map(col): _*)
+
   private def pgnCleanE2e(s: SparkSession, d: String): DataFrame =
-    runPipeline(s, d).cleaned
-      .select(outCols.map(col): _*)
+    cleanedGames(s, d)
       .orderBy("id_game")
 
   private def pgnRejectsE2e(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+import graft.sources.Bucketing
+
+/** Registry proof for the write-time layout levers (VERDICT r4 §missing
+  * item 3): partition pruning and bucketed exchange-free joins are
+  * exercised END-TO-END — write the laid-out data, read it back through
+  * the lever, and hash-check the rows against a DuckDB oracle computed
+  * straight from the source tables. The PLAN-shape guarantees
+  * (`PartitionFilters` non-empty, no shuffle Exchange on either join
+  * side) are asserted in LayoutSpec; PLANS.md documents both.
+  *
+  * Write targets live under java.io.tmpdir, keyed by the sf dir, and
+  * are written once per (session, dir) via SessionMemo — a Verify or
+  * Bench run pays one layout write, like a real pipeline pays its
+  * write once and prunes forever after.
+  */
+object LayoutOps extends QueryModule {
+
+  private def scratch(d: String, tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_layout_${tag}_" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  /** Date-partitioned cleaned games, written once per (session, dir). */
+  private def partitionedGamesPath(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "layout_partitioned") {
+      val path = scratch(d, "games")
+      Layout.writePartitionedByDate(ChessPipeline.cleanedGames(s, d), path)
+      path
+    }
+
+  // Three-day slice out of the nine synthesized game dates: the scan
+  // must list only 3 of 9+ partition directories (LayoutSpec pins
+  // PartitionFilters + the pruned-partition count on this exact plan).
+  private def layoutPartitionPrune(s: SparkSession, d: String): DataFrame =
+    Layout.scanDateRange(s, partitionedGamesPath(s, d),
+        "2025-05-02", "2025-05-04")
+      .select("id_game", "dt_part", "val_result", "val_elo_white")
+      .orderBy("id_game")
+
+  /** Bucketed customer/orders tables, written once per (session, dir).
+    * Returns the two catalog table names. */
+  private[queries] def bucketedTables(s: SparkSession, d: String)
+      : (String, String) =
+    SessionMemo(s, d, "layout_bucketed") {
+      val h = java.lang.Integer.toHexString(d.hashCode)
+      val (ct, ot) = (s"graft_bkt_customer_$h", s"graft_bkt_orders_$h")
+      Bucketing.writeBucketed(
+        graft.Tables.customer(s, d).select("c_custkey", "c_name"),
+        ct, scratch(d, "cust"), "c_custkey", buckets = 8)
+      Bucketing.writeBucketed(
+        graft.Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        ot, scratch(d, "ord"), "o_custkey", buckets = 8)
+      (ct, ot)
+    }
+
+  // Per-customer order rollup over the BUCKETED tables: both sides are
+  // bucketed (and bucket-sorted) on the join key with equal bucket
+  // counts, so the sort-merge join AND the post-join aggregation are
+  // satisfied by the on-disk layout — zero shuffle Exchanges at any
+  // size (LayoutSpec pins the plan with broadcast disabled). Sum goes
+  // through exact decimal (QueryModule contract) so the oracle matches
+  // bit-for-bit.
+  private def layoutBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (ct, ot) = bucketedTables(s, d)
+    val c = Bucketing.read(s, ct)
+    val o = Bucketing.read(s, ot)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumExact4(col("o_totalprice")).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_partition_prune" -> (layoutPartitionPrune _),
+    "layout_bucketed_join"   -> (layoutBucketedJoin _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the oracle computes the slice straight from the source table —
+    // equality proves the partitioned round trip is lossless AND the
+    // pruned read returns exactly the slice
+    "layout_partition_prune" ->
+      """WITH synth AS (
+           SELECT 'g' || c_custkey AS id_game,
+                  'u' || c_custkey || 'w' AS id_user_white,
+                  CASE WHEN c_custkey % 11 = 7 THEN ''
+                       ELSE 'u' || c_custkey || 'b' END AS id_user_black,
+                  CASE WHEN c_custkey % 10 = 1 THEN '*'
+                       WHEN c_custkey % 3 = 0 THEN '1-0'
+                       WHEN c_custkey % 3 = 1 THEN '0-1'
+                       ELSE '1/2-1/2' END AS val_result,
+                  CASE WHEN c_custkey % 6 = 0 THEN NULL
+                       ELSE CAST(1000 + c_custkey % 1500 AS INT) END
+                    AS val_elo_white,
+                  CAST('2025-05-0' || CAST(c_custkey % 9 + 1 AS VARCHAR)
+                       AS DATE) AS dt_game
+           FROM customer
+         )
+         SELECT id_game, strftime(dt_game, '%Y-%m-%d') AS dt_part,
+                val_result, val_elo_white
+         FROM synth
+         WHERE id_user_black <> ''
+           AND val_result IN ('1-0', '0-1', '1/2-1/2')
+           AND dt_game BETWEEN DATE '2025-05-02' AND DATE '2025-05-04'
+         ORDER BY id_game""",
+
+    "layout_bucketed_join" ->
+      """SELECT c.c_custkey,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS total_spent
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_custkey
+         ORDER BY c.c_custkey"""
+  )
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape proofs for the write-time layout levers (the row-level
+  * results are oracle-checked by the layout_* registry entries; these
+  * tests pin what the plans DO: directory pruning and exchange-free
+  * bucketed joins). */
+class LayoutSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // force execution so AQE finalizes, then flatten the physical plan —
+  // materialized AQE stages are LEAF QueryStageExec wrappers, so a
+  // plain collect() never sees inside them; recurse through stage.plan
+  private def allNodes(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: flatten(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          r +: flatten(r.child)
+        case n => Seq(n)
+      }
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  test("layout_partition_prune: scan lists only the sliced partitions") {
+    val df = SparkEntry.queries("layout_partition_prune")(spark, sf001)
+    val scans = allNodes(df).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    val scan = scans.head
+    // the date-range filter must reach the scan as PartitionFilters —
+    // directory pruning, not row filtering
+    assert(scan.partitionFilters.nonEmpty,
+      s"no PartitionFilters on the partitioned scan: $scan")
+    // 3 of the 9 synthesized game dates selected → exactly 3 partitions
+    // listed (the 'unknown' NULL-date partition and the other 6 days
+    // are never touched)
+    assert(scan.relation.partitionSchema.fieldNames.contains("dt_part"))
+    val partitionsRead = scan.metrics.get("numPartitions")
+      .map(_.value).getOrElse(-1L)
+    assert(partitionsRead == 3L,
+      s"expected 3 pruned partitions, scan read $partitionsRead")
+  }
+
+  test("layout_bucketed_join: no shuffle Exchange on either bucketed side") {
+    // disable broadcast so the join must use the bucketed distribution —
+    // the property under test is that the ON-DISK layout satisfies the
+    // join + aggregation distribution, no per-query Exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("layout_bucketed_join")(spark, sf001)
+      val nodes = allNodes(df)
+      assert(nodes.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected a sort-merge join, got:\n${nodes.map(_.nodeName)}")
+      // the ORDER BY adds one final rangepartitioning exchange (global
+      // sort of the result — unavoidable and O(output)); the join and
+      // aggregation themselves must be exchange-free
+      val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+      val nonSortShuffles = shuffles.filterNot(
+        _.outputPartitioning.toString.contains("rangepartitioning"))
+      assert(nonSortShuffles.isEmpty,
+        s"bucketed join/agg still shuffles:\n${nonSortShuffles.mkString("\n")}")
+      // and the bucketed scans expose the bucket spec
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(scans.forall(_.bucketedScan),
+        s"expected bucketed scans, got: ${scans.map(_.nodeName)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed join result equals the plain-table join row-for-row") {
+    val viaBuckets = SparkEntry.queries("layout_bucketed_join")(spark, sf001)
+      .collect()
+    val plain = {
+      val c = Tables.customer(spark, sf001)
+      val o = Tables.orders(spark, sf001)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.queries.Exact.sumExact4(col("o_totalprice"))
+            .as("total_spent"))
+        .orderBy("c_custkey")
+        .collect()
+    }
+    assert(viaBuckets.toSeq == plain.toSeq)
+  }
+}
