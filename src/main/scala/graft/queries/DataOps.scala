@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.sim.Similarity
+import graft.sim.{Pq, Similarity}
 import graft.text.TextAnalysis
 
 /** Conformance queries for the training-data-pipeline operators
@@ -407,6 +407,39 @@ object DataOps extends QueryModule {
       col("vec_id") % 50 === 0, k = 10, numCells = 8, nprobe = 3)
       .orderBy("query_id", "rank")
 
+  // PQ codebooks feed three registry entries (ADC top-k, two-stage
+  // rerank, exhaustive proof) — train once per (session, dir). d=64 →
+  // m=8 subspaces of 8 dims, 64 codes each: 8 bytes/vector, the 64×
+  // memory lever (vs int8's 4×). ksub=64 is the recall sweet spot on
+  // the synthetic (near-random — PQ's worst case) embeddings:
+  // 0.95 recall@10 from a 100-candidate pool (DataOpsSpec floor 0.9).
+  private def pqModel(s: SparkSession, d: String): Pq.PqModel =
+    SessionMemo(s, d, "pq_model") {
+      Pq.trainPq(Tables.embeddings(s, d), m = 8, ksub = 64, iters = 2)
+    }
+
+  // ADC ranking is trained-codebook-specific (float k-means) like IVF —
+  // rows-only here; exhaustive equality and recall floors in ScalaTest.
+  private def simPqTopk(s: SparkSession, d: String): DataFrame =
+    Pq.pqTopK(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
+        k = 10, pqModel(s, d))
+      .orderBy("query_id", "rank")
+
+  // Two-stage: 100 ADC candidates re-ranked by exact cosine to 10.
+  private def simPqRerank(s: SparkSession, d: String): DataFrame =
+    Pq.pqRerank(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
+        k = 10, mPool = 100, pqModel(s, d))
+      .orderBy("query_id", "rank")
+
+  // Exhaustive-mode conformance (the IVF/LSH trick): with the pool ≥
+  // corpus size stage 1 keeps every candidate, so the PQ encode → ADC
+  // → rerank machinery must reproduce brute force bit-for-bit against
+  // the same oracle as sim_cosine_topk.
+  private def simPqExhaustive(s: SparkSession, d: String): DataFrame =
+    Pq.pqRerank(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
+        k = 10, mPool = Int.MaxValue, pqModel(s, d))
+      .orderBy("query_id", "rank")
+
   // Within-doc duplicate 3-gram fraction — the "repetitive document"
   // filter signal (drives the codegen word_ngrams kernel through an
   // oracle-checked aggregate, not just the dedup pipelines).
@@ -492,6 +525,9 @@ object DataOps extends QueryModule {
     "sim_ivf_topk"         -> (simIvfTopk _),
     "sim_ivf_exhaustive"   -> (simIvfExhaustive _),
     "sim_lsh_exhaustive"   -> (simLshExhaustive _),
+    "sim_pq_topk"          -> (simPqTopk _),
+    "sim_pq_rerank"        -> (simPqRerank _),
+    "sim_pq_exhaustive"    -> (simPqExhaustive _),
     "mm_decode_meta"       -> (mmDecodeMeta _)
   )
 
@@ -897,6 +933,7 @@ object DataOps extends QueryModule {
     // Exhaustive-mode ANN entries reduce to the same exact-top-k truth.
     "sim_ivf_exhaustive" -> cosineTopkOracle,
     "sim_lsh_exhaustive" -> cosineTopkOracle,
+    "sim_pq_exhaustive"  -> cosineTopkOracle,
 
     "mm_decode_meta" ->
       """SELECT doc_id AS asset_id,

@@ -1,0 +1,243 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the production ANN memory lever beyond
+  * whole-vector int8 ([[Quantize]]): split each d-dim vector into `m`
+  * subvectors, learn a `ksub`-entry codebook per subspace (Lloyd, like
+  * [[Similarity.buildIvfIndex]] but per-subspace), and store each
+  * vector as m one-byte codes — d·4 bytes → m bytes (64× at d=64,
+  * m=8, vs 4× for int8), the compression that keeps a 100 TB corpus'
+  * index in cluster memory.
+  *
+  * Retrieval is asymmetric (ADC): the query stays float; per query a
+  * lookup table LUT[j][c] = ⟨q_j, codebook[j][c]⟩ (m·ksub doubles,
+  * metadata) is built once, and a candidate's approximate inner
+  * product is Σ_j LUT[j][code_j] — m table lookups, no float vector
+  * ever touched on the corpus side. Scores are normalized by the
+  * RECONSTRUCTION norm (precomputed per candidate at encode time from
+  * the codebook alone), approximating cosine ranking.
+  *
+  * Scale shape: training touches the corpus `iters` times (one
+  * mapPartitions assignment + one two-phase decimal aggregation per
+  * round — the recentering sums are m·ksub·(d/m) rows, metadata);
+  * encoding is one mapPartitions projection; retrieval broadcasts the
+  * query LUT block against the (m bytes + 1 double)/row encoded corpus
+  * scan, which never shuffles — same corpus-stays-put shape as
+  * [[Quantize.q8TopK]]. Codebooks are C·d doubles on the driver, the
+  * same metadata budget as the IVF centroids.
+  *
+  * Determinism: Lloyd recentering aggregates decimal(38,18) sums
+  * (order-independent), seeds are the first-ksub vectors by id, and
+  * assignment ties break to the lowest code — so codes, LUTs and
+  * scores are reproducible across runs and partitionings. Like IVF/LSH
+  * the trained ranking is engine-specific (float k-means), so registry
+  * entries are rows-only EXCEPT the exhaustive mode: with the
+  * candidate pool ≥ corpus size the rerank stage reproduces
+  * [[Similarity.bruteForceTopK]] bit-for-bit (hash-proven against the
+  * sim_cosine_topk oracle).
+  */
+object Pq {
+
+  /** Trained codebooks: `codebooks(j)(c)` is the c-th centroid of
+    * subspace j (length d/m each). */
+  case class PqModel(ds: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks.head.length
+    /** ‖codebook[j][c]‖² table, the query-independent half of the
+      * reconstruction norm. */
+    private[sim] lazy val sqNorms: Array[Array[Double]] =
+      codebooks.map(_.map(c => dotArr(c, c)))
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def l2sq(a: Array[Double], off: Int, b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < b.length) { val d = a(off + i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest code (squared L2, ties to the lowest code) of the j-th
+    * subvector of `v`. */
+  private def nearest(v: Array[Double], j: Int, ds: Int,
+      cb: Array[Array[Array[Double]]]): Int = {
+    var best = 0; var bd = Double.MaxValue
+    var c = 0
+    while (c < cb(j).length) {
+      val dist = l2sq(v, j * ds, cb(j)(c))
+      if (dist < bd) { bd = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train per-subspace codebooks with `iters` Lloyd rounds. Seeds are
+    * the first `ksub` vectors by id (deterministic, like IVF's
+    * first-C); subspaces that capture no vectors in a round keep their
+    * previous centroid. */
+  def trainPq(embeddings: DataFrame, m: Int, ksub: Int,
+      iters: Int = 2): PqModel = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(ksub >= 1 && ksub <= 128,
+      s"ksub must be in [1,128] (codes are one signed byte), got $ksub")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // localCheckpoint, not cache: the Lloyd rounds run actions against
+    // vecs; checkpoint blocks are ContextCleaner-reclaimed when the
+    // model escapes scope (same rationale as buildIvfIndex)
+    val vecs = Similarity.withNorms(embeddings).select("vec_id", "vd")
+      .as[(Long, Seq[Double])].localCheckpoint()
+    val seeds = vecs.orderBy("vec_id").limit(ksub).collect()
+    require(seeds.nonEmpty, "cannot train PQ on an empty corpus")
+    val d = seeds.head._2.length
+    require(d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val ds = d / m
+    // short corpora wrap seeds: duplicate centroids are harmless (the
+    // lowest code wins assignment ties)
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (j, c) =>
+      seeds(c % seeds.length)._2.toArray.slice(j * ds, (j + 1) * ds)
+    }
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cb)
+      val mLocal = m; val dsLocal = ds
+      val assigned = vecs.mapPartitions { it =>
+        val cbs = bc.value
+        it.flatMap { case (_, vdSeq) =>
+          val v = vdSeq.toArray
+          (0 until mLocal).iterator.map { j =>
+            (j, nearest(v, j, dsLocal, cbs),
+              v.slice(j * dsLocal, (j + 1) * dsLocal).toSeq)
+          }
+        }
+      }.toDF("sub", "code", "sv")
+      // decimal sums: order-independent recentering, m·ksub·ds rows to
+      // the driver (metadata at any corpus size)
+      val sums = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg(sum(col("x").cast("decimal(38,18)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDecimal(3).doubleValue() / r.getLong(4).toDouble
+      }
+      cb = next
+      bc.destroy()
+    }
+    PqModel(ds, cb)
+  }
+
+  /** Encode the corpus: (vec_id, codes array<tinyint> length m, rnorm)
+    * — rnorm is the reconstruction norm ‖Σ_j codebook[j][code_j]‖
+    * (block-orthogonal subspaces: the squared norm is the sum of the
+    * per-subspace squared norms), precomputed here so retrieval never
+    * revisits the codebook for candidates. */
+  def pqEncode(embeddings: DataFrame, model: PqModel): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((model.codebooks, model.sqNorms))
+    val mLocal = model.m; val dsLocal = model.ds
+    Similarity.withNorms(embeddings).select("vec_id", "vd")
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (cbs, sq) = bc.value
+        it.map { case (id, vdSeq) =>
+          val v = vdSeq.toArray
+          var rsq = 0.0
+          val codes = new Array[Byte](mLocal)
+          var j = 0
+          while (j < mLocal) {
+            val c = nearest(v, j, dsLocal, cbs)
+            codes(j) = c.toByte
+            rsq += sq(j)(c)
+            j += 1
+          }
+          (id, codes.toSeq, math.sqrt(rsq))
+        }
+      }.toDF("vec_id", "codes", "rnorm")
+  }
+
+  /** ADC top-k: approximate cosine = Σ_j LUT[j][code_j] / (‖q‖·rnorm).
+    * Output (query_id, rank, cand_id, score). The corpus side is the
+    * encoded scan (m bytes + 1 double per row) against a broadcast
+    * query-LUT block — no corpus shuffle. */
+  def pqTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, model: PqModel): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val enc = pqEncode(embeddings, model)
+    val bc = spark.sparkContext.broadcast(model.codebooks)
+    val mLocal = model.m; val dsLocal = model.ds
+    val luts = Similarity.withNorms(embeddings).filter(queryPred)
+      .select("vec_id", "vd", "norm")
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val cbs = bc.value
+        it.map { case (id, vdSeq, nrm) =>
+          val v = vdSeq.toArray
+          val lut = Array.tabulate(mLocal) { j =>
+            cbs(j).map { cent =>
+              var s = 0.0; var i = 0
+              while (i < cent.length) { s += v(j * dsLocal + i) * cent(i); i += 1 }
+              s
+            }.toSeq
+          }.toSeq
+          (id, lut, nrm)
+        }
+      }.toDF("query_id", "lut", "qnorm")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    enc.join(broadcast(luts), col("query_id") =!= col("vec_id"))
+      .withColumn("__ip", expr(
+        """aggregate(zip_with(codes, lut, (c, l) ->
+             element_at(l, cast(c AS int) + 1)),
+           cast(0.0 AS double), (acc, x) -> acc + x)"""))
+      .withColumn("score",
+        when(col("rnorm") > 0 && col("qnorm") > 0,
+          col("__ip") / (col("qnorm") * col("rnorm")))
+          .otherwise(lit(Double.NegativeInfinity)))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "score")
+  }
+
+  /** Two-stage PQ retrieval: ADC proposes `mPool` candidates, exact
+    * float cosine re-ranks them to `k` (same stage-2 semantics as
+    * [[Quantize.q8Rerank]], i.e. the sim_cosine_topk oracle's). With
+    * mPool ≥ corpus size stage 1 keeps every candidate and the output
+    * equals [[Similarity.bruteForceTopK]] bit-for-bit — the
+    * exhaustive-mode conformance proof. */
+  def pqRerank(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, mPool: Int, model: PqModel): DataFrame = {
+    import graft.functions.ArrayDotProduct.array_dot
+    require(mPool >= k, s"rerank pool mPool=$mPool must be >= k=$k")
+    val cands = pqTopK(embeddings, queryPred, mPool, model)
+      .select("query_id", "cand_id")
+    val v = Similarity.withNorms(embeddings)
+    val cv = v.join(broadcast(cands), col("vec_id") === col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        col("vd").as("__cv"), col("norm").as("__cn"))
+    val qv = v.filter(queryPred)
+      .select(col("vec_id").as("__qid"),
+        col("vd").as("__qv"), col("norm").as("__qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    cv.join(qv, col("query_id") === col("__qid"))
+      .select(col("query_id"), col("cand_id"),
+        (array_dot(col("__qv"), col("__cv")) /
+          (col("__qn") * col("__cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+}

@@ -46,6 +46,52 @@ class DataOpsSpec extends AnyFunSuite {
     graft.queries.SessionMemo.release(spark)
   }
 
+  test("PQ exhaustive rerank equals brute force bit-for-bit") {
+    val model = graft.sim.Pq.trainPq(embs, m = 8, ksub = 16, iters = 2)
+    // (ksub deliberately small here: exhaustive equality must hold for
+    // ANY codebook — stage 1 keeps everything, so ADC quality is moot)
+    val pred = col("vec_id") % 50 === 0
+    val viaPq = graft.sim.Pq
+      .pqRerank(embs, pred, k = 10, mPool = Int.MaxValue, model)
+      .orderBy("query_id", "rank").collect()
+    val exact = Similarity.bruteForceTopK(embs, pred, k = 10)
+      .orderBy("query_id", "rank").collect()
+    assert(viaPq.toSeq == exact.toSeq)
+  }
+
+  test("PQ encode: codes bounded by ksub, reconstruction norms positive") {
+    val model = graft.sim.Pq.trainPq(embs, m = 8, ksub = 16, iters = 2)
+    assert(model.m == 8 && model.ksub == 16 && model.ds == 8)
+    val enc = graft.sim.Pq.pqEncode(embs, model)
+      .as[(Long, Seq[Byte], Double)].collect()
+    assert(enc.length == embs.count())
+    enc.foreach { case (id, codes, rnorm) =>
+      assert(codes.length == 8, s"vec $id: ${codes.length} codes")
+      assert(codes.forall(c => c >= 0 && c < 16), s"vec $id: $codes")
+      assert(rnorm > 0, s"vec $id: rnorm $rnorm")
+    }
+    // training is deterministic: a second train from the same corpus
+    // yields identical codebooks (decimal recentering, fixed seeds)
+    val again = graft.sim.Pq.trainPq(embs, m = 8, ksub = 16, iters = 2)
+    assert(model.codebooks.flatten.flatten.toSeq ==
+      again.codebooks.flatten.flatten.toSeq)
+  }
+
+  test("PQ rerank recall vs brute force clears the floor at the registry pool") {
+    // the registry configuration (ksub=64, pool=100): measured 0.95 on
+    // the synthetic near-random embeddings — floor at 0.9
+    val model = graft.sim.Pq.trainPq(embs, m = 8, ksub = 64, iters = 2)
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(embs, pred, k = 10)
+      .select("query_id", "cand_id")
+      .as[(Long, Long)].collect().toSet
+    val got = graft.sim.Pq.pqRerank(embs, pred, k = 10, mPool = 100, model)
+      .select("query_id", "cand_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ rerank recall $recall < 0.9")
+  }
+
   test("MinHash-LSH candidates cover the true Jaccard near-dup pairs") {
     val truePairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
