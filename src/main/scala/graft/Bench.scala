@@ -40,24 +40,49 @@ object Bench {
     // builds (shingle index, parsed PGN corpus) are always charged to
     // the same (first alphabetical) consumer and per-query numbers
     // stay comparable between rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() materializes every output column of the plan —
-      // a plain .count() would let Catalyst prune the computed columns
-      // and time only a row count.
-      val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case _: Throwable => false }
-      // a failed query is recorded as -1, never as a (fast) timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    def onePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // toRdd.count() materializes every output column of the plan —
+        // a plain .count() would let Catalyst prune the computed columns
+        // and time only a row count.
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case _: Throwable => false }
+        // a failed query is recorded as -1, never as a (fast) timing
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    // BASELINE.md records 2× same-code box swings: identical code has
+    // measured 53→118s within an hour as box contention rose. With
+    // SPARK_GRAFT_BENCH_RUNS=N (default 1 — the driver's single-shot
+    // protocol is unchanged) each query is timed N times and the MEDIAN
+    // reported, so round-over-round per-query comparisons measure code,
+    // not scheduling noise. Memoized shared builds are paid in pass 1
+    // and reused after, so with N>1 the median reflects steady state —
+    // the right basis for comparing code changes; the one-time build
+    // cost still shows in pass 1 (and in the driver's single-shot run).
+    val runs = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    val passes = (1 to runs).map(_ => onePass())
+    val results: Seq[(String, Double)] = passes.head.map(_._1).zipWithIndex
+      .map { case (name, i) =>
+        val ts = passes.map(_.apply(i)._2)
+        val v =
+          if (ts.exists(_ < 0)) -1.0   // any failed pass fails the query
+          else {
+            val s = ts.sorted
+            (s((runs - 1) / 2) + s(runs / 2)) / 2   // median
+          }
+        name -> v
+      }
+    val runsMeta = if (runs > 1) s""","runs":$runs,"agg":"median"""" else ""
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def toJson(rs: Seq[(String, Double)], extra: String): String = {
       val qs = rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = fmt(results.map(_._2).filter(_ >= 0).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra$runsMeta,"sf":"$sfDir"}"""
     }
     // Full per-query detail: persisted to a file (sbt log noise cannot
     // truncate a file) and printed for humans reading the whole log.
