@@ -90,9 +90,85 @@ object ChessPipeline extends QueryModule {
       .select(col("id_game"), col("val_validation_notes"))
       .orderBy("id_game")
 
+  /** The synthesized corpus as whole PGN DOCUMENTS (one per virtual
+    * source file, lines joined in line order) — the delivery unit of
+    * the streaming ingest path. */
+  private def synthesizedDocs(s: SparkSession, d: String): DataFrame =
+    synthesizedLines(s, d)
+      .groupBy("src_file")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("line_no"), col("line")))),
+        x => x.getField("line")), "\n").as("doc"))
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+
+  /** Run the STREAMING ingest end-to-end once per (session, dir):
+    * documents → distributed PGN block split → normalized rows →
+    * parquet file-source stream → StreamMerge (checkpointed
+    * foreachBatch idempotent LWW merge). Two deliveries: the full
+    * corpus, then a re-delivery of a quarter of the files with a later
+    * ingest timestamp — the second run must process ONLY the new files
+    * (checkpoint) and the merge must overwrite, not duplicate (LWW).
+    * Returns the merged table path. */
+  private def streamedTable(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "pgn_streamed") {
+      import s.implicits._
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (src, cp, table) = (s"$base/src", s"$base/cp", s"$base/games")
+      deleteRec(java.nio.file.Paths.get(base))   // fresh per session
+      def normalized(docs: DataFrame, ts: String): DataFrame = {
+        val parsed = docs.select("doc").as[String]
+          .flatMap(doc => PgnParser.splitBlocks(doc).zipWithIndex.map {
+            case (g, i) => (g.headers, g.moves, i.toLong)
+          })
+          .toDF("headers", "moves", "__seq")
+        Normalize.buildGameData(parsed,
+          ingestedAt = lit(ts).cast("timestamp"), keepCols = Seq("__seq"))
+      }
+      def runStream(schema: org.apache.spark.sql.types.StructType): Unit = {
+        val stream = s.readStream.schema(schema).parquet(src)
+        graft.streaming.StreamMerge.start(stream, table, cp, "id_game",
+          Seq(desc("tm_ingested"), desc("__seq")))
+          .awaitTermination(300000)
+      }
+      val docs = synthesizedDocs(s, d)
+      val first = normalized(docs, "2025-05-01 00:00:00")
+      first.write.mode("append").parquet(src)
+      runStream(first.schema)
+      // re-delivery of a quarter of the corpus, one minute later: same
+      // games, later tm_ingested — LWW overwrite, zero duplicates
+      normalized(docs.filter(col("src_file").isin(
+          "synth0", "synth1", "synth2", "synth3", "synth4", "synth5",
+          "synth6", "synth7")), "2025-05-01 00:01:00")
+        .write.mode("append").parquet(src)
+      runStream(first.schema)
+      table
+    }
+
+  /** T1/T2/T3 in the registry denominator: the streaming-ingested table
+    * fed through the SAME cleaning stage must reproduce the batch
+    * pipeline's output bit-for-bit — this entry shares pgn_clean_e2e's
+    * DuckDB oracle, so the whole stream path (doc split, normalize,
+    * checkpointed incremental merge, LWW re-delivery) is hash-proven,
+    * not just rows-counted. */
+  private def pgnStreamE2e(s: SparkSession, d: String): DataFrame = {
+    val merged = s.read.parquet(streamedTable(s, d))
+    Cleaning.validateAndClean(merged,
+        validatedAt = lit("2025-05-02 00:00:00").cast("timestamp"))
+      .cleaned.select(outCols.map(col): _*)
+      .orderBy("id_game")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pgn_clean_e2e"   -> (pgnCleanE2e _),
-    "pgn_rejects_e2e" -> (pgnRejectsE2e _)
+    "pgn_rejects_e2e" -> (pgnRejectsE2e _),
+    "pgn_stream_e2e"  -> (pgnStreamE2e _)
   )
 
   // The oracle recomputes expected outputs directly from `customer`,
@@ -120,7 +196,7 @@ object ChessPipeline extends QueryModule {
          FROM customer
        )"""
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "pgn_clean_e2e" -> (synthCte +
       """
          SELECT id_game, id_user_white, id_user_black, val_result,
@@ -160,4 +236,9 @@ object ChessPipeline extends QueryModule {
          WHERE id_user_black = '' OR val_result NOT IN ('1-0','0-1','1/2-1/2')
          ORDER BY id_game""")
   )
+
+  // the streaming path must land EXACTLY where the batch path lands —
+  // same cleaning stage, same oracle, hash-compared
+  val oracles: Map[String, String] =
+    baseOracles + ("pgn_stream_e2e" -> baseOracles("pgn_clean_e2e"))
 }
