@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.sim.{Pq, Similarity}
+import graft.sim.{Pq, SemDedup, Similarity}
 import graft.text.TextAnalysis
 
 /** Conformance queries for the training-data-pipeline operators
@@ -315,6 +315,21 @@ object DataOps extends QueryModule {
     Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.35)
       .orderBy("id1", "id2")
 
+  // SemDeDup scale path: 8 k-means cells bound the pair work. Rows-only
+  // by design (Lloyd isn't DuckDB-expressible); SemDedupSpec pins it to
+  // the exhaustive twin (numCells=1 parity + keeper-superset), which IS
+  // hash-proven below.
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    SemDedup.semanticDedup(Tables.embeddings(s, d), 0.35, numCells = 8)
+      .orderBy("vec_id")
+
+  // Exact twin: full near-dup graph + CC keeper labels, hash-proven
+  // against the recursive-CC DuckDB oracle (same 0.35 threshold as
+  // dedup_embed_cosine so the pair set is the proven one).
+  private def dedupSemanticExhaustive(s: SparkSession, d: String): DataFrame =
+    SemDedup.semanticDedupExhaustive(Tables.embeddings(s, d), 0.35)
+      .orderBy("vec_id")
+
   private def textLangid(s: SparkSession, d: String): DataFrame =
     TextAnalysis.langScores(Tables.documents(s, d))
       .select("doc_id", "score_en", "score_es", "score_de", "lang_pred")
@@ -509,6 +524,8 @@ object DataOps extends QueryModule {
     "pipeline_curate"      -> (pipelineCurate _),
     "dedup_prod_paths"     -> (dedupProdConformance _),
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
+    "dedup_semantic"       -> (dedupSemantic _),
+    "dedup_semantic_exhaustive" -> (dedupSemanticExhaustive _),
     "text_langid"          -> (textLangid _),
     "text_quality"         -> (textQuality _),
     "text_tokens"          -> (textTokens _),
@@ -771,6 +788,39 @@ object DataOps extends QueryModule {
          WHERE list_reduce(list_transform(a.vd, (x,i) -> x * b.vd[i]),
                            (p,q) -> p + q) / (a.nrm * b.nrm) > 0.35
          ORDER BY id1, id2""",
+
+    // the exhaustive SemDeDup twin: the dedup_embed_cosine pair set fed
+    // through the shared CC label rule (min reachable id), keepers =
+    // label owners; every vector gets a row (singletons keep trivially)
+    "dedup_semantic_exhaustive" ->
+      """WITH RECURSIVE v AS (
+           SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+         ),
+         n AS (
+           SELECT vec_id, vd,
+                  sqrt(list_reduce(list_transform(vd, (x,i) -> x * vd[i]),
+                                   (a,b) -> a + b)) AS nrm
+           FROM v
+         ),
+         jp AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE list_reduce(list_transform(a.vd, (x,i) -> x * b.vd[i]),
+                             (p,q) -> p + q) / (a.nrm * b.nrm) > 0.35
+         ),
+         edges AS (SELECT id1 AS a, id2 AS b FROM jp
+                   UNION SELECT id2, id1 FROM jp),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+                 FROM reach GROUP BY a)
+         SELECT v.vec_id,
+                coalesce(lab.cluster_id, v.vec_id) AS semantic_id,
+                coalesce(lab.cluster_id, v.vec_id) = v.vec_id AS keep
+         FROM v LEFT JOIN lab ON v.vec_id = lab.id
+         ORDER BY v.vec_id""",
 
     "text_langid" ->
       (s"""WITH $tokCte
