@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sampling.Sampling
 import graft.sim.Quantize
-import graft.text.{Packing, SegmentDedup, TextAnalysis}
+import graft.text.{Packing, QualityRules, SegmentDedup, TextAnalysis}
 
 /** Round-4 training-data-preparation tier: segment-level exact dedup
   * (C4/RefinedWeb paragraph pass), text canonicalization, distinctive
@@ -79,6 +79,50 @@ object TrainPrep extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // Line-shape rule coverage needs multi-line documents — the corpus
+  // is single-line — so every rule branch is planted: a clean keeper,
+  // an all-bullet list, an ellipsis-heavy doc, a numeric (low-alpha)
+  // doc, a stopword-free doc, the two blocklist hits, and a
+  // mixed-marker bulleted doc that still KEEPS (bullet_frac under the
+  // gate). Same literals feed the Spark union and the oracle VALUES.
+  private[graft] val LineRows: Seq[(Long, String)] = Seq(
+    (Planting.Offset + 21,
+      "This is the first line of a good document.\n" +
+        "It has several proper sentences to read.\n" +
+        "The closing line also ends with a period."),
+    (Planting.Offset + 22,
+      "- alpha item in the list\n- beta item of the list\n" +
+        "- gamma item to the list\n- delta item with the list"),
+    (Planting.Offset + 23,
+      "the first thought of many trails off...\n" +
+        "the second thought of many also continues…\n" +
+        "and the third stops here."),
+    (Planting.Offset + 24,
+      "the 123 456 789 000 111\nof 222 333 444 555 666"),
+    (Planting.Offset + 25,
+      "alpha beta gamma delta.\nepsilon zeta eta theta."),
+    (Planting.Offset + 26,
+      "the lorem ipsum dolor text of place holding and filler."),
+    (Planting.Offset + 27,
+      "function f() { return the value of x and y; }"),
+    (Planting.Offset + 28,
+      "* starred bullet with the marker\n" +
+        "• dotted bullet of the second kind\n" +
+        "plain closing line with the end."))
+
+  private def textLineRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    Planting.requireHeadroom(docs, "doc_id", "text_line_rules")
+    val planted = LineRows.toDF("doc_id", "text")
+    QualityRules.lineRules(docs.unionByName(planted))
+      .select("doc_id", "n_lines", "n_words", "n_bullet_lines",
+        "n_ellipsis_lines", "n_terminal_lines", "n_alpha_words",
+        "n_stop_distinct", "bullet_frac", "ellipsis_frac",
+        "alpha_word_frac", "has_blocklist", "keep")
+      .orderBy("doc_id")
+  }
+
   private def textTfidfTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id", k = 3)
       .orderBy("doc_id", "rank")
@@ -137,6 +181,7 @@ object TrainPrep extends QueryModule {
     "dedup_paragraph" -> (dedupParagraph _),
     "text_normalize"  -> (textNormalize _),
     "text_normalize_uni" -> (textNormalizeUni _),
+    "text_line_rules" -> (textLineRules _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),
@@ -156,6 +201,12 @@ object TrainPrep extends QueryModule {
                             t -> t <> '') AS ts
          FROM documents
        )"""
+
+  /** DuckDB string literal for planted text: quotes doubled, embedded
+    * newlines rendered as `|| chr(10) ||` splices (portable — no
+    * reliance on literal control chars surviving the JSON dump). */
+  private def sqlText(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
 
   val oracles: Map[String, String] = Map(
     "dedup_paragraph" ->
@@ -289,6 +340,69 @@ object TrainPrep extends QueryModule {
                 CAST(len(list_filter(string_split(norm_text, ' '),
                   t -> t <> '')) AS INT) AS n_tokens
          FROM n ORDER BY doc_id"""),
+
+    // each rule mirrored with the same list lambdas; counts are ints,
+    // every fraction one IEEE division — bit-exact cross-engine
+    "text_line_rules" ->
+      (s"""WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES ${
+             LineRows.map { case (id, t) => s"($id, ${sqlText(t)})" }
+               .mkString(", ")
+           }) AS v(doc_id, text)
+         ),
+         l AS (
+           SELECT doc_id, text,
+                  list_filter(list_transform(string_split(text, chr(10)),
+                    x -> trim(x)), x -> length(x) > 0) AS lines,
+                  list_filter(string_split(regexp_replace(lower(text),
+                    '[\\n\\t\\r]', ' ', 'g'), ' '), w -> w <> '') AS words
+           FROM u
+         ),
+         c AS (
+           SELECT doc_id,
+                  CAST(len(lines) AS INT) AS n_lines,
+                  CAST(len(words) AS INT) AS n_words,
+                  CAST(len(list_filter(lines, x ->
+                    starts_with(x, '- ') OR starts_with(x, '* ')
+                    OR starts_with(x, '•'))) AS INT) AS n_bullet_lines,
+                  CAST(len(list_filter(lines, x ->
+                    ends_with(x, '...') OR ends_with(x, '…')))
+                    AS INT) AS n_ellipsis_lines,
+                  CAST(len(list_filter(lines, x ->
+                    regexp_matches(x, '[.!?"]$$'))) AS INT)
+                    AS n_terminal_lines,
+                  CAST(len(list_filter(words, w ->
+                    regexp_matches(w, '[a-z]'))) AS INT) AS n_alpha_words,
+                  CAST(len(list_intersect(list_distinct(words),
+                    ['the','be','to','of','and','that','have','with']))
+                    AS INT) AS n_stop_distinct,
+                  (contains(lower(text), 'lorem ipsum')
+                    OR contains(text, '{')) AS has_blocklist
+           FROM l
+         ),
+         f AS (
+           SELECT c.*,
+                  CASE WHEN n_lines > 0
+                       THEN CAST(n_bullet_lines AS DOUBLE) / n_lines
+                       ELSE 0.0 END AS bullet_frac,
+                  CASE WHEN n_lines > 0
+                       THEN CAST(n_ellipsis_lines AS DOUBLE) / n_lines
+                       ELSE 0.0 END AS ellipsis_frac,
+                  CASE WHEN n_words > 0
+                       THEN CAST(n_alpha_words AS DOUBLE) / n_words
+                       ELSE 0.0 END AS alpha_word_frac
+           FROM c
+         )
+         SELECT doc_id, n_lines, n_words, n_bullet_lines,
+                n_ellipsis_lines, n_terminal_lines, n_alpha_words,
+                n_stop_distinct, bullet_frac, ellipsis_frac,
+                alpha_word_frac, has_blocklist,
+                (n_lines > 0 AND bullet_frac <= 0.9
+                 AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+                 AND n_stop_distinct >= 2 AND NOT has_blocklist) AS keep
+         FROM f ORDER BY doc_id"""),
 
     // α = 7/10 rate table by pure integer arithmetic (a=7 threshold
     // bits, b=8 ratio bits): t = max{t ≤ 128 : t^10·256^7 ≤ 128^10·r^7}

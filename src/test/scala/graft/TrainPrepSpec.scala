@@ -233,4 +233,29 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out(2) == ((2L, 1, "common", 2L, 2L)))
     assert(out(3) == ((2L, 2, "other", 1L, 1L)))
   }
+
+  // --- QualityRules line-shape gate ---------------------------------
+
+  test("lineRules: each planted row hits its designed rule branch") {
+    import graft.text.QualityRules
+    import graft.queries.{Planting, TrainPrep}
+    val planted = TrainPrep.LineRows.toDF("doc_id", "text")
+    val out = QualityRules.lineRules(planted)
+      .select("doc_id", "keep").collect()
+      .map(r => (r.getLong(0) - Planting.Offset, r.getBoolean(1))).toMap
+    // 21 clean multi-line doc and 28 under-threshold bullets KEEP;
+    // 22 all-bullets, 23 ellipsis-heavy, 24 numeric, 25 stopword-free,
+    // 26 lorem-ipsum, 27 curly-brace all DROP
+    assert(out === Map(21L -> true, 22L -> false, 23L -> false,
+      24L -> false, 25L -> false, 26L -> false, 27L -> false,
+      28L -> true))
+  }
+
+  test("lineRules: whitespace-only text yields zero lines and drops") {
+    import graft.text.QualityRules
+    val out = QualityRules.lineRules(
+        Seq((1L, "   \n  \n")).toDF("doc_id", "text"))
+      .select("n_lines", "n_words", "keep").head()
+    assert(out.getInt(0) === 0 && out.getInt(1) === 0 && !out.getBoolean(2))
+  }
 }
