@@ -123,4 +123,22 @@ class SourcesSpec extends AnyFunSuite {
       .orderBy("l_suppkey").as[(Long, Long)].collect().toSeq
     assert(salted == plain)
   }
+
+  test("TextFormats: jsonl and csv round-trip events losslessly (µs ts, quoted props)") {
+    import graft.sources.TextFormats
+    val ev = Tables.events(spark, sf0001)
+    val dir = Files.createTempDirectory("fmt").toString
+    TextFormats.writeJsonl(ev, s"$dir/jsonl")
+    TextFormats.writeCsv(ev, s"$dir/csv")
+    val j = TextFormats.readJsonl(spark, s"$dir/jsonl", ev.schema)
+    val c = TextFormats.readCsv(spark, s"$dir/csv", ev.schema)
+    for (back <- Seq(j, c)) {
+      assert(back.schema === ev.schema)
+      assert(back.except(ev).count() === 0 && ev.except(back).count() === 0)
+    }
+    // the awkward value survived: quoted JSON text is byte-identical
+    val orig = ev.orderBy("event_id").select("props").head().getString(0)
+    assert(j.orderBy("event_id").select("props").head().getString(0) === orig)
+    assert(c.orderBy("event_id").select("props").head().getString(0) === orig)
+  }
 }
