@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Layout
-import graft.sources.Bucketing
+import graft.sources.{Bucketing, TextFormats}
 
 /** Registry proof for the write-time layout levers (VERDICT r4 §missing
   * item 3): partition pruning and bucketed exchange-free joins are
@@ -77,9 +77,60 @@ object LayoutOps extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  // Interchange-format round trips: events (timestamps at µs, doubles,
+  // JSON-with-quotes in props — the awkward cases) written through the
+  // text source and read back under schema-on-read; the oracle reads
+  // the ORIGINAL parquet, so hash equality proves write∘read = id.
+  private def srcJsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+    val path = SessionMemo(s, d, "src_jsonl") {
+      val p = scratch(d, "jsonl")
+      TextFormats.writeJsonl(ev, p); p
+    }
+    TextFormats.readJsonl(s, path, ev.schema).orderBy("event_id")
+  }
+
+  private def srcCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+    val path = SessionMemo(s, d, "src_csv") {
+      val p = scratch(d, "csv")
+      TextFormats.writeCsv(ev, p); p
+    }
+    TextFormats.readCsv(s, path, ev.schema).orderBy("event_id")
+  }
+
+  /** Orders written z-clustered on (custkey, orderkey), once per
+    * (session, dir). LayoutSpec pins the locality property (per-
+    * partition bounding boxes ≪ the table's extent on BOTH axes). */
+  private def zorderedOrdersPath(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "layout_zorder") {
+      val path = scratch(d, "zord")
+      graft.Tables.orders(s, d)
+        .withColumn("z", graft.functions.ZOrder.zValue(
+          col("o_custkey"), col("o_orderkey")))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+
+  // 2-D box query over the z-clustered layout: the round trip is
+  // hash-checked (oracle computes the same z arithmetic straight from
+  // the source table); the pruning value of the layout is the spec's
+  // bounding-box assertion, same split as layout_bucketed_join.
+  private def layoutZorderScan(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(zorderedOrdersPath(s, d))
+      .filter(col("o_custkey").between(100, 300) &&
+        col("o_orderkey").between(1000, 8000))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "z")
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_partition_prune" -> (layoutPartitionPrune _),
-    "layout_bucketed_join"   -> (layoutBucketedJoin _)
+    "layout_bucketed_join"   -> (layoutBucketedJoin _),
+    "layout_zorder_scan"     -> (layoutZorderScan _),
+    "src_jsonl_roundtrip"    -> (srcJsonlRoundtrip _),
+    "src_csv_roundtrip"      -> (srcCsvRoundtrip _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -118,6 +169,28 @@ object LayoutOps extends QueryModule {
                   AS total_spent
          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          GROUP BY c.c_custkey
-         ORDER BY c.c_custkey"""
+         ORDER BY c.c_custkey""",
+
+    // straight reads of the ORIGINAL parquet: equality proves the text
+    // round trip lost nothing (µs timestamps, doubles, quoted JSON)
+    "src_jsonl_roundtrip" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                event_type, value, props
+         FROM events ORDER BY event_id""",
+
+    "src_csv_roundtrip" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                event_type, value, props
+         FROM events ORDER BY event_id""",
+
+    // same bit-interleave, generated from the one zSql formula
+    "layout_zorder_scan" ->
+      (s"""SELECT o_orderkey, o_custkey, o_totalprice,
+                ${graft.functions.ZOrder.zSql(
+                  "(o_custkey % 65536)", "(o_orderkey % 65536)")} AS z
+         FROM orders
+         WHERE o_custkey BETWEEN 100 AND 300
+           AND o_orderkey BETWEEN 1000 AND 8000
+         ORDER BY o_orderkey""")
   )
 }

@@ -95,4 +95,47 @@ class LayoutSpec extends AnyFunSuite {
     }
     assert(viaBuckets.toSeq == plain.toSeq)
   }
+
+  // --- z-order clustering --------------------------------------------
+
+  test("zValue is a bijection on the 32x32 grid and matches zSql") {
+    import spark.implicits._
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y))
+      .toDF("x", "y")
+    val z = grid.withColumn("z",
+      graft.functions.ZOrder.zValue(col("x"), col("y"), 5))
+    assert(z.select("z").distinct().count() === 1024)
+    assert(z.agg(max("z")).head().getLong(0) === 1023L)
+    // the Column program and the generated SQL formula agree
+    val viaSql = grid.selectExpr("x", "y",
+      s"(${graft.functions.ZOrder.zSql("x", "y", 5)}) AS z")
+    assert(z.except(viaSql).count() === 0)
+  }
+
+  test("z-ordered range partitions bound BOTH axes (the 2-D pruning lever)") {
+    val o = Tables.orders(spark, sf001)
+      .withColumn("z", graft.functions.ZOrder.zValue(
+        col("o_custkey"), col("o_orderkey")))
+      .repartitionByRange(8, col("z"))
+    val spans = o
+      .select(spark_partition_id().as("pid"), col("o_custkey"),
+        col("o_orderkey"))
+      .groupBy("pid")
+      .agg((max("o_custkey") - min("o_custkey")).as("sx"),
+        (max("o_orderkey") - min("o_orderkey")).as("sy"))
+      .collect()
+    val g = o.agg(
+      (max("o_custkey") - min("o_custkey")).cast("double"),
+      (max("o_orderkey") - min("o_orderkey")).cast("double")).head()
+    val (gx, gy) = (g.getDouble(0), g.getDouble(1))
+    // perfect 8-way z split bounds each box to 1/2 x-extent × 1/4
+    // y-extent (area 1/8); range-boundary straddle loosens that, so
+    // assert the AVERAGE box area ≤ 40% of the table's extent — far
+    // below the 100% an unclustered layout gives every partition
+    val areas = spans.map(r =>
+      (r.getLong(1).toDouble / gx) * (r.getLong(2).toDouble / gy))
+    assert(areas.length === 8)
+    assert(areas.sum / areas.length <= 0.4,
+      s"mean z-partition box area ${areas.sum / areas.length} too large")
+  }
 }
