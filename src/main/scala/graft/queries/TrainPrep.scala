@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sampling.Sampling
 import graft.sim.Quantize
-import graft.text.{Packing, QualityRules, SegmentDedup, TextAnalysis}
+import graft.text.{Packing, QualityRules, SegmentDedup, TextAnalysis, UrlOps}
 
 /** Round-4 training-data-preparation tier: segment-level exact dedup
   * (C4/RefinedWeb paragraph pass), text canonicalization, distinctive
@@ -123,6 +123,40 @@ object TrainPrep extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // URL canonicalization coverage: corpus rows get deterministic
+  // constructed URLs (every 4th carries a tracking param), planted rows
+  // exercise each rule — case/port normalization, trailing slash,
+  // fragment drop, tracking-param filtering, and two convergence pairs
+  // (31/32 and 33/34 must map to ONE canonical each).
+  private[graft] val UrlRows: Seq[(Long, String)] = Seq(
+    (Planting.Offset + 31,
+      "https://Example.COM:443/A/B/?utm_source=news&x=2#sec"),
+    (Planting.Offset + 32, "https://example.com/A/B?x=2"),
+    (Planting.Offset + 33, "http://EXAMPLE.com:80/"),
+    (Planting.Offset + 34, "http://example.com"),
+    (Planting.Offset + 35, "https://example.com:8080/p?fbclid=abc"),
+    (Planting.Offset + 36, "https://example.com/p?a=1&gclid=xyz&b=2"),
+    (Planting.Offset + 37, "ftp://Files.Example.com/data/"),
+    (Planting.Offset + 38, "https://example.com/p/?ref=home"))
+
+  private def textUrlCanonical(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("https://"), col("source"), lit(".example.org/doc/"),
+        col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+          .otherwise(concat(lit("?id="), col("doc_id").cast("string"))))
+        .as("url"))
+    Planting.requireHeadroom(docs, "doc_id", "text_url_canonical")
+    val planted = UrlRows.toDF("doc_id", "url")
+    UrlOps.canonicalize(docs.unionByName(planted))
+      .withColumn("n_same", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("canon_url")))
+      .select("doc_id", "url", "url_host", "canon_url", "n_same")
+      .orderBy("doc_id")
+  }
+
   private def textTfidfTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id", k = 3)
       .orderBy("doc_id", "rank")
@@ -182,6 +216,7 @@ object TrainPrep extends QueryModule {
     "text_normalize"  -> (textNormalize _),
     "text_normalize_uni" -> (textNormalizeUni _),
     "text_line_rules" -> (textLineRules _),
+    "text_url_canonical" -> (textUrlCanonical _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),
@@ -403,6 +438,64 @@ object TrainPrep extends QueryModule {
                  AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
                  AND n_stop_distinct >= 2 AND NOT has_blocklist) AS keep
          FROM f ORDER BY doc_id"""),
+
+    // rule-for-rule mirror of UrlOps.canonicalize; tracking list
+    // generated from the same Seq so the two cannot drift
+    "text_url_canonical" ->
+      (s"""WITH u AS (
+           SELECT doc_id,
+                  'https://' || source || '.example.org/doc/' ||
+                  CAST(doc_id AS VARCHAR) ||
+                  CASE WHEN doc_id % 4 = 0
+                       THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                       ELSE '?id=' || CAST(doc_id AS VARCHAR) END AS url
+           FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES ${
+             UrlRows.map { case (id, t) => s"($id, ${sqlText(t)})" }
+               .mkString(", ")
+           }) AS v(doc_id, url)
+         ),
+         p AS (
+           SELECT doc_id, url,
+                  lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                  regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                    AS raw_path,
+                  regexp_extract(url, '\\?([^#]*)', 1) AS query
+           FROM u
+         ),
+         n AS (
+           SELECT doc_id, url, scheme,
+                  CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$$', '')
+                       WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$$', '')
+                       ELSE hostport END AS url_host,
+                  CASE WHEN regexp_replace(raw_path, '/+$$', '') = ''
+                       THEN '/'
+                       ELSE regexp_replace(raw_path, '/+$$', '') END AS path,
+                  list_filter(string_split(query, '&'), q ->
+                    q <> '' AND NOT list_contains(
+                      [${UrlOps.TrackingParams
+                          .map(p => s"'$p'").mkString(",")}],
+                      lower(string_split(q, '=')[1]))) AS kept
+           FROM p
+         ),
+         c AS (
+           SELECT doc_id, url, url_host,
+                  scheme || '://' || url_host || path ||
+                  CASE WHEN len(kept) > 0
+                       THEN '?' || array_to_string(kept, '&')
+                       ELSE '' END AS canon_url
+           FROM n
+         )
+         SELECT doc_id, url, url_host, canon_url,
+                count(*) OVER (PARTITION BY canon_url) AS n_same
+         FROM c ORDER BY doc_id"""),
 
     // α = 7/10 rate table by pure integer arithmetic (a=7 threshold
     // bits, b=8 ratio bits): t = max{t ≤ 128 : t^10·256^7 ≤ 128^10·r^7}

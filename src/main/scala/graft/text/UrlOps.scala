@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the key-normalization step in front of
+  * URL-level dedup and crawl-frontier dedup: two spellings of the same
+  * resource must map to one canonical string BEFORE the exact/near-dup
+  * passes, or every downstream join under-merges.
+  *
+  * Rules (the conservative, lossless-by-intent subset):
+  *   - scheme and host lowercase (RFC 3986 §6.2.2.1 case normalization);
+  *     path/query case is preserved (it is significant);
+  *   - scheme-default port dropped (`:80` for http, `:443` for https);
+  *     any other port kept;
+  *   - empty path → `/`; trailing slash runs stripped elsewhere;
+  *   - fragment dropped (client-side only);
+  *   - tracking query params dropped ([[TrackingParams]]); param ORDER
+  *     is preserved (reordering is not semantics-preserving for all
+  *     endpoints — a deliberate under-merge).
+  *
+  * Pure Column program in the portable regex subset (character
+  * classes, anchors, capture groups — Java regex and RE2 agree), so
+  * the whole thing is codegen'd, shuffle-free, and oracle-checkable.
+  */
+object UrlOps {
+
+  /** Dropped at canonicalization: analytics/click-id params that never
+    * change the addressed resource. */
+  val TrackingParams: Seq[String] = Seq(
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "fbclid", "gclid", "ref")
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe   = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val PathRe   = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val QueryRe  = "\\?([^#]*)"
+
+  /** Adds `canon_url` and `url_host` for the URL column `urlCol`.
+    * Input must be an absolute URL with a scheme (the crawl/ingest
+    * contract); rows that don't match yield empty host and a canonical
+    * equal to `scheme + "://" + "/"`-normalized remnants — garbage in,
+    * deterministic garbage out. */
+  def canonicalize(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, SchemeRe, 1))
+    val hostport = lower(regexp_extract(u, HostRe, 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(u, PathRe, 1)
+    val trimmed = regexp_replace(rawPath, "/+$", "")
+    val path = when(trimmed === "", lit("/")).otherwise(trimmed)
+    val query = regexp_extract(u, QueryRe, 1)
+    val kept = filter(split(query, "&"), p =>
+      length(p) > 0 &&
+        !lower(element_at(split(p, "="), 1))
+          .isInCollection(TrackingParams))
+    df.withColumn("url_host", host)
+      .withColumn("canon_url", concat(
+        scheme, lit("://"), host, path,
+        when(size(kept) > 0,
+          concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))))
+  }
+}

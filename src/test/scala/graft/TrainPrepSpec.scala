@@ -251,6 +251,23 @@ class TrainPrepSpec extends AnyFunSuite {
       28L -> true))
   }
 
+  test("canonicalize: each planted URL maps to its designed canonical form") {
+    import graft.text.UrlOps
+    import graft.queries.{Planting, TrainPrep}
+    val out = UrlOps.canonicalize(TrainPrep.UrlRows.toDF("doc_id", "url"))
+      .select("doc_id", "canon_url").collect()
+      .map(r => (r.getLong(0) - Planting.Offset, r.getString(1))).toMap
+    assert(out === Map(
+      31L -> "https://example.com/A/B?x=2",   // case+port+slash+utm+frag
+      32L -> "https://example.com/A/B?x=2",   // converges with 31
+      33L -> "http://example.com/",           // default port, bare root
+      34L -> "http://example.com/",           // converges with 33
+      35L -> "https://example.com:8080/p",    // non-default port KEPT
+      36L -> "https://example.com/p?a=1&b=2", // mid-list tracking param
+      37L -> "ftp://files.example.com/data",  // non-http scheme untouched port rule
+      38L -> "https://example.com/p"))        // ref dropped, empty query elided
+  }
+
   test("lineRules: whitespace-only text yields zero lines and drops") {
     import graft.text.QualityRules
     val out = QualityRules.lineRules(
