@@ -154,8 +154,25 @@ object Joins extends QueryModule {
     r1.crossJoin(r2).filter(col("rk1") < col("rk2")).orderBy("rk1", "rk2")
   }
 
+  // ---- J7: Bloom-pruned semi join — lineitem rows whose order passed
+  //      a value gate. The sketch prefilters the fact side before its
+  //      exchange; the inner exact semi join removes false positives,
+  //      so the result hash-matches the plain semi-join oracle (the
+  //      no-false-negatives guarantee, proven end-to-end).
+  private def j7BloomSemi(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+    graft.ops.BloomPrune.semiJoin(li, "l_orderkey", o, "o_orderkey",
+        expectedItems = 100000)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.sumExact2(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j2_disjunctive_semi"  -> (j2DisjunctiveSemi _),
+    "j7_bloom_semi"        -> (j7BloomSemi _),
     "j3_upsert_merge"      -> (j3UpsertMerge _),
     "j3_first_write_wins"  -> (j3FirstWriteWins _),
     "j5_range_join"        -> (j5RangeJoin _),
@@ -166,6 +183,15 @@ object Joins extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "j7_bloom_semi" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_totalprice > 400000.0)
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+
     "j2_disjunctive_semi" ->
       """SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
          WHERE EXISTS (SELECT 1 FROM supplier
