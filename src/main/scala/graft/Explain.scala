@@ -22,7 +22,8 @@ object Explain {
         "text_decontaminate", "dedup_incremental", "dedup_keep_best",
         "sim_ann_lsh_mp", "dedup_paragraph", "sim_q8_topk",
         "pack_sequences", "samp_temperature", "text_tfidf_topk",
-        "pipeline_curate", "samp_fixed_n")
+        "pipeline_curate", "samp_fixed_n", "text_line_rules",
+        "text_url_canonical", "layout_zorder_scan", "src_jsonl_roundtrip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
