@@ -26,4 +26,30 @@ object Layout {
       from: String, to: String): DataFrame =
     spark.read.parquet(path)
       .filter(col("dt_part") >= from && col("dt_part") <= to)
+
+  /** Small-file compaction — the layout-hygiene pass every streaming or
+    * fine-partitioned ingest needs: thousands of KB-scale part files
+    * turn listing, scheduling, and scan setup into the bottleneck long
+    * before data volume does. Rewrites `inPath` into
+    * ⌈bytes / targetFileBytes⌉ files at `outPath` and returns that
+    * count.
+    *
+    * `repartition(n)` (round-robin), not `coalesce(n)`: coalesce glues
+    * existing partitions without a shuffle, so a skewed input stays
+    * skewed — uniform output files are worth the one shuffle in a
+    * maintenance pass. Row-level content is preserved exactly (the
+    * layout_compact entry hash-proves it); intra-file order is not a
+    * parquet contract and is not preserved. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 512L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .toInt
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

@@ -52,4 +52,33 @@ object Upsert {
   def firstWriteWins(existing: DataFrame, incoming: DataFrame,
       key: String, orderCol: String): DataFrame =
     firstWriteWins(existing, incoming, key, Seq(asc(orderCol)))
+
+  /** Changelog → SCD-2 history (the third upsert flavor: keep EVERY
+    * version with its validity interval, not just the winner).
+    * Consecutive rows with an unchanged `attr` collapse into one
+    * interval (null-safe change test); each surviving version gets
+    * `valid_from` = its change timestamp, `valid_to` = the next
+    * change's timestamp (null = still current).
+    *
+    * `tieBreak` must make (ts, tieBreak) a total order per key — same
+    * contract as [[lastWriteWins]]'s orderCols.
+    *
+    * Scale: one shuffle on `key`; the change-detect and interval
+    * windows use the SAME partitioning and sort, so Catalyst reuses
+    * one exchange for both passes. Output is version-count-sized
+    * (≤ changelog), never key-count × time. */
+  def scd2FromChangelog(log: DataFrame, key: String, ts: String,
+      attr: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    log
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      // null-safe: a change is "not distinct-equal" to the previous
+      // value; the first row per key always opens an interval
+      .filter(col("__first") || !(col(attr) <=> col("__prev")))
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev", "__first")
+  }
 }

@@ -170,9 +170,22 @@ object Joins extends QueryModule {
       .orderBy("l_orderkey")
   }
 
+  // ---- J8: SCD-2 history — each user's event_type changelog collapsed
+  //      to validity intervals (third upsert flavor beside LWW/FWW:
+  //      keep every version, not just the winner).
+  private def j8Scd2History(s: SparkSession, d: String): DataFrame =
+    graft.ops.Upsert.scd2FromChangelog(
+        Tables.events(s, d).select("user_id", "ts", "event_type", "event_id"),
+        key = "user_id", ts = "ts", attr = "event_type",
+        tieBreak = "event_id")
+      .select("user_id", "event_id", "event_type", "valid_from",
+        "valid_to", "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j2_disjunctive_semi"  -> (j2DisjunctiveSemi _),
     "j7_bloom_semi"        -> (j7BloomSemi _),
+    "j8_scd2_history"      -> (j8Scd2History _),
     "j3_upsert_merge"      -> (j3UpsertMerge _),
     "j3_first_write_wins"  -> (j3FirstWriteWins _),
     "j5_range_join"        -> (j5RangeJoin _),
@@ -191,6 +204,28 @@ object Joins extends QueryModule {
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                               WHERE o_totalprice > 400000.0)
          GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    "j8_scd2_history" ->
+      """WITH ordered AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                  event_id,
+                  lag(event_type) OVER w AS prev,
+                  row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         ),
+         chg AS (
+           SELECT user_id, ts, event_type, event_id FROM ordered
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+         )
+         SELECT user_id, event_id, event_type,
+                ts AS valid_from,
+                lead(ts) OVER w2 AS valid_to,
+                (lead(ts) OVER w2) IS NULL AS is_current
+         FROM chg
+         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, valid_from, event_id""",
 
     "j2_disjunctive_semi" ->
       """SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem

@@ -125,10 +125,27 @@ object LayoutOps extends QueryModule {
       .select("o_orderkey", "o_custkey", "o_totalprice", "z")
       .orderBy("o_orderkey")
 
+  // Fragment events into 50 small files, compact back to target-sized
+  // files, read the compacted set: the oracle reads the ORIGINAL
+  // parquet, so hash equality proves compaction is content-preserving.
+  // (File-count arithmetic is pinned in LayoutSpec.)
+  private def layoutCompact(s: SparkSession, d: String): DataFrame = {
+    val path = SessionMemo(s, d, "layout_compact") {
+      val frag = scratch(d, "frag")
+      val comp = scratch(d, "comp")
+      graft.Tables.events(s, d).repartition(50)
+        .write.mode("overwrite").parquet(frag)
+      Layout.compact(s, frag, comp)
+      comp
+    }
+    s.read.parquet(path).orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_partition_prune" -> (layoutPartitionPrune _),
     "layout_bucketed_join"   -> (layoutBucketedJoin _),
     "layout_zorder_scan"     -> (layoutZorderScan _),
+    "layout_compact"         -> (layoutCompact _),
     "src_jsonl_roundtrip"    -> (srcJsonlRoundtrip _),
     "src_csv_roundtrip"      -> (srcCsvRoundtrip _)
   )
@@ -170,6 +187,11 @@ object LayoutOps extends QueryModule {
          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          GROUP BY c.c_custkey
          ORDER BY c.c_custkey""",
+
+    "layout_compact" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                event_type, value, props
+         FROM events ORDER BY event_id""",
 
     // straight reads of the ORIGINAL parquet: equality proves the text
     // round trip lost nothing (µs timestamps, doubles, quoted JSON)

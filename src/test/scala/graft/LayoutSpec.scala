@@ -96,6 +96,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(viaBuckets.toSeq == plain.toSeq)
   }
 
+  test("compact: file count follows the byte target, content preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString
+    val ev = Tables.events(spark, sf0001)
+    ev.repartition(20).write.mode("overwrite").parquet(s"$dir/frag")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parts(s"$dir/frag") === 20)
+    // tiny target → a handful of files, exactly the returned count
+    val n = graft.ops.Layout.compact(spark, s"$dir/frag", s"$dir/comp",
+      targetFileBytes = 64L << 10)
+    assert(parts(s"$dir/comp") === n)
+    assert(n < 20 && n >= 1)
+    val back = spark.read.parquet(s"$dir/comp")
+    assert(back.count() === ev.count())
+    assert(back.except(ev).count() === 0 && ev.except(back).count() === 0)
+  }
+
   // --- z-order clustering --------------------------------------------
 
   test("zValue is a bijection on the 32x32 grid and matches zSql") {

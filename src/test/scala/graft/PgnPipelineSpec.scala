@@ -180,4 +180,30 @@ class PgnPipelineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(merged == Seq(("u1", "orig"), ("u2", "new-a")))
   }
+
+  test("SCD-2: changelog collapses runs, null-safe changes, chained intervals") {
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    // key 1: a → a (collapse) → b → null → null (collapse) → a
+    // key 2: single row stays open
+    val log = Seq(
+      (1L, ts(0), Option("a"), 10L), (1L, ts(1), Option("a"), 11L),
+      (1L, ts(2), Option("b"), 12L), (1L, ts(3), None, 13L),
+      (1L, ts(4), None, 14L), (1L, ts(5), Option("a"), 15L),
+      (2L, ts(0), Option("x"), 20L))
+      .toDF("k", "ts", "v", "seq")
+    val h = Upsert.scd2FromChangelog(log, "k", "ts", "v", "seq")
+      .orderBy("k", "valid_from")
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+      .toSeq
+    assert(h === Seq(
+      (1L, Some("a"), ts(0), Some(ts(2)), false),
+      (1L, Some("b"), ts(2), Some(ts(3)), false),
+      (1L, None,      ts(3), Some(ts(5)), false),
+      (1L, Some("a"), ts(5), None, true),
+      (2L, Some("x"), ts(0), None, true)))
+  }
 }
