@@ -223,6 +223,23 @@ object DataOps extends QueryModule {
     * projections. Planted copies keep every branch live: a copy is
     * exact-dup AND near-loser; organic near-dups hit only the near
     * branch; short docs hit only the gate. */
+  /** Near-dup cluster table of the PLANTED corpus, shared by both
+    * curation pipelines. The planted shingle index is DERIVED from the
+    * memoized organic one (a copy's shingles are the original's rows
+    * under the shifted id — shingles() is per-doc deterministic, and
+    * null text produces no shingle rows either way), so the corpus
+    * explode is shared with the jaccard/minhash/simhash entries
+    * instead of re-run; CC runs once per (session, dir). */
+  private def curateClusters(s: SparkSession, d: String): DataFrame =
+    SessionMemo(s, d, "curate_clusters") {
+      val sh = sharedShingles(s, d)
+      val plantedSh = sh.unionByName(sh.filter(col("id") % 10 === 0)
+        .select((col("id") + Planting.Offset).as("id"), col("shingle")))
+      Dedup.connectedComponents(
+        Dedup.jaccardPairsFromShingles(plantedSh, 0.3)
+          .select("id1", "id2")).persist()
+    }
+
   private def pipelineCurate(s: SparkSession, d: String): DataFrame = {
     // text is coalesced to '' at the corpus seam: a NULL text would
     // otherwise vanish in the text-keyed exact-dedup join (NULL never
@@ -239,17 +256,7 @@ object DataOps extends QueryModule {
         .select((col("doc_id") + Planting.Offset).as("doc_id"), col("text")))
         .persist()
     }
-    // The planted corpus's shingle index is DERIVED from the memoized
-    // organic one (a copy's shingles are the original's rows under the
-    // shifted id — shingles() is per-doc deterministic, and null text
-    // produces no shingle rows either way), so the explode over the
-    // corpus is shared with the jaccard/minhash/simhash entries
-    // instead of re-run.
-    val sh = sharedShingles(s, d)
-    val plantedSh = sh.unionByName(sh.filter(col("id") % 10 === 0)
-      .select((col("id") + Planting.Offset).as("id"), col("shingle")))
-    val clusters = Dedup.connectedComponents(
-      Dedup.jaccardPairsFromShingles(plantedSh, 0.3).select("id1", "id2"))
+    val clusters = curateClusters(s, d)
     val gated = graft.text.TextAnalysis.qualityGate(u)
       .select(col("doc_id"), col("text"), col("keep").as("keep_quality"))
     // arg-min by aggregation (no text-partitioned window); renamed
@@ -267,6 +274,77 @@ object DataOps extends QueryModule {
     graft.sampling.Sampling.hashSplit(labeled, "doc_id", 0.8)
       .select("doc_id", "keep_quality", "is_exact_dup", "is_near_loser",
         "admitted", "split")
+      .orderBy("doc_id")
+  }
+
+  /** pipeline_curate with the SEMANTIC stage added (the full modern
+    * curation recipe: rule gate → exact dedup → lexical near-dup →
+    * embedding near-dup → split). The semantic verdict comes from the
+    * hash-proven exhaustive SemDeDup labeling over `embeddings`
+    * (vec_id ≡ doc_id in the synthesized corpus); planted copies have
+    * no embedding row, so they pass the semantic stage untouched (left
+    * join, null → keep) — exactly what the oracle's LEFT JOIN does.
+    * Every stage's rule is copied verbatim from its per-operator
+    * oracle, so the composition is hash-proven end-to-end like v1. */
+  private def pipelineCurateV2(s: SparkSession, d: String): DataFrame = {
+    val u = SessionMemo(s, d, "curate_u") {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      Planting.requireHeadroom(base, "doc_id", "pipeline_curate_v2")
+      base.unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + Planting.Offset).as("doc_id"), col("text")))
+        .persist()
+    }
+    val clusters = curateClusters(s, d)
+    val sem = graft.sim.SemDedup
+      .semanticDedupExhaustive(Tables.embeddings(s, d), 0.35)
+      .select(col("vec_id"), (!col("keep")).as("__sem_loser"))
+    val gated = graft.text.TextAnalysis.qualityGate(u)
+      .select(col("doc_id"), col("text"), col("keep").as("keep_quality"))
+    val firstByText = u.groupBy("text").agg(min("doc_id").as("__first_id"))
+      .withColumnRenamed("text", "__t")
+    val labeled = gated.join(firstByText, col("text") === col("__t"))
+      .withColumn("is_exact_dup", col("doc_id") =!= col("__first_id"))
+      .join(broadcast(clusters), col("doc_id") === col("id"), "left")
+      .withColumn("is_near_loser",
+        coalesce(col("cluster_id") =!= col("doc_id"), lit(false)))
+      // the semantic-loser table is corpus-bounded metadata (one bit
+      // per embedded doc) — broadcast, the corpus side never shuffles
+      .join(broadcast(sem), col("doc_id") === col("vec_id"), "left")
+      .withColumn("is_sem_loser",
+        coalesce(col("__sem_loser"), lit(false)))
+      .withColumn("admitted",
+        col("keep_quality") && !col("is_exact_dup") &&
+          !col("is_near_loser") && !col("is_sem_loser"))
+    graft.sampling.Sampling.hashSplit(labeled, "doc_id", 0.8)
+      .select("doc_id", "keep_quality", "is_exact_dup", "is_near_loser",
+        "is_sem_loser", "admitted", "split")
+      .orderBy("doc_id")
+  }
+
+  // Decontamination with a Bloom prefilter on the corpus shingle
+  // stream: at 100 TB the stream side dwarfs the bench set, and the
+  // sketch (bits, not keys) drops ~every clean shingle BEFORE the
+  // broadcast semi-join; the exact join then removes false positives,
+  // so the result — and the oracle — are identical to
+  // text_decontaminate. The composition is the point: the sketch
+  // travels as bytes between pipeline stages.
+  private def textDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val sh = sharedShingles(s, d)
+    val benchShingles = sh.filter(col("id") % 97 === 0)
+      .select("shingle").distinct()
+    val sketch = graft.ops.BloomPrune.buildKeySketch(
+      benchShingles, "shingle", expectedItems = 100000)
+    val flagged = sh.filter(col("id") % 97 =!= 0)
+      .filter(graft.ops.BloomPrune.mightContain(sketch, col("shingle")))
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select(col("id").as("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    Tables.documents(s, d).filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
       .orderBy("doc_id")
   }
 
@@ -522,6 +600,8 @@ object DataOps extends QueryModule {
     "text_decontaminate"   -> (textDecontaminate _),
     "dedup_incremental"    -> (dedupIncremental _),
     "pipeline_curate"      -> (pipelineCurate _),
+    "pipeline_curate_v2"   -> (pipelineCurateV2 _),
+    "text_decontaminate_bloom" -> (textDecontaminateBloom _),
     "dedup_prod_paths"     -> (dedupProdConformance _),
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
     "dedup_semantic"       -> (dedupSemantic _),
@@ -695,6 +775,75 @@ object DataOps extends QueryModule {
            LEFT JOIN lab ON lab.id = d.doc_id
            ORDER BY d.doc_id"""),
 
+    // v1's transcript + the semantic stage: the dedup_semantic_exhaustive
+    // labeling (pairwise cosine > 0.35 → recursive CC → min-id keeper)
+    // joined on doc_id = vec_id; planted copies have no embedding row,
+    // so the LEFT JOIN leaves them un-demoted
+    "pipeline_curate_v2" ->
+      (s"""WITH RECURSIVE u AS (
+             SELECT doc_id, coalesce(text, '') AS text FROM documents
+             UNION ALL
+             SELECT doc_id + 100000 AS doc_id, coalesce(text, '') AS text
+             FROM documents
+             WHERE doc_id % 10 = 0
+           ),
+           ${tokCteFor("u")}, $shCte, $jpCte, $ccCte,
+           semv AS (
+             SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+           ),
+           semn AS (
+             SELECT vec_id, vd,
+                    sqrt(list_reduce(list_transform(vd, (x,i) -> x * vd[i]),
+                                     (a,b) -> a + b)) AS nrm
+             FROM semv
+           ),
+           semp AS (
+             SELECT a.vec_id AS id1, b.vec_id AS id2
+             FROM semn a JOIN semn b ON a.vec_id < b.vec_id
+             WHERE list_reduce(list_transform(a.vd, (x,i) -> x * b.vd[i]),
+                               (p,q) -> p + q) / (a.nrm * b.nrm) > 0.35
+           ),
+           semedges AS (SELECT id1 AS a, id2 AS b FROM semp
+                        UNION SELECT id2, id1 FROM semp),
+           semreach AS (
+             SELECT a, b FROM semedges
+             UNION
+             SELECT r.a, e.b FROM semreach r
+             JOIN semedges e ON r.b = e.a),
+           semlab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+                      FROM semreach GROUP BY a),
+           m AS (
+             SELECT doc_id,
+                    (CAST(len(ts) AS INT) BETWEEN 30 AND 10000)
+                      AND ((CASE WHEN len(ts) > 0
+                            THEN CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / len(ts)
+                            ELSE 0.0 END) BETWEEN 3.0 AND 10.0)
+                      AND ((CASE WHEN length(text) > 0
+                            THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)
+                            ELSE 0.0 END) <= 0.1) AS keep_quality
+             FROM tok),
+           ex AS (
+             SELECT doc_id,
+                    doc_id <> min(doc_id) OVER (PARTITION BY text)
+                      AS is_exact_dup
+             FROM u)
+           SELECT d.doc_id, m.keep_quality, ex.is_exact_dup,
+                  coalesce(lab.id <> lab.cluster_id, FALSE) AS is_near_loser,
+                  coalesce(semlab.id <> semlab.cluster_id, FALSE)
+                    AS is_sem_loser,
+                  m.keep_quality AND NOT ex.is_exact_dup
+                    AND NOT coalesce(lab.id <> lab.cluster_id, FALSE)
+                    AND NOT coalesce(semlab.id <> semlab.cluster_id, FALSE)
+                    AS admitted,
+                  CASE WHEN substr(md5('split' || CAST(d.doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                       THEN 'train' ELSE 'test' END AS split
+           FROM u d
+           JOIN m ON m.doc_id = d.doc_id
+           JOIN ex ON ex.doc_id = d.doc_id
+           LEFT JOIN lab ON lab.id = d.doc_id
+           LEFT JOIN semlab ON semlab.id = d.doc_id
+           ORDER BY d.doc_id"""),
+
     "dedup_incremental" ->
       (s"""WITH $tokCte, $shCte, $jpCte,
           inc AS (
@@ -716,17 +865,9 @@ object DataOps extends QueryModule {
                  NOT (exact_dup OR near_dup) AS admitted
           FROM flags ORDER BY doc_id"""),
 
-    "text_decontaminate" ->
-      (s"""WITH $tokCte, $shCte,
-          bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
-          flagged AS (
-            SELECT DISTINCT id FROM sh
-            WHERE id % 97 <> 0
-              AND shingle IN (SELECT shingle FROM bench))
-          SELECT d.doc_id, (f.id IS NOT NULL) AS contaminated
-          FROM documents d LEFT JOIN flagged f ON f.id = d.doc_id
-          WHERE d.doc_id % 97 <> 0
-          ORDER BY d.doc_id"""),
+    "text_decontaminate" -> decontaminateOracle,
+    // the Bloom prefilter is removed by the exact join — same truth
+    "text_decontaminate_bloom" -> decontaminateOracle,
 
     "dedup_keep_list" ->
       (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte, $ccCte
@@ -1001,6 +1142,18 @@ object DataOps extends QueryModule {
                            ELSE 1 END + 4) // 5 AS INT) AS n_sampled_frames
          FROM documents ORDER BY asset_id"""
   )
+
+  private lazy val decontaminateOracle: String =
+    s"""WITH $tokCte, $shCte,
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+        flagged AS (
+          SELECT DISTINCT id FROM sh
+          WHERE id % 97 <> 0
+            AND shingle IN (SELECT shingle FROM bench))
+        SELECT d.doc_id, (f.id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN flagged f ON f.id = d.doc_id
+        WHERE d.doc_id % 97 <> 0
+        ORDER BY d.doc_id"""
 
   private lazy val cosineTopkOracle: String =
       """WITH v AS (

@@ -514,4 +514,36 @@ class DataOpsSpec extends AnyFunSuite {
     assert(planted.nonEmpty && planted.forall(r => r._3 && r._4 && !r._5))
     assert(out.map(_._6).distinct.sorted.toSeq == Seq("test", "train"))
   }
+
+  test("pipeline_curate_v2: semantic stage only demotes — v1 verdicts preserved") {
+    val v1 = SparkEntry.queries("pipeline_curate")(spark, sf0001)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val v2 = SparkEntry.queries("pipeline_curate_v2")(spark, sf0001)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, String)]
+      .collect()
+    assert(v2.length === v1.size)
+    v2.foreach { r =>
+      val (id, q, ex, near, sem, adm, split) = (r._1, r._2, r._3, r._4,
+        r._5, r._6, r._7)
+      val b = v1(id)
+      // shared stages byte-identical to v1
+      assert((q, ex, near, split) === ((b._2, b._3, b._4, b._6)))
+      // v2 admits exactly v1's admits minus semantic losers
+      assert(adm === (b._5 && !sem))
+      // planted copies (no embedding row) are never semantic losers
+      if (id >= 100000L) assert(!sem)
+    }
+    // the semantic stage does real work on the organic corpus
+    assert(v2.exists(r => r._5 && r._6 == false && v1(r._1)._5),
+      "semantic stage demoted nothing that v1 admitted")
+  }
+
+  test("text_decontaminate_bloom equals text_decontaminate row-for-row") {
+    val exact = SparkEntry.queries("text_decontaminate")(spark, sf0001)
+      .collect()
+    val bloom = SparkEntry.queries("text_decontaminate_bloom")(spark, sf0001)
+      .collect()
+    assert(bloom.sameElements(exact))
+  }
 }
