@@ -157,6 +157,27 @@ object TrainPrep extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // Dataset-card rollup: the corpus report every curated release ships
+  // (per lang×source, per lang, and overall: docs, tokens, chars, avg
+  // length). One rollup aggregation; token counts are the ws-token
+  // semantics of text_tokens; avg is the exact decimal-sum/count
+  // pattern (one IEEE division — cross-engine exact).
+  private def corpusStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("n_toks",
+      size(filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)))
+    docs.rollup("lang", "source")
+      .agg(
+        grouping(col("lang")).as("g_lang"),
+        grouping(col("source")).as("g_source"),
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum("n_chars").as("sum_chars"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy(col("g_lang"), col("g_source"),
+        col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
   private def textTfidfTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id", k = 3)
       .orderBy("doc_id", "rank")
@@ -217,6 +238,7 @@ object TrainPrep extends QueryModule {
     "text_normalize_uni" -> (textNormalizeUni _),
     "text_line_rules" -> (textLineRules _),
     "text_url_canonical" -> (textUrlCanonical _),
+    "corpus_stats" -> (corpusStats _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),
@@ -496,6 +518,27 @@ object TrainPrep extends QueryModule {
          SELECT doc_id, url, url_host, canon_url,
                 count(*) OVER (PARTITION BY canon_url) AS n_same
          FROM c ORDER BY doc_id"""),
+
+    // sums are BIGINT-exact; avg is one IEEE division of exact ints
+    "corpus_stats" ->
+      (s"""WITH $tokCte,
+           t AS (
+             SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                    len(tok.ts) AS n_toks
+             FROM documents d JOIN tok ON tok.doc_id = d.doc_id
+           )
+           SELECT lang, source,
+                  grouping(lang) AS g_lang,
+                  grouping(source) AS g_source,
+                  count(*) AS n_docs,
+                  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+                  max(n_chars) AS max_chars
+           FROM t
+           GROUP BY ROLLUP(lang, source)
+           ORDER BY g_lang, g_source,
+                    lang ASC NULLS FIRST, source ASC NULLS FIRST"""),
 
     // α = 7/10 rate table by pure integer arithmetic (a=7 threshold
     // bits, b=8 ratio bits): t = max{t ≤ 128 : t^10·256^7 ≤ 128^10·r^7}

@@ -268,6 +268,18 @@ class TrainPrepSpec extends AnyFunSuite {
       38L -> "https://example.com/p"))        // ref dropped, empty query elided
   }
 
+  test("canonicalize is idempotent: the canonical form is a fixed point") {
+    import graft.text.UrlOps
+    import graft.queries.TrainPrep
+    val once = UrlOps.canonicalize(TrainPrep.UrlRows.toDF("doc_id", "url"))
+      .select(col("doc_id"), col("canon_url").as("url"))
+    val twice = UrlOps.canonicalize(once)
+      .select("doc_id", "canon_url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice === first)
+  }
+
   test("lineRules: whitespace-only text yields zero lines and drops") {
     import graft.text.QualityRules
     val out = QualityRules.lineRules(
