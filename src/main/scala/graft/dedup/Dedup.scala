@@ -164,6 +164,41 @@ object Dedup {
       .select("id1", "id2", "n_common", "jaccard")
   }
 
+  /** Directional shingle CONTAINMENT — the subset-duplication signal
+    * Jaccard misses: a short doc fully quoted inside a long one scores
+    * jaccard ≈ |short|/|long| (arbitrarily low) but containment
+    * |A∩B|/|A| = 1. Emits one row per direction above `threshold`:
+    * (id_contained, id_container, n_common, containment). Same
+    * inverted-index + df-cap machinery as [[jaccardPairsFromShingles]]
+    * — the pair join is bounded identically; only the ratio's
+    * denominator changes (the contained side's own size). */
+  def containmentPairsFromShingles(shAll: DataFrame, threshold: Double,
+      maxShingleDf: Long = 1000L): DataFrame = {
+    val keep = shAll.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val sh = graft.CacheScope.track(shAll.join(keep, Seq("shingle")))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.withColumnRenamed("id", "id1")
+    val b = sh.withColumnRenamed("id", "id2")
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("id", "id1")
+        .withColumnRenamed("n_sh", "n1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("id", "id2")
+        .withColumnRenamed("n_sh", "n2"), Seq("id2"))
+    // each unordered pair fans out to its ≤2 qualifying directions
+    val d1 = common.select(col("id1").as("id_contained"),
+      col("id2").as("id_container"), col("n_common"),
+      (col("n_common").cast("double") / col("n1")).as("containment"))
+    val d2 = common.select(col("id2").as("id_contained"),
+      col("id1").as("id_container"), col("n_common"),
+      (col("n_common").cast("double") / col("n2")).as("containment"))
+    d1.unionByName(d2).filter(col("containment") > threshold)
+  }
+
   /** MinHash signature arrays via the one-pass typed UDAF
     * ([[graft.functions.MinHashAgg]]): (id, sigs: array<bigint>).
     * Same hash family as [[minhashSignatures]]; the shuffle carries one

@@ -322,6 +322,25 @@ object DataOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // Containment coverage needs a contained doc: plant the 15-word
+  // PREFIX of every 20th document — its 3-gram shingles are a strict
+  // subset of the original's, so containment(prefix→orig) = 1.0 while
+  // jaccard stays low (the signal Jaccard misses by construction).
+  // The planted side's shingles are computed fresh; the organic side
+  // rides the shared memoized index.
+  private def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    Planting.requireHeadroom(docs, "doc_id", "dedup_containment")
+    val planted = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + Planting.Offset).as("doc_id"),
+        array_join(slice(split(lower(trim(col("text"))), " +"), 1, 15), " ")
+          .as("text"))
+    val sh = sharedShingles(s, d)
+      .unionByName(Dedup.shingles(planted, "doc_id", "text"))
+    Dedup.containmentPairsFromShingles(sh, 0.8)
+      .orderBy("id_contained", "id_container")
+  }
+
   // Decontamination with a Bloom prefilter on the corpus shingle
   // stream: at 100 TB the stream side dwarfs the bench set, and the
   // sketch (bits, not keys) drops ~every clean shingle BEFORE the
@@ -602,6 +621,7 @@ object DataOps extends QueryModule {
     "pipeline_curate"      -> (pipelineCurate _),
     "pipeline_curate_v2"   -> (pipelineCurateV2 _),
     "text_decontaminate_bloom" -> (textDecontaminateBloom _),
+    "dedup_containment"    -> (dedupContainment _),
     "dedup_prod_paths"     -> (dedupProdConformance _),
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
     "dedup_semantic"       -> (dedupSemantic _),
@@ -868,6 +888,42 @@ object DataOps extends QueryModule {
     "text_decontaminate" -> decontaminateOracle,
     // the Bloom prefilter is removed by the exact join — same truth
     "text_decontaminate_bloom" -> decontaminateOracle,
+
+    // same df-capped inverted index as the jaccard entries; only the
+    // denominator changes (each direction's own size)
+    "dedup_containment" ->
+      (s"""WITH u AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 100000 AS doc_id,
+                    array_to_string(list_filter(
+                      string_split(lower(trim(text)), ' '),
+                      t -> t <> '')[1:15], ' ') AS text
+             FROM documents WHERE doc_id % 20 = 0
+           ),
+           ${tokCteFor("u")}, $shCte,
+           keep AS (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= 1000),
+           shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+           sizes AS (SELECT id, count(*) AS n_sh FROM shc GROUP BY id),
+           common AS (
+             SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+             FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+             GROUP BY a.id, b.id),
+           cj AS (SELECT c.id1, c.id2, c.n_common,
+                         s1.n_sh AS n1, s2.n_sh AS n2
+                  FROM common c
+                  JOIN sizes s1 ON s1.id = c.id1
+                  JOIN sizes s2 ON s2.id = c.id2),
+           dir AS (
+             SELECT id1 AS id_contained, id2 AS id_container, n_common,
+                    CAST(n_common AS DOUBLE) / n1 AS containment FROM cj
+             UNION ALL
+             SELECT id2 AS id_contained, id1 AS id_container, n_common,
+                    CAST(n_common AS DOUBLE) / n2 AS containment FROM cj)
+           SELECT id_contained, id_container, n_common, containment
+           FROM dir WHERE containment > 0.8
+           ORDER BY id_contained, id_container"""),
 
     "dedup_keep_list" ->
       (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte, $ccCte

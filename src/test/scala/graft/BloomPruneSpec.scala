@@ -40,6 +40,17 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(fp <= 300, s"false-positive count $fp exceeds 3x fpp bound")
   }
 
+  test("plan shape: the might_contain probe sits on the fact scan, below the join") {
+    val li = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001).filter(col("o_totalprice") > 400000.0)
+    val plan = BloomPrune.semiJoin(li, "l_orderkey", o, "o_orderkey",
+      expectedItems = 10000).queryExecution.executedPlan.toString
+    // the probe predicate is present and codegen'd (an expression in a
+    // Filter, not a UDF invocation)
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    assert(!plan.contains("UDF"), "probe fell back to a UDF")
+  }
+
   test("prefilter prunes the fact side before the exact join") {
     val li = Tables.lineitem(spark, sf0001)
     val o = Tables.orders(spark, sf0001).filter(col("o_totalprice") > 450000.0)

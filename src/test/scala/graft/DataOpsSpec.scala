@@ -539,6 +539,31 @@ class DataOpsSpec extends AnyFunSuite {
       "semantic stage demoted nothing that v1 admitted")
   }
 
+  test("containment catches prefix-contained docs that jaccard misses") {
+    import graft.dedup.Dedup
+    import graft.queries.Planting
+    val base = docs.select("doc_id", "text")
+    val planted = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + Planting.Offset).as("doc_id"),
+        array_join(slice(split(lower(trim(col("text"))), " +"), 1, 15), " ")
+          .as("text"))
+    val sh = Dedup.shingles(base.unionByName(planted), "doc_id", "text")
+    val cont = Dedup.containmentPairsFromShingles(sh, 0.8)
+      .as[(Long, Long, Long, Double)].collect()
+    // every planted prefix is FULLY contained in its source doc
+    val prefixToSource = cont.filter(r =>
+      r._1 >= Planting.Offset && r._2 == r._1 - Planting.Offset)
+    assert(prefixToSource.nonEmpty)
+    assert(prefixToSource.forall(_._4 == 1.0))
+    // and jaccard at the same threshold misses at least one of them
+    val jac = Dedup.jaccardPairsFromShingles(sh, 0.8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (math.min(r._1, r._2), math.max(r._1, r._2))).toSet
+    assert(prefixToSource.exists(r =>
+      !jac.contains((math.min(r._1, r._2), math.max(r._1, r._2)))),
+      "jaccard found every containment pair — planted docs too short")
+  }
+
   test("text_decontaminate_bloom equals text_decontaminate row-for-row") {
     val exact = SparkEntry.queries("text_decontaminate")(spark, sf0001)
       .collect()
