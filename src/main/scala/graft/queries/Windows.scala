@@ -69,7 +69,58 @@ object Windows extends QueryModule {
       .orderBy("user_id", "sess_start_us")
   }
 
+  // ---- W4: ordered conversion funnel (view → click → purchase, each
+  //      stage strictly after the previous). Three user-keyed min-aggs
+  //      chained by joins — every groupBy/join shares the user_id
+  //      partitioning, so the whole funnel is ONE exchange deep at any
+  //      corpus size. Timestamps surface as epoch µs (engine-exact).
+  private def w4Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val users = ev.select("user_id").distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("ts_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("ts_view"))
+      .groupBy("user_id").agg(min("ts").as("ts_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("ts_click"))
+      .groupBy("user_id").agg(min("ts").as("ts_purchase"))
+    users.join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_micros(col("ts_view")).as("view_us"),
+        unix_micros(col("ts_click")).as("click_us"),
+        unix_micros(col("ts_purchase")).as("purchase_us"),
+        when(col("ts_purchase").isNotNull, 3)
+          .when(col("ts_click").isNotNull, 2)
+          .when(col("ts_view").isNotNull, 1)
+          .otherwise(0).as("stage"))
+      .orderBy("user_id")
+  }
+
+  // ---- W5: retention cohorts — users bucketed by first-seen date,
+  //      counted per (cohort, day offset). Two user-keyed aggs + one
+  //      date-keyed agg; the cohort table is user-count-sized metadata.
+  private def w5Retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w4_funnel"    -> (w4Funnel _),
+    "w5_retention" -> (w5Retention _),
     "t4_tumbling_window" -> (t4Tumbling _),
     "t4_sliding_window"  -> (t4Sliding _),
     "t4_session_window"  -> (t4Session _),
@@ -77,6 +128,48 @@ object Windows extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "w4_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         v AS (SELECT user_id, min(ts) AS ts_view FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS ts_click
+               FROM e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > v.ts_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS ts_purchase
+               FROM e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+               GROUP BY e.user_id)
+         SELECT u.user_id,
+                epoch_us(v.ts_view) AS view_us,
+                epoch_us(c.ts_click) AS click_us,
+                epoch_us(p.ts_purchase) AS purchase_us,
+                CASE WHEN p.ts_purchase IS NOT NULL THEN 3
+                     WHEN c.ts_click IS NOT NULL THEN 2
+                     WHEN v.ts_view IS NOT NULL THEN 1
+                     ELSE 0 END AS stage
+         FROM (SELECT DISTINCT user_id FROM e) u
+         LEFT JOIN v USING (user_id)
+         LEFT JOIN c USING (user_id)
+         LEFT JOIN p USING (user_id)
+         ORDER BY u.user_id""",
+
+    "w5_retention" ->
+      """WITH e AS (SELECT user_id,
+                           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                    FROM events),
+         cohort AS (SELECT user_id, min(day) AS cohort_day FROM e
+                    GROUP BY user_id)
+         SELECT cohort_day,
+                CAST(date_diff('day', cohort_day, day) AS INT)
+                  AS day_offset,
+                count(*) AS n_users
+         FROM (SELECT DISTINCT c.cohort_day, e.day, e.user_id
+               FROM e JOIN cohort c USING (user_id))
+         GROUP BY cohort_day, day_offset
+         ORDER BY cohort_day, day_offset""",
+
     "t4_tumbling_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS win_start_us,
                 event_type, count(*) AS n,
