@@ -89,6 +89,21 @@ object Aggregates extends QueryModule {
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       approx_count_distinct(col("l_orderkey")).as("approx_orders"))
 
+  // ---- A7: approximate percentiles (Greenwald-Khanna mergeable
+  //      sketch — the distributed quantile path when an exact sort is
+  //      off the table). Engine-specific sketch → rows-only driver
+  //      check; AggregatesSpec pins the rank-error bound against the
+  //      exact quantiles at this accuracy.
+  private def a7ApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("p"))
+      .select(col("event_type"),
+        col("p").getItem(0).as("p50_approx"),
+        col("p").getItem(1).as("p95_approx"))
+      .orderBy("event_type")
+
   // ---- W1: sessionization — the stateful record-boundary detection of
   //      the PGN stream (F1, get_games_from_tv.py:196-199) generalized:
   //      per-user sessions split on >1h inactivity gaps, assigned by a
@@ -211,6 +226,7 @@ object Aggregates extends QueryModule {
     "a7_cube"                 -> (a7Cube _),
     "a7_count_distinct"       -> (a7CountDistinct _),
     "a7_approx_distinct"      -> (a7ApproxDistinct _),
+    "a7_approx_percentile"    -> (a7ApproxPercentile _),
     "w1_sessionization"       -> (w1Sessionization _),
     "w3_window_analytics"     -> (w3WindowAnalytics _),
     "o1_limit_cap"            -> (o1LimitCap _),

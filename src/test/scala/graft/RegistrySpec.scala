@@ -52,6 +52,23 @@ class RegistrySpec extends AnyFunSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("percentile_approx at accuracy 10000 is rank-exact-ish vs exact quantiles") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.events(spark, sf001).filter(col("event_type") === "click")
+    val row = df.agg(
+      expr("percentile(value, 0.5)").as("exact_p50"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+      expr("percentile(value, 0.95)").as("exact_p95"),
+      percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95"))
+      .head()
+    // GK sketch rank error ≤ n/accuracy ≈ 1 row here; values are 2-dp
+    // in a [0, ~20] band, so a 1-row rank slip moves the value ≤ 2%
+    assert(math.abs(row.getDouble(1) - row.getDouble(0)) <=
+      0.02 * math.max(1.0, row.getDouble(0)))
+    assert(math.abs(row.getDouble(3) - row.getDouble(2)) <=
+      0.02 * math.max(1.0, row.getDouble(2)))
+  }
+
   test("registry covers every SURVEY §2 operator family") {
     val keys = SparkEntry.queries.keySet
     val families = Seq("s3_", "s4_", "s5_", "a1_", "a2_", "a3_", "a4_",

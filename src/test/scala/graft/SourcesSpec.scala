@@ -124,6 +124,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("TextFormats: lenient jsonl read quarantines corrupt lines, keeps good ones") {
+    import graft.sources.TextFormats
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("corrupt").toString
+    Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "name": "ok"}""",
+        """{"id": 2, "name": "also ok"}""",
+        """{"id": 3, "name": "unclosed""",    // malformed JSON
+        """not json at all"""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    // cache: Spark disallows queries that prune down to ONLY the
+    // corrupt column on raw files (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+    // materializing the parse first is the documented pattern
+    val out = TextFormats.readJsonlLenient(spark, dir, schema).cache()
+    assert(out.count() === 4)
+    val bad = out.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() === 2)
+    assert(bad.filter(col("id").isNotNull).count() === 0)
+    val good = out.filter(col("_corrupt_record").isNull)
+      .select("id", "name").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(good === Seq((1L, "ok"), (2L, "also ok")))
+  }
+
   test("TextFormats: jsonl and csv round-trip events losslessly (µs ts, quoted props)") {
     import graft.sources.TextFormats
     val ev = Tables.events(spark, sf0001)
