@@ -132,10 +132,14 @@ object Dedup {
     jaccardPairsFromShingles(shingles(df, idCol, textCol), threshold,
       maxShingleDf)
 
-  /** [[jaccardPairs]] over a pre-built (id, shingle) index — lets
-    * callers share one shingle scan across several dedup paths. */
-  def jaccardPairsFromShingles(shAll: DataFrame, threshold: Double,
-      maxShingleDf: Long = 1000L): DataFrame = {
+  /** Shared core of the inverted-index similarity family: df-capped
+    * shingle index → posting-list self-join → per-pair intersection
+    * counts with both doc sizes attached: (id1 < id2, n_common, n1,
+    * n2). Jaccard and containment differ only in the ratio they
+    * project over this table — the cap/cache/join discipline lives in
+    * exactly one place. */
+  private def cappedCommonPairs(shAll: DataFrame,
+      maxShingleDf: Long): DataFrame = {
     // df per shingle is a count over per-doc-distinct rows; the join back
     // is shingle-keyed like the groupBy, so AQE reuses the partitioning.
     val keep = shAll.groupBy("shingle")
@@ -149,20 +153,25 @@ object Dedup {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = sh.withColumnRenamed("id", "id1")
     val b = sh.withColumnRenamed("id", "id2")
-    val common = a.join(b, Seq("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
-    common
       .join(sizes.withColumnRenamed("id", "id1")
         .withColumnRenamed("n_sh", "n1"), Seq("id1"))
       .join(sizes.withColumnRenamed("id", "id2")
         .withColumnRenamed("n_sh", "n2"), Seq("id2"))
+  }
+
+  /** [[jaccardPairs]] over a pre-built (id, shingle) index — lets
+    * callers share one shingle scan across several dedup paths. */
+  def jaccardPairsFromShingles(shAll: DataFrame, threshold: Double,
+      maxShingleDf: Long = 1000L): DataFrame =
+    cappedCommonPairs(shAll, maxShingleDf)
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n1") + col("n2") - col("n_common")))
       .filter(col("jaccard") > threshold)
       .select("id1", "id2", "n_common", "jaccard")
-  }
 
   /** Directional shingle CONTAINMENT — the subset-duplication signal
     * Jaccard misses: a short doc fully quoted inside a long one scores
@@ -174,21 +183,7 @@ object Dedup {
     * denominator changes (the contained side's own size). */
   def containmentPairsFromShingles(shAll: DataFrame, threshold: Double,
       maxShingleDf: Long = 1000L): DataFrame = {
-    val keep = shAll.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select("shingle")
-    val sh = graft.CacheScope.track(shAll.join(keep, Seq("shingle")))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.withColumnRenamed("id", "id1")
-    val b = sh.withColumnRenamed("id", "id2")
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("id", "id1")
-        .withColumnRenamed("n_sh", "n1"), Seq("id1"))
-      .join(sizes.withColumnRenamed("id", "id2")
-        .withColumnRenamed("n_sh", "n2"), Seq("id2"))
+    val common = cappedCommonPairs(shAll, maxShingleDf)
     // each unordered pair fans out to its ≤2 qualifying directions
     val d1 = common.select(col("id1").as("id_contained"),
       col("id2").as("id_container"), col("n_common"),

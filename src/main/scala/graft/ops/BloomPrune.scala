@@ -38,10 +38,15 @@ import org.apache.spark.sql.functions._
 object BloomPrune {
 
   /** A serialized Bloom sketch of `dim`'s `dimKey` values (xxhash64'd
-    * before insertion — probe with [[mightContain]], not raw keys). */
+    * before insertion — probe with [[mightContain]], not raw keys).
+    * NULL dim keys are excluded: Spark's hash expressions skip null
+    * children and return the SEED for an all-null row (xxhash64(NULL)
+    * = 42, never NULL), so without the filter a null dim key would
+    * admit every null probe key through the sketch. */
   def buildKeySketch(dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
-    val bf = dim.select(xxhash64(col(dimKey)).as("__h"))
+    val bf = dim.filter(col(dimKey).isNotNull)
+      .select(xxhash64(col(dimKey)).as("__h"))
       .stat.bloomFilter("__h", expectedItems, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
@@ -49,10 +54,12 @@ object BloomPrune {
   }
 
   /** Codegen'd membership probe of `key` against a [[buildKeySketch]]
-    * sketch. NULL keys probe as NULL (row dropped by a filter) —
-    * matching semi-join semantics, where NULL never matches. */
+    * sketch. NULL keys probe FALSE (explicit null gate — xxhash64 of a
+    * NULL is the seed constant, not NULL, so the raw probe alone would
+    * treat nulls as a real key) — matching semi-join semantics, where
+    * NULL never matches, even when the probe is used standalone. */
   def mightContain(sketch: Array[Byte], key: Column): Column =
-    GraftSqlShim.toColumn(BloomFilterMightContain(
+    key.isNotNull && GraftSqlShim.toColumn(BloomFilterMightContain(
       Literal(sketch),
       GraftSqlShim.toExpression(xxhash64(key))))
 

@@ -69,6 +69,11 @@ object Upsert {
     * (≤ changelog), never key-count × time. */
   def scd2FromChangelog(log: DataFrame, key: String, ts: String,
       attr: String, tieBreak: String): DataFrame = {
+    // fail fast on reserved temp/output names (withColumn silently
+    // replaces) — same discipline as Sampling's operators; a re-derived
+    // SCD export often already carries valid_from/is_current columns
+    graft.sampling.Sampling.requireFresh(log,
+      "__prev", "__first", "valid_from", "valid_to", "is_current")
     val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
     log
       .withColumn("__prev", lag(col(attr), 1).over(w))

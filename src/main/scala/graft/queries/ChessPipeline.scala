@@ -133,9 +133,14 @@ object ChessPipeline extends QueryModule {
       }
       def runStream(schema: org.apache.spark.sql.types.StructType): Unit = {
         val stream = s.readStream.schema(schema).parquet(src)
-        graft.streaming.StreamMerge.start(stream, table, cp, "id_game",
-          Seq(desc("tm_ingested"), desc("__seq")))
+        // fail FAST on timeout: awaitTermination(ms) returns false if
+        // the query is still running — proceeding would read (and
+        // memoize for the whole session) a partially merged table
+        val done = graft.streaming.StreamMerge.start(stream, table, cp,
+            "id_game", Seq(desc("tm_ingested"), desc("__seq")))
           .awaitTermination(300000)
+        require(done, "pgn_stream_e2e: streaming merge did not finish " +
+          "within 5 minutes — refusing to read a partial table")
       }
       val docs = synthesizedDocs(s, d)
       val first = normalized(docs, "2025-05-01 00:00:00")

@@ -72,8 +72,11 @@ object TrainPrep extends QueryModule {
     Planting.requireHeadroom(docs, "doc_id", "text_normalize_uni")
     val planted = UniRows.toDF("doc_id", "text")
     TextAnalysis.normalizeUnicode(docs.unionByName(planted))
+      // tokensUnicode(text) ≡ split of the canonical form already in
+      // scope — counting over norm_text skips a second NFC + double
+      // regexp pass over every document
       .withColumn("n_tokens", size(filter(
-        TextAnalysis.tokensUnicode(col("text")), w => length(w) > 0)))
+        split(col("norm_text"), " "), w => length(w) > 0)))
       .select("doc_id", "norm_text", "n_chars_before", "n_chars_after",
         "n_tokens")
       .orderBy("doc_id")
@@ -382,7 +385,8 @@ object TrainPrep extends QueryModule {
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT * FROM (VALUES ${
-             UniRows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+             UniRows.map { case (id, t) => s"($id, ${sqlText(t)})" }
+               .mkString(", ")
            }) AS v(doc_id, text)
          ),
          n AS (SELECT doc_id, text,
