@@ -149,7 +149,40 @@ object Relational extends QueryModule {
       .orderBy("page_row")
   }
 
+  // ---- Keyed diff between two table versions (the pipeline
+  //      regression check). The "new" version is derived
+  //      deterministically: every 13th key dropped, every 7th price
+  //      bumped (+1.0 on a 2-dp double — exact), every 11th re-keyed
+  //      as an addition — all four verdicts live.
+  private def opsDiffVersions(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val n = o.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus")))
+    graft.ops.Diff.diff(o, n, "o_orderkey").orderBy("o_orderkey")
+  }
+
+  // ---- Declarative expectations gate: four rules, ONE aggregation
+  //      pass (conditional sums), unpivoted to a per-rule report.
+  private def opsQualityReport(s: SparkSession, d: String): DataFrame =
+    graft.ops.Validation.report(Tables.orders(s, d), Seq(
+      graft.ops.Validation.Rule("price_positive", col("o_totalprice") > 0),
+      graft.ops.Validation.Rule("status_domain",
+        col("o_orderstatus").isin("F", "O", "P")),
+      graft.ops.Validation.Rule("custkey_nonnull",
+        col("o_custkey").isNotNull),
+      graft.ops.Validation.Rule("priority_format",
+        col("o_orderpriority").rlike("^[1-5]-"))))
+      .orderBy("rule")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ops_diff_versions"       -> (opsDiffVersions _),
+    "ops_quality_report"      -> (opsQualityReport _),
     "s3_scan_full"            -> (s3ScanFull _),
     "s4_scan_project"         -> (s4ScanProject _),
     "s5_scan_filtered"        -> (s5ScanFilteredDisjunctive _),
@@ -165,6 +198,56 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "ops_diff_versions" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                    FROM orders),
+         n AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice,
+                  o_orderstatus
+           FROM o WHERE o_orderkey % 13 <> 0
+           UNION ALL
+           SELECT o_orderkey + 1000000 AS o_orderkey, o_totalprice,
+                  o_orderstatus
+           FROM o WHERE o_orderkey % 11 = 0
+         )
+         SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                     WHEN n.o_orderkey IS NULL THEN 'removed'
+                     WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                       THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+         ORDER BY o_orderkey""",
+
+    "ops_quality_report" ->
+      """WITH c AS (
+           SELECT count(*) AS n_rows,
+                  sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                    AS price_positive,
+                  sum(CASE WHEN o_orderstatus IN ('F','O','P')
+                           THEN 1 ELSE 0 END) AS status_domain,
+                  sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                    AS custkey_nonnull,
+                  sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                           THEN 1 ELSE 0 END) AS priority_format
+           FROM orders
+         )
+         SELECT rule, n_rows, CAST(n_pass AS BIGINT) AS n_pass,
+                CAST(n_rows - n_pass AS BIGINT) AS n_fail,
+                CAST(n_pass AS DOUBLE) / n_rows AS pass_frac
+         FROM (
+           SELECT 'price_positive' AS rule, n_rows, price_positive AS n_pass FROM c
+           UNION ALL
+           SELECT 'status_domain', n_rows, status_domain FROM c
+           UNION ALL
+           SELECT 'custkey_nonnull', n_rows, custkey_nonnull FROM c
+           UNION ALL
+           SELECT 'priority_format', n_rows, priority_format FROM c)
+         ORDER BY rule""",
+
     "s3_scan_full" ->
       "SELECT * FROM region ORDER BY r_regionkey",
 

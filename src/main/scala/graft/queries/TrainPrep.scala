@@ -181,6 +181,20 @@ object TrainPrep extends QueryModule {
         col("lang").asc_nulls_first, col("source").asc_nulls_first)
   }
 
+  // Order-of-magnitude length histogram — digit-count buckets (an
+  // integer-exact stand-in for floor(log10): length of the decimal
+  // repr), portable where float log bucketing is not (log is not
+  // correctly-rounded, so floor(log(x)) can straddle engines at
+  // bucket boundaries).
+  private def corpusHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", length(col("n_chars").cast("string")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("bucket")
+
   private def textTfidfTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id", k = 3)
       .orderBy("doc_id", "rank")
@@ -242,6 +256,7 @@ object TrainPrep extends QueryModule {
     "text_line_rules" -> (textLineRules _),
     "text_url_canonical" -> (textUrlCanonical _),
     "corpus_stats" -> (corpusStats _),
+    "corpus_histogram" -> (corpusHistogram _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),
@@ -543,6 +558,14 @@ object TrainPrep extends QueryModule {
            GROUP BY ROLLUP(lang, source)
            ORDER BY g_lang, g_source,
                     lang ASC NULLS FIRST, source ASC NULLS FIRST"""),
+
+    "corpus_histogram" ->
+      """SELECT CAST(length(CAST(n_chars AS VARCHAR)) AS INT) AS bucket,
+                count(*) AS n_docs,
+                min(n_chars) AS min_chars,
+                max(n_chars) AS max_chars
+         FROM documents
+         GROUP BY bucket ORDER BY bucket""",
 
     // α = 7/10 rate table by pure integer arithmetic (a=7 threshold
     // bits, b=8 ratio bits): t = max{t ≤ 128 : t^10·256^7 ≤ 128^10·r^7}
