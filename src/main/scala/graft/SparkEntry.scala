@@ -37,6 +37,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queries).toMap
 
+  /** Per-module name lists (RegistrySpec asserts the flatten is
+    * collision-free — `toMap` above would shadow duplicates silently). */
+  private[graft] def moduleQueryNames: Seq[Seq[String]] =
+    modules.map(_.queries.keys.toSeq)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -195,6 +195,13 @@ object TrainPrep extends QueryModule {
         max("n_chars").as("max_chars"))
       .orderBy("bucket")
 
+  // BM25 keyword retrieval (rows-only: ln is not correctly-rounded
+  // cross-engine; Bm25Spec pins a hand-computed score and the ranking
+  // contract). Query terms are mid-frequency corpus vocabulary.
+  private def textBm25Topk(s: SparkSession, d: String): DataFrame =
+    graft.text.Bm25.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      Seq("spark", "window", "vector"), k = 20)
+
   private def textTfidfTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id", k = 3)
       .orderBy("doc_id", "rank")
@@ -257,6 +264,7 @@ object TrainPrep extends QueryModule {
     "text_url_canonical" -> (textUrlCanonical _),
     "corpus_stats" -> (corpusStats _),
     "corpus_histogram" -> (corpusHistogram _),
+    "text_bm25_topk" -> (textBm25Topk _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),

@@ -1,0 +1,57 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework") — the lexical half of a
+  * retrieval stack beside the embedding ANN tier: score =
+  * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl)), with the
+  * standard Lucene-shape idf = ln(1 + (N − df + ½)/(df + ½)).
+  *
+  * Scale shape: one token explode over the corpus (shared semantics
+  * with [[TextAnalysis.tokens]]), tf/df/doclen as two-phase hash
+  * aggregations, the query-term posting lists selected by a broadcast
+  * isin BEFORE any join, corpus stats (N, avgdl) as a broadcast 1-row
+  * cross, and the final top-k as orderBy+limit →
+  * TakeOrderedAndProject (never a global sort). Scoring uses `ln`,
+  * which is not correctly-rounded across engines — the conformance
+  * entry is rows-only and the spec pins a hand-computed score.
+  */
+object Bm25 {
+
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      avg(col("len")).as("avgdl"))
+    // query-term postings only, from here on: tf and df never touch
+    // the rest of the vocabulary
+    val qtoks = toks.filter(col("term").isInCollection(queryTerms))
+    val tf = qtoks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl"))))
+    // per-doc score folds the (few) term weights in TERM order, not a
+    // float sum(): partial-agg addend order would otherwise vary with
+    // partitioning and flip near-tie ranks run-to-run
+    scored.groupBy("doc_id")
+      .agg(expr("""aggregate(
+             array_sort(collect_list(struct(term, w))),
+             cast(0.0 AS double), (acc, x) -> acc + x.w)""").as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+}

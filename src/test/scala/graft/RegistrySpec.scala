@@ -69,6 +69,14 @@ class RegistrySpec extends AnyFunSuite {
       0.02 * math.max(1.0, row.getDouble(2)))
   }
 
+  test("no query-name collisions across modules (flatMap+toMap would shadow silently)") {
+    val perModule = SparkEntry.moduleQueryNames
+    val flat = perModule.flatten
+    val dups = flat.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate registry names: ${dups.mkString(",")}")
+    assert(SparkEntry.queries.size === flat.size)
+  }
+
   test("registry covers every SURVEY §2 operator family") {
     val keys = SparkEntry.queries.keySet
     val families = Seq("s3_", "s4_", "s5_", "a1_", "a2_", "a3_", "a4_",

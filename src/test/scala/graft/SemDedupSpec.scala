@@ -37,6 +37,27 @@ class SemDedupSpec extends AnyFunSuite {
     assert(clustered.filter(!col("keep")).count() > 0)
   }
 
+  test("no two kept vectors in the same cell score above the threshold") {
+    // the within-cell guarantee: whatever clustering missed ACROSS
+    // cells, inside a cell the kept set is near-dup-free
+    val kept = SemDedup.semanticDedup(embs, Tau, numCells = 4)
+      .filter(col("keep")).select("vec_id")
+    val keptPairs = graft.sim.Similarity
+      .cosineNearDupPairs(embs.join(kept, Seq("vec_id")), Tau)
+    // recompute the cell assignment the same deterministic way and
+    // check surviving pairs are all cross-cell
+    val idx = graft.sim.Similarity.buildIvfIndex(embs, numCells = 4)
+    val cells = idx.cells.select(col("vec_id"), col("cell"))
+    val sameCell = keptPairs
+      .join(cells.withColumnRenamed("vec_id", "id1")
+        .withColumnRenamed("cell", "c1"), Seq("id1"))
+      .join(cells.withColumnRenamed("vec_id", "id2")
+        .withColumnRenamed("cell", "c2"), Seq("id2"))
+      .filter(col("c1") === col("c2"))
+    assert(sameCell.count() === 0,
+      "a same-cell near-dup pair survived the semantic pass")
+  }
+
   test("every vector appears exactly once with a self-or-lower label") {
     val out = SemDedup.semanticDedup(embs, Tau, numCells = 8)
     assert(out.count() === embs.count())
