@@ -26,7 +26,9 @@ object Explain {
         "text_url_canonical", "layout_zorder_scan", "src_jsonl_roundtrip",
         "j7_bloom_semi", "j8_scd2_history", "layout_compact",
         "pipeline_curate_v2", "text_decontaminate_bloom",
-        "dedup_containment", "corpus_stats", "w4_funnel", "w5_retention")
+        "dedup_containment", "corpus_stats", "w4_funnel", "w5_retention",
+        "ops_diff_versions", "ops_quality_report", "text_bm25_topk",
+        "retrieval_hybrid_rrf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

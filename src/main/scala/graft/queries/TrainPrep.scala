@@ -202,6 +202,23 @@ object TrainPrep extends QueryModule {
     graft.text.Bm25.bm25TopK(Tables.documents(s, d), "doc_id", "text",
       Seq("spark", "window", "vector"), k = 20)
 
+  // Hybrid retrieval: BM25 lexical top-20 fused with the cosine
+  // semantic top-20 of query vector 0 (doc_id ≡ vec_id) by
+  // reciprocal-rank fusion. Rows-only (the BM25 side carries ln);
+  // Bm25Spec pins the fusion arithmetic on hand-built lists.
+  private def retrievalHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lexical = graft.text.Bm25
+      .bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "window", "vector"), k = 20)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score"), asc("doc_id"))).as("rank"))
+    val semantic = graft.sim.Similarity
+      .bruteForceTopK(Tables.embeddings(s, d), col("vec_id") === 0, k = 20)
+      .select(col("cand_id").as("doc_id"), col("rank"))
+    graft.sim.Hybrid.rrfFuse(lexical, semantic, "doc_id", k = 10)
+  }
+
   private def textTfidfTopk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id", k = 3)
       .orderBy("doc_id", "rank")
@@ -265,6 +282,7 @@ object TrainPrep extends QueryModule {
     "corpus_stats" -> (corpusStats _),
     "corpus_histogram" -> (corpusHistogram _),
     "text_bm25_topk" -> (textBm25Topk _),
+    "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),

@@ -1,0 +1,34 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval fusion — reciprocal-rank fusion (Cormack et al.
+  * SIGIR'09): fuse a lexical ranking (BM25) with a semantic ranking
+  * (embedding cosine) without score calibration, since only RANKS
+  * enter: rrf(d) = Σ_lists 1/(c + rank_d). Rank-based fusion is the
+  * production default precisely because the two scores live on
+  * incomparable scales.
+  *
+  * Scale: both inputs are already top-k (query-scale); the fuse is a
+  * full-outer join on the doc id + a fixed-order two-addend sum (no
+  * float-sum partial-agg nondeterminism), then a TakeOrdered top-k.
+  */
+object Hybrid {
+
+  /** `a` and `b` carry (id, rank) with rank 1-based. Output:
+    * (id, rrf_score, rank_a, rank_b) — top `k` by score (ties broken
+    * by id). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+      c: Int = 60): DataFrame = {
+    val l = a.select(col(idCol).as("id"), col("rank").as("rank_a"))
+    val r = b.select(col(idCol).as("id"), col("rank").as("rank_b"))
+    l.join(r, Seq("id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)))
+      .select("id", "rrf_score", "rank_a", "rank_b")
+      .orderBy(desc("rrf_score"), asc("id"))
+      .limit(k)
+  }
+}

@@ -40,6 +40,20 @@ class Bm25Spec extends AnyFunSuite {
     assert(top.head.getAs[Long]("n_terms_hit") === 2L)
   }
 
+  test("rrfFuse: hand-computed fusion, overlap outranks single-list hits") {
+    import graft.sim.Hybrid
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = Hybrid.rrfFuse(a, b, "id", k = 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("rrf_score"))).toMap
+    assert(math.abs(out(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(out(10L) - 1.0 / 61) < 1e-15)
+    assert(math.abs(out(40L) - 1.0 / 62) < 1e-15)
+    // the doc in BOTH lists wins despite rank 2 in one of them
+    val top = Hybrid.rrfFuse(a, b, "id", k = 1).head().getLong(0)
+    assert(top === 20L)
+  }
+
   test("registry entry returns k-bounded, score-ordered rows") {
     val out = SparkEntry.queries("text_bm25_topk")(spark, sf0001).collect()
     assert(out.nonEmpty && out.length <= 20)

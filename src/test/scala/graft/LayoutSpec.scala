@@ -129,6 +129,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(z.except(viaSql).count() === 0)
   }
 
+  test("zValue round-trips: decoding interleaved bits recovers (x, y) on random pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(500)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    val out = pairs.toDF("x", "y")
+      .withColumn("z", graft.functions.ZOrder.zValue(col("x"), col("y")))
+      .collect()
+    out.foreach { r =>
+      val (x, y, z) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      var (dx, dy) = (0L, 0L)
+      for (i <- 0 until 16) {
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(dx == x && dy == y, s"z=$z decoded to ($dx,$dy) not ($x,$y)")
+    }
+  }
+
   test("z-ordered range partitions bound BOTH axes (the 2-D pruning lever)") {
     val o = Tables.orders(spark, sf001)
       .withColumn("z", graft.functions.ZOrder.zValue(
