@@ -157,6 +157,12 @@ object Relational extends QueryModule {
   private def opsDiffVersions(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
       .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    // same fail-fast discipline as Planting.requireHeadroom, at this
+    // entry's own offset (orderkeys exceed the shared 1e5 offset at
+    // sf0.1, so the re-key uses 1e6 — guard against SF growth past it)
+    val maxKey = o.agg(max("o_orderkey")).head()
+    require(maxKey.isNullAt(0) || maxKey.getLong(0) < 1000000L,
+      "ops_diff_versions re-keying assumes o_orderkey < 1e6")
     val n = o.filter(col("o_orderkey") % 13 =!= 0)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)

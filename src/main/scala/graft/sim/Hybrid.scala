@@ -16,19 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Hybrid {
 
-  /** `a` and `b` carry (id, rank) with rank 1-based. Output:
-    * (id, rrf_score, rank_a, rank_b) — top `k` by score (ties broken
-    * by id). */
+  /** `a` and `b` carry (idCol, rankCol) with ranks 1-based. Output:
+    * (idCol, rrf_score, rank_a, rank_b) — top `k` by score (ties
+    * broken by id); the caller's id column name is preserved. */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
-      c: Int = 60): DataFrame = {
-    val l = a.select(col(idCol).as("id"), col("rank").as("rank_a"))
-    val r = b.select(col(idCol).as("id"), col("rank").as("rank_b"))
-    l.join(r, Seq("id"), "full_outer")
+      c: Int = 60, rankCol: String = "rank"): DataFrame = {
+    val l = a.select(col(idCol), col(rankCol).as("rank_a"))
+    val r = b.select(col(idCol), col(rankCol).as("rank_b"))
+    l.join(r, Seq(idCol), "full_outer")
       .withColumn("rrf_score",
         coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)))
-      .select("id", "rrf_score", "rank_a", "rank_b")
-      .orderBy(desc("rrf_score"), asc("id"))
+      .select(idCol, "rrf_score", "rank_a", "rank_b")
+      .orderBy(desc("rrf_score"), asc(idCol))
       .limit(k)
   }
 }

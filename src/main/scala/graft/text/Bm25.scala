@@ -27,7 +27,13 @@ object Bm25 {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
-    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // doc lengths from a per-row projection, NOT the exploded index:
+    // an empty/whitespace-only doc contributes len 0 here, so N and
+    // avgdl cover the WHOLE corpus (the Robertson/Zaragoza N), not
+    // just docs that happened to produce tokens
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(filter(TextAnalysis.tokens(col(textCol)),
+        w => length(w) > 0)).as("len"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       avg(col("len")).as("avgdl"))
     // query-term postings only, from here on: tf and df never touch

@@ -69,6 +69,10 @@ class RegistrySpec extends AnyFunSuite {
       0.02 * math.max(1.0, row.getDouble(2)))
   }
 
+  // Scope: CROSS-module shadowing only — a duplicate key inside one
+  // module's Map literal is already collapsed by Scala's Map
+  // construction before anything can observe it (last entry wins);
+  // that class needs review, not a test.
   test("no query-name collisions across modules (flatMap+toMap would shadow silently)") {
     val perModule = SparkEntry.moduleQueryNames
     val flat = perModule.flatten
