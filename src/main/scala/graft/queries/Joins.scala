@@ -182,10 +182,38 @@ object Joins extends QueryModule {
         "valid_to", "is_current")
       .orderBy("user_id", "valid_from", "event_id")
 
+  // ---- J8 (lookup): the temporal dimension join the SCD-2 history
+  //      exists FOR — each "purchase" event picks up the event_type
+  //      version valid at its timestamp. Interval predicate on top of
+  //      the user_id equi-key: the shuffle key stays user_id and the
+  //      history side is version-count-sized, so the range filter runs
+  //      inside each key's (small) match group. Every event matches
+  //      exactly one interval by construction (intervals partition
+  //      [first_event, ∞) per user).
+  private def j8Scd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val hist = graft.ops.Upsert.scd2FromChangelog(
+        Tables.events(s, d).select("user_id", "ts", "event_type", "event_id"),
+        key = "user_id", ts = "ts", attr = "event_type",
+        tieBreak = "event_id")
+      .select(col("user_id"), col("event_type").as("state_at_purchase"),
+        col("valid_from"), col("valid_to"))
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts"))
+    purchases.join(hist,
+        col("p_user") === col("user_id") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("state_at_purchase"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j2_disjunctive_semi"  -> (j2DisjunctiveSemi _),
     "j7_bloom_semi"        -> (j7BloomSemi _),
     "j8_scd2_history"      -> (j8Scd2History _),
+    "j8_scd2_lookup"       -> (j8Scd2Lookup _),
     "j3_upsert_merge"      -> (j3UpsertMerge _),
     "j3_first_write_wins"  -> (j3FirstWriteWins _),
     "j5_range_join"        -> (j5RangeJoin _),
@@ -226,6 +254,36 @@ object Joins extends QueryModule {
          FROM chg
          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, valid_from, event_id""",
+
+    "j8_scd2_lookup" ->
+      """WITH ordered AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                  event_id,
+                  lag(event_type) OVER w AS prev,
+                  row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         ),
+         chg AS (
+           SELECT user_id, ts, event_type, event_id FROM ordered
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+         ),
+         hist AS (
+           SELECT user_id, event_type AS state_at_purchase,
+                  ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS valid_to
+           FROM chg
+         )
+         SELECT p.event_id, h.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+                h.state_at_purchase
+         FROM events p
+         JOIN hist h ON p.user_id = h.user_id
+           AND CAST(p.ts AS TIMESTAMP) >= h.valid_from
+           AND (h.valid_to IS NULL OR CAST(p.ts AS TIMESTAMP) < h.valid_to)
+         WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
 
     "j2_disjunctive_semi" ->
       """SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem

@@ -181,6 +181,14 @@ class PgnPipelineSpec extends AnyFunSuite {
     assert(merged == Seq(("u1", "orig"), ("u2", "new-a")))
   }
 
+  test("SCD-2 temporal lookup matches each event to exactly one interval") {
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    val out = SparkEntry.queries("j8_scd2_lookup")(spark, sf0001)
+    assert(out.count() === purchases)
+    assert(out.select("event_id").distinct().count() === purchases)
+  }
+
   test("SCD-2: changelog collapses runs, null-safe changes, chained intervals") {
     import java.sql.Timestamp
     def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
