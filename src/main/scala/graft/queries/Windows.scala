@@ -69,6 +69,21 @@ object Windows extends QueryModule {
       .orderBy("user_id", "sess_start_us")
   }
 
+  // ---- W6: rolling active users (the DAU/WAU shape) — DISTINCT users
+  //      per sliding 24h window, 6h slide. Distinct-in-window is the
+  //      part t4_sliding's plain count doesn't cover; Spark expands
+  //      each event into its 4 windows BEFORE the distinct agg, so the
+  //      shuffle key is (window, user) and partial aggregation still
+  //      applies.
+  private def w6ActiveUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "24 hours", "6 hours").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("n_users"), col("n_events"))
+      .orderBy("win_start_us")
+
   // ---- W4: ordered conversion funnel (view → click → purchase, each
   //      stage strictly after the previous). Three user-keyed min-aggs
   //      chained by joins — every groupBy/join shares the user_id
@@ -121,6 +136,7 @@ object Windows extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w4_funnel"    -> (w4Funnel _),
     "w5_retention" -> (w5Retention _),
+    "w6_active_users" -> (w6ActiveUsers _),
     "t4_tumbling_window" -> (t4Tumbling _),
     "t4_sliding_window"  -> (t4Sliding _),
     "t4_session_window"  -> (t4Session _),
@@ -183,6 +199,18 @@ object Windows extends QueryModule {
            SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)))
                   - o.off * 1800000000 AS win_start_us
            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+         )
+         GROUP BY win_start_us ORDER BY win_start_us""",
+
+    "w6_active_users" ->
+      """SELECT win_start_us, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
+         FROM (
+           SELECT user_id,
+                  epoch_us(time_bucket(INTERVAL 6 HOUR,
+                           CAST(ts AS TIMESTAMP)))
+                  - o.off * 21600000000 AS win_start_us
+           FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS off) o
          )
          GROUP BY win_start_us ORDER BY win_start_us""",
 
