@@ -28,7 +28,8 @@ object Explain {
         "pipeline_curate_v2", "text_decontaminate_bloom",
         "dedup_containment", "corpus_stats", "w4_funnel", "w5_retention",
         "ops_diff_versions", "ops_quality_report", "text_bm25_topk",
-        "retrieval_hybrid_rrf")
+        "retrieval_hybrid_rrf", "text_bm25_pinned",
+        "retrieval_hybrid_rrf_pinned")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

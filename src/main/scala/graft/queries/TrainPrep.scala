@@ -195,12 +195,17 @@ object TrainPrep extends QueryModule {
         max("n_chars").as("max_chars"))
       .orderBy("bucket")
 
+  // One term list for every BM25 entry AND the generated oracle SQL —
+  // a drifted literal would silently compare different queries.
+  private[queries] val Bm25Terms = Seq("spark", "window", "vector")
+
   // BM25 keyword retrieval (rows-only: ln is not correctly-rounded
   // cross-engine; Bm25Spec pins a hand-computed score and the ranking
-  // contract). Query terms are mid-frequency corpus vocabulary.
+  // contract; text_bm25_pinned hash-anchors the shared pipeline).
+  // Query terms are mid-frequency corpus vocabulary.
   private def textBm25Topk(s: SparkSession, d: String): DataFrame =
     graft.text.Bm25.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-      Seq("spark", "window", "vector"), k = 20)
+      Bm25Terms, k = 20)
 
   // Hybrid retrieval: BM25 lexical top-20 fused with the cosine
   // semantic top-20 of query vector 0 (doc_id ≡ vec_id) by
@@ -209,7 +214,36 @@ object TrainPrep extends QueryModule {
   private def retrievalHybridRrf(s: SparkSession, d: String): DataFrame = {
     val lexical = graft.text.Bm25
       .bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        Seq("spark", "window", "vector"), k = 20)
+        Bm25Terms, k = 20)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score"), asc("doc_id"))).as("rank"))
+    val semantic = graft.sim.Similarity
+      .bruteForceTopK(Tables.embeddings(s, d), col("vec_id") === 0, k = 20)
+      .select(col("cand_id").as("doc_id"), col("rank"))
+    graft.sim.Hybrid.rrfFuse(lexical, semantic, "doc_id", k = 10)
+  }
+
+  // Hash-provable BM25 twin: same pipeline as text_bm25_topk (shared
+  // tokenize/postings/tf/df/len/avgdl/saturation/fold/top-k code path)
+  // with the rational-odds idf — `ln` is the ONE BM25 op IEEE leaves
+  // unrounded cross-engine; everything else is correctly-rounded
+  // + − × ÷, so the DuckDB oracle matches bit-for-bit and this entry
+  // hash-anchors the production scorer's whole plumbing.
+  private def textBm25Pinned(s: SparkSession, d: String): DataFrame =
+    graft.text.Bm25.bm25PinnedTopK(Tables.documents(s, d), "doc_id",
+      "text", Bm25Terms, k = 20)
+
+  // RRF fusion over two hash-proven inputs: the pinned BM25 ranking
+  // above and the exact cosine top-20 of query vector 0 (the
+  // sim_cosine_topk oracle's arithmetic). The fusion itself is two
+  // exact divisions + one fixed-order sum — hash-checkable end-to-end,
+  // anchoring Hybrid.rrfFuse (the same code retrieval_hybrid_rrf runs).
+  private def retrievalHybridRrfPinned(s: SparkSession, d: String)
+      : DataFrame = {
+    val lexical = graft.text.Bm25
+      .bm25PinnedTopK(Tables.documents(s, d), "doc_id", "text",
+        Bm25Terms, k = 20)
       .select(col("doc_id"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(desc("score"), asc("doc_id"))).as("rank"))
@@ -283,6 +317,8 @@ object TrainPrep extends QueryModule {
     "corpus_histogram" -> (corpusHistogram _),
     "text_bm25_topk" -> (textBm25Topk _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
+    "text_bm25_pinned" -> (textBm25Pinned _),
+    "retrieval_hybrid_rrf_pinned" -> (retrievalHybridRrfPinned _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),
@@ -309,7 +345,82 @@ object TrainPrep extends QueryModule {
   private def sqlText(s: String): String =
     "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
 
+  /** Shared CTE chain for the pinned-BM25 oracles: mirrors
+    * [[graft.text.Bm25]] operand-for-operand (same association order in
+    * every product/division — IEEE rounding is order-sensitive), with
+    * fractional literals CAST to DOUBLE (a bare `0.5` is DECIMAL in
+    * DuckDB and decimal arithmetic would diverge from Spark's doubles).
+    * `list_reduce` over `list(w ORDER BY term)` reproduces the
+    * term-order fold (0.0 + w₁ ≡ w₁ for the positive weights here). */
+  private lazy val bm25PinnedCte: String =
+    s"""lens AS (SELECT doc_id, CAST(len(ts) AS INT) AS len FROM tok),
+       st AS (SELECT count(*) AS n_docs,
+                     CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+              FROM lens),
+       tt AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
+              WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+              GROUP BY doc_id, term),
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       wts AS (SELECT tf.doc_id, tf.term,
+                      ((st.n_docs - dfq.df + CAST(0.5 AS DOUBLE))
+                        / (dfq.df + CAST(0.5 AS DOUBLE)))
+                      * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                      / (tf.tf + CAST(1.2 AS DOUBLE) *
+                         (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * lens.len / st.avgdl))
+                        AS w
+               FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id), st),
+       bm AS (SELECT doc_id,
+                     list_reduce(list(w ORDER BY term), (a, b) -> a + b)
+                       AS score,
+                     count(*) AS n_terms_hit
+              FROM wts GROUP BY doc_id
+              ORDER BY score DESC, doc_id LIMIT 20)"""
+
   val oracles: Map[String, String] = Map(
+    "text_bm25_pinned" ->
+      (s"""WITH $tokCte, $bm25PinnedCte
+          SELECT doc_id, score, n_terms_hit FROM bm
+          ORDER BY score DESC, doc_id"""),
+
+    // fusion arithmetic: two exact int→double divisions + one
+    // fixed-order two-addend sum — identical in both engines; the
+    // cosine side is the sim_cosine_topk oracle restricted to query 0
+    "retrieval_hybrid_rrf_pinned" ->
+      (s"""WITH $tokCte, $bm25PinnedCte,
+          lex AS (SELECT doc_id,
+                         CAST(row_number() OVER
+                           (ORDER BY score DESC, doc_id) AS INT) AS rank_a
+                  FROM bm),
+          v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+          nv AS (SELECT vec_id, vd,
+                        sqrt(list_reduce(
+                          list_transform(vd, (x, i) -> x * vd[i]),
+                          (a, b) -> a + b)) AS nrm
+                 FROM v),
+          sc AS (SELECT c.vec_id AS doc_id,
+                        list_reduce(
+                          list_transform(q.vd, (x, i) -> x * c.vd[i]),
+                          (p, s2) -> p + s2) / (q.nrm * c.nrm) AS cosine
+                 FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
+                 WHERE q.vec_id = 0),
+          sem AS (SELECT doc_id, CAST(rn AS INT) AS rank_b
+                  FROM (SELECT doc_id, row_number() OVER
+                          (ORDER BY cosine DESC, doc_id) AS rn
+                        FROM sc)
+                  WHERE rn <= 20),
+          fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                           rank_a, rank_b,
+                           coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_a),
+                                    CAST(0.0 AS DOUBLE)) +
+                           coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_b),
+                                    CAST(0.0 AS DOUBLE)) AS rrf_score
+                    FROM lex FULL OUTER JOIN sem
+                      ON lex.doc_id = sem.doc_id)
+          SELECT doc_id, rrf_score, rank_a, rank_b
+          FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10"""),
+
     "dedup_paragraph" ->
       """WITH u AS (
            SELECT doc_id, text FROM documents

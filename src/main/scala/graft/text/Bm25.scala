@@ -16,13 +16,36 @@ import org.apache.spark.sql.functions._
   * cross, and the final top-k as orderBy+limit →
   * TakeOrderedAndProject (never a global sort). Scoring uses `ln`,
   * which is not correctly-rounded across engines — the conformance
-  * entry is rows-only and the spec pins a hand-computed score.
+  * entry for THIS scorer is rows-only and the spec pins a
+  * hand-computed score; [[bm25PinnedTopK]] is the hash-provable twin.
   */
 object Bm25 {
 
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topK(docs, idCol, textCol, queryTerms, k, k1, b, lnIdf = true)
+
+  /** Conformance twin of [[bm25TopK]]: identical pipeline, identical
+    * tf saturation and length normalization, but idf is the raw
+    * Robertson–Sparck-Jones odds (N − df + ½)/(df + ½) WITHOUT the
+    * `ln`. `ln` is the single BM25 operation IEEE 754 does not require
+    * to be correctly rounded (and engines demonstrably differ in the
+    * last ulp); +, −, ×, ÷ ARE correctly rounded everywhere, and the
+    * per-doc sum folds in pinned term order — so this variant is
+    * bit-identical between Spark and the DuckDB oracle and its
+    * registry entry hash-checks the whole shared pipeline (tokenize,
+    * postings, tf, df, doclen, avgdl, saturation, fold, top-k). Since
+    * x ↦ ln(1+x) is strictly monotone, per-TERM weights rank
+    * identically to production's; only the cross-term sum differs. */
+  def bm25PinnedTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topK(docs, idCol, textCol, queryTerms, k, k1, b, lnIdf = false)
+
+  private def topK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double, b: Double, lnIdf: Boolean): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -41,11 +64,12 @@ object Bm25 {
     val qtoks = toks.filter(col("term").isInCollection(queryTerms))
     val tf = qtoks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val odds = (col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
     val scored = tf.join(broadcast(df), Seq("term"))
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("idf", if (lnIdf) log(lit(1.0) + odds) else odds)
       .withColumn("w", col("idf") * (col("tf") * (lit(k1) + 1.0)) /
         (col("tf") + lit(k1) *
           (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl"))))

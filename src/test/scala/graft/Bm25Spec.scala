@@ -54,6 +54,30 @@ class Bm25Spec extends AnyFunSuite {
     assert(top === 20L)
   }
 
+  test("pinned twin: closed-form rational-odds score, no ln") {
+    val out = Bm25.bm25PinnedTopK(corpus, "doc_id", "text", Seq("spark"),
+      k = 10).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val idf = (4 - 2 + 0.5) / (2 + 0.5)   // raw odds, NOT ln(1+·)
+    def w(tf: Long, len: Long): Double =
+      idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len / 3.0))
+    assert(out.keySet === Set(1L, 2L))
+    assert(math.abs(out(1L) - w(2, 3)) < 1e-12)
+    assert(math.abs(out(2L) - w(1, 4)) < 1e-12)
+  }
+
+  test("pinned twin ranks identically to production per term") {
+    // x ↦ ln(1+x) is strictly monotone, so any SINGLE-term query must
+    // produce the same ranking from both scorers — the twin's oracle
+    // therefore hash-anchors production's tf/len/df plumbing end to end
+    for (term <- Seq("spark", "window")) {
+      val prod = Bm25.bm25TopK(corpus, "doc_id", "text", Seq(term), k = 10)
+        .collect().map(_.getLong(0)).toSeq
+      val pinned = Bm25.bm25PinnedTopK(corpus, "doc_id", "text",
+        Seq(term), k = 10).collect().map(_.getLong(0)).toSeq
+      assert(prod === pinned, s"ranking diverged for '$term'")
+    }
+  }
+
   test("registry entry returns k-bounded, score-ordered rows") {
     val out = SparkEntry.queries("text_bm25_topk")(spark, sf0001).collect()
     assert(out.nonEmpty && out.length <= 20)
