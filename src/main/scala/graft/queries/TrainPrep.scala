@@ -257,6 +257,14 @@ object TrainPrep extends QueryModule {
     TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id", k = 3)
       .orderBy("doc_id", "rank")
 
+  // Overlapping chunking at window 64 / stride 48 (16-token overlap):
+  // integer windowing + canonical-join char offsets, fully
+  // DuckDB-expressible including the chunk text itself.
+  private def textChunkOverlap(s: SparkSession, d: String): DataFrame =
+    graft.text.Chunking.chunkOverlap(Tables.documents(s, d), "doc_id",
+        "text", window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
   // 512-token budget over the whitespace token count (the filtered
   // size, consistent with text_tokens' n_ws semantics).
   private def packSequences(s: SparkSession, d: String): DataFrame = {
@@ -320,6 +328,7 @@ object TrainPrep extends QueryModule {
     "text_bm25_pinned" -> (textBm25Pinned _),
     "retrieval_hybrid_rrf_pinned" -> (retrievalHybridRrfPinned _),
     "text_tfidf_topk" -> (textTfidfTopk _),
+    "text_chunk_overlap" -> (textChunkOverlap _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),
     "samp_temperature_alpha" -> (sampTemperatureAlpha _),
@@ -497,6 +506,34 @@ object TrainPrep extends QueryModule {
             FROM tf JOIN dfq USING (term))
           WHERE rank <= 3
           ORDER BY doc_id, rank"""),
+
+    // windowing rule mirrored with integer arithmetic; slices are
+    // 1-based inclusive in DuckDB (ts[s+1 : e] = tokens s..e−1)
+    "text_chunk_overlap" ->
+      (s"""WITH $tokCte,
+          base AS (SELECT doc_id, ts, CAST(len(ts) AS INT) AS n,
+                          CASE WHEN len(ts) <= 64 THEN 1
+                               ELSE CAST(1 + (len(ts) - 64 + 47) // 48
+                                         AS INT) END AS nc
+                   FROM tok WHERE len(ts) > 0),
+          ch AS (SELECT doc_id, ts, n,
+                        unnest([i for i in range(nc)]) AS k
+                 FROM base),
+          c2 AS (SELECT doc_id, ts, n, CAST(k AS INT) AS chunk_idx,
+                        CAST(k * 48 AS INT) AS tok_start,
+                        CAST(least(k * 48 + 64, n) AS INT) AS tok_end
+                 FROM ch)
+          SELECT doc_id, chunk_idx, tok_start, tok_end,
+                 tok_end - tok_start AS n_chunk_tokens,
+                 CAST(CASE WHEN tok_start = 0 THEN 0
+                      ELSE list_reduce(list_transform(ts[1:tok_start],
+                             t -> length(t)), (a, b) -> a + b)
+                           + tok_start END AS INT) AS char_start,
+                 CAST(length(array_to_string(ts[tok_start+1:tok_end],
+                   ' ')) AS INT) AS char_len,
+                 array_to_string(ts[tok_start+1:tok_end], ' ')
+                   AS chunk_text
+          FROM c2 ORDER BY doc_id, chunk_idx"""),
 
     "pack_sequences" ->
       (s"""WITH $tokCte,
