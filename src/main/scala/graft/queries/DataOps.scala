@@ -166,6 +166,67 @@ object DataOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Run the STREAMING admission end-to-end once per (session, dir):
+    * seed state with the "existing" corpus (doc_id % 4 ≠ 0), then
+    * deliver three checkpointed increments through
+    * [[graft.streaming.StreamAdmission]]: (1) the organic increment
+    * (doc_id % 4 == 0 — exercises the near-dup check against seeded
+    * shingle state), (2) planted exact copies of existing docs (all
+    * rejected) plus fresh unique one-token docs (all admitted), (3) a
+    * RE-DELIVERY of increment 1 — the id skip must make it a no-op.
+    * Returns the state path; the registry entry reads docs/. */
+  private def streamAdmittedState(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "stream_admit") {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_admit_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (src, cp, state) = (s"$base/src", s"$base/cp", s"$base/state")
+      deleteRec(java.nio.file.Paths.get(base))
+      val docs = Tables.documents(s, d)
+      Planting.requireHeadroom(docs, "doc_id", "dedup_stream_admit")
+      val existing = docs.filter(col("doc_id") % 4 =!= 0)
+        .select("doc_id", "text")
+      graft.streaming.StreamAdmission.seed(s, existing, state,
+        "doc_id", "text")
+      val incA = docs.filter(col("doc_id") % 4 === 0)
+        .select("doc_id", "text")
+      val incB = docs.filter(col("doc_id") % 40 === 1)
+        .select((lit(Planting.Offset) + col("doc_id") * 4).as("doc_id"),
+          col("text"))
+        .unionByName(docs.filter(col("doc_id") % 40 === 3)
+          .select((col("doc_id") + 2 * Planting.Offset).as("doc_id"),
+            concat(lit("zqx"), col("doc_id").cast("string")).as("text")))
+      def deliver(inc: DataFrame): Unit = {
+        inc.coalesce(1).write.mode("append").parquet(src)
+        val stream = s.readStream.schema(incA.schema).parquet(src)
+        val done = graft.streaming.StreamAdmission.start(stream, state,
+            cp, "doc_id", "text", tau = 0.3, maxShingleDf = 1000L)
+          .awaitTermination(300000)
+        require(done, "dedup_stream_admit: admission stream did not " +
+          "finish within 5 minutes — refusing to read partial state")
+      }
+      deliver(incA)
+      deliver(incB)
+      deliver(incA)   // re-delivery: must converge with zero changes
+      state
+    }
+
+  /** T2-composed-with-dedup in the registry denominator: the admitted
+    * corpus after the full streaming run, hash-checked against a
+    * DuckDB oracle that recomputes the sequential admission truth
+    * (exact text vs existing; raw-size Jaccard > 0.3 over df≤1000
+    * shingles for the organic increment; fresh docs admitted). */
+  private def dedupStreamAdmit(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(streamAdmittedState(s, d) + "/docs")
+      .select(col("id").as("doc_id"), length(col("text")).as("n_chars"),
+        col("n_sh").cast("long").as("n_sh"))
+      .orderBy("doc_id")
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+
   // Benchmark decontamination (the GPT-3-style n-gram overlap check):
   // flag every training doc sharing ANY word 3-gram with the held-out
   // benchmark slice (doc_id % 97 == 0 plays the benchmark here;
@@ -618,6 +679,7 @@ object DataOps extends QueryModule {
     "dedup_keep_best"      -> (dedupKeepBest _),
     "text_decontaminate"   -> (textDecontaminate _),
     "dedup_incremental"    -> (dedupIncremental _),
+    "dedup_stream_admit"   -> (dedupStreamAdmit _),
     "pipeline_curate"      -> (pipelineCurate _),
     "pipeline_curate_v2"   -> (pipelineCurateV2 _),
     "text_decontaminate_bloom" -> (textDecontaminateBloom _),
@@ -884,6 +946,48 @@ object DataOps extends QueryModule {
           SELECT doc_id, exact_dup, near_dup,
                  NOT (exact_dup OR near_dup) AS admitted
           FROM flags ORDER BY doc_id"""),
+
+    // sequential admission truth: seed = %4≠0; organic increment
+    // checked exact-vs-seed and raw-size-Jaccard-vs-seed over df≤1000
+    // shingles (state df + batch df ≡ whole-corpus df, since
+    // seed ∪ increment = documents); planted copies all rejected by
+    // the exact check; fresh one-token docs all admitted (their single
+    // shingle has no seeded posting). Re-delivery adds nothing.
+    "dedup_stream_admit" ->
+      (s"""WITH $tokCte, $shCte,
+          sizesr AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+          keepc AS (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= 1000),
+          shc AS (SELECT sh.* FROM sh JOIN keepc USING (shingle)),
+          cmn AS (SELECT a.id AS ida, b.id AS idb, count(*) AS n_common
+                  FROM shc a JOIN shc b ON a.shingle = b.shingle
+                  WHERE a.id % 4 = 0 AND b.id % 4 <> 0
+                  GROUP BY a.id, b.id),
+          nearA AS (SELECT DISTINCT cmn.ida AS doc_id
+                    FROM cmn
+                    JOIN sizesr sa ON sa.id = cmn.ida
+                    JOIN sizesr sb ON sb.id = cmn.idb
+                    WHERE CAST(cmn.n_common AS DOUBLE)
+                            / (sa.n + sb.n - cmn.n_common) > 0.3),
+          admA AS (SELECT d.doc_id, d.text FROM documents d
+                   WHERE d.doc_id % 4 = 0
+                     AND NOT EXISTS(SELECT 1 FROM documents o
+                                    WHERE o.doc_id % 4 <> 0
+                                      AND o.text = d.text)
+                     AND NOT EXISTS(SELECT 1 FROM nearA n
+                                    WHERE n.doc_id = d.doc_id)),
+          fin AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+            UNION ALL SELECT doc_id, text FROM admA
+            UNION ALL SELECT doc_id + 200000 AS doc_id,
+                             'zqx' || CAST(doc_id AS VARCHAR) AS text
+                      FROM documents WHERE doc_id % 40 = 3)
+          SELECT f.doc_id, CAST(length(f.text) AS INT) AS n_chars,
+                 CAST(coalesce(sz.n,
+                   CASE WHEN f.doc_id >= 200000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_sh
+          FROM fin f LEFT JOIN sizesr sz ON sz.id = f.doc_id
+          ORDER BY f.doc_id"""),
 
     "text_decontaminate" -> decontaminateOracle,
     // the Bloom prefilter is removed by the exact join — same truth
