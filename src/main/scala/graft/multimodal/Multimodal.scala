@@ -68,4 +68,57 @@ object Multimodal {
         encode(col(textCol), "UTF-8").as("payload"))
       .as[MediaAsset]
   }
+
+  /** File extension ↔ media type for [[ingestBinary]]'s path parsing
+    * (the reference analog: opaque API blobs typed by endpoint,
+    * backfill_user_profiles.py:144-153). */
+  val ExtToType: Map[String, String] =
+    Map("mp4" -> "video", "img" -> "image", "wav" -> "audio")
+
+  /** REAL binary ingestion: `spark.read.format("binaryFile")` over a
+    * directory of media blobs named `asset_<id>.<ext>`. This is the
+    * production source side of the tier — each file is an opaque
+    * payload; id and type come from the path, not the bytes, so no
+    * decode happens at scan time. Scale: binaryFile assigns whole
+    * files to partitions (a blob never splits), so partition count
+    * tracks file count; set `maxPartitionBytes`/use a manifest compact
+    * step for many-small-files corpora. Files with names outside the
+    * convention are dropped (null id — the explicit filter). */
+  def ingestBinary(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val typeExpr = ExtToType.foldLeft(lit(null).cast("string")) {
+      case (acc, (ext, t)) => when(col("__ext") === ext, lit(t))
+        .otherwise(acc)
+    }
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "asset_(\\d+)\\.([a-z0-9]+)$", 1)
+          .as("__id"),
+        regexp_extract(col("path"), "asset_(\\d+)\\.([a-z0-9]+)$", 2)
+          .as("__ext"),
+        col("content").as("payload"))
+      .filter(col("__id") =!= "")
+      .select(col("__id").cast("long").as("asset_id"),
+        typeExpr.as("media_type"), col("payload"))
+      .filter(col("media_type").isNotNull)
+      .as[MediaAsset]
+  }
+
+  /** Exact media dedup by payload identity: group on (xxhash64, bytes)
+    * — the hash co-locates candidates cheaply (8-byte shuffle key next
+    * to megabyte payloads), the byte-equality grouping makes the
+    * result collision-proof. Returns one row per distinct payload:
+    * (canonical_id = min member, n_bytes, n_copies, member_ids). At
+    * 100 TB, run the same shape in two passes — group by hash first,
+    * then byte-verify only multi-member hash groups — so single-copy
+    * payloads (the vast majority) never shuffle their bytes. */
+  def dedupExactMedia(assets: Dataset[MediaAsset]): DataFrame =
+    assets.toDF()
+      .groupBy(xxhash64(col("payload")).as("__h"), col("payload"))
+      .agg(min("asset_id").as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        array_join(sort_array(collect_list(col("asset_id")))
+          .cast("array<string>"), ",").as("member_ids"))
+      .select(col("canonical_id"), length(col("payload")).as("n_bytes"),
+        col("n_copies"), col("member_ids"))
 }

@@ -669,6 +669,56 @@ object DataOps extends QueryModule {
       .orderBy("asset_id")
   }
 
+  /** Plant a binary fixture directory once per (session, dir): every
+    * 25th document's UTF-8 bytes as `asset_<id>.<ext>` (ext from id%3,
+    * matching [[Multimodal.assetsFromText]]'s type rule), plus a
+    * byte-identical copy under id+Offset for every 50th — then the
+    * ingest tier reads them back through the REAL `binaryFile` source.
+    * The driver-side file writes here are fixture PLANTING only
+    * (bounded at 4% of docs); the operators under test are fully
+    * distributed. */
+  private def binaryFixtureDir(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "mm_binary_fixtures") {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_mm_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val bp = java.nio.file.Paths.get(base)
+      deleteRec(bp)
+      java.nio.file.Files.createDirectories(bp)
+      val docs = Tables.documents(s, d)
+      Planting.requireHeadroom(docs, "doc_id", "mm_binary_ingest")
+      val exts = Seq("mp4", "img", "wav")   // id%3 = video/image/audio
+      docs.filter(col("doc_id") % 25 === 0).select("doc_id", "text")
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val ext = exts((id % 3).toInt)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$base/asset_$id.$ext"), bytes)
+          if (id % 50 == 0) java.nio.file.Files.write(
+            java.nio.file.Paths.get(
+              s"$base/asset_${id + Planting.Offset}.$ext"), bytes)
+        }
+      base
+    }
+
+  // The source side of the multimodal tier made real: opaque blobs in,
+  // (id, type, payload) out, no decode at scan time.
+  private def mmBinaryIngest(s: SparkSession, d: String): DataFrame =
+    Multimodal.ingestBinary(s, binaryFixtureDir(s, d))
+      .toDF()
+      .select(col("asset_id"), col("media_type"),
+        length(col("payload")).as("n_bytes"))
+      .orderBy("asset_id")
+
+  // Payload-identity media dedup over the ingested blobs: planted
+  // copies (every 50th) collapse onto their originals; the oracle
+  // groups by the SAME bytes via the text the fixtures were written
+  // from, so the hash-and-verify grouping is proven collision-proof.
+  private def mmDedupExact(s: SparkSession, d: String): DataFrame =
+    Multimodal.dedupExactMedia(
+        Multimodal.ingestBinary(s, binaryFixtureDir(s, d)))
+      .orderBy("canonical_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> (dedupExact _),
     "dedup_ngram_jaccard"  -> (dedupJaccard _),
@@ -707,7 +757,9 @@ object DataOps extends QueryModule {
     "sim_pq_topk"          -> (simPqTopk _),
     "sim_pq_rerank"        -> (simPqRerank _),
     "sim_pq_exhaustive"    -> (simPqExhaustive _),
-    "mm_decode_meta"       -> (mmDecodeMeta _)
+    "mm_decode_meta"       -> (mmDecodeMeta _),
+    "mm_binary_ingest"     -> (mmBinaryIngest _),
+    "mm_dedup_exact"       -> (mmDedupExact _)
   )
 
   // Shared oracle CTEs -----------------------------------------------
@@ -1285,6 +1337,40 @@ object DataOps extends QueryModule {
     "sim_ivf_exhaustive" -> cosineTopkOracle,
     "sim_lsh_exhaustive" -> cosineTopkOracle,
     "sim_pq_exhaustive"  -> cosineTopkOracle,
+
+    // both entries recompute the fixture set from documents (the same
+    // planting rule that wrote the files), so the whole binaryFile
+    // read-back path — path parsing, type mapping, payload bytes — is
+    // hash-checked, not just row-counted
+    "mm_binary_ingest" ->
+      """WITH f AS (
+           SELECT doc_id AS asset_id, doc_id AS src_id, text
+           FROM documents WHERE doc_id % 25 = 0
+           UNION ALL
+           SELECT doc_id + 100000 AS asset_id, doc_id AS src_id, text
+           FROM documents WHERE doc_id % 50 = 0)
+         SELECT asset_id,
+                CASE WHEN src_id % 3 = 0 THEN 'video'
+                     WHEN src_id % 3 = 1 THEN 'image'
+                     ELSE 'audio' END AS media_type,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes
+         FROM f ORDER BY asset_id""",
+
+    "mm_dedup_exact" ->
+      """WITH f AS (
+           SELECT doc_id AS asset_id, text
+           FROM documents WHERE doc_id % 25 = 0
+           UNION ALL
+           SELECT doc_id + 100000 AS asset_id, text
+           FROM documents WHERE doc_id % 50 = 0),
+         g AS (SELECT min(asset_id) AS canonical_id,
+                      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                      count(*) AS n_copies,
+                      array_to_string(list(CAST(asset_id AS VARCHAR)
+                        ORDER BY asset_id), ',') AS member_ids
+               FROM f GROUP BY text)
+         SELECT canonical_id, n_bytes, n_copies, member_ids
+         FROM g ORDER BY canonical_id""",
 
     "mm_decode_meta" ->
       """SELECT doc_id AS asset_id,
