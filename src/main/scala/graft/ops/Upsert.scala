@@ -67,6 +67,59 @@ object Upsert {
     * windows use the SAME partitioning and sort, so Catalyst reuses
     * one exchange for both passes. Output is version-count-sized
     * (≤ changelog), never key-count × time. */
+  /** Incremental SCD-2 maintenance — fold a NEW changelog slice into
+    * an existing history without re-deriving from the full log (the
+    * foreachBatch / daily-CDC production shape). `history` must carry
+    * (key, tieBreak, attr, valid_from, valid_to, is_current) — i.e.
+    * [[scd2FromChangelog]]'s output with the tie-break column kept, so
+    * equal-timestamp changes inside history replay in their original
+    * order.
+    *
+    * Correctness: derivation = "drop rows whose attr equals the
+    * previous row's" is prefix-stable — applying it to (already-
+    * collapsed prefix ++ new suffix) equals applying it to the full
+    * log, because every dropped raw row carries the same attr as its
+    * surviving predecessor. The boundary interval close/extend falls
+    * out of the same recomputation. So: merge(derive(prefix), suffix)
+    * ≡ derive(prefix ++ suffix) — the j8_scd2_merge registry entry
+    * hash-proves exactly that, sharing j8_scd2_history's oracle.
+    *
+    * Scale: untouched keys are anti-joined out and never reshuffled;
+    * only keys PRESENT in the slice re-derive, over version-count-
+    * sized history rows + the slice — per-batch work is
+    * O(slice + affected history), independent of total key count.
+    *
+    * The append-only precondition (slice strictly after each affected
+    * key's history) is validated with one small aggregate join
+    * (affected-keys-scale); disable via `validate` only when the CDC
+    * source guarantees monotone timestamps. */
+  def scd2MergeSlice(history: DataFrame, slice: DataFrame, key: String,
+      ts: String, attr: String, tieBreak: String,
+      validate: Boolean = true): DataFrame = {
+    val outCols = Seq(key, tieBreak, attr,
+      "valid_from", "valid_to", "is_current").map(col)
+    val affected = slice.select(col(key)).distinct()
+    val histA = history.join(affected, Seq(key), "left_semi")
+    val histU = history.join(affected, Seq(key), "left_anti")
+    if (validate) {
+      val overlaps = histA.groupBy(col(key))
+        .agg(max(col("valid_from")).as("__mx"))
+        .join(slice.groupBy(col(key)).agg(min(col(ts)).as("__mn")),
+          Seq(key))
+        .filter(col("__mn") <= col("__mx")).count()
+      require(overlaps == 0, s"scd2MergeSlice: slice overlaps existing " +
+        s"history for $overlaps key(s) — the changelog must be " +
+        "append-only per key")
+    }
+    val pseudo = histA.select(col(key), col("valid_from").as(ts),
+        col(attr), col(tieBreak))
+      .unionByName(slice.select(col(key), col(ts), col(attr),
+        col(tieBreak)))
+    val derived = scd2FromChangelog(pseudo, key, ts, attr, tieBreak)
+      .select(outCols: _*)
+    histU.select(outCols: _*).unionByName(derived)
+  }
+
   def scd2FromChangelog(log: DataFrame, key: String, ts: String,
       attr: String, tieBreak: String): DataFrame = {
     // fail fast on reserved temp/output names (withColumn silently

@@ -182,6 +182,29 @@ object Joins extends QueryModule {
         "valid_to", "is_current")
       .orderBy("user_id", "valid_from", "event_id")
 
+  // ---- J8 (merge): incremental SCD-2 — history derived from the
+  //      first half-month of the changelog, then the second half
+  //      folded in with scd2MergeSlice. Shares j8_scd2_history's
+  //      oracle: the driver hash-proves merge(derive(prefix), slice)
+  //      ≡ derive(full changelog).
+  private def j8Scd2Merge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select("user_id", "ts", "event_type", "event_id")
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val hist = graft.ops.Upsert.scd2FromChangelog(
+        ev.filter(col("ts") < split),
+        key = "user_id", ts = "ts", attr = "event_type",
+        tieBreak = "event_id")
+      .select("user_id", "event_id", "event_type", "valid_from",
+        "valid_to", "is_current")
+    graft.ops.Upsert.scd2MergeSlice(hist, ev.filter(col("ts") >= split),
+        key = "user_id", ts = "ts", attr = "event_type",
+        tieBreak = "event_id")
+      .select("user_id", "event_id", "event_type", "valid_from",
+        "valid_to", "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   // ---- J8 (lookup): the temporal dimension join the SCD-2 history
   //      exists FOR — each "purchase" event picks up the event_type
   //      version valid at its timestamp. Interval predicate on top of
@@ -214,6 +237,7 @@ object Joins extends QueryModule {
     "j7_bloom_semi"        -> (j7BloomSemi _),
     "j8_scd2_history"      -> (j8Scd2History _),
     "j8_scd2_lookup"       -> (j8Scd2Lookup _),
+    "j8_scd2_merge"        -> (j8Scd2Merge _),
     "j3_upsert_merge"      -> (j3UpsertMerge _),
     "j3_first_write_wins"  -> (j3FirstWriteWins _),
     "j5_range_join"        -> (j5RangeJoin _),
@@ -222,6 +246,28 @@ object Joins extends QueryModule {
     "j_cross"              -> (jCross _),
     "j6_salted_join"       -> (j6SaltedJoin _)
   )
+
+  private lazy val scd2HistoryOracle: String =
+    """WITH ordered AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                event_id,
+                lag(event_type) OVER w AS prev,
+                row_number() OVER w AS rn
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id)
+       ),
+       chg AS (
+         SELECT user_id, ts, event_type, event_id FROM ordered
+         WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+       )
+       SELECT user_id, event_id, event_type,
+              ts AS valid_from,
+              lead(ts) OVER w2 AS valid_to,
+              (lead(ts) OVER w2) IS NULL AS is_current
+       FROM chg
+       WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY user_id, valid_from, event_id"""
 
   val oracles: Map[String, String] = Map(
     "j7_bloom_semi" ->
@@ -233,27 +279,11 @@ object Joins extends QueryModule {
                               WHERE o_totalprice > 400000.0)
          GROUP BY l_orderkey ORDER BY l_orderkey""",
 
-    "j8_scd2_history" ->
-      """WITH ordered AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-                  event_id,
-                  lag(event_type) OVER w AS prev,
-                  row_number() OVER w AS rn
-           FROM events
-           WINDOW w AS (PARTITION BY user_id
-                        ORDER BY CAST(ts AS TIMESTAMP), event_id)
-         ),
-         chg AS (
-           SELECT user_id, ts, event_type, event_id FROM ordered
-           WHERE rn = 1 OR prev IS DISTINCT FROM event_type
-         )
-         SELECT user_id, event_id, event_type,
-                ts AS valid_from,
-                lead(ts) OVER w2 AS valid_to,
-                (lead(ts) OVER w2) IS NULL AS is_current
-         FROM chg
-         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-         ORDER BY user_id, valid_from, event_id""",
+    "j8_scd2_history" -> scd2HistoryOracle,
+
+    // incremental merge reduces to the SAME full-derivation truth —
+    // sharing the oracle is the equivalence proof
+    "j8_scd2_merge" -> scd2HistoryOracle,
 
     "j8_scd2_lookup" ->
       """WITH ordered AS (

@@ -214,4 +214,47 @@ class PgnPipelineSpec extends AnyFunSuite {
       (1L, Some("a"), ts(5), None, true),
       (2L, Some("x"), ts(0), None, true)))
   }
+
+  test("SCD-2 incremental merge ≡ full derivation, for every split point") {
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    // key 1 changes across the boundary incl. a same-attr continuation
+    // (b → b must extend, not reopen); key 2 is slice-only (new key);
+    // key 3 is history-only (untouched by the merge)
+    val log = Seq(
+      (1L, ts(0), "a", 10L), (1L, ts(1), "b", 11L),
+      (1L, ts(2), "b", 12L), (1L, ts(3), "c", 13L),
+      (1L, ts(4), "c", 14L), (1L, ts(5), "a", 15L),
+      (2L, ts(4), "x", 20L), (2L, ts(5), "y", 21L),
+      (3L, ts(0), "z", 30L))
+      .toDF("k", "ts", "v", "seq")
+    val full = Upsert.scd2FromChangelog(log, "k", "ts", "v", "seq")
+      .select("k", "seq", "v", "valid_from", "valid_to", "is_current")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "valid_from", "seq").collect().toSeq
+    val expected = rows(full)
+    for (splitMin <- 1L to 5L) {
+      val cut = ts(splitMin)
+      val hist = Upsert.scd2FromChangelog(log.filter($"ts" < cut),
+          "k", "ts", "v", "seq")
+        .select("k", "seq", "v", "valid_from", "valid_to", "is_current")
+      val merged = Upsert.scd2MergeSlice(hist, log.filter($"ts" >= cut),
+        "k", "ts", "v", "seq")
+      assert(rows(merged) === expected, s"diverged at split minute $splitMin")
+    }
+  }
+
+  test("SCD-2 merge rejects a slice overlapping existing history") {
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val log = Seq((1L, ts(0), "a", 10L), (1L, ts(2), "b", 11L))
+      .toDF("k", "ts", "v", "seq")
+    val hist = Upsert.scd2FromChangelog(log, "k", "ts", "v", "seq")
+      .select("k", "seq", "v", "valid_from", "valid_to", "is_current")
+    val stale = Seq((1L, ts(1), "c", 12L)).toDF("k", "ts", "v", "seq")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.scd2MergeSlice(hist, stale, "k", "ts", "v", "seq")
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
 }
