@@ -170,6 +170,26 @@ class DataOpsSpec extends AnyFunSuite {
     assert(labels.values.forall(_ == 0L))   // one component, min id 0
   }
 
+  test("star CC under a 10^4-leaf hot hub: correct labels within a tight round budget") {
+    // one doc near-duplicated 10^4× (boilerplate) yields a star whose
+    // hub touches every edge — the worst skew a near-dup pair list
+    // produces. The hub is NOT the component minimum, so every leaf
+    // must relabel through the hot key. driverThreshold = 0 forces the
+    // distributed star path; maxIters = 8 bounds the alternation (the
+    // operator throws instead of converging slowly), and min-agg
+    // partial aggregation absorbs the hot key map-side — a skew
+    // collapse would surface as a timeout/iteration overrun here.
+    val hub = 50000L
+    val pairs = (1 to 10000).map(i => (hub, i.toLong + 7))
+      .toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs, maxIters = 8,
+        driverThreshold = 0L)
+      .as[(Long, Long)].collect()
+    assert(labels.length === 10001)
+    assert(labels.forall(_._2 === 8L),
+      "every node must label to the component minimum (leaf id 8)")
+  }
+
   test("star CC equals a reference union-find on arbitrary graphs (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val edgeGen = Gen.listOf(
