@@ -100,7 +100,10 @@ object Multimodal {
       .filter(col("__id") =!= "")
       .select(col("__id").cast("long").as("asset_id"),
         typeExpr.as("media_type"), col("payload"))
-      .filter(col("media_type").isNotNull)
+      // a >19-digit id matches the regex but overflows the long cast
+      // to NULL — drop it with the other nonconforming names instead
+      // of surfacing a null primitive in Dataset[MediaAsset]
+      .filter(col("media_type").isNotNull && col("asset_id").isNotNull)
       .as[MediaAsset]
   }
 

@@ -45,9 +45,15 @@ object BloomPrune {
     * admit every null probe key through the sketch. */
   def buildKeySketch(dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
-    val bf = dim.filter(col(dimKey).isNotNull)
+    val keys = dim.filter(col(dimKey).isNotNull)
       .select(xxhash64(col(dimKey)).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
+    // Spark's stat.bloomFilter NPEs on an EMPTY input (null aggregate
+    // buffer); an empty key set is a legitimate dim (e.g. a re-delivered
+    // batch with nothing new) and must yield a match-nothing sketch
+    val bf =
+      if (keys.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else keys.stat.bloomFilter("__h", expectedItems, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

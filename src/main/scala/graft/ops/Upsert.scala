@@ -53,20 +53,6 @@ object Upsert {
       key: String, orderCol: String): DataFrame =
     firstWriteWins(existing, incoming, key, Seq(asc(orderCol)))
 
-  /** Changelog → SCD-2 history (the third upsert flavor: keep EVERY
-    * version with its validity interval, not just the winner).
-    * Consecutive rows with an unchanged `attr` collapse into one
-    * interval (null-safe change test); each surviving version gets
-    * `valid_from` = its change timestamp, `valid_to` = the next
-    * change's timestamp (null = still current).
-    *
-    * `tieBreak` must make (ts, tieBreak) a total order per key — same
-    * contract as [[lastWriteWins]]'s orderCols.
-    *
-    * Scale: one shuffle on `key`; the change-detect and interval
-    * windows use the SAME partitioning and sort, so Catalyst reuses
-    * one exchange for both passes. Output is version-count-sized
-    * (≤ changelog), never key-count × time. */
   /** Incremental SCD-2 maintenance — fold a NEW changelog slice into
     * an existing history without re-deriving from the full log (the
     * foreachBatch / daily-CDC production shape). `history` must carry
@@ -90,9 +76,14 @@ object Upsert {
     * O(slice + affected history), independent of total key count.
     *
     * The append-only precondition (slice strictly after each affected
-    * key's history) is validated with one small aggregate join
-    * (affected-keys-scale); disable via `validate` only when the CDC
-    * source guarantees monotone timestamps. */
+    * key's RAW prefix) is validated with one small aggregate join
+    * (affected-keys-scale) — against the surviving change points,
+    * which is all collapsed history can witness: a slice row landing
+    * between a key's last change and a later same-attr continuation
+    * that derivation dropped passes the guard undetected (the raw
+    * rows are gone). Sources that can reorder beyond that window must
+    * keep their own high-water mark; disable via `validate` only when
+    * the CDC source guarantees monotone timestamps. */
   def scd2MergeSlice(history: DataFrame, slice: DataFrame, key: String,
       ts: String, attr: String, tieBreak: String,
       validate: Boolean = true): DataFrame = {
@@ -120,6 +111,20 @@ object Upsert {
     histU.select(outCols: _*).unionByName(derived)
   }
 
+  /** Changelog → SCD-2 history (the third upsert flavor: keep EVERY
+    * version with its validity interval, not just the winner).
+    * Consecutive rows with an unchanged `attr` collapse into one
+    * interval (null-safe change test); each surviving version gets
+    * `valid_from` = its change timestamp, `valid_to` = the next
+    * change's timestamp (null = still current).
+    *
+    * `tieBreak` must make (ts, tieBreak) a total order per key — same
+    * contract as [[lastWriteWins]]'s orderCols.
+    *
+    * Scale: one shuffle on `key`; the change-detect and interval
+    * windows use the SAME partitioning and sort, so Catalyst reuses
+    * one exchange for both passes. Output is version-count-sized
+    * (≤ changelog), never key-count × time. */
   def scd2FromChangelog(log: DataFrame, key: String, ts: String,
       attr: String, tieBreak: String): DataFrame = {
     // fail fast on reserved temp/output names (withColumn silently

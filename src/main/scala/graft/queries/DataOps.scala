@@ -180,7 +180,7 @@ object DataOps extends QueryModule {
       val base = s"${sys.props("java.io.tmpdir")}/graft_admit_" +
         java.lang.Integer.toHexString(d.hashCode)
       val (src, cp, state) = (s"$base/src", s"$base/cp", s"$base/state")
-      deleteRec(java.nio.file.Paths.get(base))
+      graft.sources.TableSwap.deleteRecursively(java.nio.file.Paths.get(base))
       val docs = Tables.documents(s, d)
       Planting.requireHeadroom(docs, "doc_id", "dedup_stream_admit")
       val existing = docs.filter(col("doc_id") % 4 =!= 0)
@@ -220,12 +220,6 @@ object DataOps extends QueryModule {
       .select(col("id").as("doc_id"), length(col("text")).as("n_chars"),
         col("n_sh").cast("long").as("n_sh"))
       .orderBy("doc_id")
-
-  private def deleteRec(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
 
   // Benchmark decontamination (the GPT-3-style n-gram overlap check):
   // flag every training doc sharing ANY word 3-gram with the held-out
@@ -682,7 +676,7 @@ object DataOps extends QueryModule {
       val base = s"${sys.props("java.io.tmpdir")}/graft_mm_" +
         java.lang.Integer.toHexString(d.hashCode)
       val bp = java.nio.file.Paths.get(base)
-      deleteRec(bp)
+      graft.sources.TableSwap.deleteRecursively(bp)
       java.nio.file.Files.createDirectories(bp)
       val docs = Tables.documents(s, d)
       Planting.requireHeadroom(docs, "doc_id", "mm_binary_ingest")
@@ -1026,6 +1020,12 @@ object DataOps extends QueryModule {
                      AND NOT EXISTS(SELECT 1 FROM documents o
                                     WHERE o.doc_id % 4 <> 0
                                       AND o.text = d.text)
+                     -- within-batch exact copies: min id wins (mirrors
+                     -- flagBatch's row_number-over-text rule)
+                     AND NOT EXISTS(SELECT 1 FROM documents o2
+                                    WHERE o2.doc_id % 4 = 0
+                                      AND o2.text = d.text
+                                      AND o2.doc_id < d.doc_id)
                      AND NOT EXISTS(SELECT 1 FROM nearA n
                                     WHERE n.doc_id = d.doc_id)),
           fin AS (

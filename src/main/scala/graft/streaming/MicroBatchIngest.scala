@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -82,26 +81,20 @@ object MicroBatchIngest {
       tablePath: String, key: String,
       orderCols: Seq[org.apache.spark.sql.Column],
       assumeDeduped: Boolean = false): Long = {
-    val target = Paths.get(tablePath)
-    val backup = Paths.get(tablePath + ".bak")
-    // recover from a crash between the two moves of a previous merge
-    if (!Files.exists(target) && Files.exists(backup))
-      Files.move(backup, target)
+    // roll a half-finished previous swap forward before reading
+    graft.sources.TableSwap.recover(tablePath)
     val deduped =
       if (assumeDeduped) incoming
       else Upsert.lastWriteWins(incoming.limit(0), incoming, key, orderCols)
     val merged =
-      if (Files.exists(target)) {
+      if (Files.exists(Paths.get(tablePath))) {
         val existing = spark.read.parquet(tablePath)
         Upsert.lastWriteWins(existing, deduped, key, orderCols)
       } else deduped
     val tmp = tablePath + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     val n = spark.read.parquet(tmp).count()
-    deleteRecursively(backup)                       // stale from last merge
-    if (Files.exists(target)) Files.move(target, backup)
-    Files.move(Paths.get(tmp), target)
-    deleteRecursively(backup)
+    graft.sources.TableSwap.promoteTmp(tablePath)
     n
   }
 
@@ -120,9 +113,5 @@ object MicroBatchIngest {
       BatchStats(b, batch.count(), n)
     }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(Files.delete)
-    }
 }
+

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -37,9 +36,9 @@ import graft.ops.BloomPrune
   * `dedup_stream_admit` DuckDB oracle):
   *   - redelivered ids (already in S.docs) are skipped — replay of a
   *     processed batch is a no-op, so lost checkpoints converge;
-  *   - exact: B's text equals any S.docs text (Bloom-prefiltered exact
-  *     semi join), or duplicates an earlier text within B (min id
-  *     wins);
+  *   - exact: B's text equals any S.docs text (exact semi join, with a
+  *     batch-text Bloom sketch pruning the state side first), or
+  *     duplicates an earlier text within B (min id wins);
   *   - near: Jaccard over df-capped shingles > tau against some
   *     committed doc, where df = S.shdf + B's own shingle counts
   *     (i.e. the cap sees S ∪ B, matching a batch run over the union)
@@ -52,8 +51,9 @@ import graft.ops.BloomPrune
   *
   * Scale shape (100 TB corpus, GB-scale daily batches): per batch, S
   * is touched only through (a) the docs id/text anti+semi joins —
-  * key-partitioned equi joins, with the Bloom sketch pruning the text
-  * probe; (b) posting lists for the BATCH's shingles only (the state
+  * key-partitioned equi joins, with a sketch of the BATCH texts
+  * prefiltering the state side of the exact probe; (b) posting lists
+  * for the BATCH's shingles only (the state
   * shingle table is shingle-keyed, so the broadcast of B's kept
   * shingle set prunes the read); (c) shdf rows for B's shingles. No
   * full-state scan, no all-pairs work. The one honest seam: the three
@@ -79,16 +79,22 @@ object StreamAdmission {
     readIfExists(spark, s"$statePath/shdf"))
 
   private def readIfExists(spark: SparkSession,
-      path: String): Option[DataFrame] =
+      path: String): Option[DataFrame] = {
+    // roll a half-finished swap forward FIRST: a crash between the two
+    // moves leaves only <path>.bak, and deciding a batch against a
+    // missing docs/shdf table would re-admit duplicates / clobber the
+    // accumulated df counts
+    graft.sources.TableSwap.recover(path)
     if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path))
     else None
+  }
 
   /** Pure per-batch decision: one row per DISTINCT incoming id not yet
     * committed, with (id, text, n_sh, exact_dup, near_dup, admitted).
     * Does not touch state on disk beyond reads. */
   def flagBatch(batch: DataFrame, state: State, idCol: String,
       textCol: String, tau: Double, maxShingleDf: Long,
-      expectedDocs: Long): DataFrame = {
+      expectedBatch: Long): DataFrame = {
     val b0 = batch.select(col(idCol).cast("long").as("id"),
       col(textCol).cast("string").as("text"))
       .dropDuplicates("id")
@@ -100,12 +106,19 @@ object StreamAdmission {
     // within-batch exact copies: first id wins, the rest are dups
     val wb = Window.partitionBy("text").orderBy("id")
     val b1 = fresh.withColumn("__within", row_number().over(wb) > 1)
-    // exact vs committed corpus: sketch prefilter, then exact semi join
+    // exact vs committed corpus: the sketch is built from the BATCH
+    // texts (batch-scale — the cheap side) and prunes the STATE scan
+    // before the semi join, so the big side never feeds an exchange
+    // with rows that cannot match; the exact join then removes the
+    // ≤fpp false-positive remnant. (Sketching the state instead would
+    // add a full state scan per batch to prune the already-small side.)
     val exactIds = state.docs match {
       case Some(d) =>
-        val sketch = BloomPrune.buildKeySketch(d, "text", expectedDocs)
-        b1.filter(BloomPrune.mightContain(sketch, col("text")))
-          .join(d.select("text"), Seq("text"), "left_semi")
+        val sketch = BloomPrune.buildKeySketch(b1, "text", expectedBatch)
+        b1.join(
+            d.select("text")
+              .filter(BloomPrune.mightContain(sketch, col("text"))),
+            Seq("text"), "left_semi")
           .select(col("id")).withColumn("__exact_state", lit(true))
       case None =>
         b1.limit(0).select(col("id")).withColumn("__exact_state", lit(true))
@@ -165,7 +178,11 @@ object StreamAdmission {
   def commitAdmitted(spark: SparkSession, admitted: DataFrame,
       statePath: String): Unit = {
     // injective key: id is all digits, so the first ':' ends it — no
-    // (id, shingle) pair collides with another pair's concatenation
+    // (id, shingle) pair collides with another pair's concatenation.
+    // (Re-shingling the ADMITTED rows — a subset of the batch flagBatch
+    // already shingled — is a deliberate batch-scale recompute: passing
+    // the flag-stage postings through would couple the two stages'
+    // lifecycles for a scan bounded by the admitted slice of one batch.)
     val aSh = Dedup.shingles(admitted, "id", "text")
       .withColumn("__k", concat(col("id").cast("string"), lit(":"),
         col("shingle")))
@@ -179,7 +196,7 @@ object StreamAdmission {
           coalesce(col("__d"), lit(0L))).as("df"))
       case None => aDf.select(col("shingle"), col("__d").as("df"))
     }).localCheckpoint()
-    atomicReplace(spark, newDf, s"$statePath/shdf")
+    graft.sources.TableSwap.replace(spark, newDf, s"$statePath/shdf")
     MicroBatchIngest.mergeParquet(spark, admitted, s"$statePath/docs",
       "id", Seq(asc("id")), assumeDeduped = true)
   }
@@ -205,9 +222,9 @@ object StreamAdmission {
     * materialized flags (for stats/tests). */
   def admitAndCommit(spark: SparkSession, batch: DataFrame,
       statePath: String, idCol: String, textCol: String, tau: Double,
-      maxShingleDf: Long, expectedDocs: Long): DataFrame = {
+      maxShingleDf: Long, expectedBatch: Long): DataFrame = {
     val flags = flagBatch(batch, loadState(spark, statePath), idCol,
-      textCol, tau, maxShingleDf, expectedDocs).localCheckpoint()
+      textCol, tau, maxShingleDf, expectedBatch).localCheckpoint()
     val admitted = flags.filter(col("admitted"))
       .select("id", "text", "n_sh")
     if (!admitted.isEmpty) commitAdmitted(spark, admitted, statePath)
@@ -221,37 +238,16 @@ object StreamAdmission {
     * replay converge. */
   def start(stream: DataFrame, statePath: String, checkpoint: String,
       idCol: String, textCol: String, tau: Double = 0.3,
-      maxShingleDf: Long = 1000L, expectedDocs: Long = 1L << 20,
+      maxShingleDf: Long = 1000L, expectedBatch: Long = 1L << 20,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         admitAndCommit(batch.sparkSession, batch, statePath, idCol,
-          textCol, tau, maxShingleDf, expectedDocs)
+          textCol, tau, maxShingleDf, expectedBatch)
         ()
       }
       .start()
 
-  /** Crash-safe swap of a full table: write tmp, move live → bak,
-    * move tmp → live, drop bak (same dance as
-    * [[MicroBatchIngest.mergeParquet]], for non-keyed replacement). */
-  private def atomicReplace(spark: SparkSession, df: DataFrame,
-      tablePath: String): Unit = {
-    val target = Paths.get(tablePath)
-    val backup = Paths.get(tablePath + ".bak")
-    if (!Files.exists(target) && Files.exists(backup))
-      Files.move(backup, target)
-    val tmp = tablePath + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    deleteRec(backup)
-    if (Files.exists(target)) Files.move(target, backup)
-    Files.move(Paths.get(tmp), target)
-    deleteRec(backup)
-  }
-
-  private def deleteRec(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
 }

@@ -42,7 +42,7 @@ class StreamAdmissionSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val flags = StreamAdmission.flagBatch(batch,
         StreamAdmission.loadState(spark, state), "doc_id", "text",
-        tau = 0.3, maxShingleDf = 1000L, expectedDocs = 1000L)
+        tau = 0.3, maxShingleDf = 1000L, expectedBatch = 1000L)
       .collect().map(r => r.getLong(0) ->
         (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"),
           r.getAs[Boolean]("admitted"))).toMap
@@ -105,6 +105,31 @@ class StreamAdmissionSpec extends AnyFunSuite {
     assert(df === sh)   // every posting counted exactly once
   }
 
+  test("state reads recover a swap interrupted between its two moves") {
+    val state = tmp("adm_state6")
+    StreamAdmission.seed(spark, seedCorpus, state, "doc_id", "text")
+    // simulate a crash after `live → bak` but before `tmp → live`:
+    // only the backup exists when the next batch starts
+    for (t <- Seq("docs", "shdf")) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$state/$t"),
+        java.nio.file.Paths.get(s"$state/$t.bak"))
+    }
+    val flags = StreamAdmission.admitAndCommit(spark,
+      Seq((60L, baseText), (61L, freshText)).toDF("doc_id", "text"),
+      state, "doc_id", "text", 0.3, 1000L, 1000L)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Boolean]("admitted")).toMap
+    // the recovered docs table must still reject the seeded duplicate —
+    // without recovery-on-read the whole corpus would re-admit
+    assert(flags === Map(60L -> false, 61L -> true))
+    // and the recovered shdf keeps its accumulated counts (seed + new)
+    val df = spark.read.parquet(s"$state/shdf").agg(sum("df"))
+      .head().getLong(0)
+    val sh = spark.read.parquet(s"$state/shingles").count()
+    assert(df === sh)
+  }
+
   test("checkpointed stream: increments process once, state matches batch truth") {
     val src = tmp("adm_src")
     val cp = tmp("adm_cp")
@@ -118,7 +143,7 @@ class StreamAdmissionSpec extends AnyFunSuite {
         .schema(seedCorpus.schema).parquet(src)
       val done = StreamAdmission.start(stream, state, cp,
         "doc_id", "text", tau = 0.3, maxShingleDf = 1000L,
-        expectedDocs = 1000L).awaitTermination(120000)
+        expectedBatch = 1000L).awaitTermination(120000)
       assert(done, "admission stream timed out")
     }
     deliver(Seq((50L, nearText), (51L, freshText)))
