@@ -30,7 +30,8 @@ object Explain {
         "ops_diff_versions", "ops_quality_report", "text_bm25_topk",
         "retrieval_hybrid_rrf", "text_bm25_pinned",
         "retrieval_hybrid_rrf_pinned", "text_chunk_overlap",
-        "j8_scd2_merge", "mm_binary_ingest", "mm_dedup_exact")
+        "j8_scd2_merge", "mm_binary_ingest", "mm_dedup_exact",
+        "pipeline_chunk_pack", "text_bm25_chunks")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

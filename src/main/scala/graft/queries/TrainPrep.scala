@@ -278,6 +278,44 @@ object TrainPrep extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // Chunk → pack composition: the chunker's output keyed by
+  // (doc, chunk) flows straight into sequence packing — the
+  // shard-prep pipeline end-to-end, hash-proven as ONE query (the
+  // chunk text/boundaries AND the bin assignments must both match).
+  private def pipelineChunkPack(s: SparkSession, d: String): DataFrame = {
+    val chunks = graft.text.Chunking
+      .chunkOverlap(Tables.documents(s, d), "doc_id", "text",
+        window = 64, stride = 48)
+      .select(concat(col("doc_id").cast("string"), lit("_"),
+          col("chunk_idx").cast("string")).as("chunk_id"),
+        col("n_chunk_tokens"))
+    Packing.packSequences(chunks, "chunk_id", "n_chunk_tokens",
+        budget = 512)
+      .select(col("chunk_id"), col("n_chunk_tokens"), col("bucket"),
+        col("offset").as("tok_offset"), col("bin_id"))
+      .orderBy("chunk_id")
+  }
+
+  // Chunk-level retrieval with provenance — the RAG shape: BM25 over
+  // the CHUNK corpus (same pinned scorer, so the whole composition is
+  // hash-provable), each hit carrying its source doc, chunk index and
+  // char offset for traceback into the original text.
+  private def textBm25Chunks(s: SparkSession, d: String): DataFrame = {
+    val chunks = graft.text.Chunking
+      .chunkOverlap(Tables.documents(s, d), "doc_id", "text",
+        window = 64, stride = 48)
+      .select(concat(col("doc_id").cast("string"), lit("_"),
+          col("chunk_idx").cast("string")).as("chunk_id"),
+        col("doc_id").as("src_doc_id"), col("chunk_idx"),
+        col("char_start"), col("chunk_text"))
+    graft.text.Bm25
+      .bm25PinnedTopK(chunks, "chunk_id", "chunk_text", Bm25Terms, k = 20)
+      .join(chunks.select(col("chunk_id").as("doc_id"),
+        col("src_doc_id"), col("chunk_idx"), col("char_start")),
+        Seq("doc_id"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
   private def sampTemperature(s: SparkSession, d: String): DataFrame =
     Sampling.temperatureSqrtMix(Tables.documents(s, d), "source", "doc_id")
       .select("doc_id", "source")
@@ -329,6 +367,8 @@ object TrainPrep extends QueryModule {
     "retrieval_hybrid_rrf_pinned" -> (retrievalHybridRrfPinned _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "text_chunk_overlap" -> (textChunkOverlap _),
+    "pipeline_chunk_pack" -> (pipelineChunkPack _),
+    "text_bm25_chunks" -> (textBm25Chunks _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),
     "samp_temperature_alpha" -> (sampTemperatureAlpha _),
@@ -361,12 +401,12 @@ object TrainPrep extends QueryModule {
     * DuckDB and decimal arithmetic would diverge from Spark's doubles).
     * `list_reduce` over `list(w ORDER BY term)` reproduces the
     * term-order fold (0.0 + w₁ ≡ w₁ for the positive weights here). */
-  private lazy val bm25PinnedCte: String =
-    s"""lens AS (SELECT doc_id, CAST(len(ts) AS INT) AS len FROM tok),
+  private def bm25PinnedChain(src: String): String =
+    s"""lens AS (SELECT doc_id, CAST(len(ts) AS INT) AS len FROM $src),
        st AS (SELECT count(*) AS n_docs,
                      CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
               FROM lens),
-       tt AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+       tt AS (SELECT doc_id, unnest(ts) AS term FROM $src),
        tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
               WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
               GROUP BY doc_id, term),
@@ -387,11 +427,75 @@ object TrainPrep extends QueryModule {
               FROM wts GROUP BY doc_id
               ORDER BY score DESC, doc_id LIMIT 20)"""
 
+  private lazy val bm25PinnedCte: String = bm25PinnedChain("tok")
+
+  /** Chunk windows at 64/48 as a reusable CTE chain ending in `c2`
+    * (doc_id, ts, n, chunk_idx, tok_start, tok_end) — shared by the
+    * chunk entry and the chunk→pack composition so the windowing rule
+    * cannot drift between them. */
+  private lazy val chunkCte: String =
+    """base AS (SELECT doc_id, ts, CAST(len(ts) AS INT) AS n,
+                       CASE WHEN len(ts) <= 64 THEN 1
+                            ELSE CAST(1 + (len(ts) - 64 + 47) // 48
+                                      AS INT) END AS nc
+                FROM tok WHERE len(ts) > 0),
+       ch AS (SELECT doc_id, ts, n,
+                     unnest([i for i in range(nc)]) AS k
+              FROM base),
+       c2 AS (SELECT doc_id, ts, n, CAST(k AS INT) AS chunk_idx,
+                     CAST(k * 48 AS INT) AS tok_start,
+                     CAST(least(k * 48 + 64, n) AS INT) AS tok_end
+              FROM ch)"""
+
   val oracles: Map[String, String] = Map(
+    "pipeline_chunk_pack" ->
+      (s"""WITH $tokCte, $chunkCte,
+          cn AS (SELECT CAST(doc_id AS VARCHAR) || '_' ||
+                          CAST(chunk_idx AS VARCHAR) AS chunk_id,
+                        tok_end - tok_start AS n_chunk_tokens
+                 FROM c2),
+          nn AS (SELECT chunk_id, n_chunk_tokens,
+                        md5('pack' || chunk_id) AS h
+                 FROM cn),
+          p AS (SELECT chunk_id, n_chunk_tokens,
+                       substr(h, 1, 2) AS bucket,
+                       sum(CAST(n_chunk_tokens AS BIGINT)) OVER (
+                         PARTITION BY substr(h, 1, 2)
+                         ORDER BY h, chunk_id
+                         ROWS UNBOUNDED PRECEDING) - n_chunk_tokens
+                         AS tok_offset
+                FROM nn)
+          SELECT chunk_id, n_chunk_tokens, bucket,
+                 CAST(tok_offset AS BIGINT) AS tok_offset,
+                 CAST(tok_offset // 512 AS BIGINT) AS bin_id
+          FROM p ORDER BY chunk_id"""),
+
     "text_bm25_pinned" ->
       (s"""WITH $tokCte, $bm25PinnedCte
           SELECT doc_id, score, n_terms_hit FROM bm
           ORDER BY score DESC, doc_id"""),
+
+    // the SAME pinned chain run over the chunk corpus (ctok maps each
+    // chunk's token slice to the chain's (doc_id, ts) contract); the
+    // provenance join re-derives src/idx/offset from the chunk CTE
+    "text_bm25_chunks" ->
+      (s"""WITH $tokCte, $chunkCte,
+          cn AS (SELECT CAST(doc_id AS VARCHAR) || '_' ||
+                          CAST(chunk_idx AS VARCHAR) AS chunk_id,
+                        doc_id AS src_doc_id, chunk_idx,
+                        CAST(CASE WHEN tok_start = 0 THEN 0
+                             ELSE list_reduce(list_transform(
+                                    ts[1:tok_start], t -> length(t)),
+                                    (a, b) -> a + b) + tok_start END
+                             AS INT) AS char_start,
+                        ts[tok_start+1:tok_end] AS cts
+                 FROM c2),
+          ctok AS (SELECT chunk_id AS doc_id, cts AS ts FROM cn),
+          ${bm25PinnedChain("ctok")}
+          SELECT bm.doc_id, bm.score, bm.n_terms_hit,
+                 cn.src_doc_id, cn.chunk_idx, cn.char_start
+          FROM bm JOIN cn ON cn.chunk_id = bm.doc_id
+          ORDER BY bm.score DESC, bm.doc_id"""),
 
     // fusion arithmetic: two exact int→double divisions + one
     // fixed-order two-addend sum — identical in both engines; the
@@ -510,19 +614,7 @@ object TrainPrep extends QueryModule {
     // windowing rule mirrored with integer arithmetic; slices are
     // 1-based inclusive in DuckDB (ts[s+1 : e] = tokens s..e−1)
     "text_chunk_overlap" ->
-      (s"""WITH $tokCte,
-          base AS (SELECT doc_id, ts, CAST(len(ts) AS INT) AS n,
-                          CASE WHEN len(ts) <= 64 THEN 1
-                               ELSE CAST(1 + (len(ts) - 64 + 47) // 48
-                                         AS INT) END AS nc
-                   FROM tok WHERE len(ts) > 0),
-          ch AS (SELECT doc_id, ts, n,
-                        unnest([i for i in range(nc)]) AS k
-                 FROM base),
-          c2 AS (SELECT doc_id, ts, n, CAST(k AS INT) AS chunk_idx,
-                        CAST(k * 48 AS INT) AS tok_start,
-                        CAST(least(k * 48 + 64, n) AS INT) AS tok_end
-                 FROM ch)
+      (s"""WITH $tokCte, $chunkCte
           SELECT doc_id, chunk_idx, tok_start, tok_end,
                  tok_end - tok_start AS n_chunk_tokens,
                  CAST(CASE WHEN tok_start = 0 THEN 0

@@ -103,4 +103,16 @@ class ChunkingSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Int]("n_chunk_tokens") <= 64))
   }
+
+  test("chunk-level BM25: hits carry consistent provenance offsets") {
+    val out = SparkEntry.queries("text_bm25_chunks")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // every hit's chunk_id decomposes into its provenance columns
+    assert(out.forall { r =>
+      r.getAs[String]("doc_id") ===
+        s"${r.getAs[Long]("src_doc_id")}_${r.getAs[Int]("chunk_idx")}"
+    })
+    assert(out.forall(_.getAs[Int]("char_start") >= 0))
+  }
 }
