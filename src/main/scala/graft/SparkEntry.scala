@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ApiQueries, ChessPipeline, DataOps, Joins, LayoutOps, QueryModule, Relational, SamplingOps, TrainPrep, Transforms, Windows}
+import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, Joins, LayoutOps, QueryModule, Relational, SamplingOps, TrainPrep, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
     ApiQueries,
     SamplingOps,
     TrainPrep,
-    LayoutOps
+    LayoutOps,
+    CorpusOps
   )
 
   /** The driver-provisioned tiny scale factor (smoke/warm-up data). */

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sharded corpus export — the "write the training set"
+  * step: every document lands in a content-addressed shard
+  * (md5-keyed, so the assignment is stable across runs, engines, and
+  * cluster sizes — never `spark_partition_id` or round-robin), and a
+  * manifest row per shard records counts/token totals/id bounds for
+  * downstream loaders to verify against.
+  *
+  * Reference analog: the nightly full-table export
+  * (`knightshift/pipelines/`), which writes one opaque dump; sharding
+  * + manifest is what that becomes when the output must feed a
+  * 1000-reader training job instead of one Postgres COPY.
+  *
+  * Scale shape (100 TB): the shard key is a projection; the write is
+  * one hash repartition on `shard` (each writer task owns whole
+  * shards, so no two tasks write one directory) + `partitionBy` for
+  * directory layout. The manifest is one partial-aggregating groupBy
+  * over nShards keys — metadata-sized output at any corpus size.
+  */
+object Export {
+
+  /** Stable shard id in [0, nShards): first 4 hex digits of
+    * md5('shard:' ‖ id) mod nShards. Spark parses hex via `conv` (one
+    * md5 per row); [[shardIdSql]] emits the DuckDB-portable per-digit
+    * ascii arithmetic — same value (see
+    * [[graft.text.LinearClassifier]]). */
+  def shardId(id: Column, nShards: Int): Column =
+    conv(substring(md5(concat(lit("shard:"), id.cast("string"))), 1, 4),
+      16, 10).cast("long") % nShards
+
+  /** SQL for the same shard id (DuckDB oracle derives from here). */
+  def shardIdSql(inner: String, nShards: Int): String = {
+    val h = s"md5('shard:' || CAST($inner AS VARCHAR))"
+    def dv(i: Int): String =
+      s"(ascii(substr($h, $i, 1)) - " +
+        s"CASE WHEN substr($h, $i, 1) >= 'a' THEN 87 ELSE 48 END)"
+    s"(CAST((((${dv(1)} * 16 + ${dv(2)}) * 16 + ${dv(3)}) * 16 + " +
+      s"${dv(4)}) AS BIGINT) % $nShards)"
+  }
+
+  /** The corpus with its shard assignment materialized. */
+  def withShard(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    df.withColumn("shard", shardId(col(idCol), nShards))
+
+  /** Manifest: (shard, n_docs, n_tokens, n_chars, min_doc_id,
+    * max_doc_id) — one row per non-empty shard. Token rule is the
+    * corpus-wide whitespace tokenization. */
+  def manifest(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame =
+    withShard(df, idCol, nShards)
+      .select(col("shard"), col(idCol).as("__id"),
+        size(filter(split(trim(col(textCol)), " +"),
+          w => length(w) > 0)).as("__nt"),
+        length(col(textCol)).as("__nc"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt").cast("long")).as("n_tokens"),
+        sum(col("__nc").cast("long")).as("n_chars"),
+        min("__id").as("min_doc_id"),
+        max("__id").as("max_doc_id"))
+
+  /** Write the sharded corpus: `path/shard=<s>/part-*.parquet`. One
+    * repartition on the shard key so each output directory is written
+    * by exactly one task wave; returns the shard count written. */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit =
+    withShard(df, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Read one shard back (partition-pruned scan). */
+  def readShard(s: SparkSession, path: String, shard: Int): DataFrame =
+    s.read.parquet(path).filter(col("shard") === shard)
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Export
+import graft.text.{LinearClassifier, PassageDedup}
+
+/** Round-6 corpus-curation additions: exact duplicated-passage
+  * detection/removal (sub-document dedup — the granularity the
+  * whole-doc and segment-grid passes cannot see), the hashed linear
+  * quality classifier, and the sharded training-set export with
+  * manifest.
+  *
+  * Passage-dedup planting: duplicated passages must exist at k=12, so
+  * two planted shapes ride above [[Planting.Offset]]:
+  *   - +1·Offset: a 20-token excerpt (tokens 11..30) of every 10th
+  *     document — cross-document duplication at an interior offset,
+  *     partial coverage on both sides;
+  *   - +2·Offset: the same excerpt DOUBLED for doc_id % 10 = 5 —
+  *     within-document repetition; its junction grams are unique, but
+  *     island-merge still covers the full doc (adjacent spans fuse).
+  * The same slice arithmetic appears in the oracle's list slices, so
+  * both engines see byte-identical planted text.
+  */
+object CorpusOps extends QueryModule {
+
+  /** k-gram width for the passage pass (Lee et al. use 50 tokens on
+    * web-scale text; the synthetic docs are 20–80 tokens, so 12 keeps
+    * interior structure while still being longer than any organic
+    * repeated run would typically be). */
+  private val K = 12
+
+  private val toksC =
+    filter(split(trim(col("text")), " +"), w => length(w) > 0)
+
+  /** Corpus + the two planted passage shapes (shared by both passage
+    * entries; built per-call — the heavy work is inside PassageDedup,
+    * memoized at the Spark plan level by reuse of the same input). */
+  private def plantedCorpus(s: SparkSession, d: String,
+      name: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    Planting.requireHeadroom(docs, "doc_id", name)
+    val base = docs.select(col("doc_id"), toksC.as("__ts"))
+      .filter(size(col("__ts")) >= 30)
+    val excerpt = array_join(slice(col("__ts"), 11, 20), " ")
+    val pa = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + Planting.Offset).as("doc_id"),
+        excerpt.as("text"))
+    val pb = base.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 2 * Planting.Offset).as("doc_id"),
+        concat(excerpt, lit(" "), excerpt).as("text"))
+    docs.unionByName(pa).unionByName(pb)
+  }
+
+  private def dedupPassageSpans(s: SparkSession, d: String): DataFrame =
+    PassageDedup.duplicateSpans(
+        plantedCorpus(s, d, "dedup_passage_spans"), "doc_id", "text", K)
+      .orderBy("doc_id", "span_start")
+
+  private def dedupPassageClean(s: SparkSession, d: String): DataFrame =
+    PassageDedup.removeDuplicatePassages(
+        plantedCorpus(s, d, "dedup_passage_clean"), "doc_id", "text", K)
+      .orderBy("doc_id")
+
+  private def textClassifierScore(s: SparkSession, d: String): DataFrame =
+    LinearClassifier.score(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val Shards = 16
+
+  private def scratch(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_export_shards_" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  // Manifest over the WRITTEN shard tree (write once per session/dir,
+  // like the layout entries): the oracle computes the same manifest
+  // straight from the source parquet, so hash equality proves the
+  // sharded write∘read is lossless AND the on-disk assignment follows
+  // the md5 formula. Directory↔column consistency is pinned in
+  // ExportSpec (a pruned single-shard read contains exactly its keys).
+  private def exportShardManifest(s: SparkSession, d: String): DataFrame = {
+    val path = SessionMemo(s, d, "export_shards") {
+      val p = scratch(d)
+      Export.writeShards(Tables.documents(s, d), "doc_id", Shards, p)
+      p
+    }
+    Export.manifest(s.read.parquet(path).drop("shard"),
+        "doc_id", "text", Shards)
+      .orderBy("shard")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_passage_spans"   -> (dedupPassageSpans _),
+    "dedup_passage_clean"   -> (dedupPassageClean _),
+    "text_classifier_score" -> (textClassifierScore _),
+    "export_shard_manifest" -> (exportShardManifest _)
+  )
+
+  // Shared oracle CTE chain: tokenized corpus + planted shapes +
+  // k-grams + duplicated positions (k=12 → slice width 11, gram count
+  // n-11, span end pos+11).
+  private val PassageChain =
+    """WITH tk0 AS (
+         SELECT doc_id,
+                list_filter(string_split(trim(text), ' '), t -> t <> '')
+                  AS ts
+         FROM documents
+       ),
+       u AS (
+         SELECT doc_id, ts FROM tk0
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, ts[11:30] AS ts FROM tk0
+         WHERE doc_id % 10 = 0 AND len(ts) >= 30
+         UNION ALL
+         SELECT doc_id + 200000 AS doc_id,
+                list_concat(ts[11:30], ts[11:30]) AS ts FROM tk0
+         WHERE doc_id % 10 = 5 AND len(ts) >= 30
+       ),
+       g AS (
+         SELECT doc_id, g2.pos AS pos, g2.gram AS gram FROM (
+           SELECT doc_id,
+                  unnest([struct_pack(
+                            pos := i - 1,
+                            gram := array_to_string(ts[i:i+11], ' '))
+                          for i in range(1, len(ts) - 10)]) AS g2
+           FROM u WHERE len(ts) >= 12)
+       ),
+       dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+       p AS (SELECT doc_id, pos FROM g
+             WHERE gram IN (SELECT gram FROM dup))"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_passage_spans" -> (PassageChain +
+      """,
+         m AS (SELECT doc_id, pos,
+                 max(pos + 11) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+               FROM p),
+         isl AS (SELECT doc_id, pos,
+                 sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM m)
+         SELECT doc_id,
+                CAST(min(pos) AS INT) AS span_start,
+                CAST(max(pos) + 11 AS INT) AS span_end,
+                CAST(max(pos) + 11 - min(pos) + 1 AS INT) AS span_tokens
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, span_start"""),
+
+    "dedup_passage_clean" -> (PassageChain +
+      """,
+         cov AS (SELECT DISTINCT doc_id, idx FROM (
+                   SELECT doc_id, unnest(range(pos, pos + 12)) AS idx
+                   FROM p)),
+         tok AS (SELECT doc_id, t.idx AS idx, t.tok AS tok FROM (
+                   SELECT doc_id,
+                          unnest([struct_pack(idx := i - 1, tok := ts[i])
+                                  for i in range(1, len(ts) + 1)]) AS t
+                   FROM u)),
+         kept AS (SELECT tok.doc_id, tok.idx, tok.tok
+                  FROM tok LEFT JOIN cov
+                    ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+                  WHERE cov.idx IS NULL),
+         re AS (SELECT doc_id, count(*) AS n_kept,
+                       array_to_string(list(tok ORDER BY idx), ' ')
+                         AS clean_text
+                FROM kept GROUP BY doc_id)
+         SELECT u.doc_id, CAST(len(u.ts) AS INT) AS n_tokens,
+                CAST(len(u.ts) - coalesce(re.n_kept, 0) AS INT)
+                  AS n_removed,
+                coalesce(re.clean_text, '') AS clean_text
+         FROM u LEFT JOIN re ON u.doc_id = re.doc_id
+         ORDER BY u.doc_id"""),
+
+    // weight arithmetic emitted by LinearClassifier.weightSql — one
+    // definition, two engines
+    "text_classifier_score" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '), t -> t <> '')
+                    AS ts
+           FROM documents
+         ),
+         sc AS (
+           SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+                  CAST(coalesce(list_sum(
+                    [${LinearClassifier.weightSql("u:", "t")}
+                     for t in ts]), 0) AS BIGINT) AS uni_score,
+                  CAST(coalesce(list_sum(
+                    [${LinearClassifier.weightSql("b:",
+                        "ts[i] || ' ' || ts[i+1]")}
+                     for i in range(1, len(ts))]), 0) AS BIGINT)
+                    AS bi_score
+           FROM tk
+         )
+         SELECT doc_id, n_tokens, uni_score, bi_score,
+                uni_score + bi_score AS score,
+                CASE WHEN uni_score + bi_score >= 0 THEN 1 ELSE 0 END
+                  AS keep
+         FROM sc ORDER BY doc_id""",
+
+    // straight from the source parquet — equality proves the sharded
+    // write∘read round trip AND the md5 assignment
+    "export_shard_manifest" ->
+      s"""WITH x AS (
+           SELECT ${Export.shardIdSql("doc_id", Shards)} AS shard,
+                  doc_id,
+                  len(list_filter(string_split(trim(text), ' '),
+                    t -> t <> '')) AS nt,
+                  length(text) AS nc
+           FROM documents
+         )
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         FROM x GROUP BY shard ORDER BY shard"""
+  )
+}

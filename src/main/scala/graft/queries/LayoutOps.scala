@@ -99,6 +99,15 @@ object LayoutOps extends QueryModule {
     TextFormats.readCsv(s, path, ev.schema).orderBy("event_id")
   }
 
+  private def srcOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+    val path = SessionMemo(s, d, "src_orc") {
+      val p = scratch(d, "orc")
+      TextFormats.writeOrc(ev, p); p
+    }
+    TextFormats.readOrc(s, path, ev.schema).orderBy("event_id")
+  }
+
   /** Orders written z-clustered on (custkey, orderkey), once per
     * (session, dir). LayoutSpec pins the locality property (per-
     * partition bounding boxes ≪ the table's extent on BOTH axes). */
@@ -147,7 +156,8 @@ object LayoutOps extends QueryModule {
     "layout_zorder_scan"     -> (layoutZorderScan _),
     "layout_compact"         -> (layoutCompact _),
     "src_jsonl_roundtrip"    -> (srcJsonlRoundtrip _),
-    "src_csv_roundtrip"      -> (srcCsvRoundtrip _)
+    "src_csv_roundtrip"      -> (srcCsvRoundtrip _),
+    "src_orc_roundtrip"      -> (srcOrcRoundtrip _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,6 +211,11 @@ object LayoutOps extends QueryModule {
          FROM events ORDER BY event_id""",
 
     "src_csv_roundtrip" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                event_type, value, props
+         FROM events ORDER BY event_id""",
+
+    "src_orc_roundtrip" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
                 event_type, value, props
          FROM events ORDER BY event_id""",

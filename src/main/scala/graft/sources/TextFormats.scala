@@ -64,4 +64,17 @@ object TextFormats {
       : DataFrame =
     s.read.schema(schema).option("header", "true")
       .option("timestampFormat", TsFormat).csv(path)
+
+  /** ORC round trip — the columnar interchange format for warehouses
+    * that standardized on it (Hive-lineage lakes). Spark's native
+    * vectorized ORC reader/writer; µs timestamps, doubles, and strings
+    * are all natively typed, so unlike the text formats there is no
+    * format-string discipline to get wrong — the round-trip risk ORC
+    * does carry is schema drift, which schema-on-read pins down. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(s: SparkSession, path: String, schema: StructType)
+      : DataFrame =
+    s.read.schema(schema).orc(path)
 }

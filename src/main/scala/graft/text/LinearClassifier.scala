@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear text classifier over hashed n-gram features — the fastText /
+  * logistic-regression quality-filter shape (CCNet, GPT-3's WebText
+  * classifier, FineWeb-Edu): score(doc) = Σ w[h(feature)] over the
+  * document's unigrams and bigrams, keep iff score ≥ 0.
+  *
+  * The weight table is the model seam: production loads trained
+  * weights (a D-entry array, broadcast); here the table is a frozen
+  * deterministic function of the bucket id (Knuth multiplicative hash
+  * → integer in [-2000, 2000]), so the whole scorer is integer
+  * arithmetic over md5 — bit-reproducible in any engine, which is what
+  * lets the conformance oracle hash-check it. Swapping in real weights
+  * changes ONE function, not the plan.
+  *
+  * Scale shape (100 TB): the score is a pure per-row projection —
+  * `transform` + `aggregate` over the token array inside whole-stage
+  * codegen. No explode, no shuffle, no UDF; the corpus is scanned
+  * once and never exchanged. D buckets bound the feature space the
+  * way hashing-trick classifiers always have.
+  */
+object LinearClassifier {
+
+  /** Feature buckets. 2^12 keeps the stand-in table small; production
+    * fastText uses 2^21 — the arithmetic is D-independent. */
+  val D = 4096
+
+  /** First 4 hex digits of md5(salt ‖ text) as an int in [0, 65536),
+    * mod D → the feature bucket. Spark parses the hex with `conv` (ONE
+    * md5 per feature); DuckDB has no hex→int cast, so [[weightSql]]
+    * emits per-digit ascii arithmetic — same value, proven by the
+    * oracle hashes and the independent derivation in CorpusOpsSpec. */
+  private def bucket(salt: String, text: Column): Column =
+    conv(substring(md5(concat(lit(salt), text)), 1, 4), 16, 10)
+      .cast("long") % D
+
+  /** Frozen stand-in weight: (bucket · 2654435761) mod 4001 − 2000. */
+  private def weight(b: Column): Column =
+    (b * lit(2654435761L)) % 4001L - 2000L
+
+  private def featureWeight(salt: String, text: Column): Column =
+    weight(bucket(salt, text))
+
+  /** (doc_id, n_tokens, uni_score, bi_score, score, keep): the scored
+    * corpus. keep = 1 iff score ≥ 0. Pure projection — see scaladoc. */
+  def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = filter(split(trim(col(textCol)), " +"), w => length(w) > 0)
+    val withTs = df.select(col(idCol).as("doc_id"), ts.as("__ts"))
+    val n = size(col("__ts"))
+    val uni = aggregate(
+      transform(col("__ts"), t => featureWeight("u:", t)),
+      lit(0L), (acc, x) => acc + x)
+    // sequence(0, n-2) reverses when n<2 (negative-step default)
+    val bi = when(n >= 2, aggregate(
+        transform(sequence(lit(0), n - 2), i => featureWeight("b:",
+          concat(element_at(col("__ts"), i + 1), lit(" "),
+            element_at(col("__ts"), i + 2)))),
+        lit(0L), (acc, x) => acc + x))
+      .otherwise(0L)
+    withTs.select(col("doc_id"), n.as("n_tokens"),
+        uni.as("uni_score"), bi.as("bi_score"))
+      .withColumn("score", col("uni_score") + col("bi_score"))
+      .withColumn("keep", when(col("score") >= 0, 1).otherwise(0))
+  }
+
+  // ---- oracle-side SQL generators (DuckDB) -------------------------
+  // The SAME arithmetic emitted as SQL text, so the conformance oracle
+  // is derived from this one definition, not hand-transcribed.
+
+  private def hexDigitSql(h: String, i: Int): String =
+    s"(ascii(substr($h, $i, 1)) - " +
+      s"CASE WHEN substr($h, $i, 1) >= 'a' THEN 87 ELSE 48 END)"
+
+  private def bucketSql(salt: String, inner: String): String = {
+    val h = s"md5('$salt' || $inner)"
+    s"(CAST((((${hexDigitSql(h, 1)} * 16 + ${hexDigitSql(h, 2)}) * 16 + " +
+      s"${hexDigitSql(h, 3)}) * 16 + ${hexDigitSql(h, 4)}) AS BIGINT) % $D)"
+  }
+
+  /** SQL for the frozen weight of one feature expression. */
+  def weightSql(salt: String, inner: String): String =
+    s"((${bucketSql(salt, inner)} * 2654435761) % 4001 - 2000)"
+}

@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-passage detection and removal — the "deduplicating
+  * training data" pass (Lee et al. 2022, arXiv:2107.06499): any run of
+  * `k` consecutive tokens that occurs more than once ANYWHERE in the
+  * corpus (another document or elsewhere in the same document) marks
+  * its positions as duplicated; overlapping/adjacent duplicated windows
+  * merge into maximal spans, and the removal pass cuts exactly the
+  * covered tokens, keeping the unique remainder in original order.
+  *
+  * The reference engine has no passage-level pass (its dedup is
+  * row-keyed upsert, `upsert_game_data.py`); this generalizes the
+  * corpus-dedup tier (exact / MinHash / SimHash / segment) down to
+  * sub-document granularity, which whole-doc and segment-grid passes
+  * cannot see (a duplicated quote straddling a segment boundary, a
+  * boilerplate footer at varying offsets).
+  *
+  * Scale shape (100 TB): the paper's suffix array is a single-machine
+  * construct; the distributed equivalent is the k-gram posting
+  * aggregation below.
+  *   - Phase 1 (hash prefilter): count occurrences by `xxhash64(gram)`
+  *     — map-side partial aggregation reduces each task to one row per
+  *     distinct hash, and the shuffle carries 8-byte keys, never gram
+  *     text. Unique grams (the overwhelming majority of any corpus)
+  *     are eliminated here for ~16 bytes of shuffle per occurrence.
+  *   - Phase 2 (exact confirm): only hash-duplicated occurrences
+  *     re-aggregate on the gram STRING, so text shuffles only for the
+  *     tiny surviving fraction; a 64-bit collision can only ADD a
+  *     candidate to phase 2, never change the final answer — the
+  *     result is exact, not probabilistic.
+  *   - Span merge is a per-document window (documents are bounded, so
+  *     per-key state is bounded); token removal is an equi anti-join
+  *     on (doc, position) — no range join anywhere.
+  */
+object PassageDedup {
+
+  /** Whitespace tokens, empty-safe (same rule as [[SegmentDedup]]). */
+  private def toks(textCol: String) =
+    filter(split(trim(col(textCol)), " +"), w => length(w) > 0)
+
+  /** (doc_id, pos, gram): every k-token window at stride 1, pos
+    * 0-based. Documents shorter than k produce no rows. */
+  def grams(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = size(col("__ts"))
+    df.select(col(idCol).as("doc_id"), toks(textCol).as("__ts"))
+      // sequence(0, n-k) REVERSES when n<k (negative-step default) —
+      // the guard is load-bearing, not defensive
+      .select(col("doc_id"),
+        posexplode(when(n >= k,
+          transform(sequence(lit(0), n - k), i =>
+            array_join(slice(col("__ts"), i + 1, lit(k)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("pos", "pos")
+      .withColumnRenamed("col", "gram")
+  }
+
+  /** (doc_id, pos) of every occurrence of a corpus-duplicated k-gram.
+    * Two-phase exact: hash-count prefilter, string-count confirm. */
+  def duplicatedPositions(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val g = grams(df, idCol, textCol, k)
+      .withColumn("__h", xxhash64(col("gram")))
+    // phase 1: occurrences of hash-duplicated grams (8-byte shuffle key)
+    val hotHashes = g.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__h")
+    val candidates = g.join(hotHashes, Seq("__h"), "left_semi")
+    // phase 2: exact string confirm over the surviving fraction only.
+    // All occurrences of one gram share one hash, so the candidate set
+    // holds either every occurrence of a gram or none — the string
+    // count below equals the corpus-wide count.
+    val dupGrams = candidates.groupBy("gram").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("gram").as("__dg"))
+    candidates.join(dupGrams, col("gram") === col("__dg"), "left_semi")
+      .select("doc_id", "pos")
+  }
+
+  /** Maximal duplicated token spans per document:
+    * (doc_id, span_start, span_end, span_tokens), token positions
+    * inclusive. Windows that overlap OR touch (gap 0) merge — classic
+    * gaps-and-islands over the per-document position stream. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val p = duplicatedPositions(df, idCol, textCol, k)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + (k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = p.withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+    isl.groupBy("doc_id", "__isl")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_end").cast("int").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int")
+          .as("span_tokens"))
+  }
+
+  /** Cut every duplicated-passage token; reassemble the remainder:
+    * (doc_id, n_tokens, n_removed, clean_text), one row per input
+    * document (clean_text = '' when fully covered; text is
+    * re-joined single-spaced from the whitespace tokenization, like
+    * [[SegmentDedup.dedupSegments]]). */
+  def removeDuplicatePassages(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), toks(textCol).as("__ts"))
+    // covered positions, deduplicated — the join stays equi on
+    // (doc_id, idx); spans are never range-probed
+    val covered = duplicatedPositions(df, idCol, textCol, k)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
+      .distinct()
+    val tokens = base.select(col("doc_id"), posexplode(col("__ts")))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "tok")
+    val kept = tokens.join(covered, Seq("doc_id", "idx"), "left_anti")
+    val reasm = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s.getField("tok"))).as("__clean"))
+    base.select(col("doc_id"), size(col("__ts")).as("n_tokens"))
+      .join(reasm, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .cast("int").as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+}
