@@ -54,19 +54,53 @@ object CorpusOps extends QueryModule {
     docs.unionByName(pa).unionByName(pb)
   }
 
+  /** The duplicated-position set feeds BOTH passage entries — pay the
+    * gram aggregation once per (session, dir), like the shared shingle
+    * indexes in DataOps. */
+  private def dupPositions(s: SparkSession, d: String): DataFrame =
+    SessionMemo(s, d, "passage_positions") {
+      PassageDedup.duplicatedPositions(
+        plantedCorpus(s, d, "dedup_passage"), "doc_id", "text", K).persist()
+    }
+
   private def dedupPassageSpans(s: SparkSession, d: String): DataFrame =
-    PassageDedup.duplicateSpans(
-        plantedCorpus(s, d, "dedup_passage_spans"), "doc_id", "text", K)
+    PassageDedup.duplicateSpansFromPositions(dupPositions(s, d), K)
       .orderBy("doc_id", "span_start")
 
   private def dedupPassageClean(s: SparkSession, d: String): DataFrame =
-    PassageDedup.removeDuplicatePassages(
-        plantedCorpus(s, d, "dedup_passage_clean"), "doc_id", "text", K)
+    PassageDedup.removeFromPositions(
+        plantedCorpus(s, d, "dedup_passage_clean"), "doc_id", "text",
+        dupPositions(s, d), K)
       .orderBy("doc_id")
 
   private def textClassifierScore(s: SparkSession, d: String): DataFrame =
     LinearClassifier.score(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
+
+  // Span-level decontamination: benchmark = doc_id % 97 = 0 (the same
+  // bench/corpus split as text_decontaminate), contamination planted
+  // as bench-excerpt (tokens 11..30) ++ REVERSED bench prefix (tokens
+  // 10..1) at +3·Offset — the leading 20 tokens are bench k-grams
+  // (cut), the reversed tail is not (kept), so the entry proves
+  // partial-document removal, not just flagging.
+  private def textDecontaminateSpans(s: SparkSession, d: String)
+      : DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    Planting.requireHeadroom(docs, "doc_id", "text_decontaminate_spans")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val benchTs = bench.select(col("doc_id"), toksC.as("__ts"))
+      .filter(size(col("__ts")) >= 30)
+    val planted = benchTs.select(
+      (col("doc_id") + 3 * Planting.Offset).as("doc_id"),
+      concat(array_join(slice(col("__ts"), 11, 20), " "), lit(" "),
+        array_join(reverse(slice(col("__ts"), 1, 10)), " ")).as("text"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      .unionByName(planted)
+    val pos = PassageDedup.positionsMatching(corpus, "doc_id", "text", K,
+      PassageDedup.grams(bench, "doc_id", "text", K))
+    PassageDedup.removeFromPositions(corpus, "doc_id", "text", pos, K)
+      .orderBy("doc_id")
+  }
 
   private val Shards = 16
 
@@ -92,10 +126,11 @@ object CorpusOps extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_passage_spans"   -> (dedupPassageSpans _),
-    "dedup_passage_clean"   -> (dedupPassageClean _),
-    "text_classifier_score" -> (textClassifierScore _),
-    "export_shard_manifest" -> (exportShardManifest _)
+    "dedup_passage_spans"      -> (dedupPassageSpans _),
+    "dedup_passage_clean"      -> (dedupPassageClean _),
+    "text_decontaminate_spans" -> (textDecontaminateSpans _),
+    "text_classifier_score"    -> (textClassifierScore _),
+    "export_shard_manifest"    -> (exportShardManifest _)
   )
 
   // Shared oracle CTE chain: tokenized corpus + planted shapes +
@@ -131,6 +166,34 @@ object CorpusOps extends QueryModule {
        p AS (SELECT doc_id, pos FROM g
              WHERE gram IN (SELECT gram FROM dup))"""
 
+  /** Shared removal tail (expects CTEs `u`(doc_id, ts) and
+    * `p`(doc_id, pos) in scope): covered positions → anti-joined
+    * tokens → per-doc reassembly, one row per input document. */
+  private val RemovalTail =
+    """,
+       cov AS (SELECT DISTINCT doc_id, idx FROM (
+                 SELECT doc_id, unnest(range(pos, pos + 12)) AS idx
+                 FROM p)),
+       tok AS (SELECT doc_id, t.idx AS idx, t.tok AS tok FROM (
+                 SELECT doc_id,
+                        unnest([struct_pack(idx := i - 1, tok := ts[i])
+                                for i in range(1, len(ts) + 1)]) AS t
+                 FROM u)),
+       kept AS (SELECT tok.doc_id, tok.idx, tok.tok
+                FROM tok LEFT JOIN cov
+                  ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+                WHERE cov.idx IS NULL),
+       re AS (SELECT doc_id, count(*) AS n_kept,
+                     array_to_string(list(tok ORDER BY idx), ' ')
+                       AS clean_text
+              FROM kept GROUP BY doc_id)
+       SELECT u.doc_id, CAST(len(u.ts) AS INT) AS n_tokens,
+              CAST(len(u.ts) - coalesce(re.n_kept, 0) AS INT)
+                AS n_removed,
+              coalesce(re.clean_text, '') AS clean_text
+       FROM u LEFT JOIN re ON u.doc_id = re.doc_id
+       ORDER BY u.doc_id"""
+
   val oracles: Map[String, String] = Map(
     "dedup_passage_spans" -> (PassageChain +
       """,
@@ -151,30 +214,44 @@ object CorpusOps extends QueryModule {
          FROM isl GROUP BY doc_id, island
          ORDER BY doc_id, span_start"""),
 
-    "dedup_passage_clean" -> (PassageChain +
-      """,
-         cov AS (SELECT DISTINCT doc_id, idx FROM (
-                   SELECT doc_id, unnest(range(pos, pos + 12)) AS idx
-                   FROM p)),
-         tok AS (SELECT doc_id, t.idx AS idx, t.tok AS tok FROM (
-                   SELECT doc_id,
-                          unnest([struct_pack(idx := i - 1, tok := ts[i])
-                                  for i in range(1, len(ts) + 1)]) AS t
-                   FROM u)),
-         kept AS (SELECT tok.doc_id, tok.idx, tok.tok
-                  FROM tok LEFT JOIN cov
-                    ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
-                  WHERE cov.idx IS NULL),
-         re AS (SELECT doc_id, count(*) AS n_kept,
-                       array_to_string(list(tok ORDER BY idx), ' ')
-                         AS clean_text
-                FROM kept GROUP BY doc_id)
-         SELECT u.doc_id, CAST(len(u.ts) AS INT) AS n_tokens,
-                CAST(len(u.ts) - coalesce(re.n_kept, 0) AS INT)
-                  AS n_removed,
-                coalesce(re.clean_text, '') AS clean_text
-         FROM u LEFT JOIN re ON u.doc_id = re.doc_id
-         ORDER BY u.doc_id"""),
+    "dedup_passage_clean" -> (PassageChain + RemovalTail),
+
+    "text_decontaminate_spans" ->
+      ("""WITH tk0 AS (
+           SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '), t -> t <> '')
+                    AS ts
+           FROM documents
+         ),
+         bch AS (SELECT doc_id, ts FROM tk0 WHERE doc_id % 97 = 0),
+         pl AS (
+           SELECT doc_id + 300000 AS doc_id,
+                  list_concat(ts[11:30], list_reverse(ts[1:10])) AS ts
+           FROM bch WHERE len(ts) >= 30
+         ),
+         u AS (
+           SELECT doc_id, ts FROM tk0 WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id, ts FROM pl
+         ),
+         bg AS (
+           SELECT DISTINCT g2.gram AS gram FROM (
+             SELECT unnest([struct_pack(
+                       gram := array_to_string(ts[i:i+11], ' '))
+                     for i in range(1, len(ts) - 10)]) AS g2
+             FROM bch WHERE len(ts) >= 12)
+         ),
+         g AS (
+           SELECT doc_id, g2.pos AS pos, g2.gram AS gram FROM (
+             SELECT doc_id,
+                    unnest([struct_pack(
+                              pos := i - 1,
+                              gram := array_to_string(ts[i:i+11], ' '))
+                            for i in range(1, len(ts) - 10)]) AS g2
+             FROM u WHERE len(ts) >= 12)
+         ),
+         p AS (SELECT doc_id, pos FROM g
+               WHERE gram IN (SELECT gram FROM bg))""" + RemovalTail),
 
     // weight arithmetic emitted by LinearClassifier.weightSql — one
     // definition, two engines

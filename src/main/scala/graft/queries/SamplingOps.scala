@@ -59,13 +59,22 @@ object SamplingOps extends QueryModule {
       .orderBy("doc_id")
       .select("doc_id", "lang")
 
+  // 1M-token budget split across sources at temperature α = 0.5 —
+  // the plan table a mixing job consumes (share/allocation/rate per
+  // source; oversample flags sources the budget asks to repeat).
+  private def sampMixturePlan(s: SparkSession, d: String): DataFrame =
+    Sampling.mixturePlan(Tables.documents(s, d), "source", "text",
+        budgetTokens = 1000000L)
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_fixed_n"         -> (sampFixedN _),
     "samp_train_test"      -> (sampTrainTest _),
     "samp_train_test_rows" -> (sampTrainTestRows _),
     "samp_stratified"      -> (sampStratified _),
     "samp_balanced"        -> (sampBalanced _),
-    "samp_weighted_mix"    -> (sampWeightedMix _)
+    "samp_weighted_mix"    -> (sampWeightedMix _),
+    "samp_mixture_plan"    -> (sampMixturePlan _)
   )
 
   // 0.8 → ⌊0.8·65536⌋ = 52428 = 0xcccc (the 16-bit quantized fraction)
@@ -126,6 +135,36 @@ object SamplingOps extends QueryModule {
            SELECT doc_id, lang, 2 FROM documents
            WHERE lang = 'de'
              AND substr(md5('mix2' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // mirrors Sampling.mixturePlan operand-for-operand: √ is correctly
+    // rounded IEEE, the normalizer is an order-pinned fold over
+    // sources sorted by name (list_reduce's first-element seed ≡
+    // Spark's 0.0+w₁ for positive weights), every division/multiply
+    // appears in the same association order
+    "samp_mixture_plan" ->
+      """WITH av AS (
+           SELECT source,
+                  CAST(sum(len(list_filter(string_split(trim(text), ' '),
+                    t -> t <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source
+         ),
+         tot AS (SELECT sum(n_tokens) AS tot FROM av),
+         w AS (SELECT source, n_tokens,
+                      sqrt(CAST(n_tokens AS DOUBLE) / tot) AS w
+               FROM av, tot),
+         z AS (SELECT list_reduce(list(w ORDER BY source),
+                        (a, b) -> a + b) AS z FROM w),
+         sel AS (SELECT source, n_tokens, w / z AS share,
+                        CAST(floor(CAST(1000000 AS DOUBLE) * (w / z))
+                          AS BIGINT) AS target_tokens
+                 FROM w, z)
+         SELECT source, n_tokens, share, target_tokens,
+                CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  AS sample_rate,
+                CASE WHEN CAST(target_tokens AS DOUBLE)
+                          / CAST(n_tokens AS DOUBLE) > 1.0
+                     THEN 1 ELSE 0 END AS oversample
+         FROM sel ORDER BY source"""
   )
 }

@@ -249,4 +249,51 @@ object Sampling {
       .filter(col("__rn") <= maxPerGroup)
       .drop("__rn")
   }
+
+  /** Token-budget mixture plan — the "how much of each domain goes in
+    * the training set" table (The Pile / DoReMi-style source weighting
+    * at temperature α = 0.5): per source, available tokens, the
+    * temperature-flattened share p_s = √(n_s/N) / Σ√(n_t/N), the
+    * token allocation ⌊budget · p_s⌋, the realized sample rate, and an
+    * oversample flag (rate > 1 means the source must repeat epochs).
+    *
+    * Determinism: √ is the one power IEEE requires correctly rounded
+    * (same convention as [[temperatureSqrtMix]]); the normalizer Σ is
+    * an ORDER-PINNED fold over sources sorted by name (sources are a
+    * handful of values — the fold is metadata-scale), so every engine
+    * reproduces the plan bit-for-bit.
+    *
+    * Scale: one partial-aggregating groupBy over the corpus (the only
+    * corpus-wide stage), then broadcast one-row joins over a
+    * #sources-row table. */
+  def mixturePlan(df: DataFrame, srcCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val nToks = size(filter(split(trim(col(textCol)), " +"),
+      w => length(w) > 0))
+    val avail = df
+      .select(col(srcCol).as("source"), nToks.cast("long").as("__t"))
+      .groupBy("source").agg(sum(col("__t")).as("n_tokens"))
+    val tot = avail.agg(sum(col("n_tokens")).as("__tot"))
+    val wTab = avail.crossJoin(broadcast(tot))
+      .withColumn("__w",
+        sqrt(col("n_tokens").cast("double") / col("__tot")))
+    // order-pinned normalizer: fold √-weights sorted by source name
+    // (0.0 + w₁ ≡ w₁ for positive weights — same fold convention as
+    // the pinned BM25 oracle chain)
+    val z = wTab
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("source"),
+          col("__w")))), s => s.getField("__w")),
+        lit(0.0), (a, x) => a + x).as("__z"))
+    wTab.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        (col("__w") / col("__z")).as("share"),
+        floor(lit(budgetTokens.toDouble) * (col("__w") / col("__z")))
+          .cast("long").as("target_tokens"))
+      .withColumn("sample_rate",
+        col("target_tokens").cast("double") / col("n_tokens"))
+      .withColumn("oversample",
+        when(col("sample_rate") > 1.0, 1).otherwise(0))
+  }
 }

@@ -80,13 +80,34 @@ object PassageDedup {
       .select("doc_id", "pos")
   }
 
+  /** (doc_id, pos) of every k-gram occurrence in `df` whose text
+    * appears in `refGrams` (one `gram` column) — span-level
+    * decontamination: instead of flagging whole documents that share a
+    * shingle with the benchmark (the doc-level pass in DataOps), this
+    * locates the contaminated WINDOWS so only they are cut. The
+    * benchmark side is bounded (a test set, not a corpus), hence the
+    * broadcast hint; the corpus side is a scan + semi-join, never
+    * shuffled on its own size. */
+  def positionsMatching(df: DataFrame, idCol: String, textCol: String,
+      k: Int, refGrams: DataFrame): DataFrame =
+    grams(df, idCol, textCol, k)
+      .join(broadcast(refGrams.select("gram").distinct()),
+        Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
+
   /** Maximal duplicated token spans per document:
     * (doc_id, span_start, span_end, span_tokens), token positions
     * inclusive. Windows that overlap OR touch (gap 0) merge — classic
     * gaps-and-islands over the per-document position stream. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val p = duplicatedPositions(df, idCol, textCol, k)
+      k: Int): DataFrame =
+    duplicateSpansFromPositions(
+      duplicatedPositions(df, idCol, textCol, k), k)
+
+  /** [[duplicateSpans]] over a precomputed (doc_id, pos) position set —
+    * callers that need spans AND removal pay the gram aggregation
+    * once (the registry memoizes the position set per session/dir). */
+  def duplicateSpansFromPositions(p: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + (k - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -109,11 +130,17 @@ object PassageDedup {
     * re-joined single-spaced from the whitespace tokenization, like
     * [[SegmentDedup.dedupSegments]]). */
   def removeDuplicatePassages(df: DataFrame, idCol: String,
-      textCol: String, k: Int): DataFrame = {
+      textCol: String, k: Int): DataFrame =
+    removeFromPositions(df, idCol, textCol,
+      duplicatedPositions(df, idCol, textCol, k), k)
+
+  /** [[removeDuplicatePassages]] over a precomputed position set. */
+  def removeFromPositions(df: DataFrame, idCol: String,
+      textCol: String, p: DataFrame, k: Int): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), toks(textCol).as("__ts"))
     // covered positions, deduplicated — the join stays equi on
     // (doc_id, idx); spans are never range-probed
-    val covered = duplicatedPositions(df, idCol, textCol, k)
+    val covered = p
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
       .distinct()

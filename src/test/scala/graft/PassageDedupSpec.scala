@@ -80,6 +80,24 @@ class PassageDedupSpec extends AnyFunSuite {
     assert(c(2L) === ((0, 0, "")))
   }
 
+  test("positionsMatching cuts only reference windows (span decontamination)") {
+    val corpus = this.corpus(
+      1L -> "x y a b c d z w",     // ref gram "a b c" at pos 2
+      2L -> "no overlap at all")
+    val ref = Seq("a b c", "q r s").toDF("gram")
+    val pos = PassageDedup
+      .positionsMatching(corpus, "doc_id", "text", 3, ref)
+      .as[(Long, Int)].collect().toSet
+    assert(pos === Set((1L, 2)))
+    val cleaned = PassageDedup
+      .removeFromPositions(corpus, "doc_id", "text",
+        PassageDedup.positionsMatching(corpus, "doc_id", "text", 3, ref), 3)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(cleaned(1L) === ((3, "x y d z w")))
+    assert(cleaned(2L) === ((0, "no overlap at all")))
+  }
+
   test("two-phase finder ≡ naive single-phase on a random corpus") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("a", "b", "c", "d", "e")

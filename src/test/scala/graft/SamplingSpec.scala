@@ -163,4 +163,33 @@ class SamplingSpec extends AnyFunSuite {
     val loose = Sampling.balancedSample(docs, "source", "doc_id", 100000)
     assert(loose.count() == docs.count())
   }
+
+  test("mixturePlan: hand-computed two-source plan, budget respected") {
+    val docs = Seq(
+      ("a", "t1 t2 t3 t4 t5 t6 t7 t8 t9"),   // 9 tokens
+      ("b", "u1"))                            // 1 token
+      .toDF("source", "text")
+    val got = Sampling.mixturePlan(docs, "source", "text", 1000L)
+      .as[(String, Long, Double, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent derivation with the same fold order (a before b)
+    val (wa, wb) = (math.sqrt(9.0 / 10.0), math.sqrt(1.0 / 10.0))
+    val z = 0.0 + wa + wb
+    assert(got("a")._2 === 9L)
+    assert(got("a")._3 === wa / z)
+    assert(got("a")._4 === math.floor(1000.0 * (wa / z)).toLong)
+    assert(got("b")._4 === math.floor(1000.0 * (wb / z)).toLong)
+    // both sources oversampled (tiny corpus, large budget)
+    assert(got("a")._6 === 1 && got("b")._6 === 1)
+    assert(got.values.map(_._4).sum <= 1000L)
+  }
+
+  test("mixturePlan: real corpus — shares sum to ~1, floor keeps sum under budget") {
+    val plan = Sampling.mixturePlan(
+      Tables.documents(spark, sf0001), "source", "text", 1000000L)
+      .as[(String, Long, Double, Long, Double, Int)].collect()
+    assert(math.abs(plan.map(_._3).sum - 1.0) < 1e-9)
+    assert(plan.map(_._4).sum <= 1000000L)
+    assert(plan.map(_._4).sum > 1000000L - plan.length) // floor loses < 1/source
+  }
 }
