@@ -31,7 +31,11 @@ object Explain {
         "retrieval_hybrid_rrf", "text_bm25_pinned",
         "retrieval_hybrid_rrf_pinned", "text_chunk_overlap",
         "j8_scd2_merge", "mm_binary_ingest", "mm_dedup_exact",
-        "pipeline_chunk_pack", "text_bm25_chunks")
+        "pipeline_chunk_pack", "text_bm25_chunks",
+        "dedup_passage_spans", "dedup_passage_clean",
+        "text_decontaminate_spans", "text_novelty_score",
+        "text_classifier_score", "export_shard_manifest",
+        "samp_mixture_plan", "src_orc_roundtrip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -65,12 +65,25 @@ object Export {
 
   /** Write the sharded corpus: `path/shard=<s>/part-*.parquet`. One
     * repartition on the shard key so each output directory is written
-    * by exactly one task wave; returns the shard count written. */
+    * by exactly one task wave.
+    *
+    * `shuffled = true` additionally fixes a deterministic WITHIN-shard
+    * order — rows sorted by md5('order:' ‖ id) — so a training job
+    * that streams shards sequentially reads a reproducible global
+    * shuffle of the corpus without any engine ever paying a global
+    * sort: the order is (shard assignment, within-file order), both
+    * content-addressed, both task-local (`sortWithinPartitions`
+    * spills, never exchanges). */
   def writeShards(df: DataFrame, idCol: String, nShards: Int,
-      path: String): Unit =
-    withShard(df, idCol, nShards)
+      path: String, shuffled: Boolean = false): Unit = {
+    val sharded = withShard(df, idCol, nShards)
       .repartition(nShards, col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val ordered =
+      if (shuffled) sharded.sortWithinPartitions(col("shard"),
+        md5(concat(lit("order:"), col(idCol).cast("string"))), col(idCol))
+      else sharded
+    ordered.write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 
   /** Read one shard back (partition-pruned scan). */
   def readShard(s: SparkSession, path: String, shard: Int): DataFrame =

@@ -73,6 +73,27 @@ object CorpusOps extends QueryModule {
         dupPositions(s, d), K)
       .orderBy("doc_id")
 
+  // Novelty = share of a document's k-grams that occur nowhere else in
+  // the corpus — the "how much of this doc is boilerplate" dial data
+  // auditors read before choosing dedup aggressiveness. Rides the
+  // memoized position set: one extra per-doc count, no new corpus pass.
+  private def textNoveltyScore(s: SparkSession, d: String): DataFrame = {
+    val base = plantedCorpus(s, d, "text_novelty_score")
+      .select(col("doc_id"), toksC.as("__ts"))
+    val total = base.select(col("doc_id"),
+      greatest(lit(0), size(col("__ts")) - (K - 1)).as("n_grams"))
+    val dups = dupPositions(s, d).groupBy("doc_id")
+      .agg(count(lit(1)).as("__nd"))
+    total.join(dups, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("__nd"), lit(0L)).cast("int").as("n_dup"),
+        when(col("n_grams") > 0,
+          (col("n_grams") - coalesce(col("__nd"), lit(0L)))
+            .cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(null).cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   private def textClassifierScore(s: SparkSession, d: String): DataFrame =
     LinearClassifier.score(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
@@ -129,6 +150,7 @@ object CorpusOps extends QueryModule {
     "dedup_passage_spans"      -> (dedupPassageSpans _),
     "dedup_passage_clean"      -> (dedupPassageClean _),
     "text_decontaminate_spans" -> (textDecontaminateSpans _),
+    "text_novelty_score"       -> (textNoveltyScore _),
     "text_classifier_score"    -> (textClassifierScore _),
     "export_shard_manifest"    -> (exportShardManifest _)
   )
@@ -215,6 +237,20 @@ object CorpusOps extends QueryModule {
          ORDER BY doc_id, span_start"""),
 
     "dedup_passage_clean" -> (PassageChain + RemovalTail),
+
+    "text_novelty_score" -> (PassageChain +
+      """,
+         nd AS (SELECT doc_id, count(*) AS n_dup FROM p GROUP BY doc_id)
+         SELECT u.doc_id,
+                CAST(greatest(0, len(u.ts) - 11) AS INT) AS n_grams,
+                CAST(coalesce(nd.n_dup, 0) AS INT) AS n_dup,
+                CASE WHEN len(u.ts) - 11 > 0
+                     THEN CAST(greatest(0, len(u.ts) - 11)
+                               - coalesce(nd.n_dup, 0) AS DOUBLE)
+                          / CAST(greatest(0, len(u.ts) - 11) AS DOUBLE)
+                     ELSE NULL END AS novelty
+         FROM u LEFT JOIN nd ON u.doc_id = nd.doc_id
+         ORDER BY u.doc_id"""),
 
     "text_decontaminate_spans" ->
       ("""WITH tk0 AS (

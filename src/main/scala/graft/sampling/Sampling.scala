@@ -263,9 +263,12 @@ object Sampling {
     * handful of values — the fold is metadata-scale), so every engine
     * reproduces the plan bit-for-bit.
     *
-    * Scale: one partial-aggregating groupBy over the corpus (the only
-    * corpus-wide stage), then broadcast one-row joins over a
-    * #sources-row table. */
+    * Scale: ONE partial-aggregating groupBy over the corpus (the only
+    * corpus-wide stage — the plan has exactly one parquet scan);
+    * everything downstream runs as window functions over the
+    * #sources-row aggregate, whose single-partition window is
+    * metadata-scale by construction (a corpus has tens of sources,
+    * not millions). */
   def mixturePlan(df: DataFrame, srcCol: String, textCol: String,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
@@ -274,19 +277,19 @@ object Sampling {
     val avail = df
       .select(col(srcCol).as("source"), nToks.cast("long").as("__t"))
       .groupBy("source").agg(sum(col("__t")).as("n_tokens"))
-    val tot = avail.agg(sum(col("n_tokens")).as("__tot"))
-    val wTab = avail.crossJoin(broadcast(tot))
-      .withColumn("__w",
-        sqrt(col("n_tokens").cast("double") / col("__tot")))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // order-pinned normalizer: fold √-weights sorted by source name
     // (0.0 + w₁ ≡ w₁ for positive weights — same fold convention as
     // the pinned BM25 oracle chain)
-    val z = wTab
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("source"),
-          col("__w")))), s => s.getField("__w")),
-        lit(0.0), (a, x) => a + x).as("__z"))
-    wTab.crossJoin(broadcast(z))
+    avail
+      .withColumn("__w", sqrt(col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(all)))
+      .withColumn("__z", aggregate(
+        transform(array_sort(
+          collect_list(struct(col("source"), col("__w"))).over(all)),
+          s => s.getField("__w")),
+        lit(0.0), (a, x) => a + x))
       .select(col("source"), col("n_tokens"),
         (col("__w") / col("__z")).as("share"),
         floor(lit(budgetTokens.toDouble) * (col("__w") / col("__z")))

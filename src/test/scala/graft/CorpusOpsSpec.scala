@@ -100,6 +100,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ids === expect)
   }
 
+  test("shuffled write fixes a deterministic within-shard order") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_export_shuffled"
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    Export.writeShards(docs, "doc_id", 4, dir, shuffled = true)
+    // one file per shard → read-back preserves the written row order
+    val got = Export.readShard(spark, dir, 2)
+      .select("doc_id").as[Long].collect().toSeq
+    val expect = got.sortBy(id => (md5hex(s"order:$id"), id))
+    assert(got === expect, "rows must be in md5('order:'||id) order")
+    assert(got.nonEmpty)
+  }
+
   test("manifest totals reconcile with the corpus") {
     val docs = Tables.documents(spark, sf0001)
     val m = Export.manifest(docs, "doc_id", "text", 16)
