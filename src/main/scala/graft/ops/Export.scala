@@ -23,24 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Export {
 
-  /** Stable shard id in [0, nShards): first 4 hex digits of
-    * md5('shard:' ‖ id) mod nShards. Spark parses hex via `conv` (one
-    * md5 per row); [[shardIdSql]] emits the DuckDB-portable per-digit
-    * ascii arithmetic — same value (see
-    * [[graft.text.LinearClassifier]]). */
+  /** Stable shard id in [0, nShards): the shared
+    * [[graft.functions.Md5Bucket]] of 'shard:' ‖ id. */
   def shardId(id: Column, nShards: Int): Column =
-    conv(substring(md5(concat(lit("shard:"), id.cast("string"))), 1, 4),
-      16, 10).cast("long") % nShards
+    graft.functions.Md5Bucket.bucket("shard:", id.cast("string"), nShards)
 
   /** SQL for the same shard id (DuckDB oracle derives from here). */
-  def shardIdSql(inner: String, nShards: Int): String = {
-    val h = s"md5('shard:' || CAST($inner AS VARCHAR))"
-    def dv(i: Int): String =
-      s"(ascii(substr($h, $i, 1)) - " +
-        s"CASE WHEN substr($h, $i, 1) >= 'a' THEN 87 ELSE 48 END)"
-    s"(CAST((((${dv(1)} * 16 + ${dv(2)}) * 16 + ${dv(3)}) * 16 + " +
-      s"${dv(4)}) AS BIGINT) % $nShards)"
-  }
+  def shardIdSql(inner: String, nShards: Int): String =
+    graft.functions.Md5Bucket.bucketSql("shard:",
+      s"CAST($inner AS VARCHAR)", nShards)
 
   /** The corpus with its shard assignment materialized. */
   def withShard(df: DataFrame, idCol: String, nShards: Int): DataFrame =
@@ -53,8 +44,7 @@ object Export {
       nShards: Int): DataFrame =
     withShard(df, idCol, nShards)
       .select(col("shard"), col(idCol).as("__id"),
-        size(filter(split(trim(col(textCol)), " +"),
-          w => length(w) > 0)).as("__nt"),
+        size(graft.text.Tokens.ws(textCol)).as("__nt"),
         length(col(textCol)).as("__nc"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),

@@ -32,8 +32,7 @@ object CorpusOps extends QueryModule {
     * repeated run would typically be). */
   private val K = 12
 
-  private val toksC =
-    filter(split(trim(col("text")), " +"), w => length(w) > 0)
+  private val toksC = graft.text.Tokens.ws("text")
 
   /** Corpus + the two planted passage shapes (shared by both passage
     * entries; built per-call — the heavy work is inside PassageDedup,

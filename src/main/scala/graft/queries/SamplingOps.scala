@@ -160,9 +160,11 @@ object SamplingOps extends QueryModule {
                           AS BIGINT) AS target_tokens
                  FROM w, z)
          SELECT source, n_tokens, share, target_tokens,
-                CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-                  AS sample_rate,
-                CASE WHEN CAST(target_tokens AS DOUBLE)
+                CASE WHEN n_tokens > 0
+                     THEN CAST(target_tokens AS DOUBLE)
+                          / CAST(n_tokens AS DOUBLE) END AS sample_rate,
+                CASE WHEN n_tokens > 0
+                      AND CAST(target_tokens AS DOUBLE)
                           / CAST(n_tokens AS DOUBLE) > 1.0
                      THEN 1 ELSE 0 END AS oversample
          FROM sel ORDER BY source"""

@@ -272,8 +272,7 @@ object Sampling {
   def mixturePlan(df: DataFrame, srcCol: String, textCol: String,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val nToks = size(filter(split(trim(col(textCol)), " +"),
-      w => length(w) > 0))
+    val nToks = size(graft.text.Tokens.ws(col(textCol)))
     val avail = df
       .select(col(srcCol).as("source"), nToks.cast("long").as("__t"))
       .groupBy("source").agg(sum(col("__t")).as("n_tokens"))
@@ -294,8 +293,12 @@ object Sampling {
         (col("__w") / col("__z")).as("share"),
         floor(lit(budgetTokens.toDouble) * (col("__w") / col("__z")))
           .cast("long").as("target_tokens"))
+      // NULL (not NaN) for an empty source: Spark 0.0/0.0 is NaN but
+      // DuckDB integer-division-by-zero is NULL — the guard keeps the
+      // cross-engine bit-for-bit claim honest on degenerate corpora
       .withColumn("sample_rate",
-        col("target_tokens").cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          col("target_tokens").cast("double") / col("n_tokens")))
       .withColumn("oversample",
         when(col("sample_rate") > 1.0, 1).otherwise(0))
   }

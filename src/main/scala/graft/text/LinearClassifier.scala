@@ -28,27 +28,19 @@ object LinearClassifier {
     * fastText uses 2^21 — the arithmetic is D-independent. */
   val D = 4096
 
-  /** First 4 hex digits of md5(salt ‖ text) as an int in [0, 65536),
-    * mod D → the feature bucket. Spark parses the hex with `conv` (ONE
-    * md5 per feature); DuckDB has no hex→int cast, so [[weightSql]]
-    * emits per-digit ascii arithmetic — same value, proven by the
-    * oracle hashes and the independent derivation in CorpusOpsSpec. */
-  private def bucket(salt: String, text: Column): Column =
-    conv(substring(md5(concat(lit(salt), text)), 1, 4), 16, 10)
-      .cast("long") % D
-
-  /** Frozen stand-in weight: (bucket · 2654435761) mod 4001 − 2000. */
+  /** Frozen stand-in weight: (bucket · 2654435761) mod 4001 − 2000,
+    * bucket = [[graft.functions.Md5Bucket]] of the salted feature. */
   private def weight(b: Column): Column =
     (b * lit(2654435761L)) % 4001L - 2000L
 
   private def featureWeight(salt: String, text: Column): Column =
-    weight(bucket(salt, text))
+    weight(graft.functions.Md5Bucket.bucket(salt, text, D))
 
   /** (doc_id, n_tokens, uni_score, bi_score, score, keep): the scored
     * corpus. keep = 1 iff score ≥ 0. Pure projection — see scaladoc. */
   def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ts = filter(split(trim(col(textCol)), " +"), w => length(w) > 0)
-    val withTs = df.select(col(idCol).as("doc_id"), ts.as("__ts"))
+    val withTs = df.select(col(idCol).as("doc_id"),
+      Tokens.ws(textCol).as("__ts"))
     val n = size(col("__ts"))
     val uni = aggregate(
       transform(col("__ts"), t => featureWeight("u:", t)),
@@ -66,21 +58,10 @@ object LinearClassifier {
       .withColumn("keep", when(col("score") >= 0, 1).otherwise(0))
   }
 
-  // ---- oracle-side SQL generators (DuckDB) -------------------------
-  // The SAME arithmetic emitted as SQL text, so the conformance oracle
-  // is derived from this one definition, not hand-transcribed.
-
-  private def hexDigitSql(h: String, i: Int): String =
-    s"(ascii(substr($h, $i, 1)) - " +
-      s"CASE WHEN substr($h, $i, 1) >= 'a' THEN 87 ELSE 48 END)"
-
-  private def bucketSql(salt: String, inner: String): String = {
-    val h = s"md5('$salt' || $inner)"
-    s"(CAST((((${hexDigitSql(h, 1)} * 16 + ${hexDigitSql(h, 2)}) * 16 + " +
-      s"${hexDigitSql(h, 3)}) * 16 + ${hexDigitSql(h, 4)}) AS BIGINT) % $D)"
-  }
-
-  /** SQL for the frozen weight of one feature expression. */
+  /** DuckDB SQL for the frozen weight of one feature expression —
+    * derived from the same [[graft.functions.Md5Bucket]] definition
+    * the Spark column uses, not hand-transcribed. */
   def weightSql(salt: String, inner: String): String =
-    s"((${bucketSql(salt, inner)} * 2654435761) % 4001 - 2000)"
+    s"((${graft.functions.Md5Bucket.bucketSql(salt, inner, D)} " +
+      s"* 2654435761) % 4001 - 2000)"
 }

@@ -38,9 +38,8 @@ import org.apache.spark.sql.functions._
   */
 object PassageDedup {
 
-  /** Whitespace tokens, empty-safe (same rule as [[SegmentDedup]]). */
-  private def toks(textCol: String) =
-    filter(split(trim(col(textCol)), " +"), w => length(w) > 0)
+  /** Whitespace tokens, empty-safe — the shared corpus rule. */
+  private def toks(textCol: String) = Tokens.ws(textCol)
 
   /** (doc_id, pos, gram): every k-token window at stride 1, pos
     * 0-based. Documents shorter than k produce no rows. */
@@ -56,7 +55,6 @@ object PassageDedup {
           transform(sequence(lit(0), n - k), i =>
             array_join(slice(col("__ts"), i + 1, lit(k)), " ")))
           .otherwise(array().cast("array<string>"))))
-      .withColumnRenamed("pos", "pos")
       .withColumnRenamed("col", "gram")
   }
 

@@ -34,7 +34,7 @@ object SegmentDedup {
   def segments(df: DataFrame, idCol: String, textCol: String,
       segWords: Int): DataFrame = {
     require(segWords > 0, "segWords must be positive")
-    val ts = filter(split(trim(col(textCol)), " +"), w => length(w) > 0)
+    val ts = Tokens.ws(textCol)
     val n = size(col("__ts"))
     val nSeg = ceil(n.cast("double") / segWords).cast("int")
     df.select(col(idCol).as("doc_id"), ts.as("__ts"))

@@ -92,7 +92,10 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("single-shard read is partition-pruned and complete") {
     val one = Export.readShard(spark, shardDir, 3)
     val plan = one.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), "pruned scan expected")
+    // a NON-EMPTY PartitionFilters list — the bare label appears (as
+    // "PartitionFilters: []") on every file scan, pruned or not
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      "pruned scan expected")
     val ids = one.select("doc_id").as[Long].collect().toSet
     val expect = Tables.documents(spark, sf0001)
       .withColumn("s", Export.shardId(col("doc_id"), 16))

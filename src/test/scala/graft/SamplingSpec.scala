@@ -184,6 +184,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.values.map(_._4).sum <= 1000L)
   }
 
+  test("mixturePlan: empty source yields NULL rate (not NaN), oversample 0") {
+    val docs = Seq(("a", "t1 t2"), ("b", "   ")).toDF("source", "text")
+    val got = Sampling.mixturePlan(docs, "source", "text", 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("b").getLong(1) === 0L)          // n_tokens
+    assert(got("b").getLong(3) === 0L)          // target_tokens
+    assert(got("b").isNullAt(4), "rate must be NULL, not NaN")
+    assert(got("b").getInt(5) === 0)            // oversample
+    assert(!got("a").isNullAt(4))
+  }
+
   test("mixturePlan: real corpus — shares sum to ~1, floor keeps sum under budget") {
     val plan = Sampling.mixturePlan(
       Tables.documents(spark, sf0001), "source", "text", 1000000L)
