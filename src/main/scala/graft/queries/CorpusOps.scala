@@ -72,6 +72,21 @@ object CorpusOps extends QueryModule {
         dupPositions(s, d), K)
       .orderBy("doc_id")
 
+  // Corpus audit: the most-duplicated passages with occurrence and
+  // document counts — what a curator reads to pick k and decide
+  // whether dup mass is boilerplate (many docs) or doubled pages (few
+  // docs, many occurrences). Distributed top-k: two-phase agg then
+  // TakeOrdered, never a global sort.
+  private def dedupPassageTop(s: SparkSession, d: String): DataFrame =
+    PassageDedup.grams(
+        plantedCorpus(s, d, "dedup_passage_top"), "doc_id", "text", K)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(desc("n_occurrences"), col("gram"))
+      .limit(20)
+
   // Novelty = share of a document's k-grams that occur nowhere else in
   // the corpus — the "how much of this doc is boilerplate" dial data
   // auditors read before choosing dedup aggressiveness. Rides the
@@ -148,6 +163,7 @@ object CorpusOps extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_passage_spans"      -> (dedupPassageSpans _),
     "dedup_passage_clean"      -> (dedupPassageClean _),
+    "dedup_passage_top"        -> (dedupPassageTop _),
     "text_decontaminate_spans" -> (textDecontaminateSpans _),
     "text_novelty_score"       -> (textNoveltyScore _),
     "text_classifier_score"    -> (textClassifierScore _),
@@ -236,6 +252,13 @@ object CorpusOps extends QueryModule {
          ORDER BY doc_id, span_start"""),
 
     "dedup_passage_clean" -> (PassageChain + RemovalTail),
+
+    "dedup_passage_top" -> (PassageChain +
+      """
+         SELECT gram, count(*) AS n_occurrences,
+                count(DISTINCT doc_id) AS n_docs
+         FROM g GROUP BY gram HAVING count(*) > 1
+         ORDER BY n_occurrences DESC, gram LIMIT 20"""),
 
     "text_novelty_score" -> (PassageChain +
       """,

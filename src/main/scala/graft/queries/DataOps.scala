@@ -647,6 +647,35 @@ object DataOps extends QueryModule {
       col("vec_id") % 50 === 0, k = 10, numCells = 8, nprobe = 8)
       .orderBy("query_id", "rank")
 
+  /** Index built on 6/7 of the corpus, the remaining 1/7 APPENDED
+    * without retrain — built once per (session, dir). */
+  private def ivfAppendedIndex(s: SparkSession, d: String)
+      : Similarity.IvfIndex =
+    SessionMemo(s, d, "ivf_appended") {
+      val emb = Tables.embeddings(s, d)
+      val base = Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 7 =!= 3), numCells = 8, iters = 2)
+      Similarity.appendToIvfIndex(base, emb.filter(col("vec_id") % 7 === 3))
+    }
+
+  // Realistic probe over the appended index — trained-centroid-specific
+  // like sim_ivf_topk, so rows-only; append ≡ frozen-centroid rebuild
+  // is pinned exactly in IvfAppendSpec.
+  private def simIvfAppend(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfQuery(ivfAppendedIndex(s, d),
+        col("vec_id") % 50 === 0, k = 10, nprobe = 3)
+      .orderBy("query_id", "rank")
+
+  // nprobe = numCells → every posting list is scanned, so the probe is
+  // exhaustive and the result must equal brute force over the FULL
+  // corpus — hash-proving the appended index dropped and duplicated
+  // nothing (same twin trick as sim_ivf_exhaustive).
+  private def simIvfAppendExhaustive(s: SparkSession, d: String)
+      : DataFrame =
+    Similarity.ivfQuery(ivfAppendedIndex(s, d),
+        col("vec_id") % 50 === 0, k = 10, nprobe = 8)
+      .orderBy("query_id", "rank")
+
   // Same trick for LSH: numPlanes = 0 → one bucket ≡ exhaustive. The
   // single-bucket join is a degenerate plan (conformance-only, sf0.01);
   // production retrieval is sim_ann_lsh's real bucketing.
@@ -747,6 +776,8 @@ object DataOps extends QueryModule {
     "sim_ann_lsh_mp"       -> (simAnnLshMultiProbe _),
     "sim_ivf_topk"         -> (simIvfTopk _),
     "sim_ivf_exhaustive"   -> (simIvfExhaustive _),
+    "sim_ivf_append"       -> (simIvfAppend _),
+    "sim_ivf_append_exhaustive" -> (simIvfAppendExhaustive _),
     "sim_lsh_exhaustive"   -> (simLshExhaustive _),
     "sim_pq_topk"          -> (simPqTopk _),
     "sim_pq_rerank"        -> (simPqRerank _),
@@ -1335,6 +1366,7 @@ object DataOps extends QueryModule {
 
     // Exhaustive-mode ANN entries reduce to the same exact-top-k truth.
     "sim_ivf_exhaustive" -> cosineTopkOracle,
+    "sim_ivf_append_exhaustive" -> cosineTopkOracle,
     "sim_lsh_exhaustive" -> cosineTopkOracle,
     "sim_pq_exhaustive"  -> cosineTopkOracle,
 

@@ -334,6 +334,39 @@ object Similarity {
     IvfIndex(cents, assignCells(vecs, cents).localCheckpoint(), vecs)
   }
 
+  /** Append new vectors to a built index WITHOUT retraining — the
+    * daily-ingest shape for the ANN tier (the [[buildIvfIndex]] analog
+    * of incremental dedup): each new vector is assigned to its nearest
+    * EXISTING centroid, so the increment pays |new|·C distance
+    * evaluations and one posting append — never a corpus rescan or a
+    * Lloyd re-run. Centroids drift as the corpus grows; production
+    * retrains on a cadence (then reassigns via [[reassignIndex]]) —
+    * between retrains, append keeps the index complete, and recall
+    * degrades only as far as the drift (IvfAppendSpec pins append ≡
+    * frozen-centroid rebuild EXACTLY, so there is no additional loss).
+    */
+  def appendToIvfIndex(idx: IvfIndex, newEmbeddings: DataFrame)
+      : IvfIndex = {
+    val nv = withNorms(newEmbeddings)
+      .select("vec_id", "vd", "norm").localCheckpoint()
+    // fail fast on id overlap: a duplicated vec_id would double-score
+    // in every probe of its cell
+    require(nv.join(idx.vecs, Seq("vec_id"), "left_semi").isEmpty,
+      "appendToIvfIndex: new vec_ids overlap the indexed set")
+    IvfIndex(idx.centroids,
+      idx.cells.unionByName(assignCells(nv, idx.centroids)),
+      idx.vecs.unionByName(nv))
+  }
+
+  /** Re-assign an arbitrary vector set under an index's FROZEN
+    * centroids (no Lloyd) — the reference point append is proven
+    * against, and the rebuild step after a centroid retrain. */
+  def reassignIndex(idx: IvfIndex, embeddings: DataFrame): IvfIndex = {
+    val v = withNorms(embeddings)
+      .select("vec_id", "vd", "norm").localCheckpoint()
+    IvfIndex(idx.centroids, assignCells(v, idx.centroids), v)
+  }
+
   /** Serve one query batch from a built index: probe `nprobe` cells per
     * query, score only their posting lists. `queryPred` selects the
     * query vectors out of the indexed table. */
