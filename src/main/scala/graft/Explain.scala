@@ -36,7 +36,7 @@ object Explain {
         "text_decontaminate_spans", "text_novelty_score",
         "text_classifier_score", "export_shard_manifest",
         "samp_mixture_plan", "src_orc_roundtrip",
-        "dedup_passage_top", "sim_ivf_append")
+        "dedup_passage_top", "sim_ivf_append", "pipeline_curate_v3")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -139,6 +139,43 @@ object CorpusOps extends QueryModule {
 
   private val Shards = 16
 
+  // Curation v3 — this round's operators composed END-TO-END as one
+  // hash-proven query: classifier gate → passage-level dedup within
+  // the survivors → minimum-length floor → shard assignment. Every
+  // stage's rule is verbatim from its per-operator oracle; the
+  // composition proves the stages agree on one corpus, not just in
+  // isolation. (The passage index is computed within the GATED corpus
+  // — dup decisions legitimately differ from the ungated memo, so this
+  // entry builds its own.)
+  /** The gated corpus and its position set are each referenced several
+    * times by the passage machinery's DAG — persist both so the
+    * classifier projection and the gram aggregation run once, not per
+    * plan reference (same memo discipline as dupPositions). */
+  private def v3Gated(s: SparkSession, d: String): DataFrame =
+    SessionMemo(s, d, "curate_v3_gated") {
+      val corpus = plantedCorpus(s, d, "pipeline_curate_v3")
+      val keptIds = LinearClassifier.score(corpus, "doc_id", "text")
+        .filter(col("keep") === 1).select("doc_id")
+      corpus.join(keptIds, Seq("doc_id"), "left_semi").persist()
+    }
+
+  private def v3Positions(s: SparkSession, d: String): DataFrame =
+    SessionMemo(s, d, "curate_v3_positions") {
+      PassageDedup.duplicatedPositions(v3Gated(s, d), "doc_id", "text", K)
+        .persist()
+    }
+
+  private def pipelineCurateV3(s: SparkSession, d: String): DataFrame = {
+    PassageDedup.removeFromPositions(v3Gated(s, d), "doc_id", "text",
+        v3Positions(s, d), K)
+      .select(col("doc_id"),
+        (col("n_tokens") - col("n_removed")).as("n_clean_tokens"),
+        col("clean_text"))
+      .filter(col("n_clean_tokens") >= 10)
+      .withColumn("shard", Export.shardId(col("doc_id"), Shards))
+      .orderBy("doc_id")
+  }
+
   private def scratch(d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_export_shards_" +
       java.lang.Integer.toHexString(d.hashCode)
@@ -167,7 +204,8 @@ object CorpusOps extends QueryModule {
     "text_decontaminate_spans" -> (textDecontaminateSpans _),
     "text_novelty_score"       -> (textNoveltyScore _),
     "text_classifier_score"    -> (textClassifierScore _),
-    "export_shard_manifest"    -> (exportShardManifest _)
+    "export_shard_manifest"    -> (exportShardManifest _),
+    "pipeline_curate_v3"       -> (pipelineCurateV3 _)
   )
 
   // Shared oracle CTE chain: tokenized corpus + planted shapes +
@@ -337,6 +375,72 @@ object CorpusOps extends QueryModule {
                 CASE WHEN uni_score + bi_score >= 0 THEN 1 ELSE 0 END
                   AS keep
          FROM sc ORDER BY doc_id""",
+
+    // the v3 chain: planted corpus (as PassageChain) → classifier gate
+    // (weightSql — same generated arithmetic as text_classifier_score)
+    // → gram/dup/removal over the GATED set → length floor → shard
+    "pipeline_curate_v3" ->
+      (s"""WITH tk0 AS (
+           SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '), t -> t <> '')
+                    AS ts
+           FROM documents
+         ),
+         u AS (
+           SELECT doc_id, ts FROM tk0
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, ts[11:30] AS ts FROM tk0
+           WHERE doc_id % 10 = 0 AND len(ts) >= 30
+           UNION ALL
+           SELECT doc_id + 200000 AS doc_id,
+                  list_concat(ts[11:30], ts[11:30]) AS ts FROM tk0
+           WHERE doc_id % 10 = 5 AND len(ts) >= 30
+         ),
+         uk AS (
+           SELECT doc_id, ts FROM u
+           WHERE CAST(coalesce(list_sum(
+                   [${LinearClassifier.weightSql("u:", "t")}
+                    for t in ts]), 0) AS BIGINT)
+               + CAST(coalesce(list_sum(
+                   [${LinearClassifier.weightSql("b:",
+                       "ts[i] || ' ' || ts[i+1]")}
+                    for i in range(1, len(ts))]), 0) AS BIGINT) >= 0
+         ),
+         g AS (
+           SELECT doc_id, g2.pos AS pos, g2.gram AS gram FROM (
+             SELECT doc_id,
+                    unnest([struct_pack(
+                              pos := i - 1,
+                              gram := array_to_string(ts[i:i+11], ' '))
+                            for i in range(1, len(ts) - 10)]) AS g2
+             FROM uk WHERE len(ts) >= 12)
+         ),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         p AS (SELECT doc_id, pos FROM g
+               WHERE gram IN (SELECT gram FROM dup)),
+         cov AS (SELECT DISTINCT doc_id, idx FROM (
+                   SELECT doc_id, unnest(range(pos, pos + 12)) AS idx
+                   FROM p)),
+         tok AS (SELECT doc_id, t.idx AS idx, t.tok AS tok FROM (
+                   SELECT doc_id,
+                          unnest([struct_pack(idx := i - 1, tok := ts[i])
+                                  for i in range(1, len(ts) + 1)]) AS t
+                   FROM uk)),
+         kept AS (SELECT tok.doc_id, tok.idx, tok.tok
+                  FROM tok LEFT JOIN cov
+                    ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+                  WHERE cov.idx IS NULL),
+         re AS (SELECT doc_id, count(*) AS n_kept,
+                       array_to_string(list(tok ORDER BY idx), ' ')
+                         AS clean_text
+                FROM kept GROUP BY doc_id)
+         SELECT uk.doc_id,
+                CAST(coalesce(re.n_kept, 0) AS INT) AS n_clean_tokens,
+                coalesce(re.clean_text, '') AS clean_text,
+                ${Export.shardIdSql("uk.doc_id", Shards)} AS shard
+         FROM uk LEFT JOIN re ON uk.doc_id = re.doc_id
+         WHERE coalesce(re.n_kept, 0) >= 10
+         ORDER BY uk.doc_id"""),
 
     // straight from the source parquet — equality proves the sharded
     // write∘read round trip AND the md5 assignment

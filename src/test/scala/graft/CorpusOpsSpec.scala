@@ -72,6 +72,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(keeps.getOrElse(0, 0L) > 0, "some docs dropped")
   }
 
+  test("curate v3 composition coheres with its stage operators") {
+    val v3 = SparkEntry.queries("pipeline_curate_v3")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), r.getLong(3)))).toMap
+    // every survivor passed the classifier gate (stage-1 agreement)
+    val keptIds = LinearClassifier
+      .score(Tables.documents(spark, sf0001), "doc_id", "text")
+      .filter(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    val organic = v3.keySet.filter(_ < 100000L)
+    assert(organic.nonEmpty && organic.subsetOf(keptIds))
+    // planted full-duplicate husks never survive the length floor
+    assert(v3.keySet.forall(_ < 200000L),
+      "doubled-excerpt plants are fully covered and must be floored out")
+    // the floor held and shards follow the md5 formula
+    assert(v3.values.forall(_._1 >= 10))
+    for ((id, (_, _, shard)) <- v3.take(50))
+      assert(shard === (java.lang.Long.parseLong(
+        md5hex(s"shard:$id").substring(0, 4), 16) % 16), s"doc $id")
+  }
+
   // ---- sharded export ----
 
   private val shardDir =
