@@ -78,12 +78,8 @@ object CorpusOps extends QueryModule {
   // docs, many occurrences). Distributed top-k: two-phase agg then
   // TakeOrdered, never a global sort.
   private def dedupPassageTop(s: SparkSession, d: String): DataFrame =
-    PassageDedup.grams(
+    PassageDedup.duplicatedGramStats(
         plantedCorpus(s, d, "dedup_passage_top"), "doc_id", "text", K)
-      .groupBy("gram")
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_occurrences") > 1)
       .orderBy(desc("n_occurrences"), col("gram"))
       .limit(20)
 
@@ -153,10 +149,10 @@ object CorpusOps extends QueryModule {
     * plan reference (same memo discipline as dupPositions). */
   private def v3Gated(s: SparkSession, d: String): DataFrame =
     SessionMemo(s, d, "curate_v3_gated") {
-      val corpus = plantedCorpus(s, d, "pipeline_curate_v3")
-      val keptIds = LinearClassifier.score(corpus, "doc_id", "text")
-        .filter(col("keep") === 1).select("doc_id")
-      corpus.join(keptIds, Seq("doc_id"), "left_semi").persist()
+      // keepExpr as a filter — one scan, no self-join, no second
+      // derivation of the planted union
+      plantedCorpus(s, d, "pipeline_curate_v3")
+        .filter(LinearClassifier.keepExpr(col("text"))).persist()
     }
 
   private def v3Positions(s: SparkSession, d: String): DataFrame =
@@ -211,13 +207,24 @@ object CorpusOps extends QueryModule {
   // Shared oracle CTE chain: tokenized corpus + planted shapes +
   // k-grams + duplicated positions (k=12 → slice width 11, gram count
   // n-11, span end pos+11).
-  private val PassageChain =
+  // ---- parameterized oracle chain builders -------------------------
+  // One definition per SQL fragment; every passage oracle (spans,
+  // clean, top, novelty, decontamination, curate v3) assembles from
+  // these, so a change to the plant arithmetic or the k literals can
+  // never desynchronize one entry's copy.
+
+  /** tk0: the tokenized corpus (the Tokens.ws rule as DuckDB). */
+  private val Tk0Sql =
     """WITH tk0 AS (
          SELECT doc_id,
                 list_filter(string_split(trim(text), ' '), t -> t <> '')
                   AS ts
          FROM documents
-       ),
+       )"""
+
+  /** tk0 + u (corpus + both planted passage shapes). */
+  private val CorpusCtes = Tk0Sql +
+    """,
        u AS (
          SELECT doc_id, ts FROM tk0
          UNION ALL
@@ -227,7 +234,11 @@ object CorpusOps extends QueryModule {
          SELECT doc_id + 200000 AS doc_id,
                 list_concat(ts[11:30], ts[11:30]) AS ts FROM tk0
          WHERE doc_id % 10 = 5 AND len(ts) >= 30
-       ),
+       )"""
+
+  /** g (k-gram stream) over an arbitrary (doc_id, ts) CTE. */
+  private def gramSql(src: String): String =
+    s""",
        g AS (
          SELECT doc_id, g2.pos AS pos, g2.gram AS gram FROM (
            SELECT doc_id,
@@ -235,17 +246,22 @@ object CorpusOps extends QueryModule {
                             pos := i - 1,
                             gram := array_to_string(ts[i:i+11], ' '))
                           for i in range(1, len(ts) - 10)]) AS g2
-           FROM u WHERE len(ts) >= 12)
-       ),
+           FROM $src WHERE len(ts) >= 12)
+       )"""
+
+  /** dup (corpus-duplicated grams) + p (their positions). */
+  private val DupSql =
+    """,
        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
        p AS (SELECT doc_id, pos FROM g
              WHERE gram IN (SELECT gram FROM dup))"""
 
-  /** Shared removal tail (expects CTEs `u`(doc_id, ts) and
-    * `p`(doc_id, pos) in scope): covered positions → anti-joined
-    * tokens → per-doc reassembly, one row per input document. */
-  private val RemovalTail =
-    """,
+  private val PassageChain = CorpusCtes + gramSql("u") + DupSql
+
+  /** cov/tok/kept/re (expects `p` and the `src` token CTE in scope):
+    * covered positions → anti-joined tokens → per-doc reassembly. */
+  private def removalCtesSql(src: String): String =
+    s""",
        cov AS (SELECT DISTINCT doc_id, idx FROM (
                  SELECT doc_id, unnest(range(pos, pos + 12)) AS idx
                  FROM p)),
@@ -253,7 +269,7 @@ object CorpusOps extends QueryModule {
                  SELECT doc_id,
                         unnest([struct_pack(idx := i - 1, tok := ts[i])
                                 for i in range(1, len(ts) + 1)]) AS t
-                 FROM u)),
+                 FROM $src)),
        kept AS (SELECT tok.doc_id, tok.idx, tok.tok
                 FROM tok LEFT JOIN cov
                   ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
@@ -261,13 +277,19 @@ object CorpusOps extends QueryModule {
        re AS (SELECT doc_id, count(*) AS n_kept,
                      array_to_string(list(tok ORDER BY idx), ' ')
                        AS clean_text
-              FROM kept GROUP BY doc_id)
-       SELECT u.doc_id, CAST(len(u.ts) AS INT) AS n_tokens,
-              CAST(len(u.ts) - coalesce(re.n_kept, 0) AS INT)
+              FROM kept GROUP BY doc_id)"""
+
+  /** The clean-corpus projection, one row per `src` document. */
+  private def cleanSelectSql(src: String): String =
+    s"""
+       SELECT $src.doc_id, CAST(len($src.ts) AS INT) AS n_tokens,
+              CAST(len($src.ts) - coalesce(re.n_kept, 0) AS INT)
                 AS n_removed,
               coalesce(re.clean_text, '') AS clean_text
-       FROM u LEFT JOIN re ON u.doc_id = re.doc_id
-       ORDER BY u.doc_id"""
+       FROM $src LEFT JOIN re ON $src.doc_id = re.doc_id
+       ORDER BY $src.doc_id"""
+
+  private val RemovalTail = removalCtesSql("u") + cleanSelectSql("u")
 
   val oracles: Map[String, String] = Map(
     "dedup_passage_spans" -> (PassageChain +
@@ -313,12 +335,8 @@ object CorpusOps extends QueryModule {
          ORDER BY u.doc_id"""),
 
     "text_decontaminate_spans" ->
-      ("""WITH tk0 AS (
-           SELECT doc_id,
-                  list_filter(string_split(trim(text), ' '), t -> t <> '')
-                    AS ts
-           FROM documents
-         ),
+      (Tk0Sql +
+      """,
          bch AS (SELECT doc_id, ts FROM tk0 WHERE doc_id % 97 = 0),
          pl AS (
            SELECT doc_id + 300000 AS doc_id,
@@ -336,16 +354,8 @@ object CorpusOps extends QueryModule {
                        gram := array_to_string(ts[i:i+11], ' '))
                      for i in range(1, len(ts) - 10)]) AS g2
              FROM bch WHERE len(ts) >= 12)
-         ),
-         g AS (
-           SELECT doc_id, g2.pos AS pos, g2.gram AS gram FROM (
-             SELECT doc_id,
-                    unnest([struct_pack(
-                              pos := i - 1,
-                              gram := array_to_string(ts[i:i+11], ' '))
-                            for i in range(1, len(ts) - 10)]) AS g2
-             FROM u WHERE len(ts) >= 12)
-         ),
+         )""" + gramSql("u") +
+      """,
          p AS (SELECT doc_id, pos FROM g
                WHERE gram IN (SELECT gram FROM bg))""" + RemovalTail),
 
@@ -380,22 +390,8 @@ object CorpusOps extends QueryModule {
     // (weightSql — same generated arithmetic as text_classifier_score)
     // → gram/dup/removal over the GATED set → length floor → shard
     "pipeline_curate_v3" ->
-      (s"""WITH tk0 AS (
-           SELECT doc_id,
-                  list_filter(string_split(trim(text), ' '), t -> t <> '')
-                    AS ts
-           FROM documents
-         ),
-         u AS (
-           SELECT doc_id, ts FROM tk0
-           UNION ALL
-           SELECT doc_id + 100000 AS doc_id, ts[11:30] AS ts FROM tk0
-           WHERE doc_id % 10 = 0 AND len(ts) >= 30
-           UNION ALL
-           SELECT doc_id + 200000 AS doc_id,
-                  list_concat(ts[11:30], ts[11:30]) AS ts FROM tk0
-           WHERE doc_id % 10 = 5 AND len(ts) >= 30
-         ),
+      (CorpusCtes +
+      s""",
          uk AS (
            SELECT doc_id, ts FROM u
            WHERE CAST(coalesce(list_sum(
@@ -405,35 +401,8 @@ object CorpusOps extends QueryModule {
                    [${LinearClassifier.weightSql("b:",
                        "ts[i] || ' ' || ts[i+1]")}
                     for i in range(1, len(ts))]), 0) AS BIGINT) >= 0
-         ),
-         g AS (
-           SELECT doc_id, g2.pos AS pos, g2.gram AS gram FROM (
-             SELECT doc_id,
-                    unnest([struct_pack(
-                              pos := i - 1,
-                              gram := array_to_string(ts[i:i+11], ' '))
-                            for i in range(1, len(ts) - 10)]) AS g2
-             FROM uk WHERE len(ts) >= 12)
-         ),
-         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
-         p AS (SELECT doc_id, pos FROM g
-               WHERE gram IN (SELECT gram FROM dup)),
-         cov AS (SELECT DISTINCT doc_id, idx FROM (
-                   SELECT doc_id, unnest(range(pos, pos + 12)) AS idx
-                   FROM p)),
-         tok AS (SELECT doc_id, t.idx AS idx, t.tok AS tok FROM (
-                   SELECT doc_id,
-                          unnest([struct_pack(idx := i - 1, tok := ts[i])
-                                  for i in range(1, len(ts) + 1)]) AS t
-                   FROM uk)),
-         kept AS (SELECT tok.doc_id, tok.idx, tok.tok
-                  FROM tok LEFT JOIN cov
-                    ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
-                  WHERE cov.idx IS NULL),
-         re AS (SELECT doc_id, count(*) AS n_kept,
-                       array_to_string(list(tok ORDER BY idx), ' ')
-                         AS clean_text
-                FROM kept GROUP BY doc_id)
+         )""" + gramSql("uk") + DupSql + removalCtesSql("uk") +
+      s"""
          SELECT uk.doc_id,
                 CAST(coalesce(re.n_kept, 0) AS INT) AS n_clean_tokens,
                 coalesce(re.clean_text, '') AS clean_text,

@@ -345,17 +345,26 @@ object Similarity {
     * degrades only as far as the drift (IvfAppendSpec pins append ≡
     * frozen-centroid rebuild EXACTLY, so there is no additional loss).
     */
-  def appendToIvfIndex(idx: IvfIndex, newEmbeddings: DataFrame)
-      : IvfIndex = {
+  def appendToIvfIndex(idx: IvfIndex, newEmbeddings: DataFrame,
+      checkOverlap: Boolean = true): IvfIndex = {
     val nv = withNorms(newEmbeddings)
       .select("vec_id", "vd", "norm").localCheckpoint()
-    // fail fast on id overlap: a duplicated vec_id would double-score
-    // in every probe of its cell
-    require(nv.join(idx.vecs, Seq("vec_id"), "left_semi").isEmpty,
-      "appendToIvfIndex: new vec_ids overlap the indexed set")
+    // fail fast on id overlap (a duplicated vec_id would double-score
+    // in every probe of its cell). The check semi-joins the FULL
+    // indexed set — O(|index|), not O(|new|·C) — so production callers
+    // whose id allocation guarantees disjointness (sequence ranges,
+    // ingest-date prefixes) pass checkOverlap = false to keep the
+    // append increment-sized; the default stays safe.
+    if (checkOverlap)
+      require(nv.join(idx.vecs, Seq("vec_id"), "left_semi").isEmpty,
+        "appendToIvfIndex: new vec_ids overlap the indexed set")
+    // localCheckpoint like buildIvfIndex's cells: without it every
+    // query batch re-runs the increment's assignment, and chained
+    // daily appends would compound N-deep union plans
     IvfIndex(idx.centroids,
-      idx.cells.unionByName(assignCells(nv, idx.centroids)),
-      idx.vecs.unionByName(nv))
+      idx.cells.unionByName(assignCells(nv, idx.centroids))
+        .localCheckpoint(),
+      idx.vecs.unionByName(nv).localCheckpoint())
   }
 
   /** Re-assign an arbitrary vector set under an index's FROZEN
@@ -364,7 +373,8 @@ object Similarity {
   def reassignIndex(idx: IvfIndex, embeddings: DataFrame): IvfIndex = {
     val v = withNorms(embeddings)
       .select("vec_id", "vd", "norm").localCheckpoint()
-    IvfIndex(idx.centroids, assignCells(v, idx.centroids), v)
+    IvfIndex(idx.centroids,
+      assignCells(v, idx.centroids).localCheckpoint(), v)
   }
 
   /** Serve one query batch from a built index: probe `nprobe` cells per

@@ -36,24 +36,41 @@ object LinearClassifier {
   private def featureWeight(salt: String, text: Column): Column =
     weight(graft.functions.Md5Bucket.bucket(salt, text, D))
 
+  /** Unigram-feature sum over a token-array column. */
+  private def uniScore(ts: Column): Column =
+    aggregate(transform(ts, t => featureWeight("u:", t)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Bigram-feature sum over a token-array column.
+    * sequence(0, n-2) reverses when n<2 (negative-step default) —
+    * the guard is load-bearing. */
+  private def biScore(ts: Column): Column = {
+    val n = size(ts)
+    when(n >= 2, aggregate(
+        transform(sequence(lit(0), n - 2), i => featureWeight("b:",
+          concat(element_at(ts, i + 1), lit(" "),
+            element_at(ts, i + 2)))),
+        lit(0L), (acc, x) => acc + x))
+      .otherwise(0L)
+  }
+
+  /** The gate as ONE boolean Column over raw text — for callers that
+    * only filter: `df.filter(LinearClassifier.keepExpr(col("text")))`
+    * rides the scan as a projection+filter with no join and no second
+    * derivation of the input. */
+  def keepExpr(text: Column): Column = {
+    val ts = Tokens.ws(text)
+    uniScore(ts) + biScore(ts) >= 0
+  }
+
   /** (doc_id, n_tokens, uni_score, bi_score, score, keep): the scored
     * corpus. keep = 1 iff score ≥ 0. Pure projection — see scaladoc. */
   def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withTs = df.select(col(idCol).as("doc_id"),
       Tokens.ws(textCol).as("__ts"))
-    val n = size(col("__ts"))
-    val uni = aggregate(
-      transform(col("__ts"), t => featureWeight("u:", t)),
-      lit(0L), (acc, x) => acc + x)
-    // sequence(0, n-2) reverses when n<2 (negative-step default)
-    val bi = when(n >= 2, aggregate(
-        transform(sequence(lit(0), n - 2), i => featureWeight("b:",
-          concat(element_at(col("__ts"), i + 1), lit(" "),
-            element_at(col("__ts"), i + 2)))),
-        lit(0L), (acc, x) => acc + x))
-      .otherwise(0L)
-    withTs.select(col("doc_id"), n.as("n_tokens"),
-        uni.as("uni_score"), bi.as("bi_score"))
+    withTs.select(col("doc_id"), size(col("__ts")).as("n_tokens"),
+        uniScore(col("__ts")).as("uni_score"),
+        biScore(col("__ts")).as("bi_score"))
       .withColumn("score", col("uni_score") + col("bi_score"))
       .withColumn("keep", when(col("score") >= 0, 1).otherwise(0))
   }

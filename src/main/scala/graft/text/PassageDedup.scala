@@ -58,25 +58,45 @@ object PassageDedup {
       .withColumnRenamed("col", "gram")
   }
 
+  /** Occurrences of hash-duplicated grams — phase 1 of the exact
+    * two-phase finder: count by xxhash64 (8-byte shuffle keys, the
+    * only corpus-sized stage), semi-join the survivors back. All
+    * occurrences of one gram share one hash, so the candidate set
+    * holds either every occurrence of a gram or none. */
+  private def hashCandidates(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val g = grams(df, idCol, textCol, k)
+      .withColumn("__h", xxhash64(col("gram")))
+    val hotHashes = g.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__h")
+    g.join(hotHashes, Seq("__h"), "left_semi")
+  }
+
   /** (doc_id, pos) of every occurrence of a corpus-duplicated k-gram.
     * Two-phase exact: hash-count prefilter, string-count confirm. */
   def duplicatedPositions(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val g = grams(df, idCol, textCol, k)
-      .withColumn("__h", xxhash64(col("gram")))
-    // phase 1: occurrences of hash-duplicated grams (8-byte shuffle key)
-    val hotHashes = g.groupBy("__h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select("__h")
-    val candidates = g.join(hotHashes, Seq("__h"), "left_semi")
-    // phase 2: exact string confirm over the surviving fraction only.
-    // All occurrences of one gram share one hash, so the candidate set
-    // holds either every occurrence of a gram or none — the string
-    // count below equals the corpus-wide count.
+    val candidates = hashCandidates(df, idCol, textCol, k)
+    // phase 2: exact string confirm over the surviving fraction only —
+    // the candidate count per gram equals the corpus-wide count (see
+    // hashCandidates), so this is exact, not probabilistic.
     val dupGrams = candidates.groupBy("gram").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select(col("gram").as("__dg"))
     candidates.join(dupGrams, col("gram") === col("__dg"), "left_semi")
       .select("doc_id", "pos")
   }
+
+  /** (gram, n_occurrences, n_docs) for every corpus-duplicated k-gram —
+    * the audit surface behind top-duplicated-passage reports. Same
+    * two-phase discipline: gram TEXT aggregates only for the
+    * hash-duplicated fraction, never the unique majority. */
+  def duplicatedGramStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    hashCandidates(df, idCol, textCol, k)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") > 1)
 
   /** (doc_id, pos) of every k-gram occurrence in `df` whose text
     * appears in `refGrams` (one `gram` column) — span-level
