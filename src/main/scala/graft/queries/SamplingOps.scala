@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Md5Bucket
 import graft.sampling.Sampling
 
 /** Conformance queries for the deterministic sampling / splitting
@@ -67,6 +68,14 @@ object SamplingOps extends QueryModule {
         budgetTokens = 1000000L)
       .orderBy("source")
 
+  // Execute the same 1M-token plan: every (source, doc, epoch) row of
+  // the realized mix — oversampled sources repeat epochs, undersampled
+  // ones keep a hash-fraction at epoch 0.
+  private def sampMixtureEpochs(s: SparkSession, d: String): DataFrame =
+    Sampling.executeMixturePlan(Tables.documents(s, d), "source",
+        "doc_id", "text", budgetTokens = 1000000L)
+      .orderBy("source", "doc_id", "epoch")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_fixed_n"         -> (sampFixedN _),
     "samp_train_test"      -> (sampTrainTest _),
@@ -74,13 +83,35 @@ object SamplingOps extends QueryModule {
     "samp_stratified"      -> (sampStratified _),
     "samp_balanced"        -> (sampBalanced _),
     "samp_weighted_mix"    -> (sampWeightedMix _),
-    "samp_mixture_plan"    -> (sampMixturePlan _)
+    "samp_mixture_plan"    -> (sampMixturePlan _),
+    "samp_mixture_epochs"  -> (sampMixtureEpochs _)
   )
 
   // 0.8 → ⌊0.8·65536⌋ = 52428 = 0xcccc (the 16-bit quantized fraction)
   private val splitCase =
     """CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
             THEN 'train' ELSE 'test' END"""
+
+  // Shared plan CTE chain (av → tot → w → z → sel): the token census,
+  // √-share arithmetic, and allocation used verbatim by both mixture
+  // oracles — one definition, no per-entry drift.
+  private val MixPlanCtes =
+    """WITH av AS (
+         SELECT source,
+                CAST(sum(len(list_filter(string_split(trim(text), ' '),
+                  t -> t <> ''))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source
+       ),
+       tot AS (SELECT sum(n_tokens) AS tot FROM av),
+       w AS (SELECT source, n_tokens,
+                    sqrt(CAST(n_tokens AS DOUBLE) / tot) AS w
+             FROM av, tot),
+       z AS (SELECT list_reduce(list(w ORDER BY source),
+                      (a, b) -> a + b) AS z FROM w),
+       sel AS (SELECT source, n_tokens, w / z AS share,
+                      CAST(floor(CAST(1000000 AS DOUBLE) * (w / z))
+                        AS BIGINT) AS target_tokens
+               FROM w, z)"""
 
   val oracles: Map[String, String] = Map(
     "samp_fixed_n" ->
@@ -143,22 +174,7 @@ object SamplingOps extends QueryModule {
     // Spark's 0.0+w₁ for positive weights), every division/multiply
     // appears in the same association order
     "samp_mixture_plan" ->
-      """WITH av AS (
-           SELECT source,
-                  CAST(sum(len(list_filter(string_split(trim(text), ' '),
-                    t -> t <> ''))) AS BIGINT) AS n_tokens
-           FROM documents GROUP BY source
-         ),
-         tot AS (SELECT sum(n_tokens) AS tot FROM av),
-         w AS (SELECT source, n_tokens,
-                      sqrt(CAST(n_tokens AS DOUBLE) / tot) AS w
-               FROM av, tot),
-         z AS (SELECT list_reduce(list(w ORDER BY source),
-                        (a, b) -> a + b) AS z FROM w),
-         sel AS (SELECT source, n_tokens, w / z AS share,
-                        CAST(floor(CAST(1000000 AS DOUBLE) * (w / z))
-                          AS BIGINT) AS target_tokens
-                 FROM w, z)
+      (MixPlanCtes + """
          SELECT source, n_tokens, share, target_tokens,
                 CASE WHEN n_tokens > 0
                      THEN CAST(target_tokens AS DOUBLE)
@@ -167,6 +183,32 @@ object SamplingOps extends QueryModule {
                       AND CAST(target_tokens AS DOUBLE)
                           / CAST(n_tokens AS DOUBLE) > 1.0
                      THEN 1 ELSE 0 END AS oversample
-         FROM sel ORDER BY source"""
+         FROM sel ORDER BY source"""),
+
+    // mirrors Sampling.executeMixturePlan: same plan CTEs, rate →
+    // (⌊rate⌋ full epochs, 16-bit-quantized remainder), the extra
+    // epoch drawn by the shared md5-bucket rule; range(0, n) is empty
+    // at n ≤ 0, which drops unlucky docs exactly like the Spark
+    // filter does
+    "samp_mixture_epochs" ->
+      (MixPlanCtes + s""",
+         rt AS (SELECT source,
+                       CASE WHEN n_tokens > 0
+                            THEN CAST(target_tokens AS DOUBLE)
+                                 / CAST(n_tokens AS DOUBLE)
+                            ELSE 0.0 END AS rate
+                FROM sel),
+         ex AS (SELECT d.source, d.doc_id,
+                       CAST(floor(rate) AS BIGINT)
+                         + CASE WHEN ${Md5Bucket.bucketSql("epoch",
+                             "CAST(d.doc_id AS VARCHAR)", 65536)}
+                                  < CAST(floor((rate - floor(rate))
+                                      * 65536) AS BIGINT)
+                                THEN 1 ELSE 0 END AS n_emit
+                FROM documents d JOIN rt ON d.source = rt.source)
+         SELECT source, doc_id,
+                unnest(range(0, n_emit)) AS epoch
+         FROM ex
+         ORDER BY source, doc_id, epoch""")
   )
 }

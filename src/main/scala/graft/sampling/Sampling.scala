@@ -302,4 +302,52 @@ object Sampling {
       .withColumn("oversample",
         when(col("sample_rate") > 1.0, 1).otherwise(0))
   }
+
+  /** Execute a [[mixturePlan]]: materialize the planned per-source
+    * allocation as a deterministic multiset of (source, id, epoch)
+    * rows — the "epochs per domain" step that turns the plan table
+    * into an actual training mix. Each document of source s is
+    * emitted ⌊rate_s⌋ full epochs, plus one extra epoch iff its
+    * 16-bit md5 bucket falls below the 16-bit-quantized fractional
+    * remainder — so undersampled sources keep a hash-fraction of
+    * documents (epoch 0 only), oversampled sources repeat whole
+    * epochs, and the realized token mass per source lands within
+    * n_tokens/65536 of the plan's target.
+    *
+    * Determinism: rate = target/n is ONE IEEE division (correctly
+    * rounded, identical cross-engine); subtracting its integer part
+    * and scaling by 2^16 are both exact; the per-document draw is the
+    * shared [[graft.functions.Md5Bucket]] rule. Membership of a
+    * (doc, epoch) pair depends only on (salt, id, plan row), so a
+    * re-run over a grown corpus changes rates but never the draw
+    * order — same stability contract as [[hashSplit]].
+    *
+    * Scale: the plan is one row per source (metadata) and broadcasts;
+    * the corpus is touched by the plan's single counting pass plus
+    * one projection + explode pass here — no corpus-side shuffle at
+    * all. Oversampled output rows are produced by the explode, never
+    * by self-union, so a 30-epoch rare domain costs one generator,
+    * not 30 plan branches. */
+  def executeMixturePlan(df: DataFrame, srcCol: String, idCol: String,
+      textCol: String, budgetTokens: Long, salt: String = "epoch")
+      : DataFrame = {
+    requireFresh(df, "epoch", "__rate", "__ne")
+    val plan = mixturePlan(df, srcCol, textCol, budgetTokens)
+      .select(col("source").as(srcCol),
+        coalesce(col("sample_rate"), lit(0.0)).as("__rate"))
+    val bucket = graft.functions.Md5Bucket.bucket(
+      salt, col(idCol).cast("string"), 65536)
+    val full = floor(col("__rate")).cast("long")
+    // exact: rate − ⌊rate⌋ then ·2^16 (power-of-two scale, no rounding)
+    val fracQ = floor((col("__rate") - floor(col("__rate"))) * 65536)
+      .cast("long")
+    df.join(broadcast(plan), Seq(srcCol))
+      .withColumn("__ne",
+        full + when(bucket < fracQ, 1L).otherwise(0L))
+      // sequence(0, -1) would emit a REVERSED range — the filter is
+      // load-bearing, not an optimization
+      .filter(col("__ne") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__ne") - 1)))
+      .select(col(srcCol), col(idCol), col("epoch"))
+  }
 }

@@ -203,4 +203,58 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.map(_._4).sum <= 1000000L)
     assert(plan.map(_._4).sum > 1000000L - plan.length) // floor loses < 1/source
   }
+
+  test("executeMixturePlan: per-doc epochs are ⌊rate⌋ or ⌈rate⌉ and the " +
+      "realized token mass per source tracks the plan target") {
+    val corpus = Tables.documents(spark, sf0001)
+    val budget = 1000000L
+    val plan = Sampling.mixturePlan(corpus, "source", "text", budget)
+      .as[(String, Long, Double, Long, Double, Int)].collect()
+      .map(p => p._1 -> (p._2, p._4, p._5)).toMap
+    val mix = Sampling.executeMixturePlan(
+      corpus, "source", "doc_id", "text", budget)
+    // every emitted (doc, epoch) pair is unique; per doc the epoch set
+    // is exactly 0..n-1 with n ∈ {⌊rate⌋, ⌊rate⌋+1}
+    val perDoc = mix.groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"),
+        countDistinct("epoch").as("nd"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    perDoc.foreach { case (src, id, n, mx, nd) =>
+      assert(n == nd && mx == n - 1, s"epoch set not 0..n-1 for $src/$id")
+      val rate = plan(src)._3
+      assert(n == math.floor(rate).toLong || n == math.floor(rate).toLong + 1,
+        s"$src/$id emitted $n epochs at rate $rate")
+    }
+    // realized token mass per source: n_tokens·rate within the 16-bit
+    // draw's binomial noise of the target (loose 4σ-ish band — the
+    // point is "tracks the plan", not a statistics exam)
+    val toks = corpus.select(col("doc_id"),
+        size(graft.text.Tokens.ws(col("text"))).cast("long").as("t"))
+      .as[(Long, Long)].collect().toMap
+    val realized = mix.select("source", "doc_id").as[(String, Long)]
+      .collect().groupBy(_._1).map { case (s, rows) =>
+        s -> rows.map(r => toks(r._2)).sum }
+    realized.foreach { case (src, got) =>
+      val (nTok, target, _) = plan(src)
+      // slack: one epoch draw flips at most max-doc-tokens per doc;
+      // bound by 4·√docs·maxDoc (generous at this SF)
+      val maxDoc = toks.values.max
+      val slack = 4 * math.sqrt(toks.size.toDouble) * maxDoc + nTok / 65536.0
+      assert(math.abs(got.toDouble - target) <= slack,
+        s"$src realized $got vs target $target (slack $slack)")
+    }
+  }
+
+  test("executeMixturePlan: reproducible, and the fractional draw is " +
+      "growth-stable per (salt, doc)") {
+    val corpus = Tables.documents(spark, sf0001)
+    val a = Sampling.executeMixturePlan(
+        corpus, "source", "doc_id", "text", 1000000L)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val b = Sampling.executeMixturePlan(
+        corpus, "source", "doc_id", "text", 1000000L)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }
