@@ -35,7 +35,8 @@ object Explain {
         "dedup_passage_spans", "dedup_passage_clean",
         "text_decontaminate_spans", "text_novelty_score",
         "text_classifier_score", "export_shard_manifest",
-        "samp_mixture_plan", "samp_mixture_epochs", "src_orc_roundtrip",
+        "samp_mixture_plan", "samp_mixture_epochs", "emb_nn_classify",
+        "src_orc_roundtrip",
         "dedup_passage_top", "sim_ivf_append", "pipeline_curate_v3")
     val spark = SparkSession.builder()
       .master("local[4]")

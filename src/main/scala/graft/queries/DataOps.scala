@@ -637,6 +637,14 @@ object DataOps extends QueryModule {
     Similarity.labelCentroids(Tables.embeddings(s, d))
       .orderBy("label", "pos")
 
+  // Nearest-centroid classification: every vector labeled by its
+  // closest class prototype, BIGINT-exact end to end (taxonomy
+  // tagging / cluster audit — the assignment step of k-means exposed
+  // as an operator).
+  private def embNnClassify(s: SparkSession, d: String): DataFrame =
+    Similarity.nearestCentroidClassify(Tables.embeddings(s, d))
+      .orderBy("vec_id")
+
   // Exhaustive-mode ANN conformance: with nprobe = numCells every cell
   // is probed, so the candidate set is the whole corpus and the IVF
   // join machinery (Lloyd index, cell-keyed probe join, per-query
@@ -771,6 +779,7 @@ object DataOps extends QueryModule {
     "text_quality_gate"    -> (textQualityGate _),
     "vocab_topk"           -> (vocabTopk _),
     "emb_centroids"        -> (embCentroids _),
+    "emb_nn_classify"      -> (embNnClassify _),
     "sim_cosine_topk"      -> (simCosineTopk _),
     "sim_ann_lsh"          -> (simAnnLsh _),
     "sim_ann_lsh_mp"       -> (simAnnLshMultiProbe _),
@@ -1361,6 +1370,45 @@ object DataOps extends QueryModule {
                 count(*) AS n
          FROM x GROUP BY label, u.pos
          ORDER BY label, pos""",
+
+    // same 2^24 grid, shifted +2^24 so every value is nonnegative
+    // (shift-invariant distances; truncating // ≡ floor there);
+    // centroid coordinate is the round-half-up integer (2s+n)//(2n);
+    // distances are pure BIGINT sums of squares — argmin exact, ties
+    // to the lowest label
+    "emb_nn_classify" ->
+      """WITH x AS (
+           SELECT vec_id, label,
+                  list_transform(embedding,
+                    v -> CAST(floor(CAST(v AS DOUBLE) * 16777216.0)
+                           AS BIGINT) + 16777216) AS gv
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, label, u.pos AS pos, u.x AS x FROM (
+             SELECT vec_id, label,
+                    unnest(list_transform(gv, (v, i) ->
+                      struct_pack(pos := i - 1, x := v))) AS u
+             FROM x)),
+         c AS (
+           SELECT label AS c_label, pos,
+                  CAST((2 * sum(x) + count(*)) // (2 * count(*))
+                    AS BIGINT) AS cx
+           FROM e GROUP BY label, pos),
+         d AS (
+           SELECT e.vec_id, e.label, c.c_label,
+                  CAST(sum((e.x - c.cx) * (e.x - c.cx)) AS BIGINT)
+                    AS dist_sq
+           FROM e JOIN c ON e.pos = c.pos
+           GROUP BY e.vec_id, e.label, c.c_label),
+         r AS (
+           SELECT vec_id, label, c_label, dist_sq,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist_sq, c_label) AS rn
+           FROM d)
+         SELECT vec_id, label, c_label AS pred_label, dist_sq,
+                CASE WHEN label = c_label THEN 1 ELSE 0 END AS is_correct
+         FROM r WHERE rn = 1
+         ORDER BY vec_id""",
 
     "sim_cosine_topk" -> cosineTopkOracle,
 

@@ -210,6 +210,55 @@ object Similarity {
       .select("label", "pos", "mean_x", "n")
   }
 
+  /** Nearest-centroid classification over the integer grid — assign
+    * every vector to the label whose centroid is closest in squared
+    * L2, entirely in BIGINT arithmetic so the argmin is cross-engine
+    * exact (the "label by prototype" step behind taxonomy tagging /
+    * k-means assignment / cluster-balance audits).
+    *
+    * Exactness: embeddings snap to the same 2^24 grid as
+    * [[labelCentroids]] and shift by +2^24 (nonnegative — distances
+    * are shift-invariant, and nonnegativity makes truncating integer
+    * division ≡ floor division in every engine); each centroid
+    * coordinate is the round-half-up integer (2s+n) div (2n) of the
+    * grid mean, so distances are sums of BIGINT squares — ≤ d·2^50,
+    * no floats anywhere. Ties break to the lowest label via the
+    * (dist, label) struct min.
+    *
+    * Scale: the centroid table is labels·d rows (metadata) assembled
+    * by one two-phase aggregation and broadcast; the corpus pays one
+    * projection against the broadcast block and a per-vector argmin —
+    * the same per-row cost shape as [[assignCells]], no corpus
+    * shuffle. Output one row per vector. */
+  def nearestCentroidClassify(embeddings: DataFrame): DataFrame = {
+    val grid = transform(expr(asDouble),
+      v => floor(v * lit(16777216.0)).cast("long") + lit(16777216L))
+    val snapped = embeddings.select(
+      col("vec_id"), col("label"), grid.as("__gv"))
+    val cents = snapped
+      .select(col("label"), posexplode(col("__gv")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(col("x")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__c", expr("(2 * __s + __n) DIV (2 * __n)"))
+      .groupBy(col("label").as("__clabel"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("__c"))))
+        .as("__ps"))
+      .select(col("__clabel"),
+        transform(col("__ps"), p => p.getField("__c")).as("__cv"))
+    val dist = aggregate(
+      zip_with(col("__gv"), col("__cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    snapped.crossJoin(broadcast(cents))
+      .withColumn("__d", dist)
+      .groupBy("vec_id", "label")
+      .agg(min(struct(col("__d"), col("__clabel"))).as("__m"))
+      .select(col("vec_id"), col("label"),
+        col("__m.__clabel").as("pred_label"),
+        col("__m.__d").as("dist_sq"),
+        when(col("label") === col("__m.__clabel"), 1).otherwise(0)
+          .as("is_correct"))
+  }
+
   /** Nearest-centroid assignment by cosine (query-side norm cancels in
     * the per-row argmax): (vec_id, cell). Ties → lowest cell index. */
   private def assignCells(vecs: DataFrame,

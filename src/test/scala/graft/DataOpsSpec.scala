@@ -461,6 +461,43 @@ class DataOpsSpec extends AnyFunSuite {
     assert(r((8, 0)) == ((1.0, 1L)))
   }
 
+  test("nearestCentroidClassify equals an independent integer re-derivation; " +
+      "accuracy clears the chance floor") {
+    val emb = Tables.embeddings(spark, sf001)
+    val got = Similarity.nearestCentroidClassify(emb)
+      .select("vec_id", "pred_label", "dist_sq", "is_correct")
+      .as[(Long, Int, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // independent truth: plain-Scala grid snap, integer centroid,
+    // BIGINT argmin — no Spark expressions shared with the operator
+    val rows = emb.select("vec_id", "label", "embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    def snap(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 16777216.0).toLong +
+        16777216L).toArray
+    val byLabel = rows.groupBy(_._2)
+    val cents = byLabel.map { case (l, rs) =>
+      val gs = rs.map(r => snap(r._3))
+      val n = gs.length.toLong
+      l -> Array.tabulate(gs.head.length) { i =>
+        val s = gs.map(_(i)).sum
+        (2 * s + n) / (2 * n)   // nonnegative → truncation ≡ floor
+      }
+    }
+    rows.foreach { case (id, label, v) =>
+      val g = snap(v)
+      val best = cents.map { case (l, c) =>
+        (g.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, l)
+      }.min
+      val (predL, distSq, correct) = got(id)
+      assert((distSq, predL) == best, s"vec $id")
+      assert(correct == (if (predL == label) 1 else 0))
+    }
+    val acc = got.values.count(_._3 == 1).toDouble / got.size
+    assert(acc > 0.3, s"accuracy $acc vs 0.1 chance over 10 labels")
+    assert(got.values.map(_._1).toSet.size == 10, "every prototype used")
+  }
+
   test("multimodal decode: per-partition batching yields typed metadata") {
     implicit val s = spark
     val meta = Multimodal.decodeMeta(
