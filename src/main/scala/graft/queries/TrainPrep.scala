@@ -165,6 +165,31 @@ object TrainPrep extends QueryModule {
   // length). One rollup aggregation; token counts are the ws-token
   // semantics of text_tokens; avg is the exact decimal-sum/count
   // pattern (one IEEE division — cross-engine exact).
+  // Host-level gate over a synthetic crawl: each source is a host;
+  // higher-numbered sources mirror a growing share of their docs onto
+  // 5 template paths, so dup_url_rate rises monotonically with the
+  // source number and the 0.5 threshold splits the host set. The
+  // mirror draw is (doc_id % 400) DIV 20 < src number — doc_id % 20
+  // IS the source number in this corpus, so the second-level digit is
+  // the one that varies within a host. utm params on every 4th doc
+  // exercise canonicalize-before-count (mirrors differing only by
+  // tracking params still collide — the reason canon runs first).
+  private def webHostGate(s: SparkSession, d: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 6).cast("int")
+    val pathId = when(expr("(doc_id % 400) DIV 20") < srcNum,
+        col("doc_id") % 5)
+      .otherwise(col("doc_id"))
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("https://"), col("source"), lit(".example.org/doc/"),
+        pathId.cast("string"),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=feed"))
+          .otherwise(lit(""))).as("url"))
+    UrlOps.hostGate(UrlOps.canonicalize(docs), maxDupRate = 0.5)
+      .select("doc_id", "url_host", "host_docs", "host_urls",
+        "dup_url_rate", "keep")
+      .orderBy("doc_id")
+  }
+
   private def corpusStats(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).withColumn("n_toks",
       size(filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)))
@@ -359,6 +384,7 @@ object TrainPrep extends QueryModule {
     "text_normalize_uni" -> (textNormalizeUni _),
     "text_line_rules" -> (textLineRules _),
     "text_url_canonical" -> (textUrlCanonical _),
+    "web_host_gate" -> (webHostGate _),
     "corpus_stats" -> (corpusStats _),
     "corpus_histogram" -> (corpusHistogram _),
     "text_bm25_topk" -> (textBm25Topk _),
@@ -446,6 +472,50 @@ object TrainPrep extends QueryModule {
                      CAST(k * 48 AS INT) AS tok_start,
                      CAST(least(k * 48 + 64, n) AS INT) AS tok_end
               FROM ch)"""
+
+  /** Rule-for-rule mirror of [[graft.text.UrlOps.canonicalize]] as a
+    * CTE chain p → n → c over a `u`(doc_id, url) CTE already in scope;
+    * `c` exposes (doc_id, url, url_host, canon_url). Tracking list
+    * generated from the same Seq so the two cannot drift. Shared by
+    * the canonicalization entry and the host gate. */
+  private def urlCanonChain: String =
+    s"""p AS (
+           SELECT doc_id, url,
+                  lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                  regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                    AS raw_path,
+                  regexp_extract(url, '\\?([^#]*)', 1) AS query
+           FROM u
+         ),
+         n AS (
+           SELECT doc_id, url, scheme,
+                  CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$$', '')
+                       WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$$', '')
+                       ELSE hostport END AS url_host,
+                  CASE WHEN regexp_replace(raw_path, '/+$$', '') = ''
+                       THEN '/'
+                       ELSE regexp_replace(raw_path, '/+$$', '') END AS path,
+                  list_filter(string_split(query, '&'), q ->
+                    q <> '' AND NOT list_contains(
+                      [${UrlOps.TrackingParams
+                          .map(p => s"'$p'").mkString(",")}],
+                      lower(string_split(q, '=')[1]))) AS kept
+           FROM p
+         ),
+         c AS (
+           SELECT doc_id, url, url_host,
+                  scheme || '://' || url_host || path ||
+                  CASE WHEN len(kept) > 0
+                       THEN '?' || array_to_string(kept, '&')
+                       ELSE '' END AS canon_url
+           FROM n
+         )"""
 
   val oracles: Map[String, String] = Map(
     "pipeline_chunk_pack" ->
@@ -746,8 +816,6 @@ object TrainPrep extends QueryModule {
                  AND n_stop_distinct >= 2 AND NOT has_blocklist) AS keep
          FROM f ORDER BY doc_id"""),
 
-    // rule-for-rule mirror of UrlOps.canonicalize; tracking list
-    // generated from the same Seq so the two cannot drift
     "text_url_canonical" ->
       (s"""WITH u AS (
            SELECT doc_id,
@@ -763,46 +831,39 @@ object TrainPrep extends QueryModule {
                .mkString(", ")
            }) AS v(doc_id, url)
          ),
-         p AS (
-           SELECT doc_id, url,
-                  lower(regexp_extract(url,
-                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                  lower(regexp_extract(url,
-                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-                  regexp_extract(url,
-                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
-                    AS raw_path,
-                  regexp_extract(url, '\\?([^#]*)', 1) AS query
-           FROM u
-         ),
-         n AS (
-           SELECT doc_id, url, scheme,
-                  CASE WHEN scheme = 'http'
-                         THEN regexp_replace(hostport, ':80$$', '')
-                       WHEN scheme = 'https'
-                         THEN regexp_replace(hostport, ':443$$', '')
-                       ELSE hostport END AS url_host,
-                  CASE WHEN regexp_replace(raw_path, '/+$$', '') = ''
-                       THEN '/'
-                       ELSE regexp_replace(raw_path, '/+$$', '') END AS path,
-                  list_filter(string_split(query, '&'), q ->
-                    q <> '' AND NOT list_contains(
-                      [${UrlOps.TrackingParams
-                          .map(p => s"'$p'").mkString(",")}],
-                      lower(string_split(q, '=')[1]))) AS kept
-           FROM p
-         ),
-         c AS (
-           SELECT doc_id, url, url_host,
-                  scheme || '://' || url_host || path ||
-                  CASE WHEN len(kept) > 0
-                       THEN '?' || array_to_string(kept, '&')
-                       ELSE '' END AS canon_url
-           FROM n
-         )
+         $urlCanonChain
          SELECT doc_id, url, url_host, canon_url,
                 count(*) OVER (PARTITION BY canon_url) AS n_same
          FROM c ORDER BY doc_id"""),
+
+    // mirrors webHostGate's mirror-synthesis + UrlOps.hostGate: rate
+    // is ONE IEEE division per host subtracted from an exact 1.0 —
+    // the CAST(1 AS DOUBLE) keeps DuckDB off its DECIMAL literal
+    "web_host_gate" ->
+      (s"""WITH u AS (
+           SELECT doc_id,
+                  'https://' || source || '.example.org/doc/' ||
+                  CAST(CASE WHEN (doc_id % 400) // 20
+                              < CAST(substr(source, 4) AS INT)
+                            THEN doc_id % 5 ELSE doc_id END AS VARCHAR) ||
+                  CASE WHEN doc_id % 4 = 0
+                       THEN '?utm_source=feed' ELSE '' END AS url
+           FROM documents
+         ),
+         $urlCanonChain,
+         h AS (
+           SELECT url_host, count(*) AS host_docs,
+                  count(DISTINCT canon_url) AS host_urls
+           FROM c GROUP BY url_host
+         )
+         SELECT c.doc_id, c.url_host, h.host_docs, h.host_urls,
+                CAST(1 AS DOUBLE) - CAST(h.host_urls AS DOUBLE)
+                  / CAST(h.host_docs AS DOUBLE) AS dup_url_rate,
+                CASE WHEN CAST(1 AS DOUBLE) - CAST(h.host_urls AS DOUBLE)
+                            / CAST(h.host_docs AS DOUBLE) <= 0.5
+                     THEN 1 ELSE 0 END AS keep
+         FROM c JOIN h USING (url_host)
+         ORDER BY c.doc_id"""),
 
     // sums are BIGINT-exact; avg is one IEEE division of exact ints
     "corpus_stats" ->

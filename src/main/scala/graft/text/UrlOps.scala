@@ -63,4 +63,33 @@ object UrlOps {
         when(size(kept) > 0,
           concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))))
   }
+
+  /** Per-host crawl stats over a [[canonicalize]]d frame: documents
+    * served, distinct canonical URLs, and the duplicated-URL rate
+    * 1 − urls/docs. A high rate marks mirror/templated hosts — the
+    * standard host-level prior of web curation (filter decisions made
+    * per host, not per document). Two-phase aggregation on
+    * `url_host`; output is one row per host — metadata next to the
+    * corpus (millions of hosts vs billions of documents). */
+  def hostStats(canonicalized: DataFrame): DataFrame =
+    canonicalized.groupBy("url_host")
+      .agg(count(lit(1)).as("host_docs"),
+        countDistinct(col("canon_url")).as("host_urls"))
+      .withColumn("dup_url_rate",
+        lit(1.0) - col("host_urls").cast("double")
+          / col("host_docs").cast("double"))
+
+  /** Gate documents by their host's duplicated-URL rate: keep iff the
+    * host's rate is ≤ `maxDupRate`. The verdict is a host-group
+    * property, so the corpus exchanges once on `url_host` for the
+    * join (the host table itself is metadata and carries no hint —
+    * Catalyst broadcasts it while it fits and falls back to the
+    * host-keyed shuffle join at web scale). One IEEE division per
+    * host, nothing else fractional — the keep bit is cross-engine
+    * deterministic. */
+  def hostGate(canonicalized: DataFrame, maxDupRate: Double)
+      : DataFrame =
+    canonicalized.join(hostStats(canonicalized), Seq("url_host"))
+      .withColumn("keep",
+        when(col("dup_url_rate") <= maxDupRate, 1).otherwise(0))
 }

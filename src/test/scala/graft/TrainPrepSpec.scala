@@ -287,4 +287,31 @@ class TrainPrepSpec extends AnyFunSuite {
       .select("n_lines", "n_words", "keep").head()
     assert(out.getInt(0) === 0 && out.getInt(1) === 0 && !out.getBoolean(2))
   }
+
+  test("hostStats/hostGate: mirror host counted after canonicalization, " +
+      "clean host kept") {
+    import graft.text.UrlOps
+    // mirror.test serves 4 docs on 2 canonical URLs (two spellings
+    // differ only by tracking params — canon MUST collapse them);
+    // clean.test serves 3 docs on 3 URLs
+    val docs = Seq(
+      (1L, "https://mirror.test/a"),
+      (2L, "https://mirror.test/a?utm_source=x"),
+      (3L, "https://mirror.test/b"),
+      (4L, "https://mirror.test/b?gclid=1"),
+      (5L, "https://clean.test/x"),
+      (6L, "https://clean.test/y"),
+      (7L, "https://clean.test/z")).toDF("doc_id", "url")
+    val gated = UrlOps.hostGate(UrlOps.canonicalize(docs),
+        maxDupRate = 0.4)
+      .select("doc_id", "url_host", "host_docs", "host_urls",
+        "dup_url_rate", "keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getInt(5)))).toMap
+    assert(gated(1L) == (("mirror.test", 4L, 2L, 0.5, 0)))
+    assert(gated(5L) == (("clean.test", 3L, 3L, 0.0, 1)))
+    assert(Seq(1L, 2L, 3L, 4L).forall(gated(_)._5 == 0))
+    assert(Seq(5L, 6L, 7L).forall(gated(_)._5 == 1))
+  }
 }
