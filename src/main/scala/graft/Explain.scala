@@ -37,7 +37,8 @@ object Explain {
         "text_classifier_score", "export_shard_manifest",
         "samp_mixture_plan", "samp_mixture_epochs", "emb_nn_classify",
         "src_orc_roundtrip",
-        "dedup_passage_top", "sim_ivf_append", "pipeline_curate_v3")
+        "dedup_passage_top", "sim_ivf_append", "pipeline_curate_v3",
+        "graph_pagerank", "graph_degrees")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

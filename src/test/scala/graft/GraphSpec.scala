@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.LinkGraph
+
+/** Semantic checks for the link-graph tier beyond the DuckDB
+  * conformance: hand-computed quantized ranks on a known graph,
+  * dangling semantics, and mass accounting. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // A: 0 → 1, 0 → 2, 1 → 2; 2 dangling.
+  private def v = Seq(0L, 1L, 2L).toDF("id")
+  private def e = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+
+  test("pageRank: one iteration matches hand-computed integer ranks") {
+    val q = 1L << 20 // 1048576; teleport = 157286
+    val got = LinkGraph.pageRank(v, e, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // contrib(0→x) = ⌊17·2^20 / (20·2)⌋ = ⌊17825792/40⌋ = 445644
+    // contrib(1→2) = ⌊17·2^20 / 20⌋    = 891289
+    val c0 = 17L * q / 40
+    val c1 = 17L * q / 20
+    assert(got(0L) == 157286L)               // teleport only (no inlinks)
+    assert(got(1L) == 157286L + c0)
+    assert(got(2L) == 157286L + c0 + c1)
+  }
+
+  test("pageRank: two iterations — dangling vertex 2 contributes nothing") {
+    val got = LinkGraph.pageRank(v, e, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val q = 1L << 20
+    val r1 = Map(0L -> 157286L,
+      1L -> (157286L + 17L * q / 40),
+      2L -> (157286L + 17L * q / 40 + 17L * q / 20))
+    def c(r: Long, od: Long) = 17L * r / (20L * od)
+    assert(got(0L) == 157286L)
+    assert(got(1L) == 157286L + c(r1(0L), 2))
+    // vertex 2's big rank is dropped (dangling), not redistributed
+    assert(got(2L) == 157286L + c(r1(0L), 2) + c(r1(1L), 1))
+  }
+
+  test("pageRank on the registry graph: mass bounded, hubs outrank leaves") {
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id").as("id"))
+    val u = col("id")
+    val edges = docs
+      .select(u.as("src"), explode(array(
+        u - 1 - u % 13, u - 2 - u % 7, expr("id DIV 2"))).as("dst"))
+      .filter(col("dst") >= 0 && col("dst") =!= col("src"))
+      .distinct()
+    val r = LinkGraph.pageRank(docs, edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val q = 1L << 20
+    val n = r.size
+    // total mass never exceeds the initial n·q (teleport + damped flow
+    // + dropped dangling mass can only lose grid units)
+    assert(r.values.sum <= n.toLong * q)
+    assert(r.values.forall(_ >= 157286L)) // everyone keeps teleport
+    // authority goes to hubs: the top-ranked vertex is one of the
+    // 13-block concentrators (in-degree far above the ~3-link median)
+    val top = r.maxBy(_._2)._1
+    val inDeg = LinkGraph.degrees(docs, edges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(inDeg(top) >= 10,
+      s"top-ranked vertex $top has in-degree ${inDeg(top)} — not a hub")
+  }
+
+  test("degrees: census matches brute-force counts; dangling has out 0") {
+    val got = LinkGraph.degrees(v, e)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(0L) == ((2L, 0L)))
+    assert(got(1L) == ((1L, 1L)))
+    assert(got(2L) == ((0L, 2L)))
+  }
+}
