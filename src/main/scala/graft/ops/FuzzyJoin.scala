@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy entity matching — edit-distance join with multi-pass
+  * substring blocking, the entity-resolution shape (dirty names ↔
+  * master table) that document-level dedup does not cover: the join
+  * key itself is corrupted, so equality joins find nothing and
+  * all-pairs Levenshtein is quadratic.
+  *
+  * Blocking: each pass equi-joins on one `substring(pos, len)` key;
+  * candidates are the union of passes. By pigeonhole, k disjoint
+  * blocks guarantee every pair within k−1 edits of each other shares
+  * at least one intact block — two blocks make the τ=1 recall exact,
+  * τ ≥ 2 needs more passes (or q-gram blocking) and is otherwise
+  * best-effort: a deliberate, DOCUMENTED trade, the standard one in
+  * entity resolution. The expensive confirm (Levenshtein, classic
+  * unit-cost — identical in Spark and DuckDB) runs only on blocked
+  * candidates, never all pairs.
+  *
+  * Scale: each pass is a hash equi-join on its block key (hot blocks
+  * = key skew — salt or df-cap a pathological block the same way the
+  * shingle joins do); pairs deduplicate BEFORE the Levenshtein so a
+  * pair found by both passes scores once. Output is the per-dirty-row
+  * arg-min (distance, then master key — deterministic ties), plus the
+  * candidate count as an ambiguity signal. */
+object FuzzyJoin {
+
+  /** Best master match per dirty row: (dirtyId, matched_key,
+    * edit_dist, n_candidates), inner — dirty rows with no candidate
+    * within `tau` are absent. `blocks` are 1-based (pos, len)
+    * substring windows. */
+  def bestMatch(dirty: DataFrame, clean: DataFrame,
+      dirtyId: String, dirtyCol: String,
+      cleanId: String, cleanCol: String,
+      blocks: Seq[(Int, Int)], tau: Int): DataFrame = {
+    require(blocks.nonEmpty, "need at least one blocking pass")
+    require(tau >= 0, "tau must be ≥ 0")
+    val cand = blocks.map { case (p, l) =>
+      dirty.select(col(dirtyId).as("__did"), col(dirtyCol).as("__dn"),
+          substring(col(dirtyCol), p, l).as("__bk"))
+        .join(clean.select(col(cleanId).as("__cid"),
+          col(cleanCol).as("__cn"),
+          substring(col(cleanCol), p, l).as("__bk")), "__bk")
+        .select("__did", "__dn", "__cid", "__cn")
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .withColumn("__dist", levenshtein(col("__dn"), col("__cn")))
+      .filter(col("__dist") <= tau)
+      .groupBy("__did")
+      .agg(min(struct(col("__dist"), col("__cid"))).as("__m"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("__did").as(dirtyId),
+        col("__m.__cid").as("matched_key"),
+        col("__m.__dist").as("edit_dist"),
+        col("n_candidates"))
+  }
+}

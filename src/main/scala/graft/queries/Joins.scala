@@ -232,7 +232,37 @@ object Joins extends QueryModule {
       .orderBy("event_id")
   }
 
+  // ---- J9: fuzzy entity match — corrupted customer names against the
+  //      master table. Synthesis (every 3rd customer): one letter
+  //      substituted in the 9-digit zone; every 15th gets a second
+  //      substitution (zone-A position); every 21st is corrupted
+  //      beyond τ (4 chars) — candidates that the Levenshtein confirm
+  //      must reject. Blocks split the digit zone (10,4)/(14,5):
+  //      pigeonhole makes single-edit recall exact; the two-edit rows
+  //      whose edits straddle both zones are blocking misses BY
+  //      DESIGN (documented in FuzzyJoin) and the oracle agrees.
+  private def j9FuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+    val d1 = expr("concat(substring(c_name, 1, 9 + c_custkey % 9), 'x', " +
+      "substring(c_name, 11 + c_custkey % 9))")
+    val d2 = expr("concat(substring(__d1, 1, 9 + (c_custkey DIV 3) % 4), " +
+      "'y', substring(__d1, 11 + (c_custkey DIV 3) % 4))")
+    val dirty = cust.filter(col("c_custkey") % 3 === 0)
+      .withColumn("__d1", d1)
+      .select((col("c_custkey") + 100000L).as("dirty_id"),
+        when(col("c_custkey") % 21 === 0,
+            expr("concat(substring(c_name, 1, 9), 'zzzz', " +
+              "substring(c_name, 14))"))
+          .when(col("c_custkey") % 15 === 0, d2)
+          .otherwise(col("__d1")).as("dirty_name"))
+    graft.ops.FuzzyJoin.bestMatch(dirty, cust,
+        "dirty_id", "dirty_name", "c_custkey", "c_name",
+        blocks = Seq((10, 4), (14, 5)), tau = 2)
+      .orderBy("dirty_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j9_fuzzy_match"       -> (j9FuzzyMatch _),
     "j2_disjunctive_semi"  -> (j2DisjunctiveSemi _),
     "j7_bloom_semi"        -> (j7BloomSemi _),
     "j8_scd2_history"      -> (j8Scd2History _),
@@ -270,6 +300,53 @@ object Joins extends QueryModule {
        ORDER BY user_id, valid_from, event_id"""
 
   val oracles: Map[String, String] = Map(
+    // mirrors j9FuzzyMatch: same synthesis splices, same two blocking
+    // passes, same unit-cost levenshtein confirm, same (dist, key)
+    // arg-min — DuckDB's levenshtein is the identical classic DP
+    "j9_fuzzy_match" ->
+      """WITH dirty AS (
+           SELECT c_custkey + 100000 AS dirty_id,
+                  CASE WHEN c_custkey % 21 = 0
+                         THEN substr(c_name, 1, 9) || 'zzzz' ||
+                              substr(c_name, 14)
+                       WHEN c_custkey % 15 = 0
+                         THEN substr(d1, 1, 9 + (c_custkey // 3) % 4)
+                              || 'y' ||
+                              substr(d1, 11 + (c_custkey // 3) % 4)
+                       ELSE d1 END AS dirty_name
+           FROM (SELECT c_custkey, c_name,
+                        substr(c_name, 1, 9 + c_custkey % 9) || 'x' ||
+                        substr(c_name, 11 + c_custkey % 9) AS d1
+                 FROM customer WHERE c_custkey % 3 = 0)
+         ),
+         cand AS (
+           SELECT DISTINCT dirty_id, dirty_name, c_custkey, c_name
+           FROM (
+             SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
+             FROM dirty d JOIN customer c
+               ON substr(d.dirty_name, 10, 4) = substr(c.c_name, 10, 4)
+             UNION ALL
+             SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
+             FROM dirty d JOIN customer c
+               ON substr(d.dirty_name, 14, 5) = substr(c.c_name, 14, 5))
+         ),
+         conf AS (
+           SELECT dirty_id, c_custkey,
+                  levenshtein(dirty_name, c_name) AS dist
+           FROM cand
+           WHERE levenshtein(dirty_name, c_name) <= 2
+         ),
+         best AS (
+           SELECT dirty_id, c_custkey AS matched_key, dist AS edit_dist,
+                  count(*) OVER (PARTITION BY dirty_id) AS n_candidates,
+                  row_number() OVER (PARTITION BY dirty_id
+                                     ORDER BY dist, c_custkey) AS rn
+           FROM conf
+         )
+         SELECT dirty_id, matched_key, edit_dist, n_candidates
+         FROM best WHERE rn = 1
+         ORDER BY dirty_id""",
+
     "j7_bloom_semi" ->
       """SELECT l_orderkey, count(*) AS n_lines,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -167,4 +167,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(j.orderBy("event_id").select("props").head().getString(0) === orig)
     assert(c.orderBy("event_id").select("props").head().getString(0) === orig)
   }
+
+  test("FuzzyJoin.bestMatch: single edit always recovered, ambiguity " +
+      "counted, beyond-tau rejected") {
+    import graft.ops.FuzzyJoin
+    val clean = Seq(
+      (1L, "Customer#000000010"),
+      (2L, "Customer#000000011"),
+      (3L, "Customer#000000777")).toDF("key", "name")
+    val dirty = Seq(
+      (101L, "Customer#00000001x"),  // 1 edit from BOTH key 1 and 2
+      (102L, "Customer#0000x0777"),  // 1 edit from key 3 (zone A hit)
+      (103L, "Customer#000zzzz77")   // 4 edits — must be rejected
+    ).toDF("did", "dname")
+    val got = FuzzyJoin.bestMatch(dirty, clean, "did", "dname",
+        "key", "name", blocks = Seq((10, 4), (14, 5)), tau = 2)
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // ambiguous: both 010 and 011 at distance 1 — ties to lowest key,
+    // and both counted as candidates
+    assert(got(101L) == ((1L, 1, 2)))
+    // zone-A edit: zone-B block carried the pair
+    assert(got(102L) == ((3L, 1, 1)))
+    // blocked (zone B intact) but confirm rejects at distance 4
+    assert(!got.contains(103L))
+  }
+
+  test("FuzzyJoin.bestMatch: pair found by both blocks scores once") {
+    import graft.ops.FuzzyJoin
+    val clean = Seq((1L, "Customer#000000010")).toDF("key", "name")
+    val dirty = Seq((9L, "Customer#000000010")).toDF("did", "dname")
+    val got = FuzzyJoin.bestMatch(dirty, clean, "did", "dname",
+        "key", "name", blocks = Seq((10, 4), (14, 5)), tau = 2)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(got.toSeq == Seq((9L, 1L, 0, 1L)))  // n_candidates 1, not 2
+  }
 }
