@@ -38,7 +38,8 @@ object Explain {
         "samp_mixture_plan", "samp_mixture_epochs", "emb_nn_classify",
         "src_orc_roundtrip",
         "dedup_passage_top", "sim_ivf_append", "pipeline_curate_v3",
-        "graph_pagerank", "graph_degrees", "j9_fuzzy_match")
+        "graph_pagerank", "graph_degrees", "j9_fuzzy_match",
+        "j8_scd2_stream")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

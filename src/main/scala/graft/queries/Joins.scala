@@ -261,7 +261,34 @@ object Joins extends QueryModule {
       .orderBy("dirty_id")
   }
 
+  // ---- J8 streaming form: the CDC changelog split into 3 date-cut
+  //      slices and applied through Scd2Stream.applyBatch (the
+  //      foreachBatch unit) — the resulting table must converge to
+  //      EXACTLY the full-changelog derivation, which is what the
+  //      shared scd2HistoryOracle checks. Same e2e discipline as
+  //      pgn_stream_e2e: the streamed path is hash-proven against the
+  //      batch truth, not just row-counted.
+  private def j8Scd2Stream(s: SparkSession, d: String): DataFrame = {
+    val log = Tables.events(s, d)
+      .select("user_id", "ts", "event_type", "event_id")
+    val dir = java.nio.file.Files.createTempDirectory("scd2_stream")
+      .toString + "/hist"
+    val c1 = to_timestamp(lit("2024-01-11 00:00:00"))
+    val c2 = to_timestamp(lit("2024-01-21 00:00:00"))
+    val slices = Seq(
+      log.filter(col("ts") < c1),
+      log.filter(col("ts") >= c1 && col("ts") < c2),
+      log.filter(col("ts") >= c2))
+    slices.foreach(sl => graft.streaming.Scd2Stream.applyBatch(
+      sl, dir, "user_id", "ts", "event_type", "event_id"))
+    s.read.parquet(dir)
+      .select("user_id", "event_id", "event_type", "valid_from",
+        "valid_to", "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j8_scd2_stream"       -> (j8Scd2Stream _),
     "j9_fuzzy_match"       -> (j9FuzzyMatch _),
     "j2_disjunctive_semi"  -> (j2DisjunctiveSemi _),
     "j7_bloom_semi"        -> (j7BloomSemi _),
@@ -357,6 +384,8 @@ object Joins extends QueryModule {
          GROUP BY l_orderkey ORDER BY l_orderkey""",
 
     "j8_scd2_history" -> scd2HistoryOracle,
+    // the streamed table must converge to the identical full-log truth
+    "j8_scd2_stream" -> scd2HistoryOracle,
 
     // incremental merge reduces to the SAME full-derivation truth —
     // sharing the oracle is the equivalence proof

@@ -63,6 +63,87 @@ class StreamMergeSpec extends AnyFunSuite {
     assert(tableRows() === expected)
   }
 
+  test("Scd2Stream.applyBatch: sliced merges converge to the full " +
+      "derivation; last-slice redelivery is a no-op") {
+    import graft.ops.Upsert
+    import graft.streaming.Scd2Stream
+    val table = Files.createTempDirectory("scd2s").toString + "/hist"
+    val log = Tables.events(spark, sf001)
+      .select("user_id", "ts", "event_type", "event_id")
+    // terciles on the raw long micros (exact, deterministic)
+    val micros = log.select(col("ts").cast("long")).as[Long].collect().sorted
+    val (c1, c2) = (micros(micros.length / 3), micros(2 * micros.length / 3))
+    val s1 = log.filter(col("ts").cast("long") <= c1)
+    val s2 = log.filter(col("ts").cast("long") > c1 &&
+      col("ts").cast("long") <= c2)
+    val s3 = log.filter(col("ts").cast("long") > c2)
+    for (s <- Seq(s1, s2, s3))
+      Scd2Stream.applyBatch(s, table, "user_id", "ts", "event_type",
+        "event_id")
+    val got = spark.read.parquet(table)
+    val want = Upsert.scd2FromChangelog(log, "user_id", "ts",
+        "event_type", "event_id")
+      .select("user_id", "event_id", "event_type", "valid_from",
+        "valid_to", "is_current")
+    assert(got.select(want.columns.map(col): _*).except(want).count() == 0)
+    assert(want.except(got.select(want.columns.map(col): _*)).count() == 0)
+    // at-least-once: redelivering ANY batch — middle or last, change
+    // points and continuations alike — leaves the CONTENT unchanged
+    // (the high-water mark drops rows at/before each key's frontier;
+    // trailing continuations past it re-merge to identical intervals,
+    // possibly rewriting files — hence row compare, not file compare)
+    def snapshot(): Seq[String] =
+      spark.read.parquet(table)
+        .orderBy("user_id", "valid_from", "event_id")
+        .collect().map(_.toString).toSeq
+    val before = snapshot()
+    for (s <- Seq(s2, s3, s1))
+      Scd2Stream.applyBatch(s, table, "user_id", "ts", "event_type",
+        "event_id")
+    assert(snapshot() == before)
+  }
+
+  test("Scd2Stream: checkpointed stream builds history incrementally " +
+      "and a fresh-checkpoint replay of change-point batches converges") {
+    import graft.ops.Upsert
+    import graft.streaming.Scd2Stream
+    val src = Files.createTempDirectory("scd2_src").toString
+    val cp = Files.createTempDirectory("scd2_cp").toString
+    val table = Files.createTempDirectory("scd2_tbl").toString + "/hist"
+    // change-point-only changelog: every row flips the attr
+    def slice(ids: Seq[Long], t0: String, attr: String) = ids.map(u =>
+      (u, ts(t0), attr, u * 10 + attr.length.toLong))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val a = slice(Seq(1L, 2L), "2025-05-01 10:00:00", "free")
+    val b = slice(Seq(1L, 2L), "2025-05-02 10:00:00", "pro")
+    a.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(200)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    def runOnce(checkpoint: String): Unit = {
+      val stream = spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = Scd2Stream.start(stream, table, checkpoint,
+        "user_id", "ts", "event_type", "event_id")
+      q.awaitTermination(60000)
+    }
+    runOnce(cp)
+    val full = a.unionByName(b)
+    val want = Upsert.scd2FromChangelog(full, "user_id", "ts",
+        "event_type", "event_id")
+      .select("user_id", "event_id", "event_type", "valid_from",
+        "valid_to", "is_current")
+    def table_(): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(table).select(want.columns.map(col): _*)
+    assert(table_().except(want).count() == 0 &&
+      want.except(table_()).count() == 0)
+    // lost checkpoint, full redelivery: every change point already in
+    // history → both batches drop to empty slices, table unchanged
+    runOnce(Files.createTempDirectory("scd2_cp2").toString)
+    assert(table_().except(want).count() == 0 &&
+      want.except(table_()).count() == 0)
+  }
+
   test("mergeParquet recovers the table from a backup left by a crashed swap") {
     import java.nio.file.Paths
     import graft.streaming.MicroBatchIngest.mergeParquet
