@@ -133,7 +133,69 @@ object Windows extends QueryModule {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // ---- W7: event-sequence transition matrix (the Markov view of user
+  //      journeys: for each event_type → next_event_type step, the
+  //      count and the row-normalized probability). One lead() window
+  //      per user sequence + one two-phase aggregation on the pair;
+  //      the probability is exact-int count / exact-int row total —
+  //      ONE IEEE division, cross-engine bit-stable. Transition
+  //      tables are |types|² rows — metadata at any corpus size; the
+  //      corpus pays the user-keyed window exchange only.
+  private def w7Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    pairs
+      .withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(tot).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // ---- W8: interval union per user (total covered time + island
+  //      count) — the gaps-and-islands sweep: running max of interval
+  //      ends marks island starts, a running sum numbers them, two
+  //      aggregations collapse to per-user coverage. Durations derive
+  //      from the value column (3600 + ⌊value⌋·60 s) so intervals
+  //      genuinely overlap; everything is epoch-µs BIGINT — no floats
+  //      anywhere. One user-keyed exchange serves both windows and
+  //      both aggregations (same sort), the canonical islands shape.
+  private def w8IntervalUnion(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_us", "end_us", "event_id")
+    val prevMax = max(col("end_us")).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) +
+          (lit(3600L) + floor(col("value")).cast("long") * 60L)
+            * 1000000L).as("end_us"))
+      .withColumn("__new",
+        when(prevMax.isNull || col("start_us") > prevMax, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy("user_id", "__island")
+      .agg(min(col("start_us")).as("__s"), max(col("end_us")).as("__e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("__e") - col("__s")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w8_interval_union" -> (w8IntervalUnion _),
+    "w7_transitions" -> (w7Transitions _),
     "w4_funnel"    -> (w4Funnel _),
     "w5_retention" -> (w5Retention _),
     "w6_active_users" -> (w6ActiveUsers _),
@@ -144,6 +206,63 @@ object Windows extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "w8_interval_union" ->
+      """WITH iv AS (
+           SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+                  epoch_us(CAST(ts AS TIMESTAMP)) +
+                    (3600 + CAST(floor(value) AS BIGINT) * 60) * 1000000
+                    AS end_us
+           FROM events),
+         fl AS (
+           SELECT user_id, start_us, end_us,
+                  CASE WHEN max(end_us) OVER (
+                         PARTITION BY user_id
+                         ORDER BY start_us, end_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) IS NULL
+                         OR start_us > max(end_us) OVER (
+                         PARTITION BY user_id
+                         ORDER BY start_us, end_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS new_island,
+                  event_id
+           FROM iv),
+         isl AS (
+           SELECT user_id, start_us, end_us,
+                  sum(new_island) OVER (
+                    PARTITION BY user_id
+                    ORDER BY start_us, end_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS island
+           FROM fl),
+         agg AS (
+           SELECT user_id, island, min(start_us) AS s, max(end_us) AS e
+           FROM isl GROUP BY user_id, island)
+         SELECT user_id, count(*) AS n_islands,
+                CAST(sum(e - s) AS BIGINT) AS covered_us
+         FROM agg GROUP BY user_id
+         ORDER BY user_id""",
+
+    "w7_transitions" ->
+      """WITH seq AS (
+           SELECT event_type,
+                  lead(event_type) OVER (
+                    PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                    AS next_type
+           FROM events),
+         pr AS (
+           SELECT event_type AS from_type, next_type AS to_type,
+                  count(*) AS n
+           FROM seq WHERE next_type IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                CAST(n AS DOUBLE) /
+                  CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                  AS p
+         FROM pr ORDER BY from_type, to_type""",
+
     "w4_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
                            CAST(ts AS TIMESTAMP) AS ts FROM events),
