@@ -27,7 +27,7 @@ object Explain {
         "j7_bloom_semi", "j8_scd2_history", "layout_compact",
         "pipeline_curate_v2", "text_decontaminate_bloom",
         "dedup_containment", "corpus_stats", "w4_funnel", "w5_retention",
-        "ops_diff_versions", "ops_quality_report", "text_bm25_topk",
+        "ops_diff_versions", "ops_quality_report", "ops_profile", "text_bm25_topk",
         "retrieval_hybrid_rrf", "text_bm25_pinned",
         "retrieval_hybrid_rrf_pinned", "text_chunk_overlap",
         "j8_scd2_merge", "mm_binary_ingest", "mm_dedup_exact",

@@ -186,9 +186,20 @@ object Relational extends QueryModule {
         col("o_orderpriority").rlike("^[1-5]-"))))
       .orderBy("rule")
 
+  // ---- Column profile: the "describe" card published next to a
+  //      dataset — per column null/distinct/min/max in ONE pass
+  //      (distincts plan as a single Expand over one scan). Profiled
+  //      columns are int/string/date — engine-portable string forms.
+  private def opsProfile(s: SparkSession, d: String): DataFrame =
+    graft.ops.Validation.profile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority"))
+      .orderBy("col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ops_diff_versions"       -> (opsDiffVersions _),
     "ops_quality_report"      -> (opsQualityReport _),
+    "ops_profile"             -> (opsProfile _),
     "s3_scan_full"            -> (s3ScanFull _),
     "s4_scan_project"         -> (s4ScanProject _),
     "s5_scan_filtered"        -> (s5ScanFilteredDisjunctive _),
@@ -227,6 +238,48 @@ object Relational extends QueryModule {
                      ELSE 'unchanged' END AS status
          FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
          ORDER BY o_orderkey""",
+
+    // min/max computed on native types, stringified only for the long
+    // format; one agg row unpivoted by UNION ALL (DuckDB's stack)
+    "ops_profile" ->
+      """WITH a AS (
+           SELECT count(*) AS n,
+                  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+                  count(DISTINCT o_orderkey) AS nd1,
+                  CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+                  CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+                  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn2,
+                  count(DISTINCT o_custkey) AS nd2,
+                  CAST(min(o_custkey) AS VARCHAR) AS mn2,
+                  CAST(max(o_custkey) AS VARCHAR) AS mx2,
+                  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn3,
+                  count(DISTINCT o_orderstatus) AS nd3,
+                  min(o_orderstatus) AS mn3,
+                  max(o_orderstatus) AS mx3,
+                  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn4,
+                  count(DISTINCT o_orderdate) AS nd4,
+                  CAST(min(o_orderdate) AS VARCHAR) AS mn4,
+                  CAST(max(o_orderdate) AS VARCHAR) AS mx4,
+                  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn5,
+                  count(DISTINCT o_orderpriority) AS nd5,
+                  min(o_orderpriority) AS mn5,
+                  max(o_orderpriority) AS mx5
+           FROM orders)
+         SELECT col_name, n AS n_rows, n_nulls, n_distinct,
+                min_value, max_value
+         FROM (
+           SELECT n, 'o_orderkey' AS col_name, nn1 AS n_nulls,
+                  nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value
+           FROM a
+           UNION ALL
+           SELECT n, 'o_custkey', nn2, nd2, mn2, mx2 FROM a
+           UNION ALL
+           SELECT n, 'o_orderstatus', nn3, nd3, mn3, mx3 FROM a
+           UNION ALL
+           SELECT n, 'o_orderdate', nn4, nd4, mn4, mx4 FROM a
+           UNION ALL
+           SELECT n, 'o_orderpriority', nn5, nd5, mn5, mx5 FROM a)
+         ORDER BY col_name""",
 
     "ops_quality_report" ->
       """WITH c AS (

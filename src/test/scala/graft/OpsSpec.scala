@@ -54,4 +54,21 @@ class OpsSpec extends AnyFunSuite {
         Validation.Rule("r", col("x") < 0)))
     }
   }
+
+  test("Validation.profile: nulls counted, distincts exclude nulls, " +
+      "min/max on native type (not lexicographic)") {
+    val df = Seq[(java.lang.Long, String)](
+      (9L, "b"), (10L, "a"), (null, "a"), (2L, null))
+      .toDF("num", "s")
+    val got = Validation.profile(df, Seq("num", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    // native-type min/max: 2 < 9 < 10 (string min would say "10" < "2")
+    assert(got("num") == ((4L, 1L, 3L, "2", "10")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+    intercept[IllegalArgumentException] {
+      Validation.profile(df, Seq("no`tick"))
+    }
+  }
 }
