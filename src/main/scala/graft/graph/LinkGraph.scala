@@ -43,25 +43,55 @@ object LinkGraph {
     * vertices must appear in it to receive rank. */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
       q: Long = 1L << 20): DataFrame = {
-    require(iters >= 1, "iters must be ≥ 1")
     require(q >= 20, "q must carry the 17/20 damping grid")
     val teleport = 3L * q / 20   // ⌊0.15·q⌋ on the damping grid
+    propagate(vertices.select(col("id"), lit(teleport).as("__tele"),
+      lit(q).as("score")), edges, iters)
+  }
+
+  /** TrustRank: identical propagation, but teleport mass lands ONLY
+    * on `seeds` (one `id` column ⊆ vertices) — the seed-restricted
+    * variant that turns authority into TRUST: pages reachable from
+    * vetted seeds score high, link farms unreachable from them decay
+    * toward zero however densely they interlink. The standard
+    * host/document quality prior for web-corpus curation. Same
+    * BIGINT grid, same bit-reproducibility, same per-iteration
+    * shapes; the seed flag is one broadcast-scale semi-join at
+    * setup. */
+  def trustRank(vertices: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int, q: Long = 1L << 20): DataFrame = {
+    require(q >= 20, "q must carry the 17/20 damping grid")
+    val teleport = 3L * q / 20
+    val flagged = vertices
+      .join(seeds.select(col("id"), lit(1).as("__seed")),
+        Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("__seed").isNotNull, teleport).otherwise(0L)
+          .as("__tele"),
+        when(col("__seed").isNotNull, q).otherwise(0L).as("score"))
+    propagate(flagged, edges, iters)
+  }
+
+  /** Shared loop: `base` carries (id, __tele, score₀). */
+  private def propagate(base: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be ≥ 1")
     // out-degree folded into the edge list once, outside the loop
     val e2 = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("__od")), "src")
       .select(col("src"), col("dst"), col("__od"))
       .localCheckpoint()
-    var ranks = vertices.select(col("id"), lit(q).as("score"))
-      .localCheckpoint()
+    val tele = base.select(col("id"), col("__tele")).localCheckpoint()
+    var ranks = base.select(col("id"), col("score")).localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = e2.join(ranks, e2("src") === ranks("id"))
         .select(col("dst"),
           expr("(17 * score) DIV (20 * __od)").as("__c"))
         .groupBy("dst").agg(sum(col("__c")).as("__in"))
-      ranks = vertices
-        .join(contrib, vertices("id") === contrib("dst"), "left_outer")
-        .select(col("id"),
-          (lit(teleport) + coalesce(col("__in"), lit(0L))).as("score"))
+      ranks = tele
+        .join(contrib, tele("id") === contrib("dst"), "left_outer")
+        .select(tele("id"),
+          (col("__tele") + coalesce(col("__in"), lit(0L))).as("score"))
         .localCheckpoint()
     }
     ranks

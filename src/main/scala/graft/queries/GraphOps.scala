@@ -45,9 +45,17 @@ object GraphOps extends QueryModule {
     LinkGraph.degrees(vertices(s, d), citeEdges(s, d))
       .orderBy("id")
 
+  // Trusted seeds: every 50th doc (2%) — trust flows down the citation
+  // graph from them; vertices unreachable from any seed decay to 0.
+  private def graphTrustrank(s: SparkSession, d: String): DataFrame =
+    LinkGraph.trustRank(vertices(s, d), citeEdges(s, d),
+        vertices(s, d).filter(col("id") % 50 === 0), iters = 3)
+      .orderBy("id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (graphPagerank _),
-    "graph_degrees"  -> (graphDegrees _)
+    "graph_pagerank"  -> (graphPagerank _),
+    "graph_degrees"   -> (graphDegrees _),
+    "graph_trustrank" -> (graphTrustrank _)
   )
 
   /** Shared synthesis + degree CTEs: v (vertices), e (edges), od
@@ -65,18 +73,22 @@ object GraphOps extends QueryModule {
        od AS (SELECT src, count(*) AS od FROM e GROUP BY src)"""
 
   /** One unrolled propagation step r_prev → r_next (all-BIGINT:
-    * ⌊17·r/(20·od)⌋ contributions + ⌊0.15·2^20⌋ teleport). */
-  private def stepSql(prev: String, next: String): String =
+    * ⌊17·r/(20·od)⌋ contributions + per-vertex teleport `tele`). */
+  private def stepSql(prev: String, next: String,
+      tele: String = "157286"): String =
     s""",
        $next AS (
          SELECT v.id,
-                CAST(157286 + coalesce(s.c, 0) AS BIGINT) AS score
+                CAST(($tele) + coalesce(s.c, 0) AS BIGINT) AS score
          FROM v LEFT JOIN (
            SELECT e.dst, sum((17 * $prev.score) // (20 * od.od)) AS c
            FROM e JOIN od USING (src)
            JOIN $prev ON e.src = $prev.id
            GROUP BY e.dst) s
          ON v.id = s.dst)"""
+
+  // seed-restricted teleport for the TrustRank oracle
+  private val SeedTele = "CASE WHEN v.id % 50 = 0 THEN 157286 ELSE 0 END"
 
   val oracles: Map[String, String] = Map(
     // 2^20 = 1048576 grid; teleport ⌊3·2^20/20⌋ = 157286 — matches
@@ -86,6 +98,17 @@ object GraphOps extends QueryModule {
       """,
          r0 AS (SELECT id, CAST(1048576 AS BIGINT) AS score FROM v)""" +
       stepSql("r0", "r1") + stepSql("r1", "r2") + stepSql("r2", "r3") +
+      """
+         SELECT id, score FROM r3 ORDER BY id"""),
+
+    "graph_trustrank" ->
+      (GraphCtes +
+      """,
+         r0 AS (SELECT id,
+                       CAST(CASE WHEN id % 50 = 0 THEN 1048576 ELSE 0
+                            END AS BIGINT) AS score FROM v)""" +
+      stepSql("r0", "r1", SeedTele) + stepSql("r1", "r2", SeedTele) +
+      stepSql("r2", "r3", SeedTele) +
       """
          SELECT id, score FROM r3 ORDER BY id"""),
 

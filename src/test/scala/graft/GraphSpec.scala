@@ -69,6 +69,27 @@ class GraphSpec extends AnyFunSuite {
       s"top-ranked vertex $top has in-degree ${inDeg(top)} — not a hub")
   }
 
+  test("trustRank: trust flows only from seeds; unreachable vertices " +
+      "decay to zero however well-linked") {
+    // 0 (seed) → 1; 2 → 1 (2 is a non-seed 'link farm' pointing at 1)
+    val v3 = Seq(0L, 1L, 2L).toDF("id")
+    val e3 = Seq((0L, 1L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val got = LinkGraph.trustRank(v3, e3, seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val q = 1L << 20
+    // seed keeps its teleport; 2 has no seed path → exactly 0
+    assert(got(0L) == 157286L)
+    assert(got(2L) == 0L)
+    // 1 receives damped flow from the seed only: iter1 r0=q →
+    // c = ⌊17q/20⌋; iter2 r(0)=157286 → c' = ⌊17·157286/20⌋
+    assert(got(1L) == 17L * 157286L / 20)
+    // sanity vs pageRank: under uniform teleport vertex 2 is NOT zero
+    val pr = LinkGraph.pageRank(v3, e3, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(2L) == 157286L)
+  }
+
   test("degrees: census matches brute-force counts; dangling has out 0") {
     val got = LinkGraph.degrees(v, e)
       .as[(Long, Long, Long)].collect()
