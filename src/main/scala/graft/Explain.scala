@@ -23,7 +23,8 @@ object Explain {
         "sim_ann_lsh_mp", "dedup_paragraph", "sim_q8_topk",
         "pack_sequences", "samp_temperature", "text_tfidf_topk",
         "pipeline_curate", "samp_fixed_n", "text_line_rules",
-        "text_url_canonical", "web_host_gate", "layout_zorder_scan", "src_jsonl_roundtrip",
+        "text_url_canonical", "web_host_gate", "pipeline_curate_v4",
+        "layout_zorder_scan", "src_jsonl_roundtrip",
         "j7_bloom_semi", "j8_scd2_history", "layout_compact",
         "pipeline_curate_v2", "text_decontaminate_bloom",
         "dedup_containment", "corpus_stats", "w4_funnel", "w5_retention",

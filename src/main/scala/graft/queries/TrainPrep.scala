@@ -174,19 +174,45 @@ object TrainPrep extends QueryModule {
   // the one that varies within a host. utm params on every 4th doc
   // exercise canonicalize-before-count (mirrors differing only by
   // tracking params still collide — the reason canon runs first).
-  private def webHostGate(s: SparkSession, d: String): DataFrame = {
+  /** The synthesized mirror crawl shared by the host-gate entry and
+    * curate v4 — ONE definition of the URL rule, no drift. */
+  private def mirrorCrawl(s: SparkSession, d: String): DataFrame = {
     val srcNum = substring(col("source"), 4, 6).cast("int")
     val pathId = when(expr("(doc_id % 400) DIV 20") < srcNum,
         col("doc_id") % 5)
       .otherwise(col("doc_id"))
-    val docs = Tables.documents(s, d).select(col("doc_id"),
+    Tables.documents(s, d).select(col("doc_id"), col("text"),
       concat(lit("https://"), col("source"), lit(".example.org/doc/"),
         pathId.cast("string"),
         when(col("doc_id") % 4 === 0, lit("?utm_source=feed"))
           .otherwise(lit(""))).as("url"))
-    UrlOps.hostGate(UrlOps.canonicalize(docs), maxDupRate = 0.5)
+  }
+
+  private def webHostGate(s: SparkSession, d: String): DataFrame =
+    UrlOps.hostGate(
+        UrlOps.canonicalize(mirrorCrawl(s, d).drop("text")),
+        maxDupRate = 0.5)
       .select("doc_id", "url_host", "host_docs", "host_urls",
         "dup_url_rate", "keep")
+      .orderBy("doc_id")
+
+  // ---- Curation pipeline v4: the WEB-side composition — host gate
+  //      (dup-URL prior) → URL-level exact dedup (canon key, keep
+  //      lowest doc_id) → token floor → stable shard assignment.
+  //      Every stage's rule is verbatim from its per-operator oracle
+  //      (web_host_gate, text_url_canonical, corpus token rule,
+  //      export shard bucket), so the composition is hash-provable.
+  private def pipelineCurateV4(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canon_url")
+    UrlOps.hostGate(UrlOps.canonicalize(mirrorCrawl(s, d)),
+        maxDupRate = 0.5)
+      .filter(col("keep") === 1)
+      .withColumn("__keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("__keep_id"))
+      .filter(size(graft.text.Tokens.ws(col("text"))) >= 5)
+      .select(col("doc_id"), col("url_host"), col("canon_url"),
+        graft.ops.Export.shardId(col("doc_id"), 16).as("shard"))
       .orderBy("doc_id")
   }
 
@@ -385,6 +411,7 @@ object TrainPrep extends QueryModule {
     "text_line_rules" -> (textLineRules _),
     "text_url_canonical" -> (textUrlCanonical _),
     "web_host_gate" -> (webHostGate _),
+    "pipeline_curate_v4" -> (pipelineCurateV4 _),
     "corpus_stats" -> (corpusStats _),
     "corpus_histogram" -> (corpusHistogram _),
     "text_bm25_topk" -> (textBm25Topk _),
@@ -835,6 +862,47 @@ object TrainPrep extends QueryModule {
          SELECT doc_id, url, url_host, canon_url,
                 count(*) OVER (PARTITION BY canon_url) AS n_same
          FROM c ORDER BY doc_id"""),
+
+    // host gate → canon-URL dedup (min doc_id) → ≥5-token floor →
+    // md5 shard — each rule verbatim from its per-operator oracle
+    "pipeline_curate_v4" ->
+      (s"""WITH u AS (
+           SELECT doc_id,
+                  'https://' || source || '.example.org/doc/' ||
+                  CAST(CASE WHEN (doc_id % 400) // 20
+                              < CAST(substr(source, 4) AS INT)
+                            THEN doc_id % 5 ELSE doc_id END AS VARCHAR) ||
+                  CASE WHEN doc_id % 4 = 0
+                       THEN '?utm_source=feed' ELSE '' END AS url
+           FROM documents
+         ),
+         $urlCanonChain,
+         h AS (
+           SELECT url_host, count(*) AS host_docs,
+                  count(DISTINCT canon_url) AS host_urls
+           FROM c GROUP BY url_host
+         ),
+         g AS (
+           SELECT c.doc_id, c.url_host, c.canon_url
+           FROM c JOIN h USING (url_host)
+           WHERE CAST(1 AS DOUBLE) - CAST(h.host_urls AS DOUBLE)
+                   / CAST(h.host_docs AS DOUBLE) <= 0.5
+         ),
+         dd AS (
+           SELECT doc_id, url_host, canon_url,
+                  min(doc_id) OVER (PARTITION BY canon_url) AS keep_id
+           FROM g
+         ),
+         fl AS (
+           SELECT dd.doc_id, dd.url_host, dd.canon_url
+           FROM dd JOIN documents d ON dd.doc_id = d.doc_id
+           WHERE dd.doc_id = dd.keep_id
+             AND len(list_filter(string_split(trim(d.text), ' '),
+                   t -> t <> '')) >= 5
+         )
+         SELECT doc_id, url_host, canon_url,
+                ${graft.ops.Export.shardIdSql("doc_id", 16)} AS shard
+         FROM fl ORDER BY doc_id"""),
 
     // mirrors webHostGate's mirror-synthesis + UrlOps.hostGate: rate
     // is ONE IEEE division per host subtracted from an exact 1.0 —

@@ -288,6 +288,24 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.getInt(0) === 0 && out.getInt(1) === 0 && !out.getBoolean(2))
   }
 
+  test("pipeline_curate_v4 coherence: survivors pass every stage's own rule") {
+    import graft.queries.TrainPrep
+    val out = TrainPrep.queries("pipeline_curate_v4")(spark, sf001)
+      .collect()
+    assert(out.nonEmpty)
+    // canon-URL dedup held: output canon_urls are unique
+    val canons = out.map(_.getString(2))
+    assert(canons.distinct.length == canons.length)
+    // host gate held: every survivor's host is a keeper host per the
+    // standalone host-gate entry
+    val keepers = TrainPrep.queries("web_host_gate")(spark, sf001)
+      .filter(col("keep") === 1).select("url_host")
+      .distinct().as[String].collect().toSet
+    assert(out.forall(r => keepers.contains(r.getString(1))))
+    // shard range
+    assert(out.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 16))
+  }
+
   test("hostStats/hostGate: mirror host counted after canonicalization, " +
       "clean host kept") {
     import graft.text.UrlOps
