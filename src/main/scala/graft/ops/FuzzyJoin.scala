@@ -24,7 +24,15 @@ import org.apache.spark.sql.functions._
   * shingle joins do); pairs deduplicate BEFORE the Levenshtein so a
   * pair found by both passes scores once. Output is the per-dirty-row
   * arg-min (distance, then master key — deterministic ties), plus the
-  * candidate count as an ambiguity signal. */
+  * candidate count as an ambiguity signal.
+  *
+  * CHOOSE BLOCK WINDOWS ON HIGH-ENTROPY POSITIONS. A block over
+  * near-constant characters (the leading digits of a zero-padded key,
+  * a shared prefix like "Customer#") degenerates into one hot key and
+  * the pass becomes a near-cross-join: measured 56 s → ~1 s on the
+  * registry entry by moving its blocks from the padded prefix to the
+  * varying tail digits. Entropy of the window, not its width, bounds
+  * the candidate volume. */
 object FuzzyJoin {
 
   /** Best master match per dirty row: (dirtyId, matched_key,

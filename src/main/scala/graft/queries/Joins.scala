@@ -237,10 +237,13 @@ object Joins extends QueryModule {
   //      substituted in the 9-digit zone; every 15th gets a second
   //      substitution (zone-A position); every 21st is corrupted
   //      beyond τ (4 chars) — candidates that the Levenshtein confirm
-  //      must reject. Blocks split the digit zone (10,4)/(14,5):
-  //      pigeonhole makes single-edit recall exact; the two-edit rows
-  //      whose edits straddle both zones are blocking misses BY
-  //      DESIGN (documented in FuzzyJoin) and the oracle agrees.
+  //      must reject. Blocks sit on the HIGH-ENTROPY tail digits —
+  //      (14,3) and (17,2): zero-padded keys make the leading digits
+  //      near-constant, so a prefix block degenerates into one hot
+  //      key (measured 56 s at sf0.1 before this choice; ~1 s after).
+  //      Any single edit leaves at least one of {10-13 untouched
+  //      blocks, (14,3), (17,2)} intact, so ≤1-edit recall stays
+  //      exact; two-edit rows match whenever an intact block remains.
   private def j9FuzzyMatch(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).select("c_custkey", "c_name")
     val d1 = expr("concat(substring(c_name, 1, 9 + c_custkey % 9), 'x', " +
@@ -257,7 +260,7 @@ object Joins extends QueryModule {
           .otherwise(col("__d1")).as("dirty_name"))
     graft.ops.FuzzyJoin.bestMatch(dirty, cust,
         "dirty_id", "dirty_name", "c_custkey", "c_name",
-        blocks = Seq((10, 4), (14, 5)), tau = 2)
+        blocks = Seq((14, 3), (17, 2)), tau = 2)
       .orderBy("dirty_id")
   }
 
@@ -351,11 +354,11 @@ object Joins extends QueryModule {
            FROM (
              SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
              FROM dirty d JOIN customer c
-               ON substr(d.dirty_name, 10, 4) = substr(c.c_name, 10, 4)
+               ON substr(d.dirty_name, 14, 3) = substr(c.c_name, 14, 3)
              UNION ALL
              SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
              FROM dirty d JOIN customer c
-               ON substr(d.dirty_name, 14, 5) = substr(c.c_name, 14, 5))
+               ON substr(d.dirty_name, 17, 2) = substr(c.c_name, 17, 2))
          ),
          conf AS (
            SELECT dirty_id, c_custkey,

@@ -176,12 +176,12 @@ class SourcesSpec extends AnyFunSuite {
       (2L, "Customer#000000011"),
       (3L, "Customer#000000777")).toDF("key", "name")
     val dirty = Seq(
-      (101L, "Customer#00000001x"),  // 1 edit from BOTH key 1 and 2
-      (102L, "Customer#0000x0777"),  // 1 edit from key 3 (zone A hit)
+      (101L, "Customer#00000001x"),  // 1 edit (pos 18) from keys 1 AND 2
+      (102L, "Customer#0000x0777"),  // 1 edit (pos 14) from key 3
       (103L, "Customer#000zzzz77")   // 4 edits — must be rejected
     ).toDF("did", "dname")
     val got = FuzzyJoin.bestMatch(dirty, clean, "did", "dname",
-        "key", "name", blocks = Seq((10, 4), (14, 5)), tau = 2)
+        "key", "name", blocks = Seq((14, 3), (17, 2)), tau = 2)
       .as[(Long, Long, Int, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     // ambiguous: both 010 and 011 at distance 1 — ties to lowest key,
@@ -198,7 +198,7 @@ class SourcesSpec extends AnyFunSuite {
     val clean = Seq((1L, "Customer#000000010")).toDF("key", "name")
     val dirty = Seq((9L, "Customer#000000010")).toDF("did", "dname")
     val got = FuzzyJoin.bestMatch(dirty, clean, "did", "dname",
-        "key", "name", blocks = Seq((10, 4), (14, 5)), tau = 2)
+        "key", "name", blocks = Seq((14, 3), (17, 2)), tau = 2)
       .as[(Long, Long, Int, Long)].collect()
     assert(got.toSeq == Seq((9L, 1L, 0, 1L)))  // n_candidates 1, not 2
   }
