@@ -62,8 +62,11 @@ object LinkGraph {
       seeds: DataFrame, iters: Int, q: Long = 1L << 20): DataFrame = {
     require(q >= 20, "q must carry the 17/20 damping grid")
     val teleport = 3L * q / 20
+    // distinct: a duplicated seed id would duplicate the vertex row
+    // through the join and double-count its teleport AND outflow
     val flagged = vertices
-      .join(seeds.select(col("id"), lit(1).as("__seed")),
+      .join(seeds.select(col("id")).distinct()
+          .withColumn("__seed", lit(1)),
         Seq("id"), "left_outer")
       .select(col("id"),
         when(col("__seed").isNotNull, teleport).otherwise(0L)

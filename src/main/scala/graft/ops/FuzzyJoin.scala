@@ -1,58 +1,109 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Fuzzy entity matching — edit-distance join with multi-pass
-  * substring blocking, the entity-resolution shape (dirty names ↔
-  * master table) that document-level dedup does not cover: the join
-  * key itself is corrupted, so equality joins find nothing and
-  * all-pairs Levenshtein is quadratic.
+/** Fuzzy entity matching — edit-distance join with candidate
+  * blocking, the entity-resolution shape (dirty names ↔ master
+  * table) that document-level dedup does not cover: the join key
+  * itself is corrupted, so equality joins find nothing and all-pairs
+  * Levenshtein is quadratic.
   *
-  * Blocking: each pass equi-joins on one `substring(pos, len)` key;
-  * candidates are the union of passes. By pigeonhole, k disjoint
-  * blocks guarantee every pair within k−1 edits of each other shares
-  * at least one intact block — two blocks make the τ=1 recall exact,
-  * τ ≥ 2 needs more passes (or q-gram blocking) and is otherwise
-  * best-effort: a deliberate, DOCUMENTED trade, the standard one in
-  * entity resolution. The expensive confirm (Levenshtein, classic
-  * unit-cost — identical in Spark and DuckDB) runs only on blocked
-  * candidates, never all pairs.
+  * Two blocking families, composable in one call:
+  *   - POSITIONAL `(pos, len)` substring windows: cheapest (one
+  *     8-ish-byte key per row per pass), and by pigeonhole k disjoint
+  *     windows guarantee every pair within k−1 SUBSTITUTIONS shares
+  *     an intact block — two blocks make single-substitution recall
+  *     exact. Insertions/deletions SHIFT every later character, so
+  *     positional windows do NOT cover them; rows shorter than a
+  *     window are excluded from that pass (never keyed on a truncated
+  *     or empty block — an empty-string key would be an all-pairs hot
+  *     block).
+  *   - Q-GRAM blocking (`qgram = Some(q)`): candidates are pairs
+  *     sharing ANY length-q substring — alignment-free, so it covers
+  *     insertions and deletions too (any pair within τ edits shares a
+  *     q-gram whenever min-length > q·τ — the standard q-gram count
+  *     bound). Costs one explode per side and a df-capped gram join —
+  *     the same posting-list discipline as the shingle dedup tier;
+  *     `maxGramDf` drops ubiquitous grams that carry no selectivity
+  *     (they are the fuzzy-join's stop shingles).
   *
-  * Scale: each pass is a hash equi-join on its block key (hot blocks
-  * = key skew — salt or df-cap a pathological block the same way the
-  * shingle joins do); pairs deduplicate BEFORE the Levenshtein so a
-  * pair found by both passes scores once. Output is the per-dirty-row
-  * arg-min (distance, then master key — deterministic ties), plus the
+  * The expensive confirm (Levenshtein, classic unit-cost — identical
+  * in Spark and DuckDB) runs only on blocked candidates, never all
+  * pairs; pairs deduplicate BEFORE the confirm so a pair found by
+  * several passes scores once. Output is the per-dirty-row arg-min
+  * (distance, then master key — deterministic ties), plus the
   * candidate count as an ambiguity signal.
   *
-  * CHOOSE BLOCK WINDOWS ON HIGH-ENTROPY POSITIONS. A block over
+  * CHOOSE POSITIONAL WINDOWS ON HIGH-ENTROPY POSITIONS. A block over
   * near-constant characters (the leading digits of a zero-padded key,
   * a shared prefix like "Customer#") degenerates into one hot key and
   * the pass becomes a near-cross-join: measured 56 s → ~1 s on the
   * registry entry by moving its blocks from the padded prefix to the
   * varying tail digits. Entropy of the window, not its width, bounds
-  * the candidate volume. */
+  * the candidate volume.
+  */
 object FuzzyJoin {
+
+  private def sides(dirty: DataFrame, clean: DataFrame,
+      dirtyId: String, dirtyCol: String,
+      cleanId: String, cleanCol: String)
+      : (DataFrame, DataFrame) = (
+    dirty.select(col(dirtyId).as("__did"), col(dirtyCol).as("__dn")),
+    clean.select(col(cleanId).as("__cid"), col(cleanCol).as("__cn")))
+
+  /** One positional pass: rows shorter than pos+len−1 are excluded
+    * (no truncated/empty keys). */
+  private def positionalPass(d: DataFrame, c: DataFrame,
+      pos: Int, len: Int): DataFrame = {
+    def keyed(df: DataFrame, s: Column) = df
+      .withColumn("__bk", substring(s, pos, len))
+      .filter(length(col("__bk")) === len)
+    keyed(d, col("__dn")).join(keyed(c, col("__cn")), "__bk")
+      .select("__did", "__dn", "__cid", "__cn")
+  }
+
+  /** One q-gram pass: pairs sharing any (df-capped) q-gram. Strings
+    * shorter than q produce no grams (the length guard is
+    * load-bearing: an unguarded sequence(1, 0) REVERSES). */
+  private def qgramPass(d: DataFrame, c: DataFrame, q: Int,
+      maxGramDf: Int): DataFrame = {
+    def grams(df: DataFrame, cn: String) = df.select(col("*"),
+        explode(expr(
+          s"CASE WHEN length($cn) >= $q THEN " +
+          s"transform(sequence(1, length($cn) - ${q - 1}), " +
+          s"i -> substring($cn, i, $q)) ELSE array() END")).as("__g"))
+      .distinct()
+    val dg = grams(d, "__dn")
+    val cg = grams(c, "__cn")
+    // stop-gram cap on the MASTER side (the side that repeats)
+    val hot = cg.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxGramDf).select("__g")
+    dg.join(cg.join(hot, Seq("__g"), "left_anti"), "__g")
+      .select("__did", "__dn", "__cid", "__cn").distinct()
+  }
 
   /** Best master match per dirty row: (dirtyId, matched_key,
     * edit_dist, n_candidates), inner — dirty rows with no candidate
     * within `tau` are absent. `blocks` are 1-based (pos, len)
-    * substring windows. */
+    * substring windows; `qgram` adds an alignment-free q-gram pass
+    * (indel coverage) with ubiquitous grams dropped past
+    * `maxGramDf`. */
   def bestMatch(dirty: DataFrame, clean: DataFrame,
       dirtyId: String, dirtyCol: String,
       cleanId: String, cleanCol: String,
-      blocks: Seq[(Int, Int)], tau: Int): DataFrame = {
-    require(blocks.nonEmpty, "need at least one blocking pass")
+      blocks: Seq[(Int, Int)], tau: Int,
+      qgram: Option[Int] = None, maxGramDf: Int = 1000): DataFrame = {
+    require(blocks.nonEmpty || qgram.nonEmpty,
+      "need at least one blocking pass")
     require(tau >= 0, "tau must be ≥ 0")
-    val cand = blocks.map { case (p, l) =>
-      dirty.select(col(dirtyId).as("__did"), col(dirtyCol).as("__dn"),
-          substring(col(dirtyCol), p, l).as("__bk"))
-        .join(clean.select(col(cleanId).as("__cid"),
-          col(cleanCol).as("__cn"),
-          substring(col(cleanCol), p, l).as("__bk")), "__bk")
-        .select("__did", "__dn", "__cid", "__cn")
-    }.reduce(_ unionByName _).distinct()
+    qgram.foreach(q => require(q >= 2, "qgram must be ≥ 2"))
+    val (d, c) = sides(dirty, clean, dirtyId, dirtyCol,
+      cleanId, cleanCol)
+    val passes =
+      blocks.map { case (p, l) => positionalPass(d, c, p, l) } ++
+        qgram.map(q => qgramPass(d, c, q, maxGramDf)).toSeq
+    val cand = passes.reduce(_ unionByName _).distinct()
     cand
       .withColumn("__dist", levenshtein(col("__dn"), col("__cn")))
       .filter(col("__dist") <= tau)

@@ -93,14 +93,20 @@ object Upsert {
     val histA = history.join(affected, Seq(key), "left_semi")
     val histU = history.join(affected, Seq(key), "left_anti")
     if (validate) {
+      // lexicographic (ts, tieBreak) frontier: equal-timestamp rows
+      // are legal when the slice's tie-break sorts after the
+      // history's — the same total order the derivation itself uses
       val overlaps = histA.groupBy(col(key))
-        .agg(max(col("valid_from")).as("__mx"))
-        .join(slice.groupBy(col(key)).agg(min(col(ts)).as("__mn")),
+        .agg(max(struct(col("valid_from").as("t"),
+          col(tieBreak).as("k"))).as("__mx"))
+        .join(slice.groupBy(col(key))
+          .agg(min(struct(col(ts).as("t"), col(tieBreak).as("k")))
+            .as("__mn")),
           Seq(key))
         .filter(col("__mn") <= col("__mx")).count()
       require(overlaps == 0, s"scd2MergeSlice: slice overlaps existing " +
         s"history for $overlaps key(s) — the changelog must be " +
-        "append-only per key")
+        "append-only per key in (ts, tieBreak) order")
     }
     val pseudo = histA.select(col(key), col("valid_from").as(ts),
         col(attr), col(tieBreak))

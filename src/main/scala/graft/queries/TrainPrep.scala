@@ -174,24 +174,26 @@ object TrainPrep extends QueryModule {
   // the one that varies within a host. utm params on every 4th doc
   // exercise canonicalize-before-count (mirrors differing only by
   // tracking params still collide — the reason canon runs first).
-  /** The synthesized mirror crawl shared by the host-gate entry and
-    * curate v4 — ONE definition of the URL rule, no drift. */
-  private def mirrorCrawl(s: SparkSession, d: String): DataFrame = {
-    val srcNum = substring(col("source"), 4, 6).cast("int")
-    val pathId = when(expr("(doc_id % 400) DIV 20") < srcNum,
-        col("doc_id") % 5)
-      .otherwise(col("doc_id"))
-    Tables.documents(s, d).select(col("doc_id"), col("text"),
-      concat(lit("https://"), col("source"), lit(".example.org/doc/"),
-        pathId.cast("string"),
-        when(col("doc_id") % 4 === 0, lit("?utm_source=feed"))
-          .otherwise(lit(""))).as("url"))
-  }
+  /** The synthesized mirror crawl, canonicalized and PERSISTED once
+    * per (session, dir) — hostGate reads its input twice (stats +
+    * probe), and both the host-gate entry and curate v4 share this
+    * frame, so the memo collapses four derivations to one. */
+  private def canonCrawl(s: SparkSession, d: String): DataFrame =
+    SessionMemo(s, d, "canon_crawl") {
+      val srcNum = substring(col("source"), 4, 6).cast("int")
+      val pathId = when(expr("(doc_id % 400) DIV 20") < srcNum,
+          col("doc_id") % 5)
+        .otherwise(col("doc_id"))
+      UrlOps.canonicalize(
+        Tables.documents(s, d).select(col("doc_id"), col("text"),
+          concat(lit("https://"), col("source"),
+            lit(".example.org/doc/"), pathId.cast("string"),
+            when(col("doc_id") % 4 === 0, lit("?utm_source=feed"))
+              .otherwise(lit(""))).as("url"))).persist()
+    }
 
   private def webHostGate(s: SparkSession, d: String): DataFrame =
-    UrlOps.hostGate(
-        UrlOps.canonicalize(mirrorCrawl(s, d).drop("text")),
-        maxDupRate = 0.5)
+    UrlOps.hostGate(canonCrawl(s, d).drop("text"), maxDupRate = 0.5)
       .select("doc_id", "url_host", "host_docs", "host_urls",
         "dup_url_rate", "keep")
       .orderBy("doc_id")
@@ -205,8 +207,7 @@ object TrainPrep extends QueryModule {
   private def pipelineCurateV4(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("canon_url")
-    UrlOps.hostGate(UrlOps.canonicalize(mirrorCrawl(s, d)),
-        maxDupRate = 0.5)
+    UrlOps.hostGate(canonCrawl(s, d), maxDupRate = 0.5)
       .filter(col("keep") === 1)
       .withColumn("__keep_id", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("__keep_id"))

@@ -18,7 +18,9 @@ import graft.ops.Upsert
   *
   * Crash-safety: the checkpoint gives at-least-once batch delivery;
   * idempotence is the HIGH-WATER-MARK rule — a batch row at or before
-  * its key's frontier (the key's max `valid_from` in history) must be
+  * its key's frontier (the key's lexicographic max
+  * `(valid_from, tieBreak)` in history — ts alone would misclassify
+  * the later half of an equal-timestamp pair as a replay) must be
   * a replay, because a first delivery there would violate the
   * append-only-per-key CDC contract the merge guard enforces; such
   * rows are dropped before merging, so a redelivered batch (last
@@ -66,13 +68,22 @@ object Scd2Stream {
         // high-water-mark replay filter: anything at or before the
         // key's frontier is a redelivery under the append-only
         // contract (see scaladoc) — including same-attr continuation
-        // rows that never became change points
+        // rows that never became change points. The mark is the
+        // LEXICOGRAPHIC (valid_from, tieBreak) pair, not the
+        // timestamp alone: equal-timestamp rows split across batches
+        // are legal under the derivation's (ts, tieBreak) total
+        // order, and a ts-only mark would silently drop the later
+        // half of such a pair as a "replay".
+        import org.apache.spark.sql.functions.{max, struct}
+        // shared field aliases so the struct comparison type-checks
         val frontier = hist.groupBy(col(key))
-          .agg(org.apache.spark.sql.functions.max(col("valid_from"))
-            .as("__hwm"))
+          .agg(max(struct(col("valid_from").as("t"),
+            col(tieBreak).as("k"))).as("__hwm"))
         val fresh = batch
           .join(frontier, Seq(key), "left_outer")
-          .filter(col("__hwm").isNull || col(ts) > col("__hwm"))
+          .filter(col("__hwm").isNull ||
+            struct(col(ts).as("t"), col(tieBreak).as("k"))
+              > col("__hwm"))
           .drop("__hwm")
           .localCheckpoint()
         val n = fresh.count()

@@ -86,7 +86,12 @@ object UrlOps {
     * Catalyst broadcasts it while it fits and falls back to the
     * host-keyed shuffle join at web scale). One IEEE division per
     * host, nothing else fractional — the keep bit is cross-engine
-    * deterministic. */
+    * deterministic.
+    *
+    * The input frame feeds BOTH the stats aggregation and the probe
+    * side; when deriving it is expensive (a canonicalize over a raw
+    * crawl scan), `persist()` it first or the lineage evaluates
+    * twice — the registry builders do exactly that. */
   def hostGate(canonicalized: DataFrame, maxDupRate: Double)
       : DataFrame =
     canonicalized.join(hostStats(canonicalized), Seq("url_host"))

@@ -202,4 +202,48 @@ class SourcesSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Long)].collect()
     assert(got.toSeq == Seq((9L, 1L, 0, 1L)))  // n_candidates 1, not 2
   }
+
+  test("FuzzyJoin: deletions shift positional blocks (documented miss); " +
+      "the q-gram pass recovers them") {
+    import graft.ops.FuzzyJoin
+    val clean = Seq((1L, "Customer#000000010")).toDF("key", "name")
+    // one DELETION ('u' dropped) — every later char shifts left
+    val dirty = Seq((9L, "Cstomer#000000010")).toDF("did", "dname")
+    val posOnly = FuzzyJoin.bestMatch(dirty, clean, "did", "dname",
+        "key", "name", blocks = Seq((14, 3), (17, 2)), tau = 2)
+      .collect()
+    assert(posOnly.isEmpty)  // the documented positional limitation
+    val withQgram = FuzzyJoin.bestMatch(dirty, clean, "did", "dname",
+        "key", "name", blocks = Seq((14, 3), (17, 2)), tau = 2,
+        qgram = Some(4))
+      .as[(Long, Long, Int, Long)].collect()
+    assert(withQgram.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((9L, 1L, 1)))
+  }
+
+  test("FuzzyJoin: strings shorter than a positional window are " +
+      "excluded from that pass — never keyed on an empty block") {
+    import graft.ops.FuzzyJoin
+    val clean = Seq((1L, "ab"), (2L, "xy")).toDF("key", "name")
+    val dirty = Seq((9L, "ac")).toDF("did", "dname")
+    // window (10, 4) is past every string: no empty-key cross join,
+    // no crash, no candidates
+    val got = FuzzyJoin.bestMatch(dirty, clean, "did", "dname",
+        "key", "name", blocks = Seq((10, 4)), tau = 2)
+      .collect()
+    assert(got.isEmpty)
+    // a q-gram pass still matches the short strings
+    val q = FuzzyJoin.bestMatch(dirty, clean, "did", "dname",
+        "key", "name", blocks = Seq((10, 4)), tau = 1,
+        qgram = Some(2))
+      .as[(Long, Long, Int, Long)].collect()
+    assert(q.isEmpty)  // "ac" shares no 2-gram with "ab" or "xy"
+    val q2 = FuzzyJoin.bestMatch(
+        Seq((9L, "abc")).toDF("did", "dname"),
+        Seq((1L, "abd")).toDF("key", "name"),
+        "did", "dname", "key", "name",
+        blocks = Seq((10, 4)), tau = 1, qgram = Some(2))
+      .as[(Long, Long, Int, Long)].collect()
+    assert(q2.map(r => (r._1, r._2, r._3)).toSeq == Seq((9L, 1L, 1)))
+  }
 }

@@ -103,6 +103,36 @@ class StreamMergeSpec extends AnyFunSuite {
     assert(snapshot() == before)
   }
 
+  test("Scd2Stream: equal-timestamp rows split across batches merge " +
+      "correctly (lexicographic high-water mark, not ts-only)") {
+    import graft.ops.Upsert
+    import graft.streaming.Scd2Stream
+    val table = Files.createTempDirectory("scd2eq").toString + "/hist"
+    val t = ts("2025-06-01 12:00:00")
+    // same user, same timestamp, consecutive tie-breaks — legal under
+    // the derivation's (ts, tieBreak) total order
+    val b1 = Seq((7L, t, "free", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val b2 = Seq((7L, t, "pro", 2L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    Scd2Stream.applyBatch(b1, table, "user_id", "ts", "event_type",
+      "event_id")
+    val merged = Scd2Stream.applyBatch(b2, table, "user_id", "ts",
+      "event_type", "event_id")
+    assert(merged == 1L, "equal-ts later-tie row must NOT be dropped")
+    val got = spark.read.parquet(table)
+      .select("user_id", "event_id", "event_type", "valid_from",
+        "valid_to", "is_current")
+    val want = Upsert.scd2FromChangelog(b1.unionByName(b2), "user_id",
+        "ts", "event_type", "event_id")
+      .select("user_id", "event_id", "event_type", "valid_from",
+        "valid_to", "is_current")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // true replay of b2 (same tieBreak) is still dropped
+    assert(Scd2Stream.applyBatch(b2, table, "user_id", "ts",
+      "event_type", "event_id") == 0L)
+  }
+
   test("Scd2Stream: checkpointed stream builds history incrementally " +
       "and a fresh-checkpoint replay of change-point batches converges") {
     import graft.ops.Upsert
