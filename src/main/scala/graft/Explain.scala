@@ -40,7 +40,8 @@ object Explain {
         "src_orc_roundtrip",
         "dedup_passage_top", "sim_ivf_append", "pipeline_curate_v3",
         "graph_pagerank", "graph_degrees", "graph_trustrank", "j9_fuzzy_match",
-        "j8_scd2_stream", "w7_transitions", "w8_interval_union")
+        "j8_scd2_stream", "w7_transitions", "w8_interval_union",
+        "w9_gap_fill", "text_collocations")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

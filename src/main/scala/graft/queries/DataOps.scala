@@ -622,6 +622,12 @@ object DataOps extends QueryModule {
       .select("doc_id", "n_words", "mean_word_len", "symbol_ratio", "keep")
       .orderBy("doc_id")
 
+  // Collocations: adjacent token pairs by lift (the PMI order without
+  // the non-portable log) — phrase mining over the corpus.
+  private def textCollocations(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.collocations(Tables.documents(s, d), "text",
+      minCount = 5, k = 100)
+
   // Corpus vocabulary: token → frequency, top 500 by (count desc,
   // token) — tokenizer/vocab-building step; one shuffle + TakeOrdered.
   private def vocabTopk(s: SparkSession, d: String): DataFrame =
@@ -778,6 +784,7 @@ object DataOps extends QueryModule {
     "text_repetition"      -> (textRepetition _),
     "text_quality_gate"    -> (textQualityGate _),
     "vocab_topk"           -> (vocabTopk _),
+    "text_collocations"    -> (textCollocations _),
     "emb_centroids"        -> (embCentroids _),
     "emb_nn_classify"      -> (embNnClassify _),
     "sim_cosine_topk"      -> (simCosineTopk _),
@@ -1345,6 +1352,32 @@ object DataOps extends QueryModule {
                    AND (mean_word_len BETWEEN 3.0 AND 10.0)
                    AND (symbol_ratio <= 0.1) AS keep
           FROM m ORDER BY doc_id"""),
+
+    // lift = (nab·N as exact BIGINT product) / (na·nb as exact BIGINT
+    // product) — ONE IEEE division, same operand association as the
+    // Spark side; ranking identical to PMI (log is monotone)
+    "text_collocations" ->
+      """WITH tk AS (
+           SELECT list_filter(string_split(trim(text), ' '),
+                  t -> t <> '') AS ts
+           FROM documents),
+         toks AS (SELECT unnest(ts) AS tok FROM tk),
+         uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+         tot AS (SELECT count(*) AS n FROM toks),
+         bi AS (
+           SELECT p.a AS a, p.b AS b, count(*) AS n_ab FROM (
+             SELECT unnest([struct_pack(a := ts[i], b := ts[i + 1])
+                            for i in range(1, len(ts))]) AS p
+             FROM tk WHERE len(ts) >= 2)
+           GROUP BY p.a, p.b
+           HAVING count(*) >= 5)
+         SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
+                CAST(n_ab * tot.n AS DOUBLE)
+                  / CAST(ua.n * ub.n AS DOUBLE) AS lift
+         FROM bi JOIN uni ua ON bi.a = ua.tok
+                 JOIN uni ub ON bi.b = ub.tok, tot
+         ORDER BY lift DESC, a, b
+         LIMIT 100""",
 
     "vocab_topk" ->
       (s"""WITH $tokCte

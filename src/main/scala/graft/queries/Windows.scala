@@ -193,7 +193,32 @@ object Windows extends QueryModule {
       .orderBy("user_id")
   }
 
+  // ---- W9: calendar gap fill — per user, one row per day between
+  //      first and last activity, zero-filled (the "spine" every
+  //      time-series report needs before rolling windows make sense).
+  //      Per-user bounds are one aggregation; the spine is a
+  //      generator (explode of a date sequence — rows scale with
+  //      user-days, never materialized corpus-side); the left join
+  //      back rides the (user, day) key. No window functions at all.
+  /** The spine-join body, testable on any (user_id, ts) frame. */
+  private[graft] def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("__n"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(col("user_id"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("__n"), lit(0L)).as("n_events"))
+  }
+
+  private def w9GapFill(s: SparkSession, d: String): DataFrame =
+    gapFillDaily(Tables.events(s, d)).orderBy("user_id", "day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_gap_fill" -> (w9GapFill _),
     "w8_interval_union" -> (w8IntervalUnion _),
     "w7_transitions" -> (w7Transitions _),
     "w4_funnel"    -> (w4Funnel _),
@@ -206,6 +231,28 @@ object Windows extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // generate_series is inclusive on both ends, matching Spark's
+    // sequence(d0, d1) — one spine row per user-day
+    "w9_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT user_id, min(day) AS d0, max(day) AS d1
+           FROM daily GROUP BY user_id),
+         spine AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+                    AS day
+           FROM bounds)
+         SELECT s.user_id, s.day,
+                CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+         FROM spine s LEFT JOIN daily d
+           ON s.user_id = d.user_id AND s.day = d.day
+         ORDER BY s.user_id, s.day""",
+
     "w8_interval_union" ->
       """WITH iv AS (
            SELECT user_id, event_id,

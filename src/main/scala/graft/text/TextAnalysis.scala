@@ -244,4 +244,44 @@ object TextAnalysis {
       .withColumn("n_urls", regexp_count(col("redacted"), lit("<URL>")))
       .withColumn("n_phones", regexp_count(col("redacted"), lit("<PHONE>")))
       .withColumn("n_ips", regexp_count(col("redacted"), lit("<IP>")))
+
+  /** Collocation mining — adjacent token pairs ranked by LIFT,
+    * nab·N / (na·nb): the PMI ordering without the log (log is
+    * monotone, so the ranking is identical — and unlike `ln`, the
+    * lift arithmetic is two exact BIGINT products and ONE IEEE
+    * division, bit-stable across engines; the same dodge as the
+    * integer-pinned BM25 twin). `minCount` is the standard noise
+    * floor (rare pairs have huge unstable lift).
+    *
+    * Scale: unigram and bigram counts are two-phase hash aggregates
+    * over one token explode each; the total is a 1-row broadcast
+    * cross; the unigram join keys are terms (vocabulary-sized —
+    * broadcast while it fits, term-sharded join at web scale, same
+    * posture as tf-idf's df join); the cut is TakeOrdered, never a
+    * global sort. */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Int, k: Int): DataFrame = {
+    val ts = graft.text.Tokens.ws(col(textCol))
+    val toks = df.select(explode(ts).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("__n"))
+    val total = toks.agg(count(lit(1)).as("__N"))
+    val pairs = df.select(ts.as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__ts) - 2), " +
+        "i -> struct(__ts[i] AS a, __ts[i + 1] AS b))")).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(uni.select(col("tok").as("a"), col("__n").as("n_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("__n").as("n_b")), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("n_ab") * col("__N")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+      .select("a", "b", "n_ab", "n_a", "n_b", "lift")
+      .orderBy(desc("lift"), col("a"), col("b"))
+      .limit(k)
+  }
 }

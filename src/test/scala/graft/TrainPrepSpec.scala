@@ -288,6 +288,44 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.getInt(0) === 0 && out.getInt(1) === 0 && !out.getBoolean(2))
   }
 
+  test("collocations: a planted fixed phrase outranks free pairs; " +
+      "floor drops rare pairs") {
+    import graft.text.TextAnalysis
+    val docs = (
+      // "hong kong" always adjacent (6×); fillers make a/b common
+      Seq.fill(6)("hong kong is far") ++
+      Seq.fill(6)("the cat sat on the mat") ++
+      Seq.fill(3)("rare pair here")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text",
+        minCount = 5, k = 10)
+      .select("a", "b", "n_ab", "lift")
+      .as[(String, String, Long, Double)].collect()
+    val lift = got.map(r => (r._1, r._2) -> r._4).toMap
+    // the fixed phrase (always adjacent, exclusive partners) carries
+    // maximal lift; pairs with the promiscuous "the" rank strictly
+    // below it
+    assert(lift(("hong", "kong")) > lift(("the", "cat")))
+    assert(lift(("hong", "kong")) > lift(("on", "the")))
+    // the 3-occurrence pair is below the floor
+    assert(!got.exists(r => r._1 == "rare"))
+  }
+
+  test("gap fill: spine covers every day between bounds, zeros filled") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2025-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2025-01-04 10:00:00")),
+      (2L, Timestamp.valueOf("2025-02-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val out = graft.queries.Windows.gapFillDaily(ev)
+      .orderBy("user_id", "day")
+      .as[(Long, java.sql.Date, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(1L, 0L, 0L, 1L, 1L))
+    assert(out.count(_._1 == 1L) == 4)  // Jan 1..4 inclusive
+  }
+
   test("pipeline_curate_v4 coherence: survivors pass every stage's own rule") {
     import graft.queries.TrainPrep
     val out = TrainPrep.queries("pipeline_curate_v4")(spark, sf001)
