@@ -244,23 +244,23 @@ object Relational extends QueryModule {
     "ops_profile" ->
       """WITH a AS (
            SELECT count(*) AS n,
-                  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+                  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
                   count(DISTINCT o_orderkey) AS nd1,
                   CAST(min(o_orderkey) AS VARCHAR) AS mn1,
                   CAST(max(o_orderkey) AS VARCHAR) AS mx1,
-                  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn2,
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
                   count(DISTINCT o_custkey) AS nd2,
                   CAST(min(o_custkey) AS VARCHAR) AS mn2,
                   CAST(max(o_custkey) AS VARCHAR) AS mx2,
-                  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn3,
+                  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
                   count(DISTINCT o_orderstatus) AS nd3,
                   min(o_orderstatus) AS mn3,
                   max(o_orderstatus) AS mx3,
-                  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn4,
+                  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
                   count(DISTINCT o_orderdate) AS nd4,
                   CAST(min(o_orderdate) AS VARCHAR) AS mn4,
                   CAST(max(o_orderdate) AS VARCHAR) AS mx4,
-                  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn5,
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn5,
                   count(DISTINCT o_orderpriority) AS nd5,
                   min(o_orderpriority) AS mn5,
                   max(o_orderpriority) AS mx5

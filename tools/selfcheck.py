@@ -69,6 +69,24 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
             n_fail += 1
             continue
+        # The driver's hash normalizes width-only differences (int32 vs
+        # int64, timestamp ns vs us: all r6-green) but NOT integer vs
+        # decimal128 — DuckDB's HUGEINT (e.g. sum of CASE WHEN) arrives
+        # as decimal128(38,0) and hash-diverged from Spark's BIGINT in
+        # r6 (`ops_profile`). Flag exactly that family mismatch; fix is
+        # CAST(... AS BIGINT) in the oracle SQL.
+        import pyarrow.types as pt
+        tbad = []
+        for c in scols:
+            sty = st.schema.field(c).type
+            dty = dt.schema.field(c).type
+            if pt.is_decimal(sty) != pt.is_decimal(dty):
+                tbad.append((c, str(sty), str(dty)))
+        if tbad:
+            print(f"FAIL {name}: integer/decimal physical type mismatch "
+                  f"(driver hash diverges, cf. ops_profile r6): {tbad}")
+            n_fail += 1
+            continue
         if st.num_rows != dt.num_rows:
             print(f"FAIL {name}: rows spark={st.num_rows} duck={dt.num_rows}")
             n_fail += 1
