@@ -20,9 +20,8 @@ object Bench {
     catch { case _: Throwable => () }
     // Skipped when benching the warm dir itself: the dedup warm queries
     // populate SessionMemo shared builds keyed on (session, dir), and
-    // reusing them in the timed loop would zero out the build cost the
-    // alphabetical-attribution contract below charges to the first
-    // consumer.
+    // reusing them would zero out the cost the explicit `*_build`
+    // entries below are meant to measure.
     if (sfDir != warmSf) {
       Seq("dedup_ngram_jaccard", "dedup_simhash", "sim_cosine_topk").foreach { q =>
         SparkEntry.queries.get(q) match {
@@ -36,9 +35,20 @@ object Bench {
         }
       }
     }
-    // Alphabetical order: stable across rounds, so shared memoized
-    // builds (shingle index, parsed PGN corpus) are always charged to
-    // the same (first alphabetical) consumer and per-query numbers
+    // One-time shared builds (seeded streaming state, shingle indexes,
+    // gated corpora, written tables) run FIRST, timed once each as
+    // their own `*_build` entries: a single-shot run then charges
+    // build cost to an explicit line instead of booking 5–20 s of
+    // setup against whichever consumer runs first, and every query
+    // number — single-shot or median — reflects steady state.
+    val builds: Seq[(String, Double)] =
+      SparkEntry.benchBuilds.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    // Alphabetical order: stable across rounds so per-query numbers
     // stay comparable between rounds.
     def onePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -64,7 +74,10 @@ object Bench {
     val runs = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
     val passes = (1 to runs).map(_ => onePass())
-    val results: Seq[(String, Double)] = passes.head.map(_._1).zipWithIndex
+    // builds lead the report (they ran first and are timed once — a
+    // one-time cost has no meaningful median)
+    val results: Seq[(String, Double)] = builds ++
+      passes.head.map(_._1).zipWithIndex
       .map { case (name, i) =>
         val ts = passes.map(_.apply(i)._2)
         val v =

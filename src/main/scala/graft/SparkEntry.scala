@@ -48,4 +48,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
+
+  /** One-time shared-state builds, benched by [[graft.Bench]] as
+    * explicit `*_build` entries before the query loop so single-shot
+    * per-query numbers reflect steady state (build-once/query-many).
+    * Not part of the correctness registry: Verify's queries force the
+    * same memos on demand. */
+  def benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    modules.flatMap(_.benchBuilds).toMap
 }

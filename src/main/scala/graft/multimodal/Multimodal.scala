@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * via `mapPartitions` (the Scala analog of `mapInPandas` — one decoder
   * instantiation per partition, streamed row batches).
   *
-  * The actual media decode is STUBBED (this container has no image or
-  * audio libraries): [[StubDecoder]] derives deterministic fake
-  * dimensions from the byte payload. Everything Spark-side — the binary
-  * schema, the typed Dataset signature, per-partition batching, the
-  * frame-sampling shape — is real and tested; swapping in a JNI/FFmpeg
-  * decoder changes only [[MediaDecoder.decode]].
+  * Image metadata decode is REAL: [[HeaderDecoder]] parses PNG IHDR,
+  * JPEG SOF, and GIF logical-screen headers with pure byte arithmetic —
+  * no codec library. Full pixel/audio/video decode stays behind the
+  * same [[MediaDecoder]] seam ([[StubDecoder]] derives deterministic
+  * fake dimensions; this container has no codec libraries): swapping in
+  * a JNI/FFmpeg decoder changes only [[MediaDecoder.decode]].
   */
 object Multimodal {
 
@@ -43,10 +43,133 @@ object Multimodal {
     }
   }
 
+  /** Real image-header metadata decode: pure byte arithmetic over the
+    * payload's leading bytes, no codec library.
+    *   - PNG: 8-byte signature, then the IHDR chunk (REQUIRED first by
+    *     the PNG spec) — width/height are the two big-endian u32s at
+    *     offsets 16 and 20.
+    *   - JPEG: walk the marker segments from SOI until a frame header
+    *     (SOF0–SOF15, minus the non-frame C4/C8/CC); height/width are
+    *     the big-endian u16s after the segment's precision byte.
+    *   - GIF: "GIF87a"/"GIF89a", then the logical screen's
+    *     little-endian u16 width/height at offsets 6 and 8.
+    * Unrecognized payloads (the fake video/audio blobs, truncated or
+    * corrupt headers) fall back to [[StubDecoder]]'s deterministic
+    * arithmetic — the real-codec seam stays open, and decode never
+    * throws on hostile bytes. */
+  object HeaderDecoder extends MediaDecoder {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (width, height) from a PNG IHDR, or None if not a PNG. */
+    def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some((be32(b, 16), be32(b, 20)))
+      else None
+
+    /** (width, height) from the first JPEG frame header (SOF), walking
+      * marker segments; None if not a JPEG or no SOF before SOS/EOI. */
+    def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+      var p = 2
+      while (p + 3 < b.length && u8(b, p) == 0xff) {
+        val m = u8(b, p + 1)
+        if (m == 0xff) { p += 1 }                       // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { p += 2 } // standalone
+        else if (m == 0xd9 || m == 0xda) return None    // EOI / entropy data
+        else {
+          val len = be16(b, p + 2)
+          if (len < 2) return None
+          val isSof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (p + 8 >= b.length) return None
+            return Some((be16(b, p + 7), be16(b, p + 5)))
+          }
+          p += 2 + len
+        }
+      }
+      None
+    }
+
+    /** (width, height) from a GIF logical screen descriptor. */
+    def gifDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some((le16(b, 6), le16(b, 8)))
+      else None
+
+    def imageDims(b: Array[Byte]): Option[(Int, Int)] =
+      pngDims(b).orElse(jpegDims(b)).orElse(gifDims(b))
+
+    def decode(a: MediaAsset): DecodedMeta = imageDims(a.payload) match {
+      case Some((w, h)) =>
+        DecodedMeta(a.asset_id, a.media_type, a.payload.length, w, h, 1, 1)
+      case None => StubDecoder.decode(a)
+    }
+  }
+
+  /** Header ENCODERS — the write side of [[HeaderDecoder]], used by
+    * fixture planting and specs to craft real image headers with known
+    * dimensions (the payload after the header is arbitrary bytes; the
+    * metadata tier never reads past the header). */
+  object MediaHeaders {
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    /** Valid 33-byte PNG prefix: signature + IHDR (8-bit RGB,
+      * deflate/adaptive/no-interlace) with a correct CRC32. */
+    def png(width: Int, height: Int): Array[Byte] = {
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      val typeAndData = "IHDR".getBytes("US-ASCII") ++
+        be32(width) ++ be32(height) ++
+        Array[Byte](8, 2, 0, 0, 0)
+      val crc = new java.util.zip.CRC32
+      crc.update(typeAndData)
+      sig ++ be32(13) ++ typeAndData ++ be32(crc.getValue.toInt)
+    }
+
+    /** Valid 39-byte JPEG prefix: SOI + JFIF APP0 + SOF0 (8-bit,
+      * 3 components, 4:2:0). */
+    def jpeg(width: Int, height: Int): Array[Byte] = {
+      val soi = Array(0xff, 0xd8).map(_.toByte)
+      val app0 = Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++
+        "JFIF".getBytes("US-ASCII") ++
+        Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      val sof0 = Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte) ++
+        be16(height) ++ be16(width) ++
+        Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+      soi ++ app0 ++ sof0
+    }
+
+    /** 13-byte GIF89a prefix: signature + logical screen descriptor. */
+    def gif(width: Int, height: Int): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array((width & 0xff).toByte, ((width >> 8) & 0xff).toByte,
+          (height & 0xff).toByte, ((height >> 8) & 0xff).toByte,
+          0.toByte, 0.toByte, 0.toByte)
+
+    /** Header sizes, mirrored by the DuckDB oracles (n_bytes = header
+      * size + payload tail length). */
+    val PngHeaderLen = 33
+    val JpegHeaderLen = 39
+  }
+
   /** Batch decode: one decoder per partition (the expensive init a real
     * codec needs happens once per partition, not per row). */
   def decodeMeta(assets: Dataset[MediaAsset],
-      decoder: MediaDecoder = StubDecoder): Dataset[DecodedMeta] = {
+      decoder: MediaDecoder = HeaderDecoder): Dataset[DecodedMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       val d = decoder // per-partition init point
@@ -73,7 +196,8 @@ object Multimodal {
     * (the reference analog: opaque API blobs typed by endpoint,
     * backfill_user_profiles.py:144-153). */
   val ExtToType: Map[String, String] =
-    Map("mp4" -> "video", "img" -> "image", "wav" -> "audio")
+    Map("mp4" -> "video", "img" -> "image", "wav" -> "audio",
+      "png" -> "image", "jpg" -> "image", "gif" -> "image")
 
   /** REAL binary ingestion: `spark.read.format("binaryFile")` over a
     * directory of media blobs named `asset_<id>.<ext>`. This is the

@@ -204,6 +204,22 @@ object CorpusOps extends QueryModule {
     "pipeline_curate_v3"       -> (pipelineCurateV3 _)
   )
 
+  private def force(df: DataFrame): Unit = {
+    df.queryExecution.toRdd.count(); ()
+  }
+
+  /** One-time shared builds benched as explicit entries (see
+    * [[QueryModule.benchBuilds]]): the passage-dedup position set
+    * (gram aggregation over the planted corpus, feeds four entries)
+    * and curate-v3's gated corpus + its own position set. */
+  override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Map(
+      "dedup_passage_build" -> ((s, d) => force(dupPositions(s, d))),
+      "pipeline_curate_v3_build" -> ((s, d) => {
+        force(v3Gated(s, d)); force(v3Positions(s, d))
+      })
+    )
+
   // Shared oracle CTE chain: tokenized corpus + planted shapes +
   // k-grams + duplicated positions (k=12 → slice width 11, gram count
   // n-11, span end pos+11).

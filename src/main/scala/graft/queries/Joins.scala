@@ -271,11 +271,11 @@ object Joins extends QueryModule {
   //      shared scd2HistoryOracle checks. Same e2e discipline as
   //      pgn_stream_e2e: the streamed path is hash-proven against the
   //      batch truth, not just row-counted.
-  private def j8Scd2Stream(s: SparkSession, d: String): DataFrame = {
-    // the 3-batch merge is a side-effecting build (parquet writes +
-    // swaps) — memoized per (session, dir) so bench reruns, Explain,
-    // and sibling callers pay it once and share one temp dir
-    val table = SessionMemo(s, d, "scd2_stream_table") {
+  // the 3-batch merge is a side-effecting build (parquet writes +
+  // swaps) — memoized per (session, dir) so bench reruns, Explain,
+  // and sibling callers pay it once and share one temp dir
+  private def scd2StreamTable(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "scd2_stream_table") {
       val log = Tables.events(s, d)
         .select("user_id", "ts", "event_type", "event_id")
       val dir = java.nio.file.Files.createTempDirectory("scd2_stream")
@@ -290,11 +290,19 @@ object Joins extends QueryModule {
         sl, dir, "user_id", "ts", "event_type", "event_id"))
       dir
     }
-    s.read.parquet(table)
+
+  private def j8Scd2Stream(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(scd2StreamTable(s, d))
       .select("user_id", "event_id", "event_type", "valid_from",
         "valid_to", "is_current")
       .orderBy("user_id", "valid_from", "event_id")
-  }
+
+  /** The streamed SCD-2 table build (3 CDC slices applied through
+    * Scd2Stream.applyBatch), benched as its own entry — see
+    * [[QueryModule.benchBuilds]]. */
+  override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Map("j8_scd2_stream_build" ->
+      ((s, d) => { scd2StreamTable(s, d); () }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j8_scd2_stream"       -> (j8Scd2Stream _),

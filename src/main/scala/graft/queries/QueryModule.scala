@@ -18,6 +18,17 @@ import org.apache.spark.sql.types.DecimalType
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** One-time shared state builds (seeded streaming state, memoized
+    * gated corpora, written tables) that several registry queries
+    * reuse via [[SessionMemo]]. Bench runs these FIRST, timed as their
+    * own `*_build` entries, so a single-shot benchmark charges the
+    * build to an explicit line instead of booking 5–20 s of setup
+    * against whichever consumer happens to run first — the per-query
+    * numbers then reflect steady state (build-once/query-many is the
+    * production shape). Verify ignores these: correctness queries
+    * force the same memos on demand. */
+  def benchBuilds: Map[String, (SparkSession, String) => Unit] = Map.empty
 }
 
 /** Per-session memo for DataFrames shared by several registry queries

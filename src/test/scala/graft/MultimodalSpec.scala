@@ -36,6 +36,72 @@ class MultimodalSpec extends AnyFunSuite {
       5L -> ("audio", "audio-bytes")))
   }
 
+  test("HeaderDecoder: PNG/JPEG/GIF dims round-trip through MediaHeaders") {
+    import Multimodal.{HeaderDecoder, MediaHeaders}
+    for ((w, h) <- Seq((1, 1), (640, 480), (65535, 1), (1920, 1080))) {
+      assert(HeaderDecoder.pngDims(MediaHeaders.png(w, h)) === Some((w, h)))
+      if (w <= 65535 && h <= 65535) {
+        assert(HeaderDecoder.jpegDims(MediaHeaders.jpeg(w, h)) === Some((w, h)))
+        assert(HeaderDecoder.gifDims(MediaHeaders.gif(w, h)) === Some((w, h)))
+      }
+    }
+    assert(MediaHeaders.png(640, 480).length ===
+      Multimodal.MediaHeaders.PngHeaderLen)
+    assert(MediaHeaders.jpeg(640, 480).length ===
+      Multimodal.MediaHeaders.JpegHeaderLen)
+  }
+
+  test("HeaderDecoder: JPEG walker skips non-SOF segments, rejects SOS-first") {
+    import Multimodal.{HeaderDecoder, MediaHeaders}
+    // real-world shape: SOI + APP0 + COM + SOF0 — dims found past COM
+    val com = Array(0xff, 0xfe, 0x00, 0x07).map(_.toByte) ++
+      "hello".getBytes("US-ASCII")
+    val jpeg = MediaHeaders.jpeg(321, 123)
+    val withCom = jpeg.take(20) ++ com ++ jpeg.drop(20)   // APP0 is 2+18=20
+    assert(HeaderDecoder.jpegDims(withCom) === Some((321, 123)))
+    // SOS before any SOF: no dims (never scan entropy-coded data)
+    val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0)
+      .map(_.toByte)
+    assert(HeaderDecoder.jpegDims(sosFirst) === None)
+  }
+
+  test("HeaderDecoder: hostile bytes never throw, unknown falls back to stub") {
+    import Multimodal.{HeaderDecoder, MediaAsset}
+    val hostile = Seq(
+      Array.empty[Byte],
+      Array[Byte](-1, -40),                          // bare SOI
+      Array[Byte](-119, 'P', 'N', 'G'),              // truncated signature
+      Multimodal.MediaHeaders.png(9, 9).take(20),    // truncated IHDR
+      Multimodal.MediaHeaders.jpeg(9, 9).take(7),    // truncated APP0
+      Array.fill[Byte](64)(-1))                      // FF padding run
+    hostile.foreach { b =>
+      assert(HeaderDecoder.imageDims(b) === None)
+      // falls through to the stub's length arithmetic
+      val meta = HeaderDecoder.decode(MediaAsset(7L, "image", b))
+      assert(meta === Multimodal.StubDecoder.decode(MediaAsset(7L, "image", b)))
+    }
+    // text bytes (the fake video blobs) also fall through
+    val txt = "no image header here".getBytes("UTF-8")
+    assert(HeaderDecoder.imageDims(txt) === None)
+  }
+
+  test("decodeMeta e2e: planted image files yield header dims via binaryFile") {
+    import Multimodal.MediaHeaders
+    val dir = Files.createTempDirectory("mm_img").toString
+    Files.write(Paths.get(s"$dir/asset_10.png"),
+      MediaHeaders.png(101, 44) ++ "tail".getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/asset_11.jpg"),
+      MediaHeaders.jpeg(7, 9000))
+    Files.write(Paths.get(s"$dir/asset_12.gif"), MediaHeaders.gif(13, 37))
+    val out = Multimodal.decodeMeta(Multimodal.ingestBinary(spark, dir))
+      .collect().map(m => m.asset_id ->
+        (m.media_type, m.n_bytes, m.width, m.height)).toMap
+    assert(out === Map(
+      10L -> ("image", 37, 101, 44),
+      11L -> ("image", 39, 7, 9000),
+      12L -> ("image", 13, 13, 37)))
+  }
+
   test("dedupExactMedia: identical payloads group across media types") {
     val dir = plant(
       "asset_2.img" -> "same-bytes",

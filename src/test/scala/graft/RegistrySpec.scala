@@ -81,6 +81,15 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.queries.size === flat.size)
   }
 
+  test("bench build names are distinct from query names and run on sf0.001") {
+    val overlap = SparkEntry.benchBuilds.keySet & SparkEntry.queries.keySet
+    assert(overlap.isEmpty, s"build name shadows a query: $overlap")
+    assert(SparkEntry.benchBuilds.keySet.forall(_.endsWith("_build")))
+    SparkEntry.benchBuilds.foreach { case (name, fn) =>
+      withClue(s"$name: ") { fn(spark, sf0001) }
+    }
+  }
+
   test("registry covers every SURVEY §2 operator family") {
     val keys = SparkEntry.queries.keySet
     val families = Seq("s3_", "s4_", "s5_", "a1_", "a2_", "a3_", "a4_",
