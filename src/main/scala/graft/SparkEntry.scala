@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, GraphOps, Joins, LayoutOps, QueryModule, Relational, SamplingOps, TrainPrep, Transforms, Windows}
+import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, GraphOps, Joins, LayoutOps, QueryModule, Relational, SamplingOps, TokenOps, TrainPrep, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
     TrainPrep,
     LayoutOps,
     CorpusOps,
-    GraphOps
+    GraphOps,
+    TokenOps
   )
 
   /** The driver-provisioned tiny scale factor (smoke/warm-up data). */

@@ -492,7 +492,7 @@ object DataOps extends QueryModule {
 
   private def textTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(s, d))
-      .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_subwords")
       .orderBy("doc_id")
 
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
@@ -1323,7 +1323,9 @@ object DataOps extends QueryModule {
       (s"""WITH $tokCte
           SELECT doc_id,
                  len(ts) AS n_ws_tokens,
-                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe_tokens
+                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe_tokens,
+                 ${graft.text.Bpe.oracleNTokensExpr("coalesce(text, '')")}
+                   AS n_subwords
           FROM tok ORDER BY doc_id"""),
 
     "text_fingerprint" ->

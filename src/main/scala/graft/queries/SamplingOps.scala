@@ -76,6 +76,16 @@ object SamplingOps extends QueryModule {
         "doc_id", "text", budgetTokens = 1000000L)
       .orderBy("source", "doc_id", "epoch")
 
+  // The same 1M-token plan with the honest denominator: per-source
+  // budgets measured in SUBWORD tokens (pinned-merge BPE), not
+  // whitespace words — the token-count seam mixturePlan exposes.
+  private def sampMixtureBpe(s: SparkSession, d: String): DataFrame =
+    Sampling.mixturePlan(Tables.documents(s, d), "source", "text",
+        budgetTokens = 1000000L,
+        tokenCount = Some(graft.text.Bpe.nTokens(
+          coalesce(col("text"), lit("")))))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_fixed_n"         -> (sampFixedN _),
     "samp_train_test"      -> (sampTrainTest _),
@@ -84,7 +94,8 @@ object SamplingOps extends QueryModule {
     "samp_balanced"        -> (sampBalanced _),
     "samp_weighted_mix"    -> (sampWeightedMix _),
     "samp_mixture_plan"    -> (sampMixturePlan _),
-    "samp_mixture_epochs"  -> (sampMixtureEpochs _)
+    "samp_mixture_epochs"  -> (sampMixtureEpochs _),
+    "samp_mixture_bpe"     -> (sampMixtureBpe _)
   )
 
   // 0.8 → ⌊0.8·65536⌋ = 52428 = 0xcccc (the 16-bit quantized fraction)
@@ -95,13 +106,13 @@ object SamplingOps extends QueryModule {
   // Shared plan CTE chain (av → tot → w → z → sel): the token census,
   // √-share arithmetic, and allocation used verbatim by both mixture
   // oracles — one definition, no per-entry drift.
-  private val MixPlanCtes =
-    """WITH av AS (
+  private def mixPlanCtes(tokSql: String) =
+    s"""WITH av AS (
          SELECT source,
-                CAST(sum(len(list_filter(string_split(trim(text), ' '),
-                  t -> t <> ''))) AS BIGINT) AS n_tokens
+                CAST(sum($tokSql) AS BIGINT) AS n_tokens
          FROM documents GROUP BY source
-       ),
+       ),""" +
+    """
        tot AS (SELECT sum(n_tokens) AS tot FROM av),
        w AS (SELECT source, n_tokens,
                     sqrt(CAST(n_tokens AS DOUBLE) / tot) AS w
@@ -112,6 +123,9 @@ object SamplingOps extends QueryModule {
                       CAST(floor(CAST(1000000 AS DOUBLE) * (w / z))
                         AS BIGINT) AS target_tokens
                FROM w, z)"""
+
+  private val MixPlanCtes = mixPlanCtes(
+    "len(list_filter(string_split(trim(text), ' '), t -> t <> ''))")
 
   val oracles: Map[String, String] = Map(
     "samp_fixed_n" ->
@@ -175,6 +189,21 @@ object SamplingOps extends QueryModule {
     // appears in the same association order
     "samp_mixture_plan" ->
       (MixPlanCtes + """
+         SELECT source, n_tokens, share, target_tokens,
+                CASE WHEN n_tokens > 0
+                     THEN CAST(target_tokens AS DOUBLE)
+                          / CAST(n_tokens AS DOUBLE) END AS sample_rate,
+                CASE WHEN n_tokens > 0
+                      AND CAST(target_tokens AS DOUBLE)
+                          / CAST(n_tokens AS DOUBLE) > 1.0
+                     THEN 1 ELSE 0 END AS oversample
+         FROM sel ORDER BY source"""),
+
+    // identical plan arithmetic, subword token census (the BPE chain
+    // rendered from the same frozen merge table as the engine's)
+    "samp_mixture_bpe" ->
+      (mixPlanCtes(graft.text.Bpe.oracleNTokensExpr("coalesce(text, '')"))
+        + """
          SELECT source, n_tokens, share, target_tokens,
                 CASE WHEN n_tokens > 0
                      THEN CAST(target_tokens AS DOUBLE)

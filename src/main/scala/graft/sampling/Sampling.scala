@@ -270,9 +270,13 @@ object Sampling {
     * metadata-scale by construction (a corpus has tens of sources,
     * not millions). */
   def mixturePlan(df: DataFrame, srcCol: String, textCol: String,
-      budgetTokens: Long): DataFrame = {
+      budgetTokens: Long,
+      // the token-count seam: whitespace words by default; pass
+      // graft.text.Bpe.nTokens-based counts for real subword budgets
+      tokenCount: Option[Column] = None): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val nToks = size(graft.text.Tokens.ws(col(textCol)))
+    val nToks =
+      tokenCount.getOrElse(size(graft.text.Tokens.ws(col(textCol))))
     val avail = df
       .select(col(srcCol).as("source"), nToks.cast("long").as("__t"))
       .groupBy("source").agg(sum(col("__t")).as("n_tokens"))

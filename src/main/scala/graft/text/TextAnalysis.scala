@@ -72,6 +72,11 @@ object TextAnalysis {
         // oracle tokenizes identically on any input
         regexp_count(col(textCol),
           lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]")))
+      // the real subword count (pinned-merge BPE), the honest budget
+      // denominator — n_bpe_tokens above is only the pre-tokenizer's
+      // word-split census
+      .withColumn("n_subwords",
+        Bpe.nTokens(coalesce(col(textCol), lit(""))))
 
   // --- Document fingerprinting: order-aware position-weighted hash.
   //     v(token) = len*131 + first_char*31 + last_char; fp = Σ (i+1)·v_i
