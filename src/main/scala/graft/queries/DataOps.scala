@@ -604,6 +604,16 @@ object DataOps extends QueryModule {
         k = 10, mPool = Int.MaxValue, pqModel(s, d))
       .orderBy("query_id", "rank")
 
+  // Hash anchor for the ADC table-lookup ranking itself (which the
+  // exhaustive twin above bypasses — its rerank degenerates to brute
+  // force): int8-quantized vectors against the pinned integer
+  // codebook, every score BIGINT-exact. Same adcSumExpr, same nearest
+  // kernel, same broadcast-LUT plan as the trained path.
+  private def simPqPinned(s: SparkSession, d: String): DataFrame =
+    Pq.pqTopKPinned(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
+        k = 10)
+      .orderBy("query_id", "rank")
+
   // Within-doc duplicate 3-gram fraction — the "repetitive document"
   // filter signal (drives the codegen word_ngrams kernel through an
   // oracle-checked aggregate, not just the dedup pipelines).
@@ -839,6 +849,7 @@ object DataOps extends QueryModule {
     "sim_pq_topk"          -> (simPqTopk _),
     "sim_pq_rerank"        -> (simPqRerank _),
     "sim_pq_exhaustive"    -> (simPqExhaustive _),
+    "sim_pq_pinned"        -> (simPqPinned _),
     "mm_decode_meta"       -> (mmDecodeMeta _),
     "mm_decode_image"      -> (mmDecodeImage _),
     "mm_binary_ingest"     -> (mmBinaryIngest _),
@@ -1512,6 +1523,52 @@ object DataOps extends QueryModule {
     "sim_cosine_topk" -> cosineTopkOracle,
 
     // Exhaustive-mode ANN entries reduce to the same exact-top-k truth.
+    // mirrors pqTopKPinned stage-for-stage: int8 quantization (the
+    // emb_quantize rule), per-subspace argmin against the pinned
+    // codebook (list_position-of-min ≡ nearest()'s lowest-tie), LUT
+    // inner products, Σ_j lookup — all BIGINT-exact. m=8, ksub=16,
+    // ds=8, scale=64, k=10.
+    "sim_pq_pinned" -> {
+      def cb(j: String, c: String, i: String) =
+        graft.sim.Pq.pinnedCbSql(j, c, i)
+      def dists =
+        s"""list_transform(range(16), c ->
+              list_sum(list_transform(
+                list_transform(range(8), i ->
+                  q8[CAST(j*8 + i + 1 AS INT)] - (${cb("j", "c", "i")})),
+                dd -> dd * dd)))"""
+      s"""WITH qc AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[], x ->
+                    CAST(greatest(-128, least(127, floor(x * 64)))
+                         AS BIGINT)) AS q8
+           FROM embeddings
+         ),
+         enc AS (
+           SELECT vec_id,
+                  list_transform(range(8), j ->
+                    list_position($dists, list_min($dists)) - 1) AS codes
+           FROM qc
+         ),
+         scored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+                  CAST(list_sum(list_transform(range(8), j ->
+                    list_sum(list_transform(range(8), i ->
+                      q.q8[CAST(j*8 + i + 1 AS INT)] *
+                        (${cb("j", "e.codes[CAST(j + 1 AS INT)]", "i")})))))
+                    AS BIGINT) AS score
+           FROM qc q JOIN enc e ON q.vec_id <> e.vec_id
+           WHERE q.vec_id % 50 = 0
+         )
+         SELECT query_id, rank, cand_id, score
+         FROM (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, cand_id)
+                 AS INT) AS rank
+               FROM scored)
+         WHERE rank <= 10
+         ORDER BY query_id, rank"""
+    },
+
     "sim_ivf_exhaustive" -> cosineTopkOracle,
     "sim_ivf_append_exhaustive" -> cosineTopkOracle,
     "sim_lsh_exhaustive" -> cosineTopkOracle,

@@ -166,6 +166,18 @@ object Pq {
       }.toDF("vec_id", "codes", "rnorm")
   }
 
+  /** The ADC accumulation — Σ_j LUT[j][code_j] as ONE
+    * zip_with/aggregate pass over (codes, lut), no decode, no explode.
+    * `zero` pins the accumulator type: `0.0 AS double` on the
+    * production float path, `0 AS bigint` on the pinned-integer twin —
+    * the expression SHAPE is identical, so the twin's exact oracle
+    * hash-anchors the same table-lookup ranking mechanics the float
+    * path runs. */
+  private[sim] def adcSumExpr(zero: String): String =
+    s"""aggregate(zip_with(codes, lut, (c, l) ->
+          element_at(l, cast(c AS int) + 1)),
+        cast($zero), (acc, x) -> acc + x)"""
+
   /** ADC top-k: approximate cosine = Σ_j LUT[j][code_j] / (‖q‖·rnorm).
     * Output (query_id, rank, cand_id, score). The corpus side is the
     * encoded scan (m bytes + 1 double per row) against a broadcast
@@ -197,14 +209,87 @@ object Pq {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))
     enc.join(broadcast(luts), col("query_id") =!= col("vec_id"))
-      .withColumn("__ip", expr(
-        """aggregate(zip_with(codes, lut, (c, l) ->
-             element_at(l, cast(c AS int) + 1)),
-           cast(0.0 AS double), (acc, x) -> acc + x)"""))
+      .withColumn("__ip", expr(adcSumExpr("0.0 AS double")))
       .withColumn("score",
         when(col("rnorm") > 0 && col("qnorm") > 0,
           col("__ip") / (col("qnorm") * col("rnorm")))
           .otherwise(lit(Double.NegativeInfinity)))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "score")
+  }
+
+  /** The pinned integer codebook value for (subspace j, code c, dim i):
+    * a fixed arithmetic formula, no training — the PQ analog of a
+    * shipped `merges.txt`. Rendered identically by [[pinnedCbSql]] for
+    * the DuckDB oracle, so codebook, assignment and ADC scores are all
+    * BIGINT-exact cross-engine. */
+  def pinnedCbVal(j: Int, c: Int, i: Int): Int =
+    ((c * (2 * i + 1) + 3 * j) % 17) - 8
+
+  /** [[pinnedCbVal]] as a DuckDB SQL expression over the (non-negative
+    * integer) SQL expressions `j`, `c`, `i`. */
+  def pinnedCbSql(j: String, c: String, i: String): String =
+    s"((($c) * (2*($i)+1) + 3*($j)) % 17) - 8"
+
+  /** Pinned-integer ADC conformance twin of [[pqTopK]]: the same
+    * encode → LUT → Σ_j LUT[j][code_j] → rank pipeline (including the
+    * SAME [[adcSumExpr]] table-lookup aggregation and the same
+    * [[nearest]] lowest-tie assignment kernel), but over int8-quantized
+    * vectors ([[Quantize.q8Codes]]) and the [[pinnedCbVal]] codebook —
+    * every distance, LUT cell and score is integer arithmetic, so the
+    * full ADC ranking is BIGINT-exact and oracle-checkable by hash.
+    * The trained float path ([[pqTopK]]) stays rows-only by necessity
+    * (float k-means is engine-specific); this twin is its hash anchor.
+    *
+    * Scale shape is the production one: the encoded corpus
+    * (m bytes/row) never shuffles; the query-LUT block broadcasts. */
+  def pqTopKPinned(embeddings: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      m: Int = 8, ksub: Int = 16, scale: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"),
+      Quantize.q8Codes(col("embedding"), scale).as("__q8"))
+    val d = base.select(size(col("__q8"))).head.getInt(0)
+    require(d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val ds = d / m
+    val cb = Array.tabulate(m, ksub)((j, c) =>
+      Array.tabulate(ds)(i => pinnedCbVal(j, c, i).toDouble))
+    val bc = spark.sparkContext.broadcast(cb)
+    val mL = m; val dsL = ds; val ksubL = ksub
+    val enc = base.as[(Long, Seq[Byte])].mapPartitions { it =>
+      val cbs = bc.value
+      it.map { case (id, q) =>
+        // integer values ride in doubles: products are < 2^24, far
+        // inside the 2^53 exact-integer range, so nearest() is exact
+        val v = new Array[Double](q.length)
+        var i = 0
+        while (i < q.length) { v(i) = q(i).toDouble; i += 1 }
+        (id, Seq.tabulate(mL)(j => nearest(v, j, dsL, cbs).toByte))
+      }
+    }.toDF("vec_id", "codes")
+    val luts = base.filter(queryPred)
+      .as[(Long, Seq[Byte])].mapPartitions { it =>
+        val cbs = bc.value
+        it.map { case (id, q) =>
+          val lut = Seq.tabulate(mL) { j =>
+            Seq.tabulate(ksubL) { c =>
+              var s = 0L; var i = 0
+              while (i < dsL) {
+                s += q(j * dsL + i) * cbs(j)(c)(i).toLong; i += 1
+              }
+              s
+            }
+          }
+          (id, lut)
+        }
+      }.toDF("query_id", "lut")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    enc.join(broadcast(luts), col("query_id") =!= col("vec_id"))
+      .withColumn("score", expr(adcSumExpr("0 AS bigint")))
       .select(col("query_id"), col("vec_id").as("cand_id"), col("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

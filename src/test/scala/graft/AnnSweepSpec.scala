@@ -84,4 +84,16 @@ class AnnSweepSpec extends AnyFunSuite {
     assert(recalls(1)._2 >= 0.45, s"pool=30 recall regressed: $recalls")
     assert(recalls(2)._2 >= 0.75, s"pool=100 recall regressed: $recalls")
   }
+
+  test("pinned ADC twin: full result shape, non-degenerate code usage") {
+    val out = Pq.pqTopKPinned(embs, pred, k = 10).collect()
+    val nQueries = embs.filter(pred).count()
+    assert(out.length === nQueries * 10, "every query gets a full top-10")
+    // the pinned codebook must actually discriminate: a formula
+    // regression that collapses all assignments to one code would
+    // still hash-match a same-regression oracle, but not this floor
+    val scores = out.map(_.getAs[Long]("score"))
+    assert(scores.distinct.length > nQueries,
+      "ADC scores are near-constant — codebook degenerated")
+  }
 }
