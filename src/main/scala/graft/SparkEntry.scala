@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, GraphOps, Joins, LayoutOps, QueryModule, Relational, SamplingOps, TokenOps, TrainPrep, Transforms, Windows}
+import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, GraphOps, Joins, LayoutOps, MultimodalOps, QueryModule, Relational, SamplingOps, SimOps, TokenOps, TrainPrep, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,9 @@ object SparkEntry {
     LayoutOps,
     CorpusOps,
     GraphOps,
-    TokenOps
+    TokenOps,
+    SimOps,
+    MultimodalOps
   )
 
   /** The driver-provisioned tiny scale factor (smoke/warm-up data). */

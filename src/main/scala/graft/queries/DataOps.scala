@@ -479,334 +479,6 @@ object DataOps extends QueryModule {
     SemDedup.semanticDedupExhaustive(Tables.embeddings(s, d), 0.35)
       .orderBy("vec_id")
 
-  private def textLangid(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.langScores(Tables.documents(s, d))
-      .select("doc_id", "score_en", "score_es", "score_de", "lang_pred")
-      .orderBy("doc_id")
-
-  private def textQuality(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.qualityScores(Tables.documents(s, d))
-      .select("doc_id", "n_tokens", "n_chars", "n_punct", "n_stopwords",
-        "avg_token_len", "punct_ratio", "stopword_ratio")
-      .orderBy("doc_id")
-
-  private def textTokens(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.tokenCounts(Tables.documents(s, d))
-      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_subwords")
-      .orderBy("doc_id")
-
-  private def textFingerprint(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.fingerprint(Tables.documents(s, d))
-      .select("doc_id", "fingerprint")
-      .orderBy("doc_id")
-
-  // Per-language token-length distribution — the "is this corpus slice
-  // the right shape" check before mixing. Exact interpolated quantiles
-  // at DYADIC fractions (.25/.5/.75): on integer token counts every
-  // intermediate (h = p·(n−1), the fraction, the lerp) is exact in
-  // a double, so Spark's percentile and DuckDB's quantile_cont agree
-  // bit-for-bit regardless of their lerp formulation. Non-dyadic
-  // fractions (0.1) would NOT be cross-engine hash-stable.
-  private def textQuantiles(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.tokenCounts(Tables.documents(s, d))
-      .groupBy("lang")
-      .agg(
-        expr("percentile(n_bpe_tokens, 0.25)").as("p25"),
-        expr("percentile(n_bpe_tokens, 0.5)").as("p50"),
-        expr("percentile(n_bpe_tokens, 0.75)").as("p75"),
-        count(lit(1)).as("n"))
-      .orderBy("lang")
-
-  // PII scrubbing over a corpus with planted contacts: every 5th doc
-  // gains an email, every 7th a URL, every 3rd a phone, every 11th an
-  // IPv4 literal (the synthetic corpus has none, so the redaction is
-  // exercised against known ground truth).
-  private def textRedact(s: SparkSession, d: String): DataFrame = {
-    val dirty = Tables.documents(s, d)
-      .orderBy("doc_id")
-      .withColumn("dirty", concat(col("text"),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" see https://example.org/d"), col("doc_id")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" call +1-555-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 11 === 0,
-          concat(lit(" host 192.168."), (col("doc_id") % 256).cast("string"),
-            lit("."), (col("doc_id") % 250).cast("string")))
-          .otherwise(lit(""))))
-    TextAnalysis.redact(dirty, "dirty")
-      .select("doc_id", "n_emails", "n_urls", "n_phones", "n_ips", "redacted")
-  }
-
-  private def simCosineTopk(s: SparkSession, d: String): DataFrame =
-    Similarity.bruteForceTopK(Tables.embeddings(s, d),
-      col("vec_id") % 50 === 0, k = 10)
-      .orderBy("query_id", "rank")
-
-  // Approximate ANN — engine-specific bucketing; rows-only check here,
-  // recall-vs-exact asserted in ScalaTest.
-  private def simAnnLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(s, d),
-      col("vec_id") % 50 === 0, k = 10, numPlanes = 4)
-      .orderBy("query_id", "rank")
-
-  // Multi-probe variant: Hamming-ball probes recover recall lost to
-  // single-bucket LSH (monotone-recall spec in DataOpsSpec); rows-only
-  // like sim_ann_lsh (engine-specific bucketing).
-  private def simAnnLshMultiProbe(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopKMultiProbe(Tables.embeddings(s, d),
-      col("vec_id") % 50 === 0, k = 10, numPlanes = 4, flips = 1)
-      .orderBy("query_id", "rank")
-
-  // IVF ANN — centroid index, nprobe cells per query; engine-specific
-  // (Lloyd centroids), so rows-only here; nprobe=all ≡ brute-force
-  // equality and recall floors asserted in ScalaTest.
-  private def simIvfTopk(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, d),
-      col("vec_id") % 50 === 0, k = 10, numCells = 8, nprobe = 3)
-      .orderBy("query_id", "rank")
-
-  // PQ codebooks feed three registry entries (ADC top-k, two-stage
-  // rerank, exhaustive proof) — train once per (session, dir). d=64 →
-  // m=8 subspaces of 8 dims, 64 codes each: 8 bytes/vector, the 64×
-  // memory lever (vs int8's 4×). ksub=64 is the recall sweet spot on
-  // the synthetic (near-random — PQ's worst case) embeddings:
-  // 0.95 recall@10 from a 100-candidate pool (DataOpsSpec floor 0.9).
-  private def pqModel(s: SparkSession, d: String): Pq.PqModel =
-    SessionMemo(s, d, "pq_model") {
-      Pq.trainPq(Tables.embeddings(s, d), m = 8, ksub = 64, iters = 2)
-    }
-
-  // ADC ranking is trained-codebook-specific (float k-means) like IVF —
-  // rows-only here; exhaustive equality and recall floors in ScalaTest.
-  private def simPqTopk(s: SparkSession, d: String): DataFrame =
-    Pq.pqTopK(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
-        k = 10, pqModel(s, d))
-      .orderBy("query_id", "rank")
-
-  // Two-stage: 100 ADC candidates re-ranked by exact cosine to 10.
-  private def simPqRerank(s: SparkSession, d: String): DataFrame =
-    Pq.pqRerank(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
-        k = 10, mPool = 100, pqModel(s, d))
-      .orderBy("query_id", "rank")
-
-  // Exhaustive-mode conformance (the IVF/LSH trick): with the pool ≥
-  // corpus size stage 1 keeps every candidate, so the PQ encode → ADC
-  // → rerank machinery must reproduce brute force bit-for-bit against
-  // the same oracle as sim_cosine_topk.
-  private def simPqExhaustive(s: SparkSession, d: String): DataFrame =
-    Pq.pqRerank(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
-        k = 10, mPool = Int.MaxValue, pqModel(s, d))
-      .orderBy("query_id", "rank")
-
-  // Hash anchor for the ADC table-lookup ranking itself (which the
-  // exhaustive twin above bypasses — its rerank degenerates to brute
-  // force): int8-quantized vectors against the pinned integer
-  // codebook, every score BIGINT-exact. Same adcSumExpr, same nearest
-  // kernel, same broadcast-LUT plan as the trained path.
-  private def simPqPinned(s: SparkSession, d: String): DataFrame =
-    Pq.pqTopKPinned(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
-        k = 10)
-      .orderBy("query_id", "rank")
-
-  // Within-doc duplicate 3-gram fraction — the "repetitive document"
-  // filter signal (drives the codegen word_ngrams kernel through an
-  // oracle-checked aggregate, not just the dedup pipelines).
-  private def textRepetition(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.repetition(Tables.documents(s, d))
-      .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_frac")
-      .orderBy("doc_id")
-
-  // Gopher-style rule gate: word-count bounds, mean word length,
-  // symbol ratio — the pre-model quality filter of an LLM pipeline.
-  private def textQualityGate(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.qualityGate(Tables.documents(s, d))
-      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio", "keep")
-      .orderBy("doc_id")
-
-  // Collocations: adjacent token pairs by lift (the PMI order without
-  // the non-portable log) — phrase mining over the corpus.
-  private def textCollocations(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.collocations(Tables.documents(s, d), "text",
-      minCount = 5, k = 100)
-
-  // Corpus vocabulary: token → frequency, top 500 by (count desc,
-  // token) — tokenizer/vocab-building step; one shuffle + TakeOrdered.
-  private def vocabTopk(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), asc("token")).limit(500)
-
-  // Per-label embedding centroids (decimal-exact means — the building
-  // block behind IVF recentering and class prototypes).
-  private def embCentroids(s: SparkSession, d: String): DataFrame =
-    Similarity.labelCentroids(Tables.embeddings(s, d))
-      .orderBy("label", "pos")
-
-  // Nearest-centroid classification: every vector labeled by its
-  // closest class prototype, BIGINT-exact end to end (taxonomy
-  // tagging / cluster audit — the assignment step of k-means exposed
-  // as an operator).
-  private def embNnClassify(s: SparkSession, d: String): DataFrame =
-    Similarity.nearestCentroidClassify(Tables.embeddings(s, d))
-      .orderBy("vec_id")
-
-  // Exhaustive-mode ANN conformance: with nprobe = numCells every cell
-  // is probed, so the candidate set is the whole corpus and the IVF
-  // join machinery (Lloyd index, cell-keyed probe join, per-query
-  // window) must reproduce brute force bit-for-bit — pinned here
-  // against the same DuckDB oracle as sim_cosine_topk.
-  private def simIvfExhaustive(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, d),
-      col("vec_id") % 50 === 0, k = 10, numCells = 8, nprobe = 8)
-      .orderBy("query_id", "rank")
-
-  /** Index built on 6/7 of the corpus, the remaining 1/7 APPENDED
-    * without retrain — built once per (session, dir). */
-  private def ivfAppendedIndex(s: SparkSession, d: String)
-      : Similarity.IvfIndex =
-    SessionMemo(s, d, "ivf_appended") {
-      val emb = Tables.embeddings(s, d)
-      val base = Similarity.buildIvfIndex(
-        emb.filter(col("vec_id") % 7 =!= 3), numCells = 8, iters = 2)
-      Similarity.appendToIvfIndex(base, emb.filter(col("vec_id") % 7 === 3))
-    }
-
-  // Realistic probe over the appended index — trained-centroid-specific
-  // like sim_ivf_topk, so rows-only; append ≡ frozen-centroid rebuild
-  // is pinned exactly in IvfAppendSpec.
-  private def simIvfAppend(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfQuery(ivfAppendedIndex(s, d),
-        col("vec_id") % 50 === 0, k = 10, nprobe = 3)
-      .orderBy("query_id", "rank")
-
-  // nprobe = numCells → every posting list is scanned, so the probe is
-  // exhaustive and the result must equal brute force over the FULL
-  // corpus — hash-proving the appended index dropped and duplicated
-  // nothing (same twin trick as sim_ivf_exhaustive).
-  private def simIvfAppendExhaustive(s: SparkSession, d: String)
-      : DataFrame =
-    Similarity.ivfQuery(ivfAppendedIndex(s, d),
-        col("vec_id") % 50 === 0, k = 10, nprobe = 8)
-      .orderBy("query_id", "rank")
-
-  // Same trick for LSH: numPlanes = 0 → one bucket ≡ exhaustive. The
-  // single-bucket join is a degenerate plan (conformance-only, sf0.01);
-  // production retrieval is sim_ann_lsh's real bucketing.
-  private def simLshExhaustive(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(s, d),
-      col("vec_id") % 50 === 0, k = 10, numPlanes = 0)
-      .orderBy("query_id", "rank")
-
-  // The codec-stub decode path (fake video/audio blobs): text bytes
-  // carry no image header, so HeaderDecoder falls through to the
-  // deterministic stub — the seam a real FFmpeg decoder would fill.
-  private def mmDecodeMeta(s: SparkSession, d: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    Multimodal.decodeMeta(
-        Multimodal.assetsFromText(Tables.documents(s, d), "doc_id", "text"))
-      .toDF()
-      .orderBy("asset_id")
-  }
-
-  /** Plant REAL image files once per (session, dir): every 25th doc
-    * becomes `asset_<id>.png` (JPEG for every 50th) whose header
-    * encodes width = id%640+1, height = id*7%480+1 via
-    * [[Multimodal.MediaHeaders]] — valid PNG IHDR / JPEG SOF0 bytes,
-    * dimensions derivable from doc_id in the DuckDB oracle. The text
-    * bytes ride after the header so payload sizes vary organically. */
-  private def imageFixtureDir(s: SparkSession, d: String): String =
-    SessionMemo(s, d, "mm_image_fixtures") {
-      val base = s"${sys.props("java.io.tmpdir")}/graft_img_" +
-        java.lang.Integer.toHexString(d.hashCode)
-      val bp = java.nio.file.Paths.get(base)
-      graft.sources.TableSwap.deleteRecursively(bp)
-      java.nio.file.Files.createDirectories(bp)
-      val docs = Tables.documents(s, d)
-      docs.filter(col("doc_id") % 25 === 0).select("doc_id", "text")
-        .collect().foreach { r =>
-          val id = r.getLong(0)
-          val tail =
-            (if (r.isNullAt(1)) "" else r.getString(1)).getBytes("UTF-8")
-          val (w, h) = ((id % 640 + 1).toInt, (id * 7 % 480 + 1).toInt)
-          val (name, header) =
-            if (id % 50 == 0) (s"asset_$id.jpg", Multimodal.MediaHeaders.jpeg(w, h))
-            else (s"asset_$id.png", Multimodal.MediaHeaders.png(w, h))
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$base/$name"), header ++ tail)
-        }
-      base
-    }
-
-  // REAL image metadata decode end-to-end: binaryFile scan over planted
-  // PNG/JPEG files → HeaderDecoder byte arithmetic → dimensions the
-  // oracle re-derives from doc_id (the planting formula) — proving the
-  // parser reads the actual header bytes, not a stub.
-  private def mmDecodeImage(s: SparkSession, d: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    Multimodal.decodeMeta(
-        Multimodal.ingestBinary(s, imageFixtureDir(s, d)))
-      .toDF()
-      .orderBy("asset_id")
-  }
-
-  /** Plant a binary fixture directory once per (session, dir): every
-    * 25th document's UTF-8 bytes as `asset_<id>.<ext>` (ext from id%3,
-    * matching [[Multimodal.assetsFromText]]'s type rule), plus a
-    * byte-identical copy under id+Offset for every 50th — then the
-    * ingest tier reads them back through the REAL `binaryFile` source.
-    * The driver-side file writes here are fixture PLANTING only
-    * (bounded at 4% of docs); the operators under test are fully
-    * distributed. */
-  private def binaryFixtureDir(s: SparkSession, d: String): String =
-    SessionMemo(s, d, "mm_binary_fixtures") {
-      val base = s"${sys.props("java.io.tmpdir")}/graft_mm_" +
-        java.lang.Integer.toHexString(d.hashCode)
-      val bp = java.nio.file.Paths.get(base)
-      graft.sources.TableSwap.deleteRecursively(bp)
-      java.nio.file.Files.createDirectories(bp)
-      val docs = Tables.documents(s, d)
-      Planting.requireHeadroom(docs, "doc_id", "mm_binary_ingest")
-      val exts = Seq("mp4", "img", "wav")   // id%3 = video/image/audio
-      docs.filter(col("doc_id") % 25 === 0).select("doc_id", "text")
-        .collect().foreach { r =>
-          val id = r.getLong(0)
-          val bytes = r.getString(1).getBytes("UTF-8")
-          val ext = exts((id % 3).toInt)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$base/asset_$id.$ext"), bytes)
-          if (id % 50 == 0) java.nio.file.Files.write(
-            java.nio.file.Paths.get(
-              s"$base/asset_${id + Planting.Offset}.$ext"), bytes)
-        }
-      base
-    }
-
-  // The source side of the multimodal tier made real: opaque blobs in,
-  // (id, type, payload) out, no decode at scan time.
-  private def mmBinaryIngest(s: SparkSession, d: String): DataFrame =
-    Multimodal.ingestBinary(s, binaryFixtureDir(s, d))
-      .toDF()
-      .select(col("asset_id"), col("media_type"),
-        length(col("payload")).as("n_bytes"))
-      .orderBy("asset_id")
-
-  // Payload-identity media dedup over the ingested blobs: planted
-  // copies (every 50th) collapse onto their originals; the oracle
-  // groups by the SAME bytes via the text the fixtures were written
-  // from, so the hash-and-verify grouping is proven collision-proof.
-  private def mmDedupExact(s: SparkSession, d: String): DataFrame =
-    Multimodal.dedupExactMedia(
-        Multimodal.ingestBinary(s, binaryFixtureDir(s, d)))
-      .orderBy("canonical_id")
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> (dedupExact _),
     "dedup_ngram_jaccard"  -> (dedupJaccard _),
@@ -826,34 +498,6 @@ object DataOps extends QueryModule {
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
     "dedup_semantic"       -> (dedupSemantic _),
     "dedup_semantic_exhaustive" -> (dedupSemanticExhaustive _),
-    "text_langid"          -> (textLangid _),
-    "text_quality"         -> (textQuality _),
-    "text_tokens"          -> (textTokens _),
-    "text_fingerprint"     -> (textFingerprint _),
-    "text_quantiles"       -> (textQuantiles _),
-    "text_redact"          -> (textRedact _),
-    "text_repetition"      -> (textRepetition _),
-    "text_quality_gate"    -> (textQualityGate _),
-    "vocab_topk"           -> (vocabTopk _),
-    "text_collocations"    -> (textCollocations _),
-    "emb_centroids"        -> (embCentroids _),
-    "emb_nn_classify"      -> (embNnClassify _),
-    "sim_cosine_topk"      -> (simCosineTopk _),
-    "sim_ann_lsh"          -> (simAnnLsh _),
-    "sim_ann_lsh_mp"       -> (simAnnLshMultiProbe _),
-    "sim_ivf_topk"         -> (simIvfTopk _),
-    "sim_ivf_exhaustive"   -> (simIvfExhaustive _),
-    "sim_ivf_append"       -> (simIvfAppend _),
-    "sim_ivf_append_exhaustive" -> (simIvfAppendExhaustive _),
-    "sim_lsh_exhaustive"   -> (simLshExhaustive _),
-    "sim_pq_topk"          -> (simPqTopk _),
-    "sim_pq_rerank"        -> (simPqRerank _),
-    "sim_pq_exhaustive"    -> (simPqExhaustive _),
-    "sim_pq_pinned"        -> (simPqPinned _),
-    "mm_decode_meta"       -> (mmDecodeMeta _),
-    "mm_decode_image"      -> (mmDecodeImage _),
-    "mm_binary_ingest"     -> (mmBinaryIngest _),
-    "mm_dedup_exact"       -> (mmDedupExact _)
   )
 
   private def force(df: DataFrame): Unit = {
@@ -886,16 +530,8 @@ object DataOps extends QueryModule {
   // composition (pipeline_curate) reuses the SAME definition — the
   // tokenization cannot drift between the per-operator oracles and the
   // composed one.
-  private def tokCteFor(src: String) =
-    s"""tok AS (
-         SELECT doc_id,
-                list_filter(string_split(lower(trim(text)), ' '),
-                            t -> t <> '') AS ts,
-                text
-         FROM $src
-       )"""
-
-  private val tokCte = tokCteFor("documents")
+  private def tokCteFor(src: String) = OracleCtes.tokCteFor(src)
+  private val tokCte = OracleCtes.tokCte
 
   private val shCte =
     """sh AS (
@@ -942,9 +578,7 @@ object DataOps extends QueryModule {
        lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
                FROM reach GROUP BY a)"""
 
-  private val enList = "['the','a','of','and','to','in']"
-  private val esList = "['el','la','de','y','que','los']"
-  private val deList = "['der','die','das','und','ist']"
+
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1297,347 +931,6 @@ object DataOps extends QueryModule {
          FROM v LEFT JOIN lab ON v.vec_id = lab.id
          ORDER BY v.vec_id""",
 
-    "text_langid" ->
-      (s"""WITH $tokCte
-          SELECT doc_id,
-                 len(list_filter(ts, t -> list_contains($enList, t))) AS score_en,
-                 len(list_filter(ts, t -> list_contains($esList, t))) AS score_es,
-                 len(list_filter(ts, t -> list_contains($deList, t))) AS score_de,
-                 CASE WHEN len(list_filter(ts, t -> list_contains($enList, t))) >=
-                           len(list_filter(ts, t -> list_contains($esList, t)))
-                       AND len(list_filter(ts, t -> list_contains($enList, t))) >=
-                           len(list_filter(ts, t -> list_contains($deList, t)))
-                       AND len(list_filter(ts, t -> list_contains($enList, t))) > 0
-                      THEN 'en'
-                      WHEN len(list_filter(ts, t -> list_contains($esList, t))) >=
-                           len(list_filter(ts, t -> list_contains($deList, t)))
-                       AND len(list_filter(ts, t -> list_contains($esList, t))) > 0
-                      THEN 'es'
-                      WHEN len(list_filter(ts, t -> list_contains($deList, t))) > 0
-                      THEN 'de'
-                      ELSE 'unknown' END AS lang_pred
-          FROM tok ORDER BY doc_id"""),
-
-    "text_quality" ->
-      (s"""WITH $tokCte
-          SELECT doc_id,
-                 len(ts) AS n_tokens,
-                 length(text) AS n_chars,
-                 len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-                 len(list_filter(ts, t -> list_contains($enList, t))) AS n_stopwords,
-                 CAST(length(text) - len(ts) + 1 AS DOUBLE) / len(ts) AS avg_token_len,
-                 CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
-                 CAST(len(list_filter(ts, t -> list_contains($enList, t))) AS DOUBLE) / len(ts) AS stopword_ratio
-          FROM tok ORDER BY doc_id"""),
-
-    "text_tokens" ->
-      (s"""WITH $tokCte
-          SELECT doc_id,
-                 len(ts) AS n_ws_tokens,
-                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe_tokens,
-                 ${graft.text.Bpe.oracleNTokensExpr("coalesce(text, '')")}
-                   AS n_subwords
-          FROM tok ORDER BY doc_id"""),
-
-    "text_fingerprint" ->
-      (s"""WITH $tokCte
-          SELECT doc_id,
-                 list_reduce(
-                   list_transform(ts, (x, i) ->
-                     CAST(i AS BIGINT) *
-                     (length(x) * 131 + ascii(x) * 31 + ascii(substr(x, -1, 1)))),
-                   (a, b) -> (a + b) % 2147483647) AS fingerprint
-          FROM tok ORDER BY doc_id"""),
-
-    "text_redact" ->
-      """WITH dirty AS (
-           SELECT doc_id,
-                  text
-                  || CASE WHEN doc_id % 5 = 0
-                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                          ELSE '' END
-                  || CASE WHEN doc_id % 7 = 0
-                          THEN ' see https://example.org/d' || CAST(doc_id AS VARCHAR)
-                          ELSE '' END
-                  || CASE WHEN doc_id % 3 = 0
-                          THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                          ELSE '' END
-                  || CASE WHEN doc_id % 11 = 0
-                          THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
-                          ELSE '' END AS t
-           FROM documents),
-         red AS (
-           SELECT doc_id,
-                  regexp_replace(
-                    regexp_replace(
-                      regexp_replace(
-                        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                        'https?://[A-Za-z0-9./_%?=&#:~+-]+', '<URL>', 'g'),
-                      '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{1,4})?', '<PHONE>', 'g'),
-                    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
-           FROM dirty)
-         SELECT doc_id,
-                CAST(len(regexp_extract_all(redacted, '<EMAIL>')) AS INT) AS n_emails,
-                CAST(len(regexp_extract_all(redacted, '<URL>')) AS INT) AS n_urls,
-                CAST(len(regexp_extract_all(redacted, '<PHONE>')) AS INT) AS n_phones,
-                CAST(len(regexp_extract_all(redacted, '<IP>')) AS INT) AS n_ips,
-                redacted
-         FROM red ORDER BY doc_id""",
-
-    "text_quantiles" ->
-      (s"""SELECT lang,
-                  quantile_cont(nb, 0.25) AS p25,
-                  quantile_cont(nb, 0.5) AS p50,
-                  quantile_cont(nb, 0.75) AS p75,
-                  count(*) AS n
-           FROM (SELECT lang,
-                        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS nb
-                 FROM documents)
-           GROUP BY lang ORDER BY lang"""),
-
-    "text_repetition" ->
-      (s"""WITH $tokCte,
-          g AS (
-            SELECT doc_id,
-                   list_filter(
-                     [array_to_string(ts[i:i+2], ' ')
-                      for i in range(1, greatest(len(ts)-2, 1) + 1)],
-                     x -> length(x) > 0) AS gs
-            FROM tok)
-          SELECT doc_id,
-                 CAST(len(gs) AS INT) AS n_grams,
-                 CAST(len(list_distinct(gs)) AS INT) AS n_distinct_grams,
-                 CASE WHEN len(gs) > 0
-                      THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
-                      ELSE 0.0 END AS dup_gram_frac
-          FROM g ORDER BY doc_id"""),
-
-    "text_quality_gate" ->
-      (s"""WITH $tokCte,
-          m AS (
-            SELECT doc_id,
-                   CAST(len(ts) AS INT) AS n_words,
-                   CASE WHEN len(ts) > 0
-                        THEN CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / len(ts)
-                        ELSE 0.0 END AS mean_word_len,
-                   CASE WHEN length(text) > 0
-                        THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)
-                        ELSE 0.0 END AS symbol_ratio
-            FROM tok)
-          SELECT doc_id, n_words, mean_word_len, symbol_ratio,
-                 (n_words BETWEEN 30 AND 10000)
-                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
-                   AND (symbol_ratio <= 0.1) AS keep
-          FROM m ORDER BY doc_id"""),
-
-    // lift = (nab·N as exact BIGINT product) / (na·nb as exact BIGINT
-    // product) — ONE IEEE division, same operand association as the
-    // Spark side; ranking identical to PMI (log is monotone)
-    "text_collocations" ->
-      """WITH tk AS (
-           SELECT list_filter(string_split(trim(text), ' '),
-                  t -> t <> '') AS ts
-           FROM documents),
-         toks AS (SELECT unnest(ts) AS tok FROM tk),
-         uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
-         tot AS (SELECT count(*) AS n FROM toks),
-         bi AS (
-           SELECT p.a AS a, p.b AS b, count(*) AS n_ab FROM (
-             SELECT unnest([struct_pack(a := ts[i], b := ts[i + 1])
-                            for i in range(1, len(ts))]) AS p
-             FROM tk WHERE len(ts) >= 2)
-           GROUP BY p.a, p.b
-           HAVING count(*) >= 5)
-         SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
-                CAST(n_ab * tot.n AS DOUBLE)
-                  / CAST(ua.n * ub.n AS DOUBLE) AS lift
-         FROM bi JOIN uni ua ON bi.a = ua.tok
-                 JOIN uni ub ON bi.b = ub.tok, tot
-         ORDER BY lift DESC, a, b
-         LIMIT 100""",
-
-    "vocab_topk" ->
-      (s"""WITH $tokCte
-          SELECT token, count(*) AS n
-          FROM (SELECT unnest(ts) AS token FROM tok)
-          WHERE token <> ''
-          GROUP BY token
-          ORDER BY n DESC, token
-          LIMIT 500"""),
-
-    // 2^24 grid snap: power-of-two multiply is IEEE-exact, floor is
-    // unambiguous, integer sums are order-free — see labelCentroids
-    "emb_centroids" ->
-      """WITH x AS (
-           SELECT label,
-                  unnest(list_transform(embedding,
-                    (v, i) -> struct_pack(pos := i - 1, x := CAST(v AS DOUBLE)))) AS u
-           FROM embeddings)
-         SELECT label,
-                CAST(u.pos AS INT) AS pos,
-                CAST(SUM(CAST(floor(u.x * 16777216.0) AS BIGINT)) AS DOUBLE)
-                  / (count(*) * 16777216.0) AS mean_x,
-                count(*) AS n
-         FROM x GROUP BY label, u.pos
-         ORDER BY label, pos""",
-
-    // same 2^24 grid, shifted +2^24 so every value is nonnegative
-    // (shift-invariant distances; truncating // ≡ floor there);
-    // centroid coordinate is the round-half-up integer (2s+n)//(2n);
-    // distances are pure BIGINT sums of squares — argmin exact, ties
-    // to the lowest label
-    "emb_nn_classify" ->
-      """WITH x AS (
-           SELECT vec_id, label,
-                  list_transform(embedding,
-                    v -> CAST(floor(CAST(v AS DOUBLE) * 16777216.0)
-                           AS BIGINT) + 16777216) AS gv
-           FROM embeddings),
-         e AS (
-           SELECT vec_id, label, u.pos AS pos, u.x AS x FROM (
-             SELECT vec_id, label,
-                    unnest(list_transform(gv, (v, i) ->
-                      struct_pack(pos := i - 1, x := v))) AS u
-             FROM x)),
-         c AS (
-           SELECT label AS c_label, pos,
-                  CAST((2 * sum(x) + count(*)) // (2 * count(*))
-                    AS BIGINT) AS cx
-           FROM e GROUP BY label, pos),
-         d AS (
-           SELECT e.vec_id, e.label, c.c_label,
-                  CAST(sum((e.x - c.cx) * (e.x - c.cx)) AS BIGINT)
-                    AS dist_sq
-           FROM e JOIN c ON e.pos = c.pos
-           GROUP BY e.vec_id, e.label, c.c_label),
-         r AS (
-           SELECT vec_id, label, c_label, dist_sq,
-                  row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY dist_sq, c_label) AS rn
-           FROM d)
-         SELECT vec_id, label, c_label AS pred_label, dist_sq,
-                CASE WHEN label = c_label THEN 1 ELSE 0 END AS is_correct
-         FROM r WHERE rn = 1
-         ORDER BY vec_id""",
-
-    "sim_cosine_topk" -> cosineTopkOracle,
-
-    // Exhaustive-mode ANN entries reduce to the same exact-top-k truth.
-    // mirrors pqTopKPinned stage-for-stage: int8 quantization (the
-    // emb_quantize rule), per-subspace argmin against the pinned
-    // codebook (list_position-of-min ≡ nearest()'s lowest-tie), LUT
-    // inner products, Σ_j lookup — all BIGINT-exact. m=8, ksub=16,
-    // ds=8, scale=64, k=10.
-    "sim_pq_pinned" -> {
-      def cb(j: String, c: String, i: String) =
-        graft.sim.Pq.pinnedCbSql(j, c, i)
-      def dists =
-        s"""list_transform(range(16), c ->
-              list_sum(list_transform(
-                list_transform(range(8), i ->
-                  q8[CAST(j*8 + i + 1 AS INT)] - (${cb("j", "c", "i")})),
-                dd -> dd * dd)))"""
-      s"""WITH qc AS (
-           SELECT vec_id,
-                  list_transform(embedding::DOUBLE[], x ->
-                    CAST(greatest(-128, least(127, floor(x * 64)))
-                         AS BIGINT)) AS q8
-           FROM embeddings
-         ),
-         enc AS (
-           SELECT vec_id,
-                  list_transform(range(8), j ->
-                    list_position($dists, list_min($dists)) - 1) AS codes
-           FROM qc
-         ),
-         scored AS (
-           SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
-                  CAST(list_sum(list_transform(range(8), j ->
-                    list_sum(list_transform(range(8), i ->
-                      q.q8[CAST(j*8 + i + 1 AS INT)] *
-                        (${cb("j", "e.codes[CAST(j + 1 AS INT)]", "i")})))))
-                    AS BIGINT) AS score
-           FROM qc q JOIN enc e ON q.vec_id <> e.vec_id
-           WHERE q.vec_id % 50 = 0
-         )
-         SELECT query_id, rank, cand_id, score
-         FROM (SELECT *, CAST(row_number() OVER (
-                 PARTITION BY query_id ORDER BY score DESC, cand_id)
-                 AS INT) AS rank
-               FROM scored)
-         WHERE rank <= 10
-         ORDER BY query_id, rank"""
-    },
-
-    "sim_ivf_exhaustive" -> cosineTopkOracle,
-    "sim_ivf_append_exhaustive" -> cosineTopkOracle,
-    "sim_lsh_exhaustive" -> cosineTopkOracle,
-    "sim_pq_exhaustive"  -> cosineTopkOracle,
-
-    // both entries recompute the fixture set from documents (the same
-    // planting rule that wrote the files), so the whole binaryFile
-    // read-back path — path parsing, type mapping, payload bytes — is
-    // hash-checked, not just row-counted
-    "mm_binary_ingest" ->
-      """WITH f AS (
-           SELECT doc_id AS asset_id, doc_id AS src_id, text
-           FROM documents WHERE doc_id % 25 = 0
-           UNION ALL
-           SELECT doc_id + 100000 AS asset_id, doc_id AS src_id, text
-           FROM documents WHERE doc_id % 50 = 0)
-         SELECT asset_id,
-                CASE WHEN src_id % 3 = 0 THEN 'video'
-                     WHEN src_id % 3 = 1 THEN 'image'
-                     ELSE 'audio' END AS media_type,
-                CAST(octet_length(encode(text)) AS INT) AS n_bytes
-         FROM f ORDER BY asset_id""",
-
-    "mm_dedup_exact" ->
-      """WITH f AS (
-           SELECT doc_id AS asset_id, text
-           FROM documents WHERE doc_id % 25 = 0
-           UNION ALL
-           SELECT doc_id + 100000 AS asset_id, text
-           FROM documents WHERE doc_id % 50 = 0),
-         g AS (SELECT min(asset_id) AS canonical_id,
-                      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-                      count(*) AS n_copies,
-                      array_to_string(list(CAST(asset_id AS VARCHAR)
-                        ORDER BY asset_id), ',') AS member_ids
-               FROM f GROUP BY text)
-         SELECT canonical_id, n_bytes, n_copies, member_ids
-         FROM g ORDER BY canonical_id""",
-
-    // mirrors the imageFixtureDir planting formula: header bytes carry
-    // width = id%640+1, height = id*7%480+1; n_bytes = header length
-    // (33 PNG / 39 JPEG, MediaHeaders.*HeaderLen) + the text tail
-    "mm_decode_image" ->
-      """SELECT doc_id AS asset_id, 'image' AS media_type,
-                CAST(CASE WHEN doc_id % 50 = 0 THEN 39 ELSE 33 END
-                     + octet_length(encode(coalesce(text, ''))) AS INT)
-                  AS n_bytes,
-                CAST(doc_id % 640 + 1 AS INT) AS width,
-                CAST(doc_id * 7 % 480 + 1 AS INT) AS height,
-                CAST(1 AS INT) AS n_frames,
-                CAST(1 AS INT) AS n_sampled_frames
-         FROM documents WHERE doc_id % 25 = 0
-         ORDER BY asset_id""",
-
-    "mm_decode_meta" ->
-      """SELECT doc_id AS asset_id,
-                CASE WHEN doc_id % 3 = 0 THEN 'video'
-                     WHEN doc_id % 3 = 1 THEN 'image'
-                     ELSE 'audio' END AS media_type,
-                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-                CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-                CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
-                CAST(CASE WHEN doc_id % 3 = 0
-                          THEN octet_length(encode(text)) % 30 + 1
-                          ELSE 1 END AS INT) AS n_frames,
-                CAST((CASE WHEN doc_id % 3 = 0
-                           THEN octet_length(encode(text)) % 30 + 1
-                           ELSE 1 END + 4) // 5 AS INT) AS n_sampled_frames
-         FROM documents ORDER BY asset_id"""
   )
 
   private lazy val decontaminateOracle: String =
@@ -1652,27 +945,4 @@ object DataOps extends QueryModule {
         WHERE d.doc_id % 97 <> 0
         ORDER BY d.doc_id"""
 
-  private lazy val cosineTopkOracle: String =
-      """WITH v AS (
-           SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
-         ),
-         n AS (
-           SELECT vec_id, vd,
-                  sqrt(list_reduce(list_transform(vd, (x,i) -> x * vd[i]),
-                                   (a,b) -> a + b)) AS nrm
-           FROM v
-         ),
-         scored AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                  list_reduce(list_transform(q.vd, (x,i) -> x * c.vd[i]),
-                              (p,s) -> p + s) / (q.nrm * c.nrm) AS cosine
-           FROM n q JOIN n c ON q.vec_id <> c.vec_id
-           WHERE q.vec_id % 50 = 0
-         )
-         SELECT query_id, rank, cand_id, cosine
-         FROM (SELECT *, row_number() OVER
-                 (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
-               FROM scored)
-         WHERE rank <= 10
-         ORDER BY query_id, rank"""
 }

@@ -106,3 +106,26 @@ object Exact {
   def avgExact2(c: Column): Column =
     sum(dec2(c)).cast("double") / count(lit(1))
 }
+
+/** Oracle SQL fragments shared across query modules (one definition —
+  * the same no-copies rule as [[graft.text.Tokens]]: every module that
+  * tokenizes in DuckDB references THIS rendering). */
+private[queries] object OracleCtes {
+  /** The corpus tokenization rule as a DuckDB CTE (mirrors
+    * `graft.text.Tokens.ws` over lowered trimmed text). */
+  def tokCteFor(src: String): String =
+    s"""tok AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(trim(text)), ' '),
+                            t -> t <> '') AS ts,
+                text
+         FROM $src
+       )"""
+
+  val tokCte: String = tokCteFor("documents")
+
+  // language-ID stop lists (text_langid / text_quality oracles)
+  val enList = "['the','a','of','and','to','in']"
+  val esList = "['el','la','de','y','que','los']"
+  val deList = "['der','die','das','und','ist']"
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.Bpe
+import graft.text.{Bpe, TextAnalysis}
 
 /** Subword-tokenization conformance queries: the pinned-merge BPE
   * tokenizer ([[graft.text.Bpe]]) exercised end-to-end over the
@@ -44,12 +44,290 @@ object TokenOps extends QueryModule {
       .orderBy(col("n").desc, col("subword"))
       .limit(50)
 
+
+  private def textLangid(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langScores(Tables.documents(s, d))
+      .select("doc_id", "score_en", "score_es", "score_de", "lang_pred")
+      .orderBy("doc_id")
+
+  private def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScores(Tables.documents(s, d))
+      .select("doc_id", "n_tokens", "n_chars", "n_punct", "n_stopwords",
+        "avg_token_len", "punct_ratio", "stopword_ratio")
+      .orderBy("doc_id")
+
+  private def textTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, d))
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_subwords")
+      .orderBy("doc_id")
+
+  private def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, d))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
+  // Per-language token-length distribution — the "is this corpus slice
+  // the right shape" check before mixing. Exact interpolated quantiles
+  // at DYADIC fractions (.25/.5/.75): on integer token counts every
+  // intermediate (h = p·(n−1), the fraction, the lerp) is exact in
+  // a double, so Spark's percentile and DuckDB's quantile_cont agree
+  // bit-for-bit regardless of their lerp formulation. Non-dyadic
+  // fractions (0.1) would NOT be cross-engine hash-stable.
+  private def textQuantiles(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, d))
+      .groupBy("lang")
+      .agg(
+        expr("percentile(n_bpe_tokens, 0.25)").as("p25"),
+        expr("percentile(n_bpe_tokens, 0.5)").as("p50"),
+        expr("percentile(n_bpe_tokens, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  // PII scrubbing over a corpus with planted contacts: every 5th doc
+  // gains an email, every 7th a URL, every 3rd a phone, every 11th an
+  // IPv4 literal (the synthetic corpus has none, so the redaction is
+  // exercised against known ground truth).
+  private def textRedact(s: SparkSession, d: String): DataFrame = {
+    val dirty = Tables.documents(s, d)
+      .orderBy("doc_id")
+      .withColumn("dirty", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://example.org/d"), col("doc_id")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 192.168."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 250).cast("string")))
+          .otherwise(lit(""))))
+    TextAnalysis.redact(dirty, "dirty")
+      .select("doc_id", "n_emails", "n_urls", "n_phones", "n_ips", "redacted")
+  }
+
+  // Within-doc duplicate 3-gram fraction — the "repetitive document"
+  // filter signal (drives the codegen word_ngrams kernel through an
+  // oracle-checked aggregate, not just the dedup pipelines).
+  private def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, d))
+      .select("doc_id", "n_grams", "n_distinct_grams", "dup_gram_frac")
+      .orderBy("doc_id")
+
+  // Gopher-style rule gate: word-count bounds, mean word length,
+  // symbol ratio — the pre-model quality filter of an LLM pipeline.
+  private def textQualityGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityGate(Tables.documents(s, d))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio", "keep")
+      .orderBy("doc_id")
+
+  // Collocations: adjacent token pairs by lift (the PMI order without
+  // the non-portable log) — phrase mining over the corpus.
+  private def textCollocations(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.collocations(Tables.documents(s, d), "text",
+      minCount = 5, k = 100)
+
+  // Corpus vocabulary: token → frequency, top 500 by (count desc,
+  // token) — tokenizer/vocab-building step; one shuffle + TakeOrdered.
+  private def vocabTopk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(500)
+
+  private val tokCte = OracleCtes.tokCte
+  private val enList = OracleCtes.enList
+  private val esList = OracleCtes.esList
+  private val deList = OracleCtes.deList
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid"          -> (textLangid _),
+    "text_quality"         -> (textQuality _),
+    "text_tokens"          -> (textTokens _),
+    "text_fingerprint"     -> (textFingerprint _),
+    "text_quantiles"       -> (textQuantiles _),
+    "text_redact"          -> (textRedact _),
+    "text_repetition"      -> (textRepetition _),
+    "text_quality_gate"    -> (textQualityGate _),
+    "vocab_topk"           -> (vocabTopk _),
+    "text_collocations"    -> (textCollocations _),
     "text_tokens_bpe" -> (textTokensBpe _),
     "vocab_bpe_topk"  -> (vocabBpeTopk _)
   )
 
   val oracles: Map[String, String] = Map(
+    "text_langid" ->
+      (s"""WITH $tokCte
+          SELECT doc_id,
+                 len(list_filter(ts, t -> list_contains($enList, t))) AS score_en,
+                 len(list_filter(ts, t -> list_contains($esList, t))) AS score_es,
+                 len(list_filter(ts, t -> list_contains($deList, t))) AS score_de,
+                 CASE WHEN len(list_filter(ts, t -> list_contains($enList, t))) >=
+                           len(list_filter(ts, t -> list_contains($esList, t)))
+                       AND len(list_filter(ts, t -> list_contains($enList, t))) >=
+                           len(list_filter(ts, t -> list_contains($deList, t)))
+                       AND len(list_filter(ts, t -> list_contains($enList, t))) > 0
+                      THEN 'en'
+                      WHEN len(list_filter(ts, t -> list_contains($esList, t))) >=
+                           len(list_filter(ts, t -> list_contains($deList, t)))
+                       AND len(list_filter(ts, t -> list_contains($esList, t))) > 0
+                      THEN 'es'
+                      WHEN len(list_filter(ts, t -> list_contains($deList, t))) > 0
+                      THEN 'de'
+                      ELSE 'unknown' END AS lang_pred
+          FROM tok ORDER BY doc_id"""),
+
+    "text_quality" ->
+      (s"""WITH $tokCte
+          SELECT doc_id,
+                 len(ts) AS n_tokens,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                 len(list_filter(ts, t -> list_contains($enList, t))) AS n_stopwords,
+                 CAST(length(text) - len(ts) + 1 AS DOUBLE) / len(ts) AS avg_token_len,
+                 CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+                 CAST(len(list_filter(ts, t -> list_contains($enList, t))) AS DOUBLE) / len(ts) AS stopword_ratio
+          FROM tok ORDER BY doc_id"""),
+
+    "text_tokens" ->
+      (s"""WITH $tokCte
+          SELECT doc_id,
+                 len(ts) AS n_ws_tokens,
+                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe_tokens,
+                 ${graft.text.Bpe.oracleNTokensExpr("coalesce(text, '')")}
+                   AS n_subwords
+          FROM tok ORDER BY doc_id"""),
+
+    "text_fingerprint" ->
+      (s"""WITH $tokCte
+          SELECT doc_id,
+                 list_reduce(
+                   list_transform(ts, (x, i) ->
+                     CAST(i AS BIGINT) *
+                     (length(x) * 131 + ascii(x) * 31 + ascii(substr(x, -1, 1)))),
+                   (a, b) -> (a + b) % 2147483647) AS fingerprint
+          FROM tok ORDER BY doc_id"""),
+
+    "text_redact" ->
+      """WITH dirty AS (
+           SELECT doc_id,
+                  text
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN ' see https://example.org/d' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0
+                          THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
+                          ELSE '' END AS t
+           FROM documents),
+         red AS (
+           SELECT doc_id,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        'https?://[A-Za-z0-9./_%?=&#:~+-]+', '<URL>', 'g'),
+                      '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{1,4})?', '<PHONE>', 'g'),
+                    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+           FROM dirty)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(redacted, '<EMAIL>')) AS INT) AS n_emails,
+                CAST(len(regexp_extract_all(redacted, '<URL>')) AS INT) AS n_urls,
+                CAST(len(regexp_extract_all(redacted, '<PHONE>')) AS INT) AS n_phones,
+                CAST(len(regexp_extract_all(redacted, '<IP>')) AS INT) AS n_ips,
+                redacted
+         FROM red ORDER BY doc_id""",
+
+    "text_quantiles" ->
+      (s"""SELECT lang,
+                  quantile_cont(nb, 0.25) AS p25,
+                  quantile_cont(nb, 0.5) AS p50,
+                  quantile_cont(nb, 0.75) AS p75,
+                  count(*) AS n
+           FROM (SELECT lang,
+                        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS nb
+                 FROM documents)
+           GROUP BY lang ORDER BY lang"""),
+
+    "text_repetition" ->
+      (s"""WITH $tokCte,
+          g AS (
+            SELECT doc_id,
+                   list_filter(
+                     [array_to_string(ts[i:i+2], ' ')
+                      for i in range(1, greatest(len(ts)-2, 1) + 1)],
+                     x -> length(x) > 0) AS gs
+            FROM tok)
+          SELECT doc_id,
+                 CAST(len(gs) AS INT) AS n_grams,
+                 CAST(len(list_distinct(gs)) AS INT) AS n_distinct_grams,
+                 CASE WHEN len(gs) > 0
+                      THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
+                      ELSE 0.0 END AS dup_gram_frac
+          FROM g ORDER BY doc_id"""),
+
+    "text_quality_gate" ->
+      (s"""WITH $tokCte,
+          m AS (
+            SELECT doc_id,
+                   CAST(len(ts) AS INT) AS n_words,
+                   CASE WHEN len(ts) > 0
+                        THEN CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / len(ts)
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)
+                        ELSE 0.0 END AS symbol_ratio
+            FROM tok)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                 (n_words BETWEEN 30 AND 10000)
+                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                   AND (symbol_ratio <= 0.1) AS keep
+          FROM m ORDER BY doc_id"""),
+
+    // lift = (nab·N as exact BIGINT product) / (na·nb as exact BIGINT
+    // product) — ONE IEEE division, same operand association as the
+    // Spark side; ranking identical to PMI (log is monotone)
+    "text_collocations" ->
+      """WITH tk AS (
+           SELECT list_filter(string_split(trim(text), ' '),
+                  t -> t <> '') AS ts
+           FROM documents),
+         toks AS (SELECT unnest(ts) AS tok FROM tk),
+         uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+         tot AS (SELECT count(*) AS n FROM toks),
+         bi AS (
+           SELECT p.a AS a, p.b AS b, count(*) AS n_ab FROM (
+             SELECT unnest([struct_pack(a := ts[i], b := ts[i + 1])
+                            for i in range(1, len(ts))]) AS p
+             FROM tk WHERE len(ts) >= 2)
+           GROUP BY p.a, p.b
+           HAVING count(*) >= 5)
+         SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
+                CAST(n_ab * tot.n AS DOUBLE)
+                  / CAST(ua.n * ub.n AS DOUBLE) AS lift
+         FROM bi JOIN uni ua ON bi.a = ua.tok
+                 JOIN uni ub ON bi.b = ub.tok, tot
+         ORDER BY lift DESC, a, b
+         LIMIT 100""",
+
+    "vocab_topk" ->
+      (s"""WITH $tokCte
+          SELECT token, count(*) AS n
+          FROM (SELECT unnest(ts) AS token FROM tok)
+          WHERE token <> ''
+          GROUP BY token
+          ORDER BY n DESC, token
+          LIMIT 500"""),
+
     "text_tokens_bpe" ->
       s"""SELECT doc_id,
                  ${Bpe.oracleNTokensExpr("coalesce(text, '')")} AS n_subwords,

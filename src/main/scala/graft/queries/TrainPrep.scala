@@ -383,28 +383,6 @@ object TrainPrep extends QueryModule {
       .select("doc_id", "source", "rate_q")
       .orderBy("doc_id")
 
-  private def embQuantize(s: SparkSession, d: String): DataFrame =
-    Quantize.quantize(Tables.embeddings(s, d))
-      .select(col("vec_id"),
-        array_join(transform(col("q8"), c => c.cast("string")), ",")
-          .as("codes"),
-        col("n_clipped"))
-      .orderBy("vec_id")
-
-  // Same query set as sim_cosine_topk (every 50th vector); numTiles=2
-  // exercises the bounded-broadcast tile loop on the conformance path
-  // (results are provably tile-count-independent).
-  private def simQ8Topk(s: SparkSession, d: String): DataFrame =
-    Quantize.q8TopK(Tables.embeddings(s, d),
-        col("vec_id") % 50 === 0, k = 10, numTiles = 2)
-      .orderBy("query_id", "rank")
-
-  // Two-stage: 30 quantized candidates re-ranked by exact cosine to 10.
-  private def simQ8Rerank(s: SparkSession, d: String): DataFrame =
-    Quantize.q8Rerank(Tables.embeddings(s, d),
-        col("vec_id") % 50 === 0, k = 10, m = 30, numTiles = 2)
-      .orderBy("query_id", "rank")
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_paragraph" -> (dedupParagraph _),
     "text_normalize"  -> (textNormalize _),
@@ -426,9 +404,6 @@ object TrainPrep extends QueryModule {
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),
     "samp_temperature_alpha" -> (sampTemperatureAlpha _),
-    "emb_quantize"    -> (embQuantize _),
-    "sim_q8_topk"     -> (simQ8Topk _),
-    "sim_q8_rerank"   -> (simQ8Rerank _)
   )
 
   // ts mirrors TextAnalysis.tokens (lowercased ' +' split); rawTs is
@@ -989,86 +964,5 @@ object TrainPrep extends QueryModule {
                  < printf('%04x', tm.tq * 512)
          ORDER BY doc_id""",
 
-    // floor(x·64): power-of-two multiply is IEEE-exact on the
-    // float→double cast, so codes are bit-identical cross-engine
-    "emb_quantize" ->
-      """SELECT vec_id,
-                array_to_string(list_transform(embedding::DOUBLE[], x ->
-                  CAST(greatest(-128, least(127, floor(x * 64)))
-                       AS BIGINT)), ',') AS codes,
-                CAST(len(list_filter(embedding::DOUBLE[], x ->
-                  floor(x * 64) < -128 OR floor(x * 64) > 127)) AS INT)
-                  AS n_clipped
-         FROM embeddings ORDER BY vec_id""",
-
-    "sim_q8_topk" ->
-      """WITH qc AS (
-           SELECT vec_id,
-                  list_transform(embedding::DOUBLE[], x ->
-                    greatest(-128, least(127, floor(x * 64)))) AS c
-           FROM embeddings
-         ),
-         scored AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                  CAST(list_reduce(list_transform(q.c, (x, i) -> x * c.c[i]),
-                                   (a, b) -> a + b) AS BIGINT) AS qdot
-           FROM qc q JOIN qc c ON q.vec_id <> c.vec_id
-           WHERE q.vec_id % 50 = 0
-         )
-         SELECT query_id, rank, cand_id, qdot
-         FROM (SELECT *, CAST(row_number() OVER (
-                 PARTITION BY query_id ORDER BY qdot DESC, cand_id) AS INT)
-                 AS rank
-               FROM scored)
-         WHERE rank <= 10
-         ORDER BY query_id, rank""",
-
-    // stage 1 = sim_q8_topk's integer ranking at m=30; stage 2 = the
-    // exact float cosine of sim_cosine_topk's oracle over just those
-    // candidates (index-order sums — cross-engine bit-exact)
-    "sim_q8_rerank" ->
-      """WITH qc AS (
-           SELECT vec_id,
-                  list_transform(embedding::DOUBLE[], x ->
-                    greatest(-128, least(127, floor(x * 64)))) AS c
-           FROM embeddings
-         ),
-         s1 AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                  CAST(list_reduce(list_transform(q.c, (x, i) -> x * c.c[i]),
-                                   (a, b) -> a + b) AS BIGINT) AS qdot
-           FROM qc q JOIN qc c ON q.vec_id <> c.vec_id
-           WHERE q.vec_id % 50 = 0
-         ),
-         cand AS (
-           SELECT query_id, cand_id
-           FROM (SELECT *, row_number() OVER (
-                   PARTITION BY query_id ORDER BY qdot DESC, cand_id)
-                   AS rn
-                 FROM s1)
-           WHERE rn <= 30
-         ),
-         v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
-         n AS (
-           SELECT vec_id, vd,
-                  sqrt(list_reduce(list_transform(vd, (x, i) -> x * vd[i]),
-                                   (a, b) -> a + b)) AS nrm
-           FROM v
-         ),
-         rer AS (
-           SELECT cand.query_id, cand.cand_id,
-                  list_reduce(list_transform(q.vd, (x, i) -> x * c.vd[i]),
-                              (a, b) -> a + b) / (q.nrm * c.nrm) AS cosine
-           FROM cand
-           JOIN n q ON q.vec_id = cand.query_id
-           JOIN n c ON c.vec_id = cand.cand_id
-         )
-         SELECT query_id, rank, cand_id, cosine
-         FROM (SELECT *, CAST(row_number() OVER (
-                 PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT)
-                 AS rank
-               FROM rer)
-         WHERE rank <= 10
-         ORDER BY query_id, rank"""
   )
 }
