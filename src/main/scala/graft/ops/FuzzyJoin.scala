@@ -63,6 +63,60 @@ object FuzzyJoin {
       .select("__did", "__dn", "__cid", "__cn")
   }
 
+  /** One deletion-neighborhood pass (SymSpell-style, public
+    * algorithm): each row is keyed by EVERY string obtainable by
+    * deleting up to `maxDel` characters from the `(pos, len)` window;
+    * two strings within Levenshtein distance τ ≤ maxDel share at
+    * least one such signature (delete the τ edit sites from each —
+    * the standard deletion-neighborhood guarantee), so recall over
+    * the window is EXACT for substitutions AND indels — no alignment
+    * assumption, unlike positional windows. Key entropy is the whole
+    * window minus maxDel characters, so bucket occupancy stays O(1)
+    * on dense key populations where fixed sub-windows saturate
+    * (measured on the registry entry: the 100-key `(17,2)` window
+    * pass alone materializes n²/100 pairs — 75 M at the 150 k-row
+    * stress scale — while the deletion pass stays near-linear).
+    * Signature volume is C(len, ≤maxDel) per row (46 for len=9,
+    * maxDel=2) — an explode, deduped per row before the join. */
+  private def deletionPass(d: DataFrame, c: DataFrame,
+      pos: Int, len: Int, maxDel: Int): DataFrame = {
+    require(maxDel <= 2,
+      "deletion pass supports maxDel ≤ 2; higher τ → q-gram pass")
+    // Signatures come from a broadcast (i, j) mask cross join — one
+    // small CASE expression per output row — NOT from a per-row
+    // array of C(len, ≤2) pre-built columns: a 46-element array of
+    // nested concat(substring…) trees blows whole-stage codegen and
+    // falls back to interpreted eval (measured 2.5 s just to emit
+    // 118 k signature rows; the mask join emits them in ~0.1 s).
+    // (0,0) = no deletion, (0,j) = delete j, (i,j) i<j = delete both.
+    val spark = d.sparkSession
+    import spark.implicits._
+    val maskRows: Seq[(Int, Int)] =
+      Seq((0, 0)) ++ (1 to len).map((0, _)) ++
+        (for { i <- 1 to len; j <- i + 1 to len } yield (i, j))
+    val masks = broadcast(maskRows.toDF("__mi", "__mj"))
+    val sigExpr = expr(
+      s"""CASE WHEN __mi = 0 AND __mj = 0 THEN __w
+              WHEN __mi = 0 THEN concat(substring(__w, 1, __mj - 1),
+                                        substring(__w, __mj + 1, $len))
+              ELSE concat(substring(__w, 1, __mi - 1),
+                          substring(__w, __mi + 1, __mj - __mi - 1),
+                          substring(__w, __mj + 1, $len)) END""")
+    def keyed(df: DataFrame, s: Column, id: String) = df
+      .filter(length(s) >= pos + len - 1)
+      .withColumn("__w", substring(s, pos, len))
+      .crossJoin(masks)
+      .withColumn("__bk", sigExpr)
+      // leading-repeat windows emit duplicate signatures under
+      // different masks — dedup per row before the join, or every
+      // duplicate multiplies the pair fan-out
+      .dropDuplicates(id, "__bk")
+      .drop("__w", "__mi", "__mj")
+    keyed(d, col("__dn"), "__did")
+      .join(keyed(c, col("__cn"), "__cid"), "__bk")
+      .select("__did", "__dn", "__cid", "__cn")
+  }
+
   /** One q-gram pass: pairs sharing any (df-capped) q-gram. Strings
     * shorter than q produce no grams (the length guard is
     * load-bearing: an unguarded sequence(1, 0) REVERSES). */
@@ -88,13 +142,17 @@ object FuzzyJoin {
     * within `tau` are absent. `blocks` are 1-based (pos, len)
     * substring windows; `qgram` adds an alignment-free q-gram pass
     * (indel coverage) with ubiquitous grams dropped past
-    * `maxGramDf`. */
+    * `maxGramDf`; `delBlock` adds a deletion-neighborhood pass over a
+    * (pos, len) window — exact ≤tau recall over the window (subs and
+    * indels) with near-linear candidate volume, the right blocking
+    * when the discriminating region is a dense identifier. */
   def bestMatch(dirty: DataFrame, clean: DataFrame,
       dirtyId: String, dirtyCol: String,
       cleanId: String, cleanCol: String,
       blocks: Seq[(Int, Int)], tau: Int,
-      qgram: Option[Int] = None, maxGramDf: Int = 1000): DataFrame = {
-    require(blocks.nonEmpty || qgram.nonEmpty,
+      qgram: Option[Int] = None, maxGramDf: Int = 1000,
+      delBlock: Option[(Int, Int)] = None): DataFrame = {
+    require(blocks.nonEmpty || qgram.nonEmpty || delBlock.nonEmpty,
       "need at least one blocking pass")
     require(tau >= 0, "tau must be ≥ 0")
     qgram.foreach(q => require(q >= 2, "qgram must be ≥ 2"))
@@ -102,11 +160,24 @@ object FuzzyJoin {
       cleanId, cleanCol)
     val passes =
       blocks.map { case (p, l) => positionalPass(d, c, p, l) } ++
-        qgram.map(q => qgramPass(d, c, q, maxGramDf)).toSeq
-    val cand = passes.reduce(_ unionByName _).distinct()
-    cand
-      .withColumn("__dist", levenshtein(col("__dn"), col("__cn")))
-      .filter(col("__dist") <= tau)
+        qgram.map(q => qgramPass(d, c, q, maxGramDf)).toSeq ++
+        delBlock.map { case (p, l) => deletionPass(d, c, p, l, tau) }.toSeq
+    // Confirm BEFORE deduplicating: the Levenshtein is a codegen'd
+    // map-side filter, so running it on raw (possibly multi-pass
+    // duplicated) candidates costs no shuffle, while it prunes the
+    // candidate stream to the τ-close pairs — the pair-distinct then
+    // exchanges only that small set instead of every blocked pair
+    // (measured 12.7 s → 1.6 s on the registry entry at sf0.1;
+    // dist is a pure pair function, so filter∘distinct ≡
+    // distinct∘filter and a pair found by several passes still
+    // scores once).
+    // threshold-bounded Levenshtein: the banded DP exits as soon as
+    // the distance provably exceeds tau (returns -1), an O(len·tau)
+    // confirm instead of O(len²) — same values on every kept pair
+    passes.reduce(_ unionByName _)
+      .withColumn("__dist", levenshtein(col("__dn"), col("__cn"), tau))
+      .filter(col("__dist") >= 0 && col("__dist") <= tau)
+      .select("__did", "__cid", "__dist").distinct()
       .groupBy("__did")
       .agg(min(struct(col("__dist"), col("__cid"))).as("__m"),
         count(lit(1)).as("n_candidates"))

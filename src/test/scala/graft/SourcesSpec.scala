@@ -221,6 +221,56 @@ class SourcesSpec extends AnyFunSuite {
       Seq((9L, 1L, 1)))
   }
 
+  test("FuzzyJoin deletion pass: shift-alignment pairs inside the " +
+      "window are caught (positional windows structurally miss them)") {
+    import graft.ops.FuzzyJoin
+    // dist(dirty, 12999) = 2 via delete-'x'+append-'9' — a SHIFTED
+    // alignment: 4 position-wise mismatches in the tail, yet within
+    // tau. Any fixed-window refinement drops it; the deletion
+    // neighborhood must not.
+    val clean = Seq((1299L, "Customer#000001299"),
+      (12999L, "Customer#000012999")).toDF("key", "name")
+    val dirty = Seq((101299L, "Customer#000x01299")).toDF("did", "dname")
+    val got = FuzzyJoin.bestMatch(dirty, clean, "did", "dname",
+        "key", "name", blocks = Nil, tau = 2, delBlock = Some((10, 9)))
+      .as[(Long, Long, Int, Long)].collect()
+    // best is the true source (dist 1); the shifted neighbor at
+    // dist 2 is ALSO counted — n_candidates = 2 proves it was blocked
+    assert(got.toSeq == Seq((101299L, 1299L, 1, 2L)))
+  }
+
+  test("FuzzyJoin deletion pass: recall ≡ brute force at tau=2 over " +
+      "subs and indels; pairs score once despite 46 signatures") {
+    import graft.ops.FuzzyJoin
+    val clean = (1 to 400).map(k => (k.toLong, f"Customer#$k%09d")).toDF("key", "name")
+    // corruptions: substitution, double substitution, delete+append
+    // (shift), exact copy — all within tau=2 of their source
+    val dirty = (1 to 400).map { k =>
+      val n = f"$k%09d"
+      val s = k % 4 match {
+        case 0 => n.updated(k % 9, 'x')
+        case 1 => n.updated(k % 9, 'x').updated((k + 4) % 9, 'y')
+        case 2 => n.drop(1) + "7"          // shift: delete head, append
+        case _ => n                        // exact
+      }
+      (k + 1000L, "Customer#" + s)
+    }.toDF("did", "dname")
+    val got = FuzzyJoin.bestMatch(dirty, clean, "did", "dname",
+        "key", "name", blocks = Nil, tau = 2, delBlock = Some((10, 9)))
+    // brute-force truth: full cross join, same confirm + arg-min
+    val truth = dirty.crossJoin(clean)
+      .withColumn("d", levenshtein($"dname", $"name"))
+      .filter($"d" <= 2)
+      .groupBy("did")
+      .agg(min(struct($"d", $"key")).as("m"),
+        count(lit(1)).as("n_candidates"))
+      .select($"did", $"m.key".as("matched_key"),
+        $"m.d".as("edit_dist"), $"n_candidates")
+    assert(got.except(truth).count() === 0)
+    assert(truth.except(got).count() === 0)
+    assert(got.count() === 400)
+  }
+
   test("FuzzyJoin: strings shorter than a positional window are " +
       "excluded from that pass — never keyed on an empty block") {
     import graft.ops.FuzzyJoin
