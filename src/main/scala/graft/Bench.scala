@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -120,5 +121,8 @@ object Bench {
     // lifecycle hygiene: no graft-pinned blocks outlive the run
     graft.queries.SessionMemo.release(spark)
     spark.stop()
+    // a run with any -1 sentinel must not exit 0: scripts gating on rc
+    // would otherwise treat a regressed run as passing
+    if (results.exists(_._2 < 0)) sys.exit(1)
   }
 }

@@ -21,17 +21,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (legacy long mode) and truncate to microseconds — the same
-    * truncation DuckDB's `CAST(ts AS TIMESTAMP)` applies, so oracle
-    * comparisons align exactly.
+  /** `events.ts` has shipped as two physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — [PARQUET_TYPE_ILLEGAL] — so it is read as raw
+    * nanos via legacy long mode and truncated to micros) and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (read natively as
+    * TIMESTAMP_NTZ). Dispatch on the scanned type and canonicalize both
+    * to TIMESTAMP (instant) with the same UTC wall-clock values DuckDB's
+    * `CAST(ts AS TIMESTAMP)` yields, so oracle comparisons align exactly
+    * regardless of which generation of testdata is on disk. The NTZ→
+    * instant cast is wall-clock-preserving only under a UTC session
+    * timezone — Verify/Bench/specs all pin `spark.sql.session.timeZone`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long generation
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already an instant
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.Tables
 import Exact._
@@ -196,10 +197,46 @@ object Relational extends QueryModule {
           "o_orderpriority"))
       .orderBy("col_name")
 
+  // ---- Schema contract over the lineitem scan: the consumer-declared
+  //      logical schema the pipeline binds to, conformed at the source.
+  //      Every drift class is live against the REAL testdata physique:
+  //      l_linenumber int32→BIGINT (widened), l_shipdate
+  //      TIMESTAMP_NTZ→TIMESTAMP (tz_reinterpreted under pinned UTC),
+  //      l_receiptdate absent (missing_filled_null — the generator
+  //      omits it), six undeclared columns dropped. If a future
+  //      testdata regeneration changes a physical type again, the
+  //      pinned drift oracle below goes red and NAMES the drift —
+  //      one sentinel row instead of 28 silently broken queries.
+  private val LineitemContract = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", LongType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_receiptdate", TimestampType),
+    StructField("l_shipdate", TimestampType),
+    StructField("l_returnflag", StringType)))
+
+  private def opsSchemaConform(s: SparkSession, d: String): DataFrame =
+    graft.ops.SchemaContract.conform(Tables.lineitem(s, d),
+        LineitemContract, strict = true)
+      .filter(col("l_returnflag") === "R")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def opsSchemaDrift(s: SparkSession, d: String): DataFrame = {
+    val report = graft.ops.SchemaContract.drift(
+      Tables.lineitem(s, d), LineitemContract)
+    import s.implicits._
+    report.toDF().select(
+        col("column").as("col_name"), col("expected"),
+        col("found"), col("action"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ops_diff_versions"       -> (opsDiffVersions _),
     "ops_quality_report"      -> (opsQualityReport _),
     "ops_profile"             -> (opsProfile _),
+    "ops_schema_conform"      -> (opsSchemaConform _),
+    "ops_schema_drift"        -> (opsSchemaDrift _),
     "s3_scan_full"            -> (s3ScanFull _),
     "s4_scan_project"         -> (s4ScanProject _),
     "s5_scan_filtered"        -> (s5ScanFilteredDisjunctive _),
@@ -279,6 +316,39 @@ object Relational extends QueryModule {
            SELECT n, 'o_orderdate', nn4, nd4, mn4, mx4 FROM a
            UNION ALL
            SELECT n, 'o_orderpriority', nn5, nd5, mn5, mx5 FROM a)
+         ORDER BY col_name""",
+
+    // the conform projection in SQL: widen, reinterpret, null-fill,
+    // drop — identical cell values, so the hash pins the coercions
+    "ops_schema_conform" ->
+      """SELECT l_orderkey,
+                CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                l_quantity,
+                CAST(NULL AS TIMESTAMP) AS l_receiptdate,
+                CAST(l_shipdate AS TIMESTAMP) AS l_shipdate,
+                l_returnflag
+         FROM lineitem
+         WHERE l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    // pinned to the CURRENT physical schema of the driver testdata —
+    // a regeneration that changes a physical type flips exactly this
+    // row red and names the drifted column (the sentinel is the point)
+    "ops_schema_drift" ->
+      """SELECT * FROM (VALUES
+           ('l_discount',      'ABSENT',        'DOUBLE',        'dropped'),
+           ('l_extendedprice', 'ABSENT',        'DOUBLE',        'dropped'),
+           ('l_linenumber',    'BIGINT',        'INT',           'widened'),
+           ('l_linestatus',    'ABSENT',        'STRING',        'dropped'),
+           ('l_orderkey',      'BIGINT',        'BIGINT',        'ok'),
+           ('l_partkey',       'ABSENT',        'BIGINT',        'dropped'),
+           ('l_quantity',      'DOUBLE',        'DOUBLE',        'ok'),
+           ('l_receiptdate',   'TIMESTAMP',     'ABSENT',        'missing_filled_null'),
+           ('l_returnflag',    'STRING',        'STRING',        'ok'),
+           ('l_shipdate',      'TIMESTAMP',     'TIMESTAMP_NTZ', 'tz_reinterpreted'),
+           ('l_suppkey',       'ABSENT',        'BIGINT',        'dropped'),
+           ('l_tax',           'ABSENT',        'DOUBLE',        'dropped')
+         ) AS t(col_name, expected, found, action)
          ORDER BY col_name""",
 
     "ops_quality_report" ->
