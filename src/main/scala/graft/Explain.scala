@@ -41,7 +41,8 @@ object Explain {
         "dedup_passage_top", "sim_ivf_append", "pipeline_curate_v3",
         "graph_pagerank", "graph_degrees", "graph_trustrank", "j9_fuzzy_match",
         "j8_scd2_stream", "w7_transitions", "w8_interval_union",
-        "w9_gap_fill", "text_collocations")
+        "w9_gap_fill", "text_collocations",
+        "ops_schema_conform", "ops_schema_evolution")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

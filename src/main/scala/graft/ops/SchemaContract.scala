@@ -138,4 +138,23 @@ object SchemaContract {
     }
     df.select(cols: _*)
   }
+
+  /** Read a table whose files span SCHEMA GENERATIONS — early files
+    * written with narrower physical types than later ones (int32 keys
+    * that became int64, float metrics that became double). Spark's own
+    * `mergeSchema` refuses exactly these merges ("Failed to merge
+    * incompatible data types"), and a plain read binds one sampled
+    * footer schema to every file — silently wrong for the others. Here
+    * each generation directory is scanned with its OWN footer schema,
+    * conformed to the contract inside its scan projection (pruning and
+    * pushdown intact per generation), and unioned. At 100 TB,
+    * generations are directories (a rewrite epoch, a producer
+    * version), so the per-path list stays metadata-sized.
+    */
+  def readParquetConformed(spark: org.apache.spark.sql.SparkSession,
+      contract: StructType, strict: Boolean, paths: String*): DataFrame = {
+    require(paths.nonEmpty, "need at least one generation path")
+    paths.map(p => conform(spark.read.parquet(p), contract, strict))
+      .reduce(_ unionByName _)
+  }
 }

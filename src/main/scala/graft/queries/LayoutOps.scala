@@ -150,17 +150,77 @@ object LayoutOps extends QueryModule {
     s.read.parquet(path).orderBy("event_id")
   }
 
+  /** Two schema GENERATIONS of the same logical table, side by side:
+    * gen0 is an early producer (int32 l_orderkey, float32 l_quantity —
+    * every value exactly representable: keys ≤ 150k, quantities are
+    * integers 1..50), gen1 the current wide types. Spark's own
+    * mergeSchema refuses int↔long / float↔double footer merges
+    * (pinned in SchemaContractSpec), so this is the drift case a real
+    * multi-year table hits. Written once per (session, dir). */
+  private def schemaGenerationsPath(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "layout_schema_evo") {
+      val base = graft.Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val root = scratch(d, "evo")
+      base.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").cast("int").as("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity").cast("float").as("l_quantity"),
+          col("l_returnflag"))
+        .write.mode("overwrite").parquet(s"$root/gen0")
+      base.filter(col("l_orderkey") % 2 =!= 0)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      root
+    }
+
+  // Mixed-generation read through the declared contract: each
+  // generation scans with its own footer schema, widens inside the
+  // scan projection, unions. The oracle reads the ORIGINAL lineitem,
+  // so hash equality proves the evolution read loses nothing.
+  private def opsSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val root = schemaGenerationsPath(s, d)
+    val contract = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("l_linenumber",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("l_quantity",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("l_returnflag",
+        org.apache.spark.sql.types.StringType)))
+    graft.ops.SchemaContract.readParquetConformed(s, contract,
+        strict = true, s"$root/gen0", s"$root/gen1")
+      .filter(col("l_returnflag") === "A")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_partition_prune" -> (layoutPartitionPrune _),
     "layout_bucketed_join"   -> (layoutBucketedJoin _),
     "layout_zorder_scan"     -> (layoutZorderScan _),
     "layout_compact"         -> (layoutCompact _),
+    "ops_schema_evolution"   -> (opsSchemaEvolution _),
     "src_jsonl_roundtrip"    -> (srcJsonlRoundtrip _),
     "src_csv_roundtrip"      -> (srcCsvRoundtrip _),
     "src_orc_roundtrip"      -> (srcOrcRoundtrip _)
   )
 
   val oracles: Map[String, String] = Map(
+    // straight from the source table: the narrowed generation's
+    // int32/float32 detour is value-exact (keys ≤ 150k, integral
+    // quantities 1..50), so equality proves the mixed-generation
+    // contract read loses nothing
+    "ops_schema_evolution" ->
+      """SELECT l_orderkey,
+                CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                l_quantity, l_returnflag
+         FROM lineitem
+         WHERE l_returnflag = 'A'
+         ORDER BY l_orderkey, l_linenumber""",
+
     // the oracle computes the slice straight from the source table —
     // equality proves the partitioned round trip is lossless AND the
     // pruned read returns exactly the slice

@@ -82,6 +82,34 @@ class SchemaContractSpec extends AnyFunSuite {
     assert(!widens(LongType, DecimalType(18, 2)))
   }
 
+  test("mixed int/long generations: Spark mergeSchema refuses, contract read unions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-evo")
+    root.toFile.deleteOnExit()
+    val g0 = StructType(Seq(StructField("id", IntegerType),
+      StructField("v", FloatType)))
+    val g1 = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    spark.createDataFrame(java.util.Arrays.asList(Row(1, 1.5f)), g0)
+      .write.parquet(s"$root/gen0")
+    spark.createDataFrame(java.util.Arrays.asList(Row(2L, 2.5)), g1)
+      .write.parquet(s"$root/gen1")
+    // the built-in path: footer merge fails on int32 vs int64
+    val e = intercept[Exception] {
+      spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(root.toString).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("merge"))
+    // the contract path: per-generation scan + widen + union
+    val contract = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val rows = SchemaContract.readParquetConformed(spark, contract,
+        strict = true, s"$root/gen0", s"$root/gen1")
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.5), (2L, 2.5)))
+  }
+
   private def widens(f: DataType, t: DataType): Boolean =
     SchemaContract.drift(
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
