@@ -50,6 +50,23 @@ object GraftFunctions {
     NfcNormalize(exprs.head)
   }
 
+  private[graft] def multiMatchBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "multi_match(text, patterns) takes two arguments")
+    // patterns are baked into the automaton, so they must be a
+    // constant — any foldable array<string> expression qualifies
+    val pExpr = exprs(1)
+    require(pExpr.foldable,
+      s"multi_match: patterns must be a constant array, got $pExpr")
+    val patterns = pExpr.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"multi_match: patterns must be array<string>, got $other")
+    }
+    MultiMatch(exprs.head, patterns)
+  }
+
   /** Make the custom expressions callable from SQL on a live session. */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -60,6 +77,8 @@ object GraftFunctions {
       "array_dot_i8", arrayDotI8Builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", nfcNormalizeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_match", multiMatchBuilder, "built-in")
   }
 
   val arrayDotInfo: ExpressionInfo = new ExpressionInfo(
@@ -81,6 +100,12 @@ object GraftFunctions {
     classOf[NfcNormalize].getCanonicalName, null, "nfc_normalize",
     "_FUNC_(text) - Unicode NFC composition of a string column",
     "", "", "", "", "", "", "scala_udf")
+
+  val multiMatchInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[MultiMatch].getCanonicalName, null, "multi_match",
+    "_FUNC_(text, patterns) - the constant patterns found in text " +
+      "(Aho-Corasick, one pass)",
+    "", "", "", "", "", "", "scala_udf")
 }
 
 /** `spark.sql.extensions` injector. */
@@ -98,5 +123,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       GraftFunctions.nfcNormalizeInfo,
       GraftFunctions.nfcNormalizeBuilder))
+    e.injectFunction((FunctionIdentifier("multi_match"),
+      GraftFunctions.multiMatchInfo,
+      GraftFunctions.multiMatchBuilder))
   }
 }

@@ -48,4 +48,24 @@ object Skew {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum("__partial").as("n"))
+
+  /** Exact `count(DISTINCT value)` per key with the hot key's distinct
+    * SET split across reducers. Plain count-distinct is the aggregation
+    * map-side partials cannot fix: every distinct value of a hot key
+    * must meet on one reducer to be deduplicated, so a key with 10⁹
+    * distinct values is a single-task straggler at any cluster size.
+    * Salting by a hash OF THE VALUE (not the row) keeps per-salt
+    * distinct sets disjoint — each (key, salt) group deduplicates its
+    * own value range, and the exact total is the SUM of the partial
+    * distinct counts. Both phases are ordinary hash aggregations;
+    * the result is salt-count-independent and deterministic. */
+  def saltedCountDistinct(df: DataFrame, key: String, value: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0)
+    df.withColumn("__salt", pmod(xxhash64(col(value)), lit(buckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count_distinct(col(value)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum("__partial").as("n_distinct"))
+  }
 }

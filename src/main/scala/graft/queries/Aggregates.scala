@@ -214,7 +214,19 @@ object Aggregates extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  // ---- A9: exact count-distinct under key skew — the aggregation
+  //      map-side partials can't fix (a hot key's distinct SET must
+  //      meet on one reducer). Salting by hash(value) keeps per-salt
+  //      distinct sets disjoint, so summed partials are exact; result
+  //      is identical to the plain form at any bucket count.
+  private def a9SaltedCountDistinct(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.saltedCountDistinct(
+        Tables.lineitem(s, d).select("l_returnflag", "l_partkey"),
+        key = "l_returnflag", value = "l_partkey", buckets = 16)
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a9_salted_count_distinct" -> (a9SaltedCountDistinct _),
     "a7_grouping_sets"        -> (a7GroupingSets _),
     "a7_pivot"                -> (a7Pivot _),
     "u2_except_all"           -> (u2ExceptAll _),
@@ -235,6 +247,10 @@ object Aggregates extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a9_salted_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "a7_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
                 grouping(o_orderstatus) AS g_status,

@@ -144,7 +144,29 @@ object TokenOps extends QueryModule {
   private val esList = OracleCtes.esList
   private val deList = OracleCtes.deList
 
+  /** The curation blocklist fixture: multi-word phrases over the
+    * synthetic keyword stream (present at varying rates) plus one
+    * absent canary. Shared verbatim by query and oracle. */
+  private val Blocklist = Seq("slow fast", "table table", "hash value",
+    "agg join", "scan scan", "zebra quartz")
+
+  // ---- Multi-phrase blocklist scan: WHICH blocklist phrases a doc
+  //      contains, one automaton pass per doc (O(len + hits),
+  //      independent of blocklist size — the composable
+  //      filter(array, p -> contains) form is O(len · N)). Byte-
+  //      substring semantics ≡ contains(), so the oracle is the
+  //      composable form in DuckDB.
+  private def textBlocklist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.MultiMatch.multi_match(textC, Blocklist)
+          .as("matched"))
+      .withColumn("n_matched", size(col("matched")))
+      .withColumn("blocked", col("n_matched") > 0)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_blocklist"       -> (textBlocklist _),
     "text_langid"          -> (textLangid _),
     "text_quality"         -> (textQuality _),
     "text_tokens"          -> (textTokens _),
@@ -160,6 +182,18 @@ object TokenOps extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_blocklist" ->
+      (s"""WITH m AS (
+           SELECT doc_id,
+                  list_filter(
+                    [${Blocklist.map(p => s"'$p'").mkString(", ")}],
+                    p -> contains(coalesce(text, ''), p)) AS matched
+           FROM documents)
+         SELECT doc_id, matched,
+                CAST(len(matched) AS INT) AS n_matched,
+                len(matched) > 0 AS blocked
+         FROM m ORDER BY doc_id"""),
+
     "text_langid" ->
       (s"""WITH $tokCte
           SELECT doc_id,

@@ -383,7 +383,34 @@ object TrainPrep extends QueryModule {
       .select("doc_id", "source", "rate_q")
       .orderBy("doc_id")
 
+  // ---- Domain blocklist with subdomain semantics: hosts synthesized
+  //      with varying label depth (ads. / cdn.assets. / www. prefixes
+  //      over per-source domains); the blocklist exercises every match
+  //      class — registrable-suffix (badnet.org covers all its
+  //      subdomains), single-source suffix (src3.example.org), one
+  //      exact deep host, and a no-match entry. Suffix matching is
+  //      label-aligned: the explode+equi-join in UrlOps.domainBlock,
+  //      ends_with('.'||domain) in the oracle — same predicate.
+  private def webDomainBlock(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val host = concat(
+      when(col("doc_id") % 5 === 0, lit("ads."))
+        .when(col("doc_id") % 5 === 1, lit("cdn.assets."))
+        .otherwise(lit("www.")),
+      col("source"), lit("."),
+      when(col("doc_id") % 3 === 0, lit("badnet.org"))
+        .otherwise(lit("example.org")))
+    val crawl = Tables.documents(s, d).select("doc_id", "source")
+      .withColumn("url_host", host)
+    val bl = Seq("badnet.org", "src3.example.org",
+      "cdn.assets.src7.example.org", "absent.example.net").toDF("domain")
+    UrlOps.domainBlock(crawl, bl, "doc_id")
+      .select("doc_id", "url_host", "blocked")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "web_domain_block" -> (webDomainBlock _),
     "dedup_paragraph" -> (dedupParagraph _),
     "text_normalize"  -> (textNormalize _),
     "text_normalize_uni" -> (textNormalizeUni _),
@@ -879,6 +906,28 @@ object TrainPrep extends QueryModule {
          SELECT doc_id, url_host, canon_url,
                 ${graft.ops.Export.shardIdSql("doc_id", 16)} AS shard
          FROM fl ORDER BY doc_id"""),
+
+    // label-aligned suffix predicate: exact host OR ends_with('.'||d) —
+    // semantically identical to the label-chain explode+join
+    "web_domain_block" ->
+      """WITH crawl AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 5 = 0 THEN 'ads.'
+                        WHEN doc_id % 5 = 1 THEN 'cdn.assets.'
+                        ELSE 'www.' END) || source || '.' ||
+                  (CASE WHEN doc_id % 3 = 0 THEN 'badnet.org'
+                        ELSE 'example.org' END) AS url_host
+           FROM documents),
+         bl AS (
+           SELECT * FROM (VALUES ('badnet.org'), ('src3.example.org'),
+             ('cdn.assets.src7.example.org'), ('absent.example.net'))
+             AS t(domain))
+         SELECT doc_id, url_host,
+                EXISTS (SELECT 1 FROM bl
+                        WHERE crawl.url_host = bl.domain
+                           OR ends_with(crawl.url_host,
+                                        '.' || bl.domain)) AS blocked
+         FROM crawl ORDER BY doc_id""",
 
     // mirrors webHostGate's mirror-synthesis + UrlOps.hostGate: rate
     // is ONE IEEE division per host subtracted from an exact 1.0 —

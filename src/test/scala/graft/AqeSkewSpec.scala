@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.{col, count_distinct}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -94,5 +95,24 @@ class AqeSkewSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted === direct)
     assert(direct(0L) === 25000L)
+  }
+
+  test("count-distinct skew: value-hash salting is exact at every bucket count") {
+    val s = TestSpark.spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+    // hot key 0 carries 20k distinct values plus 5k repeats; key 1 is
+    // small; nulls must be ignored like SQL count(DISTINCT)
+    val df = ((0 until 25000).map(i => (0L, s"v${i % 20000}")) ++
+      (0 until 100).map(i => (1L, s"w${i % 7}")) ++
+      Seq((0L, null: String), (1L, null: String))).toDF("k", "v")
+    val direct = df.groupBy("k").agg(count_distinct(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (b <- Seq(1, 8, 64)) {
+      val salted = Skew.saltedCountDistinct(df, "k", "v", buckets = b)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(salted === direct, s"buckets=$b")
+    }
+    assert(direct(0L) === 20000L && direct(1L) === 7L)
   }
 }

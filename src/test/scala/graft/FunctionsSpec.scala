@@ -183,6 +183,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nres(1).isNullAt(0))
   }
 
+  test("multi_match: automaton matches the composable filter∘contains bit-for-bit") {
+    import graft.functions.MultiMatch.multi_match
+    val ps = Seq("slow fast", "table table", "hash value", "agg join",
+      "scan scan", "zebra quartz")
+    val hof = filter(
+      array(ps.map(lit): _*), p => contains(col("text"), p))
+    // real corpus: every document
+    val docs = Tables.documents(spark, sf001)
+      .select(coalesce(col("text"), lit("")).as("text"))
+    val mism = docs
+      .select(multi_match(col("text"), ps).as("fast"), hof.as("ref"))
+      .filter(!(col("fast") <=> col("ref"))).count()
+    assert(mism == 0)
+    // adversarial shapes: overlapping patterns, pattern-inside-pattern,
+    // suffix/prefix sharing, repeated hits, match at both ends
+    val ps2 = Seq("aba", "ab", "babc", "c", "xy")
+    val hof2 = filter(array(ps2.map(lit): _*), p => contains(col("t"), p))
+    val edge = Seq("ababc", "", "aba", "cxy", "zzz", "ababab")
+      .toDF("t")
+    val pairs = edge
+      .select(multi_match(col("t"), ps2).as("fast"), hof2.as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    pairs.foreach { case (f, r) => assert(f == r, s"$f != $r") }
+    assert(pairs(0)._1 == Seq("aba", "ab", "babc", "c")) // all but xy
+    assert(pairs(5)._1 == Seq("aba", "ab"))              // overlap chain
+    // null text → null
+    val nres = Seq(Option.empty[String]).toDF("t")
+      .select(multi_match(col("t"), ps2)).collect()
+    assert(nres(0).isNullAt(0))
+  }
+
   test("nfc_normalize: composes NFD, preserves ASCII, idempotent, null-safe") {
     import graft.functions.NfcNormalize.nfc_normalize
     val rows = Seq(
@@ -209,6 +240,19 @@ class FunctionsSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.registerAll(spark)
     assert(spark.sql("SELECT nfc_normalize('Café') AS n")
       .head().getString(0) == "Café")
+  }
+
+  test("multi_match registers for SQL use; rejects non-constant patterns") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT multi_match('abcd', array('bc', 'xx', 'd')) AS m")
+      .as[Seq[String]].head()
+    assert(r == Seq("bc", "d"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT multi_match(t, array(t)) FROM VALUES ('a') v(t)")
+        .collect()
+    }
+    assert(e.getMessage.contains("constant"))
   }
 
   test("word_ngrams registers for SQL use (session + extensions)") {

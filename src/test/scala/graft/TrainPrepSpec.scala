@@ -268,6 +268,25 @@ class TrainPrepSpec extends AnyFunSuite {
       38L -> "https://example.com/p"))        // ref dropped, empty query elided
   }
 
+  test("domainBlock: label-aligned subdomain semantics, no substring bleed") {
+    import graft.text.UrlOps
+    val crawl = Seq(
+      (1L, "example.com"),            // exact entry
+      (2L, "a.b.example.com"),        // deep subdomain of entry
+      (3L, "notexample.com"),         // endswith-without-dot trap: KEPT
+      (4L, "example.com.evil.net"),   // entry as NON-suffix label run: KEPT
+      (5L, "cdn.blocked.org"),        // subdomain of second entry
+      (6L, "blocked.org"),            // second entry exact
+      (7L, "safe.org")                // no match
+    ).toDF("doc_id", "url_host")
+    val bl = Seq("example.com", "blocked.org").toDF("domain")
+    val out = UrlOps.domainBlock(crawl, bl, "doc_id")
+      .select("doc_id", "blocked").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true, 6L -> true, 7L -> false))
+  }
+
   test("canonicalize is idempotent: the canonical form is a fixed point") {
     import graft.text.UrlOps
     import graft.queries.TrainPrep
