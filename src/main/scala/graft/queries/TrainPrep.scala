@@ -409,8 +409,40 @@ object TrainPrep extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- Curation pipeline v5: the BLOCKLIST composition — domain
+  //      block (web_domain_block's crawl + blocklist verbatim) →
+  //      phrase blocklist (text_blocklist's list via the Aho–Corasick
+  //      expression) → ≥5-token floor (corpus token rule) → stable
+  //      shard. Every stage's rule is verbatim from its per-operator
+  //      oracle, so the composition is hash-provable end to end.
+  private def pipelineCurateV5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val host = concat(
+      when(col("doc_id") % 5 === 0, lit("ads."))
+        .when(col("doc_id") % 5 === 1, lit("cdn.assets."))
+        .otherwise(lit("www.")),
+      col("source"), lit("."),
+      when(col("doc_id") % 3 === 0, lit("badnet.org"))
+        .otherwise(lit("example.org")))
+    val crawl = Tables.documents(s, d).select("doc_id", "source", "text")
+      .withColumn("url_host", host)
+    val bl = Seq("badnet.org", "src3.example.org",
+      "cdn.assets.src7.example.org", "absent.example.net").toDF("domain")
+    val phrases = Seq("slow fast", "table table", "hash value",
+      "agg join", "scan scan", "zebra quartz")
+    graft.text.UrlOps.domainBlock(crawl, bl, "doc_id")
+      .filter(!col("blocked"))
+      .filter(size(graft.functions.MultiMatch.multi_match(
+        coalesce(col("text"), lit("")), phrases)) === 0)
+      .filter(size(graft.text.Tokens.ws(col("text"))) >= 5)
+      .select(col("doc_id"), col("url_host"),
+        graft.ops.Export.shardId(col("doc_id"), 16).as("shard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "web_domain_block" -> (webDomainBlock _),
+    "pipeline_curate_v5" -> (pipelineCurateV5 _),
     "dedup_paragraph" -> (dedupParagraph _),
     "text_normalize"  -> (textNormalize _),
     "text_normalize_uni" -> (textNormalizeUni _),
@@ -906,6 +938,38 @@ object TrainPrep extends QueryModule {
          SELECT doc_id, url_host, canon_url,
                 ${graft.ops.Export.shardIdSql("doc_id", 16)} AS shard
          FROM fl ORDER BY doc_id"""),
+
+    // every stage verbatim from its per-operator oracle: the
+    // web_domain_block crawl + NOT EXISTS predicate, text_blocklist's
+    // list_filter = 0, the corpus ws-token floor, the export shard
+    "pipeline_curate_v5" ->
+      (s"""WITH crawl AS (
+           SELECT doc_id, text,
+                  (CASE WHEN doc_id % 5 = 0 THEN 'ads.'
+                        WHEN doc_id % 5 = 1 THEN 'cdn.assets.'
+                        ELSE 'www.' END) || source || '.' ||
+                  (CASE WHEN doc_id % 3 = 0 THEN 'badnet.org'
+                        ELSE 'example.org' END) AS url_host
+           FROM documents),
+         bl AS (
+           SELECT * FROM (VALUES ('badnet.org'), ('src3.example.org'),
+             ('cdn.assets.src7.example.org'), ('absent.example.net'))
+             AS t(domain)),
+         kept AS (
+           SELECT doc_id, url_host FROM crawl
+           WHERE NOT EXISTS (SELECT 1 FROM bl
+                             WHERE crawl.url_host = bl.domain
+                                OR ends_with(crawl.url_host,
+                                             '.' || bl.domain))
+             AND len(list_filter(
+                   ['slow fast', 'table table', 'hash value',
+                    'agg join', 'scan scan', 'zebra quartz'],
+                   p -> contains(coalesce(text, ''), p))) = 0
+             AND len(list_filter(string_split(trim(text), ' '),
+                   t -> t <> '')) >= 5)
+         SELECT doc_id, url_host,
+                ${graft.ops.Export.shardIdSql("doc_id", 16)} AS shard
+         FROM kept ORDER BY doc_id"""),
 
     // label-aligned suffix predicate: exact host OR ends_with('.'||d) —
     // semantically identical to the label-chain explode+join

@@ -363,6 +363,28 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 16))
   }
 
+  test("pipeline_curate_v5 coherence: survivors pass every stage's own rule") {
+    import graft.queries.TrainPrep
+    val out = TrainPrep.queries("pipeline_curate_v5")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+    // domain block held: no survivor doc is blocked per the standalone entry
+    val blocked = TrainPrep.queries("web_domain_block")(spark, sf001)
+      .filter(col("blocked")).select("doc_id").as[Long].collect().toSet
+    assert(ids.intersect(blocked).isEmpty)
+    // phrase blocklist held: no survivor doc matched any phrase per the
+    // standalone text_blocklist entry
+    val matched = graft.queries.TokenOps.queries("text_blocklist")(spark, sf001)
+      .filter(col("blocked")).select("doc_id").as[Long].collect().toSet
+    assert(ids.intersect(matched).isEmpty)
+    // token floor + shard range
+    val toks = Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(graft.text.Tokens.ws(col("text"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(ids.forall(id => toks(id) >= 5))
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 16))
+  }
+
   test("hostStats/hostGate: mirror host counted after canonicalization, " +
       "clean host kept") {
     import graft.text.UrlOps
