@@ -42,7 +42,9 @@ object Explain {
         "graph_pagerank", "graph_degrees", "graph_trustrank", "j9_fuzzy_match",
         "j8_scd2_stream", "w7_transitions", "w8_interval_union",
         "w9_gap_fill", "text_collocations",
-        "ops_schema_conform", "ops_schema_evolution")
+        "ops_schema_conform", "ops_schema_evolution",
+        "a9_salted_count_distinct", "web_domain_block",
+        "text_blocklist", "pipeline_curate_v5")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
