@@ -78,4 +78,23 @@ object Export {
   /** Read one shard back (partition-pruned scan). */
   def readShard(s: SparkSession, path: String, shard: Int): DataFrame =
     s.read.parquet(path).filter(col("shard") === shard)
+
+  /** Globally-ORDERED export without a global sort: range-partition on
+    * the sort key (`repartitionByRange` samples split points in one
+    * lightweight pass), sort within each partition (task-local,
+    * spills, never exchanges twice), write one file per range. Files
+    * in part-number order ARE the corpus in total order — a reader
+    * that streams part files sequentially (an epoch over a
+    * time-ordered training set) sees the global sort, yet no task
+    * ever held more than its own range. Range files also align
+    * pruning: a key-range scan touches only the files whose [min,max]
+    * intersect (row-group stats do this for free on the sorted
+    * files). The split points are engine-sampled — boundary PLACEMENT
+    * is not part of the contract (content, per-file sortedness, and
+    * cross-file disjointness are; LayoutSpec pins all three). */
+  def writeRangeSorted(df: DataFrame, sortCols: Seq[String],
+      nShards: Int, path: String): Unit =
+    df.repartitionByRange(nShards, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
 }

@@ -197,7 +197,28 @@ object LayoutOps extends QueryModule {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Events exported in global (ts, event_id) order via range shards,
+    * written once per (session, dir). */
+  private[graft] def rangeSortedEventsPath(s: SparkSession, d: String)
+      : String =
+    SessionMemo(s, d, "layout_range_sorted") {
+      val path = scratch(d, "rsort")
+      graft.ops.Export.writeRangeSorted(
+        graft.Tables.events(s, d), Seq("ts", "event_id"), 8, path)
+      path
+    }
+
+  // Read the range-sorted export back: the oracle reads the ORIGINAL
+  // parquet, so hash equality proves the ordered export is lossless;
+  // the ORDER guarantees (per-file sorted, cross-file disjoint ranges,
+  // concatenation = total order) are pinned in LayoutSpec — same
+  // split as layout_zorder_scan.
+  private def exportRangeSorted(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(rangeSortedEventsPath(s, d))
+      .orderBy("ts", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "export_range_sorted"    -> (exportRangeSorted _),
     "layout_partition_prune" -> (layoutPartitionPrune _),
     "layout_bucketed_join"   -> (layoutBucketedJoin _),
     "layout_zorder_scan"     -> (layoutZorderScan _),
@@ -264,6 +285,13 @@ object LayoutOps extends QueryModule {
          FROM events ORDER BY event_id""",
 
     // straight reads of the ORIGINAL parquet: equality proves the text
+    // the oracle reads the ORIGINAL events — equality proves the
+    // range-sorted export is lossless; order properties live in spec
+    "export_range_sorted" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                event_type, value, props
+         FROM events ORDER BY CAST(ts AS TIMESTAMP), event_id""",
+
     // round trip lost nothing (µs timestamps, doubles, quoted JSON)
     "src_jsonl_roundtrip" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,

@@ -173,4 +173,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(areas.sum / areas.length <= 0.4,
       s"mean z-partition box area ${areas.sum / areas.length} too large")
   }
+
+  test("export_range_sorted: part files are sorted runs, disjoint and " +
+      "increasing — concatenation IS the global order") {
+    import graft.queries.LayoutOps
+    import spark.implicits._
+    val path = LayoutOps.rangeSortedEventsPath(spark, sf0001)
+    val files = new java.io.File(path).listFiles
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    assert(files.length > 1, "range export must produce multiple files")
+    val perFile = files.map { f =>
+      spark.read.parquet(f)
+        .select(unix_micros(col("ts")), col("event_id"))
+        .as[(Long, Long)].collect().toSeq
+    }.filter(_.nonEmpty)
+    // within-file: each file is a sorted run
+    perFile.foreach { rows =>
+      assert(rows == rows.sorted, "file not sorted by (ts, event_id)")
+    }
+    // cross-file: ranges disjoint and increasing in part-number order
+    perFile.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(Ordering[(Long, Long)].lt(a.last, b.head),
+          s"file ranges overlap: ${a.last} !< ${b.head}")
+      case _ => ()
+    }
+    // concatenation in file order equals the globally sorted corpus
+    val concat = perFile.toSeq.flatten
+    val global = graft.Tables.events(spark, sf0001)
+      .select(unix_micros(col("ts")), col("event_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(concat == global)
+  }
 }
