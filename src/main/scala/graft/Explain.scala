@@ -44,7 +44,7 @@ object Explain {
         "w9_gap_fill", "text_collocations",
         "ops_schema_conform", "ops_schema_evolution",
         "a9_salted_count_distinct", "web_domain_block",
-        "text_blocklist", "pipeline_curate_v5")
+        "text_blocklist", "pipeline_curate_v5", "export_range_sorted")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
