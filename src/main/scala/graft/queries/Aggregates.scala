@@ -123,6 +123,39 @@ object Aggregates extends QueryModule {
       .orderBy("user_id")
   }
 
+  // ---- W10: capped sessionization — the production sessionizer's
+  //      SECOND rule: sessions close on an idle gap (24 h here) AND
+  //      split when they exceed a max duration (24 h cap), so a
+  //      never-idle user can't produce an unbounded session (state
+  //      bound per key in the streaming form). Sub-session semantics
+  //      are cap-aligned from the session start —
+  //      floor((ts − sess_start)/cap) — a closed formula both engines
+  //      compute identically (vs re-anchored splitting, which is
+  //      iterative and engine-divergent). All three windows and the
+  //      final aggregation share the user-keyed exchange; the
+  //      (user, sess) sub-windows derive from the same sort order.
+  private def w10CappedSessions(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 86400L * 1000000L
+    val capUs = 86400L * 1000000L
+    val e = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ws = Window.partitionBy("user_id", "sess")
+    e.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess", sum("boundary").over(w))
+      .withColumn("sess_start_us", min("ts_us").over(ws))
+      .withColumn("sub", // integer div: BIGINT in both engines
+        expr(s"(ts_us - sess_start_us) div CAST($capUs AS BIGINT)"))
+      .groupBy(col("user_id"), col("sess"), col("sub"))
+      .agg(min("ts_us").as("sub_start_us"),
+        max("ts_us").as("sub_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "sess", "sub")
+  }
+
   // ---- W3: analytic window functions — rank/dense_rank/ntile/lag/lead
   //      + a moving frame aggregate, per-customer order history.
   private def w3WindowAnalytics(s: SparkSession, d: String): DataFrame = {
@@ -240,6 +273,7 @@ object Aggregates extends QueryModule {
     "a7_approx_distinct"      -> (a7ApproxDistinct _),
     "a7_approx_percentile"    -> (a7ApproxPercentile _),
     "w1_sessionization"       -> (w1Sessionization _),
+    "w10_capped_sessions"     -> (w10CappedSessions _),
     "w3_window_analytics"     -> (w3WindowAnalytics _),
     "o1_limit_cap"            -> (o1LimitCap _),
     "u2_intersect"            -> (u2Intersect _),
@@ -330,6 +364,36 @@ object Aggregates extends QueryModule {
                 count(DISTINCT l_orderkey) AS n_orders,
                 count(*) AS n_rows
          FROM lineitem""",
+
+    "w10_capped_sessions" ->
+      """WITH b AS (
+           SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+                    (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts_us,
+                  CAST(SUM(CASE WHEN prev_us IS NULL
+                                  OR ts_us - prev_us >
+                                     CAST(86400000000 AS BIGINT)
+                                THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY user_id
+                     ORDER BY ts_us, event_id) AS BIGINT) AS sess
+           FROM b),
+         t AS (
+           SELECT user_id, sess, ts_us,
+                  (ts_us - min(ts_us) OVER (PARTITION BY user_id, sess))
+                    // CAST(86400000000 AS BIGINT) AS sub
+           FROM s)
+         SELECT user_id, sess, sub,
+                min(ts_us) AS sub_start_us,
+                max(ts_us) AS sub_end_us,
+                count(*) AS n_events
+         FROM t
+         GROUP BY user_id, sess, sub
+         ORDER BY user_id, sess, sub""",
 
     "w1_sessionization" ->
       """SELECT user_id, CAST(SUM(boundary) AS BIGINT) AS n_sessions, count(*) AS n_events
