@@ -44,7 +44,8 @@ object Explain {
         "w9_gap_fill", "text_collocations",
         "ops_schema_conform", "ops_schema_evolution",
         "a9_salted_count_distinct", "web_domain_block",
-        "text_blocklist", "pipeline_curate_v5", "export_range_sorted")
+        "text_blocklist", "pipeline_curate_v5", "export_range_sorted",
+        "w10_capped_sessions", "ops_schema_drift")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

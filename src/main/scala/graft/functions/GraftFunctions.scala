@@ -59,8 +59,15 @@ object GraftFunctions {
     require(pExpr.foldable,
       s"multi_match: patterns must be a constant array, got $pExpr")
     val patterns = pExpr.eval() match {
+      case null => throw new IllegalArgumentException(
+        "multi_match: patterns must be a non-null constant array<string>")
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        (0 until a.numElements()).map { i =>
+          val u = a.getUTF8String(i)
+          if (u == null) throw new IllegalArgumentException(
+            "multi_match: patterns must not contain NULL elements")
+          u.toString
+        }
       case other => throw new IllegalArgumentException(
         s"multi_match: patterns must be array<string>, got $other")
     }

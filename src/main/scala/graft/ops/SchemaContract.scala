@@ -83,11 +83,25 @@ object SchemaContract {
 
   /** Drift report for `df` against `contract` — pure schema metadata,
     * no job runs. Ordered: contract columns first (contract order),
-    * then dropped data columns (data order). */
+    * then dropped data columns (data order).
+    *
+    * Name resolution is case-INsensitive, matching Spark's default
+    * analyzer (`spark.sql.caseSensitive=false`): a data column that
+    * differs from the contract only in case binds to the contract
+    * column (and [[conform]] re-aliases it to the contract's casing)
+    * rather than being misclassified as missing-and-dropped. Data with
+    * two columns that collide case-insensitively is rejected — Spark's
+    * own resolver would call any reference to them ambiguous anyway.
+    */
   def drift(df: DataFrame, contract: StructType): Seq[Drift] = {
-    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dataFields = df.schema.fields.toSeq
+    val collisions = dataFields.groupBy(_.name.toLowerCase)
+      .collect { case (_, fs) if fs.length > 1 => fs.map(_.name) }
+    require(collisions.isEmpty,
+      s"data columns collide case-insensitively: ${collisions.mkString(", ")}")
+    val have = dataFields.map(f => f.name.toLowerCase -> f.dataType).toMap
     val contractFindings = contract.fields.toSeq.map { f =>
-      have.get(f.name) match {
+      have.get(f.name.toLowerCase) match {
         case None =>
           Drift(f.name, f.dataType.sql, "ABSENT", "missing_filled_null")
         case Some(dt) if dt == f.dataType =>
@@ -100,9 +114,9 @@ object SchemaContract {
           Drift(f.name, f.dataType.sql, dt.sql, "incompatible")
       }
     }
-    val wanted = contract.fieldNames.toSet
-    val extras = df.schema.fields.toSeq.collect {
-      case f if !wanted.contains(f.name) =>
+    val wanted = contract.fieldNames.map(_.toLowerCase).toSet
+    val extras = dataFields.collect {
+      case f if !wanted.contains(f.name.toLowerCase) =>
         Drift(f.name, "ABSENT", f.dataType.sql, "dropped")
     }
     contractFindings ++ extras
@@ -116,9 +130,15 @@ object SchemaContract {
     * — one failure names every drifted column, not just the first.
     * `strict = false` try_casts incompatible columns instead:
     * unconvertible cells become NULL (auditable), never a wrong value.
+    *
+    * `keepExtras = true` appends data columns absent from the contract
+    * (in data order, types untouched) instead of dropping them — the
+    * right mode for a table LOADER, where a producer adding a column
+    * should flow through rather than vanish; the default drop is the
+    * right mode for a pipeline STAGE compiled against a fixed width.
     */
   def conform(df: DataFrame, contract: StructType,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true, keepExtras: Boolean = false): DataFrame = {
     val findings = drift(df, contract)
     if (strict) {
       val bad = findings.filter(_.action == "incompatible")
@@ -126,17 +146,20 @@ object SchemaContract {
         s"schema contract violated (${bad.size} incompatible): " +
           findings.filterNot(_.action == "ok").mkString("; "))
     }
-    val byName = findings.map(d => d.column -> d).toMap
+    val byName = findings.map(d => d.column.toLowerCase -> d).toMap
     val cols: Seq[Column] = contract.fields.toSeq.map { f =>
-      byName(f.name).action match {
+      byName(f.name.toLowerCase).action match {
         case "missing_filled_null" => lit(null).cast(f.dataType).as(f.name)
-        case "ok" => col(f.name)
+        case "ok" => col(f.name).as(f.name)
         case "incompatible" => // lenient mode only (strict threw above)
           col(f.name).try_cast(f.dataType).as(f.name)
         case _ => col(f.name).cast(f.dataType).as(f.name)
       }
     }
-    df.select(cols: _*)
+    val extraCols: Seq[Column] =
+      if (!keepExtras) Nil
+      else findings.collect { case d if d.action == "dropped" => col(d.column) }
+    df.select(cols ++ extraCols: _*)
   }
 
   /** Read a table whose files span SCHEMA GENERATIONS — early files

@@ -156,6 +156,61 @@ object Aggregates extends QueryModule {
       .orderBy("user_id", "sess", "sub")
   }
 
+  /** Run the STREAMING capped sessionizer end-to-end once per
+    * (session, dir): events in three global time-range deliveries
+    * through a checkpointed `flatMapGroupsWithState` stream with an
+    * event-time watermark ([[graft.streaming.CappedSessions]]), then a
+    * per-user sentinel delivery past the horizon that closes every
+    * open frame (the sentinel's own frames are never emitted — they
+    * never close). Mid-stream event-time timeouts may close idle
+    * frames earlier; the tombstone discipline keeps session NUMBERING
+    * batch-equivalent, so the emitted set is identical either way and
+    * the batch `w10_capped_sessions` oracle verifies it hash-for-hash
+    * — the same stream≡batch proof shape as `pgn_stream_e2e`. */
+  private def cappedStreamPath(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "w10_stream") {
+      import graft.streaming.CappedSessions
+      val base = s"${sys.props("java.io.tmpdir")}/graft_w10s_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (src, cp, out) = (s"$base/src", s"$base/cp", s"$base/subs")
+      graft.sources.TableSwap.deleteRecursively(
+        java.nio.file.Paths.get(base))
+      val e = Tables.events(s, d)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+      val mm = e.agg(min("us"), max("us")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      def deliver(df: DataFrame): Unit = {
+        df.select("user_id", "ts").coalesce(1)
+          .write.mode("append").parquet(src)
+        val stream = s.readStream
+          .schema("user_id LONG, ts TIMESTAMP").parquet(src)
+        val q = CappedSessions
+          .subSessions(CappedSessions.toEvents(stream), withTimeout = true)
+          .toDF()
+          .writeStream.option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        require(q.awaitTermination(300000), "w10_capped_sessions_stream: " +
+          "stream did not finish within 5 minutes — refusing partial output")
+      }
+      deliver(e.filter(col("us") <= c1))
+      deliver(e.filter(col("us") > c1 && col("us") <= c2))
+      deliver(e.filter(col("us") > c2))
+      // sentinel flush: one far-future event per seen user
+      deliver(e.select("user_id").distinct()
+        .withColumn("ts", timestamp_micros(
+          lit(hi + 3L * graft.streaming.CappedSessions.GapUs))))
+      out
+    }
+
+  private def w10CappedSessionsStream(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(cappedStreamPath(s, d))
+      .select(col("user_id"), col("sess"), col("sub"),
+        col("sub_start_us"), col("sub_end_us"), col("n_events"))
+      .orderBy("user_id", "sess", "sub")
+
   // ---- W3: analytic window functions — rank/dense_rank/ntile/lag/lead
   //      + a moving frame aggregate, per-customer order history.
   private def w3WindowAnalytics(s: SparkSession, d: String): DataFrame = {
@@ -274,11 +329,51 @@ object Aggregates extends QueryModule {
     "a7_approx_percentile"    -> (a7ApproxPercentile _),
     "w1_sessionization"       -> (w1Sessionization _),
     "w10_capped_sessions"     -> (w10CappedSessions _),
+    "w10_capped_sessions_stream" -> (w10CappedSessionsStream _),
     "w3_window_analytics"     -> (w3WindowAnalytics _),
     "o1_limit_cap"            -> (o1LimitCap _),
     "u2_intersect"            -> (u2Intersect _),
     "u2_except"               -> (u2Except _)
   )
+
+  /** One SQL truth for BOTH capped-sessionization forms (batch window
+    * query and streaming state machine) — shared verbatim so the two
+    * entries cannot drift apart. */
+  private val W10OracleSql: String =
+    """WITH b AS (
+           SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+                    (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts_us,
+                  CAST(SUM(CASE WHEN prev_us IS NULL
+                                  OR ts_us - prev_us >
+                                     CAST(86400000000 AS BIGINT)
+                                THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY user_id
+                     ORDER BY ts_us, event_id) AS BIGINT) AS sess
+           FROM b),
+         t AS (
+           SELECT user_id, sess, ts_us,
+                  (ts_us - min(ts_us) OVER (PARTITION BY user_id, sess))
+                    // CAST(86400000000 AS BIGINT) AS sub
+           FROM s)
+         SELECT user_id, sess, sub,
+                min(ts_us) AS sub_start_us,
+                max(ts_us) AS sub_end_us,
+                count(*) AS n_events
+         FROM t
+         GROUP BY user_id, sess, sub
+         ORDER BY user_id, sess, sub"""
+
+  /** The streaming sessionizer's one-time checkpointed run, benched as
+    * an explicit build entry (build-once/read-many; see
+    * [[QueryModule.benchBuilds]]). */
+  override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Map("w10_stream_build" -> ((s, d) => { cappedStreamPath(s, d); () }))
 
   val oracles: Map[String, String] = Map(
     "a9_salted_count_distinct" ->
@@ -365,35 +460,11 @@ object Aggregates extends QueryModule {
                 count(*) AS n_rows
          FROM lineitem""",
 
-    "w10_capped_sessions" ->
-      """WITH b AS (
-           SELECT user_id, event_id,
-                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-                  lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
-                    (PARTITION BY user_id
-                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
-           FROM events),
-         s AS (
-           SELECT user_id, event_id, ts_us,
-                  CAST(SUM(CASE WHEN prev_us IS NULL
-                                  OR ts_us - prev_us >
-                                     CAST(86400000000 AS BIGINT)
-                                THEN 1 ELSE 0 END) OVER
-                    (PARTITION BY user_id
-                     ORDER BY ts_us, event_id) AS BIGINT) AS sess
-           FROM b),
-         t AS (
-           SELECT user_id, sess, ts_us,
-                  (ts_us - min(ts_us) OVER (PARTITION BY user_id, sess))
-                    // CAST(86400000000 AS BIGINT) AS sub
-           FROM s)
-         SELECT user_id, sess, sub,
-                min(ts_us) AS sub_start_us,
-                max(ts_us) AS sub_end_us,
-                count(*) AS n_events
-         FROM t
-         GROUP BY user_id, sess, sub
-         ORDER BY user_id, sess, sub""",
+    "w10_capped_sessions" -> W10OracleSql,
+
+    // the streaming twin emits the SAME closed-formula sub-sessions —
+    // one oracle proves stream ≡ batch (pgn_stream_e2e pattern)
+    "w10_capped_sessions_stream" -> W10OracleSql,
 
     "w1_sessionization" ->
       """SELECT user_id, CAST(SUM(boundary) AS BIGINT) AS n_sessions, count(*) AS n_events

@@ -176,6 +176,19 @@ object ChessPipeline extends QueryModule {
     "pgn_stream_e2e"  -> (pgnStreamE2e _)
   )
 
+  /** One-time shared builds benched as explicit entries: the parse+
+    * normalize memo feeding both batch entries, and the checkpointed
+    * two-delivery streaming ingest (r8: pgn_stream_e2e read 8× its
+    * builder median because the stream run was booked in-query). */
+  override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Map(
+      "pgn_parse_build"  -> ((s, d) => {
+        // force the persisted normalize memo (persist() alone is lazy)
+        runPipeline(s, d).cleaned.queryExecution.toRdd.count(); ()
+      }),
+      "pgn_stream_build" -> ((s, d) => { streamedTable(s, d); () })
+    )
+
   // The oracle recomputes expected outputs directly from `customer`,
   // mirroring the synthesis rules + the reference cleaning semantics.
   private val synthCte =

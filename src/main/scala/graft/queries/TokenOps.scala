@@ -156,13 +156,17 @@ object TokenOps extends QueryModule {
   //      filter(array, p -> contains) form is O(len · N)). Byte-
   //      substring semantics ≡ contains(), so the oracle is the
   //      composable form in DuckDB.
+  // `matched` is emitted '|'-joined (a STRING, not a LIST): same
+  // information, but sortable/hashable by column-wise comparators.
   private def textBlocklist(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         graft.functions.MultiMatch.multi_match(textC, Blocklist)
-          .as("matched"))
-      .withColumn("n_matched", size(col("matched")))
-      .withColumn("blocked", col("n_matched") > 0)
+          .as("hits"))
+      .select(col("doc_id"),
+        array_join(col("hits"), "|").as("matched"),
+        size(col("hits")).as("n_matched"),
+        (size(col("hits")) > 0).as("blocked"))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -189,7 +193,10 @@ object TokenOps extends QueryModule {
                     [${Blocklist.map(p => s"'$p'").mkString(", ")}],
                     p -> contains(coalesce(text, ''), p)) AS matched
            FROM documents)
-         SELECT doc_id, matched,
+         SELECT doc_id,
+                -- DuckDB renders the empty list as NULL here; Spark's
+                -- array_join renders '' — pin the '' convention
+                coalesce(array_to_string(matched, '|'), '') AS matched,
                 CAST(len(matched) AS INT) AS n_matched,
                 len(matched) > 0 AS blocked
          FROM m ORDER BY doc_id"""),

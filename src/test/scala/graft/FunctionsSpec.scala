@@ -253,6 +253,17 @@ class FunctionsSpec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.contains("constant"))
+    // foldable-but-NULL patterns fail with a named error, not an NPE
+    val eNullArr = intercept[Exception] {
+      spark.sql("SELECT multi_match('x', CAST(NULL AS ARRAY<STRING>))")
+        .collect()
+    }
+    assert(eNullArr.getMessage.contains("multi_match"))
+    val eNullElem = intercept[Exception] {
+      spark.sql("SELECT multi_match('x', array('a', CAST(NULL AS STRING)))")
+        .collect()
+    }
+    assert(eNullElem.getMessage.contains("NULL elements"))
   }
 
   test("word_ngrams registers for SQL use (session + extensions)") {

@@ -74,4 +74,70 @@ class TablesSpec extends AnyFunSuite {
     assert(out.schema("ts").dataType === TimestampType)
     assert(out.limit(1).count() === 1)
   }
+
+  // ---- Contract coverage for EVERY table loader: a synthetic narrow
+  //      generation (int32 keys, float32 metrics, one added column)
+  //      must load back with exactly the declared logical schema plus
+  //      the flowed-through extra — the generalization of the events
+  //      incident to the whole registry surface.
+
+  private val loaders: Map[String, (org.apache.spark.sql.SparkSession,
+      String) => org.apache.spark.sql.DataFrame] = Map(
+    "region" -> (Tables.region _), "nation" -> (Tables.nation _),
+    "customer" -> (Tables.customer _), "supplier" -> (Tables.supplier _),
+    "part" -> (Tables.part _), "orders" -> (Tables.orders _),
+    "lineitem" -> (Tables.lineitem _), "events" -> (Tables.events _),
+    "documents" -> (Tables.documents _),
+    "embeddings" -> (Tables.embeddings _))
+
+  test("every loader absorbs a narrowed-generation parquet (int32/float32 + added column)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-narrowgen")
+    root.toFile.deleteOnExit()
+    Tables.contracts.keys.foreach { name =>
+      val orig = Tables.table(spark, sf0001, name)
+      val narrowed = orig.select(orig.schema.fields.toSeq.map { f =>
+        f.dataType match {
+          case LongType   => col(f.name).cast(IntegerType).as(f.name)
+          case DoubleType => col(f.name).cast(FloatType).as(f.name)
+          case _          => col(f.name)
+        }
+      }: _*).withColumn("producer_tag", lit("gen0"))
+      narrowed.write.mode("overwrite").parquet(s"$root/$name.parquet")
+    }
+    Tables.contracts.foreach { case (name, contract) =>
+      val out = loaders(name)(spark, root.toString)
+      val lead = StructType(out.schema.fields.take(contract.length)
+        .map(f => StructField(f.name, f.dataType)))
+      val want = StructType(contract.fields.map(f =>
+        StructField(f.name, f.dataType)))
+      assert(lead === want, s"table $name: widened schema != contract")
+      assert(out.schema.fieldNames.last === "producer_tag",
+        s"table $name: added producer column must flow through")
+      assert(out.count() === Tables.table(spark, sf0001, name).count(),
+        s"table $name: narrowed generation lost rows")
+    }
+    // value fidelity on an int-narrowed key: widening back is lossless
+    val keys = Tables.documents(spark, root.toString)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    val origKeys = Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    assert(keys.sameElements(origKeys))
+  }
+
+  test("case-only column drift binds to the contract (analyzer-consistent)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-casegen")
+    root.toFile.deleteOnExit()
+    Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id").as("DOC_ID"), col("text").as("Text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val out = Tables.documents(spark, root.toString)
+    // contract casing wins; no column misread as missing (all non-null)
+    assert(out.schema.fieldNames.toSeq ===
+      Tables.documentsContract.fieldNames.toSeq)
+    assert(out.filter(col("doc_id").isNull || col("text").isNull)
+      .count() === 0)
+  }
 }
