@@ -69,6 +69,14 @@ import graft.ops.BloomPrune
   */
 object StreamAdmission {
 
+  private def trace[T](tag: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.contains("SPARK_GRAFT_TRACE")) System.err.println(
+      f"[admit:$tag] ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   /** Loaded state handles (None until first commit/seed). */
   final case class State(docs: Option[DataFrame],
       shingles: Option[DataFrame], shdf: Option[DataFrame])
@@ -183,22 +191,25 @@ object StreamAdmission {
     // already shingled — is a deliberate batch-scale recompute: passing
     // the flag-stage postings through would couple the two stages'
     // lifecycles for a scan bounded by the admitted slice of one batch.)
-    val aSh = Dedup.shingles(admitted, "id", "text")
+    val aSh = trace("ckpt-shingles")(Dedup.shingles(admitted, "id", "text")
       .withColumn("__k", concat(col("id").cast("string"), lit(":"),
         col("shingle")))
-      .localCheckpoint()
-    MicroBatchIngest.mergeParquet(spark, aSh, s"$statePath/shingles",
-      "__k", Seq(asc("__k")), assumeDeduped = true)
+      .localCheckpoint())
+    trace("merge-shingles")(
+      MicroBatchIngest.mergeParquet(spark, aSh, s"$statePath/shingles",
+        "__k", Seq(asc("__k")), assumeDeduped = true))
     val aDf = aSh.groupBy("shingle").agg(count(lit(1)).as("__d"))
-    val newDf = (readIfExists(spark, s"$statePath/shdf") match {
+    val newDf = trace("ckpt-shdf")((readIfExists(spark, s"$statePath/shdf") match {
       case Some(sdf) => sdf.join(aDf, Seq("shingle"), "full_outer")
         .select(col("shingle"), (coalesce(col("df"), lit(0L)) +
           coalesce(col("__d"), lit(0L))).as("df"))
       case None => aDf.select(col("shingle"), col("__d").as("df"))
-    }).localCheckpoint()
-    graft.sources.TableSwap.replace(spark, newDf, s"$statePath/shdf")
-    MicroBatchIngest.mergeParquet(spark, admitted, s"$statePath/docs",
-      "id", Seq(asc("id")), assumeDeduped = true)
+    }).localCheckpoint())
+    trace("swap-shdf")(
+      graft.sources.TableSwap.replace(spark, newDf, s"$statePath/shdf"))
+    trace("merge-docs")(
+      MicroBatchIngest.mergeParquet(spark, admitted, s"$statePath/docs",
+        "id", Seq(asc("id")), assumeDeduped = true))
   }
 
   /** Initialize state from an already-curated corpus (no admission
@@ -223,11 +234,13 @@ object StreamAdmission {
   def admitAndCommit(spark: SparkSession, batch: DataFrame,
       statePath: String, idCol: String, textCol: String, tau: Double,
       maxShingleDf: Long, expectedBatch: Long): DataFrame = {
-    val flags = flagBatch(batch, loadState(spark, statePath), idCol,
-      textCol, tau, maxShingleDf, expectedBatch).localCheckpoint()
+    val flags = trace("flag")(
+      flagBatch(batch, loadState(spark, statePath), idCol,
+        textCol, tau, maxShingleDf, expectedBatch).localCheckpoint())
     val admitted = flags.filter(col("admitted"))
       .select("id", "text", "n_sh")
-    if (!admitted.isEmpty) commitAdmitted(spark, admitted, statePath)
+    if (trace("isEmpty")(!admitted.isEmpty))
+      trace("commit")(commitAdmitted(spark, admitted, statePath))
     flags
   }
 
