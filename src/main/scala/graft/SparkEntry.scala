@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, GraphOps, Joins, LayoutOps, MultimodalOps, QueryModule, Relational, SamplingOps, SimOps, TokenOps, TrainPrep, Transforms, Windows}
+import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, GraphOps, Joins, LayoutOps, MultimodalOps, QueryModule, Relational, Retrieval, SamplingOps, SimOps, TokenOps, TrainPrep, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
     ApiQueries,
     SamplingOps,
     TrainPrep,
+    Retrieval,
     LayoutOps,
     CorpusOps,
     GraphOps,

@@ -49,11 +49,42 @@ object Stress {
     "graph_degrees", "graph_pagerank", "graph_trustrank",
     "j9_fuzzy_match", "sim_cosine_topk")
 
-  /** Shared builds consumed by the heavy tier (subset of
-    * [[SparkEntry.benchBuilds]] — the curate/SCD-2 builds feed
-    * entries outside this tier). */
+  /** Text / retrieval / sampling / curation tier (documents +
+    * embeddings): tokenizers are linear scans, BM25/tf-idf are
+    * posting-list aggs, the curate pipelines compose the gated corpus,
+    * the ANN prod dials bound candidate tiles. */
+  private val TextTier = Seq(
+    "text_tokens", "text_tokens_bpe", "vocab_topk", "vocab_bpe_topk",
+    "text_tfidf_topk", "text_line_rules", "text_classifier_score",
+    "text_bm25_topk", "text_bm25_pinned", "text_bm25_chunks",
+    "retrieval_hybrid_rrf_pinned",
+    "samp_mixture_bpe", "samp_mixture_epochs", "samp_temperature_alpha",
+    "dedup_keep_best", "dedup_prod_paths", "emb_nn_classify",
+    "sim_ivf_topk", "sim_pq_topk",
+    "pipeline_curate", "pipeline_curate_v2", "pipeline_curate_v3",
+    "pipeline_curate_v4", "pipeline_curate_v5")
+
+  /** Relational / windows / layout tier (orders + lineitem + events —
+    * amplified fact tables; region/nation/supplier/part stay dim-sized,
+    * the realistic 100 TB shape where facts grow and dims don't). */
+  private val RelTier = Seq(
+    "q1_pricing_summary", "ops_profile", "a7_rollup",
+    "a7_count_distinct", "a8_array_funcs", "j4_join_revenue_nation",
+    "j8_scd2_merge",
+    "w1_sessionization", "w7_transitions", "w9_gap_fill",
+    "w10_capped_sessions",
+    "layout_partition_prune", "layout_zorder_scan",
+    "layout_bucketed_join", "layout_compact", "export_range_sorted",
+    "src_csv_roundtrip", "src_orc_roundtrip")
+
+  /** Shared builds consumed by the measured tiers (subset of
+    * [[SparkEntry.benchBuilds]]). */
   private val Builds = Seq(
-    "dedup_index_build", "dedup_passage_build", "dedup_stream_admit_build")
+    "dedup_index_build", "dedup_passage_build", "dedup_stream_admit_build",
+    "pipeline_curate_build", "pipeline_curate_v3_build",
+    "layout_partition_build", "layout_bucketed_build",
+    "layout_zorder_build", "layout_compact_build",
+    "layout_range_sorted_build")
 
   private def tokenSuffixed(text: Column, rep: Column): Column =
     array_join(
@@ -69,7 +100,9 @@ object Stress {
 
   private def amplify(spark: SparkSession, base: String, out: String,
       amp: Int): Unit = {
-    val done = java.nio.file.Paths.get(out, "_AMPLIFIED")
+    // v2: fact tables (orders/lineitem/events) amplified too, not
+    // byte-copied — bump the marker so a v1 work dir is rebuilt
+    val done = java.nio.file.Paths.get(out, "_AMPLIFIED_V2")
     if (java.nio.file.Files.exists(done)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     val reps = broadcast(
@@ -104,10 +137,44 @@ object Stress {
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
-    // remaining tables: byte-copy — nothing in the heavy tier reads
-    // them, but the dir must be a complete SF layout for the builds
-    Seq("region", "nation", "supplier", "part", "orders", "lineitem",
-        "events").foreach { t =>
+    // Fact tables: stride re-keying preserves join consistency —
+    // orders.o_custkey follows the customer stride, lineitem.l_orderkey
+    // the orders stride, so every replica joins only its own replica
+    // (key cardinality, fan-out, and skew shape all scale ×amp).
+    // part/supplier keys are left as-is: those dims stay dim-sized, so
+    // their fan-in grows ×amp — exactly what 100 TB facts do to dims.
+    val ord = Tables.orders(spark, base)
+    val oStride = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    ord.crossJoin(reps)
+      .select((col("o_orderkey") + col("__rep") * oStride).as("o_orderkey"),
+        (col("o_custkey") + col("__rep") * cStride).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    Tables.lineitem(spark, base).crossJoin(reps)
+      .select((col("l_orderkey") + col("__rep") * oStride).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // events: users replicate (×amp users, per-user timelines intact),
+    // timestamps untouched — session/window structure per key is
+    // preserved while key cardinality and row count scale ×amp.
+    val ev = Tables.events(spark, base)
+    val evStride = ev.agg(max("event_id")).head().getLong(0) + 1
+    val uStride = ev.agg(max("user_id")).head().getLong(0) + 1
+    ev.crossJoin(reps)
+      .select((col("event_id") + col("__rep") * evStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__rep") * uStride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // true dimensions: byte-copy — dims stay small at any fact scale
+    Seq("region", "nation", "supplier", "part").foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(base, s"$t.parquet"),
         java.nio.file.Paths.get(out, s"$t.parquet"),
@@ -167,7 +234,7 @@ object Stress {
         val builds = Builds.map { n =>
           n -> timed(SparkEntry.benchBuilds(n)(spark, dir))
         }
-        val entries = Heavy.map { n =>
+        val entries = (Heavy ++ TextTier ++ RelTier).map { n =>
           n -> timed(
             SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count())
         }

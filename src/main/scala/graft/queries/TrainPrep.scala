@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.sampling.Sampling
-import graft.sim.Quantize
 import graft.text.{Packing, QualityRules, SegmentDedup, TextAnalysis, UrlOps}
 
-/** Round-4 training-data-preparation tier: segment-level exact dedup
-  * (C4/RefinedWeb paragraph pass), text canonicalization, distinctive
-  * terms (integer-exact tf-idf ranking), sequence packing, temperature
-  * mixing, and int8 embedding quantization with quantized top-k.
+/** Training-data-preparation tier: segment-level exact dedup
+  * (C4/RefinedWeb paragraph pass), text canonicalization, URL/web
+  * curation (canonical URLs, host gate, domain blocklist, curate
+  * v4/v5), corpus reporting, sequence packing, and temperature mixing.
+  * The retrieval/chunking tier lives in [[Retrieval]].
   *
   * Every entry is oracle-paired: all arithmetic is integer, md5-hash
   * thresholds, or IEEE operations that are correctly rounded in both
@@ -247,76 +247,6 @@ object TrainPrep extends QueryModule {
         max("n_chars").as("max_chars"))
       .orderBy("bucket")
 
-  // One term list for every BM25 entry AND the generated oracle SQL —
-  // a drifted literal would silently compare different queries.
-  private[queries] val Bm25Terms = Seq("spark", "window", "vector")
-
-  // BM25 keyword retrieval (rows-only: ln is not correctly-rounded
-  // cross-engine; Bm25Spec pins a hand-computed score and the ranking
-  // contract; text_bm25_pinned hash-anchors the shared pipeline).
-  // Query terms are mid-frequency corpus vocabulary.
-  private def textBm25Topk(s: SparkSession, d: String): DataFrame =
-    graft.text.Bm25.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-      Bm25Terms, k = 20)
-
-  // Hybrid retrieval: BM25 lexical top-20 fused with the cosine
-  // semantic top-20 of query vector 0 (doc_id ≡ vec_id) by
-  // reciprocal-rank fusion. Rows-only (the BM25 side carries ln);
-  // Bm25Spec pins the fusion arithmetic on hand-built lists.
-  private def retrievalHybridRrf(s: SparkSession, d: String): DataFrame = {
-    val lexical = graft.text.Bm25
-      .bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        Bm25Terms, k = 20)
-      .select(col("doc_id"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(desc("score"), asc("doc_id"))).as("rank"))
-    val semantic = graft.sim.Similarity
-      .bruteForceTopK(Tables.embeddings(s, d), col("vec_id") === 0, k = 20)
-      .select(col("cand_id").as("doc_id"), col("rank"))
-    graft.sim.Hybrid.rrfFuse(lexical, semantic, "doc_id", k = 10)
-  }
-
-  // Hash-provable BM25 twin: same pipeline as text_bm25_topk (shared
-  // tokenize/postings/tf/df/len/avgdl/saturation/fold/top-k code path)
-  // with the rational-odds idf — `ln` is the ONE BM25 op IEEE leaves
-  // unrounded cross-engine; everything else is correctly-rounded
-  // + − × ÷, so the DuckDB oracle matches bit-for-bit and this entry
-  // hash-anchors the production scorer's whole plumbing.
-  private def textBm25Pinned(s: SparkSession, d: String): DataFrame =
-    graft.text.Bm25.bm25PinnedTopK(Tables.documents(s, d), "doc_id",
-      "text", Bm25Terms, k = 20)
-
-  // RRF fusion over two hash-proven inputs: the pinned BM25 ranking
-  // above and the exact cosine top-20 of query vector 0 (the
-  // sim_cosine_topk oracle's arithmetic). The fusion itself is two
-  // exact divisions + one fixed-order sum — hash-checkable end-to-end,
-  // anchoring Hybrid.rrfFuse (the same code retrieval_hybrid_rrf runs).
-  private def retrievalHybridRrfPinned(s: SparkSession, d: String)
-      : DataFrame = {
-    val lexical = graft.text.Bm25
-      .bm25PinnedTopK(Tables.documents(s, d), "doc_id", "text",
-        Bm25Terms, k = 20)
-      .select(col("doc_id"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(desc("score"), asc("doc_id"))).as("rank"))
-    val semantic = graft.sim.Similarity
-      .bruteForceTopK(Tables.embeddings(s, d), col("vec_id") === 0, k = 20)
-      .select(col("cand_id").as("doc_id"), col("rank"))
-    graft.sim.Hybrid.rrfFuse(lexical, semantic, "doc_id", k = 10)
-  }
-
-  private def textTfidfTopk(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id", k = 3)
-      .orderBy("doc_id", "rank")
-
-  // Overlapping chunking at window 64 / stride 48 (16-token overlap):
-  // integer windowing + canonical-join char offsets, fully
-  // DuckDB-expressible including the chunk text itself.
-  private def textChunkOverlap(s: SparkSession, d: String): DataFrame =
-    graft.text.Chunking.chunkOverlap(Tables.documents(s, d), "doc_id",
-        "text", window = 64, stride = 48)
-      .orderBy("doc_id", "chunk_idx")
-
   // 512-token budget over the whitespace token count (the filtered
   // size, consistent with text_tokens' n_ws semantics).
   private def packSequences(s: SparkSession, d: String): DataFrame = {
@@ -328,44 +258,6 @@ object TrainPrep extends QueryModule {
         // quoting and the driver's name-sorted compare aligns
         col("offset").as("tok_offset"), col("bin_id"))
       .orderBy("doc_id")
-  }
-
-  // Chunk → pack composition: the chunker's output keyed by
-  // (doc, chunk) flows straight into sequence packing — the
-  // shard-prep pipeline end-to-end, hash-proven as ONE query (the
-  // chunk text/boundaries AND the bin assignments must both match).
-  private def pipelineChunkPack(s: SparkSession, d: String): DataFrame = {
-    val chunks = graft.text.Chunking
-      .chunkOverlap(Tables.documents(s, d), "doc_id", "text",
-        window = 64, stride = 48)
-      .select(concat(col("doc_id").cast("string"), lit("_"),
-          col("chunk_idx").cast("string")).as("chunk_id"),
-        col("n_chunk_tokens"))
-    Packing.packSequences(chunks, "chunk_id", "n_chunk_tokens",
-        budget = 512)
-      .select(col("chunk_id"), col("n_chunk_tokens"), col("bucket"),
-        col("offset").as("tok_offset"), col("bin_id"))
-      .orderBy("chunk_id")
-  }
-
-  // Chunk-level retrieval with provenance — the RAG shape: BM25 over
-  // the CHUNK corpus (same pinned scorer, so the whole composition is
-  // hash-provable), each hit carrying its source doc, chunk index and
-  // char offset for traceback into the original text.
-  private def textBm25Chunks(s: SparkSession, d: String): DataFrame = {
-    val chunks = graft.text.Chunking
-      .chunkOverlap(Tables.documents(s, d), "doc_id", "text",
-        window = 64, stride = 48)
-      .select(concat(col("doc_id").cast("string"), lit("_"),
-          col("chunk_idx").cast("string")).as("chunk_id"),
-        col("doc_id").as("src_doc_id"), col("chunk_idx"),
-        col("char_start"), col("chunk_text"))
-    graft.text.Bm25
-      .bm25PinnedTopK(chunks, "chunk_id", "chunk_text", Bm25Terms, k = 20)
-      .join(chunks.select(col("chunk_id").as("doc_id"),
-        col("src_doc_id"), col("chunk_idx"), col("char_start")),
-        Seq("doc_id"))
-      .orderBy(desc("score"), asc("doc_id"))
   }
 
   private def sampTemperature(s: SparkSession, d: String): DataFrame =
@@ -452,14 +344,6 @@ object TrainPrep extends QueryModule {
     "pipeline_curate_v4" -> (pipelineCurateV4 _),
     "corpus_stats" -> (corpusStats _),
     "corpus_histogram" -> (corpusHistogram _),
-    "text_bm25_topk" -> (textBm25Topk _),
-    "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
-    "text_bm25_pinned" -> (textBm25Pinned _),
-    "retrieval_hybrid_rrf_pinned" -> (retrievalHybridRrfPinned _),
-    "text_tfidf_topk" -> (textTfidfTopk _),
-    "text_chunk_overlap" -> (textChunkOverlap _),
-    "pipeline_chunk_pack" -> (pipelineChunkPack _),
-    "text_bm25_chunks" -> (textBm25Chunks _),
     "pack_sequences"  -> (packSequences _),
     "samp_temperature" -> (sampTemperature _),
     "samp_temperature_alpha" -> (sampTemperatureAlpha _),
@@ -481,59 +365,6 @@ object TrainPrep extends QueryModule {
     * reliance on literal control chars surviving the JSON dump). */
   private def sqlText(s: String): String =
     "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
-
-  /** Shared CTE chain for the pinned-BM25 oracles: mirrors
-    * [[graft.text.Bm25]] operand-for-operand (same association order in
-    * every product/division — IEEE rounding is order-sensitive), with
-    * fractional literals CAST to DOUBLE (a bare `0.5` is DECIMAL in
-    * DuckDB and decimal arithmetic would diverge from Spark's doubles).
-    * `list_reduce` over `list(w ORDER BY term)` reproduces the
-    * term-order fold (0.0 + w₁ ≡ w₁ for the positive weights here). */
-  private def bm25PinnedChain(src: String): String =
-    s"""lens AS (SELECT doc_id, CAST(len(ts) AS INT) AS len FROM $src),
-       st AS (SELECT count(*) AS n_docs,
-                     CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
-              FROM lens),
-       tt AS (SELECT doc_id, unnest(ts) AS term FROM $src),
-       tf AS (SELECT doc_id, term, count(*) AS tf FROM tt
-              WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-              GROUP BY doc_id, term),
-       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       wts AS (SELECT tf.doc_id, tf.term,
-                      ((st.n_docs - dfq.df + CAST(0.5 AS DOUBLE))
-                        / (dfq.df + CAST(0.5 AS DOUBLE)))
-                      * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-                      / (tf.tf + CAST(1.2 AS DOUBLE) *
-                         (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-                          + CAST(0.75 AS DOUBLE) * lens.len / st.avgdl))
-                        AS w
-               FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id), st),
-       bm AS (SELECT doc_id,
-                     list_reduce(list(w ORDER BY term), (a, b) -> a + b)
-                       AS score,
-                     count(*) AS n_terms_hit
-              FROM wts GROUP BY doc_id
-              ORDER BY score DESC, doc_id LIMIT 20)"""
-
-  private lazy val bm25PinnedCte: String = bm25PinnedChain("tok")
-
-  /** Chunk windows at 64/48 as a reusable CTE chain ending in `c2`
-    * (doc_id, ts, n, chunk_idx, tok_start, tok_end) — shared by the
-    * chunk entry and the chunk→pack composition so the windowing rule
-    * cannot drift between them. */
-  private lazy val chunkCte: String =
-    """base AS (SELECT doc_id, ts, CAST(len(ts) AS INT) AS n,
-                       CASE WHEN len(ts) <= 64 THEN 1
-                            ELSE CAST(1 + (len(ts) - 64 + 47) // 48
-                                      AS INT) END AS nc
-                FROM tok WHERE len(ts) > 0),
-       ch AS (SELECT doc_id, ts, n,
-                     unnest([i for i in range(nc)]) AS k
-              FROM base),
-       c2 AS (SELECT doc_id, ts, n, CAST(k AS INT) AS chunk_idx,
-                     CAST(k * 48 AS INT) AS tok_start,
-                     CAST(least(k * 48 + 64, n) AS INT) AS tok_end
-              FROM ch)"""
 
   /** Rule-for-rule mirror of [[graft.text.UrlOps.canonicalize]] as a
     * CTE chain p → n → c over a `u`(doc_id, url) CTE already in scope;
@@ -580,92 +411,6 @@ object TrainPrep extends QueryModule {
          )"""
 
   val oracles: Map[String, String] = Map(
-    "pipeline_chunk_pack" ->
-      (s"""WITH $tokCte, $chunkCte,
-          cn AS (SELECT CAST(doc_id AS VARCHAR) || '_' ||
-                          CAST(chunk_idx AS VARCHAR) AS chunk_id,
-                        tok_end - tok_start AS n_chunk_tokens
-                 FROM c2),
-          nn AS (SELECT chunk_id, n_chunk_tokens,
-                        md5('pack' || chunk_id) AS h
-                 FROM cn),
-          p AS (SELECT chunk_id, n_chunk_tokens,
-                       substr(h, 1, 2) AS bucket,
-                       sum(CAST(n_chunk_tokens AS BIGINT)) OVER (
-                         PARTITION BY substr(h, 1, 2)
-                         ORDER BY h, chunk_id
-                         ROWS UNBOUNDED PRECEDING) - n_chunk_tokens
-                         AS tok_offset
-                FROM nn)
-          SELECT chunk_id, n_chunk_tokens, bucket,
-                 CAST(tok_offset AS BIGINT) AS tok_offset,
-                 CAST(tok_offset // 512 AS BIGINT) AS bin_id
-          FROM p ORDER BY chunk_id"""),
-
-    "text_bm25_pinned" ->
-      (s"""WITH $tokCte, $bm25PinnedCte
-          SELECT doc_id, score, n_terms_hit FROM bm
-          ORDER BY score DESC, doc_id"""),
-
-    // the SAME pinned chain run over the chunk corpus (ctok maps each
-    // chunk's token slice to the chain's (doc_id, ts) contract); the
-    // provenance join re-derives src/idx/offset from the chunk CTE
-    "text_bm25_chunks" ->
-      (s"""WITH $tokCte, $chunkCte,
-          cn AS (SELECT CAST(doc_id AS VARCHAR) || '_' ||
-                          CAST(chunk_idx AS VARCHAR) AS chunk_id,
-                        doc_id AS src_doc_id, chunk_idx,
-                        CAST(CASE WHEN tok_start = 0 THEN 0
-                             ELSE list_reduce(list_transform(
-                                    ts[1:tok_start], t -> length(t)),
-                                    (a, b) -> a + b) + tok_start END
-                             AS INT) AS char_start,
-                        ts[tok_start+1:tok_end] AS cts
-                 FROM c2),
-          ctok AS (SELECT chunk_id AS doc_id, cts AS ts FROM cn),
-          ${bm25PinnedChain("ctok")}
-          SELECT bm.doc_id, bm.score, bm.n_terms_hit,
-                 cn.src_doc_id, cn.chunk_idx, cn.char_start
-          FROM bm JOIN cn ON cn.chunk_id = bm.doc_id
-          ORDER BY bm.score DESC, bm.doc_id"""),
-
-    // fusion arithmetic: two exact int→double divisions + one
-    // fixed-order two-addend sum — identical in both engines; the
-    // cosine side is the sim_cosine_topk oracle restricted to query 0
-    "retrieval_hybrid_rrf_pinned" ->
-      (s"""WITH $tokCte, $bm25PinnedCte,
-          lex AS (SELECT doc_id,
-                         CAST(row_number() OVER
-                           (ORDER BY score DESC, doc_id) AS INT) AS rank_a
-                  FROM bm),
-          v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
-          nv AS (SELECT vec_id, vd,
-                        sqrt(list_reduce(
-                          list_transform(vd, (x, i) -> x * vd[i]),
-                          (a, b) -> a + b)) AS nrm
-                 FROM v),
-          sc AS (SELECT c.vec_id AS doc_id,
-                        list_reduce(
-                          list_transform(q.vd, (x, i) -> x * c.vd[i]),
-                          (p, s2) -> p + s2) / (q.nrm * c.nrm) AS cosine
-                 FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
-                 WHERE q.vec_id = 0),
-          sem AS (SELECT doc_id, CAST(rn AS INT) AS rank_b
-                  FROM (SELECT doc_id, row_number() OVER
-                          (ORDER BY cosine DESC, doc_id) AS rn
-                        FROM sc)
-                  WHERE rn <= 20),
-          fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-                           rank_a, rank_b,
-                           coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_a),
-                                    CAST(0.0 AS DOUBLE)) +
-                           coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_b),
-                                    CAST(0.0 AS DOUBLE)) AS rrf_score
-                    FROM lex FULL OUTER JOIN sem
-                      ON lex.doc_id = sem.doc_id)
-          SELECT doc_id, rrf_score, rank_a, rank_b
-          FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10"""),
-
     "dedup_paragraph" ->
       """WITH u AS (
            SELECT doc_id, text FROM documents
@@ -726,38 +471,6 @@ object TrainPrep extends QueryModule {
                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                   ' +', ' ', 'g'))) AS INT) AS n_chars_after
          FROM documents ORDER BY doc_id""",
-
-    "text_tfidf_topk" ->
-      (s"""WITH $tokCte,
-          t AS (SELECT doc_id, unnest(ts) AS term FROM tok),
-          tf AS (SELECT doc_id, term, count(*) AS tf
-                 FROM t GROUP BY doc_id, term),
-          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-          SELECT doc_id, rank, term, tf, df FROM (
-            SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-                   CAST(row_number() OVER (
-                     PARTITION BY tf.doc_id
-                     ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS INT)
-                     AS rank
-            FROM tf JOIN dfq USING (term))
-          WHERE rank <= 3
-          ORDER BY doc_id, rank"""),
-
-    // windowing rule mirrored with integer arithmetic; slices are
-    // 1-based inclusive in DuckDB (ts[s+1 : e] = tokens s..e−1)
-    "text_chunk_overlap" ->
-      (s"""WITH $tokCte, $chunkCte
-          SELECT doc_id, chunk_idx, tok_start, tok_end,
-                 tok_end - tok_start AS n_chunk_tokens,
-                 CAST(CASE WHEN tok_start = 0 THEN 0
-                      ELSE list_reduce(list_transform(ts[1:tok_start],
-                             t -> length(t)), (a, b) -> a + b)
-                           + tok_start END AS INT) AS char_start,
-                 CAST(length(array_to_string(ts[tok_start+1:tok_end],
-                   ' ')) AS INT) AS char_len,
-                 array_to_string(ts[tok_start+1:tok_end], ' ')
-                   AS chunk_text
-          FROM c2 ORDER BY doc_id, chunk_idx"""),
 
     "pack_sequences" ->
       (s"""WITH $tokCte,
