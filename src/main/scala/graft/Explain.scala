@@ -45,7 +45,8 @@ object Explain {
         "ops_schema_conform", "ops_schema_evolution",
         "a9_salted_count_distinct", "web_domain_block",
         "text_blocklist", "pipeline_curate_v5", "export_range_sorted",
-        "w10_capped_sessions", "ops_schema_drift")
+        "w10_capped_sessions", "ops_schema_drift",
+        "vocab_bpe_train", "mm_decode_av")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -116,6 +116,111 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio/video container metadata (the header-level facts a
+    * training pipeline filters on before any expensive decode: duration
+    * gates, sample-rate buckets, channel layout). */
+  case class AvMeta(asset_id: Long, media_type: String, n_bytes: Int,
+      sample_rate: Int, channels: Int, duration_ms: Long)
+
+  /** Real audio/video CONTAINER header decode — same discipline as
+    * [[HeaderDecoder]]: pure byte arithmetic over leading bytes, no
+    * codec library, never throws on hostile input.
+    *   - WAV: "RIFF"+"WAVE", then a chunk walk (id u32 + LE u32 size,
+    *     word-aligned) to "fmt " (channels LE u16 @+2, sample rate
+    *     LE u32 @+4, byte rate LE u32 @+8) and "data" (payload size);
+    *     duration_ms = data_size · 1000 / byte_rate (integer).
+    *   - MP4 (ISO-BMFF): top-level box walk (BE u32 size + fourcc) to
+    *     `moov`, child walk to `mvhd`; version-0 header carries
+    *     timescale (BE u32 @ payload+12) and duration in ticks
+    *     (BE u32 @ payload+16); duration_ms = ticks · 1000 / timescale.
+    * Unrecognized payloads fall back to deterministic arithmetic on the
+    * byte length (the open real-codec seam, same as [[StubDecoder]]). */
+  object AvHeaderDecoder extends Serializable {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)).toLong |
+        (u8(b, i + 3).toLong << 24)
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+        (u8(b, i + 2) << 8) | u8(b, i + 3))
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    /** (sample_rate, channels, duration_ms) from a RIFF/WAVE header. */
+    def wavMeta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+        return None
+      var p = 12
+      var fmt: Option[(Int, Int, Long)] = None // (rate, channels, byteRate)
+      var dataLen: Option[Long] = None
+      while (p + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+        val id = fourcc(b, p)
+        val sz = le32(b, p + 4)
+        if (sz < 0 || sz > Int.MaxValue - 16) return None
+        // fmt payload: format u16, channels u16 @+2, sample rate
+        // u32 @+4, byte rate u32 @+8
+        if (id == "fmt " && sz >= 16 && p + 8 + 16 <= b.length)
+          fmt = Some((le32(b, p + 12).toInt, le16(b, p + 10), le32(b, p + 16)))
+        else if (id == "data") dataLen = Some(sz)
+        p += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      for {
+        (rate, ch, byteRate) <- fmt
+        d <- dataLen
+        if byteRate > 0
+      } yield (rate, ch, d * 1000L / byteRate)
+    }
+
+    /** (duration_ms) from an MP4 `moov/mvhd` (version 0). */
+    def mp4DurationMs(b: Array[Byte]): Option[Long] = {
+      def walk(from: Int, until: Int, target: String): Option[Int] = {
+        var p = from
+        while (p + 8 <= until) {
+          val sz = be32(b, p)
+          if (fourcc(b, p + 4) == target) return Some(p)
+          // a declared size running past the buffer (or under the box
+          // header) ends the walk — truncated or hostile input
+          if (sz < 8 || p.toLong + sz > until) return None
+          p += sz.toInt
+        }
+        None
+      }
+      if (b.length < 8) return None
+      for {
+        moov <- walk(0, b.length, "moov")
+        moovEnd = math.min(b.length.toLong, moov + be32(b, moov)).toInt
+        mvhd <- walk(moov + 8, moovEnd, "mvhd")
+        if mvhd + 24 <= b.length && u8(b, mvhd + 8) == 0 // version 0
+        timescale = be32(b, mvhd + 20)
+        if timescale > 0
+      } yield be32(b, mvhd + 24) * 1000L / timescale
+    }
+
+    def decode(a: MediaAsset): AvMeta = {
+      val n = a.payload.length
+      wavMeta(a.payload) match {
+        case Some((rate, ch, dur)) =>
+          AvMeta(a.asset_id, a.media_type, n, rate, ch, dur)
+        case None => mp4DurationMs(a.payload) match {
+          case Some(dur) => AvMeta(a.asset_id, a.media_type, n, 0, 0, dur)
+          case None => // deterministic fallback — the real-codec seam
+            AvMeta(a.asset_id, a.media_type, n, 0, 0, n.toLong % 60000)
+        }
+      }
+    }
+  }
+
+  /** Batch AV decode — one decoder instantiation point per partition,
+    * same shape as [[decodeMeta]]. */
+  def decodeAv(assets: Dataset[MediaAsset]): Dataset[AvMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val d = AvHeaderDecoder
+      it.map(d.decode)
+    }
+  }
+
   /** Header ENCODERS — the write side of [[HeaderDecoder]], used by
     * fixture planting and specs to craft real image headers with known
     * dimensions (the payload after the header is arbitrary bytes; the
@@ -160,10 +265,54 @@ object Multimodal {
           (height & 0xff).toByte, ((height >> 8) & 0xff).toByte,
           0.toByte, 0.toByte, 0.toByte)
 
+    private def le16b(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32b(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+
+    /** Canonical 44-byte PCM WAV header declaring `dataLen` bytes of
+      * 16-bit samples (the tail after the header plays the samples'
+      * role; the metadata tier never reads past the declared sizes). */
+    def wav(sampleRate: Int, channels: Int, dataLen: Int): Array[Byte] = {
+      val blockAlign = channels * 2
+      val byteRate = sampleRate * blockAlign
+      "RIFF".getBytes("US-ASCII") ++ le32b(36 + dataLen) ++
+        "WAVEfmt ".getBytes("US-ASCII") ++ le32b(16) ++
+        le16b(1) ++ le16b(channels) ++ le32b(sampleRate) ++
+        le32b(byteRate) ++ le16b(blockAlign) ++ le16b(16) ++
+        "data".getBytes("US-ASCII") ++ le32b(dataLen)
+    }
+
+    /** Minimal valid MP4 prefix: `ftyp` (isom) + `moov` holding a
+      * version-0 `mvhd` with the given timescale and tick duration —
+      * 132 bytes total. */
+    def mp4(timescale: Int, durationTicks: Int): Array[Byte] = {
+      val ftyp = be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0)
+      val mvhdPayload =
+        be32(0) ++                      // version 0 + flags
+        be32(0) ++ be32(0) ++           // creation / modification
+        be32(timescale) ++ be32(durationTicks) ++
+        be32(0x00010000) ++             // rate 1.0
+        Array[Byte](0x01, 0x00, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ // volume u16 + 10 reserved
+        (be32(0x00010000) ++ be32(0) ++ be32(0) ++
+         be32(0) ++ be32(0x00010000) ++ be32(0) ++
+         be32(0) ++ be32(0) ++ be32(0x40000000)) ++ // unity matrix
+        Array.fill[Byte](24)(0) ++      // pre_defined
+        be32(2)                         // next_track_ID
+      val mvhd = be32(8 + mvhdPayload.length) ++
+        "mvhd".getBytes("US-ASCII") ++ mvhdPayload
+      val moov = be32(8 + mvhd.length) ++
+        "moov".getBytes("US-ASCII") ++ mvhd
+      ftyp ++ moov
+    }
+
     /** Header sizes, mirrored by the DuckDB oracles (n_bytes = header
       * size + payload tail length). */
     val PngHeaderLen = 33
     val JpegHeaderLen = 39
+    val WavHeaderLen = 44
+    val Mp4HeaderLen = 132
   }
 
   /** Batch decode: one decoder per partition (the expensive init a real

@@ -69,6 +69,52 @@ object MultimodalOps extends QueryModule {
       .orderBy("asset_id")
   }
 
+  /** Plant REAL audio/video container files once per (session, dir):
+    * every 25th doc becomes `asset_<id>.wav` (a canonical 44-byte PCM
+    * header: sample rate 8/16/24 kHz by id%3, mono/stereo by id%7, data
+    * size = the text byte length riding as fake samples) — MP4 for
+    * every 50th (`ftyp`+`moov`/`mvhd`, timescale 600, duration ticks
+    * id·31 % 360000 + 600). All parameters derive from doc_id, so the
+    * DuckDB oracle recomputes sample rate, channels, and the integer
+    * duration math from the planting formula. */
+  private def avFixtureDir(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "mm_av_fixtures") {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_av_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val bp = java.nio.file.Paths.get(base)
+      graft.sources.TableSwap.deleteRecursively(bp)
+      java.nio.file.Files.createDirectories(bp)
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 25 === 0).select("doc_id", "text")
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val tail =
+            (if (r.isNullAt(1)) "" else r.getString(1)).getBytes("UTF-8")
+          val (name, header) =
+            if (id % 50 == 0)
+              (s"asset_$id.mp4", Multimodal.MediaHeaders.mp4(
+                600, ((id * 31) % 360000 + 600).toInt))
+            else
+              (s"asset_$id.wav", Multimodal.MediaHeaders.wav(
+                8000 * ((id % 3) + 1).toInt, if (id % 7 < 3) 1 else 2,
+                tail.length))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$base/$name"), header ++ tail)
+        }
+      base
+    }
+
+  // REAL container metadata decode end-to-end: binaryFile scan over
+  // planted WAV/MP4 files → RIFF chunk walk / ISO-BMFF box walk →
+  // sample rate, channels, and integer duration the oracle re-derives
+  // from the planting formula — proving the walkers read the actual
+  // container bytes.
+  private def mmDecodeAv(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAv(
+        Multimodal.ingestBinary(s, avFixtureDir(s, d)))
+      .toDF()
+      .orderBy("asset_id")
+
   /** Plant a binary fixture directory once per (session, dir): every
     * 25th document's UTF-8 bytes as `asset_<id>.<ext>` (ext from id%3,
     * matching [[Multimodal.assetsFromText]]'s type rule), plus a
@@ -122,6 +168,7 @@ object MultimodalOps extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta"       -> (mmDecodeMeta _),
     "mm_decode_image"      -> (mmDecodeImage _),
+    "mm_decode_av"         -> (mmDecodeAv _),
     "mm_binary_ingest"     -> (mmBinaryIngest _),
     "mm_dedup_exact"       -> (mmDedupExact _),
   )
@@ -174,6 +221,32 @@ object MultimodalOps extends QueryModule {
                 CAST(doc_id * 7 % 480 + 1 AS INT) AS height,
                 CAST(1 AS INT) AS n_frames,
                 CAST(1 AS INT) AS n_sampled_frames
+         FROM documents WHERE doc_id % 25 = 0
+         ORDER BY asset_id""",
+
+    // mirrors the avFixtureDir planting formula: WAV duration is the
+    // data size over the derived byte rate (rate · channels · 2),
+    // MP4 duration is ticks·1000 // 600 — both integer divisions, so
+    // the comparison is exact
+    "mm_decode_av" ->
+      """SELECT doc_id AS asset_id,
+                CASE WHEN doc_id % 50 = 0 THEN 'video'
+                     ELSE 'audio' END AS media_type,
+                CAST(CASE WHEN doc_id % 50 = 0 THEN 132 ELSE 44 END
+                     + octet_length(encode(coalesce(text, ''))) AS INT)
+                  AS n_bytes,
+                CAST(CASE WHEN doc_id % 50 = 0 THEN 0
+                     ELSE 8000 * (doc_id % 3 + 1) END AS INT)
+                  AS sample_rate,
+                CAST(CASE WHEN doc_id % 50 = 0 THEN 0
+                     WHEN doc_id % 7 < 3 THEN 1 ELSE 2 END AS INT)
+                  AS channels,
+                CAST(CASE WHEN doc_id % 50 = 0
+                     THEN (((doc_id * 31) % 360000 + 600) * 1000) // 600
+                     ELSE (octet_length(encode(coalesce(text, ''))) * 1000)
+                          // (8000 * (doc_id % 3 + 1)
+                             * (CASE WHEN doc_id % 7 < 3 THEN 1 ELSE 2 END)
+                             * 2) END AS BIGINT) AS duration_ms
          FROM documents WHERE doc_id % 25 = 0
          ORDER BY asset_id""",
 

@@ -130,6 +130,17 @@ object TokenOps extends QueryModule {
     TextAnalysis.collocations(Tables.documents(s, d), "text",
       minCount = 5, k = 100)
 
+  // BPE merge-table TRAINING over the corpus: 8 ranks of the classic
+  // most-frequent-adjacent-pair rule, learned distributed (word
+  // histogram once; per rank a map-combinable pair agg + scalar argmax
+  // + greedy fold-merge). The corpus is ASCII (character symbols split
+  // identically in both engines); the oracle re-runs the whole loop as
+  // a generated CTE chain, so the LEARNED table is hash-checked, not
+  // just the apply side ([[graft.text.Bpe]]'s frozen table).
+  private def vocabBpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.text.BpeTrain.trainMerges(Tables.documents(s, d), "text",
+      nMerges = 8)
+
   // Corpus vocabulary: token → frequency, top 500 by (count desc,
   // token) — tokenizer/vocab-building step; one shuffle + TakeOrdered.
   private def vocabTopk(s: SparkSession, d: String): DataFrame =
@@ -182,7 +193,8 @@ object TokenOps extends QueryModule {
     "vocab_topk"           -> (vocabTopk _),
     "text_collocations"    -> (textCollocations _),
     "text_tokens_bpe" -> (textTokensBpe _),
-    "vocab_bpe_topk"  -> (vocabBpeTopk _)
+    "vocab_bpe_topk"  -> (vocabBpeTopk _),
+    "vocab_bpe_train" -> (vocabBpeTrain _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -381,6 +393,8 @@ object TokenOps extends QueryModule {
           FROM (SELECT unnest(${Bpe.oracleTokensExpr("coalesce(text, '')")}) AS subword
                 FROM documents)
           GROUP BY subword
-          ORDER BY n DESC, subword LIMIT 50"""
+          ORDER BY n DESC, subword LIMIT 50""",
+
+    "vocab_bpe_train" -> graft.text.BpeTrain.oracleSql(8)
   )
 }

@@ -102,6 +102,61 @@ class MultimodalSpec extends AnyFunSuite {
       12L -> ("image", 13, 13, 37)))
   }
 
+  test("AvHeaderDecoder: WAV/MP4 metadata round-trips through MediaHeaders") {
+    import Multimodal.{AvHeaderDecoder, MediaHeaders}
+    for ((sr, ch, dl) <- Seq((8000, 1, 16000), (44100, 2, 441000),
+        (24000, 2, 0), (16000, 1, 7))) {
+      val bytes = MediaHeaders.wav(sr, ch, dl) ++ Array.fill[Byte](dl)(1)
+      assert(AvHeaderDecoder.wavMeta(bytes) ===
+        Some((sr, ch, dl.toLong * 1000 / (sr * ch * 2))))
+    }
+    assert(MediaHeaders.wav(8000, 1, 0).length ===
+      MediaHeaders.WavHeaderLen)
+    for ((ts, ticks) <- Seq((600, 1200), (1000, 98765), (90000, 90000)))
+      assert(AvHeaderDecoder.mp4DurationMs(MediaHeaders.mp4(ts, ticks)) ===
+        Some(ticks.toLong * 1000 / ts))
+    assert(MediaHeaders.mp4(600, 600).length === MediaHeaders.Mp4HeaderLen)
+  }
+
+  test("AvHeaderDecoder: RIFF walker skips LIST chunks; hostile bytes never throw") {
+    import Multimodal.{AvHeaderDecoder, MediaAsset, MediaHeaders}
+    // a LIST/INFO chunk between WAVE and fmt  — real encoders emit this
+    val wav = MediaHeaders.wav(22050, 2, 100)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](10, 0, 0, 0) ++ "INFOxxxxxx".getBytes("US-ASCII")
+    val withList = wav.take(12) ++ list ++ wav.drop(12)
+    assert(AvHeaderDecoder.wavMeta(withList) ===
+      Some((22050, 2, 100L * 1000 / (22050 * 2 * 2))))
+    val hostile = Seq(
+      Array.empty[Byte],
+      "RIFF".getBytes("US-ASCII"),                    // truncated
+      MediaHeaders.wav(8000, 1, 50).take(20),         // truncated fmt
+      MediaHeaders.mp4(600, 600).take(18),            // truncated moov
+      Array.fill[Byte](64)(-1))
+    hostile.foreach { b =>
+      assert(AvHeaderDecoder.wavMeta(b) === None)
+      assert(AvHeaderDecoder.mp4DurationMs(b) === None)
+      val meta = AvHeaderDecoder.decode(MediaAsset(7L, "audio", b))
+      assert(meta.duration_ms === b.length.toLong % 60000) // stub seam
+    }
+  }
+
+  test("decodeAv e2e: planted WAV/MP4 files yield container metadata via binaryFile") {
+    import Multimodal.MediaHeaders
+    val dir = Files.createTempDirectory("mm_av").toString
+    Files.write(Paths.get(s"$dir/asset_20.wav"),
+      MediaHeaders.wav(16000, 2, 4) ++ "tail".getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/asset_21.mp4"),
+      MediaHeaders.mp4(600, 3000) ++ "x".getBytes("UTF-8"))
+    val out = Multimodal.decodeAv(Multimodal.ingestBinary(spark, dir))
+      .collect().map(m => m.asset_id ->
+        (m.media_type, m.n_bytes, m.sample_rate, m.channels,
+          m.duration_ms)).toMap
+    assert(out === Map(
+      20L -> ("audio", 48, 16000, 2, 0L),   // 4 bytes / 64000 B·s⁻¹ → 0 ms
+      21L -> ("video", 133, 0, 0, 5000L)))  // 3000 ticks @ 600 Hz
+  }
+
   test("dedupExactMedia: identical payloads group across media types") {
     val dir = plant(
       "asset_2.img" -> "same-bytes",
