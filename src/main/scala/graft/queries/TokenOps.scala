@@ -130,6 +130,33 @@ object TokenOps extends QueryModule {
     TextAnalysis.collocations(Tables.documents(s, d), "text",
       minCount = 5, k = 100)
 
+  // ---- HTML → training-text extraction over a synthesized crawl:
+  //      every doc wrapped in deterministic markup (title, optional
+  //      style/script subtrees, optional anchor) so every extraction
+  //      branch is live; the SAME synthesis feeds the oracle, and the
+  //      regexp chain is a shared literal — title, link set, and the
+  //      de-tagged entity-decoded text are all hash-checked.
+  private def textHtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id, lit("</title>"),
+      when(col("doc_id") % 4 === 0, lit("<style>p{color:red}</style>"))
+        .otherwise(lit("")),
+      lit("</head><body><h1>Doc "), id, lit("</h1><p>"),
+      coalesce(col("text"), lit("")), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<a href=\"https://example.org/d"), id,
+          lit("\">link</a>"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("<script>var x = \"<p>hidden</p>\";</script>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    graft.text.HtmlOps.extract(
+        Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+      .orderBy("doc_id")
+  }
+
   // BPE merge-table TRAINING over the corpus: 8 ranks of the classic
   // most-frequent-adjacent-pair rule, learned distributed (word
   // histogram once; per rank a map-combinable pair agg + scalar argmax
@@ -194,7 +221,8 @@ object TokenOps extends QueryModule {
     "text_collocations"    -> (textCollocations _),
     "text_tokens_bpe" -> (textTokensBpe _),
     "vocab_bpe_topk"  -> (vocabBpeTopk _),
-    "vocab_bpe_train" -> (vocabBpeTrain _)
+    "vocab_bpe_train" -> (vocabBpeTrain _),
+    "text_html_extract" -> (textHtmlExtract _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -395,6 +423,40 @@ object TokenOps extends QueryModule {
           GROUP BY subword
           ORDER BY n DESC, subword LIMIT 50""",
 
-    "vocab_bpe_train" -> graft.text.BpeTrain.oracleSql(8)
+    "vocab_bpe_train" -> graft.text.BpeTrain.oracleSql(8),
+
+    "text_html_extract" -> {
+      import graft.text.HtmlOps
+      s"""WITH u AS (
+           SELECT doc_id,
+                  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                  || '</title>'
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN '<style>p{color:red}</style>'
+                          ELSE '' END
+                  || '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+                  || '</h1><p>' || coalesce(text, '') || '</p>'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN '<a href="https://example.org/d'
+                               || CAST(doc_id AS VARCHAR) || '">link</a>'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN '<script>var x = "<p>hidden</p>";</script>'
+                          ELSE '' END
+                  || '</body></html>' AS html
+           FROM documents)
+         SELECT doc_id,
+                ${HtmlOps.oracleTitleExpr("html")} AS title,
+                -- DuckDB renders the empty link list as NULL; Spark's
+                -- array_join renders '' — pin the '' convention
+                coalesce(array_to_string(
+                  ${HtmlOps.oracleLinksExpr("html")}, '|'), '') AS links,
+                CAST(len(${HtmlOps.oracleLinksExpr("html")}) AS INT)
+                  AS n_links,
+                ${HtmlOps.oracleCleanTextExpr("html")} AS clean_text,
+                CAST(length(${HtmlOps.oracleCleanTextExpr("html")}) AS INT)
+                  AS n_chars_clean
+         FROM u ORDER BY doc_id"""
+    }
   )
 }
