@@ -160,6 +160,40 @@ object TrainPrep extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- Anchor/link index: the web-index composition — per-doc markup
+  //      → href extraction (HtmlOps, the REAL regex chain) → canonical
+  //      target (UrlOps) → per-target in-degree. Link synthesis: %3
+  //      docs link the plain target, %7 docs the case+tracking variant
+  //      (MUST converge with the plain one after canonicalization —
+  //      the reason the index canonicalizes before grouping), %11 docs
+  //      a kept-param variant (a DISTINCT target). The oracle
+  //      synthesizes the link set directly from the same formulas —
+  //      hash equality proves the extraction recovered exactly it.
+  private def webAnchorIndex(s: SparkSession, d: String): DataFrame = {
+    val tgt = (col("doc_id") % 50).cast("string")
+    val html = concat(
+      lit("<html><body><p>"), coalesce(col("text"), lit("")), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<a href=\"https://example.org/p"), tgt,
+          lit("\">r1</a>"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("<a href=\"https://Example.ORG/p"), tgt,
+          lit("?utm_source=x\">r2</a>"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit("<a href=\"https://example.org/p"), tgt,
+          lit("?page=2\">r3</a>"))).otherwise(lit("")),
+      lit("</body></html>"))
+    val links = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.text.HtmlOps.links(html)).as("url"))
+    UrlOps.canonicalize(links)
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_src_docs"),
+        min("doc_id").as("first_doc"))
+      .orderBy("canon_url")
+  }
+
   // Dataset-card rollup: the corpus report every curated release ships
   // (per lang×source, per lang, and overall: docs, tokens, chars, avg
   // length). One rollup aggregation; token counts are the ws-token
@@ -334,6 +368,7 @@ object TrainPrep extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "web_domain_block" -> (webDomainBlock _),
+    "web_anchor_index" -> (webAnchorIndex _),
     "pipeline_curate_v5" -> (pipelineCurateV5 _),
     "dedup_paragraph" -> (dedupParagraph _),
     "text_normalize"  -> (textNormalize _),
@@ -411,6 +446,33 @@ object TrainPrep extends QueryModule {
          )"""
 
   val oracles: Map[String, String] = Map(
+    // the link set is synthesized DIRECTLY from the formulas (href
+    // extraction itself is proven by text_html_extract) — hash
+    // equality then proves extract∘canonicalize∘group recovered it
+    "web_anchor_index" ->
+      (s"""WITH u AS (
+           SELECT doc_id,
+                  'https://example.org/p' || CAST(doc_id % 50 AS VARCHAR)
+                    AS url
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id,
+                  'https://Example.ORG/p' || CAST(doc_id % 50 AS VARCHAR)
+                    || '?utm_source=x' AS url
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id,
+                  'https://example.org/p' || CAST(doc_id % 50 AS VARCHAR)
+                    || '?page=2' AS url
+           FROM documents WHERE doc_id % 11 = 0
+         ),
+         $urlCanonChain
+         SELECT canon_url,
+                count(*) AS n_refs,
+                count(DISTINCT doc_id) AS n_src_docs,
+                min(doc_id) AS first_doc
+         FROM c GROUP BY canon_url ORDER BY canon_url"""),
+
     "dedup_paragraph" ->
       """WITH u AS (
            SELECT doc_id, text FROM documents
