@@ -128,6 +128,31 @@ object Retrieval extends QueryModule {
       .orderBy(desc("score"), asc("doc_id"))
   }
 
+  // ---- SFT packing with loss masks: the instruction-tuning shard
+  //      shape — (prompt, completion) pairs tokenized with the REAL
+  //      subword tokenizer ([[graft.text.Bpe]]), packed under the
+  //      512-token budget (salt 'sft' — independent of the pretrain
+  //      pack), each example carrying its loss-mask span
+  //      [offset+n_prompt, offset+n_tokens): completion tokens train,
+  //      prompt tokens don't. All integer arithmetic — hash-exact.
+  private def packSft(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Bpe
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Bpe.nTokens(concat(lit("q: "), coalesce(col("text"), lit(""))))
+          .as("n_prompt"),
+        Bpe.nTokens(concat(lit("a: "), coalesce(col("source"), lit("")),
+          lit(" "), coalesce(col("lang"), lit("")))).as("n_completion"))
+      .withColumn("n_tokens", col("n_prompt") + col("n_completion"))
+    Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512,
+        salt = "sft")
+      .select(col("doc_id"), col("n_prompt"), col("n_completion"),
+        col("bucket"), col("offset").as("tok_offset"), col("bin_id"),
+        (col("offset") + col("n_prompt")).as("mask_start"),
+        (col("offset") + col("n_tokens")).as("mask_end"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> (textBm25Topk _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
@@ -137,6 +162,7 @@ object Retrieval extends QueryModule {
     "text_chunk_overlap" -> (textChunkOverlap _),
     "pipeline_chunk_pack" -> (pipelineChunkPack _),
     "text_bm25_chunks" -> (textBm25Chunks _),
+    "pack_sft" -> (packSft _),
   )
 
   // ts mirrors TextAnalysis.tokens (lowercased ' +' split).
@@ -202,6 +228,33 @@ object Retrieval extends QueryModule {
               FROM ch)"""
 
   val oracles: Map[String, String] = Map(
+    // the Bpe token chains are generated from the SAME frozen merge
+    // table; the cumsum/bin/mask arithmetic is all BIGINT-exact
+    "pack_sft" -> {
+      import graft.text.Bpe
+      val np = Bpe.oracleNTokensExpr("'q: ' || coalesce(text, '')")
+      val nc = Bpe.oracleNTokensExpr(
+        "'a: ' || coalesce(source, '') || ' ' || coalesce(lang, '')")
+      s"""WITH n AS (
+           SELECT doc_id, $np AS n_prompt, $nc AS n_completion,
+                  md5('sft' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         n2 AS (SELECT *, n_prompt + n_completion AS n_tokens FROM n),
+         p AS (SELECT doc_id, n_prompt, n_completion, n_tokens,
+                      substr(h, 1, 2) AS bucket,
+                      sum(CAST(n_tokens AS BIGINT)) OVER (
+                        PARTITION BY substr(h, 1, 2) ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens
+                        AS tok_offset
+               FROM n2)
+         SELECT doc_id, n_prompt, n_completion, bucket,
+                CAST(tok_offset AS BIGINT) AS tok_offset,
+                CAST(tok_offset // 512 AS BIGINT) AS bin_id,
+                CAST(tok_offset + n_prompt AS BIGINT) AS mask_start,
+                CAST(tok_offset + n_tokens AS BIGINT) AS mask_end
+         FROM p ORDER BY doc_id"""
+    },
+
     "pipeline_chunk_pack" ->
       (s"""WITH $tokCte, $chunkCte,
           cn AS (SELECT CAST(doc_id AS VARCHAR) || '_' ||

@@ -184,6 +184,30 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("pack_sft: mask spans cover exactly the completion tokens") {
+    val out = SparkEntry.queries("pack_sft")(spark, sf0001)
+      .select("doc_id", "n_prompt", "n_completion", "tok_offset",
+        "mask_start", "mask_end")
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, np, nc, off, ms, me) =>
+      assert(ms == off + np)       // mask starts after the prompt
+      assert(me - ms == nc)        // mask length = completion tokens
+      assert(np > 0 && nc > 0)     // 'q: ' / 'a: ' prefixes guarantee ≥1
+    }
+    // within a bucket the example spans tile without overlap, so the
+    // mask spans are pairwise disjoint (loss never double-counts)
+    SparkEntry.queries("pack_sft")(spark, sf0001)
+      .select("bucket", "tok_offset", "mask_end")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).foreach { case (_, rows) =>
+        rows.sortBy(_._2).sliding(2).foreach {
+          case Array(a, b) => assert(a._3 <= b._2)
+          case _ =>
+        }
+      }
+  }
+
   // --- temperature mix ----------------------------------------------
 
   test("temperatureSqrtMix: dominant group fully kept, rates ~ sqrt(n/nmax)") {
