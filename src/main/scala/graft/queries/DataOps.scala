@@ -6,8 +6,6 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.Dedup
-import graft.multimodal.Multimodal
-import graft.sim.{Pq, SemDedup, Similarity}
 import graft.text.TextAnalysis
 
 /** Conformance queries for the training-data-pipeline operators
@@ -513,25 +511,6 @@ object DataOps extends QueryModule {
     mh.unionByName(sim).orderBy("path")
   }
 
-  private def dedupEmbedCosine(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.35)
-      .orderBy("id1", "id2")
-
-  // SemDeDup scale path: 8 k-means cells bound the pair work. Rows-only
-  // by design (Lloyd isn't DuckDB-expressible); SemDedupSpec pins it to
-  // the exhaustive twin (numCells=1 parity + keeper-superset), which IS
-  // hash-proven below.
-  private def dedupSemantic(s: SparkSession, d: String): DataFrame =
-    SemDedup.semanticDedup(Tables.embeddings(s, d), 0.35, numCells = 8)
-      .orderBy("vec_id")
-
-  // Exact twin: full near-dup graph + CC keeper labels, hash-proven
-  // against the recursive-CC DuckDB oracle (same 0.35 threshold as
-  // dedup_embed_cosine so the pair set is the proven one).
-  private def dedupSemanticExhaustive(s: SparkSession, d: String): DataFrame =
-    SemDedup.semanticDedupExhaustive(Tables.embeddings(s, d), 0.35)
-      .orderBy("vec_id")
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> (dedupExact _),
     "dedup_ngram_jaccard"  -> (dedupJaccard _),
@@ -548,9 +527,6 @@ object DataOps extends QueryModule {
     "text_decontaminate_bloom" -> (textDecontaminateBloom _),
     "dedup_containment"    -> (dedupContainment _),
     "dedup_prod_paths"     -> (dedupProdConformance _),
-    "dedup_embed_cosine"   -> (dedupEmbedCosine _),
-    "dedup_semantic"       -> (dedupSemantic _),
-    "dedup_semantic_exhaustive" -> (dedupSemanticExhaustive _),
   )
 
   private def force(df: DataFrame): Unit = {
@@ -933,57 +909,6 @@ object DataOps extends QueryModule {
           FROM sk a JOIN sk b ON a.id < b.id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
           ORDER BY id1, id2"""),
-
-    "dedup_embed_cosine" ->
-      """WITH v AS (
-           SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
-         ),
-         n AS (
-           SELECT vec_id, vd,
-                  sqrt(list_reduce(list_transform(vd, (x,i) -> x * vd[i]),
-                                   (a,b) -> a + b)) AS nrm
-           FROM v
-         )
-         SELECT a.vec_id AS id1, b.vec_id AS id2,
-                list_reduce(list_transform(a.vd, (x,i) -> x * b.vd[i]),
-                            (p,q) -> p + q) / (a.nrm * b.nrm) AS cosine
-         FROM n a JOIN n b ON a.vec_id < b.vec_id
-         WHERE list_reduce(list_transform(a.vd, (x,i) -> x * b.vd[i]),
-                           (p,q) -> p + q) / (a.nrm * b.nrm) > 0.35
-         ORDER BY id1, id2""",
-
-    // the exhaustive SemDeDup twin: the dedup_embed_cosine pair set fed
-    // through the shared CC label rule (min reachable id), keepers =
-    // label owners; every vector gets a row (singletons keep trivially)
-    "dedup_semantic_exhaustive" ->
-      """WITH RECURSIVE v AS (
-           SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
-         ),
-         n AS (
-           SELECT vec_id, vd,
-                  sqrt(list_reduce(list_transform(vd, (x,i) -> x * vd[i]),
-                                   (a,b) -> a + b)) AS nrm
-           FROM v
-         ),
-         jp AS (
-           SELECT a.vec_id AS id1, b.vec_id AS id2
-           FROM n a JOIN n b ON a.vec_id < b.vec_id
-           WHERE list_reduce(list_transform(a.vd, (x,i) -> x * b.vd[i]),
-                             (p,q) -> p + q) / (a.nrm * b.nrm) > 0.35
-         ),
-         edges AS (SELECT id1 AS a, id2 AS b FROM jp
-                   UNION SELECT id2, id1 FROM jp),
-         reach AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
-                 FROM reach GROUP BY a)
-         SELECT v.vec_id,
-                coalesce(lab.cluster_id, v.vec_id) AS semantic_id,
-                coalesce(lab.cluster_id, v.vec_id) = v.vec_id AS keep
-         FROM v LEFT JOIN lab ON v.vec_id = lab.id
-         ORDER BY v.vec_id""",
 
   )
 

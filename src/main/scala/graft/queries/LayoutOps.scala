@@ -225,7 +225,63 @@ object LayoutOps extends QueryModule {
     s.read.parquet(rangeSortedEventsPath(s, d))
       .orderBy("ts", "event_id")
 
+  // ---- Incremental aggregate maintenance -------------------------
+  // The materialized-rollup shape: per-customer order summaries kept
+  // current by merging batch partials, never rescanning history. The
+  // registry entry folds THREE delta batches (o_orderkey mod 3) and
+  // hash-proves the fold against a full DuckDB recompute — the
+  // algebraic claim (merge ∘ summarize ≡ summarize ∘ union) made
+  // concrete on real data. See [[graft.ops.IncrementalAgg]] for the
+  // 100 TB shape (delta-only cost, bucketed state).
+  private def opsIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+    val keys = Seq("o_custkey")
+    val states = (0 until 3).map(i =>
+      graft.ops.IncrementalAgg.summarize(
+        o.filter(pmod(col("o_orderkey"), lit(3)) === i),
+        keys, "o_totalprice", "o_orderdate"))
+    graft.ops.IncrementalAgg.finalizeView(
+        states.reduce(graft.ops.IncrementalAgg.merge(_, _, keys)))
+      .orderBy("o_custkey")
+  }
+
+  /** The STREAMED rollup state: three order slices (by date) delivered
+    * through [[graft.streaming.IncrementalAggStream.applyBatch]] with
+    * monotone batch ids, plus a REPLAY of batch 1 that must be a no-op
+    * (the batch-id idempotence protocol — a double-counted replay
+    * would hash-mismatch the oracle). Built once per (session, dir). */
+  private def incrAggStreamTable(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "incr_agg_stream") {
+      val o = graft.Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+      val dir = java.nio.file.Files.createTempDirectory("incr_agg")
+        .toString + "/state"
+      val c1 = to_timestamp(lit("1994-01-01 00:00:00"))
+      val c2 = to_timestamp(lit("1996-01-01 00:00:00"))
+      val slices = Seq(
+        o.filter(col("o_orderdate") < c1),
+        o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
+        o.filter(col("o_orderdate") >= c2))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        graft.streaming.IncrementalAggStream.applyBatch(sl, i.toLong,
+          dir, Seq("o_custkey"), "o_totalprice", "o_orderdate")
+      }
+      // replay of an already-applied id: must be skipped entirely
+      val replayed = graft.streaming.IncrementalAggStream.applyBatch(
+        slices(1), 1L, dir, Seq("o_custkey"), "o_totalprice",
+        "o_orderdate")
+      require(!replayed, "ops_incr_agg_stream: replay was not skipped")
+      dir
+    }
+
+  private def opsIncrAggStream(s: SparkSession, d: String): DataFrame =
+    graft.ops.IncrementalAgg.finalizeView(
+        s.read.parquet(incrAggStreamTable(s, d)))
+      .orderBy("o_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ops_incr_agg"           -> (opsIncrAgg _),
+    "ops_incr_agg_stream"    -> (opsIncrAggStream _),
     "export_range_sorted"    -> (exportRangeSorted _),
     "layout_partition_prune" -> (layoutPartitionPrune _),
     "layout_bucketed_join"   -> (layoutBucketedJoin _),
@@ -255,10 +311,30 @@ object LayoutOps extends QueryModule {
       "layout_schema_evo_build" ->
         ((s, d) => { schemaGenerationsPath(s, d); () }),
       "layout_range_sorted_build" ->
-        ((s, d) => { rangeSortedEventsPath(s, d); () })
+        ((s, d) => { rangeSortedEventsPath(s, d); () }),
+      "ops_incr_agg_stream_build" ->
+        ((s, d) => { incrAggStreamTable(s, d); () })
     )
 
+  /** Full recompute over ALL orders — shared by the batch fold and the
+    * streamed state: both maintenance paths must converge to exactly
+    * this table (different batch boundaries, same fixpoint). */
+  private val incrAggOracle: String =
+    """SELECT o_custkey, count(*) AS n_rows,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                AS sum_v,
+              CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                AS min_v,
+              CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                AS max_v,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                / count(*) AS avg_v,
+              min(o_orderdate) AS min_d, max(o_orderdate) AS max_d
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+
   val oracles: Map[String, String] = Map(
+    "ops_incr_agg"        -> incrAggOracle,
+    "ops_incr_agg_stream" -> incrAggOracle,
     // straight from the source table: the narrowed generation's
     // int32/float32 detour is value-exact (keys ≤ 150k, integral
     // quantities 1..50), so equality proves the mixed-generation

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.sim.{Pq, Quantize, Similarity}
+import graft.sim.{Pq, Quantize, SemDedup, Similarity}
 
 /** Embedding-similarity conformance queries: exact cosine top-k, the
   * ANN family (hyperplane LSH, multi-probe, IVF, IVF-append, PQ/ADC,
@@ -176,7 +176,32 @@ object SimOps extends QueryModule {
         col("vec_id") % 50 === 0, k = 10, m = 30, numTiles = 2)
       .orderBy("query_id", "rank")
 
+  // Embedding-cosine near-dup pairs — EXACT all-pairs via the
+  // distributed block-pair self-join (moved here from DataOps: the
+  // embedding-space dedup family is similarity-tier machinery).
+  private def dedupEmbedCosine(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.35)
+      .orderBy("id1", "id2")
+
+  // SemDeDup scale path: 8 k-means cells bound the pair work. Rows-only
+  // by design (Lloyd isn't DuckDB-expressible); SemDedupSpec pins it to
+  // the exhaustive twin (numCells=1 parity + keeper-superset), which IS
+  // hash-proven below.
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    SemDedup.semanticDedup(Tables.embeddings(s, d), 0.35, numCells = 8)
+      .orderBy("vec_id")
+
+  // Exact twin: full near-dup graph + CC keeper labels, hash-proven
+  // against the recursive-CC DuckDB oracle (same 0.35 threshold as
+  // dedup_embed_cosine so the pair set is the proven one).
+  private def dedupSemanticExhaustive(s: SparkSession, d: String): DataFrame =
+    SemDedup.semanticDedupExhaustive(Tables.embeddings(s, d), 0.35)
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embed_cosine"   -> (dedupEmbedCosine _),
+    "dedup_semantic"       -> (dedupSemantic _),
+    "dedup_semantic_exhaustive" -> (dedupSemanticExhaustive _),
     "emb_centroids"        -> (embCentroids _),
     "emb_nn_classify"      -> (embNnClassify _),
     "sim_cosine_topk"      -> (simCosineTopk _),
@@ -197,6 +222,57 @@ object SimOps extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "dedup_embed_cosine" ->
+      """WITH v AS (
+           SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+         ),
+         n AS (
+           SELECT vec_id, vd,
+                  sqrt(list_reduce(list_transform(vd, (x,i) -> x * vd[i]),
+                                   (a,b) -> a + b)) AS nrm
+           FROM v
+         )
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+                list_reduce(list_transform(a.vd, (x,i) -> x * b.vd[i]),
+                            (p,q) -> p + q) / (a.nrm * b.nrm) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_reduce(list_transform(a.vd, (x,i) -> x * b.vd[i]),
+                           (p,q) -> p + q) / (a.nrm * b.nrm) > 0.35
+         ORDER BY id1, id2""",
+
+    // the exhaustive SemDeDup twin: the dedup_embed_cosine pair set fed
+    // through the shared CC label rule (min reachable id), keepers =
+    // label owners; every vector gets a row (singletons keep trivially)
+    "dedup_semantic_exhaustive" ->
+      """WITH RECURSIVE v AS (
+           SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+         ),
+         n AS (
+           SELECT vec_id, vd,
+                  sqrt(list_reduce(list_transform(vd, (x,i) -> x * vd[i]),
+                                   (a,b) -> a + b)) AS nrm
+           FROM v
+         ),
+         jp AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE list_reduce(list_transform(a.vd, (x,i) -> x * b.vd[i]),
+                             (p,q) -> p + q) / (a.nrm * b.nrm) > 0.35
+         ),
+         edges AS (SELECT id1 AS a, id2 AS b FROM jp
+                   UNION SELECT id2, id1 FROM jp),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         lab AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+                 FROM reach GROUP BY a)
+         SELECT v.vec_id,
+                coalesce(lab.cluster_id, v.vec_id) AS semantic_id,
+                coalesce(lab.cluster_id, v.vec_id) = v.vec_id AS keep
+         FROM v LEFT JOIN lab ON v.vec_id = lab.id
+         ORDER BY v.vec_id""",
 
     // 2^24 grid snap: power-of-two multiply is IEEE-exact, floor is
     // unambiguous, integer sums are order-free — see labelCentroids
