@@ -314,6 +314,27 @@ object DataOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // Leakage-SAFE train/test split: the unit of assignment is the
+  // near-dup CLUSTER, not the document — hashing the canonical id
+  // sends every member of a cluster to the same side, so a test doc
+  // can never have a near-duplicate in train (the contamination that
+  // per-doc splits silently create; the eval-leakage failure mode
+  // FineWeb/Dolma pipelines split-by-cluster to avoid). Composition of
+  // two hash-proven pieces: dedup_keep_list's canonical labeling and
+  // samp_train_test's md5 split rule, applied to the canonical key.
+  // Scale: the cluster table is metadata-scale and broadcasts; the
+  // split is a pure projection — the corpus never shuffles.
+  private def sampSplitSafe(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val clusters = sharedClusters(s, d)
+    val canon = docs
+      .join(broadcast(clusters), docs("doc_id") === clusters("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+    graft.sampling.Sampling.hashSplit(canon, "canonical_id", 0.8)
+      .orderBy("doc_id")
+  }
+
   /** The whole curation pipeline composed end-to-end over a planted
     * corpus (originals ∪ copies of every 10th doc): Gopher quality
     * gate → exact dedup (keep-first-by-id) → near-dup keep decision
@@ -527,6 +548,7 @@ object DataOps extends QueryModule {
     "text_decontaminate_bloom" -> (textDecontaminateBloom _),
     "dedup_containment"    -> (dedupContainment _),
     "dedup_prod_paths"     -> (dedupProdConformance _),
+    "samp_split_safe"      -> (sampSplitSafe _),
   )
 
   private def force(df: DataFrame): Unit = {
@@ -872,6 +894,19 @@ object DataOps extends QueryModule {
           SELECT d.doc_id,
                  COALESCE(lab.cluster_id, d.doc_id) AS canonical_id,
                  COALESCE(lab.cluster_id, d.doc_id) = d.doc_id AS keep
+          FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+          ORDER BY d.doc_id"""),
+
+    // keep_list's canonical labeling + samp_train_test's md5 rule,
+    // keyed on the CANONICAL id (0.8 → 'cccc', see SamplingOps)
+    "samp_split_safe" ->
+      (s"""WITH RECURSIVE $tokCte, $shCte, $jpCte, $ccCte
+          SELECT d.doc_id,
+                 COALESCE(lab.cluster_id, d.doc_id) AS canonical_id,
+                 CASE WHEN substr(md5('split' ||
+                        CAST(COALESCE(lab.cluster_id, d.doc_id) AS VARCHAR)),
+                        1, 4) < 'cccc'
+                      THEN 'train' ELSE 'test' END AS split
           FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
           ORDER BY d.doc_id"""),
 

@@ -153,7 +153,48 @@ object Retrieval extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // DPO/RLHF preference-pair construction: documents bucketed into
+  // prompt groups (md5 of doc_id — the stand-in for a real prompt id,
+  // same seam as the classifier's stand-in weights), and within each
+  // group the quality-classifier argmax becomes `chosen`, the argmin
+  // `rejected` (ties to the lower doc_id); zero-margin groups drop —
+  // a preference pair needs an actual preference. Composes two
+  // hash-proven pieces: text_classifier_score's integer scorer and
+  // Md5Bucket's engine-portable grouping.
+  //
+  // Scale shape: one shuffle on prompt_id; both extremes come from
+  // the same sort within each group (two row_numbers over one
+  // exchange), then a metadata-scale self-join on prompt_id. At 100 TB
+  // prompt groups are bounded (completions per prompt), so no group
+  // outgrows a partition.
+  private def packDpoPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.text.LinearClassifier
+      .score(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("score"),
+        graft.functions.Md5Bucket.bucket("dpo",
+          col("doc_id").cast("string"), 64).as("prompt_id"))
+    val best = Window.partitionBy("prompt_id")
+      .orderBy(desc("score"), asc("doc_id"))
+    val worst = Window.partitionBy("prompt_id")
+      .orderBy(asc("score"), asc("doc_id"))
+    val ranked = scored
+      .withColumn("rb", row_number().over(best))
+      .withColumn("rw", row_number().over(worst))
+    val chosen = ranked.filter(col("rb") === 1)
+      .select(col("prompt_id"), col("doc_id").as("chosen_id"),
+        col("score").as("chosen_score"))
+    val rejected = ranked.filter(col("rw") === 1)
+      .select(col("prompt_id"), col("doc_id").as("rejected_id"),
+        col("score").as("rejected_score"))
+    chosen.join(rejected, Seq("prompt_id"))
+      .filter(col("chosen_score") > col("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .orderBy("prompt_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_dpo_pairs" -> (packDpoPairs _),
     "text_bm25_topk" -> (textBm25Topk _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "text_bm25_pinned" -> (textBm25Pinned _),
@@ -228,6 +269,49 @@ object Retrieval extends QueryModule {
               FROM ch)"""
 
   val oracles: Map[String, String] = Map(
+    // classifier scorer (weightSql) + md5 prompt bucket + two window
+    // ranks — every operand BIGINT, so the pair set is bit-exact
+    "pack_dpo_pairs" -> {
+      import graft.text.LinearClassifier
+      s"""WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '), t -> t <> '')
+                    AS ts
+           FROM documents
+         ),
+         sc AS (
+           SELECT doc_id,
+                  CAST(coalesce(list_sum(
+                    [${LinearClassifier.weightSql("u:", "t")}
+                     for t in ts]), 0) AS BIGINT)
+                  + CAST(coalesce(list_sum(
+                    [${LinearClassifier.weightSql("b:",
+                        "ts[i] || ' ' || ts[i+1]")}
+                     for i in range(1, len(ts))]), 0) AS BIGINT) AS score,
+                  ${graft.functions.Md5Bucket.bucketSql("dpo",
+                      "CAST(doc_id AS VARCHAR)", 64)} AS prompt_id
+           FROM tk
+         ),
+         rk AS (
+           SELECT prompt_id, doc_id, score,
+                  row_number() OVER (PARTITION BY prompt_id
+                    ORDER BY score DESC, doc_id) AS rb,
+                  row_number() OVER (PARTITION BY prompt_id
+                    ORDER BY score ASC, doc_id) AS rw
+           FROM sc
+         ),
+         ch AS (SELECT prompt_id, doc_id AS chosen_id,
+                       score AS chosen_score FROM rk WHERE rb = 1),
+         rj AS (SELECT prompt_id, doc_id AS rejected_id,
+                       score AS rejected_score FROM rk WHERE rw = 1)
+         SELECT prompt_id, ch.chosen_id, ch.chosen_score,
+                rj.rejected_id, rj.rejected_score,
+                ch.chosen_score - rj.rejected_score AS margin
+         FROM ch JOIN rj USING (prompt_id)
+         WHERE ch.chosen_score > rj.rejected_score
+         ORDER BY prompt_id"""
+    },
+
     // the Bpe token chains are generated from the SAME frozen merge
     // table; the cumsum/bin/mask arithmetic is all BIGINT-exact
     "pack_sft" -> {

@@ -198,7 +198,16 @@ object SimOps extends QueryModule {
     SemDedup.semanticDedupExhaustive(Tables.embeddings(s, d), 0.35)
       .orderBy("vec_id")
 
+  // Hard-negative mining (contrastive-pair construction): nearest
+  // OTHER-label neighbors of each query — same tiled-broadcast kernel
+  // and exact fold as sim_cosine_topk, label check inside the loop.
+  private def simHardNegatives(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegativeTopK(Tables.embeddings(s, d),
+      col("vec_id") % 50 === 0, k = 10)
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hard_negatives"   -> (simHardNegatives _),
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
     "dedup_semantic"       -> (dedupSemantic _),
     "dedup_semantic_exhaustive" -> (dedupSemanticExhaustive _),
@@ -222,6 +231,34 @@ object SimOps extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // the exact-top-k oracle with the negative constraint in the join
+    "sim_hard_negatives" ->
+      """WITH v AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS vd FROM embeddings
+         ),
+         n AS (
+           SELECT vec_id, label, vd,
+                  sqrt(list_reduce(list_transform(vd, (x,i) -> x * vd[i]),
+                                   (a,b) -> a + b)) AS nrm
+           FROM v
+         ),
+         scored AS (
+           SELECT q.vec_id AS query_id, q.label AS query_label,
+                  c.vec_id AS cand_id, c.label AS cand_label,
+                  list_reduce(list_transform(q.vd, (x,i) -> x * c.vd[i]),
+                              (p,s) -> p + s) / (q.nrm * c.nrm) AS cosine
+           FROM n q JOIN n c
+             ON q.vec_id <> c.vec_id AND q.label <> c.label
+           WHERE q.vec_id % 50 = 0
+         )
+         SELECT query_id, query_label, rank, cand_id, cand_label, cosine
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cosine DESC, cand_id)
+                 AS rank
+               FROM scored)
+         WHERE rank <= 10
+         ORDER BY query_id, rank""",
 
     "dedup_embed_cosine" ->
       """WITH v AS (

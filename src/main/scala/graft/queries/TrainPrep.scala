@@ -366,7 +366,40 @@ object TrainPrep extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // Length-bucketed batching: the padding-efficiency lever for
+  // training on variable-length sequences — docs land in fixed-width
+  // length buckets (cap = next multiple of 64 tokens), batches of 16
+  // form within a bucket by (len desc, doc_id), and per-row padding
+  // to the BATCH max is emitted (the waste a length-ignorant batcher
+  // would multiply ~64-fold). Pure integer arithmetic end to end.
+  //
+  // Scale shape: one shuffle on bucket_cap (a handful of buckets →
+  // the window sort is the cost, same as any rank); at 100 TB the
+  // batch id would take a shard prefix (bucket, shard, rn) so no
+  // bucket sorts globally — the hash-shard variant of the same rule
+  // (the pack_sequences scaladoc's bucket trick, applied to batching).
+  private def packLengthBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      size(filter(TextAnalysis.tokens(col("text")), w => length(w) > 0))
+        .cast("long").as("len"))
+      .withColumn("bucket_cap",
+        greatest(lit(64L), ((col("len") + 63L) / 64L).cast("long") * 64L))
+    val w = Window.partitionBy("bucket_cap")
+      .orderBy(desc("len"), asc("doc_id"))
+    val batched = docs
+      .withColumn("batch_id", ((row_number().over(w) - 1) / 16).cast("long"))
+    val wb = Window.partitionBy("bucket_cap", "batch_id")
+    batched
+      .withColumn("batch_max", max(col("len")).over(wb))
+      .withColumn("pad_tokens", col("batch_max") - col("len"))
+      .select("doc_id", "len", "bucket_cap", "batch_id", "batch_max",
+        "pad_tokens")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_length_buckets" -> (packLengthBuckets _),
     "web_domain_block" -> (webDomainBlock _),
     "web_anchor_index" -> (webAnchorIndex _),
     "pipeline_curate_v5" -> (pipelineCurateV5 _),
@@ -533,6 +566,26 @@ object TrainPrep extends QueryModule {
                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                   ' +', ' ', 'g'))) AS INT) AS n_chars_after
          FROM documents ORDER BY doc_id""",
+
+    // same fixed-width cap / batch rank / batch-max chain, all BIGINT
+    "pack_length_buckets" ->
+      (s"""WITH $tokCte,
+          n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS len FROM tok),
+          b AS (SELECT doc_id, len,
+                       CAST(greatest(64, ((len + 63) // 64) * 64)
+                            AS BIGINT) AS bucket_cap
+                FROM n),
+          r AS (SELECT doc_id, len, bucket_cap,
+                       CAST((row_number() OVER (PARTITION BY bucket_cap
+                               ORDER BY len DESC, doc_id) - 1) // 16
+                            AS BIGINT) AS batch_id
+                FROM b)
+          SELECT doc_id, len, bucket_cap, batch_id,
+                 max(len) OVER (PARTITION BY bucket_cap, batch_id)
+                   AS batch_max,
+                 max(len) OVER (PARTITION BY bucket_cap, batch_id) - len
+                   AS pad_tokens
+          FROM r ORDER BY doc_id"""),
 
     "pack_sequences" ->
       (s"""WITH $tokCte,

@@ -136,6 +136,65 @@ object Similarity {
       .select("query_id", "rank", "cand_id", "cosine")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k nearest neighbors whose LABEL differs from the
+    * query's — the "close in embedding space, different class" rows a
+    * triplet/InfoNCE trainer wants as negatives (easy negatives are
+    * random; hard ones carry the gradient). Same tiled-broadcast shape
+    * as [[bruteForceTopK]] (queries broadcast in bounded tiles, corpus
+    * streams, no shuffle on the big side); the label check rides the
+    * scoring loop, so mismatched pairs never materialize.
+    *
+    * Exactness: the same sequential-fold cosine as the brute-force
+    * baseline, so the DuckDB oracle (label-filtered variant of the
+    * top-k oracle) matches bit-for-bit. */
+  def hardNegativeTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      tileRows: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.filter(queryPred).localCheckpoint()
+    val numTiles = math.max(1L,
+      (q.count() + tileRows - 1) / tileRows).toInt
+    val perTile = (0 until numTiles).flatMap { t =>
+      val tileQ = if (numTiles == 1) q
+        else q.filter(pmod(hash(col("vec_id")), lit(numTiles)) === t)
+      val rows = tileQ.select("vec_id", "embedding", "label")
+        .orderBy("vec_id").collect()
+      if (rows.isEmpty && numTiles > 1) None else {
+        val ids = rows.map(_.getLong(0))
+        val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+        val norms = vecs.map(v => math.sqrt(dot(v, v)))
+        val labels = rows.map(_.getInt(2))
+        val bc = spark.sparkContext.broadcast((ids, vecs, norms, labels))
+        val scored = embeddings.select("vec_id", "embedding", "label")
+          .as[(Long, Seq[Float], Int)]
+          .mapPartitions { it =>
+            val (bIds, bVecs, bNorms, bLabels) = bc.value
+            it.flatMap { case (id, emb, lab) =>
+              val v = emb.toArray.map(_.toDouble)
+              val n = math.sqrt(dot(v, v))
+              bIds.indices.iterator.flatMap { j =>
+                // negatives only: same id OR same class never scores
+                if (id == bIds(j) || lab == bLabels(j)) None
+                else Some((bIds(j), bLabels(j), id, lab,
+                  dot(v, bVecs(j)) / (n * bNorms(j))))
+              }
+            }
+          }
+          .toDF("query_id", "query_label", "cand_id", "cand_label",
+            "cosine")
+        Some(scored)
+      }
+    }
+    val all = perTile.reduce(_ union _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("cand_id"))
+    all.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "rank", "cand_id", "cand_label",
+        "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold — EXACT
     * all-pairs, fully distributed via a block-pair self-join (no driver
     * materialization of the corpus):

@@ -257,4 +257,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("samp_split_safe: no near-dup cluster ever spans train and test, " +
+      "and the per-doc split WOULD have leaked") {
+    val safe = graft.queries.DataOps
+      .queries("samp_split_safe")(spark, sf0001)
+      .as[(Long, Long, String)].collect()
+    // cluster-granularity invariant: one split value per canonical id
+    val perCanonical = safe.groupBy(_._2).mapValues(_.map(_._3).toSet)
+    assert(perCanonical.values.forall(_.size == 1))
+    // the naive per-DOC rule on the same corpus splits at least one
+    // cluster — the leak this operator exists to prevent is real here
+    val naive = Sampling.hashSplit(
+        safe.toSeq.toDF("doc_id", "canonical_id", "old").drop("old"),
+        "doc_id", 0.8)
+      .as[(Long, Long, String)].collect()
+    val naivePerCanonical = naive.groupBy(_._2).mapValues(_.map(_._3).toSet)
+    assert(naivePerCanonical.exists { case (c, splits) =>
+      splits.size > 1 })
+  }
 }
