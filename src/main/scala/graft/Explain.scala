@@ -46,7 +46,11 @@ object Explain {
         "a9_salted_count_distinct", "web_domain_block",
         "text_blocklist", "pipeline_curate_v5", "export_range_sorted",
         "w10_capped_sessions", "ops_schema_drift",
-        "vocab_bpe_train", "mm_decode_av")
+        "vocab_bpe_train", "mm_decode_av",
+        "ops_incr_agg", "ops_incr_agg_stream", "samp_split_safe",
+        "sim_hard_negatives", "pack_dpo_pairs", "pack_length_buckets",
+        "text_heavy_hitters", "text_heavy_hitters_exact",
+        "text_lm_train", "text_lm_pinned", "text_lm_score")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -60,15 +60,18 @@ object Stress {
     "retrieval_hybrid_rrf_pinned",
     "samp_mixture_bpe", "samp_mixture_epochs", "samp_temperature_alpha",
     "dedup_keep_best", "dedup_prod_paths", "emb_nn_classify",
-    "sim_ivf_topk", "sim_pq_topk",
+    "sim_ivf_topk", "sim_pq_topk", "sim_hard_negatives",
     "pipeline_curate", "pipeline_curate_v2", "pipeline_curate_v3",
-    "pipeline_curate_v4", "pipeline_curate_v5")
+    "pipeline_curate_v4", "pipeline_curate_v5",
+    "text_lm_train", "text_lm_pinned", "text_lm_score",
+    "text_heavy_hitters", "text_heavy_hitters_exact",
+    "samp_split_safe", "pack_dpo_pairs", "pack_length_buckets")
 
   /** Relational / windows / layout tier (orders + lineitem + events —
     * amplified fact tables; region/nation/supplier/part stay dim-sized,
     * the realistic 100 TB shape where facts grow and dims don't). */
   private val RelTier = Seq(
-    "q1_pricing_summary", "ops_profile", "a7_rollup",
+    "q1_pricing_summary", "ops_profile", "a7_rollup", "ops_incr_agg",
     "a7_count_distinct", "a8_array_funcs", "j4_join_revenue_nation",
     "j8_scd2_merge",
     "w1_sessionization", "w7_transitions", "w9_gap_fill",
@@ -84,7 +87,7 @@ object Stress {
     "pipeline_curate_build", "pipeline_curate_v3_build",
     "layout_partition_build", "layout_bucketed_build",
     "layout_zorder_build", "layout_compact_build",
-    "layout_range_sorted_build")
+    "layout_range_sorted_build", "text_lm_build")
 
   private def tokenSuffixed(text: Column, rep: Column): Column =
     array_join(

@@ -207,7 +207,93 @@ object TokenOps extends QueryModule {
         (size(col("hits")) > 0).as("blocked"))
       .orderBy("doc_id")
 
+  // ---- Heavy hitters ---------------------------------------------
+  // φ = 1% heavy hitters, exact: one hash-agg over the token stream
+  // plus the stream total (both integers). The truth twin for the
+  // sketch path below.
+  private def textHeavyHittersExact(s: SparkSession, d: String)
+      : DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * 100 >= col("n_total"))
+      .select("token", "n", "n_total")
+      .orderBy(desc("n"), asc("token"))
+  }
+
+  // The one-pass fixed-memory path: Misra–Gries candidates → count-min
+  // estimates → φ-threshold on the ESTIMATE. Rows-only by design (the
+  // sketch hash is engine-specific); CountMinSpec pins est ≥ true and
+  // the exact-set-⊆-flagged-set guarantee, and the exact twin above is
+  // hash-green — the a7_approx pattern.
+  private def textHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.text.CountMin
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val cells = CountMin.buildCells(toks, "token")
+    val cand = CountMin.misraGriesCandidates(toks, "token", k = 256)
+    CountMin.estimate(cand, "token", cells)
+      .crossJoin(broadcast(total))
+      .filter(col("est") * 100 >= col("n_total"))
+      .select("token", "est", "n_total")
+      .orderBy(desc("est"), asc("token"))
+  }
+
+  // ---- Bigram LM quality scoring (CCNet-style) -------------------
+  /** The trained model, once per (session, dir): bigram counts +
+    * context totals persisted (they feed three entries), V scalar. */
+  private def lmModel(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Long) =
+    SessionMemo(s, d, "bigram_lm") {
+      val docs = Tables.documents(s, d)
+      val counts = graft.text.BigramLm
+        .trainCounts(docs, "doc_id", "text").persist()
+      val totals = graft.text.BigramLm.contextTotals(counts).persist()
+      (counts, totals, graft.text.BigramLm.vocabSize(docs, "text"))
+    }
+
+  // The LEARNED table, hash-checked (like vocab_bpe_train): top 300
+  // bigrams by (count desc, prev, w).
+  private def textLmTrain(s: SparkSession, d: String): DataFrame =
+    lmModel(s, d)._1
+      .orderBy(desc("c"), asc("prev"), asc("w")).limit(300)
+
+  // Hash-provable scoring twin: exact BIGINT division, whole pipeline
+  // (train → broadcast model → bigram join → fold) cross-engine exact.
+  private def textLmPinned(s: SparkSession, d: String): DataFrame = {
+    val (counts, totals, v) = lmModel(s, d)
+    graft.text.BigramLm.pinnedScore(Tables.documents(s, d), "doc_id",
+        "text", counts, totals, v)
+      .orderBy("doc_id")
+  }
+
+  // Production cross-entropy/perplexity (ln → rows-only; BigramLmSpec
+  // pins hand-computed values and the pinned twin anchors the plumbing).
+  private def textLmScore(s: SparkSession, d: String): DataFrame = {
+    val (counts, totals, v) = lmModel(s, d)
+    graft.text.BigramLm.lnScore(Tables.documents(s, d), "doc_id",
+        "text", counts, totals, v)
+      .orderBy("doc_id")
+  }
+
+  override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Map("text_lm_build" -> ((s, d) => {
+      val (counts, totals, _) = lmModel(s, d)
+      counts.queryExecution.toRdd.count()
+      totals.queryExecution.toRdd.count(); ()
+    }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_train"            -> (textLmTrain _),
+    "text_lm_pinned"           -> (textLmPinned _),
+    "text_lm_score"            -> (textLmScore _),
+    "text_heavy_hitters"       -> (textHeavyHitters _),
+    "text_heavy_hitters_exact" -> (textHeavyHittersExact _),
     "text_blocklist"       -> (textBlocklist _),
     "text_langid"          -> (textLangid _),
     "text_quality"         -> (textQuality _),
@@ -225,7 +311,62 @@ object TokenOps extends QueryModule {
     "text_html_extract" -> (textHtmlExtract _)
   )
 
+  /** Shared bigram-LM CTE chain: BOS-prefixed bigram stream, counts,
+    * context totals, vocabulary — mirrors [[graft.text.BigramLm]]
+    * stage-for-stage (same tokenization as tokCte). */
+  private val lmCtes: String =
+    s"""$tokCte,
+       bg AS (
+         SELECT doc_id, u.prev AS prev, u.w AS w FROM (
+           SELECT doc_id, unnest(
+             CASE WHEN len(ts) >= 1 THEN
+               [struct_pack(prev := '<s>', w := ts[1])] ||
+               [struct_pack(prev := ts[i], w := ts[i+1])
+                for i in range(1, len(ts))]
+             ELSE CAST([] AS STRUCT(prev VARCHAR, w VARCHAR)[]) END)
+             AS u
+           FROM tok)
+       ),
+       cnt AS (SELECT prev, w, count(*) AS c FROM bg GROUP BY prev, w),
+       tot AS (SELECT prev, sum(c) AS cc FROM cnt GROUP BY prev),
+       voc AS (SELECT count(DISTINCT t) AS v
+               FROM (SELECT unnest(ts) AS t FROM tok))"""
+
   val oracles: Map[String, String] = Map(
+    "text_lm_train" ->
+      (s"""WITH $lmCtes
+          SELECT prev, w, c FROM cnt
+          ORDER BY c DESC, prev, w LIMIT 300"""),
+
+    // exact BIGINT floor division — see BigramLm.pinnedScore
+    "text_lm_pinned" ->
+      (s"""WITH $lmCtes,
+          sc AS (SELECT b.doc_id,
+                        coalesce(c.c, 0) AS c, coalesce(t.cc, 0) AS cc
+                 FROM bg b
+                 LEFT JOIN cnt c USING (prev, w)
+                 LEFT JOIN tot t USING (prev)),
+          p AS (SELECT doc_id, count(*) AS n_bigrams,
+                       CAST(sum(((c + 1) * 1000000000) // (cc + v))
+                            AS BIGINT) AS score_q
+                FROM sc, voc GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(p.n_bigrams, 0) AS n_bigrams,
+                 coalesce(p.score_q, 0) AS score_q
+          FROM documents d LEFT JOIN p USING (doc_id)
+          ORDER BY d.doc_id"""),
+
+    "text_heavy_hitters_exact" ->
+      (s"""WITH $tokCte,
+          t AS (SELECT unnest(ts) AS token FROM tok),
+          tt AS (SELECT token FROM t WHERE length(token) > 0),
+          tot AS (SELECT count(*) AS n_total FROM tt)
+          SELECT token, count(*) AS n, n_total
+          FROM tt, tot
+          GROUP BY token, n_total
+          HAVING count(*) * 100 >= n_total
+          ORDER BY n DESC, token"""),
+
     "text_blocklist" ->
       (s"""WITH m AS (
            SELECT doc_id,
