@@ -50,7 +50,8 @@ object Explain {
         "ops_incr_agg", "ops_incr_agg_stream", "samp_split_safe",
         "sim_hard_negatives", "pack_dpo_pairs", "pack_length_buckets",
         "text_heavy_hitters", "text_heavy_hitters_exact",
-        "text_lm_train", "text_lm_pinned", "text_lm_score")
+        "text_lm_train", "text_lm_pinned", "text_lm_score",
+        "text_lm_buckets", "ops_incr_distinct", "text_heavy_hitters_stream")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -64,6 +64,7 @@ object Stress {
     "pipeline_curate", "pipeline_curate_v2", "pipeline_curate_v3",
     "pipeline_curate_v4", "pipeline_curate_v5",
     "text_lm_train", "text_lm_pinned", "text_lm_score",
+    "text_lm_buckets",
     "text_heavy_hitters", "text_heavy_hitters_exact",
     "samp_split_safe", "pack_dpo_pairs", "pack_length_buckets")
 
@@ -72,6 +73,7 @@ object Stress {
     * the realistic 100 TB shape where facts grow and dims don't). */
   private val RelTier = Seq(
     "q1_pricing_summary", "ops_profile", "a7_rollup", "ops_incr_agg",
+    "ops_incr_distinct",
     "a7_count_distinct", "a8_array_funcs", "j4_join_revenue_nation",
     "j8_scd2_merge",
     "w1_sessionization", "w7_transitions", "w9_gap_fill",

@@ -279,7 +279,32 @@ object LayoutOps extends QueryModule {
         s.read.parquet(incrAggStreamTable(s, d)))
       .orderBy("o_custkey")
 
+  // Incremental DISTINCT-count maintenance: per-key Datasketches HLL
+  // state built per batch, merged by hll_union_agg — count-distinct is
+  // the aggregate plain partials CANNOT maintain (a key's distinct set
+  // must be seen whole), and the mergeable sketch is the standard
+  // warehouse answer. Hash-green against exact COUNT(DISTINCT):
+  // the sketch stays in sparse mode at this cardinality (5 priorities
+  // ≪ 2^lgK), where Datasketches HLL is EXACT by construction — the
+  // entry hash-proves the MERGE ALGEBRA (3-batch fold ≡ recompute),
+  // not an approximation; at high cardinality the same plan returns
+  // estimates with the documented ~1.6%/√(2^lgK) error.
+  private def opsIncrDistinct(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+    def state(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey")
+        .agg(hll_sketch_agg(col("o_orderpriority")).as("hll"))
+    val merged = (0 until 3)
+      .map(i => state(o.filter(pmod(col("o_orderkey"), lit(3)) === i)))
+      .reduce((a, b) => a.unionByName(b).groupBy("o_custkey")
+        .agg(hll_union_agg(col("hll")).as("hll")))
+    merged.select(col("o_custkey"),
+        hll_sketch_estimate(col("hll")).as("n_distinct"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ops_incr_distinct"      -> (opsIncrDistinct _),
     "ops_incr_agg"           -> (opsIncrAgg _),
     "ops_incr_agg_stream"    -> (opsIncrAggStream _),
     "export_range_sorted"    -> (exportRangeSorted _),
@@ -335,6 +360,12 @@ object LayoutOps extends QueryModule {
   val oracles: Map[String, String] = Map(
     "ops_incr_agg"        -> incrAggOracle,
     "ops_incr_agg_stream" -> incrAggOracle,
+
+    // exact recompute — the sparse-mode sketch fold must equal it
+    "ops_incr_distinct" ->
+      """SELECT o_custkey,
+                count(DISTINCT o_orderpriority) AS n_distinct
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     // straight from the source table: the narrowed generation's
     // int32/float32 detour is value-exact (keys ≤ 150k, integral
     // quantities 1..50), so equality proves the mixed-generation

@@ -162,32 +162,27 @@ object Retrieval extends QueryModule {
   // hash-proven pieces: text_classifier_score's integer scorer and
   // Md5Bucket's engine-portable grouping.
   //
-  // Scale shape: one shuffle on prompt_id; both extremes come from
-  // the same sort within each group (two row_numbers over one
-  // exchange), then a metadata-scale self-join on prompt_id. At 100 TB
-  // prompt groups are bounded (completions per prompt), so no group
-  // outgrows a partition.
+  // Scale shape: ONE corpus scan and one shuffle on prompt_id — both
+  // extremes fold as struct-ordered min/max partial aggregates (the
+  // arg-max-by-(score, tiebreak) trick), so the shuffle carries two
+  // structs per (task, prompt) however many completions a prompt has.
+  // No window, no self-join, no second derivation of the input.
   private def packDpoPairs(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = graft.text.LinearClassifier
       .score(Tables.documents(s, d), "doc_id", "text")
       .select(col("doc_id"), col("score"),
         graft.functions.Md5Bucket.bucket("dpo",
           col("doc_id").cast("string"), 64).as("prompt_id"))
-    val best = Window.partitionBy("prompt_id")
-      .orderBy(desc("score"), asc("doc_id"))
-    val worst = Window.partitionBy("prompt_id")
-      .orderBy(asc("score"), asc("doc_id"))
-    val ranked = scored
-      .withColumn("rb", row_number().over(best))
-      .withColumn("rw", row_number().over(worst))
-    val chosen = ranked.filter(col("rb") === 1)
-      .select(col("prompt_id"), col("doc_id").as("chosen_id"),
-        col("score").as("chosen_score"))
-    val rejected = ranked.filter(col("rw") === 1)
-      .select(col("prompt_id"), col("doc_id").as("rejected_id"),
-        col("score").as("rejected_score"))
-    chosen.join(rejected, Seq("prompt_id"))
+    // chosen = (score desc, doc_id asc) argmax → max(score, −doc_id);
+    // rejected = (score asc, doc_id asc) argmin → min(score, doc_id)
+    scored.groupBy("prompt_id").agg(
+        max(struct(col("score"), (-col("doc_id")).as("neg"))).as("ch"),
+        min(struct(col("score"), col("doc_id"))).as("rj"))
+      .select(col("prompt_id"),
+        (-col("ch.neg")).as("chosen_id"),
+        col("ch.score").as("chosen_score"),
+        col("rj.doc_id").as("rejected_id"),
+        col("rj.score").as("rejected_score"))
       .filter(col("chosen_score") > col("rejected_score"))
       .withColumn("margin", col("chosen_score") - col("rejected_score"))
       .orderBy("prompt_id")

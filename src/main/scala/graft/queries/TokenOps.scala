@@ -272,6 +272,20 @@ object TokenOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // CCNet head/middle/tail partition on the exact integer rate —
+  // thresholds from a bounded deterministic sample (every 10th doc,
+  // id-capped), buckets a pure CASE projection. Hash-green: every
+  // operand integral.
+  private def textLmBuckets(s: SparkSession, d: String): DataFrame = {
+    val (counts, totals, v) = lmModel(s, d)
+    graft.text.BigramLm.rateBuckets(
+        graft.text.BigramLm.pinnedScore(Tables.documents(s, d), "doc_id",
+          "text", counts, totals, v),
+        col("doc_id") % 10 === 0 && col("doc_id") < 10000)
+      .select("doc_id", "n_bigrams", "pq_mean", "bucket")
+      .orderBy("doc_id")
+  }
+
   // Production cross-entropy/perplexity (ln → rows-only; BigramLmSpec
   // pins hand-computed values and the pinned twin anchors the plumbing).
   private def textLmScore(s: SparkSession, d: String): DataFrame = {
@@ -282,16 +296,77 @@ object TokenOps extends QueryModule {
   }
 
   override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
-    Map("text_lm_build" -> ((s, d) => {
-      val (counts, totals, _) = lmModel(s, d)
-      counts.queryExecution.toRdd.count()
-      totals.queryExecution.toRdd.count(); ()
-    }))
+    Map(
+      "text_lm_build" -> ((s, d) => {
+        val (counts, totals, _) = lmModel(s, d)
+        counts.queryExecution.toRdd.count()
+        totals.queryExecution.toRdd.count(); ()
+      }),
+      "text_hh_stream_build" -> ((s, d) => { hhStreamCells(s, d); () }))
+
+  /** The token stream shared by the heavy-hitter entries. */
+  private def tokenStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+
+  /** STREAMED sketch state: three doc-slices delivered through
+    * [[graft.streaming.MergeableStream]] with monotone batch ids, a
+    * replay no-op, and an embedded bit-equality proof that the merged
+    * cells equal the one-shot batch sketch (sketch addition is exact —
+    * the mergeability CMS exists for). Built once per (session, dir). */
+  private def hhStreamCells(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "hh_stream_cells") {
+      import graft.text.CountMin
+      val dir = java.nio.file.Files.createTempDirectory("hh_stream")
+        .toString + "/cells"
+      val toks = tokenStream(s, d)
+      (0 until 3).foreach { i =>
+        graft.streaming.MergeableStream.applyBatch(
+          toks.filter(col("doc_id") % 3 === i).select("token"),
+          i.toLong, dir,
+          b => CountMin.buildCells(b, "token"), CountMin.mergeCells)
+      }
+      val replayed = graft.streaming.MergeableStream.applyBatch(
+        toks.filter(col("doc_id") % 3 === 1).select("token"), 1L, dir,
+        b => CountMin.buildCells(b, "token"), CountMin.mergeCells)
+      require(!replayed, "hh_stream: replay was not skipped")
+      val streamed = s.read.parquet(dir)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val oneShot = CountMin.buildCells(toks, "token")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      require(streamed == oneShot,
+        "hh_stream: merged cells differ from the one-shot sketch")
+      dir
+    }
+
+  // Heavy hitters over the STREAMED sketch: same MG→estimate→threshold
+  // tail as text_heavy_hitters, reading cells maintained across three
+  // checkpoint-protocol deliveries — rows must equal the batch entry's
+  // (cells are bit-equal by the build's embedded proof).
+  private def textHeavyHittersStream(s: SparkSession, d: String)
+      : DataFrame = {
+    import graft.text.CountMin
+    val toks = tokenStream(s, d)
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val cells = s.read.parquet(hhStreamCells(s, d))
+    val cand = CountMin.misraGriesCandidates(toks, "token", k = 256)
+    CountMin.estimate(cand, "token", cells)
+      .crossJoin(broadcast(total))
+      .filter(col("est") * 100 >= col("n_total"))
+      .select("token", "est", "n_total")
+      .orderBy(desc("est"), asc("token"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters_stream" -> (textHeavyHittersStream _),
     "text_lm_train"            -> (textLmTrain _),
     "text_lm_pinned"           -> (textLmPinned _),
     "text_lm_score"            -> (textLmScore _),
+    "text_lm_buckets"          -> (textLmBuckets _),
     "text_heavy_hitters"       -> (textHeavyHitters _),
     "text_heavy_hitters_exact" -> (textHeavyHittersExact _),
     "text_blocklist"       -> (textBlocklist _),
@@ -332,6 +407,23 @@ object TokenOps extends QueryModule {
        voc AS (SELECT count(DISTINCT t) AS v
                FROM (SELECT unnest(ts) AS t FROM tok))"""
 
+  /** Pinned per-doc scoring chain over the lm CTEs, total over
+    * `documents` (shared by text_lm_pinned and text_lm_buckets). */
+  private val lmPinnedChain: String =
+    """sc AS (SELECT b.doc_id,
+                     coalesce(c.c, 0) AS c, coalesce(t.cc, 0) AS cc
+              FROM bg b
+              LEFT JOIN cnt c USING (prev, w)
+              LEFT JOIN tot t USING (prev)),
+       p AS (SELECT doc_id, count(*) AS n_bigrams,
+                    CAST(sum(((c + 1) * 1000000000) // (cc + v))
+                         AS BIGINT) AS score_q
+             FROM sc, voc GROUP BY doc_id),
+       fullp AS (SELECT d.doc_id,
+                        coalesce(p.n_bigrams, 0) AS n_bigrams,
+                        coalesce(p.score_q, 0) AS score_q
+                 FROM documents d LEFT JOIN p USING (doc_id))"""
+
   val oracles: Map[String, String] = Map(
     "text_lm_train" ->
       (s"""WITH $lmCtes
@@ -340,21 +432,38 @@ object TokenOps extends QueryModule {
 
     // exact BIGINT floor division — see BigramLm.pinnedScore
     "text_lm_pinned" ->
-      (s"""WITH $lmCtes,
-          sc AS (SELECT b.doc_id,
-                        coalesce(c.c, 0) AS c, coalesce(t.cc, 0) AS cc
-                 FROM bg b
-                 LEFT JOIN cnt c USING (prev, w)
-                 LEFT JOIN tot t USING (prev)),
-          p AS (SELECT doc_id, count(*) AS n_bigrams,
-                       CAST(sum(((c + 1) * 1000000000) // (cc + v))
-                            AS BIGINT) AS score_q
-                FROM sc, voc GROUP BY doc_id)
-          SELECT d.doc_id,
-                 coalesce(p.n_bigrams, 0) AS n_bigrams,
-                 coalesce(p.score_q, 0) AS score_q
-          FROM documents d LEFT JOIN p USING (doc_id)
-          ORDER BY d.doc_id"""),
+      (s"""WITH $lmCtes, $lmPinnedChain
+          SELECT doc_id, n_bigrams, score_q
+          FROM fullp ORDER BY doc_id"""),
+
+    // sample-tercile cutoffs (rank ⌈n/3⌉ / ⌈2n/3⌉ of the id-capped
+    // sample, value-sorted desc) + CASE — see BigramLm.rateBuckets
+    "text_lm_buckets" ->
+      (s"""WITH $lmCtes, $lmPinnedChain,
+          rated AS (SELECT doc_id, n_bigrams,
+                           CASE WHEN n_bigrams > 0
+                                THEN score_q // n_bigrams
+                                ELSE 0 END AS pq_mean
+                    FROM fullp),
+          smp AS (SELECT pq_mean FROM rated
+                  WHERE doc_id % 10 = 0 AND doc_id < 10000),
+          srt AS (SELECT pq_mean,
+                         row_number() OVER (ORDER BY pq_mean DESC) AS rn,
+                         count(*) OVER () AS n
+                  FROM smp),
+          cut AS (SELECT
+                    max(CASE WHEN rn = greatest(1,
+                          CAST(ceil(n / 3.0) AS BIGINT))
+                        THEN pq_mean END) AS c1,
+                    max(CASE WHEN rn = greatest(1,
+                          CAST(ceil(2 * n / 3.0) AS BIGINT))
+                        THEN pq_mean END) AS c2
+                  FROM srt)
+          SELECT doc_id, n_bigrams, pq_mean,
+                 CASE WHEN pq_mean >= c1 THEN 'head'
+                      WHEN pq_mean >= c2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM rated, cut ORDER BY doc_id"""),
 
     "text_heavy_hitters_exact" ->
       (s"""WITH $tokCte,

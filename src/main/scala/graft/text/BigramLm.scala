@@ -102,6 +102,34 @@ object BigramLm {
         coalesce(col("score_q"), lit(0L)).as("score_q"))
   }
 
+  /** CCNet's head/middle/tail partition, on the EXACT integer rate:
+    * pq_mean = score_q div n_bigrams (the pinned per-bigram mean —
+    * monotone with model probability, so rank-equivalent to inverse
+    * perplexity), cut at the sample terciles. The cutoffs come from a
+    * BOUNDED deterministic sample (CCNet derives thresholds from a
+    * held-out slice for the same reason: corpus-wide exact quantiles
+    * need a global rank): two scalars, computed once and applied as a
+    * broadcast-free CASE projection — the corpus never shuffles and
+    * no global window exists anywhere in the plan. */
+  def rateBuckets(pinned: DataFrame, samplePred: Column): DataFrame = {
+    val rated = pinned.withColumn("pq_mean",
+      when(col("n_bigrams") > 0, expr("score_q div n_bigrams"))
+        .otherwise(lit(0L)))
+    // metadata-scale collect: samplePred must bound the row count
+    // absolutely (the registry entry caps by id), like the other
+    // bounded-probe collects
+    val sample = rated.filter(samplePred).select("pq_mean")
+      .collect().map(_.getLong(0)).sortBy(x => -x)
+    require(sample.nonEmpty, "rateBuckets: empty threshold sample")
+    def cutAt(frac: Double): Long =
+      sample(math.max(0, math.ceil(sample.length * frac).toInt - 1))
+    val (c1, c2) = (cutAt(1.0 / 3), cutAt(2.0 / 3))
+    rated.withColumn("bucket",
+      when(col("pq_mean") >= c1, lit("head"))
+        .when(col("pq_mean") >= c2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** Production score: mean ln P (negative cross-entropy) and
     * perplexity exp(−mean). Empty docs emit NULLs. */
   def lnScore(docs: DataFrame, idCol: String, textCol: String,

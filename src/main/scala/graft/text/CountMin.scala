@@ -51,6 +51,14 @@ object CountMin {
       .groupBy(col("rh.r").as("r"), col("rh.h").as("h"))
       .agg(count(lit(1)).as("c"))
 
+  /** Merge two cell tables — sketch ADDITION, the property the whole
+    * structure exists for: cells are counters, so summaries of
+    * disjoint streams merge by (r, h)-keyed sum into exactly the
+    * sketch of the union (bit-for-bit; pinned in the streaming
+    * registry build and CountMinSpec). */
+  def mergeCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "h").agg(sum(col("c")).as("c"))
+
   /** Estimate counts for a candidate set: min over the sketch rows of
     * the candidate's cell — a broadcast join against the ≤ Depth·Width
     * cell table (an absent cell means a zero count). */

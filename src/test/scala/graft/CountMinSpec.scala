@@ -60,6 +60,22 @@ class CountMinSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch addition: cells of split streams merge to exactly the " +
+      "one-shot sketch, in any association order") {
+    val parts = (0 to 2).map(i =>
+      CountMin.buildCells(
+        toks.filter(pmod(xxhash64(col("token")), lit(3)) === i), "token"))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long)].collect().toSet
+    val oneShot = cells(CountMin.buildCells(toks, "token"))
+    val left = cells(CountMin.mergeCells(
+      CountMin.mergeCells(parts(0), parts(1)), parts(2)))
+    val right = cells(CountMin.mergeCells(
+      parts(0), CountMin.mergeCells(parts(1), parts(2))))
+    assert(left == oneShot)
+    assert(right == oneShot)
+  }
+
   test("estimate of an absent item is bounded by collisions, not " +
       "invented mass (empty-cell probe → 0 under no collision)") {
     // a probe set disjoint from the stream: estimates may collide into
