@@ -51,7 +51,8 @@ object Explain {
         "sim_hard_negatives", "pack_dpo_pairs", "pack_length_buckets",
         "text_heavy_hitters", "text_heavy_hitters_exact",
         "text_lm_train", "text_lm_pinned", "text_lm_score",
-        "text_lm_buckets", "ops_incr_distinct", "text_heavy_hitters_stream")
+        "text_lm_buckets", "ops_incr_distinct", "text_heavy_hitters_stream",
+        "pipeline_curate_v6", "text_fix_encoding", "sim_hard_negatives_ann")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -62,11 +62,12 @@ object Stress {
     "dedup_keep_best", "dedup_prod_paths", "emb_nn_classify",
     "sim_ivf_topk", "sim_pq_topk", "sim_hard_negatives",
     "pipeline_curate", "pipeline_curate_v2", "pipeline_curate_v3",
-    "pipeline_curate_v4", "pipeline_curate_v5",
+    "pipeline_curate_v4", "pipeline_curate_v5", "pipeline_curate_v6",
     "text_lm_train", "text_lm_pinned", "text_lm_score",
     "text_lm_buckets",
     "text_heavy_hitters", "text_heavy_hitters_exact",
-    "samp_split_safe", "pack_dpo_pairs", "pack_length_buckets")
+    "samp_split_safe", "pack_dpo_pairs", "pack_length_buckets",
+    "text_fix_encoding", "sim_hard_negatives_ann")
 
   /** Relational / windows / layout tier (orders + lineitem + events —
     * amplified fact tables; region/nation/supplier/part stay dim-sized,

@@ -206,8 +206,36 @@ object SimOps extends QueryModule {
       col("vec_id") % 50 === 0, k = 10)
       .orderBy("query_id", "rank")
 
+  // Production-scale hard negatives: IVF candidate pool (probed
+  // posting lists, m=60) → label join → other-label filter → top-10.
+  // The composition SCALE.md promises for corpus-sized mining —
+  // candidate cost is the probed cells, never all-pairs. Rows-only
+  // (trained-centroid-specific, like sim_ivf_topk); AnnSweepSpec pins
+  // recall against the exact sim_hard_negatives entry.
+  private def simHardNegativesAnn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val labels = emb.select("vec_id", "label")
+    val pool = Similarity.ivfTopK(emb, col("vec_id") % 50 === 0,
+      k = 60, numCells = 8, nprobe = 3)
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("cand_id"))
+    pool
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("query_label")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("cand_id"),
+        col("label").as("cand_label")), Seq("cand_id"))
+      .filter(col("query_label") =!= col("cand_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "query_label", "rank", "cand_id", "cand_label",
+        "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hard_negatives"   -> (simHardNegatives _),
+    "sim_hard_negatives_ann" -> (simHardNegativesAnn _),
     "dedup_embed_cosine"   -> (dedupEmbedCosine _),
     "dedup_semantic"       -> (dedupSemantic _),
     "dedup_semantic_exhaustive" -> (dedupSemanticExhaustive _),

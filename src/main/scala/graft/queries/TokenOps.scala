@@ -361,7 +361,39 @@ object TokenOps extends QueryModule {
       .orderBy(desc("est"), asc("token"))
   }
 
+  /** Curation pipeline v6 — model-based quality at BOTH lexical
+    * levels, the full modern recipe: hashed-classifier gate (fastText
+    * shape) → bigram-LM perplexity gate (CCNet shape: drop the `tail`
+    * bucket) → token floor → stable shard. Every stage's rule is
+    * verbatim from its per-operator oracle (text_classifier_score,
+    * text_lm_buckets, export shard formula), so the COMPOSITION is
+    * hash-proven end to end like v1–v5. All stages are projections
+    * over broadcast models — the corpus never shuffles. */
+  private def pipelineCurateV6(s: SparkSession, d: String): DataFrame = {
+    val (counts, totals, v) = lmModel(s, d)
+    val docs = Tables.documents(s, d)
+    val lmBucket = graft.text.BigramLm.rateBuckets(
+        graft.text.BigramLm.pinnedScore(docs, "doc_id", "text",
+          counts, totals, v),
+        col("doc_id") % 10 === 0 && col("doc_id") < 10000)
+      .select(col("doc_id"), col("bucket"))
+    graft.text.LinearClassifier.score(docs, "doc_id", "text")
+      .select(col("doc_id"), col("score"), col("n_tokens"))
+      .join(lmBucket, Seq("doc_id"))
+      .withColumn("keep_classifier", col("score") >= 0)
+      .withColumn("keep_lm", col("bucket") =!= "tail")
+      .withColumn("keep_floor", col("n_tokens") >= 10)
+      .withColumn("admitted",
+        col("keep_classifier") && col("keep_lm") && col("keep_floor"))
+      .withColumn("shard", graft.functions.Md5Bucket.bucket("shard6",
+        col("doc_id").cast("string"), 8))
+      .select("doc_id", "score", "bucket", "keep_classifier", "keep_lm",
+        "keep_floor", "admitted", "shard")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_v6"        -> (pipelineCurateV6 _),
     "text_heavy_hitters_stream" -> (textHeavyHittersStream _),
     "text_lm_train"            -> (textLmTrain _),
     "text_lm_pinned"           -> (textLmPinned _),
@@ -464,6 +496,64 @@ object TokenOps extends QueryModule {
                       WHEN pq_mean >= c2 THEN 'middle'
                       ELSE 'tail' END AS bucket
           FROM rated, cut ORDER BY doc_id"""),
+
+    // classifier + LM-bucket + floor + shard, each rule verbatim from
+    // its standalone oracle; tkc is the classifier's (case-preserving)
+    // tokenization, the lm chain keeps its own lowered `tok`
+    "pipeline_curate_v6" -> {
+      import graft.text.LinearClassifier
+      s"""WITH $lmCtes, $lmPinnedChain,
+         rated AS (SELECT doc_id, n_bigrams,
+                          CASE WHEN n_bigrams > 0
+                               THEN score_q // n_bigrams
+                               ELSE 0 END AS pq_mean
+                   FROM fullp),
+         smp AS (SELECT pq_mean FROM rated
+                 WHERE doc_id % 10 = 0 AND doc_id < 10000),
+         srt AS (SELECT pq_mean,
+                        row_number() OVER (ORDER BY pq_mean DESC) AS rn,
+                        count(*) OVER () AS n
+                 FROM smp),
+         cut AS (SELECT
+                   max(CASE WHEN rn = greatest(1,
+                         CAST(ceil(n / 3.0) AS BIGINT))
+                       THEN pq_mean END) AS c1,
+                   max(CASE WHEN rn = greatest(1,
+                         CAST(ceil(2 * n / 3.0) AS BIGINT))
+                       THEN pq_mean END) AS c2
+                 FROM srt),
+         bkt AS (SELECT doc_id,
+                        CASE WHEN pq_mean >= c1 THEN 'head'
+                             WHEN pq_mean >= c2 THEN 'middle'
+                             ELSE 'tail' END AS bucket
+                 FROM rated, cut),
+         tkc AS (SELECT doc_id,
+                        list_filter(string_split(trim(text), ' '),
+                                    t -> t <> '') AS ts
+                 FROM documents),
+         scc AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+                        CAST(coalesce(list_sum(
+                          [${LinearClassifier.weightSql("u:", "t")}
+                           for t in ts]), 0) AS BIGINT)
+                        + CAST(coalesce(list_sum(
+                          [${LinearClassifier.weightSql("b:",
+                              "ts[i] || ' ' || ts[i+1]")}
+                           for i in range(1, len(ts))]), 0) AS BIGINT)
+                          AS score
+                 FROM tkc)
+         SELECT d.doc_id, scc.score, bkt.bucket,
+                scc.score >= 0 AS keep_classifier,
+                bkt.bucket <> 'tail' AS keep_lm,
+                scc.n_tokens >= 10 AS keep_floor,
+                (scc.score >= 0 AND bkt.bucket <> 'tail'
+                  AND scc.n_tokens >= 10) AS admitted,
+                ${graft.functions.Md5Bucket.bucketSql("shard6",
+                    "CAST(d.doc_id AS VARCHAR)", 8)} AS shard
+         FROM documents d
+         JOIN scc ON scc.doc_id = d.doc_id
+         JOIN bkt ON bkt.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
+    },
 
     "text_heavy_hitters_exact" ->
       (s"""WITH $tokCte,

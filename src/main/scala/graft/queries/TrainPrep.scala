@@ -398,7 +398,33 @@ object TrainPrep extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** A fixed clean sentence containing every repair-table character,
+    * shipped through the REAL UTF-8→cp1252 mis-decode (one derivation,
+    * both renderings — the oracle embeds the same derived bytes). */
+  private val MojiClean = "café – “quote” … señor übel niño ça"
+  private val MojiBad = graft.text.EncodingRepair.misdecode(MojiClean)
+
+  // Mojibake repair over a planted corpus: every 25th doc gets the
+  // mis-decoded sample appended (the organic corpus is ASCII, so the
+  // chain must fire exactly on the planted rows and nowhere else —
+  // `changed` proves both directions). Pure codegen replace chain.
+  private def textFixEncoding(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    Planting.requireHeadroom(docs, "doc_id", "text_fix_encoding")
+    val planted = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + Planting.Offset).as("doc_id"),
+        concat(col("text"), lit(" "), lit(MojiBad)).as("text"))
+    docs.unionByName(planted)
+      .select(col("doc_id"),
+        graft.text.EncodingRepair.repair(col("text")).as("text_fixed"),
+        (graft.text.EncodingRepair.repair(col("text")) =!= col("text"))
+          .as("changed"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_fix_encoding"   -> (textFixEncoding _),
     "pack_length_buckets" -> (packLengthBuckets _),
     "web_domain_block" -> (webDomainBlock _),
     "web_anchor_index" -> (webAnchorIndex _),
@@ -566,6 +592,20 @@ object TrainPrep extends QueryModule {
                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                   ' +', ' ', 'g'))) AS INT) AS n_chars_after
          FROM documents ORDER BY doc_id""",
+
+    // the derived mis-decode literal + the same ordered replace chain
+    // (EncodingRepair.repairSql — one table, two renderings)
+    "text_fix_encoding" -> {
+      val rep = graft.text.EncodingRepair.repairSql("text")
+      s"""WITH u AS (
+           SELECT doc_id, coalesce(text, '') AS text FROM documents
+           UNION ALL
+           SELECT doc_id + ${Planting.Offset},
+                  coalesce(text, '') || ' ' || '$MojiBad'
+           FROM documents WHERE doc_id % 25 = 0)
+         SELECT doc_id, $rep AS text_fixed, $rep <> text AS changed
+         FROM u ORDER BY doc_id"""
+    },
 
     // same fixed-width cap / batch rank / batch-max chain, all BIGINT
     "pack_length_buckets" ->

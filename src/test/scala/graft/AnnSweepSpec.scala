@@ -96,4 +96,24 @@ class AnnSweepSpec extends AnyFunSuite {
     assert(scores.distinct.length > nQueries,
       "ADC scores are near-constant — codebook degenerated")
   }
+
+  test("ANN hard negatives: recall@10 vs the exact other-label entry " +
+      "clears the floor, and no same-label pair survives") {
+    val exactHn = graft.queries.SimOps
+      .queries("sim_hard_negatives")(spark, sf001)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = graft.queries.SimOps
+      .queries("sim_hard_negatives_ann")(spark, sf001).collect()
+    assert(ann.forall(r =>
+      r.getAs[Int]("query_label") != r.getAs[Int]("cand_label")))
+    val approx = ann.map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exactHn.keysIterator.map(q =>
+      approx.get(q).map(a => (a & exactHn(q)).size).getOrElse(0))
+      .sum.toDouble / (exactHn.size * 10)
+    info(f"ANN hard-negative recall@10: $recall%.3f")
+    assert(recall >= 0.5, f"recall $recall%.3f below floor")
+  }
 }

@@ -409,6 +409,30 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 16))
   }
 
+  test("pipeline_curate_v6 coherence: verdicts agree with the " +
+      "standalone classifier and LM-bucket entries") {
+    import graft.queries.TokenOps
+    val out = TokenOps.queries("pipeline_curate_v6")(spark, sf001)
+      .collect()
+    assert(out.nonEmpty)
+    val admitted = out.filter(_.getBoolean(6)).map(_.getLong(0)).toSet
+    assert(admitted.nonEmpty)          // fixture exercises the pipeline
+    assert(admitted.size < out.length) // and the gates actually gate
+    // classifier verdict ≡ standalone text_classifier_score keep
+    val clsKeep = graft.queries.CorpusOps
+      .queries("text_classifier_score")(spark, sf001)
+      .filter(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    assert(out.forall(r => r.getBoolean(3) == clsKeep(r.getLong(0))))
+    // LM verdict ≡ standalone text_lm_buckets (tail dropped)
+    val tails = TokenOps.queries("text_lm_buckets")(spark, sf001)
+      .filter(col("bucket") === "tail").select("doc_id")
+      .as[Long].collect().toSet
+    assert(out.forall(r => r.getBoolean(4) == !tails(r.getLong(0))))
+    // admitted ≡ conjunction of the three stage verdicts
+    assert(out.forall(r => r.getBoolean(6) ==
+      (r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5))))
+  }
+
   test("hostStats/hostGate: mirror host counted after canonicalization, " +
       "clean host kept") {
     import graft.text.UrlOps
