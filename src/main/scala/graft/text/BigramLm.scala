@@ -38,11 +38,17 @@ object BigramLm {
   val Bos = "<s>"
 
   /** (id, prev, w) — one row per bigram occurrence, BOS-prefixed, so
-    * a doc with n ≥ 1 tokens yields exactly n bigrams. */
+    * a doc with n ≥ 1 tokens yields exactly n bigrams. The token
+    * array is MATERIALIZED in its own projection first: the pair
+    * lambda references it 2× per element, and an inlined
+    * split-filter expression would re-tokenize the document per
+    * reference — O(n²) in doc length (measured 3.5× on the lm tier). */
   def bigrams(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val ts = filter(TextAnalysis.tokens(col(textCol)),
-      w => length(w) > 0)
+    val toked = docs.select(col(idCol),
+      filter(TextAnalysis.tokens(col(textCol)),
+        w => length(w) > 0).as("__ts"))
+    val ts = col("__ts")
     val pairs = when(size(ts) >= 1,
       concat(
         array(struct(lit(Bos).as("prev"),
@@ -51,7 +57,7 @@ object BigramLm {
           i => struct(element_at(ts, i + 1).as("prev"),
             element_at(ts, i + 2).as("w")))))
       .otherwise(array().cast("array<struct<prev:string,w:string>>"))
-    docs.select(col(idCol), explode(pairs).as("bg"))
+    toked.select(col(idCol), explode(pairs).as("bg"))
       .select(col(idCol), col("bg.prev").as("prev"), col("bg.w").as("w"))
   }
 
