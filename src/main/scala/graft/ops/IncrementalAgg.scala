@@ -45,9 +45,14 @@ object IncrementalAgg {
       dateCol: String): DataFrame =
     df.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n_rows"),
-      // re-narrowed to the state scale so the state schema is stable
-      // across any number of merges (sum widens the decimal type)
-      sum(dec(col(valCol))).cast(DecimalType(18, 4)).as("sum_v"),
+      // state keeps the sum at the WIDEST decimal (38,4): inputs are
+      // (18,4) so Spark's sum yields (28,4); pinning to (38,4) keeps
+      // the state schema stable across any number of merges WITHOUT
+      // narrowing — a cast back to (18,4) would turn a per-key sum
+      // >= 10^14 into a silent NULL in non-ANSI mode, permanently
+      // corrupting state relative to a recompute. (38,4) overflows
+      // only past 10^34 — unreachable even at 100 TB.
+      sum(dec(col(valCol))).cast(DecimalType(38, 4)).as("sum_v"),
       min(dec(col(valCol))).as("min_v"),
       max(dec(col(valCol))).as("max_v"),
       min(col(dateCol)).as("min_d"),
@@ -63,7 +68,7 @@ object IncrementalAgg {
     // where the value column was null in one batch's rows
     state.unionByName(delta).groupBy(keys.map(col): _*).agg(
       sum(col("n_rows")).as("n_rows"),
-      sum(col("sum_v")).cast(DecimalType(18, 4)).as("sum_v"),
+      sum(col("sum_v")).cast(DecimalType(38, 4)).as("sum_v"),
       min(col("min_v")).as("min_v"),
       max(col("max_v")).as("max_v"),
       min(col("min_d")).as("min_d"),

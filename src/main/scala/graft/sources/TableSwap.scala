@@ -15,10 +15,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * semantics from drifting apart. */
 object TableSwap {
 
+  /** The move/marker protocol is java.nio — LOCAL FILESYSTEM ONLY.
+    * On a scheme'd URI (s3://, hdfs://) the moves would throw or land
+    * on the driver's local disk while Spark writes to the remote
+    * store, silently voiding the crash-safety guarantee. Fail fast
+    * instead; remote deployments route through the Hadoop FileSystem
+    * API + an output committer, not this protocol. */
+  def requireLocal(tablePath: String): Unit = {
+    val scheme =
+      try java.net.URI.create(tablePath.replace(" ", "%20")).getScheme
+      catch { case _: IllegalArgumentException => null }
+    require(scheme == null || scheme == "file",
+      s"TableSwap: local-filesystem protocol, got scheme '$scheme' " +
+        s"in '$tablePath' — remote tables need Hadoop FS commit, " +
+        "not the nio swap")
+  }
+
   /** Roll a half-completed previous swap forward: if the live dir is
     * missing but its backup exists, restore the backup. Idempotent;
     * call before ANY read or swap of `tablePath`. */
   def recover(tablePath: String): Unit = {
+    requireLocal(tablePath)
     val target = Paths.get(tablePath)
     val backup = Paths.get(tablePath + ".bak")
     if (!Files.exists(target) && Files.exists(backup))
@@ -38,6 +55,7 @@ object TableSwap {
     * need to act on the tmp content — e.g. count it — before the swap
     * write tmp themselves, then promote). */
   def promoteTmp(tablePath: String): Unit = {
+    requireLocal(tablePath)
     val target = Paths.get(tablePath)
     val backup = Paths.get(tablePath + ".bak")
     deleteRecursively(backup)                   // stale from last swap

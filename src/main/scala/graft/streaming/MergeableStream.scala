@@ -35,6 +35,11 @@ object MergeableStream {
       summarize: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): Boolean = {
     val spark = batch.sparkSession
+    // marker + swap are nio local-only — fail fast before any state
+    // mutation rather than silently losing replay protection on a
+    // remote tablePath (TableSwap.requireLocal documents the scale
+    // path: Hadoop FS + committer)
+    graft.sources.TableSwap.requireLocal(tablePath)
     graft.sources.TableSwap.recover(tablePath)
     val exists = Files.exists(Paths.get(tablePath))
     if (exists && batchId <= appliedBatch(tablePath)) return false

@@ -49,14 +49,22 @@ object BigramLm {
       filter(TextAnalysis.tokens(col(textCol)),
         w => length(w) > 0).as("__ts"))
     val ts = col("__ts")
+    // sequence(0, n-2) REVERSES to [0,-1] when n = 1 (default step -1,
+    // same trap as Sampling.scala's sliding windows) — so the sliding
+    // half must be guarded to n >= 2 or a 1-token doc hits
+    // element_at(ts, 0) and throws. A 1-token doc yields exactly its
+    // one BOS bigram.
+    val emptyPairs = array().cast("array<struct<prev:string,w:string>>")
     val pairs = when(size(ts) >= 1,
       concat(
         array(struct(lit(Bos).as("prev"),
           element_at(ts, 1).as("w"))),
-        transform(sequence(lit(0), size(ts) - 2),
-          i => struct(element_at(ts, i + 1).as("prev"),
-            element_at(ts, i + 2).as("w")))))
-      .otherwise(array().cast("array<struct<prev:string,w:string>>"))
+        when(size(ts) >= 2,
+          transform(sequence(lit(0), size(ts) - 2),
+            i => struct(element_at(ts, i + 1).as("prev"),
+              element_at(ts, i + 2).as("w"))))
+          .otherwise(emptyPairs)))
+      .otherwise(emptyPairs)
     toked.select(col(idCol), explode(pairs).as("bg"))
       .select(col(idCol), col("bg.prev").as("prev"), col("bg.w").as("w"))
   }

@@ -58,6 +58,27 @@ class BigramLmSpec extends AnyFunSuite {
     assert(rows(3L) == ((0L, None, None)))
   }
 
+  test("1-token doc yields exactly its one BOS bigram (no reversed " +
+      "sequence crash) through train, pinned and ln paths") {
+    val one = Seq((7L, "a"), (8L, "a b"), (9L, "")).toDF("doc_id", "text")
+    val bg = BigramLm.bigrams(one, "doc_id", "text")
+      .as[(Long, String, String)].collect().toSet
+    assert(bg == Set((7L, "<s>", "a"), (8L, "<s>", "a"), (8L, "a", "b")))
+    val c1 = BigramLm.trainCounts(one, "doc_id", "text")
+    val t1 = BigramLm.contextTotals(c1)
+    val v1 = BigramLm.vocabSize(one, "text")
+    val pinned = BigramLm.pinnedScore(one, "doc_id", "text", c1, t1, v1)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    // doc7: one bigram (<s>,a): ⌊(2+1)·1e9 / (2+2)⌋ = 750000000
+    assert(pinned(7L) == ((1L, 750000000L)))
+    assert(pinned(9L) == ((0L, 0L)))
+    val ln7 = BigramLm.lnScore(one, "doc_id", "text", c1, t1, v1)
+      .filter(_.getLong(0) == 7L).collect().head
+    assert(ln7.getLong(1) == 1L)
+    assert(math.abs(ln7.getDouble(2) - math.log(0.75)) < 1e-12)
+  }
+
   test("held-out scoring: unseen bigram and unseen context back off " +
       "to add-one over V") {
     val held = Seq((9L, "c a")).toDF("doc_id", "text")
