@@ -52,7 +52,9 @@ object Explain {
         "text_heavy_hitters", "text_heavy_hitters_exact",
         "text_lm_train", "text_lm_pinned", "text_lm_score",
         "text_lm_buckets", "ops_incr_distinct", "text_heavy_hitters_stream",
-        "pipeline_curate_v6", "text_fix_encoding", "sim_hard_negatives_ann")
+        "pipeline_curate_v6", "text_fix_encoding", "sim_hard_negatives_ann",
+        "pack_sft", "text_html_extract", "web_anchor_index",
+        "w10_capped_sessions_stream")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -67,7 +67,9 @@ object Stress {
     "text_lm_buckets",
     "text_heavy_hitters", "text_heavy_hitters_exact",
     "samp_split_safe", "pack_dpo_pairs", "pack_length_buckets",
-    "text_fix_encoding", "sim_hard_negatives_ann")
+    "text_fix_encoding", "sim_hard_negatives_ann",
+    "pack_sft", "vocab_bpe_train", "web_anchor_index",
+    "text_html_extract", "mm_decode_av", "text_heavy_hitters_stream")
 
   /** Relational / windows / layout tier (orders + lineitem + events —
     * amplified fact tables; region/nation/supplier/part stay dim-sized,
@@ -78,7 +80,7 @@ object Stress {
     "a7_count_distinct", "a8_array_funcs", "j4_join_revenue_nation",
     "j8_scd2_merge",
     "w1_sessionization", "w7_transitions", "w9_gap_fill",
-    "w10_capped_sessions",
+    "w10_capped_sessions", "w10_capped_sessions_stream",
     "layout_partition_prune", "layout_zorder_scan",
     "layout_bucketed_join", "layout_compact", "export_range_sorted",
     "src_csv_roundtrip", "src_orc_roundtrip")
@@ -90,7 +92,8 @@ object Stress {
     "pipeline_curate_build", "pipeline_curate_v3_build",
     "layout_partition_build", "layout_bucketed_build",
     "layout_zorder_build", "layout_compact_build",
-    "layout_range_sorted_build", "text_lm_build")
+    "layout_range_sorted_build", "text_lm_build",
+    "text_hh_stream_build", "w10_stream_build")
 
   private def tokenSuffixed(text: Column, rep: Column): Column =
     array_join(

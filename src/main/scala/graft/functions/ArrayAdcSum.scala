@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, LongType, ShortType}
+
+/** Native Catalyst expression for the PQ asymmetric-distance (ADC)
+  * accumulation: given per-row subspace codes and a query lookup
+  * table, compute Σ_j LUT[j][code_j].
+  *
+  * Why a custom Expression: this is THE inner loop of PQ retrieval —
+  * it runs once per (query, candidate) pair, i.e. |Q|·|corpus| times
+  * per top-k. The composable form
+  * `aggregate(zip_with(codes, lut, ...), ...)` is a higher-order
+  * function pair that Spark evaluates INTERPRETED (lambda variables
+  * block whole-stage codegen), allocating a zipped intermediate array
+  * per pair; at sf1 that made trained PQ slower than exact brute
+  * force (the whole point of ADC is to be cheaper than a float dot).
+  * Here the m table lookups compile to one fused primitive loop with
+  * zero allocation, same shape as [[ArrayDotI8]]'s kernel.
+  *
+  * Shapes: `codes` is `array<tinyint>` or `array<smallint>` (length
+  * m); `lut` is `array<array<double>>` (production float scores) or
+  * `array<array<bigint>>` (the pinned-integer conformance twin —
+  * [[graft.sim.Pq.pqTopKPinned]]); the result type follows the LUT
+  * cell type, so both twins run the SAME kernel.
+  *
+  * Null semantics mirror the HOF form it replaces
+  * ([[graft.sim.Pq.adcSumExpr]]): null if either array is null;
+  * `zip_with` length-pads with null and `acc + null` poisons the
+  * fold, so a length mismatch, a null element, or an out-of-range
+  * code yields null (never throws — the out-of-range case is
+  * `element_at`'s non-ANSI reading; in-contract inputs always have
+  * codes inside the LUT row).
+  */
+case class ArrayAdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private lazy val codesIsByte: Boolean = left.dataType match {
+    case ArrayType(ByteType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = right.dataType match {
+    case ArrayType(ArrayType(et, _), _) => et
+    case _ => DoubleType
+  }
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val codesOk = left.dataType match {
+      case ArrayType(ByteType, _) | ArrayType(ShortType, _) => true
+      case _ => false
+    }
+    val lutOk = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case ArrayType(ArrayType(LongType, _), _) => true
+      case _ => false
+    }
+    if (codesOk && lutOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "array_adc_sum requires array<tinyint|smallint> codes and " +
+        "array<array<double|bigint>> lut, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m != lut.numElements()) return null
+    val isDouble = dataType == DoubleType
+    var sd = 0.0
+    var sl = 0L
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j) || lut.isNullAt(j)) return null
+      val c = if (codesIsByte) codes.getByte(j).toInt
+              else codes.getShort(j).toInt
+      val row = lut.getArray(j)
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+      if (isDouble) sd += row.getDouble(c) else sl += row.getLong(c)
+      j += 1
+    }
+    if (isDouble) sd else sl
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      val bad = ctx.freshName("bad")
+      val getCode =
+        if (codesIsByte) s"(int) $a.getByte($j)"
+        else s"(int) $a.getShort($j)"
+      val (javaT, getLut, zero) =
+        if (dataType == DoubleType) ("double", "getDouble", "0.0")
+        else ("long", "getLong", "0L")
+      val arrayData = classOf[ArrayData].getName
+      s"""
+         |int $m = $a.numElements();
+         |boolean $bad = $m != $b.numElements();
+         |$javaT $s = $zero;
+         |for (int $j = 0; !$bad && $j < $m; $j++) {
+         |  if ($a.isNullAt($j) || $b.isNullAt($j)) { $bad = true; break; }
+         |  int $c = $getCode;
+         |  $arrayData $row = $b.getArray($j);
+         |  if ($c < 0 || $c >= $row.numElements() || $row.isNullAt($c)) {
+         |    $bad = true; break;
+         |  }
+         |  $s += $row.$getLut($c);
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayAdcSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayAdcSum {
+  /** Column-API entry point: `array_adc_sum(codes, lut)`. */
+  def array_adc_sum(codes: Column, lut: Column): Column =
+    GraftSqlShim.toColumn(
+      ArrayAdcSum(GraftSqlShim.toExpression(codes),
+        GraftSqlShim.toExpression(lut)))
+}

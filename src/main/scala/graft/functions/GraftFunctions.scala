@@ -45,6 +45,12 @@ object GraftFunctions {
     WordNGrams(exprs.head, n)
   }
 
+  private[graft] def arrayAdcSumBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "array_adc_sum(codes, lut) takes two arguments")
+    ArrayAdcSum(exprs.head, exprs(1))
+  }
+
   private[graft] def nfcNormalizeBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1, "nfc_normalize(text) takes one argument")
     NfcNormalize(exprs.head)
@@ -86,6 +92,8 @@ object GraftFunctions {
       "nfc_normalize", nfcNormalizeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "multi_match", multiMatchBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_adc_sum", arrayAdcSumBuilder, "built-in")
   }
 
   val arrayDotInfo: ExpressionInfo = new ExpressionInfo(
@@ -106,6 +114,13 @@ object GraftFunctions {
   val nfcNormalizeInfo: ExpressionInfo = new ExpressionInfo(
     classOf[NfcNormalize].getCanonicalName, null, "nfc_normalize",
     "_FUNC_(text) - Unicode NFC composition of a string column",
+    "", "", "", "", "", "", "scala_udf")
+
+  val arrayAdcSumInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ArrayAdcSum].getCanonicalName, null, "array_adc_sum",
+    "_FUNC_(codes, lut) - PQ asymmetric-distance sum " +
+      "SUM_j lut[j][codes[j]] over array<tinyint|smallint> codes and " +
+      "array<array<double|bigint>> lut",
     "", "", "", "", "", "", "scala_udf")
 
   val multiMatchInfo: ExpressionInfo = new ExpressionInfo(
@@ -133,5 +148,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("multi_match"),
       GraftFunctions.multiMatchInfo,
       GraftFunctions.multiMatchBuilder))
+    e.injectFunction((FunctionIdentifier("array_adc_sum"),
+      GraftFunctions.arrayAdcSumInfo,
+      GraftFunctions.arrayAdcSumBuilder))
   }
 }

@@ -166,13 +166,16 @@ object Pq {
       }.toDF("vec_id", "codes", "rnorm")
   }
 
-  /** The ADC accumulation — Σ_j LUT[j][code_j] as ONE
-    * zip_with/aggregate pass over (codes, lut), no decode, no explode.
-    * `zero` pins the accumulator type: `0.0 AS double` on the
-    * production float path, `0 AS bigint` on the pinned-integer twin —
-    * the expression SHAPE is identical, so the twin's exact oracle
-    * hash-anchors the same table-lookup ranking mechanics the float
-    * path runs. */
+  /** The ADC accumulation — Σ_j LUT[j][code_j] — as the composable
+    * zip_with/aggregate HOF pair. `zero` pins the accumulator type:
+    * `0.0 AS double` on the production float path, `0 AS bigint` on
+    * the pinned-integer twin. KEPT AS THE REFERENCE SEMANTICS ONLY:
+    * HOF lambdas evaluate interpreted and allocate a zipped array per
+    * (query, candidate) pair, which at sf1 made trained PQ slower
+    * than exact brute force. The hot path runs the codegen'd
+    * [[graft.functions.ArrayAdcSum]] kernel instead; ArrayAdcSumSpec
+    * proves the two bit-identical over the full corpus on both the
+    * double and bigint shapes. */
   private[sim] def adcSumExpr(zero: String): String =
     s"""aggregate(zip_with(codes, lut, (c, l) ->
           element_at(l, cast(c AS int) + 1)),
@@ -209,7 +212,8 @@ object Pq {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))
     enc.join(broadcast(luts), col("query_id") =!= col("vec_id"))
-      .withColumn("__ip", expr(adcSumExpr("0.0 AS double")))
+      .withColumn("__ip",
+        graft.functions.ArrayAdcSum.array_adc_sum(col("codes"), col("lut")))
       .withColumn("score",
         when(col("rnorm") > 0 && col("qnorm") > 0,
           col("__ip") / (col("qnorm") * col("rnorm")))
@@ -235,8 +239,9 @@ object Pq {
 
   /** Pinned-integer ADC conformance twin of [[pqTopK]]: the same
     * encode → LUT → Σ_j LUT[j][code_j] → rank pipeline (including the
-    * SAME [[adcSumExpr]] table-lookup aggregation and the same
-    * [[nearest]] lowest-tie assignment kernel), but over int8-quantized
+    * SAME codegen'd [[graft.functions.ArrayAdcSum]] table-lookup
+    * kernel and the same [[nearest]] lowest-tie assignment kernel),
+    * but over int8-quantized
     * vectors ([[Quantize.q8Codes]]) and the [[pinnedCbVal]] codebook —
     * every distance, LUT cell and score is integer arithmetic, so the
     * full ADC ranking is BIGINT-exact and oracle-checkable by hash.
@@ -289,7 +294,8 @@ object Pq {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))
     enc.join(broadcast(luts), col("query_id") =!= col("vec_id"))
-      .withColumn("score", expr(adcSumExpr("0 AS bigint")))
+      .withColumn("score",
+        graft.functions.ArrayAdcSum.array_adc_sum(col("codes"), col("lut")))
       .select(col("query_id"), col("vec_id").as("cand_id"), col("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
