@@ -54,7 +54,8 @@ object Explain {
         "text_lm_buckets", "ops_incr_distinct", "text_heavy_hitters_stream",
         "pipeline_curate_v6", "text_fix_encoding", "sim_hard_negatives_ann",
         "pack_sft", "text_html_extract", "web_anchor_index",
-        "w10_capped_sessions_stream")
+        "pipeline_curate_v7", "ops_incr_quantile", "ops_incr_quantile_stream",
+        "w10_capped_sessions_stream", "web_anchor_bm25")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -63,20 +63,22 @@ object Stress {
     "sim_ivf_topk", "sim_pq_topk", "sim_hard_negatives",
     "pipeline_curate", "pipeline_curate_v2", "pipeline_curate_v3",
     "pipeline_curate_v4", "pipeline_curate_v5", "pipeline_curate_v6",
+    "pipeline_curate_v7",
     "text_lm_train", "text_lm_pinned", "text_lm_score",
     "text_lm_buckets",
     "text_heavy_hitters", "text_heavy_hitters_exact",
     "samp_split_safe", "pack_dpo_pairs", "pack_length_buckets",
     "text_fix_encoding", "sim_hard_negatives_ann",
     "pack_sft", "vocab_bpe_train", "web_anchor_index",
-    "text_html_extract", "mm_decode_av", "text_heavy_hitters_stream")
+    "text_html_extract", "mm_decode_av", "text_heavy_hitters_stream",
+    "web_anchor_bm25")
 
   /** Relational / windows / layout tier (orders + lineitem + events —
     * amplified fact tables; region/nation/supplier/part stay dim-sized,
     * the realistic 100 TB shape where facts grow and dims don't). */
   private val RelTier = Seq(
     "q1_pricing_summary", "ops_profile", "a7_rollup", "ops_incr_agg",
-    "ops_incr_distinct",
+    "ops_incr_distinct", "ops_incr_quantile", "ops_incr_quantile_stream",
     "a7_count_distinct", "a8_array_funcs", "j4_join_revenue_nation",
     "j8_scd2_merge",
     "w1_sessionization", "w7_transitions", "w9_gap_fill",
@@ -93,7 +95,8 @@ object Stress {
     "layout_partition_build", "layout_bucketed_build",
     "layout_zorder_build", "layout_compact_build",
     "layout_range_sorted_build", "text_lm_build",
-    "text_hh_stream_build", "w10_stream_build")
+    "text_hh_stream_build", "w10_stream_build",
+    "ops_incr_quantile_stream_build")
 
   private def tokenSuffixed(text: Column, rep: Column): Column =
     array_join(

@@ -23,18 +23,25 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, Lo
   * zero allocation, same shape as [[ArrayDotI8]]'s kernel.
   *
   * Shapes: `codes` is `array<tinyint>` or `array<smallint>` (length
-  * m); `lut` is `array<array<double>>` (production float scores) or
-  * `array<array<bigint>>` (the pinned-integer conformance twin —
-  * [[graft.sim.Pq.pqTopKPinned]]); the result type follows the LUT
-  * cell type, so both twins run the SAME kernel.
+  * m); `lut` is either NESTED — `array<array<double|bigint>>`, one
+  * row per subspace — or FLAT — `array<double|bigint>` of length
+  * m·ksub laid out row-major, looked up as `lut[j·ksub + code_j]`.
+  * The flat layout is the hot-path form: nested `ArrayData.getArray`
+  * allocates a view object PER LOOKUP (8 allocations per scored
+  * pair — measured still slower than the 64-mult exact dot at sf1),
+  * while the flat form is pure offset reads into one Tungsten
+  * buffer. The result type follows the LUT cell type, so the
+  * production double path and the pinned bigint twin run the SAME
+  * kernel.
   *
   * Null semantics mirror the HOF form it replaces
   * ([[graft.sim.Pq.adcSumExpr]]): null if either array is null;
   * `zip_with` length-pads with null and `acc + null` poisons the
-  * fold, so a length mismatch, a null element, or an out-of-range
-  * code yields null (never throws — the out-of-range case is
-  * `element_at`'s non-ANSI reading; in-contract inputs always have
-  * codes inside the LUT row).
+  * fold, so a length mismatch (flat: length not a positive multiple
+  * of m), a null element, or an out-of-range code yields null (never
+  * throws — the out-of-range case is `element_at`'s non-ANSI
+  * reading; in-contract inputs always have codes inside the LUT
+  * row).
   */
 case class ArrayAdcSum(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,8 +51,14 @@ case class ArrayAdcSum(left: Expression, right: Expression)
     case _ => false
   }
 
+  private lazy val lutIsFlat: Boolean = right.dataType match {
+    case ArrayType(ArrayType(_, _), _) => false
+    case _ => true
+  }
+
   override def dataType: DataType = right.dataType match {
     case ArrayType(ArrayType(et, _), _) => et
+    case ArrayType(et, _) => et
     case _ => DoubleType
   }
 
@@ -59,12 +72,14 @@ case class ArrayAdcSum(left: Expression, right: Expression)
     val lutOk = right.dataType match {
       case ArrayType(ArrayType(DoubleType, _), _) => true
       case ArrayType(ArrayType(LongType, _), _) => true
+      case ArrayType(DoubleType, _) | ArrayType(LongType, _) => true
       case _ => false
     }
     if (codesOk && lutOk) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       "array_adc_sum requires array<tinyint|smallint> codes and " +
-        "array<array<double|bigint>> lut, got " +
+        "array<array<double|bigint>> (nested) or array<double|bigint> " +
+        "(flat, row-major m*ksub) lut, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
 
@@ -72,19 +87,36 @@ case class ArrayAdcSum(left: Expression, right: Expression)
     val codes = a.asInstanceOf[ArrayData]
     val lut = b.asInstanceOf[ArrayData]
     val m = codes.numElements()
-    if (m != lut.numElements()) return null
     val isDouble = dataType == DoubleType
     var sd = 0.0
     var sl = 0L
-    var j = 0
-    while (j < m) {
-      if (codes.isNullAt(j) || lut.isNullAt(j)) return null
-      val c = if (codesIsByte) codes.getByte(j).toInt
-              else codes.getShort(j).toInt
-      val row = lut.getArray(j)
-      if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
-      if (isDouble) sd += row.getDouble(c) else sl += row.getLong(c)
-      j += 1
+    if (lutIsFlat) {
+      val n = lut.numElements()
+      if (m <= 0 || n % m != 0) return null
+      val ksub = n / m
+      var j = 0
+      while (j < m) {
+        if (codes.isNullAt(j)) return null
+        val c = if (codesIsByte) codes.getByte(j).toInt
+                else codes.getShort(j).toInt
+        if (c < 0 || c >= ksub) return null
+        val idx = j * ksub + c
+        if (lut.isNullAt(idx)) return null
+        if (isDouble) sd += lut.getDouble(idx) else sl += lut.getLong(idx)
+        j += 1
+      }
+    } else {
+      if (m != lut.numElements()) return null
+      var j = 0
+      while (j < m) {
+        if (codes.isNullAt(j) || lut.isNullAt(j)) return null
+        val c = if (codesIsByte) codes.getByte(j).toInt
+                else codes.getShort(j).toInt
+        val row = lut.getArray(j)
+        if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+        if (isDouble) sd += row.getDouble(c) else sl += row.getLong(c)
+        j += 1
+      }
     }
     if (isDouble) sd else sl
   }
@@ -95,7 +127,6 @@ case class ArrayAdcSum(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val s = ctx.freshName("s")
       val c = ctx.freshName("c")
-      val row = ctx.freshName("row")
       val bad = ctx.freshName("bad")
       val getCode =
         if (codesIsByte) s"(int) $a.getByte($j)"
@@ -103,22 +134,43 @@ case class ArrayAdcSum(left: Expression, right: Expression)
       val (javaT, getLut, zero) =
         if (dataType == DoubleType) ("double", "getDouble", "0.0")
         else ("long", "getLong", "0L")
-      val arrayData = classOf[ArrayData].getName
-      s"""
-         |int $m = $a.numElements();
-         |boolean $bad = $m != $b.numElements();
-         |$javaT $s = $zero;
-         |for (int $j = 0; !$bad && $j < $m; $j++) {
-         |  if ($a.isNullAt($j) || $b.isNullAt($j)) { $bad = true; break; }
-         |  int $c = $getCode;
-         |  $arrayData $row = $b.getArray($j);
-         |  if ($c < 0 || $c >= $row.numElements() || $row.isNullAt($c)) {
-         |    $bad = true; break;
-         |  }
-         |  $s += $row.$getLut($c);
-         |}
-         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
-       """.stripMargin
+      if (lutIsFlat) {
+        val ksub = ctx.freshName("ksub")
+        val idx = ctx.freshName("idx")
+        s"""
+           |int $m = $a.numElements();
+           |boolean $bad = $m <= 0 || $b.numElements() % $m != 0;
+           |int $ksub = $bad ? 0 : $b.numElements() / $m;
+           |$javaT $s = $zero;
+           |for (int $j = 0; !$bad && $j < $m; $j++) {
+           |  if ($a.isNullAt($j)) { $bad = true; break; }
+           |  int $c = $getCode;
+           |  if ($c < 0 || $c >= $ksub) { $bad = true; break; }
+           |  int $idx = $j * $ksub + $c;
+           |  if ($b.isNullAt($idx)) { $bad = true; break; }
+           |  $s += $b.$getLut($idx);
+           |}
+           |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+         """.stripMargin
+      } else {
+        val row = ctx.freshName("row")
+        val arrayData = classOf[ArrayData].getName
+        s"""
+           |int $m = $a.numElements();
+           |boolean $bad = $m != $b.numElements();
+           |$javaT $s = $zero;
+           |for (int $j = 0; !$bad && $j < $m; $j++) {
+           |  if ($a.isNullAt($j) || $b.isNullAt($j)) { $bad = true; break; }
+           |  int $c = $getCode;
+           |  $arrayData $row = $b.getArray($j);
+           |  if ($c < 0 || $c >= $row.numElements() || $row.isNullAt($c)) {
+           |    $bad = true; break;
+           |  }
+           |  $s += $row.$getLut($c);
+           |}
+           |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(

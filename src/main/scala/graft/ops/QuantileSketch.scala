@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable per-key QUANTILE state — the percentile member of the
+  * incremental-maintenance family ([[IncrementalAgg]] rollups, the
+  * HLL distinct fold, the CMS heavy-hitter stream): a fixed-width
+  * integer histogram over the value in cents,
+  *
+  *   state row = (keys…, bucket, cnt)   with bucket = cents div W,
+  *
+  * merged by per-(key, bucket) count addition — associative,
+  * commutative, and EXACT, so `merge(summarize(A), summarize(B)) ≡
+  * summarize(A ∪ B)` bit-for-bit under any batch arrival order (the
+  * t-digest idea with FIXED centroids: giving up adaptive bucket
+  * placement buys exact mergeability and cross-engine provability —
+  * both registry entries are hash-green against a DuckDB recompute,
+  * not rows-only).
+  *
+  * Quantile read ([[quantiles]]): est(p) = upper bound of the first
+  * bucket whose cumulative count reaches ⌈n·p/100⌉ — the bucket of
+  * the TRUE rank-⌈n·p/100⌉ element, so the estimate is within one
+  * bucket width above the exact quantile: exact_p ≤ est(p) <
+  * exact_p + W (QuantileSketchSpec pins the bound against exact
+  * order statistics). Rank targets use integer percents and integer
+  * cross-multiplication (`cum·100 ≥ n·pct`), so no float touches the
+  * pipeline anywhere.
+  *
+  * Domain: values are non-negative money-scaled decimals (cents fit
+  * BIGINT); `div` truncation ≡ DuckDB `//` floor only on that
+  * non-negative domain, same constraint as every md5/bucket helper.
+  *
+  * Scale shape (100 TB): state is ≤ (value range / W) rows per key —
+  * bounded by data shape, not history length; each maintenance tick
+  * is one map-side-combined scan of the delta plus a (key, bucket)-
+  * keyed merge, history never re-read. The quantile read's window
+  * partitions by key (per-key bucket lists are small), and the
+  * percent fan-out is a literal-array explode. Narrower W trades
+  * state rows for accuracy — the resolution knob, like lgK on the
+  * HLL fold. */
+object QuantileSketch {
+
+  /** Partial-aggregate histogram of one batch: one row per
+    * (key, bucket) touched. cents(v) = v as DECIMAL(18,2) · 100 —
+    * exact BIGINT for money-shaped doubles (the Exact.dec2 pattern). */
+  def summarize(df: DataFrame, keys: Seq[String], valCol: String,
+      widthCents: Long): DataFrame = {
+    require(widthCents > 0, s"widthCents must be > 0, got $widthCents")
+    val bucket: Column = expr(
+      s"CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        s"div ${widthCents}L")
+    df.select(keys.map(col) :+ bucket.as("bucket"): _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two histogram states: per-(key, bucket) count addition. */
+  def merge(state: DataFrame, delta: DataFrame, keys: Seq[String])
+      : DataFrame =
+    state.unionByName(delta)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Read-side quantile estimates: one row per (key, pct) with
+    * `est_cents` = the upper bound of the first bucket whose
+    * cumulative count reaches ⌈n·pct/100⌉. `widthCents` must be the
+    * width the state was summarized with (a property of the state,
+    * threaded alongside the table like the keys are). Pure integer
+    * arithmetic end to end. */
+  def quantiles(state: DataFrame, keys: Seq[String], pcts: Seq[Int],
+      widthCents: Long): DataFrame = {
+    require(widthCents > 0, s"widthCents must be > 0, got $widthCents")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be integer percents in [1,100], got $pcts")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val cum = state.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = state.groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("n"))
+    cum.join(tot, keys)
+      .withColumn("pct", explode(array(pcts.map(lit): _*)))
+      .filter(col("cum") * 100 >= col("n") * col("pct"))
+      .groupBy((keys :+ "pct").map(col): _*)
+      .agg(min(col("bucket")).as("__bstar"))
+      .withColumn("est_cents",
+        (col("__bstar") + 1) * widthCents - 1)
+      .drop("__bstar")
+  }
+}

@@ -193,7 +193,68 @@ object CorpusOps extends QueryModule {
       .orderBy("shard")
   }
 
+  /** Curation pipeline v7 — the TRAINING-PAIR tier composed
+    * end-to-end the way v1–v6 compose the document tier: leakage-safe
+    * cluster split (samp_split_safe's canonical-id rule — near-dup
+    * cluster members can never straddle the split) → span-level
+    * decontamination of train against the EVAL slice
+    * (text_decontaminate_spans' k-gram machinery with the test split
+    * as the benchmark — eval text is REMOVED from training pairs, not
+    * just flagged) → SFT pack with loss masks over the decontaminated
+    * prompts (pack_sft's rule, salt 'sft7': packing runs AFTER
+    * removal so mask offsets index the tokens that actually train) →
+    * shard assignment (export's md5 formula). Every stage rule is
+    * verbatim from its hash-proven per-operator oracle, so the
+    * composition is hash-proven end to end.
+    *
+    * Scale shape: the cluster table is metadata and broadcasts; the
+    * eval gram set broadcasts into a semi-join (eval slices are ~20%
+    * of the corpus and gram-deduplicated); pack is one shuffle on the
+    * 256-bucket key; everything else is a projection — the corpus
+    * shuffles once. */
+  private def pipelineCurateV7(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{Bpe, Packing}
+    val docs = Tables.documents(s, d)
+    val clusters = DataOps.sharedClusters(s, d)
+    val canon = docs.select("doc_id")
+      .join(broadcast(clusters), docs("doc_id") === clusters("id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+    val split = graft.sampling.Sampling.hashSplit(canon,
+      "canonical_id", 0.8)
+    val withMeta = docs.select("doc_id", "text", "source", "lang")
+      .join(split, Seq("doc_id"))
+    val train = withMeta.filter(col("split") === "train")
+    val test = withMeta.filter(col("split") === "test")
+    val pos = PassageDedup.positionsMatching(train, "doc_id", "text", K,
+      PassageDedup.grams(test, "doc_id", "text", K))
+    val clean = PassageDedup
+      .removeFromPositions(train, "doc_id", "text", pos, K)
+      .select(col("doc_id"), col("n_removed").cast("int").as("n_removed"),
+        col("clean_text"))
+    val pairs = clean
+      .join(train.select("doc_id", "source", "lang", "canonical_id"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("canonical_id"), col("n_removed"),
+        Bpe.nTokens(concat(lit("q: "), col("clean_text"))).as("n_prompt"),
+        Bpe.nTokens(concat(lit("a: "), coalesce(col("source"), lit("")),
+          lit(" "), coalesce(col("lang"), lit("")))).as("n_completion"))
+      .withColumn("n_tokens", col("n_prompt") + col("n_completion"))
+    Packing.packSequences(pairs, "doc_id", "n_tokens", budget = 512,
+        salt = "sft7")
+      .select(col("doc_id"), col("canonical_id"), col("n_prompt"),
+        col("n_completion"), col("n_removed"),
+        (col("n_removed") > 0).as("contaminated"),
+        col("bucket"), col("offset").as("tok_offset"), col("bin_id"),
+        (col("offset") + col("n_prompt")).as("mask_start"),
+        (col("offset") + col("n_tokens")).as("mask_end"),
+        Export.shardId(col("doc_id"), Shards).as("shard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_v7"       -> (pipelineCurateV7 _),
     "dedup_passage_spans"      -> (dedupPassageSpans _),
     "dedup_passage_clean"      -> (dedupPassageClean _),
     "dedup_passage_top"        -> (dedupPassageTop _),
@@ -229,14 +290,18 @@ object CorpusOps extends QueryModule {
   // these, so a change to the plant arithmetic or the k literals can
   // never desynchronize one entry's copy.
 
-  /** tk0: the tokenized corpus (the Tokens.ws rule as DuckDB). */
-  private val Tk0Sql =
-    """WITH tk0 AS (
+  /** tk0: the tokenized corpus (the Tokens.ws rule as DuckDB) —
+    * body without the WITH keyword, for composition into larger
+    * (incl. RECURSIVE) CTE chains. */
+  private val Tk0Body =
+    """tk0 AS (
          SELECT doc_id,
                 list_filter(string_split(trim(text), ' '), t -> t <> '')
                   AS ts
          FROM documents
        )"""
+
+  private val Tk0Sql = "WITH " + Tk0Body
 
   /** tk0 + u (corpus + both planted passage shapes). */
   private val CorpusCtes = Tk0Sql +
@@ -275,20 +340,25 @@ object CorpusOps extends QueryModule {
   private val PassageChain = CorpusCtes + gramSql("u") + DupSql
 
   /** cov/tok/kept/re (expects `p` and the `src` token CTE in scope):
-    * covered positions → anti-joined tokens → per-doc reassembly. */
-  private def removalCtesSql(src: String): String =
+    * covered positions → anti-joined tokens → per-doc reassembly.
+    * `tokName` renames the token-position CTE for chains whose WITH
+    * list already binds `tok` (the curate-v7 oracle shares scope with
+    * the cluster chain's lowered tokenization). */
+  private def removalCtesSql(src: String,
+      tokName: String = "tok"): String =
     s""",
        cov AS (SELECT DISTINCT doc_id, idx FROM (
                  SELECT doc_id, unnest(range(pos, pos + 12)) AS idx
                  FROM p)),
-       tok AS (SELECT doc_id, t.idx AS idx, t.tok AS tok FROM (
+       $tokName AS (SELECT doc_id, t.idx AS idx, t.tok AS tok FROM (
                  SELECT doc_id,
                         unnest([struct_pack(idx := i - 1, tok := ts[i])
                                 for i in range(1, len(ts) + 1)]) AS t
                  FROM $src)),
-       kept AS (SELECT tok.doc_id, tok.idx, tok.tok
-                FROM tok LEFT JOIN cov
-                  ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+       kept AS (SELECT $tokName.doc_id, $tokName.idx, $tokName.tok
+                FROM $tokName LEFT JOIN cov
+                  ON $tokName.doc_id = cov.doc_id
+                 AND $tokName.idx = cov.idx
                 WHERE cov.idx IS NULL),
        re AS (SELECT doc_id, count(*) AS n_kept,
                      array_to_string(list(tok ORDER BY idx), ' ')
@@ -426,6 +496,76 @@ object CorpusOps extends QueryModule {
          FROM uk LEFT JOIN re ON uk.doc_id = re.doc_id
          WHERE coalesce(re.n_kept, 0) >= 10
          ORDER BY uk.doc_id"""),
+
+    // the v7 chain: cluster split (shCte/jpCte/ccCte + the md5 split
+    // rule, verbatim from samp_split_safe) → span decontamination of
+    // train vs the test slice (gram/position/removal CTEs, verbatim
+    // from text_decontaminate_spans) → SFT pack with masks (the
+    // pack_sft window, salt 'sft7') → md5 shard
+    "pipeline_curate_v7" -> {
+      import graft.text.Bpe
+      val np = Bpe.oracleNTokensExpr("'q: ' || ct")
+      val nc = Bpe.oracleNTokensExpr(
+        "'a: ' || coalesce(dd.source, '') || ' ' || coalesce(dd.lang, '')")
+      s"""WITH RECURSIVE ${OracleCtes.tokCte}, ${DataOps.shCte},
+         ${DataOps.jpCte}, ${DataOps.ccCte},
+         spl AS (
+           SELECT d.doc_id,
+                  COALESCE(lab.cluster_id, d.doc_id) AS canonical_id,
+                  CASE WHEN substr(md5('split' ||
+                         CAST(COALESCE(lab.cluster_id, d.doc_id)
+                              AS VARCHAR)), 1, 4) < 'cccc'
+                       THEN 'train' ELSE 'test' END AS split
+           FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+         $Tk0Body,
+         tr AS (SELECT t.doc_id, t.ts FROM tk0 t
+                JOIN spl ON spl.doc_id = t.doc_id
+                WHERE spl.split = 'train'),
+         te AS (SELECT t.doc_id, t.ts FROM tk0 t
+                JOIN spl ON spl.doc_id = t.doc_id
+                WHERE spl.split = 'test'),
+         bg AS (SELECT DISTINCT g2.gram AS gram FROM (
+                  SELECT unnest([struct_pack(
+                            gram := array_to_string(ts[i:i+11], ' '))
+                          for i in range(1, len(ts) - 10)]) AS g2
+                  FROM te WHERE len(ts) >= 12))""" +
+      gramSql("tr") +
+      """,
+         p AS (SELECT doc_id, pos FROM g
+               WHERE gram IN (SELECT gram FROM bg))""" +
+      removalCtesSql("tr", "tok7") +
+      s""",
+         pr AS (SELECT tr.doc_id,
+                       coalesce(re.clean_text, '') AS ct,
+                       CAST(coalesce(len(tr.ts), 0)
+                            - coalesce(re.n_kept, 0) AS INT)
+                         AS n_removed
+                FROM tr LEFT JOIN re ON tr.doc_id = re.doc_id),
+         n AS (SELECT pr.doc_id, spl.canonical_id, pr.n_removed,
+                      $np AS n_prompt, $nc AS n_completion,
+                      md5('sft7' || CAST(pr.doc_id AS VARCHAR)) AS h
+               FROM pr
+               JOIN spl ON spl.doc_id = pr.doc_id
+               JOIN documents dd ON dd.doc_id = pr.doc_id),
+         n2 AS (SELECT *, n_prompt + n_completion AS n_tokens FROM n),
+         pk AS (SELECT doc_id, canonical_id, n_removed, n_prompt,
+                       n_completion, n_tokens,
+                       substr(h, 1, 2) AS bucket,
+                       sum(CAST(n_tokens AS BIGINT)) OVER (
+                         PARTITION BY substr(h, 1, 2)
+                         ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens
+                         AS tok_offset
+                FROM n2)
+         SELECT doc_id, canonical_id, n_prompt, n_completion, n_removed,
+                n_removed > 0 AS contaminated, bucket,
+                CAST(tok_offset AS BIGINT) AS tok_offset,
+                CAST(tok_offset // 512 AS BIGINT) AS bin_id,
+                CAST(tok_offset + n_prompt AS BIGINT) AS mask_start,
+                CAST(tok_offset + n_tokens AS BIGINT) AS mask_end,
+                ${Export.shardIdSql("doc_id", Shards)} AS shard
+         FROM pk ORDER BY doc_id"""
+    },
 
     // straight from the source parquet — equality proves the sharded
     // write∘read round trip AND the md5 assignment

@@ -71,7 +71,7 @@ object DataOps extends QueryModule {
 
   /** The cluster labeling feeds two registry entries (the cluster list
     * and the keep-list decision built on it) — one CC pass, memoized. */
-  private def sharedClusters(s: SparkSession, d: String): DataFrame = {
+  private[queries] def sharedClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = sharedJaccardPairs(s, d)   // resolved before the thunk
     SessionMemo(s, d, "dedup_clusters") {
       Dedup.connectedComponents(pairs.select("id1", "id2")).persist()
@@ -584,7 +584,7 @@ object DataOps extends QueryModule {
   private def tokCteFor(src: String) = OracleCtes.tokCteFor(src)
   private val tokCte = OracleCtes.tokCte
 
-  private val shCte =
+  private[queries] val shCte =
     """sh AS (
          SELECT DISTINCT doc_id AS id, shingle
          FROM (SELECT doc_id,
@@ -597,7 +597,7 @@ object DataOps extends QueryModule {
   /** Jaccard>0.3 pair pipeline (df-capped), shared verbatim by the
     * dedup_ngram_jaccard and dedup_clusters oracles so the pair
     * definition cannot drift between them. */
-  private val jpCte =
+  private[queries] val jpCte =
     """keep AS (SELECT shingle FROM sh GROUP BY shingle
                 HAVING count(*) <= 1000),
        shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
@@ -619,7 +619,7 @@ object DataOps extends QueryModule {
     * edges → recursive reachability → min-reachable label), shared by
     * the dedup_clusters / dedup_keep_list / dedup_keep_best oracles so
     * the label rule cannot drift between them. Requires WITH RECURSIVE. */
-  private val ccCte =
+  private[queries] val ccCte =
     """edges AS (SELECT id1 AS a, id2 AS b FROM jp
                  UNION SELECT id2, id1 FROM jp),
        reach AS (

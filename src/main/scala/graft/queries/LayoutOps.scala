@@ -303,8 +303,66 @@ object LayoutOps extends QueryModule {
       .orderBy("o_custkey")
   }
 
+  // Incremental QUANTILE maintenance: the percentile member of the
+  // mergeable family — a fixed-width integer histogram sketch
+  // ([[graft.ops.QuantileSketch]]), folded over three delta batches
+  // and read as p50/p95 estimates. Unlike t-digest/percentile_approx
+  // partials the state is integer-exact and engine-neutral, so this
+  // is HASH-GREEN against a DuckDB recompute of the same histogram
+  // semantics (merge algebra ≡ recompute — the ops_incr_agg claim,
+  // for quantiles); the one-bucket-width error bound vs exact order
+  // statistics is pinned in QuantileSketchSpec.
+  private def opsIncrQuantile(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+    val keys = Seq("o_custkey")
+    val states = (0 until 3).map(i =>
+      graft.ops.QuantileSketch.summarize(
+        o.filter(pmod(col("o_orderkey"), lit(3)) === i),
+        keys, "o_totalprice", widthCents = 50000L))
+    graft.ops.QuantileSketch.quantiles(
+        states.reduce(graft.ops.QuantileSketch.merge(_, _, keys)),
+        keys, pcts = Seq(50, 95), widthCents = 50000L)
+      .orderBy("o_custkey", "pct")
+  }
+
+  /** The STREAMED histogram state: three date slices delivered through
+    * [[graft.streaming.QuantileSketchStream.applyBatch]] with monotone
+    * batch ids plus a replayed id that must be a no-op (doubled
+    * histogram counts would hash-mismatch the oracle). Built once per
+    * (session, dir). */
+  private def incrQuantileStreamTable(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "incr_quantile_stream") {
+      val o = graft.Tables.orders(s, d)
+        .select("o_custkey", "o_totalprice", "o_orderdate")
+      val dir = java.nio.file.Files.createTempDirectory("incr_quantile")
+        .toString + "/state"
+      val c1 = to_timestamp(lit("1994-01-01 00:00:00"))
+      val c2 = to_timestamp(lit("1996-01-01 00:00:00"))
+      val slices = Seq(
+        o.filter(col("o_orderdate") < c1),
+        o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
+        o.filter(col("o_orderdate") >= c2))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        graft.streaming.QuantileSketchStream.applyBatch(sl, i.toLong,
+          dir, Seq("o_custkey"), "o_totalprice", widthCents = 50000L)
+      }
+      val replayed = graft.streaming.QuantileSketchStream.applyBatch(
+        slices(1), 1L, dir, Seq("o_custkey"), "o_totalprice",
+        widthCents = 50000L)
+      require(!replayed, "ops_incr_quantile_stream: replay was not skipped")
+      dir
+    }
+
+  private def opsIncrQuantileStream(s: SparkSession, d: String): DataFrame =
+    graft.ops.QuantileSketch.quantiles(
+        s.read.parquet(incrQuantileStreamTable(s, d)),
+        Seq("o_custkey"), pcts = Seq(50, 95), widthCents = 50000L)
+      .orderBy("o_custkey", "pct")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ops_incr_distinct"      -> (opsIncrDistinct _),
+    "ops_incr_quantile"      -> (opsIncrQuantile _),
+    "ops_incr_quantile_stream" -> (opsIncrQuantileStream _),
     "ops_incr_agg"           -> (opsIncrAgg _),
     "ops_incr_agg_stream"    -> (opsIncrAggStream _),
     "export_range_sorted"    -> (exportRangeSorted _),
@@ -338,7 +396,9 @@ object LayoutOps extends QueryModule {
       "layout_range_sorted_build" ->
         ((s, d) => { rangeSortedEventsPath(s, d); () }),
       "ops_incr_agg_stream_build" ->
-        ((s, d) => { incrAggStreamTable(s, d); () })
+        ((s, d) => { incrAggStreamTable(s, d); () }),
+      "ops_incr_quantile_stream_build" ->
+        ((s, d) => { incrQuantileStreamTable(s, d); () })
     )
 
   /** Full recompute over ALL orders — shared by the batch fold and the
@@ -357,9 +417,36 @@ object LayoutOps extends QueryModule {
               min(o_orderdate) AS min_d, max(o_orderdate) AS max_d
        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
 
+  /** Full histogram-quantile recompute over ALL orders — shared by
+    * the batch fold and the streamed state (both must converge to the
+    * same fixpoint; `//` ≡ Spark `div` on the non-negative domain). */
+  private val incrQuantileOracle: String =
+    """WITH h AS (
+         SELECT o_custkey,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  // 50000 AS bucket,
+                count(*) AS cnt
+         FROM orders GROUP BY 1, 2),
+       t AS (SELECT o_custkey, sum(cnt) AS n FROM h GROUP BY 1),
+       cum AS (
+         SELECT o_custkey, bucket,
+                sum(cnt) OVER (PARTITION BY o_custkey ORDER BY bucket)
+                  AS cum
+         FROM h),
+       p(pct) AS (VALUES (50), (95)),
+       est AS (
+         SELECT c.o_custkey, p.pct, min(c.bucket) AS bstar
+         FROM cum c JOIN t USING (o_custkey) CROSS JOIN p
+         WHERE c.cum * 100 >= t.n * p.pct
+         GROUP BY 1, 2)
+       SELECT o_custkey, pct, (bstar + 1) * 50000 - 1 AS est_cents
+       FROM est ORDER BY o_custkey, pct"""
+
   val oracles: Map[String, String] = Map(
     "ops_incr_agg"        -> incrAggOracle,
     "ops_incr_agg_stream" -> incrAggOracle,
+    "ops_incr_quantile"        -> incrQuantileOracle,
+    "ops_incr_quantile_stream" -> incrQuantileOracle,
 
     // exact recompute — the sparse-mode sketch fold must equal it
     "ops_incr_distinct" ->

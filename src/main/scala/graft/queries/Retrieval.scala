@@ -188,7 +188,64 @@ object Retrieval extends QueryModule {
       .orderBy("prompt_id")
   }
 
+  // ---- Anchor-text relevance: the classic web-retrieval signal
+  //      (anchor TERMS describe the TARGET document — Craswell,
+  //      Hawking & Robertson 2001): per-doc markup → (href, anchor
+  //      text) extraction (HtmlOps.anchors, the real regex chain) →
+  //      canonical target (UrlOps — the %3/%7 variants MUST converge)
+  //      → anchor pseudo-doc per target (all anchor texts pointing at
+  //      it, concatenated in (src doc, href) order) → the SAME pinned
+  //      BM25 scorer that ranks real documents, run over the
+  //      pseudo-doc corpus. Anchor texts are token slices of the
+  //      source doc (first/3rd/5th 4-gram per link class), so the
+  //      oracle synthesizes the identical link set from the formulas
+  //      and hash equality proves extract∘canonicalize∘aggregate∘rank
+  //      end to end.
+  //
+  //      Scale shape: extraction is a projection; the pseudo-doc
+  //      aggregation shuffles ANCHORS (tiny rows), never documents;
+  //      the BM25 stage then runs over one row per target — the
+  //      classic "anchor corpus is smaller than the doc corpus"
+  //      asymmetry that made anchor text cheap to serve.
+  private def webAnchorBm25(s: SparkSession, d: String): DataFrame = {
+    val ts = graft.text.Tokens.ws("text")
+    val a1 = array_join(slice(ts, 1, 4), " ")
+    val a2 = array_join(slice(ts, 3, 4), " ")
+    val a3 = array_join(slice(ts, 5, 4), " ")
+    val tgt = (col("doc_id") % 50).cast("string")
+    val html = concat(
+      lit("<html><body><p>"), coalesce(col("text"), lit("")), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<a href=\"https://example.org/p"), tgt,
+          lit("\">"), a1, lit("</a>"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("<a href=\"https://Example.ORG/p"), tgt,
+          lit("?utm_source=x\">"), a2, lit("</a>"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit("<a href=\"https://example.org/p"), tgt,
+          lit("?page=2\">"), a3, lit("</a>"))).otherwise(lit("")),
+      lit("</body></html>"))
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.text.HtmlOps.anchors(html)).as("a"))
+      .select(col("doc_id"), col("a.href").as("url"),
+        col("a.atext").as("atext"))
+    val pseudo = graft.text.UrlOps.canonicalize(pairs)
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_anchors"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            struct(col("doc_id"), col("url"), col("atext")))),
+          x => x.getField("atext"))).as("anchor_text"))
+    graft.text.Bm25.bm25PinnedTopK(pseudo, "canon_url", "anchor_text",
+        Bm25Terms, k = 20)
+      .join(pseudo.select(col("canon_url").as("doc_id"),
+        col("n_anchors")), Seq("doc_id"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "web_anchor_bm25" -> (webAnchorBm25 _),
     "pack_dpo_pairs" -> (packDpoPairs _),
     "text_bm25_topk" -> (textBm25Topk _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
@@ -264,6 +321,52 @@ object Retrieval extends QueryModule {
               FROM ch)"""
 
   val oracles: Map[String, String] = Map(
+    // link set + anchor texts synthesized directly from the formulas
+    // (extraction itself is proven by text_html_extract /
+    // HtmlOpsSpec); canonicalization is the urlCanonChain rule; the
+    // ranking is the shared pinned-BM25 chain over anchor pseudo-docs
+    "web_anchor_bm25" ->
+      (s"""WITH tkr AS (
+           SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '),
+                              t -> t <> '') AS tsr
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+                  'https://example.org/p' || CAST(doc_id % 50 AS VARCHAR)
+                    AS url,
+                  array_to_string(tsr[1:4], ' ') AS atext
+           FROM tkr WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id,
+                  'https://Example.ORG/p' || CAST(doc_id % 50 AS VARCHAR)
+                    || '?utm_source=x' AS url,
+                  array_to_string(tsr[3:6], ' ') AS atext
+           FROM tkr WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id,
+                  'https://example.org/p' || CAST(doc_id % 50 AS VARCHAR)
+                    || '?page=2' AS url,
+                  array_to_string(tsr[5:8], ' ') AS atext
+           FROM tkr WHERE doc_id % 11 = 0),
+         ${TrainPrep.urlCanonChain},
+         ap AS (SELECT c.canon_url, c.doc_id, c.url, u.atext
+                FROM c JOIN u ON u.doc_id = c.doc_id AND u.url = c.url),
+         pd AS (SELECT canon_url, count(*) AS n_anchors,
+                       array_to_string(
+                         list(atext ORDER BY doc_id, url, atext), ' ')
+                         AS atxt
+                FROM ap GROUP BY canon_url),
+         ptok AS (SELECT canon_url AS doc_id,
+                         list_filter(
+                           string_split(lower(trim(atxt)), ' '),
+                           t -> t <> '') AS ts
+                  FROM pd),
+         ${bm25PinnedChain("ptok")}
+         SELECT bm.doc_id, bm.score, bm.n_terms_hit, pd.n_anchors
+         FROM bm JOIN pd ON pd.canon_url = bm.doc_id
+         ORDER BY bm.score DESC, bm.doc_id"""),
+
     // classifier scorer (weightSql) + md5 prompt bucket + two window
     // ranks — every operand BIGINT, so the pair set is bit-exact
     "pack_dpo_pairs" -> {

@@ -86,8 +86,8 @@ object SimOps extends QueryModule {
   // Hash anchor for the ADC table-lookup ranking itself (which the
   // exhaustive twin above bypasses — its rerank degenerates to brute
   // force): int8-quantized vectors against the pinned integer
-  // codebook, every score BIGINT-exact. Same adcSumExpr, same nearest
-  // kernel, same broadcast-LUT plan as the trained path.
+  // codebook, every score BIGINT-exact. Same ArrayAdcSum kernel, same
+  // nearest kernel, same broadcast-LUT plan as the trained path.
   private def simPqPinned(s: SparkSession, d: String): DataFrame =
     Pq.pqTopKPinned(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
         k = 10)

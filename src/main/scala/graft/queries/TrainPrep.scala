@@ -465,7 +465,7 @@ object TrainPrep extends QueryModule {
     * `c` exposes (doc_id, url, url_host, canon_url). Tracking list
     * generated from the same Seq so the two cannot drift. Shared by
     * the canonicalization entry and the host gate. */
-  private def urlCanonChain: String =
+  private[queries] def urlCanonChain: String =
     s"""p AS (
            SELECT doc_id, url,
                   lower(regexp_extract(url,

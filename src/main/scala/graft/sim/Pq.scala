@@ -166,30 +166,33 @@ object Pq {
       }.toDF("vec_id", "codes", "rnorm")
   }
 
-  /** The ADC accumulation — Σ_j LUT[j][code_j] — as the composable
-    * zip_with/aggregate HOF pair. `zero` pins the accumulator type:
-    * `0.0 AS double` on the production float path, `0 AS bigint` on
-    * the pinned-integer twin. KEPT AS THE REFERENCE SEMANTICS ONLY:
-    * HOF lambdas evaluate interpreted and allocate a zipped array per
-    * (query, candidate) pair, which at sf1 made trained PQ slower
-    * than exact brute force. The hot path runs the codegen'd
-    * [[graft.functions.ArrayAdcSum]] kernel instead; ArrayAdcSumSpec
-    * proves the two bit-identical over the full corpus on both the
-    * double and bigint shapes. */
-  private[sim] def adcSumExpr(zero: String): String =
-    s"""aggregate(zip_with(codes, lut, (c, l) ->
-          element_at(l, cast(c AS int) + 1)),
-        cast($zero), (acc, x) -> acc + x)"""
+  // The ADC accumulation Σ_j LUT[j][code_j] runs as the codegen'd
+  // [[graft.functions.ArrayAdcSum]] kernel over a FLAT row-major LUT.
+  // The composable zip_with/aggregate HOF form it replaced evaluates
+  // interpreted and allocates per pair — at sf1 that made trained PQ
+  // slower than exact brute force; ArrayAdcSumSpec keeps the HOF form
+  // as the reference semantics and proves bit-parity on both shapes.
 
   /** ADC top-k: approximate cosine = Σ_j LUT[j][code_j] / (‖q‖·rnorm).
     * Output (query_id, rank, cand_id, score). The corpus side is the
     * encoded scan (m bytes + 1 double per row) against a broadcast
     * query-LUT block — no corpus shuffle. */
   def pqTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, model: PqModel): DataFrame =
+    pqTopKEncoded(pqEncode(embeddings, model), embeddings, queryPred,
+      k, model)
+
+  /** [[pqTopK]] against an ALREADY-ENCODED corpus (e.g. loaded via
+    * [[loadPqEncoded]]) — the serve-path shape: encode once per
+    * corpus version, persist, and every later query batch pays only
+    * the (m bytes + 1 double)/row encoded scan, never a re-encode.
+    * Bit-identical to [[pqTopK]] for `enc = pqEncode(...)` of the
+    * same model (PqPersistSpec pins the round trip). */
+  def pqTopKEncoded(enc: DataFrame, embeddings: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
       k: Int, model: PqModel): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val enc = pqEncode(embeddings, model)
     val bc = spark.sparkContext.broadcast(model.codebooks)
     val mLocal = model.m; val dsLocal = model.ds
     val luts = Similarity.withNorms(embeddings).filter(queryPred)
@@ -197,16 +200,28 @@ object Pq {
       .as[(Long, Seq[Double], Double)]
       .mapPartitions { it =>
         val cbs = bc.value
+        val ksub = cbs.head.length
         it.map { case (id, vdSeq, nrm) =>
           val v = vdSeq.toArray
-          val lut = Array.tabulate(mLocal) { j =>
-            cbs(j).map { cent =>
+          // FLAT row-major LUT (m·ksub doubles): the ADC kernel reads
+          // lut[j·ksub + c] as a direct offset — no nested ArrayData
+          // views on the per-pair hot path (see ArrayAdcSum scaladoc)
+          val lut = new Array[Double](mLocal * ksub)
+          var j = 0
+          while (j < mLocal) {
+            var c = 0
+            while (c < ksub) {
+              val cent = cbs(j)(c)
               var s = 0.0; var i = 0
-              while (i < cent.length) { s += v(j * dsLocal + i) * cent(i); i += 1 }
-              s
-            }.toSeq
-          }.toSeq
-          (id, lut, nrm)
+              while (i < cent.length) {
+                s += v(j * dsLocal + i) * cent(i); i += 1
+              }
+              lut(j * ksub + c) = s
+              c += 1
+            }
+            j += 1
+          }
+          (id, lut.toSeq, nrm)
         }
       }.toDF("query_id", "lut", "qnorm")
     val w = Window.partitionBy("query_id")
@@ -279,14 +294,14 @@ object Pq {
       .as[(Long, Seq[Byte])].mapPartitions { it =>
         val cbs = bc.value
         it.map { case (id, q) =>
-          val lut = Seq.tabulate(mL) { j =>
-            Seq.tabulate(ksubL) { c =>
-              var s = 0L; var i = 0
-              while (i < dsL) {
-                s += q(j * dsL + i) * cbs(j)(c)(i).toLong; i += 1
-              }
-              s
+          // flat row-major, same layout as the trained path
+          val lut = Seq.tabulate(mL * ksubL) { x =>
+            val j = x / ksubL; val c = x % ksubL
+            var s = 0L; var i = 0
+            while (i < dsL) {
+              s += q(j * dsL + i) * cbs(j)(c)(i).toLong; i += 1
             }
+            s
           }
           (id, lut)
         }
@@ -309,11 +324,19 @@ object Pq {
     * equals [[Similarity.bruteForceTopK]] bit-for-bit — the
     * exhaustive-mode conformance proof. */
   def pqRerank(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
-      k: Int, mPool: Int, model: PqModel): DataFrame = {
+      k: Int, mPool: Int, model: PqModel): DataFrame =
+    pqRerankWith(pqTopK(embeddings, queryPred, mPool, model),
+      embeddings, queryPred, k, mPool)
+
+  /** [[pqRerank]] stage 2 over an explicit stage-1 pool — lets the
+    * serve path feed ADC candidates from a persisted encoded corpus
+    * ([[pqTopKEncoded]]) without re-encoding. */
+  def pqRerankWith(pool: DataFrame, embeddings: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int, mPool: Int)
+      : DataFrame = {
     import graft.functions.ArrayDotProduct.array_dot
     require(mPool >= k, s"rerank pool mPool=$mPool must be >= k=$k")
-    val cands = pqTopK(embeddings, queryPred, mPool, model)
-      .select("query_id", "cand_id")
+    val cands = pool.select("query_id", "cand_id")
     val v = Similarity.withNorms(embeddings)
     val cv = v.join(broadcast(cands), col("vec_id") === col("cand_id"))
       .select(col("query_id"), col("cand_id"),
@@ -331,4 +354,57 @@ object Pq {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "cand_id", "cosine")
   }
+
+  /** Persist a trained model: codebooks as an m·ksub-row metadata
+    * parquet (one row per (subspace, code) with its centroid and
+    * ‖centroid‖² — doubles round-trip parquet bit-exactly, so a
+    * loaded model's codes, LUTs and scores are identical to the
+    * in-session model's). The [[saveIvfIndex]] analog: train once,
+    * save once, serve from any later session. */
+  def savePqModel(model: PqModel, path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- model.codebooks.indices
+      c <- model.codebooks(j).indices
+    } yield (j, c, model.codebooks(j)(c).toSeq, model.sqNorms(j)(c))
+    rows.toDF("sub", "code", "vd", "sqnorm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load a persisted model. `sqNorms` re-derives from the loaded
+    * codebooks by the same fixed-order fold that built the saved
+    * `sqnorm` column, so the round trip is bit-exact end to end. */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select("sub", "code", "vd").as[(Int, Int, Seq[Double])]
+      .collect()
+    require(rows.nonEmpty, s"loadPqModel: empty codebook at $path")
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val byKey = rows.map(r => (r._1, r._2) -> r._3.toArray).toMap
+    val cb = Array.tabulate(m, ksub)((j, c) => byKey((j, c)))
+    PqModel(cb.head.head.length, cb)
+  }
+
+  /** Persist the encoded corpus (vec_id, codes, rnorm) range-
+    * partitioned by vec_id: rerank's candidate joins and incremental
+    * re-encodes prune row groups on the vec_id min/max stats, and the
+    * encode cost is paid once per corpus version instead of per query
+    * batch. 8 partitions suffice at conformance SF; at warehouse
+    * scale the writer's range exchange sizes partitions off the AQE
+    * advisory target instead. */
+  def savePqEncoded(embeddings: DataFrame, model: PqModel,
+      path: String): Unit =
+    pqEncode(embeddings, model)
+      .repartitionByRange(8, col("vec_id"))
+      .write.mode("overwrite").parquet(s"$path/encoded")
+
+  /** Load a persisted encoded corpus for [[pqTopKEncoded]]. */
+  def loadPqEncoded(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/encoded")
+      .select("vec_id", "codes", "rnorm")
 }

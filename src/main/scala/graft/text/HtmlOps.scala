@@ -35,6 +35,8 @@ object HtmlOps {
   private val Tag = "(?s)<[^>]*>"
   private val TitleRx = "(?is)<title[^>]*>(.*?)</title>"
   private val HrefRx = "(?i)href=\"([^\"]*)\""
+  private val AnchorRx =
+    "(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a\\s*>"
 
   /** The markup-free text of `html` (entities decoded, whitespace
     * collapsed, trimmed). */
@@ -60,6 +62,17 @@ object HtmlOps {
     // regexp_extract_all returns the capture group when the pattern
     // has one — the quoted URL without its quotes
     regexp_extract_all(html, lit(HrefRx), lit(1))
+
+  /** `(href, atext)` pairs of the `<a href="…">anchor text</a>`
+    * elements, in document order — the anchor-text relevance signal's
+    * extraction seam (anchor terms describe the TARGET document;
+    * Craswell et al. 2001). One regex pass collects full matches;
+    * each match re-extracts its two groups — RE2-safe, so the DuckDB
+    * mirror runs the identical pattern. */
+  def anchors(html: Column): Column =
+    transform(regexp_extract_all(html, lit(AnchorRx), lit(0)), m =>
+      struct(regexp_extract(m, AnchorRx, 1).as("href"),
+        regexp_extract(m, AnchorRx, 2).as("atext")))
 
   /** Full extraction card over `df(htmlCol)`: title, link set (joined
     * '|' — hashable by column-wise comparators), link count, clean

@@ -54,6 +54,36 @@ class ArrayAdcSumSpec extends AnyFunSuite {
     assert(both.forall { case (f, r) => f == r })
   }
 
+  test("flat row-major LUT (the hot-path shape) matches the nested " +
+      "kernel and the HOF fold bit-for-bit, double and bigint") {
+    val withFlat = fixture
+      .withColumn("lut_fd", flatten(col("lut_d")))
+      .withColumn("lut_fl", flatten(col("lut_l")))
+    val d = withFlat
+      .select(array_adc_sum(col("codes"), col("lut_fd")).as("flat"),
+        array_adc_sum(col("codes"), col("lut_d")).as("nested"),
+        expr(hof("0.0 AS double").replace("lut", "lut_d")).as("ref"))
+      .as[(Double, Double, Double)].collect()
+    assert(d.nonEmpty && d.forall { case (f, n, r) => f == n && n == r })
+    val l = withFlat
+      .select(array_adc_sum(col("codes"), col("lut_fl")).as("flat"),
+        array_adc_sum(col("codes"), col("lut_l")).as("nested"))
+      .as[(Long, Long)].collect()
+    assert(l.forall { case (f, n) => f == n })
+  }
+
+  test("flat null semantics: length not a multiple of m, out-of-range " +
+      "code, null cell all yield null") {
+    val rows = Seq(
+      (Some(Seq[Byte](0, 1)), Some(Seq(1.0, 2.0, 3.0))),     // 3 % 2 != 0
+      (Some(Seq[Byte](0, 2)), Some(Seq(1.0, 2.0, 3.0, 4.0))), // c >= ksub
+      (Some(Seq[Byte](1, 0)), Some(Seq(10.0, 20.0, 30.0, 40.0)))) // valid
+      .toDF("codes", "lut")
+      .select(array_adc_sum(col("codes"), col("lut"))).collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) == 20.0 + 30.0)
+  }
+
   test("smallint codes accepted; hand-computed lookup") {
     val df = Seq((Seq[Short](1, 0), Seq(Seq(10.0, 20.0), Seq(30.0, 40.0))))
       .toDF("codes", "lut")

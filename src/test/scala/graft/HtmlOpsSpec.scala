@@ -50,4 +50,19 @@ class HtmlOpsSpec extends AnyFunSuite {
     assert(extract("a < b > c").getString(4) === "a c")
     assert(extract("trailing <").getString(4) === "trailing <")
   }
+
+  test("anchors: (href, text) pairs in document order; anchors " +
+      "without href or unclosed are skipped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val html = "<p>x</p><a href=\"https://x.org/1\">first link</a>" +
+      "<a class=\"c\" href=\"https://x.org/2\" rel=\"r\">second</a>" +
+      "<a name=\"no-href\">skip me</a><a href=\"https://x.org/3\">open"
+    val got = Seq(html).toDF("h")
+      .select(graft.text.HtmlOps.anchors(col("h")).as("a"))
+      .selectExpr("transform(a, x -> struct(x.href, x.atext)) AS a")
+      .as[Seq[(String, String)]].head()
+    assert(got === Seq(("https://x.org/1", "first link"),
+      ("https://x.org/2", "second")))
+  }
 }
