@@ -258,6 +258,17 @@ object SimOps extends QueryModule {
     "sim_q8_rerank"   -> (simQ8Rerank _),
   )
 
+  /** The module's memoized fixture models (trained PQ codebooks, the
+    * appended IVF index), benched as explicit `*_build` entries so a
+    * single-shot run charges training to its own line instead of
+    * whichever retrieval entry runs first (the standing
+    * every-memoized-build rule). */
+  override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Map(
+      "sim_pq_model_build" -> ((s, d) => { pqModel(s, d); () }),
+      "sim_ivf_append_build" -> ((s, d) => { ivfAppendedIndex(s, d); () })
+    )
+
   val oracles: Map[String, String] = Map(
 
     // the exact-top-k oracle with the negative constraint in the join
