@@ -42,8 +42,16 @@ object Bench {
     // build cost to an explicit line instead of booking 5–20 s of
     // setup against whichever consumer runs first, and every query
     // number — single-shot or median — reflects steady state.
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the named
+    // queries/builds — the per-entry iteration loop (unset = the
+    // driver's full protocol, unchanged).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     val builds: Seq[(String, Double)] =
-      SparkEntry.benchBuilds.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.benchBuilds.toSeq.filter(b => keep(b._1))
+        .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir); true }
                  catch { case _: Throwable => false }
@@ -52,7 +60,8 @@ object Bench {
     // Alphabetical order: stable across rounds so per-query numbers
     // stay comparable between rounds.
     def onePass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(q => keep(q._1))
+        .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output column of the plan —
         // a plain .count() would let Catalyst prune the computed columns

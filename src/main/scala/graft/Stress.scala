@@ -97,7 +97,7 @@ object Stress {
     "layout_range_sorted_build", "text_lm_build",
     "text_hh_stream_build", "w10_stream_build",
     "ops_incr_quantile_stream_build",
-    "sim_pq_model_build", "sim_ivf_append_build")
+    "sim_pq_model_build", "sim_pq_encode_build", "sim_ivf_append_build")
 
   private def tokenSuffixed(text: Column, rep: Column): Column =
     array_join(

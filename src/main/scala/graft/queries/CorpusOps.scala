@@ -227,8 +227,13 @@ object CorpusOps extends QueryModule {
       .join(split, Seq("doc_id"))
     val train = withMeta.filter(col("split") === "train")
     val test = withMeta.filter(col("split") === "test")
+    // broadcastRef = false: the eval slice is a CORPUS FRACTION (20%),
+    // not a bounded benchmark — let Catalyst pick broadcast vs
+    // hash-semi-join by size instead of forcing a driver-scale
+    // broadcast (see positionsMatching scaladoc)
     val pos = PassageDedup.positionsMatching(train, "doc_id", "text", K,
-      PassageDedup.grams(test, "doc_id", "text", K))
+      PassageDedup.grams(test, "doc_id", "text", K),
+      broadcastRef = false)
     val clean = PassageDedup
       .removeFromPositions(train, "doc_id", "text", pos, K)
       .select(col("doc_id"), col("n_removed").cast("int").as("n_removed"),

@@ -206,7 +206,13 @@ object Retrieval extends QueryModule {
   //      aggregation shuffles ANCHORS (tiny rows), never documents;
   //      the BM25 stage then runs over one row per target — the
   //      classic "anchor corpus is smaller than the doc corpus"
-  //      asymmetry that made anchor text cheap to serve.
+  //      asymmetry that made anchor text cheap to serve. Hub-target
+  //      skew (a celebrity URL's in-degree is corpus-scale) bounds at
+  //      production by a deterministic per-target anchor sample —
+  //      keep the md5-lowest N anchors per target (the Sampling
+  //      fixed-N rule on (canon_url, src, href)) BEFORE the concat;
+  //      the synthesis here caps in-degree at corpus/50 by
+  //      construction, so the conformance entry needs no cap.
   private def webAnchorBm25(s: SparkSession, d: String): DataFrame = {
     val ts = graft.text.Tokens.ws("text")
     val a1 = array_join(slice(ts, 1, 4), " ")

@@ -61,26 +61,45 @@ object SimOps extends QueryModule {
       Pq.trainPq(Tables.embeddings(s, d), m = 8, ksub = 64, iters = 2)
     }
 
+  /** The encoded corpus (codes + rnorm), built once per (session,
+    * dir) — the "encode once per corpus version" serve shape
+    * [[Pq.savePqEncoded]] persists across sessions; every PQ entry
+    * reads this instead of re-encoding per query batch. */
+  private def pqEncoded(s: SparkSession, d: String): DataFrame = {
+    val model = pqModel(s, d)   // resolved before the nested memo
+    SessionMemo(s, d, "pq_encoded") {
+      Pq.pqEncode(Tables.embeddings(s, d), model).persist()
+    }
+  }
+
   // ADC ranking is trained-codebook-specific (float k-means) like IVF —
   // rows-only here; exhaustive equality and recall floors in ScalaTest.
   private def simPqTopk(s: SparkSession, d: String): DataFrame =
-    Pq.pqTopK(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
-        k = 10, pqModel(s, d))
+    Pq.pqTopKEncoded(pqEncoded(s, d), Tables.embeddings(s, d),
+        col("vec_id") % 50 === 0, k = 10, pqModel(s, d))
       .orderBy("query_id", "rank")
 
   // Two-stage: 100 ADC candidates re-ranked by exact cosine to 10.
   private def simPqRerank(s: SparkSession, d: String): DataFrame =
-    Pq.pqRerank(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
-        k = 10, mPool = 100, pqModel(s, d))
+    Pq.pqRerankWith(
+        Pq.pqTopKEncoded(pqEncoded(s, d), Tables.embeddings(s, d),
+          col("vec_id") % 50 === 0, mPool100, pqModel(s, d)),
+        Tables.embeddings(s, d), col("vec_id") % 50 === 0,
+        k = 10, mPool = mPool100)
       .orderBy("query_id", "rank")
+
+  private val mPool100 = 100
 
   // Exhaustive-mode conformance (the IVF/LSH trick): with the pool ≥
   // corpus size stage 1 keeps every candidate, so the PQ encode → ADC
   // → rerank machinery must reproduce brute force bit-for-bit against
   // the same oracle as sim_cosine_topk.
   private def simPqExhaustive(s: SparkSession, d: String): DataFrame =
-    Pq.pqRerank(Tables.embeddings(s, d), col("vec_id") % 50 === 0,
-        k = 10, mPool = Int.MaxValue, pqModel(s, d))
+    Pq.pqRerankWith(
+        Pq.pqTopKEncoded(pqEncoded(s, d), Tables.embeddings(s, d),
+          col("vec_id") % 50 === 0, Int.MaxValue, pqModel(s, d)),
+        Tables.embeddings(s, d), col("vec_id") % 50 === 0,
+        k = 10, mPool = Int.MaxValue)
       .orderBy("query_id", "rank")
 
   // Hash anchor for the ADC table-lookup ranking itself (which the
@@ -266,6 +285,8 @@ object SimOps extends QueryModule {
   override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
     Map(
       "sim_pq_model_build" -> ((s, d) => { pqModel(s, d); () }),
+      "sim_pq_encode_build" ->
+        ((s, d) => { pqEncoded(s, d).queryExecution.toRdd.count(); () }),
       "sim_ivf_append_build" -> ((s, d) => { ivfAppendedIndex(s, d); () })
     )
 

@@ -187,10 +187,25 @@ object Pq {
     * corpus version, persist, and every later query batch pays only
     * the (m bytes + 1 double)/row encoded scan, never a re-encode.
     * Bit-identical to [[pqTopK]] for `enc = pqEncode(...)` of the
-    * same model (PqPersistSpec pins the round trip). */
+    * same model (PqPersistSpec pins the round trip).
+    *
+    * Plan shape mirrors [[Similarity.bruteForceTopK]]'s tiled
+    * primitive-block harness — query LUTs collect into BOUNDED tiles
+    * (flat Array[Double] blocks) that broadcast against one encoded-
+    * corpus scan each, scored in a primitive flatMap: measured at
+    * sf1, the earlier broadcast-join form paid BroadcastNestedLoop
+    * row plumbing per (query, candidate) pair that kept PQ behind
+    * the exact path even with the codegen ADC kernel; the primitive
+    * harness makes the per-pair cost the m flat-array lookups
+    * themselves (vs d mults for exact — the ADC win), on a corpus
+    * scan 32× narrower. The accumulation order is IDENTICAL to
+    * [[graft.functions.ArrayAdcSum]]'s (ascending j), so scores are
+    * bit-equal to the declarative kernel the hash-green pinned twin
+    * runs ([[pqTopKPinned]]), and tiles partition queries exactly,
+    * so the union equals the untiled result row-for-row. */
   def pqTopKEncoded(enc: DataFrame, embeddings: DataFrame,
       queryPred: org.apache.spark.sql.Column,
-      k: Int, model: PqModel): DataFrame = {
+      k: Int, model: PqModel, tileRows: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.codebooks)
@@ -224,19 +239,70 @@ object Pq {
           (id, lut.toSeq, nrm)
         }
       }.toDF("query_id", "lut", "qnorm")
+      // checkpoint: each tile's collect otherwise re-runs the
+      // corpus-wide filter + LUT build (same rationale as
+      // bruteForceTopK's query-side checkpoint)
+      .localCheckpoint()
+    val numTiles = math.max(1L,
+      (luts.count() + tileRows - 1) / tileRows).toInt
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))
-    enc.join(broadcast(luts), col("query_id") =!= col("vec_id"))
-      .withColumn("__ip",
-        graft.functions.ArrayAdcSum.array_adc_sum(col("codes"), col("lut")))
-      .withColumn("score",
-        when(col("rnorm") > 0 && col("qnorm") > 0,
-          col("__ip") / (col("qnorm") * col("rnorm")))
-          .otherwise(lit(Double.NegativeInfinity)))
-      .select(col("query_id"), col("vec_id").as("cand_id"), col("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "cand_id", "score")
+    val perTile = (0 until numTiles).flatMap { t =>
+      val tileQ = if (numTiles == 1) luts
+        else luts.filter(pmod(hash(col("query_id")), lit(numTiles)) === t)
+      val rows = tileQ.orderBy("query_id").collect()
+      if (rows.isEmpty && numTiles > 1) None else {
+        val qids = rows.map(_.getLong(0))
+        val qluts = rows.map(_.getSeq[Double](1).toArray)
+        val qnorms = rows.map(_.getDouble(2))
+        val qbc = spark.sparkContext.broadcast((qids, qluts, qnorms))
+        // candidate MINI-BATCHES, query-outer within each batch: a
+        // query's 4 KB LUT stays L1-hot across the batch's candidates
+        // (the canonical ADC loop order). Row-outer/query-inner would
+        // stream the whole |Q|·m·ksub LUT block (MBs) past every
+        // corpus row — measured memory-bound BEHIND the exact dot,
+        // whose per-query state is ksub× smaller. Scores and the
+        // (query, cand) pair SET are order-independent, so this is
+        // bit-identical to any other loop order.
+        val scored = enc.select("vec_id", "codes", "rnorm")
+          .as[(Long, Seq[Byte], Double)]
+          .mapPartitions { it =>
+            val (ids, lts, nms) = qbc.value
+            val nq = ids.length
+            it.grouped(1024).flatMap { batch =>
+              val rows = batch.toArray
+              val cids = rows.map(_._1)
+              val codesArr = rows.map(_._2.toArray)
+              val rnorms = rows.map(_._3)
+              (0 until nq).iterator.flatMap { qi =>
+                val lut = lts(qi); val qn = nms(qi); val qid = ids(qi)
+                cids.indices.iterator.flatMap { ri =>
+                  val cid = cids(ri)
+                  if (cid == qid) None
+                  else {
+                    val codes = codesArr(ri)
+                    val m = codes.length
+                    val ksub = if (m > 0) lut.length / m else 0
+                    // ascending-j fold — bit-equal to ArrayAdcSum
+                    var s = 0.0; var j = 0
+                    while (j < m) { s += lut(j * ksub + codes(j)); j += 1 }
+                    val rnorm = rnorms(ri)
+                    val score =
+                      if (rnorm > 0 && qn > 0) s / (qn * rnorm)
+                      else Double.NegativeInfinity
+                    Some((qid, cid, score))
+                  }
+                }
+              }
+            }
+          }.toDF("query_id", "cand_id", "score")
+        Some(scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("query_id", "rank", "cand_id", "score"))
+      }
+    }
+    perTile.reduce(_ union _)
   }
 
   /** The pinned integer codebook value for (subspace j, code c, dim i):

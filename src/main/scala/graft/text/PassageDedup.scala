@@ -102,16 +102,24 @@ object PassageDedup {
     * appears in `refGrams` (one `gram` column) — span-level
     * decontamination: instead of flagging whole documents that share a
     * shingle with the benchmark (the doc-level pass in DataOps), this
-    * locates the contaminated WINDOWS so only they are cut. The
-    * benchmark side is bounded (a test set, not a corpus), hence the
-    * broadcast hint; the corpus side is a scan + semi-join, never
-    * shuffled on its own size. */
+    * locates the contaminated WINDOWS so only they are cut.
+    *
+    * `broadcastRef` (default true) fits the benchmark case — a test
+    * set is bounded, so its gram set broadcasts and the corpus side
+    * never shuffles. Pass false when the reference is itself a
+    * corpus fraction (e.g. curate v7's eval split): forcing a
+    * corpus-scale broadcast would OOM the driver at 100 TB, while
+    * without the hint Catalyst broadcasts only while the set fits
+    * and otherwise hash-semi-joins on the gram key. */
   def positionsMatching(df: DataFrame, idCol: String, textCol: String,
-      k: Int, refGrams: DataFrame): DataFrame =
+      k: Int, refGrams: DataFrame,
+      broadcastRef: Boolean = true): DataFrame = {
+    val ref = refGrams.select("gram").distinct()
     grams(df, idCol, textCol, k)
-      .join(broadcast(refGrams.select("gram").distinct()),
+      .join(if (broadcastRef) broadcast(ref) else ref,
         Seq("gram"), "left_semi")
       .select("doc_id", "pos")
+  }
 
   /** Maximal duplicated token spans per document:
     * (doc_id, span_start, span_end, span_tokens), token positions
