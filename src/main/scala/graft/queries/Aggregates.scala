@@ -93,7 +93,11 @@ object Aggregates extends QueryModule {
   //      sketch — the distributed quantile path when an exact sort is
   //      off the table). Engine-specific sketch → rows-only driver
   //      check; AggregatesSpec pins the rank-error bound against the
-  //      exact quantiles at this accuracy.
+  //      exact quantiles at this accuracy. The HASH-GREEN anchor for
+  //      mergeable quantile mechanics is ops_incr_quantile
+  //      ([[graft.ops.QuantileSketch]] — fixed-bucket histogram state,
+  //      cross-engine-exact by construction); this entry keeps the
+  //      adaptive GK form as the production dial.
   private def a7ApproxPercentile(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
