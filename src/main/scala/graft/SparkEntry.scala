@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, GraphOps, Joins, LayoutOps, MultimodalOps, QueryModule, Relational, Retrieval, SamplingOps, SimOps, TokenOps, TrainPrep, Transforms, Windows}
+import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, EvalOps, GraphOps, Joins, LayoutOps, MultimodalOps, QueryModule, Relational, Retrieval, SamplingOps, SimOps, TokenOps, TrainPrep, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,8 @@ object SparkEntry {
     GraphOps,
     TokenOps,
     SimOps,
-    MultimodalOps
+    MultimodalOps,
+    EvalOps
   )
 
   /** The driver-provisioned tiny scale factor (smoke/warm-up data). */
