@@ -39,7 +39,7 @@ object Explain {
         "samp_mixture_plan", "samp_mixture_epochs", "emb_nn_classify",
         "src_orc_roundtrip",
         "dedup_passage_top", "sim_ivf_append", "pipeline_curate_v3",
-        "graph_pagerank", "graph_degrees", "graph_trustrank", "j9_fuzzy_match",
+        "graph_pagerank", "graph_degrees", "graph_trustrank", "graph_hits", "j9_fuzzy_match",
         "j8_scd2_stream", "w7_transitions", "w8_interval_union",
         "w9_gap_fill", "text_collocations",
         "ops_schema_conform", "ops_schema_evolution",

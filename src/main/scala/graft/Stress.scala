@@ -46,7 +46,7 @@ object Stress {
     "dedup_stream_admit", "dedup_embed_cosine", "dedup_semantic",
     "text_decontaminate", "text_decontaminate_spans",
     "text_novelty_score",
-    "graph_degrees", "graph_pagerank", "graph_trustrank",
+    "graph_degrees", "graph_pagerank", "graph_trustrank", "graph_hits",
     "j9_fuzzy_match", "sim_cosine_topk")
 
   /** Text / retrieval / sampling / curation tier (documents +

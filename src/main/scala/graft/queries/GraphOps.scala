@@ -52,10 +52,19 @@ object GraphOps extends QueryModule {
         vertices(s, d).filter(col("id") % 50 === 0), iters = 3)
       .orderBy("id")
 
+  // HITS over the same citation graph: the two-sided link signal
+  // (hub pages that cite well vs authority pages that get cited) —
+  // L∞-normalized onto the integer grid, so hash-green like pagerank
+  // (see LinkGraph.hits for why L∞ replaces the classic L2).
+  private def graphHits(s: SparkSession, d: String): DataFrame =
+    LinkGraph.hits(vertices(s, d), citeEdges(s, d), iters = 3)
+      .orderBy("id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"  -> (graphPagerank _),
     "graph_degrees"   -> (graphDegrees _),
-    "graph_trustrank" -> (graphTrustrank _)
+    "graph_trustrank" -> (graphTrustrank _),
+    "graph_hits"      -> (graphHits _)
   )
 
   /** Shared synthesis + degree CTEs: v (vertices), e (edges), od
@@ -90,6 +99,27 @@ object GraphOps extends QueryModule {
   // seed-restricted teleport for the TrustRank oracle
   private val SeedTele = "CASE WHEN v.id % 50 = 0 THEN 157286 ELSE 0 END"
 
+  /** One unrolled HITS step h_{i-1} → (a_i, h_i): in/out sums with
+    * L∞ normalization onto the 2^20 grid — digit-for-digit the
+    * [[graft.graph.LinkGraph.hits]] arithmetic (scalar-subquery max,
+    * `//` ≡ `div` on the non-negative domain). */
+  private def hitsStepSql(i: Int): String = {
+    val hp = s"h${i - 1}"
+    s""",
+       ar$i AS (SELECT e.dst AS id, CAST(sum($hp.h) AS BIGINT) AS ar
+                FROM e JOIN $hp ON e.src = $hp.id GROUP BY e.dst),
+       a$i AS (SELECT v.id,
+                 CAST(coalesce((ar.ar * 1048576)
+                   // (SELECT max(ar) FROM ar$i), 0) AS BIGINT) AS a
+               FROM v LEFT JOIN ar$i ar ON v.id = ar.id),
+       hr$i AS (SELECT e.src AS id, CAST(sum(a$i.a) AS BIGINT) AS hr
+                FROM e JOIN a$i ON e.dst = a$i.id GROUP BY e.src),
+       h$i AS (SELECT v.id,
+                 CAST(coalesce((hr.hr * 1048576)
+                   // (SELECT max(hr) FROM hr$i), 0) AS BIGINT) AS h
+               FROM v LEFT JOIN hr$i hr ON v.id = hr.id)"""
+  }
+
   val oracles: Map[String, String] = Map(
     // 2^20 = 1048576 grid; teleport ⌊3·2^20/20⌋ = 157286 — matches
     // LinkGraph.pageRank's Long arithmetic digit for digit
@@ -111,6 +141,15 @@ object GraphOps extends QueryModule {
       stepSql("r2", "r3", SeedTele) +
       """
          SELECT id, score FROM r3 ORDER BY id"""),
+
+    "graph_hits" ->
+      (GraphCtes +
+      """,
+         h0 AS (SELECT id, CAST(1048576 AS BIGINT) AS h FROM v)""" +
+      hitsStepSql(1) + hitsStepSql(2) + hitsStepSql(3) +
+      """
+         SELECT a3.id, a3.a AS authority, h3.h AS hub
+         FROM a3 JOIN h3 USING (id) ORDER BY a3.id"""),
 
     "graph_degrees" ->
       (GraphCtes +

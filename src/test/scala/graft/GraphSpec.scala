@@ -90,6 +90,27 @@ class GraphSpec extends AnyFunSuite {
     assert(pr(2L) == 157286L)
   }
 
+  test("hits: hand-computed one-step L∞-normalized scores; sources " +
+      "score 0 authority, sinks 0 hub") {
+    val vh = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val eh = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = LinkGraph.hits(vh, eh, iters = 1, q = 16L)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // h0 = 16 everywhere; araw: 3←32, 4←16, amax 32 → a = (0,0,16,8);
+    // hraw: 1←16, 2←16, 3←8, hmax 16 → h = (16,16,8,0)
+    assert(got(1L) == ((0L, 16L)))
+    assert(got(2L) == ((0L, 16L)))
+    assert(got(3L) == ((16L, 8L)))
+    assert(got(4L) == ((8L, 0L)))
+    // multi-iteration run stays on the grid and keeps the shape
+    val g3 = LinkGraph.hits(vh, eh, iters = 3, q = 1L << 20)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(g3(3L)._1 == (1L << 20))   // unique max authority
+    assert(g3(1L)._1 == 0L && g3(4L)._2 == 0L)
+  }
+
   test("degrees: census matches brute-force counts; dangling has out 0") {
     val got = LinkGraph.degrees(v, e)
       .as[(Long, Long, Long)].collect()
