@@ -55,7 +55,8 @@ object Explain {
         "pipeline_curate_v6", "text_fix_encoding", "sim_hard_negatives_ann",
         "pack_sft", "text_html_extract", "web_anchor_index",
         "pipeline_curate_v7", "ops_incr_quantile", "ops_incr_quantile_stream",
-        "w10_capped_sessions_stream", "web_anchor_bm25")
+        "w10_capped_sessions_stream", "web_anchor_bm25",
+        "eval_recall_at_k", "eval_mrr", "eval_ndcg")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
