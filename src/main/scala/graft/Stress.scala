@@ -83,6 +83,7 @@ object Stress {
     "j8_scd2_merge",
     "w1_sessionization", "w7_transitions", "w9_gap_fill",
     "w10_capped_sessions", "w10_capped_sessions_stream",
+    "w11_windowed_quantile", "w11_windowed_quantile_stream",
     "layout_partition_prune", "layout_zorder_scan",
     "layout_bucketed_join", "layout_compact", "export_range_sorted",
     "src_csv_roundtrip", "src_orc_roundtrip")
@@ -96,7 +97,7 @@ object Stress {
     "layout_zorder_build", "layout_compact_build",
     "layout_range_sorted_build", "text_lm_build",
     "text_hh_stream_build", "w10_stream_build",
-    "ops_incr_quantile_stream_build",
+    "ops_incr_quantile_stream_build", "w11_stream_build",
     "sim_pq_model_build", "sim_pq_encode_build", "sim_ivf_append_build")
 
   private def tokenSuffixed(text: Column, rep: Column): Column =

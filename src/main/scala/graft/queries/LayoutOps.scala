@@ -359,10 +359,68 @@ object LayoutOps extends QueryModule {
         Seq("o_custkey"), pcts = Seq(50, 95), widthCents = 50000L)
       .orderBy("o_custkey", "pct")
 
+  // ---- Windowed quantiles (w11): the dashboard shape — p50/p95 of
+  // event value per (day, event_type) tumbling window — as the
+  // QuantileSketch composed with event-time windowing: the window
+  // start joins the sketch KEY, so the same mergeable histogram
+  // state serves calendar rollups, and the streamed twin maintains
+  // it across deliveries with replay idempotence. W = 1000 cents
+  // ($10) on values ≤ $500.
+  private def w11Keys = Seq("wday", "event_type")
+
+  private def w11Events(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(to_date(col("ts")).as("wday"),
+        col("event_type"), col("value"), col("event_id"), col("ts"))
+
+  private def w11WindowedQuantile(s: SparkSession, d: String): DataFrame = {
+    val e = w11Events(s, d)
+    val states = (0 until 3).map(i =>
+      graft.ops.QuantileSketch.summarize(
+        e.filter(pmod(col("event_id"), lit(3)) === i),
+        w11Keys, "value", widthCents = 1000L))
+    graft.ops.QuantileSketch.quantiles(
+        states.reduce(graft.ops.QuantileSketch.merge(_, _, w11Keys)),
+        w11Keys, pcts = Seq(50, 95), widthCents = 1000L)
+      .orderBy("wday", "event_type", "pct")
+  }
+
+  /** Streamed windowed-quantile state: three ten-day delivery slices
+    * plus a replayed id that must be a no-op. */
+  private def w11StreamTable(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "w11_quantile_stream") {
+      val e = w11Events(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("w11_quantile")
+        .toString + "/state"
+      val c1 = to_timestamp(lit("2024-01-11 00:00:00"))
+      val c2 = to_timestamp(lit("2024-01-21 00:00:00"))
+      val slices = Seq(
+        e.filter(col("ts") < c1),
+        e.filter(col("ts") >= c1 && col("ts") < c2),
+        e.filter(col("ts") >= c2))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        graft.streaming.QuantileSketchStream.applyBatch(sl, i.toLong,
+          dir, w11Keys, "value", widthCents = 1000L)
+      }
+      val replayed = graft.streaming.QuantileSketchStream.applyBatch(
+        slices(1), 1L, dir, w11Keys, "value", widthCents = 1000L)
+      require(!replayed, "w11_stream: replay was not skipped")
+      dir
+    }
+
+  private def w11WindowedQuantileStream(s: SparkSession, d: String)
+      : DataFrame =
+    graft.ops.QuantileSketch.quantiles(
+        s.read.parquet(w11StreamTable(s, d)),
+        w11Keys, pcts = Seq(50, 95), widthCents = 1000L)
+      .orderBy("wday", "event_type", "pct")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ops_incr_distinct"      -> (opsIncrDistinct _),
     "ops_incr_quantile"      -> (opsIncrQuantile _),
     "ops_incr_quantile_stream" -> (opsIncrQuantileStream _),
+    "w11_windowed_quantile"  -> (w11WindowedQuantile _),
+    "w11_windowed_quantile_stream" -> (w11WindowedQuantileStream _),
     "ops_incr_agg"           -> (opsIncrAgg _),
     "ops_incr_agg_stream"    -> (opsIncrAggStream _),
     "export_range_sorted"    -> (exportRangeSorted _),
@@ -398,7 +456,9 @@ object LayoutOps extends QueryModule {
       "ops_incr_agg_stream_build" ->
         ((s, d) => { incrAggStreamTable(s, d); () }),
       "ops_incr_quantile_stream_build" ->
-        ((s, d) => { incrQuantileStreamTable(s, d); () })
+        ((s, d) => { incrQuantileStreamTable(s, d); () }),
+      "w11_stream_build" ->
+        ((s, d) => { w11StreamTable(s, d); () })
     )
 
   /** Full recompute over ALL orders — shared by the batch fold and the
@@ -442,11 +502,40 @@ object LayoutOps extends QueryModule {
        SELECT o_custkey, pct, (bstar + 1) * 50000 - 1 AS est_cents
        FROM est ORDER BY o_custkey, pct"""
 
+  /** Full windowed-histogram recompute over ALL events — shared by
+    * the batch fold and the streamed state. */
+  private val w11Oracle: String =
+    """WITH h AS (
+         SELECT CAST(ts AS DATE) AS wday, event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  // 1000 AS bucket,
+                count(*) AS cnt
+         FROM events GROUP BY 1, 2, 3),
+       t AS (SELECT wday, event_type, sum(cnt) AS n FROM h
+             GROUP BY 1, 2),
+       cum AS (
+         SELECT wday, event_type, bucket,
+                sum(cnt) OVER (PARTITION BY wday, event_type
+                               ORDER BY bucket) AS cum
+         FROM h),
+       p(pct) AS (VALUES (50), (95)),
+       est AS (
+         SELECT c.wday, c.event_type, p.pct, min(c.bucket) AS bstar
+         FROM cum c
+         JOIN t ON t.wday = c.wday AND t.event_type = c.event_type
+         CROSS JOIN p
+         WHERE c.cum * 100 >= t.n * p.pct
+         GROUP BY 1, 2, 3)
+       SELECT wday, event_type, pct, (bstar + 1) * 1000 - 1 AS est_cents
+       FROM est ORDER BY wday, event_type, pct"""
+
   val oracles: Map[String, String] = Map(
     "ops_incr_agg"        -> incrAggOracle,
     "ops_incr_agg_stream" -> incrAggOracle,
     "ops_incr_quantile"        -> incrQuantileOracle,
     "ops_incr_quantile_stream" -> incrQuantileOracle,
+    "w11_windowed_quantile"        -> w11Oracle,
+    "w11_windowed_quantile_stream" -> w11Oracle,
 
     // exact recompute — the sparse-mode sketch fold must equal it
     "ops_incr_distinct" ->
