@@ -278,10 +278,14 @@ object SimOps extends QueryModule {
   )
 
   /** The module's memoized fixture models (trained PQ codebooks, the
-    * appended IVF index), benched as explicit `*_build` entries so a
-    * single-shot run charges training to its own line instead of
-    * whichever retrieval entry runs first (the standing
-    * every-memoized-build rule). */
+    * encoded corpus, the appended IVF index), benched as explicit
+    * `*_build` entries so a single-shot run charges training to its
+    * own line instead of whichever retrieval entry runs first (the
+    * standing every-memoized-build rule). Note: builds run in
+    * alphabetical order and `sim_pq_encode_build` resolves the model
+    * memo internally, so the encode line carries BOTH costs and the
+    * later model line reads ~0 — the sum is right, the split is
+    * ordering-determined. */
   override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
     Map(
       "sim_pq_model_build" -> ((s, d) => { pqModel(s, d); () }),
