@@ -57,7 +57,8 @@ object Explain {
         "pipeline_curate_v7", "ops_incr_quantile", "ops_incr_quantile_stream",
         "w10_capped_sessions_stream", "web_anchor_bm25",
         "eval_recall_at_k", "eval_mrr", "eval_ndcg",
-        "w11_windowed_quantile", "w11_windowed_quantile_stream")
+        "w11_windowed_quantile", "w11_windowed_quantile_stream",
+        "mm_phash", "mm_dedup_near")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

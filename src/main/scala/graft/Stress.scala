@@ -71,7 +71,7 @@ object Stress {
     "text_fix_encoding", "sim_hard_negatives_ann",
     "pack_sft", "vocab_bpe_train", "web_anchor_index",
     "text_html_extract", "mm_decode_av", "text_heavy_hitters_stream",
-    "web_anchor_bm25")
+    "web_anchor_bm25", "mm_phash", "mm_dedup_near")
 
   /** Relational / windows / layout tier (orders + lineitem + events —
     * amplified fact tables; region/nation/supplier/part stay dim-sized,
@@ -98,7 +98,8 @@ object Stress {
     "layout_range_sorted_build", "text_lm_build",
     "text_hh_stream_build", "w10_stream_build",
     "ops_incr_quantile_stream_build", "w11_stream_build",
-    "sim_pq_model_build", "sim_pq_encode_build", "sim_ivf_append_build")
+    "sim_pq_model_build", "sim_pq_encode_build", "sim_ivf_append_build",
+    "mm_pixel_build")
 
   private def tokenSuffixed(text: Column, rep: Column): Column =
     array_join(

@@ -346,7 +346,8 @@ object Multimodal {
     * backfill_user_profiles.py:144-153). */
   val ExtToType: Map[String, String] =
     Map("mp4" -> "video", "img" -> "image", "wav" -> "audio",
-      "png" -> "image", "jpg" -> "image", "gif" -> "image")
+      "png" -> "image", "jpg" -> "image", "gif" -> "image",
+      "bmp" -> "image")
 
   /** REAL binary ingestion: `spark.read.format("binaryFile")` over a
     * directory of media blobs named `asset_<id>.<ext>`. This is the
@@ -388,6 +389,43 @@ object Multimodal {
     * 100 TB, run the same shape in two passes — group by hash first,
     * then byte-verify only multi-member hash groups — so single-copy
     * payloads (the vast majority) never shuffle their bytes. */
+  /** Perceptual hash per asset: distributed pixel decode (one decoder
+    * init point per partition, like [[decodeMeta]]) → 8×8 luma grid →
+    * 64-bit dHash ([[PixelCodec.phash]]). Undecodable payloads (no
+    * supported pixel format, non-÷8 dims) are dropped — they simply
+    * never enter the near-dup candidate space. Scale: one projection
+    * pass over the payload column; the output is 16 bytes/asset, so
+    * everything downstream of this line shuffles hashes, never media
+    * bytes. */
+  def perceptualHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap(a => PixelCodec.phash(a.payload).map(h => (a.asset_id, h)))
+    }.toDF("asset_id", "phash")
+  }
+
+  /** Perceptual near-duplicate clusters over a media corpus:
+    * [[perceptualHashes]] → banded Hamming candidate pairing (the
+    * [[graft.dedup.Dedup.simhashPairs]] machinery at 64 bits / 8
+    * bands — EXACT for maxDist < 8 by pigeonhole, and work scales with
+    * band collisions, never corpus²) → connected components →
+    * (canonical_id = min member, n_members, member_ids). Catches what
+    * [[dedupExactMedia]] cannot: re-encoded (different PNG filters,
+    * stripped metadata), resized, and format-converted (PNG↔BMP)
+    * copies whose bytes share nothing but whose pixels do. */
+  def nearDupMediaClusters(assets: Dataset[MediaAsset],
+      maxDist: Int = 2): DataFrame = {
+    val sketches = perceptualHashes(assets)
+      .select(col("asset_id").as("id"), col("phash").as("simhash"))
+    val pairs = graft.dedup.Dedup.simhashPairs(
+      sketches, maxDist, bits = 64, bands = 8)
+    graft.dedup.Dedup.connectedComponents(pairs)
+      .groupBy(col("cluster_id").as("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("id")))
+          .cast("array<string>"), ",").as("member_ids"))
+  }
+
   def dedupExactMedia(assets: Dataset[MediaAsset]): DataFrame =
     assets.toDF()
       .groupBy(xxhash64(col("payload")).as("__h"), col("payload"))

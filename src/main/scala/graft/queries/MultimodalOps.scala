@@ -165,7 +165,100 @@ object MultimodalOps extends QueryModule {
         Multimodal.ingestBinary(s, binaryFixtureDir(s, d)))
       .orderBy("canonical_id")
 
+  /** Plant PIXEL-REAL image files once per (session, dir) for the
+    * perceptual-hash tier: every 25th doc is a "scene" — an 8×8 block
+    * grid whose luma is md5-mixed from (doc_id, gx, gy)
+    * ([[graft.multimodal.PixelCodec.sceneLuma]]) — rendered as a
+    * 64×64 grayscale PNG. Selected scenes get byte-distinct,
+    * pixel-equivalent variants at offset ids:
+    *   +1·Offset (id%50):  resized   — the SAME scene at 32×32;
+    *   +2·Offset (id%75):  re-encoded — filter-2 scanlines + a tEXt
+    *                        metadata chunk (same pixels, new bytes);
+    *   +3·Offset (id%100): format-converted — 24-bit BMP;
+    *   +4·Offset (id%125): perturbed — cell (3,4) luma +16 mod 256
+    *                        (≤2 dHash bits move: a NEAR duplicate).
+    * Block-constant tiles make every rendering box-average exactly back
+    * to the scene grid, so expected hashes (and clusters) are pure
+    * integer+md5 arithmetic the DuckDB oracle recomputes verbatim. */
+  private def pixelFixtureDir(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "mm_pixel_fixtures") {
+      import graft.multimodal.PixelCodec
+      val base = s"${sys.props("java.io.tmpdir")}/graft_pxl_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val bp = java.nio.file.Paths.get(base)
+      graft.sources.TableSwap.deleteRecursively(bp)
+      java.nio.file.Files.createDirectories(bp)
+      val docs = Tables.documents(s, d)
+      Planting.requireHeadroom(docs, "doc_id", "mm_dedup_near")
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/$name"), bytes)
+      docs.filter(col("doc_id") % 25 === 0).select("doc_id")
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val grid = PixelCodec.sceneGrid(id)
+          put(s"asset_$id.png",
+            PixelCodec.encodeGray8Png(PixelCodec.renderGrid(grid, 64)))
+          if (id % 50 == 0)
+            put(s"asset_${id + Planting.Offset}.png",
+              PixelCodec.encodeGray8Png(PixelCodec.renderGrid(grid, 32)))
+          if (id % 75 == 0)
+            put(s"asset_${id + 2 * Planting.Offset}.png",
+              PixelCodec.encodeGray8Png(PixelCodec.renderGrid(grid, 64),
+                filterType = 2, textChunk = Some("re-encoded")))
+          if (id % 100 == 0)
+            put(s"asset_${id + 3 * Planting.Offset}.bmp",
+              PixelCodec.encodeBmp24(PixelCodec.renderGrid(grid, 64)))
+          if (id % 125 == 0) {
+            val pert = grid.clone()
+            pert(4 * 8 + 3) = (pert(4 * 8 + 3) + 16) % 256
+            put(s"asset_${id + 4 * Planting.Offset}.png",
+              PixelCodec.encodeGray8Png(PixelCodec.renderGrid(pert, 64)))
+          }
+        }
+      base
+    }
+
+  // Perceptual hashes end-to-end: binaryFile scan → REAL pixel decode
+  // (PNG inflate + filter reversal / BMP walk) → exact 8×8 box average
+  // → 64-bit dHash, surfaced LSB-first as a bit string (the comparator
+  // cannot hash a value whose sign bit depends on engine integer
+  // semantics; a '0'/'1' string is unambiguous). The oracle recomputes
+  // every expected hash from the planting formula — md5 block luma +
+  // gradient signs — so resized/re-encoded/BMP variants PROVE
+  // hash-identical pixels and the perturbed variant's exact bits are
+  // pinned too.
+  private def mmPhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.perceptualHashes(
+        Multimodal.ingestBinary(s, pixelFixtureDir(s, d)))
+      .select(col("asset_id"),
+        reverse(lpad(bin(col("phash")), 64, "0")).as("phash_bits"))
+      .orderBy("asset_id")
+
+  // The dedup ∩ multimodal closure: byte-distinct pixel-near copies
+  // (re-encode, resize, format conversion, slight perturbation) are
+  // recovered into clusters via banded Hamming pairing + connected
+  // components; the oracle enumerates expected clusters straight from
+  // the planting schedule.
+  private def mmDedupNear(s: SparkSession, d: String): DataFrame =
+    Multimodal.nearDupMediaClusters(
+        Multimodal.ingestBinary(s, pixelFixtureDir(s, d)))
+      .orderBy("canonical_id")
+
+  /** Fixture plantings are one-time per (session, dir) — registered as
+    * explicit build lines so single-shot bench numbers for the mm
+    * queries reflect steady state (the files exist; only the scan +
+    * decode + pairing is the query). */
+  override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Map(
+      "mm_pixel_build"  -> ((s, d) => { pixelFixtureDir(s, d); () }),
+      "mm_binary_build" -> ((s, d) => { binaryFixtureDir(s, d); () }),
+      "mm_image_build"  -> ((s, d) => { imageFixtureDir(s, d); () }),
+      "mm_av_build"     -> ((s, d) => { avFixtureDir(s, d); () }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash"             -> (mmPhash _),
+    "mm_dedup_near"        -> (mmDedupNear _),
     "mm_decode_meta"       -> (mmDecodeMeta _),
     "mm_decode_image"      -> (mmDecodeImage _),
     "mm_decode_av"         -> (mmDecodeAv _),
@@ -173,7 +266,72 @@ object MultimodalOps extends QueryModule {
     "mm_dedup_exact"       -> (mmDedupExact _),
   )
 
+  /** DuckDB rendering of [[graft.multimodal.PixelCodec.sceneLuma]]'s
+    * first-md5-byte: per-hex-digit ascii arithmetic (DuckDB has no
+    * hex→int cast — same trick as [[graft.functions.Md5Bucket]]). */
+  private def hexByteSql(h: String): String = {
+    def hd(i: Int) = s"(ascii(substr($h, $i, 1)) - " +
+      s"CASE WHEN substr($h, $i, 1) >= 'a' THEN 87 ELSE 48 END)"
+    s"(${hd(1)} * 16 + ${hd(2)})"
+  }
+
+  /** The planted perceptual-asset schedule as a DuckDB CTE pair
+    * (shared by the mm_phash and mm_dedup_near oracles). */
+  private val pixelAssetsCte: String =
+    """d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+       assets AS (
+         SELECT doc_id AS asset_id, doc_id AS scene, FALSE AS pert FROM d
+         UNION ALL SELECT doc_id + 100000, doc_id, FALSE FROM d WHERE doc_id % 50 = 0
+         UNION ALL SELECT doc_id + 200000, doc_id, FALSE FROM d WHERE doc_id % 75 = 0
+         UNION ALL SELECT doc_id + 300000, doc_id, FALSE FROM d WHERE doc_id % 100 = 0
+         UNION ALL SELECT doc_id + 400000, doc_id, TRUE  FROM d WHERE doc_id % 125 = 0)"""
+
   val oracles: Map[String, String] = Map(
+
+    // recomputes every expected dHash from the planting formula:
+    // md5-mixed 8x8 block luma -> horizontal gradient signs (wrapping
+    // bx 7->0), LSB-first bit string. The resized / re-encoded / BMP
+    // variants carry the SAME scene, so their rows prove the decode
+    // paths land on identical pixels; the perturbed variant's exact
+    // bits are pinned by the same arithmetic.
+    "mm_phash" ->
+      s"""WITH $pixelAssetsCte,
+          g0 AS (
+            SELECT a.asset_id, a.pert, t1.gx, t2.gy,
+                   ${hexByteSql("md5(CAST(a.scene AS VARCHAR) || '_' || " +
+                     "CAST(t1.gx AS VARCHAR) || '_' || CAST(t2.gy AS VARCHAR))")}
+                     AS luma0
+            FROM assets a, range(8) t1(gx), range(8) t2(gy)),
+          g AS (
+            SELECT asset_id, gx, gy,
+                   CASE WHEN pert AND gx = 3 AND gy = 4
+                        THEN (luma0 + 16) % 256 ELSE luma0 END AS luma
+            FROM g0),
+          bits AS (
+            SELECT g1.asset_id, g1.gx, g1.gy,
+                   CASE WHEN g2.luma > g1.luma THEN '1' ELSE '0' END AS bit
+            FROM g g1 JOIN g g2 ON g1.asset_id = g2.asset_id
+             AND g2.gy = g1.gy AND g2.gx = (g1.gx + 1) % 8)
+          SELECT asset_id, string_agg(bit, '' ORDER BY gy, gx) AS phash_bits
+          FROM bits GROUP BY asset_id ORDER BY asset_id""",
+
+    // expected clusters fall straight out of the variant schedule: a
+    // scene clusters iff it planted at least one variant (md5 mixing
+    // keeps distinct scenes ~32 bits apart — far beyond maxDist=2 —
+    // and the perturbed variant moves <=2 bits: within it)
+    "mm_dedup_near" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         m AS (
+           SELECT doc_id AS canonical_id, doc_id AS member FROM d
+             WHERE doc_id % 50 = 0 OR doc_id % 75 = 0 OR doc_id % 125 = 0
+           UNION ALL SELECT doc_id, doc_id + 100000 FROM d WHERE doc_id % 50 = 0
+           UNION ALL SELECT doc_id, doc_id + 200000 FROM d WHERE doc_id % 75 = 0
+           UNION ALL SELECT doc_id, doc_id + 300000 FROM d WHERE doc_id % 100 = 0
+           UNION ALL SELECT doc_id, doc_id + 400000 FROM d WHERE doc_id % 125 = 0)
+         SELECT canonical_id, count(*) AS n_members,
+                string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
+                  AS member_ids
+         FROM m GROUP BY canonical_id ORDER BY canonical_id""",
 
     // both entries recompute the fixture set from documents (the same
     // planting rule that wrote the files), so the whole binaryFile

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{Multimodal, PixelCodec}
+import graft.multimodal.PixelCodec.Gray
+
+/** The perceptual-hash tier: REAL pixel decode (gray8 PNG via JDK
+  * inflate + filter reversal, 24-bit BMP), exact 8×8 box downsample,
+  * 64-bit dHash, and the byte-distinct/pixel-near dedup property the
+  * whole tier exists for. */
+class PixelCodecSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // deterministic pseudo-random pixels (no Random: repeatable)
+  private def noisy(w: Int, h: Int, seed: Int): Gray =
+    Gray(w, h, Array.tabulate(w * h)(i =>
+      (i * 2654435761L + seed * 40503L).toInt & 0xff))
+
+  test("PNG round-trip: every filter type 0-4 reverses to the same pixels") {
+    for (f <- 0 to 4; (w, h) <- Seq((8, 8), (16, 24), (1, 1), (7, 3))) {
+      val img = noisy(w, h, f)
+      val decoded = PixelCodec.decodeGray8Png(
+        PixelCodec.encodeGray8Png(img, filterType = f))
+      assert(decoded.isDefined, s"filter $f ${w}x$h")
+      assert(decoded.get.width === w && decoded.get.height === h)
+      assert(decoded.get.luma.toSeq === img.luma.toSeq, s"filter $f ${w}x$h")
+    }
+  }
+
+  test("PNG ancillary chunks are skipped; BMP round-trips incl. row padding") {
+    val img = noisy(16, 8, 1)
+    val withText = PixelCodec.encodeGray8Png(img, 0, Some("metadata here"))
+    val plain = PixelCodec.encodeGray8Png(img, 0, None)
+    assert(!withText.sameElements(plain))          // byte-distinct
+    assert(PixelCodec.decodeGray8Png(withText).get.luma.toSeq ===
+      img.luma.toSeq)                              // pixel-identical
+    // width 6: stride 18 pads to 20 — the padding path
+    for ((w, h) <- Seq((6, 4), (8, 8), (1, 1))) {
+      val b = noisy(w, h, 9)
+      assert(PixelCodec.decodeBmp24(PixelCodec.encodeBmp24(b)).get
+        .luma.toSeq === b.luma.toSeq)
+    }
+  }
+
+  test("lumaGrid8: exact box average; non-divisible dims refused") {
+    // 16x16 image built from a known 8x8 grid: downsample recovers it
+    val grid = Array.tabulate(64)(i => (i * 37) % 256)
+    val img = PixelCodec.renderGrid(grid, 16)
+    assert(PixelCodec.lumaGrid8(img).get.toSeq === grid.toSeq)
+    // non-constant tiles: floor of the true mean — 16x16 checkerboard,
+    // each 2x2 tile holds {10,13,13,10} → floor(46/4) = 11
+    val mixed = Gray(16, 16,
+      Array.tabulate(256)(i => if ((i / 16 + i % 16) % 2 == 0) 10 else 13))
+    assert(PixelCodec.lumaGrid8(mixed).get.forall(_ == 11))
+    assert(PixelCodec.lumaGrid8(noisy(12, 8, 0)).isEmpty)   // 12 % 8 != 0
+    assert(PixelCodec.phash(
+      PixelCodec.encodeGray8Png(noisy(12, 8, 0))).isEmpty)
+  }
+
+  test("dhash64: gradient signs with bx 7->0 wraparound") {
+    // strictly increasing rows: bits 0..6 of each row set, bit 7 clear
+    // (wraparound compares col 0 against col 7: 0 < 7·step)
+    val inc = Array.tabulate(64)(i => (i % 8) * 10)
+    val h = PixelCodec.dhash64(inc)
+    for (row <- 0 until 8; bx <- 0 until 8) {
+      val bit = (h >> (row * 8 + bx)) & 1
+      assert(bit === (if (bx < 7) 1L else 0L), s"row $row bx $bx")
+    }
+  }
+
+  test("byte-distinct pixel-equivalent variants hash identically; perturbed within 2 bits") {
+    val grid = PixelCodec.sceneGrid(4242L)
+    val original = PixelCodec.encodeGray8Png(PixelCodec.renderGrid(grid, 64))
+    val resized = PixelCodec.encodeGray8Png(PixelCodec.renderGrid(grid, 32))
+    val reenc = PixelCodec.encodeGray8Png(PixelCodec.renderGrid(grid, 64),
+      filterType = 2, textChunk = Some("re-encoded"))
+    val bmp = PixelCodec.encodeBmp24(PixelCodec.renderGrid(grid, 64))
+    val variants = Seq(resized, reenc, bmp)
+    assert(variants.forall(v => !v.sameElements(original))) // bytes differ
+    val h0 = PixelCodec.phash(original).get
+    variants.foreach(v => assert(PixelCodec.phash(v).get === h0))
+    // perturbing one grid cell moves at most the 2 adjacent gradients
+    val pert = grid.clone(); pert(4 * 8 + 3) = (pert(4 * 8 + 3) + 16) % 256
+    val hp = PixelCodec.phash(
+      PixelCodec.encodeGray8Png(PixelCodec.renderGrid(pert, 64))).get
+    assert(java.lang.Long.bitCount(h0 ^ hp) <= 2)
+    // a different scene is far away (md5 mixing: expected distance 32)
+    val other = PixelCodec.phash(PixelCodec.encodeGray8Png(
+      PixelCodec.renderGrid(PixelCodec.sceneGrid(4243L), 64))).get
+    assert(java.lang.Long.bitCount(h0 ^ other) > 8)
+  }
+
+  test("hostile inputs never throw and decode to None") {
+    val good = PixelCodec.encodeGray8Png(noisy(8, 8, 2))
+    val goodBmp = PixelCodec.encodeBmp24(noisy(8, 8, 2))
+    val hostile = Seq[Array[Byte]](
+      Array.empty,
+      good.take(20),                         // truncated mid-IHDR
+      good.take(good.length - 15),           // IEND missing
+      good.updated(40, 0x7f.toByte),         // corrupt deflate stream
+      goodBmp.take(30),                      // truncated BMP header
+      goodBmp.updated(28, 8.toByte),         // 8 bpp: unsupported
+      Array.fill[Byte](128)(-1))
+    hostile.foreach(b => assert(PixelCodec.phash(b).isEmpty))
+    // RGB (color type 2) PNG: the open codec seam, not silently wrong
+    val rgb = Multimodal.MediaHeaders.png(8, 8) ++ Array.fill[Byte](64)(3)
+    assert(PixelCodec.decodeGray8Png(rgb).isEmpty)
+  }
+
+  test("nearDupMediaClusters e2e: re-encoded/resized/BMP copies cluster, distinct scenes don't") {
+    val dir = Files.createTempDirectory("mm_pxl_spec").toString
+    def put(name: String, b: Array[Byte]): Unit =
+      Files.write(Paths.get(s"$dir/$name"), b)
+    val g1 = PixelCodec.sceneGrid(1L)
+    val g2 = PixelCodec.sceneGrid(2L)
+    put("asset_1.png", PixelCodec.encodeGray8Png(PixelCodec.renderGrid(g1, 64)))
+    put("asset_2.png", PixelCodec.encodeGray8Png(PixelCodec.renderGrid(g1, 32)))
+    put("asset_3.png", PixelCodec.encodeGray8Png(
+      PixelCodec.renderGrid(g1, 64), filterType = 4, textChunk = Some("x")))
+    put("asset_4.bmp", PixelCodec.encodeBmp24(PixelCodec.renderGrid(g1, 64)))
+    put("asset_5.png", PixelCodec.encodeGray8Png(PixelCodec.renderGrid(g2, 64)))
+    put("asset_6.png", PixelCodec.encodeGray8Png(PixelCodec.renderGrid(g2, 16)))
+    put("asset_7.png", PixelCodec.encodeGray8Png(
+      PixelCodec.renderGrid(PixelCodec.sceneGrid(3L), 64))) // singleton scene
+    put("asset_8.wav", Multimodal.MediaHeaders.wav(8000, 1, 4) ++
+      Array.fill[Byte](4)(0))                               // non-image: dropped
+    val out = Multimodal.nearDupMediaClusters(
+        Multimodal.ingestBinary(spark, dir))
+      .orderBy("canonical_id").collect()
+      .map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_members"),
+        r.getAs[String]("member_ids")))
+    assert(out.toSeq === Seq((1L, 4L, "1,2,3,4"), (5L, 2L, "5,6")))
+  }
+}
