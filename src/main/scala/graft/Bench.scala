@@ -48,6 +48,24 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on names matching neither a query nor a build — a typo
+    // would otherwise silently produce an empty (or partial) run; and
+    // flag when a restriction drops builds, because a consumer query
+    // then pays its memo build in-line and the number is not comparable
+    // to full-protocol runs
+    only.foreach { names =>
+      val known = SparkEntry.queries.keySet ++ SparkEntry.benchBuilds.keySet
+      val unknown = names.diff(known)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names match no query/build: " +
+          unknown.toSeq.sorted.mkString(", "))
+      val droppedBuilds = SparkEntry.benchBuilds.keySet.diff(names)
+      if (names.exists(SparkEntry.queries.contains) && droppedBuilds.nonEmpty)
+        System.err.println(
+          s"Bench: restricted run excludes ${droppedBuilds.size} build " +
+            "entries — memoized builds are charged to their first " +
+            "consumer query; numbers are not comparable to full runs")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val builds: Seq[(String, Double)] =
       SparkEntry.benchBuilds.toSeq.filter(b => keep(b._1))

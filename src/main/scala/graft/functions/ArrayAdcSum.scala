@@ -38,10 +38,13 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, Lo
   * ([[graft.sim.Pq.adcSumExpr]]): null if either array is null;
   * `zip_with` length-pads with null and `acc + null` poisons the
   * fold, so a length mismatch (flat: length not a positive multiple
-  * of m), a null element, or an out-of-range code yields null (never
-  * throws — the out-of-range case is `element_at`'s non-ANSI
-  * reading; in-contract inputs always have codes inside the LUT
-  * row).
+  * of m) or a null element yields null. Out-of-range codes are a
+  * deliberate semantic LOOSENING vs the HOF form: the kernel returns
+  * null for any code outside the LUT row (including negatives, where
+  * `element_at` with index ≤ 0 would THROW, and overlarge codes,
+  * `element_at`'s non-ANSI null) — never throws; in-contract inputs
+  * always have codes inside the LUT row, where the two forms are
+  * bit-identical (ArrayAdcSumSpec).
   */
 case class ArrayAdcSum(left: Expression, right: Expression)
     extends BinaryExpression {

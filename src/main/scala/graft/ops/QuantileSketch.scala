@@ -52,6 +52,12 @@ object QuantileSketch {
       s"CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT) " +
         s"div ${widthCents}L")
     df.select(keys.map(col) :+ bucket.as("bucket"): _*)
+      // a null value (or a DECIMAL(18,2) overflow returning null in
+      // non-ANSI mode) must not enter the state: engines disagree on
+      // null ORDER BY placement (Spark nulls-first vs DuckDB
+      // nulls-last), which would shift every cumulative count in the
+      // read-side window — nulls carry no quantile signal anyway
+      .filter(col("bucket").isNotNull)
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
   }

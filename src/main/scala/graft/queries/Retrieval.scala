@@ -214,7 +214,10 @@ object Retrieval extends QueryModule {
   //      the synthesis here caps in-degree at corpus/50 by
   //      construction, so the conformance entry needs no cap.
   private def webAnchorBm25(s: SparkSession, d: String): DataFrame = {
-    val ts = graft.text.Tokens.ws("text")
+    // tokenize COALESCED text: a null doc text must yield empty anchor
+    // slices (matching the oracle's NULL-atext anchor rows), not
+    // null-poison the whole concat'd html and drop the doc's anchors
+    val ts = graft.text.Tokens.ws(coalesce(col("text"), lit("")))
     val a1 = array_join(slice(ts, 1, 4), " ")
     val a2 = array_join(slice(ts, 3, 4), " ")
     val a3 = array_join(slice(ts, 5, 4), " ")
