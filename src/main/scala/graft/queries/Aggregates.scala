@@ -108,6 +108,22 @@ object Aggregates extends QueryModule {
         col("p").getItem(1).as("p95_approx"))
       .orderBy("event_type")
 
+  // ---- A7 twin: the SAME p50/p95-per-event_type readout through the
+  //      mergeable integer-histogram sketch
+  //      ([[graft.ops.QuantileSketch]]) — cross-engine-exact by
+  //      construction, so this is the HASH-GREEN anchor that pins the
+  //      rows-only GK dial above to a provable quantile path on the
+  //      same table and keys (RegistrySpec ties the two within one
+  //      bucket width). W = 100 cents: est is within $1 above the
+  //      exact percentile, state ≤ range/W rows per key.
+  private def a7PercentileSketch(s: SparkSession, d: String): DataFrame =
+    graft.ops.QuantileSketch.quantiles(
+        graft.ops.QuantileSketch.summarize(
+          Tables.events(s, d), Seq("event_type"), "value",
+          widthCents = 100L),
+        Seq("event_type"), pcts = Seq(50, 95), widthCents = 100L)
+      .orderBy("event_type", "pct")
+
   // ---- W1: sessionization — the stateful record-boundary detection of
   //      the PGN stream (F1, get_games_from_tv.py:196-199) generalized:
   //      per-user sessions split on >1h inactivity gaps, assigned by a
@@ -353,6 +369,7 @@ object Aggregates extends QueryModule {
     "a7_count_distinct"       -> (a7CountDistinct _),
     "a7_approx_distinct"      -> (a7ApproxDistinct _),
     "a7_approx_percentile"    -> (a7ApproxPercentile _),
+    "a7_percentile_sketch"    -> (a7PercentileSketch _),
     "w1_sessionization"       -> (w1Sessionization _),
     "w10_capped_sessions"     -> (w10CappedSessions _),
     "w10_capped_sessions_stream" -> (w10CappedSessionsStream _),
@@ -402,6 +419,31 @@ object Aggregates extends QueryModule {
     Map("w10_stream_build" -> ((s, d) => { cappedStreamPath(s, d); () }))
 
   val oracles: Map[String, String] = Map(
+
+    // the integer-histogram quantile chain, verbatim in SQL (same
+    // shape as the ops_incr_quantile oracle; W = 100 cents)
+    "a7_percentile_sketch" ->
+      """WITH h AS (
+           SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    // 100 AS bucket,
+                  count(*) AS cnt
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT event_type, sum(cnt) AS n FROM h GROUP BY 1),
+         cum AS (
+           SELECT event_type, bucket,
+                  sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+                    AS cum
+           FROM h),
+         p(pct) AS (VALUES (50), (95)),
+         est AS (
+           SELECT c.event_type, p.pct, min(c.bucket) AS bstar
+           FROM cum c JOIN t USING (event_type) CROSS JOIN p
+           WHERE c.cum * 100 >= t.n * p.pct
+           GROUP BY 1, 2)
+         SELECT event_type, pct, (bstar + 1) * 100 - 1 AS est_cents
+         FROM est ORDER BY event_type, pct""",
+
     "a9_salted_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -69,6 +69,48 @@ class RegistrySpec extends AnyFunSuite {
       0.02 * math.max(1.0, row.getDouble(2)))
   }
 
+  test("a7_percentile_sketch brackets the exact order statistic and ties the GK dial") {
+    import org.apache.spark.sql.functions._
+    val w = 100L // bucket width in cents (the registry entry's W)
+    val est = SparkEntry.queries("a7_percentile_sketch")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("pct")) ->
+        r.getAs[Long]("est_cents")).toMap
+    val gk = SparkEntry.queries("a7_approx_percentile")(spark, sf001)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50_approx"), r.getAs[Double]("p95_approx")))
+      .toMap
+    val byType = Tables.events(spark, sf001)
+      .filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    assert(est.nonEmpty && gk.keySet === byType.keySet)
+    for ((et, rows) <- byType; pct <- Seq(50, 95)) {
+      // exact order statistic at the sketch's rank rule:
+      // the ⌈n·pct/100⌉-th smallest value, in exact cents
+      val cents = rows.map(v => math.round(
+        (BigDecimal(v._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toDouble)).sorted
+      val rank = (cents.length * pct + 99) / 100 // ceil
+      val vCents = cents(rank - 1)
+      val e = est((et, pct))
+      // est is the bucket upper bound of that order statistic:
+      // exact bracketing, by construction
+      withClue(s"$et p$pct: est=$e v=$vCents ") {
+        assert(e >= vCents && e < vCents + w)
+      }
+      // and the rows-only GK dial lands within one bucket width of
+      // the hash-green sketch (plus GK's own pinned 2% rank-error
+      // slack) — the anchor relation this entry exists to prove
+      val gkCents = (if (pct == 50) gk(et)._1 else gk(et)._2) * 100
+      withClue(s"$et p$pct: est=$e gk=$gkCents ") {
+        val slack = 0.02 * math.max(100.0, gkCents)
+        assert(e >= gkCents - slack && e <= gkCents + w + slack)
+      }
+    }
+  }
+
   // Scope: CROSS-module shadowing only — a duplicate key inside one
   // module's Map literal is already collapsed by Scala's Map
   // construction before anything can observe it (last entry wins);
