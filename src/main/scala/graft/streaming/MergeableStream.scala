@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+
 
 import org.apache.spark.sql.DataFrame
 
@@ -23,25 +23,22 @@ object MergeableStream {
 
   private val Marker = "_applied_batch"
 
-  private def appliedBatch(tablePath: String): Long = {
-    val m = Paths.get(tablePath, Marker)
-    if (Files.exists(m)) new String(Files.readAllBytes(m), "UTF-8")
-      .trim.toLong
-    else -1L
-  }
+  private def appliedBatch(tablePath: String): Long =
+    graft.sources.TableSwap.readMarker(tablePath, Marker)
+      .map(_.trim.toLong).getOrElse(-1L)
 
-  /** Returns true iff the batch was applied (false = replay skipped). */
+  /** Returns true iff the batch was applied (false = replay skipped).
+    * Marker + swap ride [[graft.sources.TableSwap]]'s Hadoop-FS
+    * rename protocol, so `tablePath` may live on any storage scheme
+    * (local, `file:`, `hdfs://`, …) — the state table is not pinned
+    * to the driver's disk; see TableSwap's atomicity contract for
+    * rename-as-copy object stores. */
   def applyBatch(batch: DataFrame, batchId: Long, tablePath: String,
       summarize: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): Boolean = {
     val spark = batch.sparkSession
-    // marker + swap are nio local-only — fail fast before any state
-    // mutation rather than silently losing replay protection on a
-    // remote tablePath (TableSwap.requireLocal documents the scale
-    // path: Hadoop FS + committer)
-    graft.sources.TableSwap.requireLocal(tablePath)
     graft.sources.TableSwap.recover(tablePath)
-    val exists = Files.exists(Paths.get(tablePath))
+    val exists = graft.sources.TableSwap.exists(tablePath)
     if (exists && batchId <= appliedBatch(tablePath)) return false
     val delta = summarize(batch)
     val merged =
@@ -49,8 +46,7 @@ object MergeableStream {
       else merge(spark.read.parquet(tablePath), delta)
     val tmp = tablePath + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    Files.write(Paths.get(tmp, Marker),
-      batchId.toString.getBytes("UTF-8"))
+    graft.sources.TableSwap.writeMarker(tmp, Marker, batchId.toString)
     graft.sources.TableSwap.promoteTmp(tablePath)
     true
   }

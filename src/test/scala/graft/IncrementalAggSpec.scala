@@ -87,4 +87,26 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(rows(spark.read.parquet(dir)) ==
       rows(sum3(batchA.unionByName(batchB).unionByName(batchC))))
   }
+
+  test("stream applyBatch on a file:-scheme'd Hadoop path: replay skip + crash recovery") {
+    import java.nio.file.Paths
+    val local = Files.createTempDirectory("incr_fs").toString
+    // explicit URI scheme: the marker + swap must route through the
+    // Hadoop FileSystem for this path, not java.nio (which would
+    // misread "file:/..." as a relative path)
+    val dir = "file:" + local + "/state"
+    assert(IncrementalAggStream.applyBatch(batchA, 0L, dir, Keys, "v", "d"))
+    assert(IncrementalAggStream.applyBatch(batchB, 1L, dir, Keys, "v", "d"))
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(!IncrementalAggStream.applyBatch(batchB, 1L, dir, Keys, "v", "d"))
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted
+      .sameElements(before))
+    // crash in the swap window: live moved to .bak, replacement never
+    // arrived — the next applyBatch must recover the backup first and
+    // then merge on top (same contract as the nio-era crash spec)
+    Files.move(Paths.get(s"$local/state"), Paths.get(s"$local/state.bak"))
+    assert(IncrementalAggStream.applyBatch(batchC, 2L, dir, Keys, "v", "d"))
+    assert(rows(spark.read.parquet(dir)) ==
+      rows(sum3(batchA.unionByName(batchB).unionByName(batchC))))
+  }
 }
