@@ -84,6 +84,7 @@ object Stress {
     "w1_sessionization", "w7_transitions", "w9_gap_fill",
     "w10_capped_sessions", "w10_capped_sessions_stream",
     "w11_windowed_quantile", "w11_windowed_quantile_stream",
+    "t2_watermark_dedup", "a7_percentile_sketch",
     "layout_partition_prune", "layout_zorder_scan",
     "layout_bucketed_join", "layout_compact", "export_range_sorted",
     "src_csv_roundtrip", "src_orc_roundtrip")
@@ -99,7 +100,7 @@ object Stress {
     "text_hh_stream_build", "w10_stream_build",
     "ops_incr_quantile_stream_build", "w11_stream_build",
     "sim_pq_model_build", "sim_pq_encode_build", "sim_ivf_append_build",
-    "mm_pixel_build")
+    "mm_pixel_build", "t2_wm_stream_build")
 
   private def tokenSuffixed(text: Column, rep: Column): Column =
     array_join(

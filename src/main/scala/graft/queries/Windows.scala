@@ -217,7 +217,82 @@ object Windows extends QueryModule {
   private def w9GapFill(s: SparkSession, d: String): DataFrame =
     gapFillDaily(Tables.events(s, d)).orderBy("user_id", "day")
 
+  // ---- T2 extension: WATERMARKED event-time dedup — the bounded-state
+  //      form of the reference's unbounded LWW upsert model (SURVEY
+  //      §2.7/T2: `withWatermark(...).dropDuplicates`). State holds only
+  //      keys with ts above the watermark (1 h behind max event time),
+  //      so per-key memory is bounded by the lateness budget, not by
+  //      history — the trade: a duplicate arriving LATER than the
+  //      budget is dropped as late data (if its ts is below the
+  //      watermark) rather than matched against evicted state.
+  //      StreamingSpec pins both sides of that trade.
+
+  /** Plant the t2 stream once per (session, dir): three event-time
+    * slices (days 1–10 / 11–20 / 21+) as ONE parquet file each with
+    * strictly increasing modification times, so the file source's
+    * modTime ordering makes batches ≡ slices and the watermark
+    * sequence is fully deterministic. Planted inputs: every 37th
+    * event appears TWICE in its own slice (in-watermark duplicate →
+    * deduped) and every 53rd slice-0 event is REPLAYED in slice 2
+    * (ts is then ~10 days below the watermark → dropped as late), so
+    * the streamed output must equal exactly the original events table
+    * — the batch-distinct oracle. */
+  private def t2StreamDir(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "t2_watermark_stream") {
+      val base = java.nio.file.Files.createTempDirectory("t2_wm").toString
+      val e = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type")
+      val c1 = to_timestamp(lit("2024-01-11 00:00:00"))
+      val c2 = to_timestamp(lit("2024-01-21 00:00:00"))
+      val dup = e.filter(pmod(col("event_id"), lit(37)) === 0)
+      val late = e.filter(col("ts") < c1 &&
+        pmod(col("event_id"), lit(53)) === 0)
+      val slices = Seq(
+        e.filter(col("ts") < c1)
+          .unionByName(dup.filter(col("ts") < c1)),
+        e.filter(col("ts") >= c1 && col("ts") < c2)
+          .unionByName(dup.filter(col("ts") >= c1 && col("ts") < c2)),
+        e.filter(col("ts") >= c2)
+          .unionByName(dup.filter(col("ts") >= c2))
+          .unionByName(late))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        val tmp = s"$base/tmp_$i"
+        sl.coalesce(1).write.parquet(tmp)   // fixture: one file per slice
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = java.nio.file.Paths.get(s"$base/slice_$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+        graft.sources.TableSwap.deleteRecursively(
+          java.nio.file.Paths.get(tmp))
+      }
+      base
+    }
+
+  private def t2WatermarkDedup(s: SparkSession, d: String): DataFrame = {
+    val dir = t2StreamDir(s, d)
+    val schema = s.read.parquet(s"$dir/slice_0.parquet").schema
+    val sink = "t2_wm_dedup_sink"
+    s.catalog.dropTempView(sink)            // re-runs re-register
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)      // one slice per micro-batch
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t2_watermark_dedup" -> (t2WatermarkDedup _),
     "w9_gap_fill" -> (w9GapFill _),
     "w8_interval_union" -> (w8IntervalUnion _),
     "w7_transitions" -> (w7Transitions _),
@@ -230,7 +305,22 @@ object Windows extends QueryModule {
     "f1_stateful_sessions" -> (f1StatefulSessions _)
   )
 
+  /** The slice planting is one-time per (session, dir) — an explicit
+    * build line so the streamed entry's bench number reflects the
+    * stream run, not the fixture write. */
+  override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Map("t2_wm_stream_build" -> ((s, d) => { t2StreamDir(s, d); () }))
+
   val oracles: Map[String, String] = Map(
+
+    // in-watermark duplicates deduped, late replays dropped → the
+    // stream converges to exactly the original (event_id-unique)
+    // events table: the batch-distinct oracle
+    "t2_watermark_dedup" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                user_id, event_type
+         FROM events ORDER BY event_id""",
+
     // generate_series is inclusive on both ends, matching Spark's
     // sequence(d0, d1) — one spine row per user-day
     "w9_gap_fill" ->

@@ -71,6 +71,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("T2 watermarked dropDuplicates: cross-batch dedup inside the bound, LATE rows dropped") {
+    // the t2_watermark_dedup registry entry's two behaviors, pinned in
+    // isolation: (a) a duplicate (event_id, ts) re-delivered in a later
+    // batch while ts is still above the watermark is deduped by state;
+    // (b) ANY row whose ts has fallen below the watermark — duplicate
+    // or never-seen — is dropped as late data, which is exactly what
+    // bounds the state (keys below the watermark are evicted)
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(offsetMin: Long) = new Timestamp(t0 + offsetMin * 60000L)
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("id", "ts")
+      .writeStream.format("memory").queryName("t2_wm_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: ids 1,2 (with an in-batch dup of 1) → 2 survivors;
+      // watermark after the batch: 0 - 60 min... max ts 10 → -50 min
+      input.addData(Seq((1L, ts(0)), (1L, ts(0)), (2L, ts(10))))
+      q.processAllAvailable()
+      assert(spark.table("t2_wm_spec").count() == 2)
+      // batch 2: (1, ts 0) re-delivered — ts above the watermark →
+      // deduped by state, not re-emitted; (3, ts 30) is new
+      input.addData(Seq((1L, ts(0)), (3L, ts(30))))
+      q.processAllAvailable()
+      assert(spark.table("t2_wm_spec").count() == 3)
+      // batch 3: advance event time to +600 min → watermark 540
+      input.addData(Seq((4L, ts(600))))
+      q.processAllAvailable()
+      // batch 4: BOTH late rows dropped — the old duplicate AND a
+      // never-seen id with an old timestamp (late ≠ duplicate)
+      input.addData(Seq((1L, ts(0)), (99L, ts(1))))
+      q.processAllAvailable()
+      assert(spark.table("t2_wm_spec").count() == 4)
+      assert(!spark.table("t2_wm_spec")
+        .collect().map(_.getLong(0)).contains(99L))
+      // state holds only above-watermark keys (id 4), not history
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 1, s"state rows $stateRows")
+    } finally q.stop()
+  }
+
   test("T2 at scale: dropDuplicatesWithinWatermark dedups inside the bound, evicts state after it") {
     // Unbounded dropDuplicates keeps EVERY key in state forever — at
     // 100 TB that state is the corpus. The production form bounds state
