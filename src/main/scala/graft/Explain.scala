@@ -58,7 +58,8 @@ object Explain {
         "w10_capped_sessions_stream", "web_anchor_bm25",
         "eval_recall_at_k", "eval_mrr", "eval_ndcg",
         "w11_windowed_quantile", "w11_windowed_quantile_stream",
-        "mm_phash", "mm_dedup_near", "t2_watermark_dedup")
+        "mm_phash", "mm_dedup_near", "t2_watermark_dedup",
+        "pipeline_curate_v8")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

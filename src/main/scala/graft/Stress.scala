@@ -71,7 +71,8 @@ object Stress {
     "text_fix_encoding", "sim_hard_negatives_ann",
     "pack_sft", "vocab_bpe_train", "web_anchor_index",
     "text_html_extract", "mm_decode_av", "text_heavy_hitters_stream",
-    "web_anchor_bm25", "mm_phash", "mm_dedup_near")
+    "web_anchor_bm25", "mm_phash", "mm_dedup_near",
+    "pipeline_curate_v8")
 
   /** Relational / windows / layout tier (orders + lineitem + events —
     * amplified fact tables; region/nation/supplier/part stay dim-sized,

@@ -414,16 +414,24 @@ object Multimodal {
     * stripped metadata), resized, and format-converted (PNG↔BMP)
     * copies whose bytes share nothing but whose pixels do. */
   def nearDupMediaClusters(assets: Dataset[MediaAsset],
-      maxDist: Int = 2): DataFrame = {
-    val sketches = perceptualHashes(assets)
-      .select(col("asset_id").as("id"), col("phash").as("simhash"))
-    val pairs = graft.dedup.Dedup.simhashPairs(
-      sketches, maxDist, bits = 64, bands = 8)
-    graft.dedup.Dedup.connectedComponents(pairs)
+      maxDist: Int = 2): DataFrame =
+    perceptualLabels(perceptualHashes(assets), maxDist)
       .groupBy(col("cluster_id").as("canonical_id"))
       .agg(count(lit(1)).as("n_members"),
         array_join(sort_array(collect_list(col("id")))
           .cast("array<string>"), ",").as("member_ids"))
+
+  /** Component labels over the perceptual-hash space: (id, cluster_id
+    * = min reachable member) for every asset in at least one near-dup
+    * pair — singletons are absent (their label is themselves). The
+    * label-level view [[nearDupMediaClusters]] groups, exposed so
+    * pipelines (curate v8) can keep-best without re-decoding. */
+  def perceptualLabels(hashed: DataFrame, maxDist: Int = 2): DataFrame = {
+    val sketches = hashed
+      .select(col("asset_id").as("id"), col("phash").as("simhash"))
+    graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.simhashPairs(sketches, maxDist,
+        bits = 64, bands = 8))
   }
 
   def dedupExactMedia(assets: Dataset[MediaAsset]): DataFrame =

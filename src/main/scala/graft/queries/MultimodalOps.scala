@@ -215,6 +215,15 @@ object MultimodalOps extends QueryModule {
             put(s"asset_${id + 4 * Planting.Offset}.png",
               PixelCodec.encodeGray8Png(PixelCodec.renderGrid(pert, 64)))
           }
+          // corrupt variant (id%175, +5·Offset): a truncated PNG — the
+          // IDAT stream cuts off mid-deflate, so pixel decode MUST
+          // return None. Exercises the hostile-input path end-to-end:
+          // mm_phash / mm_dedup_near / curate v8 all read the file and
+          // must drop it (their oracles never enumerate this family).
+          if (id % 175 == 0)
+            put(s"asset_${id + 5 * Planting.Offset}.png",
+              PixelCodec.encodeGray8Png(PixelCodec.renderGrid(grid, 64))
+                .take(60))
         }
       base
     }
@@ -256,7 +265,55 @@ object MultimodalOps extends QueryModule {
       "mm_image_build"  -> ((s, d) => { imageFixtureDir(s, d); () }),
       "mm_av_build"     -> ((s, d) => { avFixtureDir(s, d); () }))
 
+  /** Curate v8 — the first image+text composition, every stage rule
+    * verbatim from its per-operator oracle (the v1–v7 discipline on
+    * the multimodal tier):
+    *   1. binary ingest (mm_binary_ingest's source, over the pixel
+    *      fixture corpus incl. its corrupt family);
+    *   2. decode gate = perceptual hashing (mm_phash's rule: assets
+    *      whose payload pixel-decodes to a ÷8 image — truncated PNGs
+    *      drop here, never throw);
+    *   3. perceptual near-dup keep-best (mm_dedup_near's clusters:
+    *      keep the canonical = min member, count the dropped copies);
+    *   4. caption quality gate (text_quality_gate's dials verbatim on
+    *      the scene document's text — the caption of a real image+text
+    *      corpus);
+    *   5. mixture shard (export_shard_manifest's md5 shard rule).
+    * Scale shape: decode is one projection over payloads; everything
+    * after shuffles 16-byte hashes and caption METRICS, never media
+    * bytes; the caption join is by scene id against the quality
+    * projection. */
+  private def pipelineCurateV8(s: SparkSession, d: String): DataFrame = {
+    val hashed = Multimodal.perceptualHashes(
+      Multimodal.ingestBinary(s, pixelFixtureDir(s, d)))
+    val labels = Multimodal.perceptualLabels(hashed)
+    val dropped = labels.groupBy(col("cluster_id").as("__cid"))
+      .agg((count(lit(1)) - 1).as("n_dups_dropped"))
+    val kept = hashed
+      .join(labels.withColumnRenamed("id", "asset_id"),
+        Seq("asset_id"), "left")
+      .filter(col("cluster_id").isNull ||
+        col("cluster_id") === col("asset_id"))
+      .join(dropped, col("cluster_id") === col("__cid"), "left")
+      .select(col("asset_id"),
+        coalesce(col("n_dups_dropped"), lit(0L)).as("n_dups_dropped"),
+        pmod(col("asset_id"), lit(Planting.Offset)).as("doc_id"))
+    val captions = graft.text.TextAnalysis
+      .qualityGate(Tables.documents(s, d))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "keep")
+    kept.join(captions, Seq("doc_id"))
+      .filter(col("keep"))
+      .select(col("asset_id"), col("doc_id"), col("n_dups_dropped"),
+        col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+        graft.ops.Export.shardId(col("asset_id"), Shards).as("shard"))
+      .orderBy("asset_id")
+  }
+
+  private val Shards = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_v8"   -> (pipelineCurateV8 _),
     "mm_phash"             -> (mmPhash _),
     "mm_dedup_near"        -> (mmDedupNear _),
     "mm_decode_meta"       -> (mmDecodeMeta _),
@@ -287,6 +344,27 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 400000, doc_id, TRUE  FROM d WHERE doc_id % 125 = 0)"""
 
   val oracles: Map[String, String] = Map(
+
+    // every stage rule re-expressed from its own per-operator oracle:
+    // the asset schedule (decodables only — the corrupt family falls
+    // at the decode gate), cluster sizes from the variant schedule,
+    // the SHARED text_quality_gate metric/keep fragments on the scene
+    // document, and the export shard rule
+    "pipeline_curate_v8" ->
+      s"""WITH $pixelAssetsCte,
+          counts AS (SELECT scene, count(*) AS n FROM assets GROUP BY scene),
+          ${OracleCtes.tokCte},
+          ${OracleCtes.qualityMetricsCte}
+          SELECT a.asset_id, a.scene AS doc_id,
+                 CAST(c.n - 1 AS BIGINT) AS n_dups_dropped,
+                 q.n_words, q.mean_word_len, q.symbol_ratio,
+                 ${graft.ops.Export.shardIdSql("a.asset_id", 8)} AS shard
+          FROM assets a
+          JOIN counts c USING (scene)
+          JOIN m q ON q.doc_id = a.scene
+          WHERE a.asset_id = a.scene
+            AND ${OracleCtes.qualityKeepSql}
+          ORDER BY a.asset_id""",
 
     // recomputes every expected dHash from the planting formula:
     // md5-mixed 8x8 block luma -> horizontal gradient signs (wrapping

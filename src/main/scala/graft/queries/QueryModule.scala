@@ -128,4 +128,26 @@ private[queries] object OracleCtes {
   val enList = "['the','a','of','and','to','in']"
   val esList = "['el','la','de','y','que','los']"
   val deList = "['der','die','das','und','ist']"
+
+  /** text_quality_gate's metric CTE (expects the `tok` CTE in scope) —
+    * ONE rendering shared by the text_quality_gate oracle and the
+    * curate-v8 caption gate, mirroring
+    * [[graft.text.TextAnalysis.qualityGate]]'s default dials. */
+  val qualityMetricsCte: String =
+    """m AS (
+         SELECT doc_id,
+                CAST(len(ts) AS INT) AS n_words,
+                CASE WHEN len(ts) > 0
+                     THEN CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / len(ts)
+                     ELSE 0.0 END AS mean_word_len,
+                CASE WHEN length(text) > 0
+                     THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)
+                     ELSE 0.0 END AS symbol_ratio
+         FROM tok)"""
+
+  /** The keep predicate over [[qualityMetricsCte]]'s columns. */
+  val qualityKeepSql: String =
+    """(n_words BETWEEN 30 AND 10000)
+         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND (symbol_ratio <= 0.1)"""
 }

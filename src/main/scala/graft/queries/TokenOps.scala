@@ -698,20 +698,9 @@ object TokenOps extends QueryModule {
 
     "text_quality_gate" ->
       (s"""WITH $tokCte,
-          m AS (
-            SELECT doc_id,
-                   CAST(len(ts) AS INT) AS n_words,
-                   CASE WHEN len(ts) > 0
-                        THEN CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE) / len(ts)
-                        ELSE 0.0 END AS mean_word_len,
-                   CASE WHEN length(text) > 0
-                        THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(text)
-                        ELSE 0.0 END AS symbol_ratio
-            FROM tok)
+          ${OracleCtes.qualityMetricsCte}
           SELECT doc_id, n_words, mean_word_len, symbol_ratio,
-                 (n_words BETWEEN 30 AND 10000)
-                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
-                   AND (symbol_ratio <= 0.1) AS keep
+                 ${OracleCtes.qualityKeepSql} AS keep
           FROM m ORDER BY doc_id"""),
 
     // lift = (nab·N as exact BIGINT product) / (na·nb as exact BIGINT
