@@ -47,7 +47,13 @@ object Stress {
     "text_decontaminate", "text_decontaminate_spans",
     "text_novelty_score",
     "graph_degrees", "graph_pagerank", "graph_trustrank", "graph_hits",
-    "j9_fuzzy_match", "sim_cosine_topk")
+    "j9_fuzzy_match", "sim_cosine_topk",
+    // exhaustive twins (BY-DESIGN brute-force equivalents of their
+    // probed production dials — super-linear exponents are the
+    // documented expectation; they exist so every ANN/cell tier has a
+    // hash-green anchor) + the two bounded-candidate semi-join forms
+    "dedup_semantic_exhaustive", "sim_pq_exhaustive",
+    "sim_ivf_exhaustive", "j2_disjunctive_semi", "j7_bloom_semi")
 
   /** Text / retrieval / sampling / curation tier (documents +
     * embeddings): tokenizers are linear scans, BM25/tf-idf are
@@ -101,7 +107,9 @@ object Stress {
     "text_hh_stream_build", "w10_stream_build",
     "ops_incr_quantile_stream_build", "w11_stream_build",
     "sim_pq_model_build", "sim_pq_encode_build", "sim_ivf_append_build",
-    "mm_pixel_build", "t2_wm_stream_build")
+    "mm_pixel_build", "t2_wm_stream_build",
+    "j8_scd2_stream_build", "pgn_stream_build",
+    "ops_incr_agg_stream_build")
 
   private def tokenSuffixed(text: Column, rep: Column): Column =
     array_join(
