@@ -3,25 +3,33 @@ package graft.multimodal
 import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** Pixel-level image codec for the perceptual-hash tier — REAL decode
-  * with no codec library: grayscale 8-bit PNG rides the JDK's zlib
+  * with no codec library: 8-bit PNG in the four byte-aligned color
+  * modes (grayscale, RGB, palette, RGBA) rides the JDK's zlib
   * (`Inflater`) plus hand-reversed scanline filters (all five PNG
-  * filter types: None/Sub/Up/Average/Paeth, RFC 2083 §6), and 24-bit
-  * uncompressed BMP is plain byte arithmetic. That covers the decode
-  * side a perceptual near-dup needs (re-encoded, resized, format-
-  * converted, metadata-stripped variants of one image all reach the
-  * same pixels); JPEG's DCT tier stays behind the open codec seam
+  * filter types: None/Sub/Up/Average/Paeth, RFC 2083 §6 — the filters
+  * operate on BYTES with the "left" operand `bpp` bytes back, so one
+  * reversal loop covers every color mode), and 24-bit uncompressed BMP
+  * is plain byte arithmetic. Color collapses to luma through the
+  * integer BT.601 weights (77·R + 150·G + 29·B) >> 8 — exact identity
+  * on gray pixels (77+150+29 = 256). That covers the decode side a
+  * perceptual near-dup needs (re-encoded, resized, color/palette,
+  * format-converted, metadata-stripped variants of one image all reach
+  * the same luma); JPEG's DCT tier stays behind the open codec seam
   * ([[Multimodal.MediaDecoder]]) like audio/video sample decode.
   *
   * Everything is deterministic integer arithmetic — decode, the 8×8
-  * box-average downsample, and the 64-bit dHash — so the DuckDB oracle
-  * can recompute expected hashes from the fixture-planting formula and
-  * the whole pipeline is hash-checked end to end (reference analog: the
-  * opaque media blobs of backfill_user_profiles.py, which the reference
-  * never dedups perceptually — this closes that gap Spark-first).
+  * bin-partition downsample (any dimensions ≥ 8), and the 64-bit dHash
+  * — so the DuckDB oracle can recompute expected hashes from the
+  * fixture-planting formula and the whole pipeline is hash-checked end
+  * to end (reference analog: the opaque media blobs of
+  * backfill_user_profiles.py, which the reference never dedups
+  * perceptually — this closes that gap Spark-first).
   *
   * Hostile-input discipline matches [[Multimodal.HeaderDecoder]]:
   * decode never throws — truncated chunks, corrupt deflate streams,
-  * undersized pixel buffers, or unsupported color modes return None.
+  * preset-dictionary (FDICT) streams, undersized pixel buffers,
+  * missing palettes, out-of-range palette indices, or unsupported
+  * color modes (16-bit, interlaced) return None.
   */
 object PixelCodec {
 
@@ -35,19 +43,35 @@ object PixelCodec {
   /** A decoded grayscale image: luma (0–255) row-major. */
   case class Gray(width: Int, height: Int, luma: Array[Int])
 
+  /** Integer BT.601 luma: (77·R + 150·G + 29·B) >> 8. The weights sum
+    * to 256, so r = g = b = v maps to exactly v — gray stays gray. */
+  def lum(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
+
   private val PngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** Decode an 8-bit grayscale (color type 0), non-interlaced PNG.
-    * Walks the chunk stream, concatenates IDAT payloads, inflates, and
-    * reverses the per-scanline filter. Ancillary chunks (tEXt etc.) are
-    * skipped, so metadata-stripped/annotated re-encodes decode to the
-    * same pixels. Returns None for any other color mode (RGB/palette/
-    * 16-bit/interlaced — the open seam) or malformed input. */
-  def decodeGray8Png(b: Array[Byte]): Option[Gray] = {
+  /** Bytes per pixel for the supported 8-bit color types; -1 = reject. */
+  private def bppOf(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // RGB
+    case 3 => 1 // palette index
+    case 6 => 4 // RGBA (alpha ignored for luma)
+    case _ => -1
+  }
+
+  /** Decode an 8-bit non-interlaced PNG in color type 0 (gray),
+    * 2 (RGB), 3 (palette), or 6 (RGBA) to luma. Walks the chunk
+    * stream, concatenates IDAT payloads, inflates, reverses the
+    * per-scanline byte filter at the mode's bpp, and collapses color
+    * through [[lum]]. Ancillary chunks (tEXt etc.) are skipped, so
+    * metadata-stripped/annotated re-encodes decode to the same pixels.
+    * Returns None for any other mode (16-bit/interlaced — the open
+    * seam) or malformed input. */
+  def decodePng(b: Array[Byte]): Option[Gray] = {
     if (b.length < 45 || !b.take(8).sameElements(PngSig)) return None
     var p = 8
-    var w = 0; var h = 0; var ok = false
+    var w = 0; var h = 0; var colorType = -1; var ok = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (p + 8 <= b.length) {
       val len = be32(b, p)
@@ -57,33 +81,44 @@ object PixelCodec {
         case "IHDR" =>
           if (len != 13) return None
           w = be32(b, p + 8); h = be32(b, p + 12)
-          // bit depth 8, color 0 (gray), deflate, adaptive, no interlace
-          if (u8(b, p + 16) != 8 || u8(b, p + 17) != 0 ||
+          colorType = u8(b, p + 17)
+          // bit depth 8, deflate, adaptive filtering, no interlace
+          if (u8(b, p + 16) != 8 || bppOf(colorType) < 0 ||
               u8(b, p + 18) != 0 || u8(b, p + 19) != 0 ||
               u8(b, p + 20) != 0) return None
+        case "PLTE" =>
+          if (len % 3 != 0 || len == 0 || len > 768) return None
+          plte = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
         case "IDAT" => idat.write(b, p + 8, len)
         case "IEND" => ok = true
         case _ => () // ancillary chunk: skip
       }
       p += 12 + len
     }
-    if (!ok || w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
-    val raw = inflate(idat.toByteArray, (w + 1) * h).getOrElse(return None)
-    if (raw.length < (w + 1) * h) return None
-    // reverse scanline filters; bpp = 1 for gray8, so "pixel to the
-    // left" is one byte back and Paeth's c is the up-left byte
-    val px = new Array[Int](w * h)
+    if (!ok || w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+        colorType < 0) return None
+    if (colorType == 3 && plte == null) return None
+    val bpp = bppOf(colorType)
+    val rowBytes = w * bpp
+    if (rowBytes.toLong * h > (1L << 28)) return None
+    val raw = inflate(idat.toByteArray, (rowBytes + 1) * h)
+      .getOrElse(return None)
+    if (raw.length < (rowBytes + 1) * h) return None
+    // reverse scanline filters IN PLACE (each reconstructed byte is the
+    // a/b/c operand of later bytes); filters are byte-wise with "left"
+    // = bpp bytes back and Paeth's c = the up-left byte (RFC 2083 §6)
     var y = 0
     while (y < h) {
-      val rowOff = y * (w + 1)
+      val rowOff = y * (rowBytes + 1)
       val filter = u8(raw, rowOff)
       if (filter > 4) return None
       var x = 0
-      while (x < w) {
+      while (x < rowBytes) {
         val cur = u8(raw, rowOff + 1 + x)
-        val a = if (x > 0) px(y * w + x - 1) else 0            // left
-        val bb = if (y > 0) px((y - 1) * w + x) else 0         // up
-        val c = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0 // up-left
+        val a = if (x >= bpp) u8(raw, rowOff + 1 + x - bpp) else 0
+        val bb = if (y > 0) u8(raw, rowOff - rowBytes + x) else 0
+        val c = if (x >= bpp && y > 0) u8(raw, rowOff - rowBytes + x - bpp)
+          else 0
         val v = filter match {
           case 0 => cur
           case 1 => cur + a
@@ -91,7 +126,30 @@ object PixelCodec {
           case 3 => cur + (a + bb) / 2
           case 4 => cur + paeth(a, bb, c)
         }
-        px(y * w + x) = v & 0xff
+        raw(rowOff + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // pixel bytes → luma
+    val px = new Array[Int](w * h)
+    y = 0
+    while (y < h) {
+      val off = y * (rowBytes + 1) + 1
+      var x = 0
+      while (x < w) {
+        val l = colorType match {
+          case 0 => u8(raw, off + x)
+          case 2 => lum(u8(raw, off + x * 3), u8(raw, off + x * 3 + 1),
+            u8(raw, off + x * 3 + 2))
+          case 3 =>
+            val i = u8(raw, off + x)
+            if (i * 3 + 2 >= plte.length) return None
+            lum(u8(plte, i * 3), u8(plte, i * 3 + 1), u8(plte, i * 3 + 2))
+          case 6 => lum(u8(raw, off + x * 4), u8(raw, off + x * 4 + 1),
+            u8(raw, off + x * 4 + 2))
+        }
+        px(y * w + x) = l
         x += 1
       }
       y += 1
@@ -113,7 +171,11 @@ object PixelCodec {
       var off = 0
       while (off < expect && !inf.finished()) {
         val n = inf.inflate(out, off, expect - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 with needsInput = truncated stream; with
+        // needsDictionary = zlib FDICT flag set (inflate would return 0
+        // forever without a preset dictionary — reject, don't spin)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None
         off += n
       }
       if (off == expect) Some(out) else None
@@ -123,8 +185,8 @@ object PixelCodec {
   }
 
   /** Decode a 24-bit uncompressed bottom-up BMP (BITMAPINFOHEADER) to
-    * luma = the green channel (fixtures write R=G=B, so any channel is
-    * the luma; a real pipeline would mix — the formula is one line). */
+    * luma via the same BT.601 weights as the PNG color modes (fixtures
+    * write R=G=B, where the weights collapse to identity). */
   def decodeBmp24(b: Array[Byte]): Option[Gray] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val dataOff = le32(b, 10)
@@ -142,7 +204,8 @@ object PixelCodec {
       val rowOff = dataOff + (h - 1 - y) * stride  // bottom-up rows
       var x = 0
       while (x < w) {
-        px(y * w + x) = u8(b, rowOff + x * 3 + 1)  // BGR: +1 = green
+        px(y * w + x) = lum(u8(b, rowOff + x * 3 + 2),
+          u8(b, rowOff + x * 3 + 1), u8(b, rowOff + x * 3))  // BGR order
         x += 1
       }
       y += 1
@@ -152,35 +215,37 @@ object PixelCodec {
 
   /** Pixel decode across the supported formats. */
   def decodePixels(b: Array[Byte]): Option[Gray] =
-    decodeGray8Png(b).orElse(decodeBmp24(b))
+    decodePng(b).orElse(decodeBmp24(b))
 
-  /** Box-average downsample to an 8×8 luma grid (row-major, 64 ints).
-    * Exact integer floor averaging per tile; requires dimensions
-    * divisible by 8 so tiles partition the image (non-conforming sizes
-    * return None — at scale those route through a real resampler behind
-    * the codec seam; the floor keeps the result deterministic for the
-    * oracle either way). */
+  /** Downsample to an 8×8 luma grid (row-major, 64 ints) by BIN
+    * PARTITION: pixel (x, y) belongs to cell (⌊8x/w⌋, ⌊8y/h⌋), each
+    * cell is the floor average of its pixels. For dimensions divisible
+    * by 8 the bins are exact tiles (the classic box average); for any
+    * other size ≥ 8×8 the bins are the integer-area generalization
+    * (what area-interpolation resamplers do), still deterministic
+    * integer arithmetic — and exactly inverse to [[renderGridSized]],
+    * which colors pixels by the SAME bin rule, so rendered fixtures at
+    * ANY size recover their grid bit-for-bit. Images smaller than 8×8
+    * have no meaningful 64-cell signature: None. */
   def lumaGrid8(g: Gray): Option[Array[Int]] = {
-    if (g.width <= 0 || g.height <= 0 ||
-        g.width % 8 != 0 || g.height % 8 != 0) return None
-    val tw = g.width / 8; val th = g.height / 8
-    val out = new Array[Int](64)
-    var by = 0
-    while (by < 8) {
-      var bx = 0
-      while (bx < 8) {
-        var sum = 0L
-        var y = by * th
-        while (y < (by + 1) * th) {
-          var x = bx * tw
-          while (x < (bx + 1) * tw) { sum += g.luma(y * g.width + x); x += 1 }
-          y += 1
-        }
-        out(by * 8 + bx) = (sum / (tw.toLong * th)).toInt
-        bx += 1
+    if (g.width < 8 || g.height < 8) return None
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < g.height) {
+      val by = y * 8 / g.height
+      var x = 0
+      while (x < g.width) {
+        val cell = by * 8 + x * 8 / g.width
+        sums(cell) += g.luma(y * g.width + x)
+        cnts(cell) += 1
+        x += 1
       }
-      by += 1
+      y += 1
     }
+    val out = new Array[Int](64)
+    var i = 0
+    while (i < 64) { out(i) = (sums(i) / cnts(i)).toInt; i += 1 }
     Some(out)
   }
 
@@ -206,7 +271,7 @@ object PixelCodec {
   }
 
   /** Payload → perceptual hash in one step (None = not a supported
-    * pixel format or non-÷8 dimensions). */
+    * pixel format, or smaller than 8×8). */
   def phash(payload: Array[Byte]): Option[Long] =
     decodePixels(payload).flatMap(lumaGrid8).map(dhash64)
 
@@ -222,24 +287,24 @@ object PixelCodec {
     be32b(data.length) ++ td ++ be32b(crc.getValue.toInt)
   }
 
-  /** Encode an 8-bit grayscale PNG. `filterType` picks the scanline
-    * filter applied to EVERY row (0–4) — same pixels, different bytes,
-    * which is what a re-encode does. `textChunk` plants an ancillary
-    * tEXt chunk (metadata a stripper would remove). */
-  def encodeGray8Png(g: Gray, filterType: Int = 0,
-      textChunk: Option[String] = None): Array[Byte] = {
+  /** Apply `filterType` to every row of raw pixel bytes (rowBytes per
+    * row) at the given bpp, deflate, and return the IDAT payload —
+    * the shared write side of the byte-wise filter reversal. */
+  private def deflateFiltered(rows: Array[Byte], rowBytes: Int, bpp: Int,
+      filterType: Int): Array[Byte] = {
     require(filterType >= 0 && filterType <= 4, "PNG filter type 0-4")
-    val w = g.width; val h = g.height
-    val raw = new Array[Byte]((w + 1) * h)
+    val h = rows.length / rowBytes
+    val raw = new Array[Byte]((rowBytes + 1) * h)
     var y = 0
     while (y < h) {
-      raw(y * (w + 1)) = filterType.toByte
+      raw(y * (rowBytes + 1)) = filterType.toByte
       var x = 0
-      while (x < w) {
-        val cur = g.luma(y * w + x)
-        val a = if (x > 0) g.luma(y * w + x - 1) else 0
-        val b = if (y > 0) g.luma((y - 1) * w + x) else 0
-        val c = if (x > 0 && y > 0) g.luma((y - 1) * w + x - 1) else 0
+      while (x < rowBytes) {
+        val cur = rows(y * rowBytes + x) & 0xff
+        val a = if (x >= bpp) rows(y * rowBytes + x - bpp) & 0xff else 0
+        val b = if (y > 0) rows((y - 1) * rowBytes + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0)
+          rows((y - 1) * rowBytes + x - bpp) & 0xff else 0
         val f = filterType match {
           case 0 => cur
           case 1 => cur - a
@@ -247,7 +312,7 @@ object PixelCodec {
           case 3 => cur - (a + b) / 2
           case 4 => cur - paeth(a, b, c)
         }
-        raw(y * (w + 1) + 1 + x) = (f & 0xff).toByte
+        raw(y * (rowBytes + 1) + 1 + x) = (f & 0xff).toByte
         x += 1
       }
       y += 1
@@ -258,13 +323,98 @@ object PixelCodec {
     val zOut = new java.io.ByteArrayOutputStream()
     while (!def_.finished()) zOut.write(buf, 0, def_.deflate(buf))
     def_.end()
+    zOut.toByteArray
+  }
+
+  private def assemblePng(w: Int, h: Int, colorType: Int,
+      plte: Option[Array[Byte]], idat: Array[Byte],
+      textChunk: Option[String]): Array[Byte] = {
     val ihdr = chunk("IHDR",
-      be32b(w) ++ be32b(h) ++ Array[Byte](8, 0, 0, 0, 0))
+      be32b(w) ++ be32b(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0))
+    val plteC = plte.map(chunk("PLTE", _)).getOrElse(Array.emptyByteArray)
     val text = textChunk.map(t =>
-      chunk("tEXt", ("Comment " + t).getBytes("US-ASCII")))
+      chunk("tEXt", ("Comment " + t).getBytes("US-ASCII")))
       .getOrElse(Array.emptyByteArray)
-    PngSig ++ ihdr ++ text ++ chunk("IDAT", zOut.toByteArray) ++
+    PngSig ++ ihdr ++ plteC ++ text ++ chunk("IDAT", idat) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Encode an 8-bit grayscale PNG. `filterType` picks the scanline
+    * filter applied to EVERY row (0–4) — same pixels, different bytes,
+    * which is what a re-encode does. `textChunk` plants an ancillary
+    * tEXt chunk (metadata a stripper would remove). */
+  def encodeGray8Png(g: Gray, filterType: Int = 0,
+      textChunk: Option[String] = None): Array[Byte] = {
+    val rows = new Array[Byte](g.width * g.height)
+    var i = 0
+    while (i < rows.length) { rows(i) = (g.luma(i) & 0xff).toByte; i += 1 }
+    assemblePng(g.width, g.height, 0, None,
+      deflateFiltered(rows, g.width, 1, filterType), textChunk)
+  }
+
+  /** Deterministic color triple with EXACT luma `v` under [[lum]]:
+    * r and b are salt-spread, then g is the unique value putting
+    * 77r + 150g + 29b in [256v, 256v + 149] — so (…) >> 8 = v and a
+    * colorized rendering of a gray scene decodes to the scene's exact
+    * luma (falls back to gray when the g solution leaves 0–255). */
+  def colorize(v: Int, salt: Int): (Int, Int, Int) = {
+    val r = (v + 97 * (salt + 1)) % 256
+    val b = (v + 53 * (salt + 2)) % 256
+    val g = Math.floorDiv(256 * v - 77 * r - 29 * b + 149, 150)
+    if (g >= 0 && g <= 255) (r, g, b) else (v, v, v)
+  }
+
+  /** Encode an 8-bit RGB (color type 2) PNG whose BT.601 luma equals
+    * `g.luma` exactly — the color-variant planting path. */
+  def encodeRgbPng(g: Gray, salt: Int, filterType: Int = 0,
+      textChunk: Option[String] = None): Array[Byte] = {
+    val rows = new Array[Byte](g.width * g.height * 3)
+    var i = 0
+    while (i < g.luma.length) {
+      val (r, gg, b) = colorize(g.luma(i), salt)
+      rows(i * 3) = r.toByte; rows(i * 3 + 1) = gg.toByte
+      rows(i * 3 + 2) = b.toByte
+      i += 1
+    }
+    assemblePng(g.width, g.height, 2, None,
+      deflateFiltered(rows, g.width * 3, 3, filterType), textChunk)
+  }
+
+  /** Encode an 8-bit RGBA (color type 6) PNG — color from [[colorize]],
+    * alpha a deterministic ramp the luma decode must ignore. */
+  def encodeRgbaPng(g: Gray, salt: Int): Array[Byte] = {
+    val rows = new Array[Byte](g.width * g.height * 4)
+    var i = 0
+    while (i < g.luma.length) {
+      val (r, gg, b) = colorize(g.luma(i), salt)
+      rows(i * 4) = r.toByte; rows(i * 4 + 1) = gg.toByte
+      rows(i * 4 + 2) = b.toByte
+      rows(i * 4 + 3) = ((i * 31 + 7) % 256).toByte
+      i += 1
+    }
+    assemblePng(g.width, g.height, 6, None,
+      deflateFiltered(rows, g.width * 4, 4, 0), None)
+  }
+
+  /** Encode an 8-bit palette (color type 3) PNG: the palette holds one
+    * colorized entry per distinct luma value (≤ 256 always), pixels
+    * are indices — the indexed-color variant planting path. */
+  def encodePalettePng(g: Gray, salt: Int = 7): Array[Byte] = {
+    val values = g.luma.distinct.sorted
+    val index = values.zipWithIndex.toMap
+    val plte = new Array[Byte](values.length * 3)
+    var i = 0
+    while (i < values.length) {
+      val (r, gg, b) = colorize(values(i), salt)
+      plte(i * 3) = r.toByte; plte(i * 3 + 1) = gg.toByte
+      plte(i * 3 + 2) = b.toByte
+      i += 1
+    }
+    val rows = new Array[Byte](g.width * g.height)
+    i = 0
+    while (i < rows.length) { rows(i) = index(g.luma(i)).toByte; i += 1 }
+    assemblePng(g.width, g.height, 3, Some(plte),
+      deflateFiltered(rows, g.width, 1, 0), None)
   }
 
   private def le16b(v: Int): Array[Byte] =
@@ -309,15 +459,25 @@ object PixelCodec {
     * resized fixture variants hash-identical and the oracle exact. */
   def renderGrid(grid: Array[Int], size: Int): Gray = {
     require(grid.length == 64 && size % 8 == 0 && size > 0)
-    val t = size / 8
-    val px = new Array[Int](size * size)
+    renderGridSized(grid, size, size)
+  }
+
+  /** Render an 8×8 block grid at ANY w×h ≥ 8×8: pixel (x, y) takes the
+    * grid cell (⌊8x/w⌋, ⌊8y/h⌋) — the SAME bin rule [[lumaGrid8]]
+    * partitions by, so every bin is single-valued and the resample
+    * recovers the grid exactly at non-divisible sizes too (the
+    * odd-dimension variant planting path). */
+  def renderGridSized(grid: Array[Int], w: Int, h: Int): Gray = {
+    require(grid.length == 64 && w >= 8 && h >= 8)
+    val px = new Array[Int](w * h)
     var y = 0
-    while (y < size) {
+    while (y < h) {
+      val by = y * 8 / h
       var x = 0
-      while (x < size) { px(y * size + x) = grid((y / t) * 8 + x / t); x += 1 }
+      while (x < w) { px(y * w + x) = grid(by * 8 + x * 8 / w); x += 1 }
       y += 1
     }
-    Gray(size, size, px)
+    Gray(w, h, px)
   }
 
   /** The fixture scene formula — md5-mixed block luma, shared verbatim

@@ -48,9 +48,16 @@ object QuantileSketch {
   def summarize(df: DataFrame, keys: Seq[String], valCol: String,
       widthCents: Long): DataFrame = {
     require(widthCents > 0, s"widthCents must be > 0, got $widthCents")
+    // FLOOR division, not Spark's truncate-toward-zero `div`: DuckDB's
+    // `//` floors, so negative cents would land one bucket apart under
+    // plain `div`. pmod is non-negative, so (c - pmod(c, W)) is the
+    // largest multiple of W ≤ c and the `div` that follows is exact —
+    // identical to `div` on the non-negative domain (existing states
+    // unchanged) and to `//` on every sign.
     val bucket: Column = expr(
-      s"CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT) " +
-        s"div ${widthCents}L")
+      s"(CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        s"- pmod(CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT)," +
+        s" ${widthCents}L)) div ${widthCents}L")
     df.select(keys.map(col) :+ bucket.as("bucket"): _*)
       // a null value (or a DECIMAL(18,2) overflow returning null in
       // non-ANSI mode) must not enter the state: engines disagree on

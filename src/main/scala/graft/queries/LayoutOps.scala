@@ -486,7 +486,7 @@ object LayoutOps extends QueryModule {
                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                   // 50000 AS bucket,
                 count(*) AS cnt
-         FROM orders GROUP BY 1, 2),
+         FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
        t AS (SELECT o_custkey, sum(cnt) AS n FROM h GROUP BY 1),
        cum AS (
          SELECT o_custkey, bucket,
@@ -510,7 +510,7 @@ object LayoutOps extends QueryModule {
                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
                   // 1000 AS bucket,
                 count(*) AS cnt
-         FROM events GROUP BY 1, 2, 3),
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
        t AS (SELECT wday, event_type, sum(cnt) AS n FROM h
              GROUP BY 1, 2),
        cum AS (

@@ -176,10 +176,23 @@ object MultimodalOps extends QueryModule {
     *                        metadata chunk (same pixels, new bytes);
     *   +3·Offset (id%100): format-converted — 24-bit BMP;
     *   +4·Offset (id%125): perturbed — cell (3,4) luma +16 mod 256
-    *                        (≤2 dHash bits move: a NEAR duplicate).
-    * Block-constant tiles make every rendering box-average exactly back
-    * to the scene grid, so expected hashes (and clusters) are pure
-    * integer+md5 arithmetic the DuckDB oracle recomputes verbatim. */
+    *                        (≤2 dHash bits move: a NEAR duplicate);
+    *   +6·Offset (id%150): RGBA — color type 6 with a planted alpha
+    *                        ramp the luma decode must ignore;
+    *   +7·Offset (id%225): odd-size — 44×52 (non-÷8: the bin-partition
+    *                        resampler, not tile averaging);
+    *   +8·Offset (id%275): RGB color — [[PixelCodec.colorize]]d
+    *                        channels at 96×61 (luma-exact color AND
+    *                        odd height; 275 shares no factor with the
+    *                        other schedules, so these scenes cluster
+    *                        from the color variant ALONE);
+    *   +9·Offset (id%325): palette — indexed color (PLTE lookup; also
+    *                        an only-variant family).
+    * Block-constant tiles (and [[PixelCodec.renderGridSized]]'s
+    * bin-rule coloring at odd sizes) make every rendering resample
+    * exactly back to the scene grid, so expected hashes (and clusters)
+    * are pure integer+md5 arithmetic the DuckDB oracle recomputes
+    * verbatim. */
   private def pixelFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_pixel_fixtures") {
       import graft.multimodal.PixelCodec
@@ -215,6 +228,22 @@ object MultimodalOps extends QueryModule {
             put(s"asset_${id + 4 * Planting.Offset}.png",
               PixelCodec.encodeGray8Png(PixelCodec.renderGrid(pert, 64)))
           }
+          if (id % 150 == 0)
+            put(s"asset_${id + 6 * Planting.Offset}.png",
+              PixelCodec.encodeRgbaPng(PixelCodec.renderGrid(grid, 64),
+                (id % 11).toInt))
+          if (id % 225 == 0)
+            put(s"asset_${id + 7 * Planting.Offset}.png",
+              PixelCodec.encodeGray8Png(
+                PixelCodec.renderGridSized(grid, 44, 52)))
+          if (id % 275 == 0)
+            put(s"asset_${id + 8 * Planting.Offset}.png",
+              PixelCodec.encodeRgbPng(
+                PixelCodec.renderGridSized(grid, 96, 61),
+                salt = (id % 7).toInt, filterType = (id % 5).toInt))
+          if (id % 325 == 0)
+            put(s"asset_${id + 9 * Planting.Offset}.png",
+              PixelCodec.encodePalettePng(PixelCodec.renderGrid(grid, 32)))
           // corrupt variant (id%175, +5·Offset): a truncated PNG — the
           // IDAT stream cuts off mid-deflate, so pixel decode MUST
           // return None. Exercises the hostile-input path end-to-end:
@@ -341,7 +370,11 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 100000, doc_id, FALSE FROM d WHERE doc_id % 50 = 0
          UNION ALL SELECT doc_id + 200000, doc_id, FALSE FROM d WHERE doc_id % 75 = 0
          UNION ALL SELECT doc_id + 300000, doc_id, FALSE FROM d WHERE doc_id % 100 = 0
-         UNION ALL SELECT doc_id + 400000, doc_id, TRUE  FROM d WHERE doc_id % 125 = 0)"""
+         UNION ALL SELECT doc_id + 400000, doc_id, TRUE  FROM d WHERE doc_id % 125 = 0
+         UNION ALL SELECT doc_id + 600000, doc_id, FALSE FROM d WHERE doc_id % 150 = 0
+         UNION ALL SELECT doc_id + 700000, doc_id, FALSE FROM d WHERE doc_id % 225 = 0
+         UNION ALL SELECT doc_id + 800000, doc_id, FALSE FROM d WHERE doc_id % 275 = 0
+         UNION ALL SELECT doc_id + 900000, doc_id, FALSE FROM d WHERE doc_id % 325 = 0)"""
 
   val oracles: Map[String, String] = Map(
 
@@ -396,16 +429,23 @@ object MultimodalOps extends QueryModule {
     // expected clusters fall straight out of the variant schedule: a
     // scene clusters iff it planted at least one variant (md5 mixing
     // keeps distinct scenes ~32 bits apart — far beyond maxDist=2 —
-    // and the perturbed variant moves <=2 bits: within it)
+    // and the perturbed variant moves <=2 bits: within it). %100/%150/
+    // %225 imply %50 or %75, so only %275 and %325 (the only-variant
+    // color/palette families) widen the canonical-member condition.
     "mm_dedup_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          m AS (
            SELECT doc_id AS canonical_id, doc_id AS member FROM d
              WHERE doc_id % 50 = 0 OR doc_id % 75 = 0 OR doc_id % 125 = 0
+                OR doc_id % 275 = 0 OR doc_id % 325 = 0
            UNION ALL SELECT doc_id, doc_id + 100000 FROM d WHERE doc_id % 50 = 0
            UNION ALL SELECT doc_id, doc_id + 200000 FROM d WHERE doc_id % 75 = 0
            UNION ALL SELECT doc_id, doc_id + 300000 FROM d WHERE doc_id % 100 = 0
-           UNION ALL SELECT doc_id, doc_id + 400000 FROM d WHERE doc_id % 125 = 0)
+           UNION ALL SELECT doc_id, doc_id + 400000 FROM d WHERE doc_id % 125 = 0
+           UNION ALL SELECT doc_id, doc_id + 600000 FROM d WHERE doc_id % 150 = 0
+           UNION ALL SELECT doc_id, doc_id + 700000 FROM d WHERE doc_id % 225 = 0
+           UNION ALL SELECT doc_id, doc_id + 800000 FROM d WHERE doc_id % 275 = 0
+           UNION ALL SELECT doc_id, doc_id + 900000 FROM d WHERE doc_id % 325 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids

@@ -7,8 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.{Multimodal, PixelCodec}
 import graft.multimodal.PixelCodec.Gray
 
-/** The perceptual-hash tier: REAL pixel decode (gray8 PNG via JDK
-  * inflate + filter reversal, 24-bit BMP), exact 8×8 box downsample,
+/** The perceptual-hash tier: REAL pixel decode (8-bit PNG in gray/RGB/
+  * palette/RGBA via JDK inflate + bpp-aware filter reversal, 24-bit
+  * BMP), the exact bin-partition 8×8 downsample at any dimensions,
   * 64-bit dHash, and the byte-distinct/pixel-near dedup property the
   * whole tier exists for. */
 class PixelCodecSpec extends AnyFunSuite {
@@ -22,7 +23,7 @@ class PixelCodecSpec extends AnyFunSuite {
   test("PNG round-trip: every filter type 0-4 reverses to the same pixels") {
     for (f <- 0 to 4; (w, h) <- Seq((8, 8), (16, 24), (1, 1), (7, 3))) {
       val img = noisy(w, h, f)
-      val decoded = PixelCodec.decodeGray8Png(
+      val decoded = PixelCodec.decodePng(
         PixelCodec.encodeGray8Png(img, filterType = f))
       assert(decoded.isDefined, s"filter $f ${w}x$h")
       assert(decoded.get.width === w && decoded.get.height === h)
@@ -30,12 +31,34 @@ class PixelCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("color modes decode to exact luma: RGB every filter, RGBA, palette") {
+    val img = noisy(16, 24, 3)
+    for (f <- 0 to 4) {
+      val rgb = PixelCodec.decodePng(
+        PixelCodec.encodeRgbPng(img, salt = f, filterType = f))
+      assert(rgb.isDefined, s"rgb filter $f")
+      assert(rgb.get.luma.toSeq === img.luma.toSeq, s"rgb filter $f")
+    }
+    assert(PixelCodec.decodePng(PixelCodec.encodeRgbaPng(img, 5)).get
+      .luma.toSeq === img.luma.toSeq)
+    assert(PixelCodec.decodePng(PixelCodec.encodePalettePng(img)).get
+      .luma.toSeq === img.luma.toSeq)
+    // colorize really colors (byte-distinct channels) yet luma is exact
+    for (v <- 0 until 256; salt <- 0 to 3) {
+      val (r, g, b) = PixelCodec.colorize(v, salt)
+      assert(PixelCodec.lum(r, g, b) === v, s"v=$v salt=$salt")
+    }
+    assert((0 until 256).exists { v =>
+      val (r, g, b) = PixelCodec.colorize(v, 1); r != g || g != b
+    })
+  }
+
   test("PNG ancillary chunks are skipped; BMP round-trips incl. row padding") {
     val img = noisy(16, 8, 1)
     val withText = PixelCodec.encodeGray8Png(img, 0, Some("metadata here"))
     val plain = PixelCodec.encodeGray8Png(img, 0, None)
     assert(!withText.sameElements(plain))          // byte-distinct
-    assert(PixelCodec.decodeGray8Png(withText).get.luma.toSeq ===
+    assert(PixelCodec.decodePng(withText).get.luma.toSeq ===
       img.luma.toSeq)                              // pixel-identical
     // width 6: stride 18 pads to 20 — the padding path
     for ((w, h) <- Seq((6, 4), (8, 8), (1, 1))) {
@@ -45,7 +68,7 @@ class PixelCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("lumaGrid8: exact box average; non-divisible dims refused") {
+  test("lumaGrid8: exact box average on divisible dims; bin partition on any dims") {
     // 16x16 image built from a known 8x8 grid: downsample recovers it
     val grid = Array.tabulate(64)(i => (i * 37) % 256)
     val img = PixelCodec.renderGrid(grid, 16)
@@ -55,9 +78,18 @@ class PixelCodecSpec extends AnyFunSuite {
     val mixed = Gray(16, 16,
       Array.tabulate(256)(i => if ((i / 16 + i % 16) % 2 == 0) 10 else 13))
     assert(PixelCodec.lumaGrid8(mixed).get.forall(_ == 11))
-    assert(PixelCodec.lumaGrid8(noisy(12, 8, 0)).isEmpty)   // 12 % 8 != 0
+    // NON-divisible dims: renderGridSized colors by the same bin rule
+    // lumaGrid8 partitions by, so recovery is exact at any size ≥ 8
+    for ((w, h) <- Seq((12, 8), (44, 52), (9, 23), (8, 100), (101, 8))) {
+      val odd = PixelCodec.renderGridSized(grid, w, h)
+      assert(PixelCodec.lumaGrid8(odd).get.toSeq === grid.toSeq,
+        s"${w}x$h")
+    }
+    // sub-8 dims carry no 64-cell signature
+    assert(PixelCodec.lumaGrid8(noisy(7, 8, 0)).isEmpty)
+    assert(PixelCodec.lumaGrid8(noisy(8, 7, 0)).isEmpty)
     assert(PixelCodec.phash(
-      PixelCodec.encodeGray8Png(noisy(12, 8, 0))).isEmpty)
+      PixelCodec.encodeGray8Png(noisy(7, 3, 0))).isEmpty)
   }
 
   test("dhash64: gradient signs with bx 7->0 wraparound") {
@@ -78,7 +110,15 @@ class PixelCodecSpec extends AnyFunSuite {
     val reenc = PixelCodec.encodeGray8Png(PixelCodec.renderGrid(grid, 64),
       filterType = 2, textChunk = Some("re-encoded"))
     val bmp = PixelCodec.encodeBmp24(PixelCodec.renderGrid(grid, 64))
-    val variants = Seq(resized, reenc, bmp)
+    val rgb = PixelCodec.encodeRgbPng(PixelCodec.renderGrid(grid, 64),
+      salt = 2, filterType = 1)
+    val rgba = PixelCodec.encodeRgbaPng(PixelCodec.renderGrid(grid, 32), 3)
+    val pal = PixelCodec.encodePalettePng(PixelCodec.renderGrid(grid, 64))
+    val odd = PixelCodec.encodeGray8Png(
+      PixelCodec.renderGridSized(grid, 44, 52))
+    val oddRgb = PixelCodec.encodeRgbPng(
+      PixelCodec.renderGridSized(grid, 23, 65), salt = 4)
+    val variants = Seq(resized, reenc, bmp, rgb, rgba, pal, odd, oddRgb)
     assert(variants.forall(v => !v.sameElements(original))) // bytes differ
     val h0 = PixelCodec.phash(original).get
     variants.foreach(v => assert(PixelCodec.phash(v).get === h0))
@@ -93,24 +133,69 @@ class PixelCodecSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h0 ^ other) > 8)
   }
 
+  // minimal chunk assembly for hostile-PNG crafting (the encoder's
+  // private helper, re-derived so tests can build INVALID streams)
+  private def rawChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val td = typ.getBytes("US-ASCII") ++ data
+    val crc = new java.util.zip.CRC32; crc.update(td)
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    be32(data.length) ++ td ++ be32(crc.getValue.toInt)
+  }
+  private val pngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
   test("hostile inputs never throw and decode to None") {
     val good = PixelCodec.encodeGray8Png(noisy(8, 8, 2))
     val goodBmp = PixelCodec.encodeBmp24(noisy(8, 8, 2))
+    def ihdr(depth: Int, color: Int, interlace: Int) = rawChunk("IHDR",
+      Array[Byte](0, 0, 0, 8, 0, 0, 0, 8,
+        depth.toByte, color.toByte, 0, 0, interlace.toByte))
     val hostile = Seq[Array[Byte]](
       Array.empty,
       good.take(20),                         // truncated mid-IHDR
       good.take(good.length - 15),           // IEND missing
       good.updated(40, 0x7f.toByte),         // corrupt deflate stream
       goodBmp.take(30),                      // truncated BMP header
-      goodBmp.updated(28, 8.toByte),         // 8 bpp: unsupported
+      goodBmp.updated(28, 8.toByte),         // 8 bpp BMP: unsupported
+      // zlib FDICT flag set: inflate yields 0 with needsDictionary —
+      // must reject, not spin (0x78 0x20 passes the %31 header check)
+      pngSig ++ ihdr(8, 0, 0) ++ rawChunk("IDAT",
+        Array(0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8).map(_.toByte)) ++
+        rawChunk("IEND", Array.emptyByteArray),
+      // 16-bit depth and interlaced: unsupported modes
+      pngSig ++ ihdr(16, 0, 0) ++ rawChunk("IDAT", Array[Byte](1, 2)) ++
+        rawChunk("IEND", Array.emptyByteArray),
+      pngSig ++ ihdr(8, 0, 1) ++ rawChunk("IDAT", Array[Byte](1, 2)) ++
+        rawChunk("IEND", Array.emptyByteArray),
+      // palette mode with no PLTE chunk
+      pngSig ++ ihdr(8, 3, 0) ++ rawChunk("IDAT", Array[Byte](1, 2)) ++
+        rawChunk("IEND", Array.emptyByteArray),
       Array.fill[Byte](128)(-1))
     hostile.foreach(b => assert(PixelCodec.phash(b).isEmpty))
-    // RGB (color type 2) PNG: the open codec seam, not silently wrong
-    val rgb = Multimodal.MediaHeaders.png(8, 8) ++ Array.fill[Byte](64)(3)
-    assert(PixelCodec.decodeGray8Png(rgb).isEmpty)
+    // an RGB header followed by non-chunk garbage: malformed, not wrong
+    val rgbJunk = Multimodal.MediaHeaders.png(8, 8) ++
+      Array.fill[Byte](64)(3)
+    assert(PixelCodec.decodePng(rgbJunk).isEmpty)
+    // palette with out-of-range index: 1-entry palette, index byte 5
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      // 8x8 rows of filter 0 + index byte 5
+      val raw = Array.tabulate(72)(i => if (i % 9 == 0) 0 else 5)
+        .map(_.toByte)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val badIdx = pngSig ++ ihdr(8, 3, 0) ++
+      rawChunk("PLTE", Array[Byte](10, 20, 30)) ++
+      rawChunk("IDAT", deflated) ++ rawChunk("IEND", Array.emptyByteArray)
+    assert(PixelCodec.decodePng(badIdx).isEmpty)
   }
 
-  test("nearDupMediaClusters e2e: re-encoded/resized/BMP copies cluster, distinct scenes don't") {
+  test("nearDupMediaClusters e2e: re-encoded/resized/color/BMP copies cluster, distinct scenes don't") {
     val dir = Files.createTempDirectory("mm_pxl_spec").toString
     def put(name: String, b: Array[Byte]): Unit =
       Files.write(Paths.get(s"$dir/$name"), b)
@@ -122,7 +207,8 @@ class PixelCodecSpec extends AnyFunSuite {
       PixelCodec.renderGrid(g1, 64), filterType = 4, textChunk = Some("x")))
     put("asset_4.bmp", PixelCodec.encodeBmp24(PixelCodec.renderGrid(g1, 64)))
     put("asset_5.png", PixelCodec.encodeGray8Png(PixelCodec.renderGrid(g2, 64)))
-    put("asset_6.png", PixelCodec.encodeGray8Png(PixelCodec.renderGrid(g2, 16)))
+    put("asset_6.png", PixelCodec.encodeRgbPng(
+      PixelCodec.renderGridSized(g2, 44, 52), salt = 1))
     put("asset_7.png", PixelCodec.encodeGray8Png(
       PixelCodec.renderGrid(PixelCodec.sceneGrid(3L), 64))) // singleton scene
     put("asset_8.wav", Multimodal.MediaHeaders.wav(8000, 1, 4) ++
