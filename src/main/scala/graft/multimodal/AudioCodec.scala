@@ -1,0 +1,197 @@
+package graft.multimodal
+
+/** Sample-level audio codec for the perceptual-fingerprint tier — REAL
+  * PCM decode with no codec library: RIFF/WAVE chunk walk to `fmt ` +
+  * `data`, 16-bit little-endian PCM samples, stereo downmixed to mono
+  * by the exact integer mean ⌊(l + r) / 2⌋. That covers the decode
+  * side an audio near-dup needs (re-encoded containers with extra
+  * metadata chunks, resampled renderings, channel-layout conversions
+  * of one recording all reach the same energy envelope); compressed
+  * codecs (MP3/AAC/Opus) stay behind the open codec seam
+  * ([[Multimodal.MediaDecoder]]) like JPEG's DCT tier.
+  *
+  * The fingerprint is the audio analog of [[PixelCodec]]'s dHash:
+  * partition the mono sample stream into 64 bins (sample i → bin
+  * ⌊64·i/n⌋ — the same bin rule as [[PixelCodec.lumaGrid8]], exact at
+  * any length ≥ 64), take the floor-mean absolute amplitude per bin
+  * (the energy envelope), and set bit k when bin (k+1) mod 64 is
+  * strictly louder than bin k. Gradient signs survive exact gain
+  * changes and resampling of block-constant fixtures; byte identity
+  * does not — the near-dup signal. Everything is deterministic integer
+  * arithmetic, so the DuckDB oracle recomputes expected fingerprints
+  * from the fixture-planting formula (md5-mixed segment amplitudes,
+  * [[segmentAmp]]) and the tier is hash-checked end to end.
+  *
+  * Hostile-input discipline matches [[PixelCodec]]: decode never
+  * throws — truncated chunks, declared sizes past the buffer, missing
+  * fmt/data, non-PCM formats, or sub-64-sample streams return None.
+  */
+object AudioCodec {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)).toLong |
+      (u8(b, i + 3).toLong << 24)
+
+  /** Decoded mono PCM: signed 16-bit samples (stereo already
+    * downmixed), plus the container's declared rate. */
+  case class Pcm(sampleRate: Int, samples: Array[Int])
+
+  /** Decode a RIFF/WAVE file holding 16-bit PCM (format tag 1, 1 or 2
+    * channels) to mono samples. Unknown chunks (LIST metadata etc.)
+    * are skipped — a re-encoded container with stripped/added tags
+    * decodes to the same samples. None on anything malformed. */
+  def decodePcm16(b: Array[Byte]): Option[Pcm] = {
+    if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E')) return None
+    var p = 12
+    var rate = 0; var channels = 0; var bits = 0; var haveFmt = false
+    var dataOff = -1; var dataLen = 0
+    while (p + 8 <= b.length && (!haveFmt || dataOff < 0)) {
+      val id = new String(b, p, 4, "US-ASCII")
+      val sz = le32(b, p + 4)
+      if (sz < 0 || p + 8 + sz > b.length) return None // declared past buffer
+      if (id == "fmt " && sz >= 16) {
+        if (le16(b, p + 8) != 1) return None           // PCM only
+        channels = le16(b, p + 10)
+        rate = le32(b, p + 12).toInt
+        bits = le16(b, p + 22)
+        haveFmt = true
+      } else if (id == "data") {
+        dataOff = p + 8; dataLen = sz.toInt
+      }
+      p += 8 + sz.toInt + (sz.toInt & 1)               // word-aligned
+    }
+    if (!haveFmt || dataOff < 0 || bits != 16 || rate <= 0 ||
+        (channels != 1 && channels != 2)) return None
+    val frameBytes = channels * 2
+    val n = dataLen / frameBytes
+    if (n <= 0) return None
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val off = dataOff + i * frameBytes
+      val s0 = le16(b, off).toShort.toInt
+      out(i) =
+        if (channels == 1) s0
+        else Math.floorDiv(s0 + le16(b, off + 2).toShort.toInt, 2)
+      i += 1
+    }
+    Some(Pcm(rate, out))
+  }
+
+  /** 64-bin energy envelope: bin b = floor-mean of |sample| over
+    * {i : ⌊64·i/n⌋ = b}. None below 64 samples (empty bins). */
+  def energyEnvelope(samples: Array[Int]): Option[Array[Long]] = {
+    val n = samples.length
+    if (n < 64) return None
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      // i*64 stays in Long for any decodable payload
+      val b = (i.toLong * 64 / n).toInt
+      sums(b) += math.abs(samples(i))
+      cnts(b) += 1
+      i += 1
+    }
+    val out = new Array[Long](64)
+    var b = 0
+    while (b < 64) { out(b) = sums(b) / cnts(b); b += 1 }
+    Some(out)
+  }
+
+  /** 64-bit gradient fingerprint over the envelope: bit k set when bin
+    * (k+1) mod 64 is strictly louder than bin k (the dHash rule on one
+    * 64-long row, wrapping 63→0). */
+  def fingerprint64(env: Array[Long]): Long = {
+    require(env.length == 64, "fingerprint64 expects 64 energy bins")
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      if (env((k + 1) % 64) > env(k)) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
+  /** Payload → audio fingerprint in one step (None = not decodable
+    * 16-bit PCM, or under 64 samples). */
+  def afp(payload: Array[Byte]): Option[Long] =
+    decodePcm16(payload).map(_.samples).flatMap(energyEnvelope)
+      .map(fingerprint64)
+
+  // ---- encoders (fixture planting + spec round-trips) ----
+
+  private def le16b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+
+  /** Encode mono/stereo 16-bit PCM as a canonical WAV; `extraChunk`
+    * plants a LIST metadata chunk BEFORE data (bytes a tag stripper
+    * would remove — the re-encode variant). For stereo, `samples`
+    * holds interleaved L,R frames. */
+  def encodeWav16(samples: Array[Int], sampleRate: Int, channels: Int,
+      extraChunk: Option[String] = None): Array[Byte] = {
+    require(channels == 1 || channels == 2)
+    require(samples.length % channels == 0)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(i * 2) = (samples(i) & 0xff).toByte
+      data(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val extra = extraChunk.map { t =>
+      val payload = ("INFO" + t).getBytes("US-ASCII")
+      val padded = if (payload.length % 2 == 1) payload :+ 0.toByte
+        else payload
+      "LIST".getBytes("US-ASCII") ++ le32b(payload.length) ++ padded
+    }.getOrElse(Array.emptyByteArray)
+    val blockAlign = channels * 2
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32b(16) ++
+      le16b(1) ++ le16b(channels) ++ le32b(sampleRate) ++
+      le32b(sampleRate * blockAlign) ++ le16b(blockAlign) ++ le16b(16)
+    val dataC = "data".getBytes("US-ASCII") ++ le32b(data.length) ++ data
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ extra ++ dataC
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
+  /** Render a 64-segment constant-amplitude envelope as n mono
+    * samples: sample i takes amplitude env(⌊64·i/n⌋) with alternating
+    * sign (a square-ish wave — |sample| is the envelope exactly, so
+    * [[energyEnvelope]] recovers it bit-for-bit at ANY n ≥ 64, the
+    * audio analog of [[PixelCodec.renderGridSized]]). */
+  def renderEnvelope(env: Array[Long], n: Int): Array[Int] = {
+    require(env.length == 64 && n >= 64)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val a = env((i.toLong * 64 / n).toInt).toInt
+      out(i) = if (i % 2 == 0) a else -a
+      i += 1
+    }
+    out
+  }
+
+  /** The fixture scene formula — md5-mixed segment amplitude, shared
+    * verbatim by the Scala planting and (as hex-digit ascii
+    * arithmetic) the DuckDB oracle: amp(scene, k) = 64 · first byte of
+    * md5("a{scene}_{k}") — the ×64 headroom keeps the exact-gain
+    * variant (×2) inside 16-bit range, and scaling never reorders
+    * strict comparisons, so the oracle compares raw md5 bytes. The
+    * "a" prefix keeps audio scenes independent of the image tier's
+    * [[PixelCodec.sceneLuma]] space. */
+  def segmentAmp(scene: Long, k: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (md.digest(s"a${scene}_${k}".getBytes("UTF-8"))(0) & 0xff) * 64L
+  }
+
+  /** The full 64-segment scene envelope for a scene id. */
+  def sceneEnvelope(scene: Long): Array[Long] =
+    Array.tabulate(64)(segmentAmp(scene, _))
+}

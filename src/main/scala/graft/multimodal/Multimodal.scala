@@ -426,13 +426,49 @@ object Multimodal {
     * pair — singletons are absent (their label is themselves). The
     * label-level view [[nearDupMediaClusters]] groups, exposed so
     * pipelines (curate v8) can keep-best without re-decoding. */
-  def perceptualLabels(hashed: DataFrame, maxDist: Int = 2): DataFrame = {
+  def perceptualLabels(hashed: DataFrame, maxDist: Int = 2): DataFrame =
+    bandedLabels(hashed, "phash", maxDist)
+
+  private def bandedLabels(hashed: DataFrame, hashCol: String,
+      maxDist: Int): DataFrame = {
     val sketches = hashed
-      .select(col("asset_id").as("id"), col("phash").as("simhash"))
+      .select(col("asset_id").as("id"), col(hashCol).as("simhash"))
     graft.dedup.Dedup.connectedComponents(
       graft.dedup.Dedup.simhashPairs(sketches, maxDist,
         bits = 64, bands = 8))
   }
+
+  /** Audio fingerprints per asset: distributed PCM decode (one decoder
+    * init point per partition, like [[perceptualHashes]]) → 64-bin
+    * energy envelope → 64-bit gradient fingerprint
+    * ([[AudioCodec.afp]]). Undecodable payloads (not 16-bit PCM WAV,
+    * under 64 samples) are dropped. Scale: one projection pass over
+    * the payload column emitting 16 bytes/asset — downstream shuffles
+    * fingerprints, never audio bytes. */
+  def audioFingerprints(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap(a => AudioCodec.afp(a.payload).map(h => (a.asset_id, h)))
+    }.toDF("asset_id", "afp")
+  }
+
+  /** Audio-space component labels — [[perceptualLabels]] over
+    * [[audioFingerprints]] output (same banded Hamming machinery:
+    * 64 bits / 8 bands, exact for maxDist < 8 by pigeonhole). */
+  def audioLabels(fingerprinted: DataFrame, maxDist: Int = 2): DataFrame =
+    bandedLabels(fingerprinted, "afp", maxDist)
+
+  /** Perceptual near-duplicate clusters over an audio corpus — the
+    * audio analog of [[nearDupMediaClusters]]: catches re-encoded
+    * (metadata chunks), resampled, channel-converted, and gain-scaled
+    * copies whose bytes share nothing but whose energy envelope does. */
+  def nearDupAudioClusters(assets: Dataset[MediaAsset],
+      maxDist: Int = 2): DataFrame =
+    audioLabels(audioFingerprints(assets), maxDist)
+      .groupBy(col("cluster_id").as("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("id")))
+          .cast("array<string>"), ",").as("member_ids"))
 
   def dedupExactMedia(assets: Dataset[MediaAsset]): DataFrame =
     assets.toDF()

@@ -283,6 +283,102 @@ object MultimodalOps extends QueryModule {
         Multimodal.ingestBinary(s, pixelFixtureDir(s, d)))
       .orderBy("canonical_id")
 
+  /** Plant SAMPLE-REAL audio files once per (session, dir) for the
+    * audio-fingerprint tier — the audio analog of [[pixelFixtureDir]]:
+    * every 25th doc is a "scene" — a 64-segment constant-amplitude
+    * envelope md5-mixed from (doc_id, k)
+    * ([[graft.multimodal.AudioCodec.segmentAmp]]) — rendered as 1600
+    * mono 16-bit PCM samples at 8 kHz. Selected scenes get
+    * byte-distinct, envelope-equivalent variants at offset ids:
+    *   +1·Offset (id%50):  resampled — the SAME envelope at 2531
+    *                        samples / 16 kHz (odd length: the bin
+    *                        partition, not equal tiles);
+    *   +2·Offset (id%75):  re-encoded — a LIST metadata chunk before
+    *                        data (same samples, new bytes);
+    *   +3·Offset (id%100): stereo — L=R duplicated frames, downmixed
+    *                        exactly back by ⌊(l+r)/2⌋;
+    *   +4·Offset (id%125): perturbed — segment 37 amp +512 (≤2
+    *                        fingerprint bits move: a NEAR duplicate);
+    *   +5·Offset (id%150): gain ×2 — exact doubling never reorders
+    *                        strict comparisons;
+    *   +6·Offset (id%175): corrupt — truncated mid-data (declared size
+    *                        past the buffer: decode MUST return None).
+    * Constant segments make every rendering's energy envelope recover
+    * the scene exactly, so expected fingerprints (and clusters) are
+    * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
+  private def audioPcmFixtureDir(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "mm_audio_pcm_fixtures") {
+      import graft.multimodal.AudioCodec
+      val base = s"${sys.props("java.io.tmpdir")}/graft_apcm_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val bp = java.nio.file.Paths.get(base)
+      graft.sources.TableSwap.deleteRecursively(bp)
+      java.nio.file.Files.createDirectories(bp)
+      val docs = Tables.documents(s, d)
+      Planting.requireHeadroom(docs, "doc_id", "mm_audio_near")
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/$name"), bytes)
+      docs.filter(col("doc_id") % 25 === 0).select("doc_id")
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val env = AudioCodec.sceneEnvelope(id)
+          val mono = AudioCodec.renderEnvelope(env, 1600)
+          put(s"asset_$id.wav", AudioCodec.encodeWav16(mono, 8000, 1))
+          if (id % 50 == 0)
+            put(s"asset_${id + Planting.Offset}.wav",
+              AudioCodec.encodeWav16(
+                AudioCodec.renderEnvelope(env, 2531), 16000, 1))
+          if (id % 75 == 0)
+            put(s"asset_${id + 2 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16(mono, 8000, 1, Some("re-encoded")))
+          if (id % 100 == 0) {
+            val st = new Array[Int](mono.length * 2)
+            var i = 0
+            while (i < mono.length) {
+              st(i * 2) = mono(i); st(i * 2 + 1) = mono(i); i += 1
+            }
+            put(s"asset_${id + 3 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16(st, 8000, 2))
+          }
+          if (id % 125 == 0) {
+            val p = env.clone(); p(37) += 512
+            put(s"asset_${id + 4 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16(
+                AudioCodec.renderEnvelope(p, 1600), 8000, 1))
+          }
+          if (id % 150 == 0)
+            put(s"asset_${id + 5 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16(
+                AudioCodec.renderEnvelope(env.map(_ * 2), 1600), 8000, 1))
+          if (id % 175 == 0)
+            put(s"asset_${id + 6 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16(mono, 8000, 1).take(300))
+        }
+      base
+    }
+
+  // Audio fingerprints end-to-end: binaryFile scan → REAL PCM decode
+  // (RIFF walk, 16-bit LE samples, stereo downmix) → 64-bin energy
+  // envelope → gradient fingerprint, surfaced LSB-first as a bit
+  // string (same comparator rationale as mm_phash). The oracle
+  // recomputes every expected fingerprint from the planting formula.
+  private def mmAudioFp(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFingerprints(
+        Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+      .select(col("asset_id"),
+        reverse(lpad(bin(col("afp")), 64, "0")).as("afp_bits"))
+      .orderBy("asset_id")
+
+  // The dedup ∩ audio closure: byte-distinct envelope-near copies
+  // (re-encode, resample, channel conversion, gain, slight perturb)
+  // recovered into clusters; the oracle enumerates expected clusters
+  // straight from the planting schedule.
+  private def mmAudioNear(s: SparkSession, d: String): DataFrame =
+    Multimodal.nearDupAudioClusters(
+        Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+      .orderBy("canonical_id")
+
   /** Fixture plantings are one-time per (session, dir) — registered as
     * explicit build lines so single-shot bench numbers for the mm
     * queries reflect steady state (the files exist; only the scan +
@@ -290,6 +386,7 @@ object MultimodalOps extends QueryModule {
   override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
     Map(
       "mm_pixel_build"  -> ((s, d) => { pixelFixtureDir(s, d); () }),
+      "mm_audio_build"  -> ((s, d) => { audioPcmFixtureDir(s, d); () }),
       "mm_binary_build" -> ((s, d) => { binaryFixtureDir(s, d); () }),
       "mm_image_build"  -> ((s, d) => { imageFixtureDir(s, d); () }),
       "mm_av_build"     -> ((s, d) => { avFixtureDir(s, d); () }))
@@ -339,12 +436,58 @@ object MultimodalOps extends QueryModule {
       .orderBy("asset_id")
   }
 
+  /** Curate v9 — the audio+text composition (v8's shape on the audio
+    * tier), every stage rule verbatim from its per-operator oracle:
+    *   1. binary ingest over the PCM fixture corpus (incl. its corrupt
+    *      family);
+    *   2. decode gate = audio fingerprinting (mm_audio_fp's rule:
+    *      assets whose payload PCM-decodes with ≥64 samples —
+    *      truncated WAVs drop here, never throw);
+    *   3. audio near-dup keep-best (mm_audio_near's clusters: keep the
+    *      canonical = min member, count the dropped copies);
+    *   4. transcript quality gate (text_quality_gate's dials verbatim
+    *      on the scene document's text — the transcript of a real
+    *      audio+text corpus);
+    *   5. mixture shard (export_shard_manifest's md5 shard rule).
+    * Scale shape: decode is one projection over payloads; everything
+    * after shuffles 16-byte fingerprints and transcript METRICS, never
+    * audio bytes; the transcript join is by scene id. */
+  private def pipelineCurateV9(s: SparkSession, d: String): DataFrame = {
+    val hashed = Multimodal.audioFingerprints(
+      Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+    val labels = Multimodal.audioLabels(hashed)
+    val dropped = labels.groupBy(col("cluster_id").as("__cid"))
+      .agg((count(lit(1)) - 1).as("n_dups_dropped"))
+    val kept = hashed
+      .join(labels.withColumnRenamed("id", "asset_id"),
+        Seq("asset_id"), "left")
+      .filter(col("cluster_id").isNull ||
+        col("cluster_id") === col("asset_id"))
+      .join(dropped, col("cluster_id") === col("__cid"), "left")
+      .select(col("asset_id"),
+        coalesce(col("n_dups_dropped"), lit(0L)).as("n_dups_dropped"),
+        pmod(col("asset_id"), lit(Planting.Offset)).as("doc_id"))
+    val transcripts = graft.text.TextAnalysis
+      .qualityGate(Tables.documents(s, d))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "keep")
+    kept.join(transcripts, Seq("doc_id"))
+      .filter(col("keep"))
+      .select(col("asset_id"), col("doc_id"), col("n_dups_dropped"),
+        col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+        graft.ops.Export.shardId(col("asset_id"), Shards).as("shard"))
+      .orderBy("asset_id")
+  }
+
   private val Shards = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate_v8"   -> (pipelineCurateV8 _),
+    "pipeline_curate_v9"   -> (pipelineCurateV9 _),
     "mm_phash"             -> (mmPhash _),
     "mm_dedup_near"        -> (mmDedupNear _),
+    "mm_audio_fp"          -> (mmAudioFp _),
+    "mm_audio_near"        -> (mmAudioNear _),
     "mm_decode_meta"       -> (mmDecodeMeta _),
     "mm_decode_image"      -> (mmDecodeImage _),
     "mm_decode_av"         -> (mmDecodeAv _),
