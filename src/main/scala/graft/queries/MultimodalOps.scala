@@ -519,7 +519,92 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 800000, doc_id, FALSE FROM d WHERE doc_id % 275 = 0
          UNION ALL SELECT doc_id + 900000, doc_id, FALSE FROM d WHERE doc_id % 325 = 0)"""
 
+  /** The planted audio-asset schedule as a DuckDB CTE pair (shared by
+    * the mm_audio_fp and pipeline_curate_v9 oracles) — decodable
+    * variants only: the %175 corrupt family (truncated mid-data)
+    * falls at the decode gate and never reaches any result. */
+  private val audioAssetsCte: String =
+    """d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+       assets AS (
+         SELECT doc_id AS asset_id, doc_id AS scene, FALSE AS pert FROM d
+         UNION ALL SELECT doc_id + 100000, doc_id, FALSE FROM d WHERE doc_id % 50 = 0
+         UNION ALL SELECT doc_id + 200000, doc_id, FALSE FROM d WHERE doc_id % 75 = 0
+         UNION ALL SELECT doc_id + 300000, doc_id, FALSE FROM d WHERE doc_id % 100 = 0
+         UNION ALL SELECT doc_id + 400000, doc_id, TRUE  FROM d WHERE doc_id % 125 = 0
+         UNION ALL SELECT doc_id + 500000, doc_id, FALSE FROM d WHERE doc_id % 150 = 0)"""
+
   val oracles: Map[String, String] = Map(
+
+    // recomputes every expected audio fingerprint from the planting
+    // formula — amp(scene,k) = 64 * first md5 byte of "a{scene}_{k}"
+    // (AudioCodec.segmentAmp), +512 on segment 37 for the perturbed
+    // family — then the gradient rule: bit k = (amp(k+1 mod 64) >
+    // amp(k)), LSB-first bit string. The resampled / re-encoded /
+    // stereo variants carry the SAME envelope, so their rows prove the
+    // RIFF walk, bin partition, and downmix land on identical
+    // envelopes; the gain-x2 family needs no case of its own because
+    // exact doubling never reorders strict comparisons — the unscaled
+    // amps yield its exact bits too.
+    "mm_audio_fp" ->
+      s"""WITH $audioAssetsCte,
+          e AS (
+            SELECT a.asset_id, t.k,
+                   ${hexByteSql("md5('a' || CAST(a.scene AS VARCHAR) || " +
+                     "'_' || CAST(t.k AS VARCHAR))")} * 64
+                   + CASE WHEN a.pert AND t.k = 37 THEN 512 ELSE 0 END
+                     AS amp
+            FROM assets a, range(64) t(k)),
+          bits AS (
+            SELECT e1.asset_id, e1.k,
+                   CASE WHEN e2.amp > e1.amp THEN '1' ELSE '0' END AS bit
+            FROM e e1 JOIN e e2 ON e1.asset_id = e2.asset_id
+             AND e2.k = (e1.k + 1) % 64)
+          SELECT asset_id, string_agg(bit, '' ORDER BY k) AS afp_bits
+          FROM bits GROUP BY asset_id ORDER BY asset_id""",
+
+    // expected audio clusters fall straight out of the variant
+    // schedule: a scene clusters iff it planted at least one decodable
+    // variant (md5 mixing keeps distinct scenes ~32 fingerprint bits
+    // apart — far beyond maxDist=2 — and the perturbed variant moves
+    // at most the 2 gradients adjacent to segment 37: within it).
+    // %100 implies %50 and %150 implies %75, so only %50/%75/%125
+    // widen the canonical-member condition; the %175 corrupt family
+    // never enters the candidate space.
+    "mm_audio_near" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         m AS (
+           SELECT doc_id AS canonical_id, doc_id AS member FROM d
+             WHERE doc_id % 50 = 0 OR doc_id % 75 = 0 OR doc_id % 125 = 0
+           UNION ALL SELECT doc_id, doc_id + 100000 FROM d WHERE doc_id % 50 = 0
+           UNION ALL SELECT doc_id, doc_id + 200000 FROM d WHERE doc_id % 75 = 0
+           UNION ALL SELECT doc_id, doc_id + 300000 FROM d WHERE doc_id % 100 = 0
+           UNION ALL SELECT doc_id, doc_id + 400000 FROM d WHERE doc_id % 125 = 0
+           UNION ALL SELECT doc_id, doc_id + 500000 FROM d WHERE doc_id % 150 = 0)
+         SELECT canonical_id, count(*) AS n_members,
+                string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
+                  AS member_ids
+         FROM m GROUP BY canonical_id ORDER BY canonical_id""",
+
+    // every stage rule re-expressed from its own per-operator oracle
+    // (the v8 discipline on the audio tier): the decodable audio-asset
+    // schedule, cluster sizes from the variant schedule, the SHARED
+    // text_quality_gate metric/keep fragments on the scene document
+    // (its transcript), and the export shard rule
+    "pipeline_curate_v9" ->
+      s"""WITH $audioAssetsCte,
+          counts AS (SELECT scene, count(*) AS n FROM assets GROUP BY scene),
+          ${OracleCtes.tokCte},
+          ${OracleCtes.qualityMetricsCte}
+          SELECT a.asset_id, a.scene AS doc_id,
+                 CAST(c.n - 1 AS BIGINT) AS n_dups_dropped,
+                 q.n_words, q.mean_word_len, q.symbol_ratio,
+                 ${graft.ops.Export.shardIdSql("a.asset_id", 8)} AS shard
+          FROM assets a
+          JOIN counts c USING (scene)
+          JOIN m q ON q.doc_id = a.scene
+          WHERE a.asset_id = a.scene
+            AND ${OracleCtes.qualityKeepSql}
+          ORDER BY a.asset_id""",
 
     // every stage rule re-expressed from its own per-operator oracle:
     // the asset schedule (decodables only — the corrupt family falls
