@@ -59,7 +59,8 @@ object Explain {
         "eval_recall_at_k", "eval_mrr", "eval_ndcg",
         "w11_windowed_quantile", "w11_windowed_quantile_stream",
         "mm_phash", "mm_dedup_near", "t2_watermark_dedup",
-        "pipeline_curate_v8")
+        "pipeline_curate_v8", "mm_audio_fp", "mm_audio_near",
+        "pipeline_curate_v9")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

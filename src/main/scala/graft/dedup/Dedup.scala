@@ -478,4 +478,35 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("id1", "id2", "hamming")
   }
+
+  /** The cross-side form of [[simhashPairs]]: probe ids whose sketch is
+    * within Hamming `maxDist` of ANY reference sketch. Same banded
+    * candidate generation (exact for maxDist < bands by pigeonhole),
+    * but the band join is probe × reference ONLY — streaming admission
+    * checks a batch against committed state without ever pairing the
+    * state against itself (the state side would dominate at 100 TB;
+    * this join's work is bounded by the BATCH's band collisions).
+    * Both inputs are (id, simhash); returns distinct matching probe
+    * ids as (id). */
+  def simhashMatches(probe: DataFrame, reference: DataFrame,
+      maxDist: Int, bits: Int = 32, bands: Int = 8): DataFrame = {
+    require(maxDist < bands, s"banding is only exact for maxDist < bands")
+    require(bits % bands == 0)
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    def banded(df: DataFrame, idN: String, hN: String): DataFrame = {
+      val bandCols = (0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * width)
+            .bitwiseAND(lit(mask)).as("v")))
+      df.select(col("id").as(idN), col("simhash").as(hN),
+          explode(array(bandCols: _*)).as("bv"))
+        .select(col(idN), col(hN),
+          col("bv.band").as("band"), col("bv.v").as("v"))
+    }
+    banded(probe, "__pid", "__ph")
+      .join(banded(reference, "__rid", "__rh"), Seq("band", "v"))
+      .filter(bit_count(col("__ph").bitwiseXOR(col("__rh"))) <= maxDist)
+      .select(col("__pid").as("id")).distinct()
+  }
 }

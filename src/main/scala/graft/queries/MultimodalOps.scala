@@ -498,7 +498,7 @@ object MultimodalOps extends QueryModule {
   /** DuckDB rendering of [[graft.multimodal.PixelCodec.sceneLuma]]'s
     * first-md5-byte: per-hex-digit ascii arithmetic (DuckDB has no
     * hex→int cast — same trick as [[graft.functions.Md5Bucket]]). */
-  private def hexByteSql(h: String): String = {
+  private[queries] def hexByteSql(h: String): String = {
     def hd(i: Int) = s"(ascii(substr($h, $i, 1)) - " +
       s"CASE WHEN substr($h, $i, 1) >= 'a' THEN 87 ELSE 48 END)"
     s"(${hd(1)} * 16 + ${hd(2)})"
@@ -533,6 +533,53 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 400000, doc_id, TRUE  FROM d WHERE doc_id % 125 = 0
          UNION ALL SELECT doc_id + 500000, doc_id, FALSE FROM d WHERE doc_id % 150 = 0)"""
 
+  /** The dHash-recomputation tail over an `assets(asset_id, scene,
+    * pert)` CTE: md5-mixed 8×8 block luma → horizontal gradient signs
+    * (wrapping bx 7→0), LSB-first bit string. ONE rendering shared by
+    * the mm_phash and mm_stream_admit oracles. */
+  private[queries] val phashBitsTail: String =
+    s"""g0 AS (
+          SELECT a.asset_id, a.pert, t1.gx, t2.gy,
+                 ${hexByteSql("md5(CAST(a.scene AS VARCHAR) || '_' || " +
+                   "CAST(t1.gx AS VARCHAR) || '_' || CAST(t2.gy AS VARCHAR))")}
+                   AS luma0
+          FROM assets a, range(8) t1(gx), range(8) t2(gy)),
+        g AS (
+          SELECT asset_id, gx, gy,
+                 CASE WHEN pert AND gx = 3 AND gy = 4
+                      THEN (luma0 + 16) % 256 ELSE luma0 END AS luma
+          FROM g0),
+        bits AS (
+          SELECT g1.asset_id, g1.gx, g1.gy,
+                 CASE WHEN g2.luma > g1.luma THEN '1' ELSE '0' END AS bit
+          FROM g g1 JOIN g g2 ON g1.asset_id = g2.asset_id
+           AND g2.gy = g1.gy AND g2.gx = (g1.gx + 1) % 8)
+        SELECT asset_id, string_agg(bit, '' ORDER BY gy, gx) AS phash_bits
+        FROM bits GROUP BY asset_id ORDER BY asset_id"""
+
+  /** The audio-fingerprint tail over an `assets(asset_id, scene, pert)`
+    * CTE: md5-mixed 64-segment amplitudes (+512 on segment 37 when
+    * perturbed) → gradient signs wrapping 63→0, LSB-first bit string.
+    * Shared by the mm_audio_fp and mm_audio_stream_admit oracles. The
+    * gain-×2 family needs no case of its own: exact doubling never
+    * reorders strict comparisons, so unscaled amps yield its exact
+    * bits too. */
+  private[queries] val afpBitsTail: String =
+    s"""e AS (
+          SELECT a.asset_id, t.k,
+                 ${hexByteSql("md5('a' || CAST(a.scene AS VARCHAR) || " +
+                   "'_' || CAST(t.k AS VARCHAR))")} * 64
+                 + CASE WHEN a.pert AND t.k = 37 THEN 512 ELSE 0 END
+                   AS amp
+          FROM assets a, range(64) t(k)),
+        bits AS (
+          SELECT e1.asset_id, e1.k,
+                 CASE WHEN e2.amp > e1.amp THEN '1' ELSE '0' END AS bit
+          FROM e e1 JOIN e e2 ON e1.asset_id = e2.asset_id
+           AND e2.k = (e1.k + 1) % 64)
+        SELECT asset_id, string_agg(bit, '' ORDER BY k) AS afp_bits
+        FROM bits GROUP BY asset_id ORDER BY asset_id"""
+
   val oracles: Map[String, String] = Map(
 
     // recomputes every expected audio fingerprint from the planting
@@ -547,20 +594,7 @@ object MultimodalOps extends QueryModule {
     // amps yield its exact bits too.
     "mm_audio_fp" ->
       s"""WITH $audioAssetsCte,
-          e AS (
-            SELECT a.asset_id, t.k,
-                   ${hexByteSql("md5('a' || CAST(a.scene AS VARCHAR) || " +
-                     "'_' || CAST(t.k AS VARCHAR))")} * 64
-                   + CASE WHEN a.pert AND t.k = 37 THEN 512 ELSE 0 END
-                     AS amp
-            FROM assets a, range(64) t(k)),
-          bits AS (
-            SELECT e1.asset_id, e1.k,
-                   CASE WHEN e2.amp > e1.amp THEN '1' ELSE '0' END AS bit
-            FROM e e1 JOIN e e2 ON e1.asset_id = e2.asset_id
-             AND e2.k = (e1.k + 1) % 64)
-          SELECT asset_id, string_agg(bit, '' ORDER BY k) AS afp_bits
-          FROM bits GROUP BY asset_id ORDER BY asset_id""",
+          $afpBitsTail""",
 
     // expected audio clusters fall straight out of the variant
     // schedule: a scene clusters iff it planted at least one decodable
@@ -635,24 +669,7 @@ object MultimodalOps extends QueryModule {
     // bits are pinned by the same arithmetic.
     "mm_phash" ->
       s"""WITH $pixelAssetsCte,
-          g0 AS (
-            SELECT a.asset_id, a.pert, t1.gx, t2.gy,
-                   ${hexByteSql("md5(CAST(a.scene AS VARCHAR) || '_' || " +
-                     "CAST(t1.gx AS VARCHAR) || '_' || CAST(t2.gy AS VARCHAR))")}
-                     AS luma0
-            FROM assets a, range(8) t1(gx), range(8) t2(gy)),
-          g AS (
-            SELECT asset_id, gx, gy,
-                   CASE WHEN pert AND gx = 3 AND gy = 4
-                        THEN (luma0 + 16) % 256 ELSE luma0 END AS luma
-            FROM g0),
-          bits AS (
-            SELECT g1.asset_id, g1.gx, g1.gy,
-                   CASE WHEN g2.luma > g1.luma THEN '1' ELSE '0' END AS bit
-            FROM g g1 JOIN g g2 ON g1.asset_id = g2.asset_id
-             AND g2.gy = g1.gy AND g2.gx = (g1.gx + 1) % 8)
-          SELECT asset_id, string_agg(bit, '' ORDER BY gy, gx) AS phash_bits
-          FROM bits GROUP BY asset_id ORDER BY asset_id""",
+          $phashBitsTail""",
 
     // expected clusters fall straight out of the variant schedule: a
     // scene clusters iff it planted at least one variant (md5 mixing

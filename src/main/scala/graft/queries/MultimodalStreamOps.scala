@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.{AudioCodec, PixelCodec}
+import graft.streaming.MediaAdmission
+
+/** Streamed multimodal-admission conformance — the incremental form of
+  * the perceptual near-dup tier ([[MultimodalOps]]'s mm_dedup_near /
+  * mm_audio_near), run through [[MediaAdmission]]'s checkpointed
+  * per-batch protocol: seed the fingerprint state from an initial
+  * media corpus, then deliver re-encoded / resized-or-resampled /
+  * perturbed / corrupt / genuinely-fresh batches and read back the
+  * admitted fingerprint table. The DuckDB oracle recomputes BOTH the
+  * sequential admission truth (which assets survive the schedule) and
+  * every surviving fingerprint's exact bits from the planting formula,
+  * so the whole streamed path — decode gate, banded Hamming probe,
+  * MergeableStream fold, replay convergence — is hash-checked, not
+  * just row-counted.
+  *
+  * Unlike the binaryFile fixtures, deliveries here are (asset_id,
+  * payload) parquet batches rendered DISTRIBUTED (one mapPartitions
+  * over the schedule — no driver-side collect at any size): the
+  * Kafka-ish production shape where media rides the message.
+  */
+object MultimodalStreamOps extends QueryModule {
+
+  import Planting.Offset
+
+  /** Variant codes shared by both codecs: 0 original (and fresh),
+    * 1 resized/resampled, 2 re-encoded (metadata chunk), 3 perturbed
+    * (≤2 fingerprint bits — a NEAR duplicate), 4 corrupt (truncated —
+    * MUST drop at the decode gate). */
+  private def imagePayloads(scenes: DataFrame): DataFrame = {
+    val s = scenes.sparkSession
+    import s.implicits._
+    scenes.select(col("asset_id"), col("scene"), col("variant"))
+      .as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (aid, scene, v) =>
+        val grid = PixelCodec.sceneGrid(scene)
+        val bytes = v match {
+          case 0 => PixelCodec.encodeGray8Png(
+            PixelCodec.renderGrid(grid, 64))
+          case 1 => PixelCodec.encodeGray8Png(
+            PixelCodec.renderGrid(grid, 32))
+          case 2 => PixelCodec.encodeGray8Png(
+            PixelCodec.renderGrid(grid, 64), filterType = 2,
+            textChunk = Some("re-encoded"))
+          case 3 =>
+            val p = grid.clone(); p(4 * 8 + 3) = (p(4 * 8 + 3) + 16) % 256
+            PixelCodec.encodeGray8Png(PixelCodec.renderGrid(p, 64))
+          case _ => PixelCodec.encodeGray8Png(
+            PixelCodec.renderGrid(grid, 64)).take(60)
+        }
+        (aid, bytes)
+      }).toDF("asset_id", "payload")
+  }
+
+  private def audioPayloads(scenes: DataFrame): DataFrame = {
+    val s = scenes.sparkSession
+    import s.implicits._
+    scenes.select(col("asset_id"), col("scene"), col("variant"))
+      .as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (aid, scene, v) =>
+        val env = AudioCodec.sceneEnvelope(scene)
+        val bytes = v match {
+          case 0 => AudioCodec.encodeWav16(
+            AudioCodec.renderEnvelope(env, 1600), 8000, 1)
+          case 1 => AudioCodec.encodeWav16(
+            AudioCodec.renderEnvelope(env, 2531), 16000, 1)
+          case 2 => AudioCodec.encodeWav16(
+            AudioCodec.renderEnvelope(env, 1600), 8000, 1,
+            Some("re-encoded"))
+          case 3 =>
+            val p = env.clone(); p(37) += 512
+            AudioCodec.encodeWav16(
+              AudioCodec.renderEnvelope(p, 1600), 8000, 1)
+          case _ => AudioCodec.encodeWav16(
+            AudioCodec.renderEnvelope(env, 1600), 8000, 1).take(300)
+        }
+        (aid, bytes)
+      }).toDF("asset_id", "payload")
+  }
+
+  /** The delivery schedule (asset_id, scene, variant), shared by both
+    * tiers — every 25th doc is a seeded scene, then:
+    *   delivery A: %50 resized (+1·Offset) and %75 re-encoded
+    *               (+2·Offset) copies of seeded scenes — ALL rejected;
+    *   delivery B: %125 perturbed (+4·Offset, within maxDist) —
+    *               rejected; %100 FRESH scenes (+3·Offset asset AND
+    *               scene id — a scene space never seeded) — admitted;
+    *               %175 corrupt (+5·Offset) — dropped at decode;
+    *   delivery A again: replay — converges with zero state change.
+    * Expected admitted set = seeds ∪ the %100 fresh family. */
+  private def sched(docs: DataFrame, mod: Int, idOff: Long,
+      sceneOff: Long, v: Int): DataFrame =
+    docs.filter(col("doc_id") % mod === 0)
+      .select((col("doc_id") + idOff).as("asset_id"),
+        (col("doc_id") + sceneOff).as("scene"),
+        lit(v).as("variant"))
+
+  /** Run seed + 3 checkpointed deliveries once per (session, dir,
+    * tier); returns the state path. Cross-process reuse via a
+    * source-fingerprint marker (same discipline as the
+    * dedup_stream_admit fixture). */
+  private def streamedState(s: SparkSession, d: String, tag: String,
+      payloads: DataFrame => DataFrame,
+      fingerprint: Array[Byte] => Option[Long]): String =
+    SessionMemo(s, d, tag) {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (src, cp, state) = (s"$base/src", s"$base/cp", s"$base/state")
+      val srcFile = java.nio.file.Paths.get(s"$d/documents.parquet")
+      val fp = "v1|" + java.nio.file.Files.size(srcFile) + "|" +
+        java.nio.file.Files.getLastModifiedTime(srcFile).toMillis
+      val marker = java.nio.file.Paths.get(s"$base/_COMPLETE")
+      val reusable = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker),
+          "UTF-8") == fp
+      if (!reusable) {
+        graft.sources.TableSwap.deleteRecursively(
+          java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d)
+        Planting.requireHeadroom(docs, "doc_id", tag)
+        val scenes = docs.filter(col("doc_id") % 25 === 0)
+          .select("doc_id")
+        val seed = sched(scenes, 25, 0, 0, 0)
+        val incA = sched(scenes, 50, Offset, 0, 1)
+          .unionByName(sched(scenes, 75, 2 * Offset, 0, 2))
+        val incB = sched(scenes, 125, 4 * Offset, 0, 3)
+          .unionByName(sched(scenes, 100, 3 * Offset, 3 * Offset, 0))
+          .unionByName(sched(scenes, 175, 5 * Offset, 0, 4))
+        def deliver(inc: DataFrame): Unit = {
+          payloads(inc).coalesce(1).write.mode("append").parquet(src)
+          val stream = s.readStream
+            .schema("asset_id LONG, payload BINARY").parquet(src)
+          val done = MediaAdmission.start(stream, state, cp,
+              "asset_id", "payload", fingerprint)
+            .awaitTermination(300000)
+          require(done, s"$tag: admission stream did not finish " +
+            "within 5 minutes — refusing to read partial state")
+        }
+        val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          MediaAdmission.seed(s, payloads(seed), state,
+            "asset_id", "payload", fingerprint)
+          deliver(incA)
+          deliver(incB)
+          deliver(incA)   // replay: must converge with zero changes
+          java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+        } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+      }
+      state
+    }
+
+  private def imageState(s: SparkSession, d: String): String =
+    streamedState(s, d, "mm_stream_admit", imagePayloads,
+      PixelCodec.phash)
+
+  private def audioState(s: SparkSession, d: String): String =
+    streamedState(s, d, "mm_audio_stream_admit", audioPayloads,
+      AudioCodec.afp)
+
+  // Admitted fingerprint state after the full streamed run, surfaced
+  // LSB-first as a bit string (same comparator rationale as mm_phash).
+  private def admitted(s: SparkSession, state: String,
+      bitsName: String): DataFrame =
+    s.read.parquet(s"$state/fps")
+      .select(col("id").as("asset_id"),
+        reverse(lpad(bin(col("fp")), 64, "0")).as(bitsName))
+      .orderBy("asset_id")
+
+  private def mmStreamAdmit(s: SparkSession, d: String): DataFrame =
+    admitted(s, imageState(s, d), "phash_bits")
+
+  private def mmAudioStreamAdmit(s: SparkSession, d: String): DataFrame =
+    admitted(s, audioState(s, d), "afp_bits")
+
+  override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Map(
+      "mm_stream_admit_build" ->
+        ((s, d) => { imageState(s, d); () }),
+      "mm_audio_stream_admit_build" ->
+        ((s, d) => { audioState(s, d); () }))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_stream_admit"       -> (mmStreamAdmit _),
+    "mm_audio_stream_admit" -> (mmAudioStreamAdmit _))
+
+  /** Admitted assets fall straight out of the schedule — seeds plus
+    * the %100 fresh family; every variant of a seeded scene lands
+    * within maxDist of its committed fingerprint (dist 0 for
+    * resize/re-encode, ≤2 for perturbed) and is rejected, the corrupt
+    * family drops at decode, and the replayed delivery is a no-op.
+    * The fingerprint tails then pin every surviving hash's exact bits. */
+  val oracles: Map[String, String] = Map(
+    "mm_stream_admit" ->
+      s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+          assets AS (
+            SELECT doc_id AS asset_id, doc_id AS scene, FALSE AS pert
+            FROM d
+            UNION ALL
+            SELECT doc_id + 300000, doc_id + 300000, FALSE
+            FROM d WHERE doc_id % 100 = 0),
+          ${MultimodalOps.phashBitsTail}""",
+
+    "mm_audio_stream_admit" ->
+      s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+          assets AS (
+            SELECT doc_id AS asset_id, doc_id AS scene, FALSE AS pert
+            FROM d
+            UNION ALL
+            SELECT doc_id + 300000, doc_id + 300000, FALSE
+            FROM d WHERE doc_id % 100 = 0),
+          ${MultimodalOps.afpBitsTail}""")
+}
