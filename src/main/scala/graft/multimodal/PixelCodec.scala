@@ -213,9 +213,11 @@ object PixelCodec {
     Some(Gray(w, h, px))
   }
 
-  /** Pixel decode across the supported formats. */
+  /** Pixel decode across the supported formats (PNG, BMP, baseline
+    * JPEG — [[JpegCodec]] carries the DCT tier). */
   def decodePixels(b: Array[Byte]): Option[Gray] =
     decodePng(b).orElse(decodeBmp24(b))
+      .orElse(JpegCodec.decodeJpeg(b))
 
   /** Downsample to an 8×8 luma grid (row-major, 64 ints) by BIN
     * PARTITION: pixel (x, y) belongs to cell (⌊8x/w⌋, ⌊8y/h⌋), each

@@ -187,7 +187,15 @@ object MultimodalOps extends QueryModule {
     *                        other schedules, so these scenes cluster
     *                        from the color variant ALONE);
     *   +9·Offset (id%325): palette — indexed color (PLTE lookup; also
-    *                        an only-variant family).
+    *                        an only-variant family);
+    *   +10·Offset (id%425): baseline JPEG — REAL DCT round trip
+    *                        ([[graft.multimodal.JpegCodec]]): YCbCr
+    *                        3-component, 2×2-subsampled chroma,
+    *                        restart markers every 3 MCUs. Block-
+    *                        constant scenes are DC-only under the unit
+    *                        quant table, so the lossy codec is
+    *                        bit-exact on this family (also an
+    *                        only-variant family).
     * Block-constant tiles (and [[PixelCodec.renderGridSized]]'s
     * bin-rule coloring at odd sizes) make every rendering resample
     * exactly back to the scene grid, so expected hashes (and clusters)
@@ -244,6 +252,11 @@ object MultimodalOps extends QueryModule {
           if (id % 325 == 0)
             put(s"asset_${id + 9 * Planting.Offset}.png",
               PixelCodec.encodePalettePng(PixelCodec.renderGrid(grid, 32)))
+          if (id % 425 == 0)
+            put(s"asset_${id + 10 * Planting.Offset}.jpg",
+              graft.multimodal.JpegCodec.encodeJpeg(
+                PixelCodec.renderGrid(grid, 64), color = true,
+                ySampH = 2, ySampV = 2, restartInterval = 3))
           // corrupt variant (id%175, +5·Offset): a truncated PNG — the
           // IDAT stream cuts off mid-deflate, so pixel decode MUST
           // return None. Exercises the hostile-input path end-to-end:
@@ -517,7 +530,8 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 600000, doc_id, FALSE FROM d WHERE doc_id % 150 = 0
          UNION ALL SELECT doc_id + 700000, doc_id, FALSE FROM d WHERE doc_id % 225 = 0
          UNION ALL SELECT doc_id + 800000, doc_id, FALSE FROM d WHERE doc_id % 275 = 0
-         UNION ALL SELECT doc_id + 900000, doc_id, FALSE FROM d WHERE doc_id % 325 = 0)"""
+         UNION ALL SELECT doc_id + 900000, doc_id, FALSE FROM d WHERE doc_id % 325 = 0
+         UNION ALL SELECT doc_id + 1000000, doc_id, FALSE FROM d WHERE doc_id % 425 = 0)"""
 
   /** The planted audio-asset schedule as a DuckDB CTE pair (shared by
     * the mm_audio_fp and pipeline_curate_v9 oracles) — decodable
@@ -675,14 +689,15 @@ object MultimodalOps extends QueryModule {
     // scene clusters iff it planted at least one variant (md5 mixing
     // keeps distinct scenes ~32 bits apart — far beyond maxDist=2 —
     // and the perturbed variant moves <=2 bits: within it). %100/%150/
-    // %225 imply %50 or %75, so only %275 and %325 (the only-variant
-    // color/palette families) widen the canonical-member condition.
+    // %225 imply %50 or %75, so only %275, %325, and %425 (the
+    // only-variant color/palette/JPEG families) widen the
+    // canonical-member condition.
     "mm_dedup_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          m AS (
            SELECT doc_id AS canonical_id, doc_id AS member FROM d
              WHERE doc_id % 50 = 0 OR doc_id % 75 = 0 OR doc_id % 125 = 0
-                OR doc_id % 275 = 0 OR doc_id % 325 = 0
+                OR doc_id % 275 = 0 OR doc_id % 325 = 0 OR doc_id % 425 = 0
            UNION ALL SELECT doc_id, doc_id + 100000 FROM d WHERE doc_id % 50 = 0
            UNION ALL SELECT doc_id, doc_id + 200000 FROM d WHERE doc_id % 75 = 0
            UNION ALL SELECT doc_id, doc_id + 300000 FROM d WHERE doc_id % 100 = 0
@@ -690,7 +705,8 @@ object MultimodalOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 600000 FROM d WHERE doc_id % 150 = 0
            UNION ALL SELECT doc_id, doc_id + 700000 FROM d WHERE doc_id % 225 = 0
            UNION ALL SELECT doc_id, doc_id + 800000 FROM d WHERE doc_id % 275 = 0
-           UNION ALL SELECT doc_id, doc_id + 900000 FROM d WHERE doc_id % 325 = 0)
+           UNION ALL SELECT doc_id, doc_id + 900000 FROM d WHERE doc_id % 325 = 0
+           UNION ALL SELECT doc_id, doc_id + 1000000 FROM d WHERE doc_id % 425 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids
