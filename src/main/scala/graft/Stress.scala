@@ -79,7 +79,8 @@ object Stress {
     "text_html_extract", "mm_decode_av", "text_heavy_hitters_stream",
     "web_anchor_bm25", "mm_phash", "mm_dedup_near",
     "pipeline_curate_v8", "mm_audio_fp", "mm_audio_near",
-    "pipeline_curate_v9", "mm_stream_admit", "mm_audio_stream_admit")
+    "pipeline_curate_v9", "mm_stream_admit", "mm_audio_stream_admit",
+    "text_decontaminate_served")
 
   /** Relational / windows / layout tier (orders + lineitem + events —
     * amplified fact tables; region/nation/supplier/part stay dim-sized,
@@ -101,6 +102,7 @@ object Stress {
     * [[SparkEntry.benchBuilds]]). */
   private val Builds = Seq(
     "dedup_index_build", "dedup_passage_build", "dedup_stream_admit_build",
+    "decontam_state_build",
     "pipeline_curate_build", "pipeline_curate_v3_build",
     "layout_partition_build", "layout_bucketed_build",
     "layout_zorder_build", "layout_compact_build",

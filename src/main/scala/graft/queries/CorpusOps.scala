@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.Export
-import graft.text.{LinearClassifier, PassageDedup}
+import graft.text.{Decontam, LinearClassifier, PassageDedup}
 
 /** Round-6 corpus-curation additions: exact duplicated-passage
   * detection/removal (sub-document dedup — the granularity the
@@ -258,7 +258,35 @@ object CorpusOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Build + save the decontamination state once per (session, dir);
+    * the served entry loads it back. SessionMemo keys the SAVE; the
+    * load is per-query (cheap: 1 meta row + lazy parquet scans). */
+  private def decontamStateDir(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "decontam_state") {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_dcst_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Decontam.saveState(Decontam.buildState(
+        Tables.documents(s, d).filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = K, expectedItems = 100000), base)
+      base
+    }
+
+  // Flag-level decontamination SERVED from the persisted state — the
+  // build-once/serve-many production shape in the driver gate itself:
+  // the benchmark side arrives as loaded parquet + Bloom sketch bytes,
+  // never re-derived from the raw benchmark, and the result is
+  // hash-identical to text_decontaminate/_bloom (the SAME oracle — one
+  // rendering, three paths).
+  private def textDecontaminateServed(s: SparkSession, d: String)
+      : DataFrame =
+    Decontam.flagContaminated(
+      Tables.documents(s, d).filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "text"),
+      "doc_id", "text", Decontam.loadState(s, decontamStateDir(s, d)))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate_served" -> (textDecontaminateServed _),
     "pipeline_curate_v7"       -> (pipelineCurateV7 _),
     "dedup_passage_spans"      -> (dedupPassageSpans _),
     "dedup_passage_clean"      -> (dedupPassageClean _),
@@ -281,6 +309,7 @@ object CorpusOps extends QueryModule {
   override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
     Map(
       "dedup_passage_build" -> ((s, d) => force(dupPositions(s, d))),
+      "decontam_state_build" -> ((s, d) => { decontamStateDir(s, d); () }),
       "pipeline_curate_v3_build" -> ((s, d) => {
         force(v3Gated(s, d)); force(v3Positions(s, d))
       })
@@ -383,6 +412,7 @@ object CorpusOps extends QueryModule {
   private val RemovalTail = removalCtesSql("u") + cleanSelectSql("u")
 
   val oracles: Map[String, String] = Map(
+    "text_decontaminate_served" -> DataOps.decontaminateOracle,
     "dedup_passage_spans" -> (PassageChain +
       """,
          m AS (SELECT doc_id, pos,

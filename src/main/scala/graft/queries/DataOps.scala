@@ -947,7 +947,10 @@ object DataOps extends QueryModule {
 
   )
 
-  private lazy val decontaminateOracle: String =
+  /** Shared by text_decontaminate, text_decontaminate_bloom, and the
+    * persisted-state-served twin in [[CorpusOps]] — one rendering, so
+    * the three paths cannot drift from each other's contract. */
+  private[queries] lazy val decontaminateOracle: String =
     s"""WITH $tokCte, $shCte,
         bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
         flagged AS (
