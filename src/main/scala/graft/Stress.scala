@@ -45,6 +45,7 @@ object Stress {
     "dedup_passage_spans", "dedup_passage_clean", "dedup_passage_top",
     "dedup_stream_admit", "dedup_embed_cosine", "dedup_semantic",
     "text_decontaminate", "text_decontaminate_spans",
+    "text_decontaminate_spans_served",
     "text_novelty_score",
     "graph_degrees", "graph_pagerank", "graph_trustrank", "graph_hits",
     "j9_fuzzy_match", "sim_cosine_topk",

@@ -114,24 +114,43 @@ object CorpusOps extends QueryModule {
   // 10..1) at +3·Offset — the leading 20 tokens are bench k-grams
   // (cut), the reversed tail is not (kept), so the entry proves
   // partial-document removal, not just flagging.
-  private def textDecontaminateSpans(s: SparkSession, d: String)
-      : DataFrame = {
+  /** The spans entry's corpus: non-bench docs plus the planted
+    * contamination (bench excerpt ++ reversed bench prefix) — shared
+    * by the inline and state-served twins so both remove spans from
+    * byte-identical input. */
+  private def spansCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     Planting.requireHeadroom(docs, "doc_id", "text_decontaminate_spans")
-    val bench = docs.filter(col("doc_id") % 97 === 0)
-    val benchTs = bench.select(col("doc_id"), toksC.as("__ts"))
+    val benchTs = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), toksC.as("__ts"))
       .filter(size(col("__ts")) >= 30)
     val planted = benchTs.select(
       (col("doc_id") + 3 * Planting.Offset).as("doc_id"),
       concat(array_join(slice(col("__ts"), 11, 20), " "), lit(" "),
         array_join(reverse(slice(col("__ts"), 1, 10)), " ")).as("text"))
-    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-      .unionByName(planted)
+    docs.filter(col("doc_id") % 97 =!= 0).unionByName(planted)
+  }
+
+  private def textDecontaminateSpans(s: SparkSession, d: String)
+      : DataFrame = {
+    val corpus = spansCorpus(s, d)
+    val bench = Tables.documents(s, d).select("doc_id", "text")
+      .filter(col("doc_id") % 97 === 0)
     val pos = PassageDedup.positionsMatching(corpus, "doc_id", "text", K,
       PassageDedup.grams(bench, "doc_id", "text", K))
     PassageDedup.removeFromPositions(corpus, "doc_id", "text", pos, K)
       .orderBy("doc_id")
   }
+
+  // Span-level decontamination SERVED from the persisted state — the
+  // k-gram side arrives as loaded parquet, never re-windowed from the
+  // raw benchmark; hash-identical to text_decontaminate_spans (the
+  // SAME oracle).
+  private def textDecontaminateSpansServed(s: SparkSession, d: String)
+      : DataFrame =
+    Decontam.removeSpans(spansCorpus(s, d), "doc_id", "text",
+        Decontam.loadState(s, decontamStateDir(s, d)))
+      .orderBy("doc_id")
 
   private val Shards = 16
 
@@ -292,6 +311,7 @@ object CorpusOps extends QueryModule {
     "dedup_passage_clean"      -> (dedupPassageClean _),
     "dedup_passage_top"        -> (dedupPassageTop _),
     "text_decontaminate_spans" -> (textDecontaminateSpans _),
+    "text_decontaminate_spans_served" -> (textDecontaminateSpansServed _),
     "text_novelty_score"       -> (textNoveltyScore _),
     "text_classifier_score"    -> (textClassifierScore _),
     "export_shard_manifest"    -> (exportShardManifest _),
@@ -411,6 +431,31 @@ object CorpusOps extends QueryModule {
 
   private val RemovalTail = removalCtesSql("u") + cleanSelectSql("u")
 
+  private lazy val spansOracle: String =
+    Tk0Sql +
+      """,
+         bch AS (SELECT doc_id, ts FROM tk0 WHERE doc_id % 97 = 0),
+         pl AS (
+           SELECT doc_id + 300000 AS doc_id,
+                  list_concat(ts[11:30], list_reverse(ts[1:10])) AS ts
+           FROM bch WHERE len(ts) >= 30
+         ),
+         u AS (
+           SELECT doc_id, ts FROM tk0 WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id, ts FROM pl
+         ),
+         bg AS (
+           SELECT DISTINCT g2.gram AS gram FROM (
+             SELECT unnest([struct_pack(
+                       gram := array_to_string(ts[i:i+11], ' '))
+                     for i in range(1, len(ts) - 10)]) AS g2
+             FROM bch WHERE len(ts) >= 12)
+         )""" + gramSql("u") +
+      """,
+         p AS (SELECT doc_id, pos FROM g
+               WHERE gram IN (SELECT gram FROM bg))""" + RemovalTail
+
   val oracles: Map[String, String] = Map(
     "text_decontaminate_served" -> DataOps.decontaminateOracle,
     "dedup_passage_spans" -> (PassageChain +
@@ -455,31 +500,10 @@ object CorpusOps extends QueryModule {
          FROM u LEFT JOIN nd ON u.doc_id = nd.doc_id
          ORDER BY u.doc_id"""),
 
-    "text_decontaminate_spans" ->
-      (Tk0Sql +
-      """,
-         bch AS (SELECT doc_id, ts FROM tk0 WHERE doc_id % 97 = 0),
-         pl AS (
-           SELECT doc_id + 300000 AS doc_id,
-                  list_concat(ts[11:30], list_reverse(ts[1:10])) AS ts
-           FROM bch WHERE len(ts) >= 30
-         ),
-         u AS (
-           SELECT doc_id, ts FROM tk0 WHERE doc_id % 97 <> 0
-           UNION ALL
-           SELECT doc_id, ts FROM pl
-         ),
-         bg AS (
-           SELECT DISTINCT g2.gram AS gram FROM (
-             SELECT unnest([struct_pack(
-                       gram := array_to_string(ts[i:i+11], ' '))
-                     for i in range(1, len(ts) - 10)]) AS g2
-             FROM bch WHERE len(ts) >= 12)
-         )""" + gramSql("u") +
-      """,
-         p AS (SELECT doc_id, pos FROM g
-               WHERE gram IN (SELECT gram FROM bg))""" + RemovalTail),
-
+    // one rendering for the inline AND state-served spans twins (both
+    // remove bench k-grams from the identical planted corpus)
+    "text_decontaminate_spans_served" -> spansOracle,
+    "text_decontaminate_spans" -> spansOracle,
     // weight arithmetic emitted by LinearClassifier.weightSql — one
     // definition, two engines
     "text_classifier_score" ->
