@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.{AudioCodec, PixelCodec}
+import graft.multimodal.{AudioCodec, JpegCodec, PixelCodec}
 import graft.streaming.MediaAdmission
 
 /** Streamed multimodal-admission conformance — the incremental form of
@@ -32,7 +32,9 @@ object MultimodalStreamOps extends QueryModule {
   /** Variant codes shared by both codecs: 0 original (and fresh),
     * 1 resized/resampled, 2 re-encoded (metadata chunk), 3 perturbed
     * (≤2 fingerprint bits — a NEAR duplicate), 4 corrupt (truncated —
-    * MUST drop at the decode gate). */
+    * MUST drop at the decode gate), 5 (image tier only) baseline-JPEG
+    * re-render of the scene — a cross-FORMAT copy the stream must
+    * reject at dist 0. */
   private def imagePayloads(scenes: DataFrame): DataFrame = {
     val s = scenes.sparkSession
     import s.implicits._
@@ -51,6 +53,8 @@ object MultimodalStreamOps extends QueryModule {
           case 3 =>
             val p = grid.clone(); p(4 * 8 + 3) = (p(4 * 8 + 3) + 16) % 256
             PixelCodec.encodeGray8Png(PixelCodec.renderGrid(p, 64))
+          case 5 => JpegCodec.encodeJpeg(PixelCodec.renderGrid(grid, 64),
+            color = true, ySampH = 2, ySampV = 2, restartInterval = 3)
           case _ => PixelCodec.encodeGray8Png(
             PixelCodec.renderGrid(grid, 64)).take(60)
         }
@@ -87,7 +91,9 @@ object MultimodalStreamOps extends QueryModule {
   /** The delivery schedule (asset_id, scene, variant), shared by both
     * tiers — every 25th doc is a seeded scene, then:
     *   delivery A: %50 resized (+1·Offset) and %75 re-encoded
-    *               (+2·Offset) copies of seeded scenes — ALL rejected;
+    *               (+2·Offset) copies of seeded scenes — plus, on the
+    *               image tier, %150 baseline-JPEG re-renders
+    *               (+6·Offset) — ALL rejected;
     *   delivery B: %125 perturbed (+4·Offset, within maxDist) —
     *               rejected; %100 FRESH scenes (+3·Offset asset AND
     *               scene id — a scene space never seeded) — admitted;
@@ -107,13 +113,14 @@ object MultimodalStreamOps extends QueryModule {
     * dedup_stream_admit fixture). */
   private def streamedState(s: SparkSession, d: String, tag: String,
       payloads: DataFrame => DataFrame,
-      fingerprint: Array[Byte] => Option[Long]): String =
+      fingerprint: Array[Byte] => Option[Long],
+      jpegCopies: Boolean = false): String =
     SessionMemo(s, d, tag) {
       val base = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
         java.lang.Integer.toHexString(d.hashCode)
       val (src, cp, state) = (s"$base/src", s"$base/cp", s"$base/state")
       val srcFile = java.nio.file.Paths.get(s"$d/documents.parquet")
-      val fp = "v1|" + java.nio.file.Files.size(srcFile) + "|" +
+      val fp = "v2|" + java.nio.file.Files.size(srcFile) + "|" +
         java.nio.file.Files.getLastModifiedTime(srcFile).toMillis
       val marker = java.nio.file.Paths.get(s"$base/_COMPLETE")
       val reusable = java.nio.file.Files.exists(marker) &&
@@ -127,8 +134,13 @@ object MultimodalStreamOps extends QueryModule {
         val scenes = docs.filter(col("doc_id") % 25 === 0)
           .select("doc_id")
         val seed = sched(scenes, 25, 0, 0, 0)
-        val incA = sched(scenes, 50, Offset, 0, 1)
+        val incA0 = sched(scenes, 50, Offset, 0, 1)
           .unionByName(sched(scenes, 75, 2 * Offset, 0, 2))
+        // image tier: %150 scenes also deliver a baseline-JPEG
+        // re-render (cross-format copy) — rejected at dist 0
+        val incA = if (jpegCopies)
+          incA0.unionByName(sched(scenes, 150, 6 * Offset, 0, 5))
+          else incA0
         val incB = sched(scenes, 125, 4 * Offset, 0, 3)
           .unionByName(sched(scenes, 100, 3 * Offset, 3 * Offset, 0))
           .unionByName(sched(scenes, 175, 5 * Offset, 0, 4))
@@ -158,7 +170,7 @@ object MultimodalStreamOps extends QueryModule {
 
   private def imageState(s: SparkSession, d: String): String =
     streamedState(s, d, "mm_stream_admit", imagePayloads,
-      PixelCodec.phash)
+      PixelCodec.phash, jpegCopies = true)
 
   private def audioState(s: SparkSession, d: String): String =
     streamedState(s, d, "mm_audio_stream_admit", audioPayloads,

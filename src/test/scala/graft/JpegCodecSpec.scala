@@ -82,6 +82,14 @@ class JpegCodecSpec extends AnyFunSuite {
     val headerOnly = graft.multimodal.Multimodal.MediaHeaders.jpeg(64, 48) ++
       "payload tail".getBytes("US-ASCII")
     assert(JpegCodec.decodeJpeg(headerOnly).isEmpty)
+    // a restart-interval stream whose first RST marker is clobbered:
+    // the decoder expects FFD0 at the boundary and must reject
+    val withRst = JpegCodec.encodeJpeg(noisy(32, 8, 4),
+      color = true, restartInterval = 1)
+    val rstAt = withRst.indexOfSlice(Seq(0xff.toByte, 0xd0.toByte))
+    assert(rstAt > 0)
+    assert(JpegCodec.decodeJpeg(
+      withRst.updated(rstAt + 1, 0x3f.toByte)).isEmpty)
     // truncation at EVERY byte boundary up to the end of scan data
     // (a file cut only inside the trailing EOI still holds a complete
     // scan — tolerated, like every production decoder)
