@@ -44,8 +44,8 @@ object Stress {
     "dedup_paragraph", "dedup_incremental",
     "dedup_passage_spans", "dedup_passage_clean", "dedup_passage_top",
     "dedup_stream_admit", "dedup_embed_cosine", "dedup_semantic",
-    "text_decontaminate", "text_decontaminate_spans",
-    "text_decontaminate_spans_served",
+    "text_decontaminate", "text_decontaminate_served",
+    "text_decontaminate_spans", "text_decontaminate_spans_served",
     "text_novelty_score",
     "graph_degrees", "graph_pagerank", "graph_trustrank", "graph_hits",
     "j9_fuzzy_match", "sim_cosine_topk",
@@ -80,8 +80,7 @@ object Stress {
     "text_html_extract", "mm_decode_av", "text_heavy_hitters_stream",
     "web_anchor_bm25", "mm_phash", "mm_dedup_near",
     "pipeline_curate_v8", "mm_audio_fp", "mm_audio_near",
-    "pipeline_curate_v9", "mm_stream_admit", "mm_audio_stream_admit",
-    "text_decontaminate_served")
+    "pipeline_curate_v9", "mm_stream_admit", "mm_audio_stream_admit")
 
   /** Relational / windows / layout tier (orders + lineitem + events —
     * amplified fact tables; region/nation/supplier/part stay dim-sized,

@@ -198,12 +198,9 @@ object Aggregates extends QueryModule {
       // a completed build is stamped with the source fingerprint and a
       // later JVM reuses it instead of re-running the four stream
       // queries; testdata regeneration forces a clean rebuild.
-      val srcFile = java.nio.file.Paths.get(s"$d/events.parquet")
-      val fp = "w10v1|" + java.nio.file.Files.size(srcFile) + "|" +
-        java.nio.file.Files.getLastModifiedTime(srcFile).toMillis
-      val marker = java.nio.file.Paths.get(s"$base/_COMPLETE")
-      val reusable = java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+      val fp = graft.sources.FixtureMarker.fingerprint(
+        java.nio.file.Paths.get(s"$d/events.parquet"), "w10v1")
+      val reusable = graft.sources.FixtureMarker.reusable(base, fp)
       def build(): String = {
       graft.sources.TableSwap.deleteRecursively(
         java.nio.file.Paths.get(base))
@@ -240,7 +237,7 @@ object Aggregates extends QueryModule {
         deliver(e.select("user_id").distinct()
           .withColumn("ts", timestamp_micros(
             lit(hi + 3L * graft.streaming.CappedSessions.GapUs))))
-        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+        graft.sources.FixtureMarker.stamp(base, fp)
       } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
       out
       }

@@ -186,12 +186,9 @@ object DataOps extends QueryModule {
       // changes the fingerprint and forces a clean rebuild; the
       // end-to-end delivery semantics stay covered by the first build
       // of each generation plus StreamAdmissionSpec.
-      val srcFile = java.nio.file.Paths.get(s"$d/documents.parquet")
-      val fp = "v2q16lt4|" + java.nio.file.Files.size(srcFile) + "|" +
-        java.nio.file.Files.getLastModifiedTime(srcFile).toMillis
-      val marker = java.nio.file.Paths.get(s"$base/_COMPLETE")
-      val reusable = java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+      val fp = graft.sources.FixtureMarker.fingerprint(
+        java.nio.file.Paths.get(s"$d/documents.parquet"), "v2q16lt4")
+      val reusable = graft.sources.FixtureMarker.reusable(base, fp)
       def build(): String = {
       graft.sources.TableSwap.deleteRecursively(java.nio.file.Paths.get(base))
       // Fixture corpus: a QUARTER of the table (doc_id % 16 < 4 keeps every
@@ -246,7 +243,7 @@ object DataOps extends QueryModule {
         phase("incB")(deliver(incB))
         // re-delivery: must converge with zero changes
         phase("redeliver")(deliver(incA))
-        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+        graft.sources.FixtureMarker.stamp(base, fp)
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", savedSp)
         s.conf.set("spark.sql.codegen.wholeStage", savedWsc)

@@ -119,13 +119,9 @@ object MultimodalStreamOps extends QueryModule {
       val base = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
         java.lang.Integer.toHexString(d.hashCode)
       val (src, cp, state) = (s"$base/src", s"$base/cp", s"$base/state")
-      val srcFile = java.nio.file.Paths.get(s"$d/documents.parquet")
-      val fp = "v2|" + java.nio.file.Files.size(srcFile) + "|" +
-        java.nio.file.Files.getLastModifiedTime(srcFile).toMillis
-      val marker = java.nio.file.Paths.get(s"$base/_COMPLETE")
-      val reusable = java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker),
-          "UTF-8") == fp
+      val fp = graft.sources.FixtureMarker.fingerprint(
+        java.nio.file.Paths.get(s"$d/documents.parquet"), "v2")
+      val reusable = graft.sources.FixtureMarker.reusable(base, fp)
       if (!reusable) {
         graft.sources.TableSwap.deleteRecursively(
           java.nio.file.Paths.get(base))
@@ -148,9 +144,13 @@ object MultimodalStreamOps extends QueryModule {
           payloads(inc).coalesce(1).write.mode("append").parquet(src)
           val stream = s.readStream
             .schema("asset_id LONG, payload BINARY").parquet(src)
-          val done = MediaAdmission.start(stream, state, cp,
-              "asset_id", "payload", fingerprint)
-            .awaitTermination(300000)
+          val q = MediaAdmission.start(stream, state, cp,
+            "asset_id", "payload", fingerprint)
+          val done = q.awaitTermination(300000)
+          // stop a timed-out query BEFORE throwing: SessionMemo does
+          // not cache a failed build, so a later retry would delete
+          // and rebuild this directory underneath a zombie stream
+          if (!done) q.stop()
           require(done, s"$tag: admission stream did not finish " +
             "within 5 minutes — refusing to read partial state")
         }
@@ -162,7 +162,7 @@ object MultimodalStreamOps extends QueryModule {
           deliver(incA)
           deliver(incB)
           deliver(incA)   // replay: must converge with zero changes
-          java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+          graft.sources.FixtureMarker.stamp(base, fp)
         } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
       }
       state

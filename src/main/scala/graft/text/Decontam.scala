@@ -21,8 +21,12 @@ import graft.ops.BloomPrune
   * such state — its per-run Python rebuild is exactly the cost this
   * tier amortizes):
   *   - `shingles/`  — the benchmark's distinct word 3-gram shingles
-  *     ([[Dedup.shingles]]'s rule), range-partitioned on shingle so a
-  *     probe's parquet scan prunes row groups on min/max stats;
+  *     ([[Dedup.shingles]]'s rule), range-partitioned and sorted on
+  *     shingle. NOTE the built-in serve paths broadcast the whole set
+  *     (benchmark-scale), so the sorted layout buys them nothing at
+  *     read time — it exists for deterministic output and for
+  *     SELECTIVE consumers (a single-shingle lookup service can prune
+  *     row groups on the min/max stats; the serve paths here cannot);
   *   - `grams/`     — the benchmark's distinct k-token windows
   *     ([[PassageDedup.grams]]'s rule) for span-level removal, same
   *     layout;
