@@ -1,0 +1,292 @@
+package graft.multimodal
+
+/** GIF pixel decode for the perceptual-hash tier — REAL LZW decode
+  * with no codec library: header + logical-screen-descriptor walk,
+  * global/local color tables, extension-block skipping, sub-block
+  * reassembly, and the variable-width LZW decoder (clear/end codes,
+  * dictionary growth to 4096, 12-bit cap) per the GIF89a
+  * specification. Palette colors collapse to luma through the same
+  * integer BT.601 weights as the PNG palette mode
+  * ([[PixelCodec.lum]]), so a GIF rendering of a gray scene decodes
+  * to the scene's exact luma — GIF is lossless over its palette,
+  * which makes round trips exact on ANY image whose distinct colors
+  * fit one 256-entry table. Interlaced images and multi-frame
+  * animations return None (the open seam, like 16-bit PNG and
+  * progressive JPEG — a first-frame tier would slot in behind the
+  * same signature).
+  *
+  * Hostile-input discipline matches [[PixelCodec]]: decode never
+  * throws — truncated sub-blocks, codes beyond the dictionary,
+  * missing color tables, or oversized dimensions return None.
+  */
+object GifCodec {
+  import PixelCodec.Gray
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+
+  /** Decode the first (and only, for stills) image of a GIF87a/89a
+    * stream to luma. */
+  def decodeGif(b: Array[Byte]): Option[Gray] =
+    try decode0(b)
+    catch { case _: RuntimeException => None }
+
+  private def decode0(b: Array[Byte]): Option[Gray] = {
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    var p = 6
+    p += 4 // logical screen w/h (the image descriptor carries its own)
+    val packed = u8(b, p); p += 3 // packed, bg index, aspect
+    var globalCt: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (p + 3 * n > b.length) return None
+      globalCt = java.util.Arrays.copyOfRange(b, p, p + 3 * n)
+      p += 3 * n
+    }
+    while (p < b.length) {
+      u8(b, p) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 =>             // extension: label + sub-blocks
+          p += 2
+          var done = false
+          while (!done) {
+            if (p >= b.length) return None
+            val n = u8(b, p); p += 1 + n
+            if (n == 0) done = true
+          }
+        case 0x2c =>             // image descriptor
+          if (p + 10 > b.length) return None
+          val w = le16(b, p + 5); val h = le16(b, p + 7)
+          val ipacked = u8(b, p + 9)
+          p += 10
+          if ((ipacked & 0x40) != 0) return None // interlaced: seam
+          var ct = globalCt
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (p + 3 * n > b.length) return None
+            ct = java.util.Arrays.copyOfRange(b, p, p + 3 * n)
+            p += 3 * n
+          }
+          if (ct == null || w <= 0 || h <= 0 ||
+              w.toLong * h > (1L << 26)) return None
+          if (p >= b.length) return None
+          val minCode = u8(b, p); p += 1
+          if (minCode < 2 || minCode > 11) return None
+          // reassemble the LZW stream from its sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (p >= b.length) return None
+            val n = u8(b, p); p += 1
+            if (n == 0) done = true
+            else {
+              if (p + n > b.length) return None
+              data.write(b, p, n); p += n
+            }
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, w * h)
+            .getOrElse(return None)
+          val px = new Array[Int](w * h)
+          var i = 0
+          while (i < px.length) {
+            val ci = idx(i)
+            if (ci * 3 + 2 >= ct.length) return None
+            px(i) = PixelCodec.lum(u8(ct, ci * 3), u8(ct, ci * 3 + 1),
+              u8(ct, ci * 3 + 2))
+            i += 1
+          }
+          return Some(Gray(w, h, px))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Variable-width LZW decode (GIF flavor): clear = 2^min, end =
+    * clear+1, width grows when the next assignable code crosses a
+    * power of two, capped at 12 bits. Returns exactly `expect`
+    * indices or None. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+      expect: Int): Option[Array[Int]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    // dictionary as (prefix code, appended index); roots are implicit
+    val prefix = new Array[Int](4096)
+    val append = new Array[Int](4096)
+    var nextCode = end + 1
+    var width = minCode + 1
+    val out = new Array[Int](expect)
+    var outN = 0
+    var bitPos = 0
+    var prev = -1
+    val buf = new Array[Int](4096) // expansion scratch (max chain)
+
+    def readCode(): Int = {
+      if (bitPos + width > data.length * 8) return -1
+      var v = 0; var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        if (((data(bp >> 3) >> (bp & 7)) & 1) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+
+    def expand(code: Int): Int = { // writes chain into buf, returns len
+      var c = code; var n = 0
+      while (c >= clear) {         // composite codes only
+        if (n >= buf.length) return -1
+        buf(n) = append(c); n += 1
+        c = prefix(c)
+      }
+      buf(n) = c; n + 1
+    }
+
+    while (outN < expect) {
+      val code = readCode()
+      if (code < 0 || code > nextCode || code == end) return None
+      if (code == clear) {
+        nextCode = end + 1; width = minCode + 1; prev = -1
+      } else {
+        var len = 0
+        var first = 0
+        if (code == nextCode) {
+          // the KwKwK case: code not yet in the dictionary
+          if (prev < 0) return None
+          len = expand(prev)
+          if (len < 0) return None
+          first = buf(len - 1)
+          // chain = prev ++ first(prev): emit prev then its first idx
+          var i = 0
+          while (i < len && outN < expect) {
+            out(outN) = buf(len - 1 - i); outN += 1; i += 1
+          }
+          if (outN < expect) { out(outN) = first; outN += 1 }
+        } else {
+          len = expand(code)
+          if (len < 0) return None
+          first = buf(len - 1)
+          var i = 0
+          while (i < len && outN < expect) {
+            out(outN) = buf(len - 1 - i); outN += 1; i += 1
+          }
+        }
+        if (prev >= 0 && nextCode < 4096) {
+          prefix(nextCode) = prev
+          append(nextCode) = first
+          nextCode += 1
+          // the decoder assigns one entry BEHIND the encoder (classic
+          // LZW lag), so it grows at nextCode == 2^width while the
+          // encoder grows at 2^width + 1 — the pair is synchronized
+          if (width < 12 && nextCode == (1 << width)) width += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  // ---- encoder (fixture planting + spec round-trips) ----
+
+  /** Encode luma as a single-frame GIF89a with a colorized palette
+    * (one entry per distinct luma value, exact under [[PixelCodec.lum]]
+    * — the [[PixelCodec.encodePalettePng]] discipline) and REAL LZW
+    * compression (dictionary growth, width escalation, 12-bit cap with
+    * clear-code reset) — round trips are bit-exact. */
+  def encodeGif(g: Gray, salt: Int = 7): Array[Byte] = {
+    val values = g.luma.distinct.sorted
+    require(values.length <= 256, "more than 256 distinct lumas")
+    val index = values.zipWithIndex.toMap
+    // palette size = power of two >= max(4, values)
+    var ctBits = 2
+    while ((1 << ctBits) < values.length) ctBits += 1
+    val ctN = 1 << ctBits
+    val ct = new Array[Byte](3 * ctN)
+    var i = 0
+    while (i < values.length) {
+      val (r, gg, bb) = PixelCodec.colorize(values(i), salt)
+      ct(i * 3) = r.toByte; ct(i * 3 + 1) = gg.toByte
+      ct(i * 3 + 2) = bb.toByte
+      i += 1
+    }
+    val minCode = math.max(2, ctBits)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16b(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8) }
+    le16b(g.width); le16b(g.height)
+    out.write(0x80 | (ctBits - 1)) // global table, 2^ctBits entries
+    out.write(0); out.write(0)
+    out.write(ct)
+    out.write(0x2c)                // image descriptor
+    le16b(0); le16b(0); le16b(g.width); le16b(g.height)
+    out.write(0)                   // no local table, not interlaced
+    out.write(minCode)
+    out.write(lzwEncode(g.luma.map(index), minCode))
+    out.write(0)                   // block terminator
+    out.write(0x3b)                // trailer
+    out.toByteArray
+  }
+
+  /** GIF LZW encode with a real growing dictionary, returned as
+    * 255-byte sub-blocks. */
+  private def lzwEncode(indices: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var accBits = 0
+    var width = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits
+      accBits += width
+      while (accBits >= 8) {
+        bits.write((acc & 0xff).toInt); acc >>= 8; accBits -= 8
+      }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = end + 1
+    put(clear)
+    var prev = -1
+    var i = 0
+    while (i < indices.length) {
+      val k = indices(i)
+      if (prev < 0) prev = k
+      else dict.get((prev, k)) match {
+        case Some(c) => prev = c
+        case None =>
+          put(prev)
+          if (nextCode < 4096) {
+            dict((prev, k)) = nextCode
+            nextCode += 1
+            // decoder grows width when ITS nextCode hits 2^width; the
+            // encoder mirrors that boundary exactly
+            if (width < 12 && nextCode == (1 << width) + 1) width += 1
+          } else {
+            put(clear)
+            dict = scala.collection.mutable.HashMap.empty
+            nextCode = end + 1
+            width = minCode + 1
+          }
+          prev = k
+      }
+      i += 1
+    }
+    if (prev >= 0) put(prev)
+    put(end)
+    if (accBits > 0) bits.write((acc & 0xff).toInt)
+    // wrap in 255-byte sub-blocks
+    val raw = bits.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(255, raw.length - off)
+      out.write(n); out.write(raw, off, n)
+      off += n
+    }
+    out.toByteArray
+  }
+}

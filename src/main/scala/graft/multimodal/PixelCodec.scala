@@ -214,10 +214,12 @@ object PixelCodec {
   }
 
   /** Pixel decode across the supported formats (PNG, BMP, baseline
-    * JPEG — [[JpegCodec]] carries the DCT tier). */
+    * JPEG — [[JpegCodec]] carries the DCT tier — and GIF via
+    * [[GifCodec]]'s LZW tier). */
   def decodePixels(b: Array[Byte]): Option[Gray] =
     decodePng(b).orElse(decodeBmp24(b))
       .orElse(JpegCodec.decodeJpeg(b))
+      .orElse(GifCodec.decodeGif(b))
 
   /** Downsample to an 8×8 luma grid (row-major, 64 ints) by BIN
     * PARTITION: pixel (x, y) belongs to cell (⌊8x/w⌋, ⌊8y/h⌋), each

@@ -195,7 +195,12 @@ object MultimodalOps extends QueryModule {
     *                        constant scenes are DC-only under the unit
     *                        quant table, so the lossy codec is
     *                        bit-exact on this family (also an
-    *                        only-variant family).
+    *                        only-variant family);
+    *   +11·Offset (id%475): GIF — REAL LZW round trip
+    *                        ([[graft.multimodal.GifCodec]]): colorized
+    *                        palette, dictionary-growing LZW stream.
+    *                        Lossless over the palette, so exact on any
+    *                        content (also an only-variant family).
     * Block-constant tiles (and [[PixelCodec.renderGridSized]]'s
     * bin-rule coloring at odd sizes) make every rendering resample
     * exactly back to the scene grid, so expected hashes (and clusters)
@@ -257,6 +262,10 @@ object MultimodalOps extends QueryModule {
               graft.multimodal.JpegCodec.encodeJpeg(
                 PixelCodec.renderGrid(grid, 64), color = true,
                 ySampH = 2, ySampV = 2, restartInterval = 3))
+          if (id % 475 == 0)
+            put(s"asset_${id + 11 * Planting.Offset}.gif",
+              graft.multimodal.GifCodec.encodeGif(
+                PixelCodec.renderGrid(grid, 64), salt = (id % 5).toInt))
           // corrupt variant (id%175, +5·Offset): a truncated PNG — the
           // IDAT stream cuts off mid-deflate, so pixel decode MUST
           // return None. Exercises the hostile-input path end-to-end:
@@ -531,7 +540,8 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 700000, doc_id, FALSE FROM d WHERE doc_id % 225 = 0
          UNION ALL SELECT doc_id + 800000, doc_id, FALSE FROM d WHERE doc_id % 275 = 0
          UNION ALL SELECT doc_id + 900000, doc_id, FALSE FROM d WHERE doc_id % 325 = 0
-         UNION ALL SELECT doc_id + 1000000, doc_id, FALSE FROM d WHERE doc_id % 425 = 0)"""
+         UNION ALL SELECT doc_id + 1000000, doc_id, FALSE FROM d WHERE doc_id % 425 = 0
+         UNION ALL SELECT doc_id + 1100000, doc_id, FALSE FROM d WHERE doc_id % 475 = 0)"""
 
   /** The planted audio-asset schedule as a DuckDB CTE pair (shared by
     * the mm_audio_fp and pipeline_curate_v9 oracles) — decodable
@@ -689,8 +699,8 @@ object MultimodalOps extends QueryModule {
     // scene clusters iff it planted at least one variant (md5 mixing
     // keeps distinct scenes ~32 bits apart — far beyond maxDist=2 —
     // and the perturbed variant moves <=2 bits: within it). %100/%150/
-    // %225 imply %50 or %75, so only %275, %325, and %425 (the
-    // only-variant color/palette/JPEG families) widen the
+    // %225 imply %50 or %75, so only %275, %325, %425, and %475 (the
+    // only-variant color/palette/JPEG/GIF families) widen the
     // canonical-member condition.
     "mm_dedup_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
@@ -698,6 +708,7 @@ object MultimodalOps extends QueryModule {
            SELECT doc_id AS canonical_id, doc_id AS member FROM d
              WHERE doc_id % 50 = 0 OR doc_id % 75 = 0 OR doc_id % 125 = 0
                 OR doc_id % 275 = 0 OR doc_id % 325 = 0 OR doc_id % 425 = 0
+                OR doc_id % 475 = 0
            UNION ALL SELECT doc_id, doc_id + 100000 FROM d WHERE doc_id % 50 = 0
            UNION ALL SELECT doc_id, doc_id + 200000 FROM d WHERE doc_id % 75 = 0
            UNION ALL SELECT doc_id, doc_id + 300000 FROM d WHERE doc_id % 100 = 0
@@ -706,7 +717,8 @@ object MultimodalOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 700000 FROM d WHERE doc_id % 225 = 0
            UNION ALL SELECT doc_id, doc_id + 800000 FROM d WHERE doc_id % 275 = 0
            UNION ALL SELECT doc_id, doc_id + 900000 FROM d WHERE doc_id % 325 = 0
-           UNION ALL SELECT doc_id, doc_id + 1000000 FROM d WHERE doc_id % 425 = 0)
+           UNION ALL SELECT doc_id, doc_id + 1000000 FROM d WHERE doc_id % 425 = 0
+           UNION ALL SELECT doc_id, doc_id + 1100000 FROM d WHERE doc_id % 475 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids
