@@ -10,10 +10,14 @@ package graft.multimodal
   * ([[PixelCodec.lum]]), so a GIF rendering of a gray scene decodes
   * to the scene's exact luma — GIF is lossless over its palette,
   * which makes round trips exact on ANY image whose distinct colors
-  * fit one 256-entry table. Interlaced images and multi-frame
-  * animations return None (the open seam, like 16-bit PNG and
-  * progressive JPEG — a first-frame tier would slot in behind the
-  * same signature).
+  * fit one 256-entry table. Interlaced images return None (the open
+  * seam, like 16-bit PNG and progressive JPEG). Multi-frame
+  * animations decode their FIRST image descriptor as a standalone
+  * still through [[decodeGif]]; the full animation decodes through
+  * [[decodeGifFrames]] — the animated walker composites each frame's
+  * sub-rectangle over the logical-screen canvas with real GIF89a
+  * semantics (graphic-control extensions, transparency index,
+  * disposal none/keep/restore-background).
   *
   * Hostile-input discipline matches [[PixelCodec]]: decode never
   * throws — truncated sub-blocks, codes beyond the dictionary,
@@ -190,22 +194,158 @@ object GifCodec {
     Some(out)
   }
 
+  /** Decode every frame of a GIF87a/89a stream to full-canvas luma
+    * images with real animation semantics: each image descriptor's
+    * sub-rectangle composites over the logical-screen canvas
+    * (initialized to the background color), honoring the preceding
+    * graphic-control extension's transparency index (transparent
+    * pixels leave the canvas untouched) and disposal method — 0/1
+    * leave the composite in place, 2 restores the rectangle to the
+    * background color, 3 (restore-previous) is the open seam and
+    * returns None, like interlaced frames. A still (no GCE, one
+    * full-canvas descriptor) decodes as a 1-frame animation, so the
+    * walker subsumes [[decodeGif]] semantically; the still entry point
+    * stays separate because it reads the descriptor's own dimensions
+    * (the planted-fixture contract) rather than the logical screen's.
+    * Hostile inputs never throw — they return None. */
+  def decodeGifFrames(b: Array[Byte],
+      maxFrames: Int = 256): Option[Vector[Gray]] =
+    try decodeFrames0(b, maxFrames)
+    catch { case _: RuntimeException => None }
+
+  private def decodeFrames0(b: Array[Byte],
+      maxFrames: Int): Option[Vector[Gray]] = {
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val cw = le16(b, 6); val ch = le16(b, 8)
+    if (cw <= 0 || ch <= 0 || cw.toLong * ch > (1L << 24)) return None
+    val packed = u8(b, 10)
+    val bgIndex = u8(b, 11)
+    var p = 13
+    var globalCt: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (p + 3 * n > b.length) return None
+      globalCt = java.util.Arrays.copyOfRange(b, p, p + 3 * n)
+      p += 3 * n
+    }
+    val bgLuma =
+      if (globalCt != null && bgIndex * 3 + 2 < globalCt.length)
+        PixelCodec.lum(u8(globalCt, bgIndex * 3),
+          u8(globalCt, bgIndex * 3 + 1), u8(globalCt, bgIndex * 3 + 2))
+      else 0
+    val canvas = Array.fill(cw * ch)(bgLuma)
+    val frames = Vector.newBuilder[Gray]
+    var nFrames = 0
+    // pending graphic-control state (consumed by the next descriptor)
+    var transIdx = -1
+    var disposal = 0
+    while (p < b.length) {
+      u8(b, p) match {
+        case 0x3b =>
+          return if (nFrames > 0) Some(frames.result()) else None
+        case 0x21 =>
+          val label = if (p + 1 < b.length) u8(b, p + 1) else return None
+          p += 2
+          var firstBlock: Array[Byte] = null
+          var done = false
+          while (!done) {
+            if (p >= b.length) return None
+            val n = u8(b, p)
+            if (n == 0) { p += 1; done = true }
+            else {
+              if (p + 1 + n > b.length) return None
+              if (firstBlock == null)
+                firstBlock = java.util.Arrays.copyOfRange(b, p + 1, p + 1 + n)
+              p += 1 + n
+            }
+          }
+          if (label == 0xf9 && firstBlock != null && firstBlock.length >= 4) {
+            val gp = firstBlock(0) & 0xff
+            disposal = (gp >> 2) & 7
+            transIdx = if ((gp & 1) != 0) firstBlock(3) & 0xff else -1
+          }
+        case 0x2c =>
+          if (nFrames >= maxFrames) return None
+          if (p + 10 > b.length) return None
+          val left = le16(b, p + 1); val top = le16(b, p + 3)
+          val w = le16(b, p + 5); val h = le16(b, p + 7)
+          val ipacked = u8(b, p + 9)
+          p += 10
+          if ((ipacked & 0x40) != 0) return None // interlaced: seam
+          if (disposal == 3) return None         // restore-previous: seam
+          var ct = globalCt
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (p + 3 * n > b.length) return None
+            ct = java.util.Arrays.copyOfRange(b, p, p + 3 * n)
+            p += 3 * n
+          }
+          if (ct == null || w <= 0 || h <= 0 ||
+              left + w > cw || top + h > ch) return None
+          if (p >= b.length) return None
+          val minCode = u8(b, p); p += 1
+          if (minCode < 2 || minCode > 11) return None
+          val data = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (p >= b.length) return None
+            val n = u8(b, p); p += 1
+            if (n == 0) done = true
+            else {
+              if (p + n > b.length) return None
+              data.write(b, p, n); p += n
+            }
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, w * h)
+            .getOrElse(return None)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val ci = idx(y * w + x)
+              if (ci != transIdx) {
+                if (ci * 3 + 2 >= ct.length) return None
+                canvas((top + y) * cw + (left + x)) =
+                  PixelCodec.lum(u8(ct, ci * 3), u8(ct, ci * 3 + 1),
+                    u8(ct, ci * 3 + 2))
+              }
+              x += 1
+            }
+            y += 1
+          }
+          frames += Gray(cw, ch, canvas.clone())
+          nFrames += 1
+          if (disposal == 2) {                   // restore to background
+            var yy = 0
+            while (yy < h) {
+              var xx = 0
+              while (xx < w) {
+                canvas((top + yy) * cw + (left + xx)) = bgLuma; xx += 1
+              }
+              yy += 1
+            }
+          }
+          transIdx = -1; disposal = 0
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer: truncated
+  }
+
   // ---- encoder (fixture planting + spec round-trips) ----
 
-  /** Encode luma as a single-frame GIF89a with a colorized palette
-    * (one entry per distinct luma value, exact under [[PixelCodec.lum]]
-    * — the [[PixelCodec.encodePalettePng]] discipline) and REAL LZW
-    * compression (dictionary growth, width escalation, 12-bit cap with
-    * clear-code reset) — round trips are bit-exact. */
-  def encodeGif(g: Gray, salt: Int = 7): Array[Byte] = {
-    val values = g.luma.distinct.sorted
+  /** Colorized palette over a luma set ([[PixelCodec.colorize]], exact
+    * under [[PixelCodec.lum]] — the [[PixelCodec.encodePalettePng]]
+    * discipline): (table bytes, luma→index, table size bits). */
+  private def buildPalette(values: Array[Int],
+      salt: Int): (Array[Byte], Map[Int, Int], Int) = {
     require(values.length <= 256, "more than 256 distinct lumas")
     val index = values.zipWithIndex.toMap
-    // palette size = power of two >= max(4, values)
-    var ctBits = 2
+    var ctBits = 2 // palette size = power of two >= max(4, values)
     while ((1 << ctBits) < values.length) ctBits += 1
-    val ctN = 1 << ctBits
-    val ct = new Array[Byte](3 * ctN)
+    val ct = new Array[Byte](3 * (1 << ctBits))
     var i = 0
     while (i < values.length) {
       val (r, gg, bb) = PixelCodec.colorize(values(i), salt)
@@ -213,6 +353,14 @@ object GifCodec {
       ct(i * 3 + 2) = bb.toByte
       i += 1
     }
+    (ct, index, ctBits)
+  }
+
+  /** Encode luma as a single-frame GIF89a with a colorized palette and
+    * REAL LZW compression (dictionary growth, width escalation, 12-bit
+    * cap with clear-code reset) — round trips are bit-exact. */
+  def encodeGif(g: Gray, salt: Int = 7): Array[Byte] = {
+    val (ct, index, ctBits) = buildPalette(g.luma.distinct.sorted, salt)
     val minCode = math.max(2, ctBits)
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -228,6 +376,84 @@ object GifCodec {
     out.write(lzwEncode(g.luma.map(index), minCode))
     out.write(0)                   // block terminator
     out.write(0x3b)                // trailer
+    out.toByteArray
+  }
+
+  /** Encode an animation as a GIF89a the way real encoders do: frame 0
+    * full-canvas over the global table; each later frame as the
+    * BOUNDING RECTANGLE of pixels that changed since the previous
+    * frame (when `deltaRect`), carried by its own LOCAL color table —
+    * so decode exercises true sub-rectangle compositing, not just
+    * full-frame replacement. Each frame gets a graphic-control
+    * extension (disposal 1 = leave in place), and a NETSCAPE2.0 loop
+    * extension rides after the header like any animated GIF in the
+    * wild. All frames must share the canvas dimensions. */
+  def encodeGifAnimated(frames: Seq[Gray], salt: Int = 7,
+      deltaRect: Boolean = true): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    val cw = frames.head.width; val ch = frames.head.height
+    require(frames.forall(f => f.width == cw && f.height == ch),
+      "uniform frame dimensions")
+    val (gct, gIndex, gBits) = buildPalette(
+      frames.head.luma.distinct.sorted, salt)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16b(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8) }
+    le16b(cw); le16b(ch)
+    out.write(0x80 | (gBits - 1))
+    out.write(0); out.write(0)
+    out.write(gct)
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); out.write(0); out.write(0); out.write(0)
+    var prev: Gray = null
+    frames.foreach { f =>
+      // graphic-control extension: disposal 1, no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0x04); le16b(5); out.write(0); out.write(0)
+      val (left, top, w, h) =
+        if (prev == null || !deltaRect) (0, 0, cw, ch)
+        else {
+          var x0 = cw; var y0 = ch; var x1 = -1; var y1 = -1
+          var i = 0
+          while (i < f.luma.length) {
+            if (f.luma(i) != prev.luma(i)) {
+              val x = i % cw; val y = i / cw
+              if (x < x0) x0 = x
+              if (x > x1) x1 = x
+              if (y < y0) y0 = y
+              if (y > y1) y1 = y
+            }
+            i += 1
+          }
+          if (x1 < 0) (0, 0, 1, 1) // no change: a 1x1 no-op rect
+          else (x0, y0, x1 - x0 + 1, y1 - y0 + 1)
+        }
+      val rect = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          rect(y * w + x) = f.luma((top + y) * cw + (left + x)); x += 1
+        }
+        y += 1
+      }
+      val useLocal = prev != null // frame 0 rides the global table
+      val (ct, index, ctBits) =
+        if (useLocal) buildPalette(rect.distinct.sorted, salt)
+        else (gct, gIndex, gBits)
+      out.write(0x2c)
+      le16b(left); le16b(top); le16b(w); le16b(h)
+      out.write(if (useLocal) 0x80 | (ctBits - 1) else 0)
+      if (useLocal) out.write(ct)
+      val minCode = math.max(2, ctBits)
+      out.write(minCode)
+      out.write(lzwEncode(rect.map(index), minCode))
+      out.write(0)
+      prev = f
+    }
+    out.write(0x3b)
     out.toByteArray
   }
 

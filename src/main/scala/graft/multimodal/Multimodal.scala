@@ -431,7 +431,14 @@ object Multimodal {
 
   private def bandedLabels(hashed: DataFrame, hashCol: String,
       maxDist: Int): DataFrame = {
-    val sketches = hashed
+    // Decode once: the banded pairing references its input on BOTH
+    // sides of the candidate self-join, and an uncached input would
+    // re-run the decode projection — the corpus-scan cost at 100 TB —
+    // twice. The hash DF is 16 bytes/asset, so pinning it is
+    // metadata-scale ([[graft.CacheScope]] releases it with the
+    // session); callers that reuse the same hashed DF (curate v8/v9's
+    // keep-best join) ride the same cache.
+    val sketches = graft.CacheScope.track(hashed)
       .select(col("asset_id").as("id"), col(hashCol).as("simhash"))
     graft.dedup.Dedup.connectedComponents(
       graft.dedup.Dedup.simhashPairs(sketches, maxDist,
@@ -450,6 +457,73 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.flatMap(a => AudioCodec.afp(a.payload).map(h => (a.asset_id, h)))
     }.toDF("asset_id", "afp")
+  }
+
+  /** Uniform frame sampling over animated media — the multimodal
+    * "frame-sample" primitive: decode a clip's frames
+    * ([[GifCodec.decodeGifFrames]] — the in-container animated codec;
+    * a video decoder slots in behind the same payload→frames seam),
+    * keep min(k, F) frames at the bin rule `frame_no = j·F/n`, and
+    * emit one 64-bit dHash per KEPT frame. Sampling happens INSIDE the
+    * decode projection, so unsampled frames never leave their
+    * partition and the output is ≤ k·16 bytes per clip — downstream
+    * shuffles frame hashes, never media bytes. Undecodable payloads
+    * (truncated streams, interlaced frames) drop at the gate. */
+  def sampleFrames(assets: Dataset[MediaAsset], k: Int = 3): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        GifCodec.decodeGifFrames(a.payload).iterator.flatMap { frames =>
+          val f = frames.length
+          val n = math.min(k, f)
+          (0 until n).iterator.flatMap { j =>
+            val fno = j * f / n
+            PixelCodec.lumaGrid8(frames(fno)).map(g =>
+              (a.asset_id, f.toLong, fno.toLong, PixelCodec.dhash64(g)))
+          }
+        }
+      }
+    }.toDF("asset_id", "n_frames", "frame_no", "phash")
+  }
+
+  /** EVERY frame's perceptual hash — the dense form behind
+    * [[nearDupClipPairs]]: (asset_id, frame_no, phash), F·16 bytes per
+    * clip out of one decode projection. */
+  def frameHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        GifCodec.decodeGifFrames(a.payload).iterator.flatMap { frames =>
+          frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
+            PixelCodec.lumaGrid8(fr).map(g =>
+              (a.asset_id, i.toLong, PixelCodec.dhash64(g)))
+          }
+        }
+      }
+    }.toDF("asset_id", "frame_no", "phash")
+  }
+
+  /** Re-edited-clip detection: distinct clip pairs sharing at least
+    * one visually-near frame (Hamming ≤ maxDist on the frame dHash).
+    * Frame-level banded pairing (the [[graft.dedup.Dedup.simhashPairs]]
+    * machinery — exact for maxDist < 8 by pigeonhole, work scales with
+    * band collisions, never frames²) over composite frame ids, then
+    * pairs collapse to their clips. Catches a re-encoded, re-edited,
+    * or trimmed copy of a clip whose bytes share nothing — the video
+    * analog of [[nearDupMediaClusters]]. */
+  def nearDupClipPairs(assets: Dataset[MediaAsset],
+      maxDist: Int = 2): DataFrame = {
+    // composite frame id: clip ⊕ frame ordinal (frame counts are
+    // bounded by the decoder's maxFrames=256 cap, so 9 bits suffice).
+    // Cached for the same decode-once reason as [[bandedLabels]].
+    val fh = graft.CacheScope.track(frameHashes(assets))
+      .select((col("asset_id") * 512 + col("frame_no")).as("id"),
+        col("phash").as("simhash"))
+    graft.dedup.Dedup.simhashPairs(fh, maxDist, bits = 64, bands = 8)
+      .select(expr("id1 div 512").as("clip_a"),
+        expr("id2 div 512").as("clip_b"))
+      .filter(col("clip_a") =!= col("clip_b"))
+      .distinct()
   }
 
   /** Audio-space component labels — [[perceptualLabels]] over

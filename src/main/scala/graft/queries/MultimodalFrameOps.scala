@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.{GifCodec, Multimodal, PixelCodec}
+
+/** Frame-level multimodal conformance: uniform frame sampling over
+  * animated clips (`mm_frame_sample`) and re-edited-clip detection via
+  * frame-space near-dup pairing (`mm_frame_near`) — the "frame-sample"
+  * primitive of a video curation pipeline, exercised end-to-end over
+  * REAL animated GIF bytes ([[graft.multimodal.GifCodec]]'s sub-rect
+  * compositing walker; a production video decoder slots in behind the
+  * same payload→frames seam). Fixture clips are planted from the
+  * documents table with an md5-exact frame-evolution formula, so every
+  * sampled frame's dHash (and every expected clip pair) is pure
+  * integer+md5 arithmetic the DuckDB oracle recomputes verbatim.
+  */
+object MultimodalFrameOps extends QueryModule {
+
+  /** Luma of the cell changed by evolution step `g` of scene `id` —
+    * first md5 byte of "f{id}_{g}", the frame analog of
+    * [[PixelCodec.sceneLuma]] (and of AudioCodec's 'a'-prefixed keys:
+    * a distinct prefix keeps the three fixture key spaces disjoint). */
+  private def chgLuma(id: Long, g: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"f${id}_$g".getBytes("UTF-8"))(0) & 0xff
+  }
+
+  /** The clip's frames: frame 0 is the base scene; frame f applies
+    * cumulative single-cell changes g = 1..f at cell (g·11) % 64 —
+    * distinct cells for g ≤ 5, so the oracle resolves "which change
+    * owns cell c" as c/11 with no override case. One changed cell per
+    * step keeps consecutive frames near in dHash space AND gives
+    * [[GifCodec.encodeGifAnimated]]'s delta-rect encoder a real
+    * sub-rectangle to composite. */
+  private def frameGrids(id: Long, f: Int): Seq[PixelCodec.Gray] = {
+    val grid = PixelCodec.sceneGrid(id)
+    (0 until f).map { fno =>
+      if (fno > 0) grid((fno * 11) % 64) = chgLuma(id, fno)
+      PixelCodec.renderGrid(grid, 64)
+    }
+  }
+
+  /** Plant animated clips once per (session, dir): every 25th doc is a
+    * clip with F = (id%4)+3 frames (64×64 renderings of the evolution
+    * formula, delta-rect encoded — frames 1+ are true sub-rectangle
+    * composites). Variants:
+    *   +1·Offset (id%50):  a STILL of frame 0 (single-frame GIF — the
+    *                        f < k sampling boundary, and a distance-0
+    *                        frame match for mm_frame_near);
+    *   +2·Offset (id%100): a RE-EDIT — the same frames re-encoded
+    *                        full-canvas with per-frame local tables and
+    *                        a different palette colorization (byte-
+    *                        distinct, frame-identical);
+    *   +5·Offset (id%175): corrupt — the stream truncated at half, so
+    *                        the frames walker MUST return None and the
+    *                        clip drops at the decode gate (never
+    *                        reaches either oracle). */
+  private def clipFixtureDir(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "mm_clip_fixtures") {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val bp = java.nio.file.Paths.get(base)
+      graft.sources.TableSwap.deleteRecursively(bp)
+      java.nio.file.Files.createDirectories(bp)
+      val docs = Tables.documents(s, d)
+      Planting.requireHeadroom(docs, "doc_id", "mm_frame_sample")
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/$name"), bytes)
+      docs.filter(col("doc_id") % 25 === 0).select("doc_id")
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val f = (id % 4).toInt + 3
+          val frames = frameGrids(id, f)
+          put(s"asset_$id.gif",
+            GifCodec.encodeGifAnimated(frames, salt = (id % 5).toInt))
+          if (id % 50 == 0)
+            put(s"asset_${id + Planting.Offset}.gif",
+              GifCodec.encodeGif(frames.head, salt = (id % 7).toInt))
+          if (id % 100 == 0)
+            put(s"asset_${id + 2 * Planting.Offset}.gif",
+              GifCodec.encodeGifAnimated(frames,
+                salt = (id % 9 + 1).toInt, deltaRect = false))
+          if (id % 175 == 0) {
+            val full = GifCodec.encodeGifAnimated(frames, salt = 3)
+            put(s"asset_${id + 5 * Planting.Offset}.gif",
+              full.take(full.length / 2))
+          }
+        }
+      base
+    }
+
+  // Uniform frame sampling end-to-end: binaryFile scan → animated
+  // decode (sub-rect compositing) → keep min(3, F) frames at the bin
+  // rule frame_no = j·F/n → per-frame dHash as an LSB-first bit string
+  // (mm_phash's rendering). The oracle recomputes every sampled
+  // frame's hash from the evolution formula, so the compositing walker
+  // is proven pixel-exact on every frame it keeps — including the
+  // delta-rect and local-table paths.
+  private def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.ingestBinary(s, clipFixtureDir(s, d)), k = 3)
+      .select(col("asset_id"), col("n_frames"), col("frame_no"),
+        reverse(lpad(bin(col("phash")), 64, "0")).as("phash_bits"))
+      .orderBy("asset_id", "frame_no")
+
+  // Re-edited-clip detection: clip pairs sharing ≥1 visually-near
+  // frame. Every expected pair shares a distance-0 frame by
+  // construction (still = frame 0; re-edit = all frames), and distinct
+  // scenes sit ~32 dHash bits apart, so the pair set falls straight
+  // out of the planting schedule.
+  private def mmFrameNear(s: SparkSession, d: String): DataFrame =
+    Multimodal.nearDupClipPairs(
+        Multimodal.ingestBinary(s, clipFixtureDir(s, d)))
+      .orderBy("clip_a", "clip_b")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_frame_near"   -> (mmFrameNear _),
+  )
+
+  /** Fixture planting is one-time per (session, dir) — an explicit
+    * build line, like the other mm fixture dirs. */
+  override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Map("mm_frame_build" -> ((s, d) => { clipFixtureDir(s, d); () }))
+
+  /** The planted clip schedule as a DuckDB CTE pair: decodable clips
+    * only (the %175 corrupt family falls at the decode gate), each with
+    * its scene and frame count. */
+  private val clipsCte: String =
+    """d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+       clips AS (
+         SELECT doc_id AS asset_id, doc_id AS scene,
+                (doc_id % 4) + 3 AS f FROM d
+         UNION ALL SELECT doc_id + 100000, doc_id, 1 FROM d
+           WHERE doc_id % 50 = 0
+         UNION ALL SELECT doc_id + 200000, doc_id, (doc_id % 4) + 3 FROM d
+           WHERE doc_id % 100 = 0)"""
+
+  val oracles: Map[String, String] = Map(
+
+    // recomputes every sampled frame's dHash from the planting
+    // formula: the sampling rule picks frame_no = (j·F) // min(3, F)
+    // for j < min(3, F); frame fno's luma at cell idx = gy·8+gx is the
+    // evolution byte md5("f{scene}_{idx/11}") when idx ∈ {11,22,33,
+    // 44,55} and idx/11 <= fno, else the base scene byte
+    // md5("{scene}_{gx}_{gy}") — then the shared gradient rule
+    // (bit gx = luma(gx+1 mod 8) > luma(gx), LSB-first). The re-edit
+    // family (different bytes: full-canvas frames, local tables, a
+    // different palette colorization) must land the SAME rows as its
+    // clip at its own asset id — proving the sub-rect-composite and
+    // full-frame decode paths agree pixel-for-pixel.
+    "mm_frame_sample" ->
+      s"""WITH $clipsCte,
+          samp AS (
+            SELECT c.asset_id, c.scene, CAST(c.f AS BIGINT) AS n_frames,
+                   CAST((j.j * c.f) // LEAST(3, c.f) AS BIGINT) AS frame_no
+            FROM clips c, range(3) j(j) WHERE j.j < LEAST(3, c.f)),
+          g AS (
+            SELECT s.asset_id, s.n_frames, s.frame_no, t1.gx, t2.gy,
+                   CASE WHEN (t2.gy * 8 + t1.gx) > 0
+                             AND (t2.gy * 8 + t1.gx) % 11 = 0
+                             AND (t2.gy * 8 + t1.gx) // 11 <= s.frame_no
+                        THEN ${MultimodalOps.hexByteSql(
+                          "md5('f' || CAST(s.scene AS VARCHAR) || '_' || " +
+                          "CAST((t2.gy * 8 + t1.gx) // 11 AS VARCHAR))")}
+                        ELSE ${MultimodalOps.hexByteSql(
+                          "md5(CAST(s.scene AS VARCHAR) || '_' || " +
+                          "CAST(t1.gx AS VARCHAR) || '_' || " +
+                          "CAST(t2.gy AS VARCHAR))")}
+                   END AS luma
+            FROM samp s, range(8) t1(gx), range(8) t2(gy)),
+          bits AS (
+            SELECT g1.asset_id, g1.n_frames, g1.frame_no, g1.gx, g1.gy,
+                   CASE WHEN g2.luma > g1.luma THEN '1' ELSE '0' END AS bit
+            FROM g g1 JOIN g g2 ON g1.asset_id = g2.asset_id
+             AND g1.frame_no = g2.frame_no
+             AND g2.gy = g1.gy AND g2.gx = (g1.gx + 1) % 8)
+          SELECT asset_id, n_frames, frame_no,
+                 string_agg(bit, '' ORDER BY gy, gx) AS phash_bits
+          FROM bits GROUP BY asset_id, n_frames, frame_no
+          ORDER BY asset_id, frame_no""",
+
+    // expected clip pairs fall straight out of the variant schedule:
+    // the still shares frame 0 with its clip (distance 0); the re-edit
+    // shares every frame with both. Distinct scenes are ~32 bits apart
+    // (md5 mixing), far beyond maxDist=2, and within-clip frame pairs
+    // are excluded by definition — so no other pair qualifies.
+    "mm_frame_near" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         p AS (
+           SELECT doc_id AS clip_a, doc_id + 100000 AS clip_b FROM d
+             WHERE doc_id % 50 = 0
+           UNION ALL SELECT doc_id, doc_id + 200000 FROM d
+             WHERE doc_id % 100 = 0
+           UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM d
+             WHERE doc_id % 100 = 0)
+         SELECT clip_a, clip_b FROM p ORDER BY clip_a, clip_b""",
+  )
+}

@@ -78,4 +78,141 @@ class GifCodecSpec extends AnyFunSuite {
     for (n <- 0 until tiny.length - 1)
       assert(GifCodec.decodeGif(tiny.take(n)).isEmpty, s"take($n)")
   }
+
+  // ---- the animated walker ----
+
+  private def evolved(seed: Int, f: Int): Seq[Gray] = {
+    val g = noisy(24, 16, seed)
+    (0 until f).map { fno =>
+      if (fno > 0) g.luma((fno * 37) % g.luma.length) = (fno * 61) % 256
+      Gray(g.width, g.height, g.luma.clone())
+    }
+  }
+
+  test("animated round trip is frame-exact through delta-rect compositing") {
+    val frames = evolved(5, 6)
+    val enc = GifCodec.encodeGifAnimated(frames) // deltaRect = true
+    val dec = GifCodec.decodeGifFrames(enc)
+    assert(dec.isDefined)
+    assert(dec.get.length === 6)
+    dec.get.zip(frames).zipWithIndex.foreach { case ((d, e), i) =>
+      assert(d.width === e.width && d.height === e.height, s"frame $i")
+      assert(d.luma.toSeq === e.luma.toSeq, s"frame $i")
+    }
+    // the delta encoding is REALLY sub-rect: frames 1+ must be smaller
+    // than a full-frame re-encode of the same animation
+    val full = GifCodec.encodeGifAnimated(frames, deltaRect = false)
+    assert(enc.length < full.length)
+    // and the full-frame form decodes to the same pixels
+    val decFull = GifCodec.decodeGifFrames(full).get
+    decFull.zip(frames).foreach { case (d, e) =>
+      assert(d.luma.toSeq === e.luma.toSeq)
+    }
+  }
+
+  test("identical consecutive frames survive the empty-delta path") {
+    val g = noisy(16, 16, 2)
+    val frames = Seq(g, g, g) // no change: 1x1 no-op rects
+    val dec = GifCodec.decodeGifFrames(GifCodec.encodeGifAnimated(frames))
+    assert(dec.get.length === 3)
+    dec.get.foreach(d => assert(d.luma.toSeq === g.luma.toSeq))
+  }
+
+  test("a still decodes as a 1-frame animation through the walker") {
+    val g = noisy(16, 12, 11)
+    val dec = GifCodec.decodeGifFrames(GifCodec.encodeGif(g))
+    assert(dec.get.length === 1)
+    assert(dec.get.head.luma.toSeq === g.luma.toSeq)
+  }
+
+  test("transparency and disposal-2 composite per the GIF89a rules") {
+    // hand-built 2-frame 4x2 animation: global table with 4 colors,
+    // frame 1 is a 2x1 sub-rect at (1,0) whose first pixel is
+    // transparent (must leave frame 0's pixel) and whose GCE asks for
+    // restore-to-background disposal on frame 0's rect beforehand
+    def lum(i: Int) = PixelCodec.lum(i * 60, i * 60, i * 60)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](4, 0, 2, 0)) // 4x2 canvas
+    out.write(0x81)                    // global table, 4 entries
+    out.write(3); out.write(0)         // bg index 3
+    for (i <- 0 until 4; _ <- 0 until 3) out.write(i * 60)
+    // frame 0: full canvas, indices 0..3,0..3 via GCE disposal 2
+    out.write(0x21); out.write(0xf9); out.write(4)
+    out.write(0x08); out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(0x2c)
+    out.write(Array[Byte](0, 0, 0, 0, 4, 0, 2, 0, 0))
+    out.write(GifCodecSpec.rawLzw(Array(0, 1, 2, 3, 0, 1, 2, 3)))
+    // frame 1: 2x1 at (1,0), transparent index 1 then color 2
+    out.write(0x21); out.write(0xf9); out.write(4)
+    out.write(0x01); out.write(0); out.write(0); out.write(1); out.write(0)
+    out.write(0x2c)
+    out.write(Array[Byte](1, 0, 0, 0, 2, 0, 1, 0, 0))
+    out.write(GifCodecSpec.rawLzw(Array(1, 2)))
+    out.write(0x3b)
+    val dec = GifCodec.decodeGifFrames(out.toByteArray)
+    assert(dec.isDefined && dec.get.length === 2)
+    assert(dec.get.head.luma.toSeq ===
+      Seq(lum(0), lum(1), lum(2), lum(3), lum(0), lum(1), lum(2), lum(3)))
+    // disposal 2 restored the canvas to bg (index 3) BEFORE frame 1;
+    // frame 1's transparent pixel (1,0) shows bg, its second paints 2
+    assert(dec.get(1).luma.toSeq ===
+      Seq(lum(3), lum(3), lum(2), lum(3), lum(3), lum(3), lum(3), lum(3)))
+  }
+
+  test("restore-previous disposal and hostile animations return None") {
+    val frames = evolved(9, 3)
+    val enc = GifCodec.encodeGifAnimated(frames)
+    // flip frame 0's GCE disposal bits to 3 (restore previous): seam.
+    // The first GCE sits at a computable offset: header+LSD (13) +
+    // global table (3·2^(sizebits+1)) + NETSCAPE block (19)
+    val i = 13 + 3 * (2 << (enc(10) & 7)) + 19
+    assert(enc(i) === 0x21.toByte && enc(i + 1) === 0xf9.toByte)
+    assert(enc(i + 3) === 0x04.toByte)
+    assert(GifCodec.decodeGifFrames(
+      enc.updated(i + 3, 0x0c.toByte)).isEmpty)
+    // truncation at every byte boundary never throws, never decodes
+    for (n <- 0 until enc.length - 1)
+      assert(GifCodec.decodeGifFrames(enc.take(n)).isEmpty, s"take($n)")
+    // frame-count bound
+    assert(GifCodec.decodeGifFrames(enc, maxFrames = 2).isEmpty)
+    assert(GifCodec.decodeGifFrames(enc, maxFrames = 3).isDefined)
+  }
+}
+
+object GifCodecSpec {
+  /** Minimal fixed-width LZW for the hand-built stream: emit clear,
+    * then every index as its own root code, then end — legal (if
+    * uncompressed) GIF LZW at minCode 2, wrapped as one sub-block.
+    * Width bookkeeping mirrors the decoder's one-behind rule. */
+  private def rawLzw(indices: Array[Int]): Array[Byte] = {
+    val minCode = 2
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0; var width = minCode + 1
+    var nextCode = (1 << minCode) + 2
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += width
+      while (accBits >= 8) {
+        bits.write((acc & 0xff).toInt); acc >>= 8; accBits -= 8
+      }
+    }
+    put(1 << minCode) // clear
+    var prev = -1
+    indices.foreach { k =>
+      put(k)
+      if (prev >= 0 && nextCode < 4096) { // decoder grows its dict too
+        nextCode += 1
+        if (width < 12 && nextCode == (1 << width)) width += 1
+      }
+      prev = k
+    }
+    put((1 << minCode) + 1) // end
+    if (accBits > 0) bits.write((acc & 0xff).toInt)
+    val raw = bits.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(minCode)
+    out.write(raw.length); out.write(raw, 0, raw.length)
+    out.write(0)
+    out.toByteArray
+  }
 }
