@@ -512,19 +512,35 @@ object Multimodal {
     * or trimmed copy of a clip whose bytes share nothing — the video
     * analog of [[nearDupMediaClusters]]. */
   def nearDupClipPairs(assets: Dataset[MediaAsset],
+      maxDist: Int = 2): DataFrame =
+    clipPairsFromFrameHashes(
+      graft.CacheScope.track(frameHashes(assets)), maxDist)
+
+  /** The pair machinery over precomputed (asset_id, frame_no, phash)
+    * rows — exposed so pipelines (curate v10) can share ONE cached
+    * decode projection between the decode gate and the pairing. */
+  def clipPairsFromFrameHashes(fh: DataFrame,
       maxDist: Int = 2): DataFrame = {
     // composite frame id: clip ⊕ frame ordinal (frame counts are
     // bounded by the decoder's maxFrames=256 cap, so 9 bits suffice).
-    // Cached for the same decode-once reason as [[bandedLabels]].
-    val fh = graft.CacheScope.track(frameHashes(assets))
+    val banded = fh
       .select((col("asset_id") * 512 + col("frame_no")).as("id"),
         col("phash").as("simhash"))
-    graft.dedup.Dedup.simhashPairs(fh, maxDist, bits = 64, bands = 8)
+    graft.dedup.Dedup.simhashPairs(banded, maxDist, bits = 64, bands = 8)
       .select(expr("id1 div 512").as("clip_a"),
         expr("id2 div 512").as("clip_b"))
       .filter(col("clip_a") =!= col("clip_b"))
       .distinct()
   }
+
+  /** Component labels over the clip-pair graph — (id, cluster_id = min
+    * reachable clip) for every clip in at least one frame-share pair;
+    * singletons are absent (their label is themselves), exactly like
+    * [[perceptualLabels]]. */
+  def clipLabels(fh: DataFrame, maxDist: Int = 2): DataFrame =
+    graft.dedup.Dedup.connectedComponents(
+      clipPairsFromFrameHashes(fh, maxDist)
+        .select(col("clip_a").as("id1"), col("clip_b").as("id2")))
 
   /** Audio-space component labels — [[perceptualLabels]] over
     * [[audioFingerprints]] output (same banded Hamming machinery:
