@@ -10,14 +10,16 @@ package graft.multimodal
   * ([[PixelCodec.lum]]), so a GIF rendering of a gray scene decodes
   * to the scene's exact luma — GIF is lossless over its palette,
   * which makes round trips exact on ANY image whose distinct colors
-  * fit one 256-entry table. Interlaced images return None (the open
-  * seam, like 16-bit PNG and progressive JPEG). Multi-frame
+  * fit one 256-entry table. Interlaced images deinterlace through the
+  * 4-pass Appendix-E row schedule on both decode paths. Multi-frame
   * animations decode their FIRST image descriptor as a standalone
   * still through [[decodeGif]]; the full animation decodes through
   * [[decodeGifFrames]] — the animated walker composites each frame's
   * sub-rectangle over the logical-screen canvas with real GIF89a
   * semantics (graphic-control extensions, transparency index,
-  * disposal none/keep/restore-background).
+  * disposal none/keep/restore-background). Disposal restore-previous
+  * is the remaining open seam (returns None, like 16-bit PNG and
+  * progressive JPEG in their codecs).
   *
   * Hostile-input discipline matches [[PixelCodec]]: decode never
   * throws — truncated sub-blocks, codes beyond the dictionary,
@@ -29,6 +31,20 @@ object GifCodec {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def le16(b: Array[Byte], i: Int): Int =
     u8(b, i) | (u8(b, i + 1) << 8)
+
+  /** GIF89a Appendix-E interlace row schedule: the stream carries rows
+    * in four passes (every 8th from 0, every 8th from 4, every 4th
+    * from 2, every 2nd from 1); entry r is the DISPLAY row of the r-th
+    * stream row. Shared by decode (deinterlace) and encode. */
+  private def interlaceOrder(h: Int): Array[Int] = {
+    val o = new Array[Int](h)
+    var i = 0
+    Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+      var y = start
+      while (y < h) { o(i) = y; i += 1; y += step }
+    }
+    o
+  }
 
   /** Decode the first (and only, for stills) image of a GIF87a/89a
     * stream to luma. */
@@ -66,7 +82,6 @@ object GifCodec {
           val w = le16(b, p + 5); val h = le16(b, p + 7)
           val ipacked = u8(b, p + 9)
           p += 10
-          if ((ipacked & 0x40) != 0) return None // interlaced: seam
           var ct = globalCt
           if ((ipacked & 0x80) != 0) {
             val n = 2 << (ipacked & 7)
@@ -93,14 +108,21 @@ object GifCodec {
           }
           val idx = lzwDecode(data.toByteArray, minCode, w * h)
             .getOrElse(return None)
+          val rowOf =
+            if ((ipacked & 0x40) != 0) interlaceOrder(h)
+            else Array.tabulate(h)(identity)
           val px = new Array[Int](w * h)
-          var i = 0
-          while (i < px.length) {
-            val ci = idx(i)
-            if (ci * 3 + 2 >= ct.length) return None
-            px(i) = PixelCodec.lum(u8(ct, ci * 3), u8(ct, ci * 3 + 1),
-              u8(ct, ci * 3 + 2))
-            i += 1
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val ci = idx(y * w + x)
+              if (ci * 3 + 2 >= ct.length) return None
+              px(rowOf(y) * w + x) = PixelCodec.lum(u8(ct, ci * 3),
+                u8(ct, ci * 3 + 1), u8(ct, ci * 3 + 2))
+              x += 1
+            }
+            y += 1
           }
           return Some(Gray(w, h, px))
         case _ => return None
@@ -202,7 +224,8 @@ object GifCodec {
     * pixels leave the canvas untouched) and disposal method — 0/1
     * leave the composite in place, 2 restores the rectangle to the
     * background color, 3 (restore-previous) is the open seam and
-    * returns None, like interlaced frames. A still (no GCE, one
+    * returns None; interlaced frames deinterlace through the shared
+    * row schedule. A still (no GCE, one
     * full-canvas descriptor) decodes as a 1-frame animation, so the
     * walker subsumes [[decodeGif]] semantically; the still entry point
     * stays separate because it reads the descriptor's own dimensions
@@ -273,7 +296,6 @@ object GifCodec {
           val w = le16(b, p + 5); val h = le16(b, p + 7)
           val ipacked = u8(b, p + 9)
           p += 10
-          if ((ipacked & 0x40) != 0) return None // interlaced: seam
           if (disposal == 3) return None         // restore-previous: seam
           var ct = globalCt
           if ((ipacked & 0x80) != 0) {
@@ -300,6 +322,9 @@ object GifCodec {
           }
           val idx = lzwDecode(data.toByteArray, minCode, w * h)
             .getOrElse(return None)
+          val rowOf =
+            if ((ipacked & 0x40) != 0) interlaceOrder(h)
+            else Array.tabulate(h)(identity)
           var y = 0
           while (y < h) {
             var x = 0
@@ -307,7 +332,7 @@ object GifCodec {
               val ci = idx(y * w + x)
               if (ci != transIdx) {
                 if (ci * 3 + 2 >= ct.length) return None
-                canvas((top + y) * cw + (left + x)) =
+                canvas((top + rowOf(y)) * cw + (left + x)) =
                   PixelCodec.lum(u8(ct, ci * 3), u8(ct, ci * 3 + 1),
                     u8(ct, ci * 3 + 2))
               }
@@ -356,10 +381,23 @@ object GifCodec {
     (ct, index, ctBits)
   }
 
+  /** Reorder display rows into the 4-pass interlace stream order. */
+  private def interlaceRows(px: Array[Int], w: Int, h: Int): Array[Int] = {
+    val order = interlaceOrder(h)
+    val out = new Array[Int](px.length)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(px, order(y) * w, out, y * w, w); y += 1
+    }
+    out
+  }
+
   /** Encode luma as a single-frame GIF89a with a colorized palette and
     * REAL LZW compression (dictionary growth, width escalation, 12-bit
-    * cap with clear-code reset) — round trips are bit-exact. */
-  def encodeGif(g: Gray, salt: Int = 7): Array[Byte] = {
+    * cap with clear-code reset) — round trips are bit-exact.
+    * `interlaced` writes the 4-pass Appendix-E row order. */
+  def encodeGif(g: Gray, salt: Int = 7,
+      interlaced: Boolean = false): Array[Byte] = {
     val (ct, index, ctBits) = buildPalette(g.luma.distinct.sorted, salt)
     val minCode = math.max(2, ctBits)
     val out = new java.io.ByteArrayOutputStream()
@@ -371,9 +409,11 @@ object GifCodec {
     out.write(ct)
     out.write(0x2c)                // image descriptor
     le16b(0); le16b(0); le16b(g.width); le16b(g.height)
-    out.write(0)                   // no local table, not interlaced
+    out.write(if (interlaced) 0x40 else 0) // no local table
     out.write(minCode)
-    out.write(lzwEncode(g.luma.map(index), minCode))
+    val px = if (interlaced) interlaceRows(g.luma, g.width, g.height)
+             else g.luma
+    out.write(lzwEncode(px.map(index), minCode))
     out.write(0)                   // block terminator
     out.write(0x3b)                // trailer
     out.toByteArray
@@ -387,9 +427,10 @@ object GifCodec {
     * full-frame replacement. Each frame gets a graphic-control
     * extension (disposal 1 = leave in place), and a NETSCAPE2.0 loop
     * extension rides after the header like any animated GIF in the
-    * wild. All frames must share the canvas dimensions. */
+    * wild. All frames must share the canvas dimensions. `interlaced`
+    * writes every frame's rect in the 4-pass Appendix-E row order. */
   def encodeGifAnimated(frames: Seq[Gray], salt: Int = 7,
-      deltaRect: Boolean = true): Array[Byte] = {
+      deltaRect: Boolean = true, interlaced: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "at least one frame")
     val cw = frames.head.width; val ch = frames.head.height
     require(frames.forall(f => f.width == cw && f.height == ch),
@@ -445,11 +486,13 @@ object GifCodec {
         else (gct, gIndex, gBits)
       out.write(0x2c)
       le16b(left); le16b(top); le16b(w); le16b(h)
-      out.write(if (useLocal) 0x80 | (ctBits - 1) else 0)
+      out.write((if (useLocal) 0x80 | (ctBits - 1) else 0) |
+        (if (interlaced) 0x40 else 0))
       if (useLocal) out.write(ct)
       val minCode = math.max(2, ctBits)
       out.write(minCode)
-      out.write(lzwEncode(rect.map(index), minCode))
+      val body = if (interlaced) interlaceRows(rect, w, h) else rect
+      out.write(lzwEncode(body.map(index), minCode))
       out.write(0)
       prev = f
     }

@@ -51,9 +51,11 @@ object MultimodalFrameOps extends QueryModule {
     *                        f < k sampling boundary, and a distance-0
     *                        frame match for mm_frame_near);
     *   +2·Offset (id%100): a RE-EDIT — the same frames re-encoded
-    *                        full-canvas with per-frame local tables and
-    *                        a different palette colorization (byte-
-    *                        distinct, frame-identical);
+    *                        full-canvas, INTERLACED, with per-frame
+    *                        local tables and a different palette
+    *                        colorization (byte-distinct,
+    *                        frame-identical — pins the deinterlacer on
+    *                        the animated path too);
     *   +5·Offset (id%175): corrupt — the stream truncated at half, so
     *                        the frames walker MUST return None and the
     *                        clip drops at the decode gate (never
@@ -83,7 +85,8 @@ object MultimodalFrameOps extends QueryModule {
           if (id % 100 == 0)
             put(s"asset_${id + 2 * Planting.Offset}.gif",
               GifCodec.encodeGifAnimated(frames,
-                salt = (id % 9 + 1).toInt, deltaRect = false))
+                salt = (id % 9 + 1).toInt, deltaRect = false,
+                interlaced = true))
           if (id % 175 == 0) {
             val full = GifCodec.encodeGifAnimated(frames, salt = 3)
             put(s"asset_${id + 5 * Planting.Offset}.gif",

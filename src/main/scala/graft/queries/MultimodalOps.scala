@@ -200,7 +200,12 @@ object MultimodalOps extends QueryModule {
     *                        ([[graft.multimodal.GifCodec]]): colorized
     *                        palette, dictionary-growing LZW stream.
     *                        Lossless over the palette, so exact on any
-    *                        content (also an only-variant family).
+    *                        content (also an only-variant family);
+    *   +12·Offset (id%375): interlaced GIF — the 4-pass Appendix-E
+    *                        row order written AND reversed (375 = 3·5³
+    *                        shares %75/%125, so the scene clusters
+    *                        regardless; this variant pins the
+    *                        deinterlacer's pixels).
     * Block-constant tiles (and [[PixelCodec.renderGridSized]]'s
     * bin-rule coloring at odd sizes) make every rendering resample
     * exactly back to the scene grid, so expected hashes (and clusters)
@@ -266,6 +271,11 @@ object MultimodalOps extends QueryModule {
             put(s"asset_${id + 11 * Planting.Offset}.gif",
               graft.multimodal.GifCodec.encodeGif(
                 PixelCodec.renderGrid(grid, 64), salt = (id % 5).toInt))
+          if (id % 375 == 0)
+            put(s"asset_${id + 12 * Planting.Offset}.gif",
+              graft.multimodal.GifCodec.encodeGif(
+                PixelCodec.renderGrid(grid, 64), salt = (id % 3).toInt,
+                interlaced = true))
           // corrupt variant (id%175, +5·Offset): a truncated PNG — the
           // IDAT stream cuts off mid-deflate, so pixel decode MUST
           // return None. Exercises the hostile-input path end-to-end:
@@ -541,7 +551,8 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 800000, doc_id, FALSE FROM d WHERE doc_id % 275 = 0
          UNION ALL SELECT doc_id + 900000, doc_id, FALSE FROM d WHERE doc_id % 325 = 0
          UNION ALL SELECT doc_id + 1000000, doc_id, FALSE FROM d WHERE doc_id % 425 = 0
-         UNION ALL SELECT doc_id + 1100000, doc_id, FALSE FROM d WHERE doc_id % 475 = 0)"""
+         UNION ALL SELECT doc_id + 1100000, doc_id, FALSE FROM d WHERE doc_id % 475 = 0
+         UNION ALL SELECT doc_id + 1200000, doc_id, FALSE FROM d WHERE doc_id % 375 = 0)"""
 
   /** The planted audio-asset schedule as a DuckDB CTE pair (shared by
     * the mm_audio_fp and pipeline_curate_v9 oracles) — decodable
@@ -701,7 +712,8 @@ object MultimodalOps extends QueryModule {
     // and the perturbed variant moves <=2 bits: within it). %100/%150/
     // %225 imply %50 or %75, so only %275, %325, %425, and %475 (the
     // only-variant color/palette/JPEG/GIF families) widen the
-    // canonical-member condition.
+    // canonical-member condition; %375 (interlaced GIF) implies %75,
+    // so it adds members, never new clusters.
     "mm_dedup_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          m AS (
@@ -718,7 +730,8 @@ object MultimodalOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 800000 FROM d WHERE doc_id % 275 = 0
            UNION ALL SELECT doc_id, doc_id + 900000 FROM d WHERE doc_id % 325 = 0
            UNION ALL SELECT doc_id, doc_id + 1000000 FROM d WHERE doc_id % 425 = 0
-           UNION ALL SELECT doc_id, doc_id + 1100000 FROM d WHERE doc_id % 475 = 0)
+           UNION ALL SELECT doc_id, doc_id + 1100000 FROM d WHERE doc_id % 475 = 0
+           UNION ALL SELECT doc_id, doc_id + 1200000 FROM d WHERE doc_id % 375 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids
