@@ -62,7 +62,8 @@ object Explain {
         "pipeline_curate_v8", "mm_audio_fp", "mm_audio_near",
         "pipeline_curate_v9", "mm_stream_admit", "mm_audio_stream_admit",
         "text_decontaminate_served", "text_decontaminate_spans_served",
-        "mm_frame_sample", "mm_frame_near", "pipeline_curate_v10")
+        "mm_frame_sample", "mm_frame_near", "pipeline_curate_v10",
+        "mm_frame_stream_admit")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -81,7 +81,8 @@ object Stress {
     "web_anchor_bm25", "mm_phash", "mm_dedup_near",
     "pipeline_curate_v8", "mm_audio_fp", "mm_audio_near",
     "pipeline_curate_v9", "mm_stream_admit", "mm_audio_stream_admit",
-    "mm_frame_sample", "mm_frame_near", "pipeline_curate_v10")
+    "mm_frame_sample", "mm_frame_near", "pipeline_curate_v10",
+    "mm_frame_stream_admit")
 
   /** Relational / windows / layout tier (orders + lineitem + events —
     * amplified fact tables; region/nation/supplier/part stay dim-sized,
@@ -112,7 +113,7 @@ object Stress {
     "ops_incr_quantile_stream_build", "w11_stream_build",
     "sim_pq_model_build", "sim_pq_encode_build", "sim_ivf_append_build",
     "mm_pixel_build", "mm_audio_build", "mm_frame_build",
-    "mm_stream_admit_build",
+    "mm_frame_stream_admit_build", "mm_stream_admit_build",
     "mm_audio_stream_admit_build", "t2_wm_stream_build",
     "j8_scd2_stream_build", "pgn_stream_build",
     "ops_incr_agg_stream_build")

@@ -35,8 +35,13 @@ object MultimodalFrameOps extends QueryModule {
     * step keeps consecutive frames near in dHash space AND gives
     * [[GifCodec.encodeGifAnimated]]'s delta-rect encoder a real
     * sub-rectangle to composite. */
-  private def frameGrids(id: Long, f: Int): Seq[PixelCodec.Gray] = {
+  private[graft] def frameGrids(id: Long, f: Int,
+      pert: Boolean = false): Seq[PixelCodec.Gray] = {
     val grid = PixelCodec.sceneGrid(id)
+    // the perturbed form (streamed-admission %125 family) shifts cell
+    // (3, 4) — outside the evolution cells — in EVERY frame, so each
+    // frame sits ≤2 dHash bits from its unperturbed counterpart
+    if (pert) grid(4 * 8 + 3) = (grid(4 * 8 + 3) + 16) % 256
     (0 until f).map { fno =>
       if (fno > 0) grid((fno * 11) % 64) = chgLuma(id, fno)
       PixelCodec.renderGrid(grid, 64)
@@ -194,6 +199,24 @@ object MultimodalFrameOps extends QueryModule {
          UNION ALL SELECT doc_id + 200000, doc_id, (doc_id % 4) + 3 FROM d
            WHERE doc_id % 100 = 0)"""
 
+  /** The frame-evolution luma at cell (gx, gy) of frame `fno` of
+    * `scene` as DuckDB SQL — ONE rendering shared by the
+    * mm_frame_sample and mm_frame_stream_admit oracles (the no-copies
+    * rule): the evolution byte md5("f{scene}_{idx/11}") when idx ∈
+    * {11,22,33,44,55} and idx/11 ≤ fno, else the base scene byte. */
+  private[queries] def frameLumaSql(scene: String, fno: String,
+      gx: String, gy: String): String = {
+    val idx = s"($gy * 8 + $gx)"
+    s"""CASE WHEN $idx > 0 AND $idx % 11 = 0 AND $idx // 11 <= $fno
+             THEN ${MultimodalOps.hexByteSql(
+               s"md5('f' || CAST($scene AS VARCHAR) || '_' || " +
+               s"CAST($idx // 11 AS VARCHAR))")}
+             ELSE ${MultimodalOps.hexByteSql(
+               s"md5(CAST($scene AS VARCHAR) || '_' || " +
+               s"CAST($gx AS VARCHAR) || '_' || CAST($gy AS VARCHAR))")}
+        END"""
+  }
+
   val oracles: Map[String, String] = Map(
 
     // recomputes every sampled frame's dHash from the planting
@@ -215,17 +238,8 @@ object MultimodalFrameOps extends QueryModule {
             FROM clips c, range(3) j(j) WHERE j.j < LEAST(3, c.f)),
           g AS (
             SELECT s.asset_id, s.n_frames, s.frame_no, t1.gx, t2.gy,
-                   CASE WHEN (t2.gy * 8 + t1.gx) > 0
-                             AND (t2.gy * 8 + t1.gx) % 11 = 0
-                             AND (t2.gy * 8 + t1.gx) // 11 <= s.frame_no
-                        THEN ${MultimodalOps.hexByteSql(
-                          "md5('f' || CAST(s.scene AS VARCHAR) || '_' || " +
-                          "CAST((t2.gy * 8 + t1.gx) // 11 AS VARCHAR))")}
-                        ELSE ${MultimodalOps.hexByteSql(
-                          "md5(CAST(s.scene AS VARCHAR) || '_' || " +
-                          "CAST(t1.gx AS VARCHAR) || '_' || " +
-                          "CAST(t2.gy AS VARCHAR))")}
-                   END AS luma
+                   ${frameLumaSql("s.scene", "s.frame_no",
+                     "t1.gx", "t2.gy")} AS luma
             FROM samp s, range(8) t1(gx), range(8) t2(gy)),
           bits AS (
             SELECT g1.asset_id, g1.n_frames, g1.frame_no, g1.gx, g1.gy,

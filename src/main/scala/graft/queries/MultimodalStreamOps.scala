@@ -88,6 +88,41 @@ object MultimodalStreamOps extends QueryModule {
       }).toDF("asset_id", "payload")
   }
 
+  /** The clip tier's payloads over the SAME schedule, with clip-level
+    * variant meanings: 0 original animated clip (delta-rect encoded;
+    * also the fresh family), 1 re-edit (full-canvas, interlaced,
+    * different palette — every frame dist 0), 2 TRIMMED copy (frame 0
+    * dropped — no variant of the whole clip matches, but every
+    * surviving frame does: the clip protocol's distinctive rejection),
+    * 3 perturbed (every frame ≤2 bits from its committed
+    * counterpart), 4 corrupt (truncated — drops at the decode gate). */
+  private def clipPayloads(scenes: DataFrame): DataFrame = {
+    val s = scenes.sparkSession
+    import s.implicits._
+    import graft.multimodal.GifCodec
+    scenes.select(col("asset_id"), col("scene"), col("variant"))
+      .as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (aid, scene, v) =>
+        val f = (scene % 4).toInt + 3
+        def frames(pert: Boolean = false) =
+          MultimodalFrameOps.frameGrids(scene, f, pert)
+        val bytes = v match {
+          case 0 => GifCodec.encodeGifAnimated(frames(),
+            salt = (scene % 5).toInt)
+          case 1 => GifCodec.encodeGifAnimated(frames(),
+            salt = (scene % 9 + 1).toInt, deltaRect = false,
+            interlaced = true)
+          case 2 => GifCodec.encodeGifAnimated(frames().tail, salt = 2)
+          case 3 => GifCodec.encodeGifAnimated(frames(pert = true),
+            salt = (scene % 5).toInt)
+          case _ =>
+            val full = GifCodec.encodeGifAnimated(frames(), salt = 3)
+            full.take(full.length / 2)
+        }
+        (aid, bytes)
+      }).toDF("asset_id", "payload")
+  }
+
   /** The delivery schedule (asset_id, scene, variant), shared by both
     * tiers — every 25th doc is a seeded scene, then:
     *   delivery A: %50 resized (+1·Offset) and %75 re-encoded
@@ -110,11 +145,14 @@ object MultimodalStreamOps extends QueryModule {
   /** Run seed + 3 checkpointed deliveries once per (session, dir,
     * tier); returns the state path. Cross-process reuse via a
     * source-fingerprint marker (same discipline as the
-    * dedup_stream_admit fixture). */
+    * dedup_stream_admit fixture). `clipProtocol` routes through
+    * [[MediaAdmission.startClips]] (frame-level composite state)
+    * instead of the single-fingerprint protocol. */
   private def streamedState(s: SparkSession, d: String, tag: String,
       payloads: DataFrame => DataFrame,
       fingerprint: Array[Byte] => Option[Long],
-      jpegCopies: Boolean = false): String =
+      jpegCopies: Boolean = false,
+      clipProtocol: Boolean = false): String =
     SessionMemo(s, d, tag) {
       val base = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
         java.lang.Integer.toHexString(d.hashCode)
@@ -144,7 +182,10 @@ object MultimodalStreamOps extends QueryModule {
           payloads(inc).coalesce(1).write.mode("append").parquet(src)
           val stream = s.readStream
             .schema("asset_id LONG, payload BINARY").parquet(src)
-          val q = MediaAdmission.start(stream, state, cp,
+          val q = if (clipProtocol)
+            MediaAdmission.startClips(stream, state, cp,
+              "asset_id", "payload")
+          else MediaAdmission.start(stream, state, cp,
             "asset_id", "payload", fingerprint)
           val done = q.awaitTermination(300000)
           // stop a timed-out query BEFORE throwing: SessionMemo does
@@ -157,7 +198,10 @@ object MultimodalStreamOps extends QueryModule {
         val savedSp = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
-          MediaAdmission.seed(s, payloads(seed), state,
+          if (clipProtocol)
+            MediaAdmission.seedClips(s, payloads(seed), state,
+              "asset_id", "payload")
+          else MediaAdmission.seed(s, payloads(seed), state,
             "asset_id", "payload", fingerprint)
           deliver(incA)
           deliver(incB)
@@ -176,6 +220,10 @@ object MultimodalStreamOps extends QueryModule {
     streamedState(s, d, "mm_audio_stream_admit", audioPayloads,
       AudioCodec.afp)
 
+  private def clipState(s: SparkSession, d: String): String =
+    streamedState(s, d, "mm_frame_stream_admit", clipPayloads,
+      _ => None, clipProtocol = true)
+
   // Admitted fingerprint state after the full streamed run, surfaced
   // LSB-first as a bit string (same comparator rationale as mm_phash).
   private def admitted(s: SparkSession, state: String,
@@ -191,16 +239,28 @@ object MultimodalStreamOps extends QueryModule {
   private def mmAudioStreamAdmit(s: SparkSession, d: String): DataFrame =
     admitted(s, audioState(s, d), "afp_bits")
 
+  // Admitted CLIP frame state after the full streamed run: composite
+  // ids unpack to (clip, frame ordinal), hashes surface LSB-first.
+  private def mmFrameStreamAdmit(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${clipState(s, d)}/ffps")
+      .select(expr("id div 512").as("asset_id"),
+        pmod(col("id"), lit(512L)).as("frame_no"),
+        reverse(lpad(bin(col("fp")), 64, "0")).as("phash_bits"))
+      .orderBy("asset_id", "frame_no")
+
   override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
     Map(
       "mm_stream_admit_build" ->
         ((s, d) => { imageState(s, d); () }),
       "mm_audio_stream_admit_build" ->
-        ((s, d) => { audioState(s, d); () }))
+        ((s, d) => { audioState(s, d); () }),
+      "mm_frame_stream_admit_build" ->
+        ((s, d) => { clipState(s, d); () }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_stream_admit"       -> (mmStreamAdmit _),
-    "mm_audio_stream_admit" -> (mmAudioStreamAdmit _))
+    "mm_audio_stream_admit" -> (mmAudioStreamAdmit _),
+    "mm_frame_stream_admit" -> (mmFrameStreamAdmit _))
 
   /** Admitted assets fall straight out of the schedule — seeds plus
     * the %100 fresh family; every variant of a seeded scene lands
@@ -227,5 +287,40 @@ object MultimodalStreamOps extends QueryModule {
             UNION ALL
             SELECT doc_id + 300000, doc_id + 300000, FALSE
             FROM d WHERE doc_id % 100 = 0),
-          ${MultimodalOps.afpBitsTail}""")
+          ${MultimodalOps.afpBitsTail}""",
+
+    // admitted clips = seeds + the %100 fresh family; the re-edit
+    // (every frame dist 0), TRIMMED (surviving frames dist 0 — the
+    // clip protocol's distinctive case), and perturbed (every frame
+    // ≤2 bits) deliveries are rejected, the corrupt family drops at
+    // decode, and the replay is a no-op. The state then holds EVERY
+    // frame of every admitted clip; the frame-evolution tail pins each
+    // frame's exact bits.
+    "mm_frame_stream_admit" ->
+      s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+          clips AS (
+            SELECT doc_id AS asset_id, doc_id AS scene,
+                   (doc_id % 4) + 3 AS f FROM d
+            UNION ALL
+            SELECT doc_id + 300000, doc_id + 300000,
+                   ((doc_id + 300000) % 4) + 3
+            FROM d WHERE doc_id % 100 = 0),
+          samp AS (
+            SELECT c.asset_id, c.scene, CAST(j.j AS BIGINT) AS frame_no
+            FROM clips c, range(6) j(j) WHERE j.j < c.f),
+          g AS (
+            SELECT s.asset_id, s.frame_no, t1.gx, t2.gy,
+                   ${MultimodalFrameOps.frameLumaSql("s.scene",
+                     "s.frame_no", "t1.gx", "t2.gy")} AS luma
+            FROM samp s, range(8) t1(gx), range(8) t2(gy)),
+          bits AS (
+            SELECT g1.asset_id, g1.frame_no, g1.gx, g1.gy,
+                   CASE WHEN g2.luma > g1.luma THEN '1' ELSE '0' END AS bit
+            FROM g g1 JOIN g g2 ON g1.asset_id = g2.asset_id
+             AND g1.frame_no = g2.frame_no
+             AND g2.gy = g1.gy AND g2.gx = (g1.gx + 1) % 8)
+          SELECT asset_id, frame_no,
+                 string_agg(bit, '' ORDER BY gy, gx) AS phash_bits
+          FROM bits GROUP BY asset_id, frame_no
+          ORDER BY asset_id, frame_no""")
 }

@@ -117,4 +117,83 @@ object MediaAdmission {
         ()
       }
       .start()
+
+  // ---- the clip (many-fingerprints-per-asset) protocol ----
+
+  /** Frame-level fingerprints of animated-clip payloads: one composite
+    * (clip·512 + frame_no, dHash) row per decoded frame — the clip
+    * analog of [[fingerprints]] (512 = 2 × the decoder's maxFrames
+    * cap, so the ordinal never collides). Undecodable clips drop
+    * whole. */
+  def clipFingerprints(batch: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    import graft.multimodal.{GifCodec, PixelCodec}
+    batch.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        Option(p).flatMap(GifCodec.decodeGifFrames(_)).toSeq
+          .flatMap(_.iterator.zipWithIndex.flatMap { case (fr, i) =>
+            PixelCodec.lumaGrid8(fr).map(g =>
+              (id * 512 + i, PixelCodec.dhash64(g)))
+          })
+      })
+      .toDF("id", "fp")
+      .dropDuplicates("id")
+  }
+
+  /** One clip micro-batch fold: decode + frame-fingerprint, drop
+    * already-committed clips, reject any clip with AT LEAST ONE frame
+    * within `maxDist` of a committed frame (catching re-edits,
+    * trims, and re-encodes that share any content), merge the
+    * admitted clips' full frame sets. Decision semantics otherwise
+    * mirror [[admitBatch]]: within-batch near-dup clips admit
+    * together; replay is a no-op via the batch-id marker. The state
+    * probe stays [[Dedup.simhashMatches]] over frame rows (probe ×
+    * reference band join — work bounded by the batch's band
+    * collisions, never state²), so the clip protocol costs the same
+    * shape as the single-fingerprint one, just F rows per asset. */
+  def admitClipBatch(batch: DataFrame, batchId: Long, statePath: String,
+      idCol: String, payloadCol: String, maxDist: Int = 2): Boolean =
+    MergeableStream.applyBatch(batch, batchId, s"$statePath/ffps",
+      summarize = b => clipFingerprints(b, idCol, payloadCol),
+      merge = (state, delta) => {
+        val committed = state
+          .select(expr("id div 512").as("__clip")).distinct()
+        val fresh = delta.withColumn("__clip", expr("id div 512"))
+          .join(committed, Seq("__clip"), "left_anti")
+        val rejected = Dedup.simhashMatches(
+            fresh.select(col("id"), col("fp").as("simhash")),
+            state.select(col("id"), col("fp").as("simhash")),
+            maxDist, bits = 64, bands = 8)
+          .select(expr("id div 512").as("__clip")).distinct()
+        state.unionByName(fresh
+          .join(rejected, Seq("__clip"), "left_anti")
+          .select("id", "fp"))
+      })
+
+  /** Seed the clip state from an already-curated corpus (idempotent —
+    * the replay no-op, like [[seed]]). */
+  def seedClips(spark: SparkSession, assets: DataFrame,
+      statePath: String, idCol: String, payloadCol: String): Unit = {
+    admitClipBatch(assets, -1L, statePath, idCol, payloadCol)
+    ()
+  }
+
+  /** The checkpointed clip-admission stream — [[start]]'s shape over
+    * [[admitClipBatch]]. */
+  def startClips(stream: DataFrame, statePath: String,
+      checkpoint: String, idCol: String, payloadCol: String,
+      maxDist: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitClipBatch(batch, batchId, statePath, idCol, payloadCol,
+          maxDist)
+        ()
+      }
+      .start()
 }

@@ -92,6 +92,45 @@ class MediaAdmissionSpec extends AnyFunSuite {
     assert(stateIds(state) === Seq(1L, 2L, 50L, 51L, 99L))
   }
 
+  test("clip tier: frame-level composite state, trim/re-edit/perturb rejection") {
+    import graft.multimodal.GifCodec
+    val state = tmp("clip_admit")
+    def frames(scene: Long, pert: Boolean = false): Seq[PixelCodec.Gray] =
+      graft.queries.MultimodalFrameOps.frameGrids(scene, 4, pert)
+    def clip(scene: Long, salt: Int = 7): Array[Byte] =
+      GifCodec.encodeGifAnimated(frames(scene), salt = salt)
+    MediaAdmission.seedClips(spark, batch(1L -> clip(1)), state,
+      "asset_id", "payload")
+    def clips(path: String): Seq[Long] =
+      spark.read.parquet(s"$path/ffps").select(expr("id div 512"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    assert(clips(state) === Seq(1L))
+    // state holds every frame of the seeded clip
+    assert(spark.read.parquet(s"$state/ffps").count() === 4L)
+    // re-edit (full-canvas interlaced re-encode: every frame dist 0),
+    // TRIMMED copy (frame 0 dropped — remaining frames still match),
+    // and perturbed (every frame ≤2 bits) all rejected; fresh clip
+    // admitted; truncated clip dropped at decode
+    val trimmed = GifCodec.encodeGifAnimated(frames(1).tail, salt = 2)
+    val reEdit = GifCodec.encodeGifAnimated(frames(1), salt = 3,
+      deltaRect = false, interlaced = true)
+    val corrupt = { val b = clip(9); b.take(b.length / 2) }
+    assert(MediaAdmission.admitClipBatch(
+      batch(10L -> reEdit, 11L -> trimmed,
+        12L -> clip(1, salt = 5).tail.tail, // garbage (header cut): drop
+        13L -> GifCodec.encodeGifAnimated(frames(1, pert = true)),
+        50L -> clip(50), 60L -> corrupt),
+      0L, state, "asset_id", "payload"))
+    assert(clips(state) === Seq(1L, 50L))
+    // redelivered clip id skips; batch-id replay is a marker no-op
+    assert(MediaAdmission.admitClipBatch(
+      batch(50L -> clip(50)), 1L, state, "asset_id", "payload"))
+    assert(clips(state) === Seq(1L, 50L))
+    assert(!MediaAdmission.admitClipBatch(
+      batch(99L -> clip(99)), 1L, state, "asset_id", "payload"))
+    assert(clips(state) === Seq(1L, 50L))
+  }
+
   test("audio tier: same protocol over AudioCodec.afp") {
     val state = tmp("audio_admit")
     def wav(scene: Long, n: Int = 1600): Array[Byte] =
