@@ -16,10 +16,9 @@ package graft.multimodal
   * still through [[decodeGif]]; the full animation decodes through
   * [[decodeGifFrames]] — the animated walker composites each frame's
   * sub-rectangle over the logical-screen canvas with real GIF89a
-  * semantics (graphic-control extensions, transparency index,
-  * disposal none/keep/restore-background). Disposal restore-previous
-  * is the remaining open seam (returns None, like 16-bit PNG and
-  * progressive JPEG in their codecs).
+  * semantics (graphic-control extensions, transparency index, all
+  * four disposal methods — none/keep/restore-background/
+  * restore-previous).
   *
   * Hostile-input discipline matches [[PixelCodec]]: decode never
   * throws — truncated sub-blocks, codes beyond the dictionary,
@@ -223,8 +222,8 @@ object GifCodec {
     * graphic-control extension's transparency index (transparent
     * pixels leave the canvas untouched) and disposal method — 0/1
     * leave the composite in place, 2 restores the rectangle to the
-    * background color, 3 (restore-previous) is the open seam and
-    * returns None; interlaced frames deinterlace through the shared
+    * background color, 3 restores the whole canvas to its pre-frame
+    * state; interlaced frames deinterlace through the shared
     * row schedule. A still (no GCE, one
     * full-canvas descriptor) decodes as a 1-frame animation, so the
     * walker subsumes [[decodeGif]] semantically; the still entry point
@@ -296,7 +295,9 @@ object GifCodec {
           val w = le16(b, p + 5); val h = le16(b, p + 7)
           val ipacked = u8(b, p + 9)
           p += 10
-          if (disposal == 3) return None         // restore-previous: seam
+          // disposal 3 (restore-previous): snapshot the canvas before
+          // compositing, put it back after the frame is emitted
+          val prevCanvas = if (disposal == 3) canvas.clone() else null
           var ct = globalCt
           if ((ipacked & 0x80) != 0) {
             val n = 2 << (ipacked & 7)
@@ -351,7 +352,8 @@ object GifCodec {
               }
               yy += 1
             }
-          }
+          } else if (disposal == 3)              // restore to previous
+            System.arraycopy(prevCanvas, 0, canvas, 0, canvas.length)
           transIdx = -1; disposal = 0
         case _ => return None
       }

@@ -166,17 +166,40 @@ class GifCodecSpec extends AnyFunSuite {
       Seq(lum(3), lum(3), lum(2), lum(3), lum(3), lum(3), lum(3), lum(3)))
   }
 
-  test("restore-previous disposal and hostile animations return None") {
+  test("restore-previous disposal rewinds the canvas between frames") {
+    // hand-built 3-frame 2x1 animation on a 4-color global table:
+    // frame 0 = [0, 1] (disposal 0); frame 1 paints cell (0,0) = 2
+    // under disposal 3 → displays [2, 1] but the canvas REWINDS;
+    // frame 2 paints cell (1,0) = 3 → [0, 3], proving frame 1's paint
+    // did not persist (disposal 1 would have shown [2, 3])
+    def lum(i: Int) = PixelCodec.lum(i * 60, i * 60, i * 60)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](2, 0, 1, 0))
+    out.write(0x81); out.write(0); out.write(0)
+    for (i <- 0 until 4; _ <- 0 until 3) out.write(i * 60)
+    out.write(0x2c)
+    out.write(Array[Byte](0, 0, 0, 0, 2, 0, 1, 0, 0))
+    out.write(GifCodecSpec.rawLzw(Array(0, 1)))
+    out.write(0x21); out.write(0xf9); out.write(4)
+    out.write(0x0c); out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(0x2c)
+    out.write(Array[Byte](0, 0, 0, 0, 1, 0, 1, 0, 0))
+    out.write(GifCodecSpec.rawLzw(Array(2)))
+    out.write(0x2c)
+    out.write(Array[Byte](1, 0, 0, 0, 1, 0, 1, 0, 0))
+    out.write(GifCodecSpec.rawLzw(Array(3)))
+    out.write(0x3b)
+    val dec = GifCodec.decodeGifFrames(out.toByteArray)
+    assert(dec.isDefined && dec.get.length === 3)
+    assert(dec.get(0).luma.toSeq === Seq(lum(0), lum(1)))
+    assert(dec.get(1).luma.toSeq === Seq(lum(2), lum(1)))
+    assert(dec.get(2).luma.toSeq === Seq(lum(0), lum(3)))
+  }
+
+  test("hostile animations return None; the frame-count bound holds") {
     val frames = evolved(9, 3)
     val enc = GifCodec.encodeGifAnimated(frames)
-    // flip frame 0's GCE disposal bits to 3 (restore previous): seam.
-    // The first GCE sits at a computable offset: header+LSD (13) +
-    // global table (3·2^(sizebits+1)) + NETSCAPE block (19)
-    val i = 13 + 3 * (2 << (enc(10) & 7)) + 19
-    assert(enc(i) === 0x21.toByte && enc(i + 1) === 0xf9.toByte)
-    assert(enc(i + 3) === 0x04.toByte)
-    assert(GifCodec.decodeGifFrames(
-      enc.updated(i + 3, 0x0c.toByte)).isEmpty)
     // truncation at every byte boundary never throws, never decodes
     for (n <- 0 until enc.length - 1)
       assert(GifCodec.decodeGifFrames(enc.take(n)).isEmpty, s"take($n)")
