@@ -14,7 +14,7 @@ package graft.multimodal
   * components, luma at the maximal sampling factor (the JFIF shape —
   * covers 4:4:4, 4:2:2, 4:2:0), restart intervals. Progressive,
   * arithmetic coding, 12-bit, and luma-subsampled-below-chroma streams
-  * return None — the open seam, like 16-bit PNG.
+  * return None — the open seam, like interlaced PNG.
   *
   * Exactness property the fixtures lean on: the scene renderings are
   * block-constant on the 8×8 JPEG MCU grid, so every block is DC-only

@@ -29,7 +29,7 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * decode never throws — truncated chunks, corrupt deflate streams,
   * preset-dictionary (FDICT) streams, undersized pixel buffers,
   * missing palettes, out-of-range palette indices, or unsupported
-  * color modes (16-bit, interlaced) return None.
+  * color modes (interlaced, 16-bit palette) return None.
   */
 object PixelCodec {
 
@@ -50,7 +50,7 @@ object PixelCodec {
   private val PngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** Bytes per pixel for the supported 8-bit color types; -1 = reject. */
+  /** Channels per pixel for the supported color types; -1 = reject. */
   private def bppOf(colorType: Int): Int = colorType match {
     case 0 => 1 // grayscale
     case 2 => 3 // RGB
@@ -59,18 +59,22 @@ object PixelCodec {
     case _ => -1
   }
 
-  /** Decode an 8-bit non-interlaced PNG in color type 0 (gray),
-    * 2 (RGB), 3 (palette), or 6 (RGBA) to luma. Walks the chunk
-    * stream, concatenates IDAT payloads, inflates, reverses the
-    * per-scanline byte filter at the mode's bpp, and collapses color
-    * through [[lum]]. Ancillary chunks (tEXt etc.) are skipped, so
-    * metadata-stripped/annotated re-encodes decode to the same pixels.
-    * Returns None for any other mode (16-bit/interlaced — the open
-    * seam) or malformed input. */
+  /** Decode an 8- or 16-bit non-interlaced PNG in color type 0 (gray),
+    * 2 (RGB), 3 (palette — 8-bit only, per spec), or 6 (RGBA) to luma.
+    * Walks the chunk stream, concatenates IDAT payloads, inflates,
+    * reverses the per-scanline byte filter at the mode's bpp (filters
+    * are byte-wise at EVERY depth — RFC 2083 §6 — so the same loop
+    * serves both), and collapses color through [[lum]]; 16-bit samples
+    * take their high byte (the spec's sample-depth rescale truncation
+    * — exact for v·257 samples, i.e. any 8-bit-representable value).
+    * Ancillary chunks (tEXt etc.) are skipped, so metadata-stripped/
+    * annotated re-encodes decode to the same pixels. Returns None for
+    * any other mode (interlaced — the open seam) or malformed input. */
   def decodePng(b: Array[Byte]): Option[Gray] = {
     if (b.length < 45 || !b.take(8).sameElements(PngSig)) return None
     var p = 8
     var w = 0; var h = 0; var colorType = -1; var ok = false
+    var stride = 1
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (p + 8 <= b.length) {
@@ -82,10 +86,14 @@ object PixelCodec {
           if (len != 13) return None
           w = be32(b, p + 8); h = be32(b, p + 12)
           colorType = u8(b, p + 17)
-          // bit depth 8, deflate, adaptive filtering, no interlace
-          if (u8(b, p + 16) != 8 || bppOf(colorType) < 0 ||
+          val depth = u8(b, p + 16)
+          // bit depth 8 or 16 (palette: 8 only), deflate, adaptive
+          // filtering, no interlace
+          if ((depth != 8 && depth != 16) ||
+              (depth == 16 && colorType == 3) || bppOf(colorType) < 0 ||
               u8(b, p + 18) != 0 || u8(b, p + 19) != 0 ||
               u8(b, p + 20) != 0) return None
+          stride = depth / 8
         case "PLTE" =>
           if (len % 3 != 0 || len == 0 || len > 768) return None
           plte = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
@@ -98,7 +106,7 @@ object PixelCodec {
     if (!ok || w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
         colorType < 0) return None
     if (colorType == 3 && plte == null) return None
-    val bpp = bppOf(colorType)
+    val bpp = bppOf(colorType) * stride
     val rowBytes = w * bpp
     if (rowBytes.toLong * h > (1L << 28)) return None
     val raw = inflate(idat.toByteArray, (rowBytes + 1) * h)
@@ -138,16 +146,18 @@ object PixelCodec {
       val off = y * (rowBytes + 1) + 1
       var x = 0
       while (x < w) {
+        // high byte of each sample (stride 1 = the sample itself)
+        val base = off + x * bpp
         val l = colorType match {
-          case 0 => u8(raw, off + x)
-          case 2 => lum(u8(raw, off + x * 3), u8(raw, off + x * 3 + 1),
-            u8(raw, off + x * 3 + 2))
+          case 0 => u8(raw, base)
+          case 2 => lum(u8(raw, base), u8(raw, base + stride),
+            u8(raw, base + 2 * stride))
           case 3 =>
-            val i = u8(raw, off + x)
+            val i = u8(raw, base)
             if (i * 3 + 2 >= plte.length) return None
             lum(u8(plte, i * 3), u8(plte, i * 3 + 1), u8(plte, i * 3 + 2))
-          case 6 => lum(u8(raw, off + x * 4), u8(raw, off + x * 4 + 1),
-            u8(raw, off + x * 4 + 2))
+          case 6 => lum(u8(raw, base), u8(raw, base + stride),
+            u8(raw, base + 2 * stride))
         }
         px(y * w + x) = l
         x += 1
@@ -332,9 +342,10 @@ object PixelCodec {
 
   private def assemblePng(w: Int, h: Int, colorType: Int,
       plte: Option[Array[Byte]], idat: Array[Byte],
-      textChunk: Option[String]): Array[Byte] = {
+      textChunk: Option[String], depth: Int = 8): Array[Byte] = {
     val ihdr = chunk("IHDR",
-      be32b(w) ++ be32b(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0))
+      be32b(w) ++ be32b(h) ++
+        Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0))
     val plteC = plte.map(chunk("PLTE", _)).getOrElse(Array.emptyByteArray)
     val text = textChunk.map(t =>
       chunk("tEXt", ("Comment " + t).getBytes("US-ASCII")))
@@ -354,6 +365,23 @@ object PixelCodec {
     while (i < rows.length) { rows(i) = (g.luma(i) & 0xff).toByte; i += 1 }
     assemblePng(g.width, g.height, 0, None,
       deflateFiltered(rows, g.width, 1, filterType), textChunk)
+  }
+
+  /** Encode a 16-bit grayscale PNG with both sample bytes = v (i.e.
+    * the 16-bit value v·257, the spec's exact 8→16 rescale), so the
+    * high-byte decode recovers `g.luma` exactly — the bit-depth
+    * variant planting path. Filters still apply byte-wise at bpp 2. */
+  def encodeGray16Png(g: Gray, filterType: Int = 0): Array[Byte] = {
+    val rows = new Array[Byte](g.width * g.height * 2)
+    var i = 0
+    while (i < g.luma.length) {
+      val v = (g.luma(i) & 0xff).toByte
+      rows(i * 2) = v; rows(i * 2 + 1) = v
+      i += 1
+    }
+    assemblePng(g.width, g.height, 0, None,
+      deflateFiltered(rows, g.width * 2, 2, filterType), None,
+      depth = 16)
   }
 
   /** Deterministic color triple with EXACT luma `v` under [[lum]]:

@@ -205,7 +205,13 @@ object MultimodalOps extends QueryModule {
     *                        row order written AND reversed (375 = 3·5³
     *                        shares %75/%125, so the scene clusters
     *                        regardless; this variant pins the
-    *                        deinterlacer's pixels).
+    *                        deinterlacer's pixels);
+    *   +13·Offset (id%250): 16-bit grayscale PNG — samples v·257 (the
+    *                        spec's exact 8→16 rescale), filter-1
+    *                        scanlines at bpp 2; the high-byte decode
+    *                        must land the scene exactly (250 = 2·5³
+    *                        shares %50/%125 — members only, no new
+    *                        clusters).
     * Block-constant tiles (and [[PixelCodec.renderGridSized]]'s
     * bin-rule coloring at odd sizes) make every rendering resample
     * exactly back to the scene grid, so expected hashes (and clusters)
@@ -276,6 +282,10 @@ object MultimodalOps extends QueryModule {
               graft.multimodal.GifCodec.encodeGif(
                 PixelCodec.renderGrid(grid, 64), salt = (id % 3).toInt,
                 interlaced = true))
+          if (id % 250 == 0)
+            put(s"asset_${id + 13 * Planting.Offset}.png",
+              PixelCodec.encodeGray16Png(
+                PixelCodec.renderGrid(grid, 64), filterType = 1))
           // corrupt variant (id%175, +5·Offset): a truncated PNG — the
           // IDAT stream cuts off mid-deflate, so pixel decode MUST
           // return None. Exercises the hostile-input path end-to-end:
@@ -552,7 +562,8 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 900000, doc_id, FALSE FROM d WHERE doc_id % 325 = 0
          UNION ALL SELECT doc_id + 1000000, doc_id, FALSE FROM d WHERE doc_id % 425 = 0
          UNION ALL SELECT doc_id + 1100000, doc_id, FALSE FROM d WHERE doc_id % 475 = 0
-         UNION ALL SELECT doc_id + 1200000, doc_id, FALSE FROM d WHERE doc_id % 375 = 0)"""
+         UNION ALL SELECT doc_id + 1200000, doc_id, FALSE FROM d WHERE doc_id % 375 = 0
+         UNION ALL SELECT doc_id + 1300000, doc_id, FALSE FROM d WHERE doc_id % 250 = 0)"""
 
   /** The planted audio-asset schedule as a DuckDB CTE pair (shared by
     * the mm_audio_fp and pipeline_curate_v9 oracles) — decodable
@@ -712,8 +723,9 @@ object MultimodalOps extends QueryModule {
     // and the perturbed variant moves <=2 bits: within it). %100/%150/
     // %225 imply %50 or %75, so only %275, %325, %425, and %475 (the
     // only-variant color/palette/JPEG/GIF families) widen the
-    // canonical-member condition; %375 (interlaced GIF) implies %75,
-    // so it adds members, never new clusters.
+    // canonical-member condition; %375 (interlaced GIF) implies %75
+    // and %250 (16-bit PNG) implies %50, so those add members, never
+    // new clusters.
     "mm_dedup_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          m AS (
@@ -731,7 +743,8 @@ object MultimodalOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 900000 FROM d WHERE doc_id % 325 = 0
            UNION ALL SELECT doc_id, doc_id + 1000000 FROM d WHERE doc_id % 425 = 0
            UNION ALL SELECT doc_id, doc_id + 1100000 FROM d WHERE doc_id % 475 = 0
-           UNION ALL SELECT doc_id, doc_id + 1200000 FROM d WHERE doc_id % 375 = 0)
+           UNION ALL SELECT doc_id, doc_id + 1200000 FROM d WHERE doc_id % 375 = 0
+           UNION ALL SELECT doc_id, doc_id + 1300000 FROM d WHERE doc_id % 250 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids

@@ -31,6 +31,20 @@ class PixelCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("16-bit grayscale round-trips exactly via the high-byte decode") {
+    // v*257 samples make the high-byte truncation exact; filters are
+    // byte-wise at bpp 2, so every filter type must reverse cleanly
+    for (f <- 0 to 4; (w, h) <- Seq((8, 8), (7, 3), (16, 24))) {
+      val img = noisy(w, h, f + 11)
+      val enc = PixelCodec.encodeGray16Png(img, filterType = f)
+      val dec = PixelCodec.decodePng(enc)
+      assert(dec.isDefined, s"filter $f ${w}x$h")
+      assert(dec.get.luma.toSeq === img.luma.toSeq, s"filter $f ${w}x$h")
+      // byte-distinct from the 8-bit encoding, pixel-identical
+      assert(!enc.sameElements(PixelCodec.encodeGray8Png(img)))
+    }
+  }
+
   test("color modes decode to exact luma: RGB every filter, RGBA, palette") {
     val img = noisy(16, 24, 3)
     for (f <- 0 to 4) {
@@ -163,8 +177,11 @@ class PixelCodecSpec extends AnyFunSuite {
       pngSig ++ ihdr(8, 0, 0) ++ rawChunk("IDAT",
         Array(0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8).map(_.toByte)) ++
         rawChunk("IEND", Array.emptyByteArray),
-      // 16-bit depth and interlaced: unsupported modes
+      // 16-bit with truncated data: rejected as malformed (the mode
+      // itself is supported); 16-bit palette and interlaced: rejected
       pngSig ++ ihdr(16, 0, 0) ++ rawChunk("IDAT", Array[Byte](1, 2)) ++
+        rawChunk("IEND", Array.emptyByteArray),
+      pngSig ++ ihdr(16, 3, 0) ++ rawChunk("IDAT", Array[Byte](1, 2)) ++
         rawChunk("IEND", Array.emptyByteArray),
       pngSig ++ ihdr(8, 0, 1) ++ rawChunk("IDAT", Array[Byte](1, 2)) ++
         rawChunk("IEND", Array.emptyByteArray),
