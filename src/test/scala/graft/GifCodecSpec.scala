@@ -197,6 +197,28 @@ class GifCodecSpec extends AnyFunSuite {
     assert(dec.get(2).luma.toSeq === Seq(lum(0), lum(3)))
   }
 
+  test("seeded fuzz: random bytes and random tails never throw") {
+    val rnd = new scala.util.Random(0x61f)
+    val good = GifCodec.encodeGifAnimated(evolved(3, 3))
+    for (_ <- 0 until 300) {
+      val n = rnd.nextInt(400)
+      val junk = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      GifCodec.decodeGif(junk)        // must not throw
+      GifCodec.decodeGifFrames(junk)  // must not throw
+      // a valid prefix with a corrupted tail: flip bytes after the
+      // header region and decode both ways
+      val cut = 14 + rnd.nextInt(good.length - 14)
+      val mut = good.clone()
+      mut(cut) = rnd.nextInt(256).toByte
+      GifCodec.decodeGif(mut)
+      GifCodec.decodeGifFrames(mut).foreach { fs =>
+        // when a mutation still decodes, the result must stay shaped
+        assert(fs.nonEmpty && fs.forall(f =>
+          f.luma.length == f.width * f.height))
+      }
+    }
+  }
+
   test("hostile animations return None; the frame-count bound holds") {
     val frames = evolved(9, 3)
     val enc = GifCodec.encodeGifAnimated(frames)
