@@ -128,9 +128,13 @@ object JpegCodec {
       v
     }
 
-    /** Byte-align and consume an expected RSTn marker. */
+    /** Byte-align and consume an expected RSTn marker. T.81 B.1.1.2
+      * permits any number of 0xFF fill bytes before a marker, so skip
+      * leading FF FF runs before requiring FF D0+n. */
     def consumeRst(n: Int): Boolean = {
       nbits = 0
+      while (pos + 1 < b.length && u8(b, pos) == 0xff &&
+          u8(b, pos + 1) == 0xff) pos += 1
       if (pos + 1 >= b.length || u8(b, pos) != 0xff ||
           u8(b, pos + 1) != (0xd0 + n)) false
       else { pos += 2; true }

@@ -468,7 +468,8 @@ object Multimodal {
     * decode projection, so unsampled frames never leave their
     * partition and the output is ≤ k·16 bytes per clip — downstream
     * shuffles frame hashes, never media bytes. Undecodable payloads
-    * (truncated streams, interlaced frames) drop at the gate. */
+    * (truncated streams, missing color tables, malformed LZW) drop at
+    * the gate; interlaced frames decode through the 4-pass walker. */
   def sampleFrames(assets: Dataset[MediaAsset], k: Int = 3): DataFrame = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>

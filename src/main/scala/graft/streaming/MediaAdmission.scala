@@ -56,12 +56,16 @@ object MediaAdmission {
 
   /** Fingerprint a batch of (idCol, payloadCol) rows: one
     * `mapPartitions` projection (decoder init per partition, 16-byte
-    * output rows), undecodables dropped. */
+    * output rows), undecodables dropped. Rows whose id is null (or a
+    * non-numeric string the long cast nulls out) drop WITH them —
+    * dirty id columns must not crash the micro-batch at the Dataset
+    * decode. */
   def fingerprints(batch: DataFrame, idCol: String, payloadCol: String,
       fingerprint: Array[Byte] => Option[Long]): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    batch.select(col(idCol).cast("long"), col(payloadCol))
+    batch.select(col(idCol).try_cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
         Option(p).flatMap(fingerprint).map(f => (id, f)) })
@@ -124,13 +128,19 @@ object MediaAdmission {
     * (clip·512 + frame_no, dHash) row per decoded frame — the clip
     * analog of [[fingerprints]] (512 = 2 × the decoder's maxFrames
     * cap, so the ordinal never collides). Undecodable clips drop
-    * whole. */
+    * whole. Id-range CONTRACT: the composite pack/unpack (id·512 + i /
+    * `id div 512`) is exact only for 0 ≤ id < 2^54/512 — negative ids
+    * would alias under Spark's truncate-toward-zero `div` (clip -1's
+    * frames landing under clip 0) — so null, negative, and ≥2^45 ids
+    * all drop at this gate with the undecodables. */
   def clipFingerprints(batch: DataFrame, idCol: String,
       payloadCol: String): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     import graft.multimodal.{GifCodec, PixelCodec}
-    batch.select(col(idCol).cast("long"), col(payloadCol))
+    batch.select(col(idCol).try_cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull && col("__id") >= 0 &&
+        col("__id") < (1L << 45))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
         Option(p).flatMap(GifCodec.decodeGifFrames(_)).toSeq

@@ -84,10 +84,24 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decodeJpeg(headerOnly).isEmpty)
     // a restart-interval stream whose first RST marker is clobbered:
     // the decoder expects FFD0 at the boundary and must reject
-    val withRst = JpegCodec.encodeJpeg(noisy(32, 8, 4),
+    val noisyImg = noisy(32, 8, 4)
+    val withRst = JpegCodec.encodeJpeg(noisyImg,
       color = true, restartInterval = 1)
+    // the valid stream must decode first (positive coverage of the
+    // pad-bits-before-RST path — incl. the stuffed 0xFF pad byte case
+    // — on general, non-block-constant content)
+    val rstOk = JpegCodec.decodeJpeg(withRst)
+    assert(rstOk.isDefined)
+    assert(rstOk.get.luma.zip(noisyImg.luma)
+      .map { case (a, b) => math.abs(a - b) }.max <= 3)
     val rstAt = withRst.indexOfSlice(Seq(0xff.toByte, 0xd0.toByte))
     assert(rstAt > 0)
+    // T.81 B.1.1.2 fill bytes: a conforming third-party stream may pad
+    // 0xFF bytes before any marker — inject one before the RST and the
+    // decode must land the same pixels
+    val filled = withRst.patch(rstAt, Seq(0xff.toByte), 0)
+    assert(JpegCodec.decodeJpeg(filled).map(_.luma.toSeq)
+      === rstOk.map(_.luma.toSeq))
     assert(JpegCodec.decodeJpeg(
       withRst.updated(rstAt + 1, 0x3f.toByte)).isEmpty)
     // truncation at EVERY byte boundary up to the end of scan data

@@ -131,6 +131,29 @@ class MediaAdmissionSpec extends AnyFunSuite {
     assert(clips(state) === Seq(1L, 50L))
   }
 
+  test("dirty id columns: null/non-numeric/negative ids drop at the fingerprint gate") {
+    import TestSpark.spark.implicits._
+    import graft.multimodal.GifCodec
+    // string id column with a null and a non-numeric value: the long
+    // cast nulls them and the gate drops the rows instead of crashing
+    // the Dataset decode inside a micro-batch
+    val dirty = Seq(("7", png(7)), ("junk", png(8)),
+        (null.asInstanceOf[String], png(9)))
+      .toDF("asset_id", "payload")
+    assert(MediaAdmission.fingerprints(dirty, "asset_id", "payload",
+      PixelCodec.phash).select("id").collect().map(_.getLong(0)).toSeq
+      === Seq(7L))
+    // clip composite key contract: negative and ≥2^45 ids would alias
+    // under truncate-toward-zero div — both drop whole
+    def clip(scene: Long): Array[Byte] = GifCodec.encodeGifAnimated(
+      graft.queries.MultimodalFrameOps.frameGrids(scene, 3))
+    val clips = batch(-1L -> clip(1), (1L << 50) -> clip(2),
+      5L -> clip(3))
+    assert(MediaAdmission.clipFingerprints(clips, "asset_id", "payload")
+      .select(expr("id div 512")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(5L))
+  }
+
   test("audio tier: same protocol over AudioCodec.afp") {
     val state = tmp("audio_admit")
     def wav(scene: Long, n: Int = 1600): Array[Byte] =
