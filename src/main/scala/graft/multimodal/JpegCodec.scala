@@ -12,9 +12,10 @@ package graft.multimodal
   *
   * Supported: baseline/extended sequential (SOF0/SOF1), 8-bit, 1 or 3
   * components, luma at the maximal sampling factor (the JFIF shape —
-  * covers 4:4:4, 4:2:2, 4:2:0), restart intervals. Progressive,
-  * arithmetic coding, 12-bit, and luma-subsampled-below-chroma streams
-  * return None — the open seam, like interlaced PNG.
+  * covers 4:4:4, 4:2:2, 4:2:0), restart intervals; progressive (SOF2)
+  * streams decode through [[JpegProgressive]]. Arithmetic coding,
+  * 12-bit, and luma-subsampled-below-chroma streams return None —
+  * the remaining documented seams.
   *
   * Exactness property the fixtures lean on: the scene renderings are
   * block-constant on the 8×8 JPEG MCU grid, so every block is DC-only
@@ -33,12 +34,12 @@ package graft.multimodal
 object JpegCodec {
   import PixelCodec.Gray
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be16(b: Array[Byte], i: Int): Int =
+  private[multimodal] def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private[multimodal] def be16(b: Array[Byte], i: Int): Int =
     (u8(b, i) << 8) | u8(b, i + 1)
 
   /** Zigzag index k → natural (row-major) index (T.81 Figure 5). */
-  private val Zigzag: Array[Int] = {
+  private[multimodal] val Zigzag: Array[Int] = {
     val zz = new Array[Int](64)
     var k = 0
     var x = 0; var y = 0; var up = true
@@ -60,7 +61,7 @@ object JpegCodec {
 
   /** cos((2x+1)·u·π/16) premultiplied by C(u)/2 — the separable IDCT
     * (and forward DCT) basis. */
-  private val Basis: Array[Double] = {
+  private[multimodal] val Basis: Array[Double] = {
     val t = new Array[Double](64)
     var u = 0
     while (u < 8) {
@@ -77,7 +78,8 @@ object JpegCodec {
 
   // ---- canonical Huffman tables (decode side: T.81 §F.2.2.3) ----
 
-  private final class Huff(counts: Array[Int], val symbols: Array[Int]) {
+  private[multimodal] final class Huff(counts: Array[Int],
+      val symbols: Array[Int]) {
     val minCode = new Array[Int](17)
     val maxCode = new Array[Int](17) // -1 = no codes at this length
     val valPtr = new Array[Int](17)
@@ -100,7 +102,7 @@ object JpegCodec {
   /** Scan-data bit reader with FF00 unstuffing. A non-stuffing marker
     * ends the readable stream (markerAhead); restart handling consumes
     * it explicitly. */
-  private final class BitReader(b: Array[Byte], var pos: Int) {
+  private[multimodal] final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nbits = 0
     var truncated = false
@@ -141,7 +143,7 @@ object JpegCodec {
     }
   }
 
-  private def decodeHuffSym(r: BitReader, h: Huff): Int = {
+  private[multimodal] def decodeHuffSym(r: BitReader, h: Huff): Int = {
     var code = r.nextBit()
     var l = 1
     while (l <= 16) {
@@ -157,15 +159,53 @@ object JpegCodec {
   }
 
   /** T.81 EXTEND: map a t-bit magnitude to its signed value. */
-  private def extend(v: Int, t: Int): Int =
+  private[multimodal] def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
   private case class Component(id: Int, h: Int, v: Int, tq: Int)
 
-  /** Decode a baseline/extended-sequential JPEG to its luma plane. */
+  /** Separable IDCT of one dequantized (natural-order) block, written
+    * level-shifted and clamped into a luma plane at (px0, py0) — the
+    * shared output stage of the sequential and progressive decoders. */
+  private[multimodal] def idctToPlane(coef: Array[Int],
+      tmp: Array[Double], plane: Array[Int], planeW: Int,
+      px0: Int, py0: Int): Unit = {
+    var y0 = 0
+    while (y0 < 8) { // row pass over u for each output y
+      var x0 = 0
+      while (x0 < 8) {
+        tmp(y0 * 8 + x0) = {
+          var s = 0.0; var u = 0
+          while (u < 8) {
+            s += Basis(u * 8 + x0) * coef(y0 * 8 + u); u += 1
+          }
+          s
+        }
+        x0 += 1
+      }
+      y0 += 1
+    }
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        var s = 0.0; var v = 0
+        while (v < 8) { s += Basis(v * 8 + yy) * tmp(v * 8 + xx); v += 1 }
+        val out = math.rint(s + 128.0).toInt
+        plane((py0 + yy) * planeW + px0 + xx) =
+          if (out < 0) 0 else if (out > 255) 255 else out
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** Decode a JPEG to its luma plane: baseline/extended sequential
+    * (SOF0/SOF1) here, progressive (SOF2) via [[JpegProgressive]]. */
   def decodeJpeg(b: Array[Byte]): Option[Gray] =
-    try decode0(b)
-    catch { case _: RuntimeException => None } // belt over the checks
+    (try decode0(b)
+     catch { case _: RuntimeException => None }) // belt over the checks
+      .orElse(JpegProgressive.decode(b))
 
   private def decode0(b: Array[Byte]): Option[Gray] = {
     if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
@@ -326,36 +366,8 @@ object JpegCodec {
             if (ci == 0) {
               // separable IDCT into the luma plane; chroma blocks are
               // entropy-decoded above (stream position) and dropped
-              var y0 = 0
-              while (y0 < 8) { // row pass over v for each output y
-                var x0 = 0
-                while (x0 < 8) {
-                  tmp(y0 * 8 + x0) = {
-                    var s = 0.0; var u = 0
-                    while (u < 8) {
-                      s += Basis(u * 8 + x0) * coef(y0 * 8 + u); u += 1
-                    }
-                    s
-                  }
-                  x0 += 1
-                }
-                y0 += 1
-              }
-              val px0 = (mcuX * c.h + bx) * 8
-              val py0 = (mcuY * c.v + by) * 8
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  var s = 0.0; var v = 0
-                  while (v < 8) { s += Basis(v * 8 + yy) * tmp(v * 8 + xx); v += 1 }
-                  val out = math.rint(s + 128.0).toInt
-                  luma((py0 + yy) * lumaW + px0 + xx) =
-                    if (out < 0) 0 else if (out > 255) 255 else out
-                  xx += 1
-                }
-                yy += 1
-              }
+              idctToPlane(coef, tmp, luma, lumaW,
+                (mcuX * c.h + bx) * 8, (mcuY * c.v + by) * 8)
             }
             bx += 1
           }
@@ -381,12 +393,12 @@ object JpegCodec {
 
   // Standard luminance Huffman tables, ITU T.81 Annex K.3.3 — the
   // tables every JFIF encoder ships; public specification constants.
-  private val StdDcCounts =
+  private[multimodal] val StdDcCounts =
     Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
-  private val StdDcSymbols = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
-  private val StdAcCounts =
+  private[multimodal] val StdDcSymbols = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private[multimodal] val StdAcCounts =
     Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
-  private val StdAcSymbols = Array(
+  private[multimodal] val StdAcSymbols = Array(
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
     0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
@@ -404,7 +416,7 @@ object JpegCodec {
     0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
 
   /** (code, length) per symbol from canonical (counts, symbols). */
-  private def encTable(counts: Array[Int],
+  private[multimodal] def encTable(counts: Array[Int],
       symbols: Array[Int]): Map[Int, (Int, Int)] = {
     var code = 0; var k = 0
     val out = Map.newBuilder[Int, (Int, Int)]
@@ -419,10 +431,10 @@ object JpegCodec {
     }
     out.result()
   }
-  private lazy val EncDc = encTable(StdDcCounts, StdDcSymbols)
-  private lazy val EncAc = encTable(StdAcCounts, StdAcSymbols)
+  private[multimodal] lazy val EncDc = encTable(StdDcCounts, StdDcSymbols)
+  private[multimodal] lazy val EncAc = encTable(StdAcCounts, StdAcSymbols)
 
-  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+  private[multimodal] final class BitWriter(out: java.io.ByteArrayOutputStream) {
     private var acc = 0
     private var nbits = 0
     def put(code: Int, len: Int): Unit = {
@@ -441,7 +453,7 @@ object JpegCodec {
     def flush(): Unit = if (nbits > 0) { put(0xff, 8 - nbits) }
   }
 
-  private def magnitude(v: Int): Int = {
+  private[multimodal] def magnitude(v: Int): Int = {
     var t = 0; var a = math.abs(v)
     while (a > 0) { a >>= 1; t += 1 }
     t
@@ -449,7 +461,7 @@ object JpegCodec {
 
   /** Forward DCT + unit-table quantization of one level-shifted block
     * (row-major ints) → zigzag-ordered coefficients. */
-  private def fdctQuant(blk: Array[Double]): Array[Int] = {
+  private[multimodal] def fdctQuant(blk: Array[Double]): Array[Int] = {
     val t = new Array[Double](64)
     var v = 0
     while (v < 8) { // row pass: over x for each u

@@ -211,7 +211,16 @@ object MultimodalOps extends QueryModule {
     *                        scanlines at bpp 2; the high-byte decode
     *                        must land the scene exactly (250 = 2·5³
     *                        shares %50/%125 — members only, no new
-    *                        clusters).
+    *                        clusters);
+    *   +14·Offset (id%450): progressive JPEG — REAL SOF2 round trip
+    *                        ([[graft.multimodal.JpegProgressive]]):
+    *                        color, successive-approximation DC + AC
+    *                        scans with refinement passes and EOB runs.
+    *                        DC-only blocks reassemble exactly through
+    *                        the approximation bits, so the lossy codec
+    *                        stays bit-exact on this family (450 =
+    *                        2·3²·5² shares %50/%75/%150/%225 — members
+    *                        only, no new clusters).
     * Block-constant tiles (and [[PixelCodec.renderGridSized]]'s
     * bin-rule coloring at odd sizes) make every rendering resample
     * exactly back to the scene grid, so expected hashes (and clusters)
@@ -286,6 +295,11 @@ object MultimodalOps extends QueryModule {
             put(s"asset_${id + 13 * Planting.Offset}.png",
               PixelCodec.encodeGray16Png(
                 PixelCodec.renderGrid(grid, 64), filterType = 1))
+          if (id % 450 == 0)
+            put(s"asset_${id + 14 * Planting.Offset}.jpg",
+              graft.multimodal.JpegProgressive.encodeProgressive(
+                PixelCodec.renderGrid(grid, 64), color = true,
+                bandSplit = (id % 20 + 3).toInt))
           // corrupt variant (id%175, +5·Offset): a truncated PNG — the
           // IDAT stream cuts off mid-deflate, so pixel decode MUST
           // return None. Exercises the hostile-input path end-to-end:
@@ -563,7 +577,8 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 1000000, doc_id, FALSE FROM d WHERE doc_id % 425 = 0
          UNION ALL SELECT doc_id + 1100000, doc_id, FALSE FROM d WHERE doc_id % 475 = 0
          UNION ALL SELECT doc_id + 1200000, doc_id, FALSE FROM d WHERE doc_id % 375 = 0
-         UNION ALL SELECT doc_id + 1300000, doc_id, FALSE FROM d WHERE doc_id % 250 = 0)"""
+         UNION ALL SELECT doc_id + 1300000, doc_id, FALSE FROM d WHERE doc_id % 250 = 0
+         UNION ALL SELECT doc_id + 1400000, doc_id, FALSE FROM d WHERE doc_id % 450 = 0)"""
 
   /** The planted audio-asset schedule as a DuckDB CTE pair (shared by
     * the mm_audio_fp and pipeline_curate_v9 oracles) — decodable
@@ -723,9 +738,9 @@ object MultimodalOps extends QueryModule {
     // and the perturbed variant moves <=2 bits: within it). %100/%150/
     // %225 imply %50 or %75, so only %275, %325, %425, and %475 (the
     // only-variant color/palette/JPEG/GIF families) widen the
-    // canonical-member condition; %375 (interlaced GIF) implies %75
-    // and %250 (16-bit PNG) implies %50, so those add members, never
-    // new clusters.
+    // canonical-member condition; %375 (interlaced GIF) implies %75,
+    // %250 (16-bit PNG) implies %50, and %450 (progressive JPEG)
+    // implies %50/%75, so those add members, never new clusters.
     "mm_dedup_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          m AS (
@@ -744,7 +759,8 @@ object MultimodalOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 1000000 FROM d WHERE doc_id % 425 = 0
            UNION ALL SELECT doc_id, doc_id + 1100000 FROM d WHERE doc_id % 475 = 0
            UNION ALL SELECT doc_id, doc_id + 1200000 FROM d WHERE doc_id % 375 = 0
-           UNION ALL SELECT doc_id, doc_id + 1300000 FROM d WHERE doc_id % 250 = 0)
+           UNION ALL SELECT doc_id, doc_id + 1300000 FROM d WHERE doc_id % 250 = 0
+           UNION ALL SELECT doc_id, doc_id + 1400000 FROM d WHERE doc_id % 450 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids

@@ -69,7 +69,9 @@ class JpegCodecSpec extends AnyFunSuite {
       good.take(20),                           // truncated in tables
       good.take(good.length / 2),              // truncated mid-scan
       good.updated(4, 0x7f.toByte),            // DQT length past buffer
-      // SOF marker changed to progressive (0xc2): unsupported mode
+      // SOF marker changed to progressive (0xc2): the progressive
+      // decoder takes over but must reject the sequential full-band
+      // scan header (Ss=0, Se=63 is illegal under SOF2)
       {
         val i = good.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
         good.updated(i + 1, 0xc2.toByte)
