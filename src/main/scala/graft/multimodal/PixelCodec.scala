@@ -8,8 +8,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * (`Inflater`) plus hand-reversed scanline filters (all five PNG
   * filter types: None/Sub/Up/Average/Paeth, RFC 2083 §6 — the filters
   * operate on BYTES with the "left" operand `bpp` bytes back, so one
-  * reversal loop covers every color mode), and 24-bit uncompressed BMP
-  * is plain byte arithmetic. Color collapses to luma through the
+  * reversal loop covers every color mode, and Adam7 interlace runs it
+  * per pass), and 24-bit uncompressed BMP is plain byte arithmetic.
+  * Color collapses to luma through the
   * integer BT.601 weights (77·R + 150·G + 29·B) >> 8 — exact identity
   * on gray pixels (77+150+29 = 256). That covers the decode side a
   * perceptual near-dup needs (re-encoded, resized, color/palette,
@@ -29,7 +30,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * decode never throws — truncated chunks, corrupt deflate streams,
   * preset-dictionary (FDICT) streams, undersized pixel buffers,
   * missing palettes, out-of-range palette indices, or unsupported
-  * color modes (interlaced, 16-bit palette) return None.
+  * color modes (16-bit palette, sub-8-bit depths) return None.
+  * Adam7-interlaced streams decode through the 7-pass walker (each
+  * pass an independently filtered sub-image scattered on the 8×8
+  * tile pattern).
   */
 object PixelCodec {
 
@@ -59,67 +63,33 @@ object PixelCodec {
     case _ => -1
   }
 
-  /** Decode an 8- or 16-bit non-interlaced PNG in color type 0 (gray),
-    * 2 (RGB), 3 (palette — 8-bit only, per spec), or 6 (RGBA) to luma.
-    * Walks the chunk stream, concatenates IDAT payloads, inflates,
-    * reverses the per-scanline byte filter at the mode's bpp (filters
-    * are byte-wise at EVERY depth — RFC 2083 §6 — so the same loop
-    * serves both), and collapses color through [[lum]]; 16-bit samples
-    * take their high byte (the spec's sample-depth rescale truncation
-    * — exact for v·257 samples, i.e. any 8-bit-representable value).
-    * Ancillary chunks (tEXt etc.) are skipped, so metadata-stripped/
-    * annotated re-encodes decode to the same pixels. Returns None for
-    * any other mode (interlaced — the open seam) or malformed input. */
-  def decodePng(b: Array[Byte]): Option[Gray] = {
-    if (b.length < 45 || !b.take(8).sameElements(PngSig)) return None
-    var p = 8
-    var w = 0; var h = 0; var colorType = -1; var ok = false
-    var stride = 1
-    var plte: Array[Byte] = null
-    val idat = new java.io.ByteArrayOutputStream()
-    while (p + 8 <= b.length) {
-      val len = be32(b, p)
-      if (len < 0 || p + 12 + len > b.length) return None
-      val typ = new String(b, p + 4, 4, "US-ASCII")
-      typ match {
-        case "IHDR" =>
-          if (len != 13) return None
-          w = be32(b, p + 8); h = be32(b, p + 12)
-          colorType = u8(b, p + 17)
-          val depth = u8(b, p + 16)
-          // bit depth 8 or 16 (palette: 8 only), deflate, adaptive
-          // filtering, no interlace
-          if ((depth != 8 && depth != 16) ||
-              (depth == 16 && colorType == 3) || bppOf(colorType) < 0 ||
-              u8(b, p + 18) != 0 || u8(b, p + 19) != 0 ||
-              u8(b, p + 20) != 0) return None
-          stride = depth / 8
-        case "PLTE" =>
-          if (len % 3 != 0 || len == 0 || len > 768) return None
-          plte = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
-        case "IDAT" => idat.write(b, p + 8, len)
-        case "IEND" => ok = true
-        case _ => () // ancillary chunk: skip
-      }
-      p += 12 + len
-    }
-    if (!ok || w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
-        colorType < 0) return None
-    if (colorType == 3 && plte == null) return None
-    val bpp = bppOf(colorType) * stride
-    val rowBytes = w * bpp
-    if (rowBytes.toLong * h > (1L << 28)) return None
-    val raw = inflate(idat.toByteArray, (rowBytes + 1) * h)
-      .getOrElse(return None)
-    if (raw.length < (rowBytes + 1) * h) return None
-    // reverse scanline filters IN PLACE (each reconstructed byte is the
-    // a/b/c operand of later bytes); filters are byte-wise with "left"
-    // = bpp bytes back and Paeth's c = the up-left byte (RFC 2083 §6)
+  /** Adam7 pass geometry: x/y start offsets and steps (PNG spec §2,
+    * the 8×8 tile pattern). */
+  private val A7xs = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7ys = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7xd = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7yd = Array(8, 8, 8, 4, 4, 2, 2)
+
+  /** Pixel dimensions of Adam7 pass `p` for a w×h image (0 in either
+    * axis = the pass is absent: no rows, not even filter bytes). */
+  private def a7Dims(p: Int, w: Int, h: Int): (Int, Int) =
+    ((w - A7xs(p) + A7xd(p) - 1) / A7xd(p),
+     (h - A7ys(p) + A7yd(p) - 1) / A7yd(p))
+
+  /** Reverse the per-scanline byte filter of `rows` rows of `rowBytes`
+    * bytes at `off` in `raw` (layout: filter byte + row bytes), IN
+    * PLACE — the shared reconstruction loop: filters are byte-wise
+    * with "left" = bpp bytes back and Paeth's c = the up-left byte
+    * (RFC 2083 §6), which serves every color mode, bit depth, and
+    * (for Adam7) every pass, since each pass is an independently
+    * filtered sub-image. */
+  private def defilter(raw: Array[Byte], off: Int, rows: Int,
+      rowBytes: Int, bpp: Int): Boolean = {
     var y = 0
-    while (y < h) {
-      val rowOff = y * (rowBytes + 1)
+    while (y < rows) {
+      val rowOff = off + y * (rowBytes + 1)
       val filter = u8(raw, rowOff)
-      if (filter > 4) return None
+      if (filter > 4) return false
       var x = 0
       while (x < rowBytes) {
         val cur = u8(raw, rowOff + 1 + x)
@@ -139,9 +109,116 @@ object PixelCodec {
       }
       y += 1
     }
+    true
+  }
+
+  /** Decode an 8- or 16-bit PNG in color type 0 (gray), 2 (RGB), 3
+    * (palette — 8-bit only, per spec), or 6 (RGBA) to luma, both
+    * sequential and Adam7-interlaced. Walks the chunk stream,
+    * concatenates IDAT payloads, inflates, reverses the per-scanline
+    * byte filter at the mode's bpp (filters are byte-wise at EVERY
+    * depth — RFC 2083 §6 — so one loop covers every mode; Adam7
+    * passes are independent filtered sub-images, so the same loop runs
+    * per pass with the pass's own row geometry before pixels scatter
+    * to their 8×8-tile positions), and collapses color through
+    * [[lum]]; 16-bit samples take their high byte (the spec's
+    * sample-depth rescale truncation — exact for v·257 samples, i.e.
+    * any 8-bit-representable value). Ancillary chunks (tEXt etc.) are
+    * skipped, so metadata-stripped/annotated re-encodes decode to the
+    * same pixels. Returns None for malformed input. */
+  def decodePng(b: Array[Byte]): Option[Gray] = {
+    if (b.length < 45 || !b.take(8).sameElements(PngSig)) return None
+    var p = 8
+    var w = 0; var h = 0; var colorType = -1; var ok = false
+    var stride = 1
+    var interlaced = false
+    var plte: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    while (p + 8 <= b.length) {
+      val len = be32(b, p)
+      if (len < 0 || p + 12 + len > b.length) return None
+      val typ = new String(b, p + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(b, p + 8); h = be32(b, p + 12)
+          colorType = u8(b, p + 17)
+          val depth = u8(b, p + 16)
+          // bit depth 8 or 16 (palette: 8 only), deflate, adaptive
+          // filtering, interlace 0 (sequential) or 1 (Adam7)
+          val il = u8(b, p + 20)
+          if ((depth != 8 && depth != 16) ||
+              (depth == 16 && colorType == 3) || bppOf(colorType) < 0 ||
+              u8(b, p + 18) != 0 || u8(b, p + 19) != 0 ||
+              (il != 0 && il != 1)) return None
+          stride = depth / 8
+          interlaced = il == 1
+        case "PLTE" =>
+          if (len % 3 != 0 || len == 0 || len > 768) return None
+          plte = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
+        case "IDAT" => idat.write(b, p + 8, len)
+        case "IEND" => ok = true
+        case _ => () // ancillary chunk: skip
+      }
+      p += 12 + len
+    }
+    if (!ok || w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+        colorType < 0) return None
+    if (colorType == 3 && plte == null) return None
+    val bpp = bppOf(colorType) * stride
+    val rowBytes = w * bpp
+    if (rowBytes.toLong * h > (1L << 28)) return None
+    val raw: Array[Byte] =
+      if (!interlaced) {
+        val r = inflate(idat.toByteArray, (rowBytes + 1) * h)
+          .getOrElse(return None)
+        if (!defilter(r, 0, h, rowBytes, bpp)) return None
+        r
+      } else {
+        // Adam7: inflate the concatenated passes, defilter each pass
+        // as its own sub-image, scatter pixels to tile positions in a
+        // canvas laid out like the sequential raw (zero filter slots)
+        var total = 0
+        var pi = 0
+        while (pi < 7) {
+          val (pw, ph) = a7Dims(pi, w, h)
+          if (pw > 0 && ph > 0) total += (pw * bpp + 1) * ph
+          pi += 1
+        }
+        val pr = inflate(idat.toByteArray, total).getOrElse(return None)
+        val canvas = new Array[Byte]((rowBytes + 1) * h)
+        var off = 0
+        pi = 0
+        while (pi < 7) {
+          val (pw, ph) = a7Dims(pi, w, h)
+          if (pw > 0 && ph > 0) {
+            val prb = pw * bpp
+            if (!defilter(pr, off, ph, prb, bpp)) return None
+            var j = 0
+            while (j < ph) {
+              val y = A7ys(pi) + j * A7yd(pi)
+              var i = 0
+              while (i < pw) {
+                val x = A7xs(pi) + i * A7xd(pi)
+                var c = 0
+                while (c < bpp) {
+                  canvas(y * (rowBytes + 1) + 1 + x * bpp + c) =
+                    pr(off + j * (prb + 1) + 1 + i * bpp + c)
+                  c += 1
+                }
+                i += 1
+              }
+              j += 1
+            }
+            off += (prb + 1) * ph
+          }
+          pi += 1
+        }
+        canvas
+      }
     // pixel bytes → luma
     val px = new Array[Int](w * h)
-    y = 0
+    var y = 0
     while (y < h) {
       val off = y * (rowBytes + 1) + 1
       var x = 0
@@ -302,9 +379,9 @@ object PixelCodec {
   }
 
   /** Apply `filterType` to every row of raw pixel bytes (rowBytes per
-    * row) at the given bpp, deflate, and return the IDAT payload —
-    * the shared write side of the byte-wise filter reversal. */
-  private def deflateFiltered(rows: Array[Byte], rowBytes: Int, bpp: Int,
+    * row) at the given bpp — the write side of the byte-wise filter
+    * reversal, returning filter-byte-prefixed rows. */
+  private def filteredRaw(rows: Array[Byte], rowBytes: Int, bpp: Int,
       filterType: Int): Array[Byte] = {
     require(filterType >= 0 && filterType <= 4, "PNG filter type 0-4")
     val h = rows.length / rowBytes
@@ -331,6 +408,10 @@ object PixelCodec {
       }
       y += 1
     }
+    raw
+  }
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
     val def_ = new Deflater()
     def_.setInput(raw); def_.finish()
     val buf = new Array[Byte](raw.length + 64)
@@ -340,12 +421,19 @@ object PixelCodec {
     zOut.toByteArray
   }
 
+  /** Filter + deflate in one step — the sequential IDAT payload. */
+  private def deflateFiltered(rows: Array[Byte], rowBytes: Int, bpp: Int,
+      filterType: Int): Array[Byte] =
+    deflateBytes(filteredRaw(rows, rowBytes, bpp, filterType))
+
   private def assemblePng(w: Int, h: Int, colorType: Int,
       plte: Option[Array[Byte]], idat: Array[Byte],
-      textChunk: Option[String], depth: Int = 8): Array[Byte] = {
+      textChunk: Option[String], depth: Int = 8,
+      interlace: Int = 0): Array[Byte] = {
     val ihdr = chunk("IHDR",
       be32b(w) ++ be32b(h) ++
-        Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0))
+        Array[Byte](depth.toByte, colorType.toByte, 0, 0,
+          interlace.toByte))
     val plteC = plte.map(chunk("PLTE", _)).getOrElse(Array.emptyByteArray)
     val text = textChunk.map(t =>
       chunk("tEXt", ("Comment " + t).getBytes("US-ASCII")))
@@ -365,6 +453,51 @@ object PixelCodec {
     while (i < rows.length) { rows(i) = (g.luma(i) & 0xff).toByte; i += 1 }
     assemblePng(g.width, g.height, 0, None,
       deflateFiltered(rows, g.width, 1, filterType), textChunk)
+  }
+
+  /** Encode an Adam7-INTERLACED PNG — grayscale (default) or RGB via
+    * [[colorize]] — with a different scanline filter per pass
+    * (pass index mod 5, so all five filter types exercise the
+    * per-pass reversal): each pass's sub-image is extracted on the
+    * 8×8 tile pattern, filtered independently, and the passes deflate
+    * as one stream (PNG spec §2/§6). Byte-distinct from every
+    * sequential encode of the same pixels — the interlaced-variant
+    * planting path. */
+  def encodeAdam7Png(g: Gray, rgbSalt: Option[Int] = None): Array[Byte] = {
+    val bpp = if (rgbSalt.isDefined) 3 else 1
+    val all = new java.io.ByteArrayOutputStream()
+    var pi = 0
+    while (pi < 7) {
+      val pw = (g.width - A7xs(pi) + A7xd(pi) - 1) / A7xd(pi)
+      val ph = (g.height - A7ys(pi) + A7yd(pi) - 1) / A7yd(pi)
+      if (pw > 0 && ph > 0) {
+        val rows = new Array[Byte](pw * ph * bpp)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            val x = A7xs(pi) + i * A7xd(pi)
+            val y = A7ys(pi) + j * A7yd(pi)
+            val v = g.luma(y * g.width + x)
+            val o = (j * pw + i) * bpp
+            rgbSalt match {
+              case Some(salt) =>
+                val (r, gg, bb) = colorize(v, salt)
+                rows(o) = r.toByte; rows(o + 1) = gg.toByte
+                rows(o + 2) = bb.toByte
+              case None => rows(o) = (v & 0xff).toByte
+            }
+            i += 1
+          }
+          j += 1
+        }
+        all.write(filteredRaw(rows, pw * bpp, bpp, pi % 5))
+      }
+      pi += 1
+    }
+    val idat = deflateBytes(all.toByteArray)
+    assemblePng(g.width, g.height, if (rgbSalt.isDefined) 2 else 0,
+      None, idat, None, interlace = 1)
   }
 
   /** Encode a 16-bit grayscale PNG with both sample bytes = v (i.e.

@@ -220,7 +220,15 @@ object MultimodalOps extends QueryModule {
     *                        the approximation bits, so the lossy codec
     *                        stays bit-exact on this family (450 =
     *                        2·3²·5² shares %50/%75/%150/%225 — members
-    *                        only, no new clusters).
+    *                        only, no new clusters);
+    *   +15·Offset (id%350): Adam7-interlaced PNG — the 7-pass
+    *                        independently-filtered sub-images
+    *                        ([[PixelCodec.encodeAdam7Png]], one filter
+    *                        type per pass) at an odd 52×45 size, so
+    *                        pass dims differ and the bin-rule resample
+    *                        must recover the scene exactly (350 =
+    *                        2·5²·7 shares %50 — members only, no new
+    *                        clusters).
     * Block-constant tiles (and [[PixelCodec.renderGridSized]]'s
     * bin-rule coloring at odd sizes) make every rendering resample
     * exactly back to the scene grid, so expected hashes (and clusters)
@@ -300,6 +308,10 @@ object MultimodalOps extends QueryModule {
               graft.multimodal.JpegProgressive.encodeProgressive(
                 PixelCodec.renderGrid(grid, 64), color = true,
                 bandSplit = (id % 20 + 3).toInt))
+          if (id % 350 == 0)
+            put(s"asset_${id + 15 * Planting.Offset}.png",
+              PixelCodec.encodeAdam7Png(
+                PixelCodec.renderGridSized(grid, 52, 45)))
           // corrupt variant (id%175, +5·Offset): a truncated PNG — the
           // IDAT stream cuts off mid-deflate, so pixel decode MUST
           // return None. Exercises the hostile-input path end-to-end:
@@ -578,7 +590,8 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 1100000, doc_id, FALSE FROM d WHERE doc_id % 475 = 0
          UNION ALL SELECT doc_id + 1200000, doc_id, FALSE FROM d WHERE doc_id % 375 = 0
          UNION ALL SELECT doc_id + 1300000, doc_id, FALSE FROM d WHERE doc_id % 250 = 0
-         UNION ALL SELECT doc_id + 1400000, doc_id, FALSE FROM d WHERE doc_id % 450 = 0)"""
+         UNION ALL SELECT doc_id + 1400000, doc_id, FALSE FROM d WHERE doc_id % 450 = 0
+         UNION ALL SELECT doc_id + 1500000, doc_id, FALSE FROM d WHERE doc_id % 350 = 0)"""
 
   /** The planted audio-asset schedule as a DuckDB CTE pair (shared by
     * the mm_audio_fp and pipeline_curate_v9 oracles) — decodable
@@ -740,7 +753,8 @@ object MultimodalOps extends QueryModule {
     // only-variant color/palette/JPEG/GIF families) widen the
     // canonical-member condition; %375 (interlaced GIF) implies %75,
     // %250 (16-bit PNG) implies %50, and %450 (progressive JPEG)
-    // implies %50/%75, so those add members, never new clusters.
+    // implies %50/%75, and %350 (Adam7 PNG) implies %50, so those add
+    // members, never new clusters.
     "mm_dedup_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          m AS (
@@ -760,7 +774,8 @@ object MultimodalOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 1100000 FROM d WHERE doc_id % 475 = 0
            UNION ALL SELECT doc_id, doc_id + 1200000 FROM d WHERE doc_id % 375 = 0
            UNION ALL SELECT doc_id, doc_id + 1300000 FROM d WHERE doc_id % 250 = 0
-           UNION ALL SELECT doc_id, doc_id + 1400000 FROM d WHERE doc_id % 450 = 0)
+           UNION ALL SELECT doc_id, doc_id + 1400000 FROM d WHERE doc_id % 450 = 0
+           UNION ALL SELECT doc_id, doc_id + 1500000 FROM d WHERE doc_id % 350 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids

@@ -45,6 +45,38 @@ class PixelCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlace round-trips at odd dimensions, gray and RGB") {
+    // dimensions chosen so passes have distinct sizes and some edge
+    // passes go empty (w or h < the pass offset): 1x1 keeps only
+    // pass 1; 5x3 drops passes with xStart/yStart past the edge
+    for ((w, h) <- Seq((8, 8), (9, 9), (17, 10), (64, 64), (31, 37),
+        (1, 1), (5, 3), (8, 1), (1, 16))) {
+      val img = noisy(w, h, w * 31 + h)
+      val enc = PixelCodec.encodeAdam7Png(img)
+      val dec = PixelCodec.decodePng(enc)
+      assert(dec.isDefined, s"${w}x$h")
+      assert(dec.get.width === w && dec.get.height === h)
+      assert(dec.get.luma.toSeq === img.luma.toSeq, s"${w}x$h")
+      // byte-distinct from every sequential filter encoding
+      for (f <- 0 to 4)
+        assert(!enc.sameElements(PixelCodec.encodeGray8Png(img, f)))
+      // RGB interlaced: per-pass filters at bpp 3, exact luma
+      val rgb = PixelCodec.decodePng(
+        PixelCodec.encodeAdam7Png(img, rgbSalt = Some(w % 11)))
+      assert(rgb.isDefined, s"rgb ${w}x$h")
+      assert(rgb.get.luma.toSeq === img.luma.toSeq, s"rgb ${w}x$h")
+    }
+    // interlaced and sequential renderings of one scene hash equal
+    val scene = PixelCodec.renderGridSized(
+      PixelCodec.sceneGrid(909L), 52, 45)
+    assert(PixelCodec.phash(PixelCodec.encodeAdam7Png(scene)).get ===
+      PixelCodec.phash(PixelCodec.encodeGray8Png(scene)).get)
+    // truncation anywhere in an interlaced stream never throws
+    val enc = PixelCodec.encodeAdam7Png(noisy(17, 10, 4))
+    for (n <- 0 until enc.length)
+      assert(PixelCodec.decodePng(enc.take(n)).isEmpty, s"take($n)")
+  }
+
   test("color modes decode to exact luma: RGB every filter, RGBA, palette") {
     val img = noisy(16, 24, 3)
     for (f <- 0 to 4) {
