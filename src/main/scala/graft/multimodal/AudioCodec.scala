@@ -6,9 +6,11 @@ package graft.multimodal
   * by the exact integer mean ⌊(l + r) / 2⌋. That covers the decode
   * side an audio near-dup needs (re-encoded containers with extra
   * metadata chunks, resampled renderings, channel-layout conversions
-  * of one recording all reach the same energy envelope); compressed
-  * codecs (MP3/AAC/Opus) stay behind the open codec seam
-  * ([[Multimodal.MediaDecoder]]) like JPEG's DCT tier.
+  * of one recording all reach the same energy envelope); FLAC decodes
+  * through [[FlacCodec]]'s lossless tier; lossy codecs (MP3/AAC/Opus)
+  * stay behind the open codec seam ([[Multimodal.MediaDecoder]]) —
+  * lossy audio would need the JPEG-style exactness trick or tolerance
+  * anchors, not the bit-exact fixture discipline.
   *
   * The fingerprint is the audio analog of [[PixelCodec]]'s dHash:
   * partition the mono sample stream into 64 bins (sample i → bin
@@ -117,10 +119,17 @@ object AudioCodec {
     h
   }
 
+  /** Sample decode across the supported containers: RIFF/PCM (WAV)
+    * here, FLAC via [[FlacCodec]]'s lossless tier — both land mono
+    * 16-bit samples under the same ⌊(l+r)/2⌋ downmix, so a FLAC
+    * re-encode of a WAV recording reaches the identical envelope. */
+  def decodeAudio(payload: Array[Byte]): Option[Pcm] =
+    decodePcm16(payload).orElse(FlacCodec.decodeFlac16(payload))
+
   /** Payload → audio fingerprint in one step (None = not decodable
-    * 16-bit PCM, or under 64 samples). */
+    * 16-bit PCM/FLAC, or under 64 samples). */
   def afp(payload: Array[Byte]): Option[Long] =
-    decodePcm16(payload).map(_.samples).flatMap(energyEnvelope)
+    decodeAudio(payload).map(_.samples).flatMap(energyEnvelope)
       .map(fingerprint64)
 
   // ---- encoders (fixture planting + spec round-trips) ----

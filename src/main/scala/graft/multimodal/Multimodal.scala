@@ -347,7 +347,7 @@ object Multimodal {
   val ExtToType: Map[String, String] =
     Map("mp4" -> "video", "img" -> "image", "wav" -> "audio",
       "png" -> "image", "jpg" -> "image", "gif" -> "image",
-      "bmp" -> "image")
+      "bmp" -> "image", "flac" -> "audio")
 
   /** REAL binary ingestion: `spark.read.format("binaryFile")` over a
     * directory of media blobs named `asset_<id>.<ext>`. This is the

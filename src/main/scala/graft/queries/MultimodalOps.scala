@@ -370,7 +370,14 @@ object MultimodalOps extends QueryModule {
     *   +5·Offset (id%150): gain ×2 — exact doubling never reorders
     *                        strict comparisons;
     *   +6·Offset (id%175): corrupt — truncated mid-data (declared size
-    *                        past the buffer: decode MUST return None).
+    *                        past the buffer: decode MUST return None);
+    *   +7·Offset (id%200): FLAC — REAL lossless round trip
+    *                        ([[graft.multimodal.FlacCodec]]: fixed-
+    *                        predictor Rice frames, CRC-verified), so
+    *                        the compressed container reaches the SAME
+    *                        samples and envelope as its WAV twin (200
+    *                        = 2³5² shares %50/%100 — members only, no
+    *                        new clusters).
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
     * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
@@ -422,6 +429,10 @@ object MultimodalOps extends QueryModule {
           if (id % 175 == 0)
             put(s"asset_${id + 6 * Planting.Offset}.wav",
               AudioCodec.encodeWav16(mono, 8000, 1).take(300))
+          if (id % 200 == 0)
+            put(s"asset_${id + 7 * Planting.Offset}.flac",
+              graft.multimodal.FlacCodec.encodeFlac16(mono, 8000, 1,
+                blockSize = 256 + (id % 3).toInt * 128))
         }
       base
     }
@@ -605,7 +616,8 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 200000, doc_id, FALSE FROM d WHERE doc_id % 75 = 0
          UNION ALL SELECT doc_id + 300000, doc_id, FALSE FROM d WHERE doc_id % 100 = 0
          UNION ALL SELECT doc_id + 400000, doc_id, TRUE  FROM d WHERE doc_id % 125 = 0
-         UNION ALL SELECT doc_id + 500000, doc_id, FALSE FROM d WHERE doc_id % 150 = 0)"""
+         UNION ALL SELECT doc_id + 500000, doc_id, FALSE FROM d WHERE doc_id % 150 = 0
+         UNION ALL SELECT doc_id + 700000, doc_id, FALSE FROM d WHERE doc_id % 200 = 0)"""
 
   /** The dHash-recomputation tail over an `assets(asset_id, scene,
     * pert)` CTE: md5-mixed 8×8 block luma → horizontal gradient signs
@@ -675,9 +687,10 @@ object MultimodalOps extends QueryModule {
     // variant (md5 mixing keeps distinct scenes ~32 fingerprint bits
     // apart — far beyond maxDist=2 — and the perturbed variant moves
     // at most the 2 gradients adjacent to segment 37: within it).
-    // %100 implies %50 and %150 implies %75, so only %50/%75/%125
-    // widen the canonical-member condition; the %175 corrupt family
-    // never enters the candidate space.
+    // %100 implies %50, %150 implies %75, and %200 (FLAC) implies
+    // %50/%100, so only %50/%75/%125 widen the canonical-member
+    // condition; the %175 corrupt family never enters the candidate
+    // space.
     "mm_audio_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          m AS (
@@ -687,7 +700,8 @@ object MultimodalOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 200000 FROM d WHERE doc_id % 75 = 0
            UNION ALL SELECT doc_id, doc_id + 300000 FROM d WHERE doc_id % 100 = 0
            UNION ALL SELECT doc_id, doc_id + 400000 FROM d WHERE doc_id % 125 = 0
-           UNION ALL SELECT doc_id, doc_id + 500000 FROM d WHERE doc_id % 150 = 0)
+           UNION ALL SELECT doc_id, doc_id + 500000 FROM d WHERE doc_id % 150 = 0
+           UNION ALL SELECT doc_id, doc_id + 700000 FROM d WHERE doc_id % 200 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids
