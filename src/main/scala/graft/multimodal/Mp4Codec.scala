@@ -1,0 +1,280 @@
+package graft.multimodal
+
+/** MP4 (ISO-BMFF) sample-table video decode for the frame tier —
+  * closing the true-video-container seam: where [[Multimodal
+  * .AvHeaderDecoder]] stops at `moov/mvhd` metadata, this walks the
+  * full `moov → trak → mdia → (hdlr, minf → stbl)` box tree of the
+  * video track and reconstructs per-sample payload ranges from the
+  * sample tables — `stsz` (sizes), `stco` (chunk offsets), `stsc`
+  * (sample-to-chunk runs) — the ISO/IEC 14496-12 layout every MP4
+  * reader implements. Samples are intra-coded JPEG images (the
+  * Motion-JPEG-in-MP4 shape, sample entry `jpeg`/`mjpa`), so each
+  * extracted sample decodes through the REAL [[JpegCodec]]/
+  * [[JpegProgressive]] tier and the clip feeds the existing frame
+  * pipeline (sampling, re-edit pairing, streamed admission) unchanged.
+  *
+  * Exactness: intra-only + block-constant scene frames ⇒ every sample
+  * decodes bit-exactly (the [[JpegCodec]] DC-only property), so MP4
+  * clips join the md5-arithmetic frame-evolution oracles next to their
+  * GIF twins.
+  *
+  * Hostile-input discipline matches the codec tier: decode never
+  * throws — truncated boxes, missing tables, out-of-range sample
+  * extents, inconsistent chunk runs, unsupported 64-bit offsets
+  * (`co64`), or any undecodable sample return None (the clip drops
+  * whole at the gate, like a truncated GIF).
+  */
+object Mp4Codec {
+  import PixelCodec.Gray
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3))
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** First child box `target` in [from, until): Some(payload offset,
+    * payload end). Boxes with size 1 (64-bit) or 0 (to-end) reject —
+    * fixture and web-scale MJPEG files use plain 32-bit sizes. */
+  private def child(b: Array[Byte], from: Int, until: Int,
+      target: String): Option[(Int, Int)] = {
+    var p = from
+    while (p + 8 <= until) {
+      val sz = be32(b, p)
+      if (sz < 8 || p + sz > until) return None
+      if (fourcc(b, p + 4) == target)
+        return Some((p + 8, (p + sz).toInt))
+      p += sz.toInt
+    }
+    None
+  }
+
+  /** All child boxes named `target` (for the trak scan). */
+  private def children(b: Array[Byte], from: Int, until: Int,
+      target: String): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var p = from
+    while (p + 8 <= until) {
+      val sz = be32(b, p)
+      if (sz < 8 || p + sz > until) return out.result()
+      if (fourcc(b, p + 4) == target) out += ((p + 8, (p + sz).toInt))
+      p += sz.toInt
+    }
+    out.result()
+  }
+
+  private val MaxFrames = 256
+
+  /** Decode an MJPEG-in-MP4 clip to its frames: locate the `vide`
+    * track, require a `jpeg`/`mjpa` sample entry, walk the sample
+    * tables to per-sample byte ranges, and JPEG-decode every sample.
+    * None if the container is malformed, the track isn't MJPEG, any
+    * sample extent leaves the buffer, or any sample fails to decode. */
+  def decodeMjpegFrames(b: Array[Byte]): Option[Vector[Gray]] =
+    try decode0(b)
+    catch { case _: RuntimeException => None }
+
+  private def decode0(b: Array[Byte]): Option[Vector[Gray]] = {
+    if (b.length < 16) return None
+    val (moovS, moovE) = child(b, 0, b.length, "moov").getOrElse(return None)
+    // the video track: hdlr handler_type 'vide' (hdlr payload:
+    // version/flags u32, pre_defined u32, handler_type u32)
+    val videoTrak = children(b, moovS, moovE, "trak").find { case (ts, te) =>
+      (for {
+        (ms, me) <- child(b, ts, te, "mdia")
+        (hs, he) <- child(b, ms, me, "hdlr")
+        if hs + 12 <= he
+      } yield fourcc(b, hs + 8) == "vide").getOrElse(false)
+    }.getOrElse(return None)
+    val (ts, te) = videoTrak
+    val (ms, me) = child(b, ts, te, "mdia").getOrElse(return None)
+    val (mfs, mfe) = child(b, ms, me, "minf").getOrElse(return None)
+    val (ss, se) = child(b, mfs, mfe, "stbl").getOrElse(return None)
+
+    // stsd: first sample entry's format must be an intra-JPEG coding
+    val (sdS, sdE) = child(b, ss, se, "stsd").getOrElse(return None)
+    if (sdS + 16 > sdE) return None
+    if (be32(b, sdS + 4) < 1) return None // entry_count
+    val fmt = fourcc(b, sdS + 12)
+    if (fmt != "jpeg" && fmt != "mjpa") return None
+
+    // stsz: version/flags, sample_size (0 = per-sample table),
+    // sample_count, then sizes
+    val (szS, szE) = child(b, ss, se, "stsz").getOrElse(return None)
+    if (szS + 12 > szE) return None
+    val uniform = be32(b, szS + 4)
+    val nSamples = be32(b, szS + 8)
+    if (nSamples <= 0 || nSamples > MaxFrames) return None
+    val n = nSamples.toInt
+    val sizes = new Array[Long](n)
+    if (uniform != 0) java.util.Arrays.fill(sizes, uniform)
+    else {
+      if (szS + 12 + 4L * n > szE) return None
+      var i = 0
+      while (i < n) { sizes(i) = be32(b, szS + 12 + 4 * i); i += 1 }
+    }
+    if (sizes.exists(s => s <= 0 || s > (1 << 26))) return None
+
+    // stco: chunk offsets (co64 intentionally unsupported)
+    val (coS, coE) = child(b, ss, se, "stco").getOrElse(return None)
+    if (coS + 8 > coE) return None
+    val nChunks = be32(b, coS + 4)
+    if (nChunks <= 0 || nChunks > MaxFrames ||
+        coS + 8 + 4L * nChunks > coE) return None
+    val chunkOff = Array.tabulate(nChunks.toInt)(i =>
+      be32(b, coS + 8 + 4 * i))
+
+    // stsc: (first_chunk, samples_per_chunk, desc_index) runs
+    val (scS, scE) = child(b, ss, se, "stsc").getOrElse(return None)
+    if (scS + 8 > scE) return None
+    val nRuns = be32(b, scS + 4)
+    if (nRuns <= 0 || nRuns > MaxFrames ||
+        scS + 8 + 12L * nRuns > scE) return None
+    val runs = Array.tabulate(nRuns.toInt) { i =>
+      (be32(b, scS + 8 + 12 * i), be32(b, scS + 8 + 12 * i + 4))
+    }
+    if (runs.head._1 != 1) return None
+    var i = 0
+    while (i < runs.length - 1) {
+      if (runs(i + 1)._1 <= runs(i)._1) return None
+      i += 1
+    }
+
+    // walk chunks, laying samples at cumulative offsets
+    val frames = Vector.newBuilder[Gray]
+    var sample = 0
+    var run = 0
+    var chunk = 0
+    while (sample < n && chunk < chunkOff.length) {
+      while (run + 1 < runs.length && runs(run + 1)._1 <= chunk + 1)
+        run += 1
+      val spc = runs(run)._2
+      if (spc <= 0 || spc > MaxFrames) return None
+      var off = chunkOff(chunk)
+      var j = 0L
+      while (j < spc && sample < n) {
+        val sz = sizes(sample)
+        if (off < 0 || off + sz > b.length) return None
+        val payload = java.util.Arrays.copyOfRange(b, off.toInt,
+          (off + sz).toInt)
+        frames += JpegCodec.decodeJpeg(payload).getOrElse(return None)
+        off += sz
+        sample += 1
+        j += 1
+      }
+      chunk += 1
+    }
+    if (sample != n) return None
+    Some(frames.result())
+  }
+
+  // ---- encoder (fixture planting + spec round-trips) ----
+
+  private def be32b(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be16b(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32b(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+
+  private def fullBox(typ: String, payload: Array[Byte]): Array[Byte] =
+    box(typ, be32b(0) ++ payload)
+
+  /** Encode frames as an MJPEG MP4: `ftyp` + `mdat` of per-frame
+    * baseline JPEGs + a complete `moov` with the real sample tables.
+    * Samples pack into chunks of `chunkSize` frames (default 2), so
+    * the decoder's `stsc` run walk and intra-chunk cumulative offsets
+    * are exercised by every fixture, not just the trivial one-chunk
+    * layout. `color` encodes each sample as a 3-component JPEG. */
+  def encodeMjpegMp4(frames: Seq[Gray], chunkSize: Int = 2,
+      color: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty && frames.length <= MaxFrames)
+    require(chunkSize >= 1)
+    val samples = frames.map(g => JpegCodec.encodeJpeg(g, color = color))
+      .toArray
+    val w = frames.head.width; val h = frames.head.height
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32b(0x200) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mdatPayload = samples.flatten
+    val mdat = box("mdat", mdatPayload)
+
+    val n = samples.length
+    val nChunks = (n + chunkSize - 1) / chunkSize
+    // chunk offsets inside the final file: ftyp, then mdat header (8)
+    val base = ftyp.length + 8
+    val chunkOffs = new Array[Int](nChunks)
+    var off = base
+    var s = 0
+    var c = 0
+    while (c < nChunks) {
+      chunkOffs(c) = off
+      var j = 0
+      while (j < chunkSize && s < n) { off += samples(s).length; s += 1; j += 1 }
+      c += 1
+    }
+
+    val timescale = 600
+    val delta = 40 // 15 fps
+    val dur = n * delta
+
+    val stsd = fullBox("stsd", be32b(1) ++ {
+      // VisualSampleEntry 'jpeg' (ISO 14496-12 §12.1.3)
+      val body =
+        Array.fill[Byte](6)(0) ++ be16b(1) ++    // reserved + data_ref
+        be16b(0) ++ be16b(0) ++ be32b(0) ++ be32b(0) ++ be32b(0) ++
+        be16b(w) ++ be16b(h) ++
+        be32b(0x00480000) ++ be32b(0x00480000) ++ // 72 dpi
+        be32b(0) ++ be16b(1) ++                   // frame_count 1
+        Array.fill[Byte](32)(0) ++                // compressorname
+        be16b(24) ++ be16b(0xffff)                // depth, pre_defined -1
+      box("jpeg", body)
+    })
+    val stts = fullBox("stts", be32b(1) ++ be32b(n) ++ be32b(delta))
+    val stscRuns =
+      if (n % chunkSize == 0 || nChunks == 1)
+        Seq((1, math.min(chunkSize, n)))
+      else Seq((1, chunkSize), (nChunks, n % chunkSize))
+    val stsc = fullBox("stsc", be32b(stscRuns.length) ++
+      stscRuns.toArray.flatMap { case (fc, spc) =>
+        be32b(fc) ++ be32b(spc) ++ be32b(1) })
+    val stsz = fullBox("stsz", be32b(0) ++ be32b(n) ++
+      samples.flatMap(sm => be32b(sm.length)))
+    val stco = fullBox("stco", be32b(nChunks) ++ chunkOffs.flatMap(be32b))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+
+    val vmhd = box("vmhd", be32b(1) ++ Array.fill[Byte](8)(0))
+    val dref = fullBox("dref", be32b(1) ++
+      box("url ", be32b(1))) // flags = 1: self-contained data
+    val dinf = box("dinf", dref)
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val hdlr = fullBox("hdlr", be32b(0) ++
+      "vide".getBytes("US-ASCII") ++ Array.fill[Byte](12)(0) ++
+      "graft ".getBytes("US-ASCII"))
+    val mdhd = fullBox("mdhd", be32b(0) ++ be32b(0) ++
+      be32b(timescale) ++ be32b(dur) ++ be16b(0x55c4) ++ be16b(0))
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val tkhd = fullBox("tkhd", be32b(0) ++ be32b(0) ++ be32b(1) ++
+      be32b(0) ++ be32b(dur) ++ Array.fill[Byte](8)(0) ++
+      be16b(0) ++ be16b(0) ++ be16b(0) ++ be16b(0) ++
+      (be32b(0x00010000) ++ be32b(0) ++ be32b(0) ++
+       be32b(0) ++ be32b(0x00010000) ++ be32b(0) ++
+       be32b(0) ++ be32b(0) ++ be32b(0x40000000)) ++
+      be32b(w << 16) ++ be32b(h << 16))
+    val trak = box("trak", tkhd ++ mdia)
+    val mvhd = fullBox("mvhd", be32b(0) ++ be32b(0) ++
+      be32b(timescale) ++ be32b(dur) ++ be32b(0x00010000) ++
+      Array[Byte](0x01, 0x00, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      (be32b(0x00010000) ++ be32b(0) ++ be32b(0) ++
+       be32b(0) ++ be32b(0x00010000) ++ be32b(0) ++
+       be32b(0) ++ be32b(0) ++ be32b(0x40000000)) ++
+      Array.fill[Byte](24)(0) ++ be32b(2))
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+}

@@ -459,10 +459,20 @@ object Multimodal {
     }.toDF("asset_id", "afp")
   }
 
+  /** Animated-clip frame decode across the supported containers:
+    * GIF (still/interlaced/animated — [[GifCodec.decodeGifFrames]])
+    * and MJPEG-in-MP4 ([[Mp4Codec.decodeMjpegFrames]] — the `stbl`
+    * sample-table walk feeding per-sample JPEG decode). ONE seam for
+    * the whole frame tier: sampling, dense hashing, and streamed clip
+    * admission all decode through here, so a new container lands in
+    * every path at once. */
+  def decodeClipFrames(b: Array[Byte]): Option[Seq[PixelCodec.Gray]] =
+    GifCodec.decodeGifFrames(b).orElse(Mp4Codec.decodeMjpegFrames(b))
+
   /** Uniform frame sampling over animated media — the multimodal
     * "frame-sample" primitive: decode a clip's frames
-    * ([[GifCodec.decodeGifFrames]] — the in-container animated codec;
-    * a video decoder slots in behind the same payload→frames seam),
+    * ([[decodeClipFrames]] — GIF or MJPEG-MP4 behind one
+    * payload→frames seam),
     * keep min(k, F) frames at the bin rule `frame_no = j·F/n`, and
     * emit one 64-bit dHash per KEPT frame. Sampling happens INSIDE the
     * decode projection, so unsampled frames never leave their
@@ -474,7 +484,7 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        GifCodec.decodeGifFrames(a.payload).iterator.flatMap { frames =>
+        decodeClipFrames(a.payload).iterator.flatMap { frames =>
           val f = frames.length
           val n = math.min(k, f)
           (0 until n).iterator.flatMap { j =>
@@ -494,7 +504,7 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        GifCodec.decodeGifFrames(a.payload).iterator.flatMap { frames =>
+        decodeClipFrames(a.payload).iterator.flatMap { frames =>
           frames.iterator.zipWithIndex.flatMap { case (fr, i) =>
             PixelCodec.lumaGrid8(fr).map(g =>
               (a.asset_id, i.toLong, PixelCodec.dhash64(g)))

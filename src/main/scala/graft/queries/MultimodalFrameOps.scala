@@ -61,6 +61,14 @@ object MultimodalFrameOps extends QueryModule {
     *                        colorization (byte-distinct,
     *                        frame-identical — pins the deinterlacer on
     *                        the animated path too);
+    *   +3·Offset (id%300): an MJPEG-MP4 — the SAME frames in a true
+    *                        video container ([[graft.multimodal
+    *                        .Mp4Codec]]: stbl sample-table walk,
+    *                        2-samples-per-chunk stsc runs, per-sample
+    *                        JPEG decode). Every frame matches the GIF
+    *                        clip at dist 0, so the cross-CONTAINER
+    *                        copy pairs with clip, still, and re-edit
+    *                        (300 implies %50 and %100: both exist);
     *   +5·Offset (id%175): corrupt — the stream truncated at half, so
     *                        the frames walker MUST return None and the
     *                        clip drops at the decode gate (never
@@ -92,6 +100,10 @@ object MultimodalFrameOps extends QueryModule {
               GifCodec.encodeGifAnimated(frames,
                 salt = (id % 9 + 1).toInt, deltaRect = false,
                 interlaced = true))
+          if (id % 300 == 0)
+            put(s"asset_${id + 3 * Planting.Offset}.mp4",
+              graft.multimodal.Mp4Codec.encodeMjpegMp4(frames,
+                chunkSize = 2, color = id % 600 == 0))
           if (id % 175 == 0) {
             val full = GifCodec.encodeGifAnimated(frames, salt = 3)
             put(s"asset_${id + 5 * Planting.Offset}.gif",
@@ -197,7 +209,9 @@ object MultimodalFrameOps extends QueryModule {
          UNION ALL SELECT doc_id + 100000, doc_id, 1 FROM d
            WHERE doc_id % 50 = 0
          UNION ALL SELECT doc_id + 200000, doc_id, (doc_id % 4) + 3 FROM d
-           WHERE doc_id % 100 = 0)"""
+           WHERE doc_id % 100 = 0
+         UNION ALL SELECT doc_id + 300000, doc_id, (doc_id % 4) + 3 FROM d
+           WHERE doc_id % 300 = 0)"""
 
   /** The frame-evolution luma at cell (gx, gy) of frame `fno` of
     * `scene` as DuckDB SQL — ONE rendering shared by the
@@ -277,9 +291,11 @@ object MultimodalFrameOps extends QueryModule {
 
     // expected clip pairs fall straight out of the variant schedule:
     // the still shares frame 0 with its clip (distance 0); the re-edit
-    // shares every frame with both. Distinct scenes are ~32 bits apart
-    // (md5 mixing), far beyond maxDist=2, and within-clip frame pairs
-    // are excluded by definition — so no other pair qualifies.
+    // and the MP4 (cross-container, %300 implies %50 AND %100 so both
+    // still and re-edit exist beside it) share every frame with all of
+    // them. Distinct scenes are ~32 bits apart (md5 mixing), far
+    // beyond maxDist=2, and within-clip frame pairs are excluded by
+    // definition — so no other pair qualifies.
     "mm_frame_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          p AS (
@@ -288,7 +304,13 @@ object MultimodalFrameOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 200000 FROM d
              WHERE doc_id % 100 = 0
            UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM d
-             WHERE doc_id % 100 = 0)
+             WHERE doc_id % 100 = 0
+           UNION ALL SELECT doc_id, doc_id + 300000 FROM d
+             WHERE doc_id % 300 = 0
+           UNION ALL SELECT doc_id + 100000, doc_id + 300000 FROM d
+             WHERE doc_id % 300 = 0
+           UNION ALL SELECT doc_id + 200000, doc_id + 300000 FROM d
+             WHERE doc_id % 300 = 0)
          SELECT clip_a, clip_b FROM p ORDER BY clip_a, clip_b""",
   )
 }

@@ -95,7 +95,11 @@ object MultimodalStreamOps extends QueryModule {
     * dropped — no variant of the whole clip matches, but every
     * surviving frame does: the clip protocol's distinctive rejection),
     * 3 perturbed (every frame ≤2 bits from its committed
-    * counterpart), 4 corrupt (truncated — drops at the decode gate). */
+    * counterpart), 4 corrupt (truncated — drops at the decode gate),
+    * 5 MJPEG-MP4 re-render — the SAME frames in a true video
+    * container: the cross-FORMAT copy the stream must reject at
+    * dist 0 through the shared decode seam (the clip analog of the
+    * image tier's baseline-JPEG copies). */
   private def clipPayloads(scenes: DataFrame): DataFrame = {
     val s = scenes.sparkSession
     import s.implicits._
@@ -115,6 +119,8 @@ object MultimodalStreamOps extends QueryModule {
           case 2 => GifCodec.encodeGifAnimated(frames().tail, salt = 2)
           case 3 => GifCodec.encodeGifAnimated(frames(pert = true),
             salt = (scene % 5).toInt)
+          case 5 => graft.multimodal.Mp4Codec.encodeMjpegMp4(frames(),
+            chunkSize = 2)
           case _ =>
             val full = GifCodec.encodeGifAnimated(frames(), salt = 3)
             full.take(full.length / 2)
@@ -126,9 +132,10 @@ object MultimodalStreamOps extends QueryModule {
   /** The delivery schedule (asset_id, scene, variant), shared by both
     * tiers — every 25th doc is a seeded scene, then:
     *   delivery A: %50 resized (+1·Offset) and %75 re-encoded
-    *               (+2·Offset) copies of seeded scenes — plus, on the
-    *               image tier, %150 baseline-JPEG re-renders
-    *               (+6·Offset) — ALL rejected;
+    *               (+2·Offset) copies of seeded scenes — plus %150
+    *               cross-format re-renders (+6·Offset: baseline JPEG
+    *               on the image tier, MJPEG-MP4 on the clip tier) —
+    *               ALL rejected;
     *   delivery B: %125 perturbed (+4·Offset, within maxDist) —
     *               rejected; %100 FRESH scenes (+3·Offset asset AND
     *               scene id — a scene space never seeded) — admitted;
@@ -157,8 +164,11 @@ object MultimodalStreamOps extends QueryModule {
       val base = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
         java.lang.Integer.toHexString(d.hashCode)
       val (src, cp, state) = (s"$base/src", s"$base/cp", s"$base/state")
+      // v3 on the clip tier: the r15 MP4-copy delivery changed its
+      // schedule, so v2 state dirs must rebuild
       val fp = graft.sources.FixtureMarker.fingerprint(
-        java.nio.file.Paths.get(s"$d/documents.parquet"), "v2")
+        java.nio.file.Paths.get(s"$d/documents.parquet"),
+        if (clipProtocol) "v3" else "v2")
       val reusable = graft.sources.FixtureMarker.reusable(base, fp)
       if (!reusable) {
         graft.sources.TableSwap.deleteRecursively(
@@ -171,8 +181,10 @@ object MultimodalStreamOps extends QueryModule {
         val incA0 = sched(scenes, 50, Offset, 0, 1)
           .unionByName(sched(scenes, 75, 2 * Offset, 0, 2))
         // image tier: %150 scenes also deliver a baseline-JPEG
-        // re-render (cross-format copy) — rejected at dist 0
-        val incA = if (jpegCopies)
+        // re-render; clip tier: an MJPEG-MP4 re-render — either way a
+        // cross-format copy rejected at dist 0 (absent from the
+        // admitted-set oracles by construction)
+        val incA = if (jpegCopies || clipProtocol)
           incA0.unionByName(sched(scenes, 150, 6 * Offset, 0, 5))
           else incA0
         val incB = sched(scenes, 125, 4 * Offset, 0, 3)

@@ -137,13 +137,13 @@ object MediaAdmission {
       payloadCol: String): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    import graft.multimodal.{GifCodec, PixelCodec}
+    import graft.multimodal.{Multimodal, PixelCodec}
     batch.select(col(idCol).try_cast("long").as("__id"), col(payloadCol))
       .filter(col("__id").isNotNull && col("__id") >= 0 &&
         col("__id") < (1L << 45))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
-        Option(p).flatMap(GifCodec.decodeGifFrames(_)).toSeq
+        Option(p).flatMap(Multimodal.decodeClipFrames).toSeq
           .flatMap(_.iterator.zipWithIndex.flatMap { case (fr, i) =>
             PixelCodec.lumaGrid8(fr).map(g =>
               (id * 512 + i, PixelCodec.dhash64(g)))

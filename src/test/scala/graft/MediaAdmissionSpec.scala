@@ -115,10 +115,14 @@ class MediaAdmissionSpec extends AnyFunSuite {
     val reEdit = GifCodec.encodeGifAnimated(frames(1), salt = 3,
       deltaRect = false, interlaced = true)
     val corrupt = { val b = clip(9); b.take(b.length / 2) }
+    // cross-container copy: the same frames as an MJPEG-MP4 must be
+    // rejected at dist 0 through the shared decode seam
+    val mp4Copy = graft.multimodal.Mp4Codec.encodeMjpegMp4(frames(1))
     assert(MediaAdmission.admitClipBatch(
       batch(10L -> reEdit, 11L -> trimmed,
         12L -> clip(1, salt = 5).tail.tail, // garbage (header cut): drop
         13L -> GifCodec.encodeGifAnimated(frames(1, pert = true)),
+        14L -> mp4Copy,
         50L -> clip(50), 60L -> corrupt),
       0L, state, "asset_id", "payload"))
     assert(clips(state) === Seq(1L, 50L))
@@ -129,6 +133,11 @@ class MediaAdmissionSpec extends AnyFunSuite {
     assert(!MediaAdmission.admitClipBatch(
       batch(99L -> clip(99)), 1L, state, "asset_id", "payload"))
     assert(clips(state) === Seq(1L, 50L))
+    // a FRESH clip arriving as MP4 admits through the same seam
+    assert(MediaAdmission.admitClipBatch(
+      batch(70L -> graft.multimodal.Mp4Codec.encodeMjpegMp4(frames(70))),
+      5L, state, "asset_id", "payload"))
+    assert(clips(state) === Seq(1L, 50L, 70L))
   }
 
   test("dirty id columns: null/non-numeric/negative ids drop at the fingerprint gate") {
