@@ -26,8 +26,16 @@ object FixtureMarker {
     versionTag + "|" + java.nio.file.Files.size(srcFile) + "|" +
       java.nio.file.Files.getLastModifiedTime(srcFile).toMillis
 
-  /** True iff `base` holds a completed build of exactly this source. */
+  /** When set ("1"), every marker reads as stale — measurement
+    * harnesses (the Stress sweep) set this so `*_build` legs time a
+    * REAL build at every scale instead of a ~0 s cross-process marker
+    * no-op, which would make the fitted exponent meaningless. */
+  val ForceProp = "graft.fixture.force"
+
+  /** True iff `base` holds a completed build of exactly this source
+    * (always false under [[ForceProp]]). */
   def reusable(base: String, fp: String): Boolean = {
+    if (sys.props.get(ForceProp).contains("1")) return false
     val m = markerPath(base)
     java.nio.file.Files.exists(m) &&
       new String(java.nio.file.Files.readAllBytes(m), "UTF-8") == fp
