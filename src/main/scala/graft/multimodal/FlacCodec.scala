@@ -411,11 +411,14 @@ object FlacCodec {
 
   /** Encode 16-bit PCM as FLAC: mono or interleaved stereo, fixed
     * block size, frame subframe types rotating constant / fixed
-    * order-2 Rice / verbatim (by content and frame index), and stereo
-    * frames rotating independent / left-side / mid-side decorrelation
-    * — so every decode path the fixture tier relies on is exercised
-    * by real planted bytes. `metaPadding` plants a PADDING metadata
-    * block (bytes a re-encoder would drop, same role as WAV's LIST). */
+    * order-2 Rice / verbatim / order-2 LPC (by content and frame
+    * index — the LPC frames carry quantized coefficients {2, −1} at
+    * shift 0, the fixed-order-2 polynomial expressed through the LPC
+    * path, so the coefficient/shift decode is exercised by real
+    * planted bytes), and stereo frames rotating independent /
+    * left-side / mid-side decorrelation. `metaPadding` plants a
+    * PADDING metadata block (bytes a re-encoder would drop, same role
+    * as WAV's LIST). */
   def encodeFlac16(samples: Array[Int], sampleRate: Int, channels: Int,
       blockSize: Int = 512, metaPadding: Int = 0): Array[Byte] = {
     require(channels == 1 || channels == 2)
@@ -499,15 +502,30 @@ object FlacCodec {
           body.put(0, 6) // constant
           body.put(0, 1) // no wasted bits
           body.putSigned(cs(0), eb)
-        } else if (n < 3 || frameIdx % 3 == 2) {
+        } else if (n < 3 || frameIdx % 4 == 2) {
           body.put(1, 6) // verbatim
           body.put(0, 1)
           cs.foreach(body.putSigned(_, eb))
         } else {
-          body.put(10, 6) // fixed, order 2
-          body.put(0, 1)
-          body.putSigned(cs(0), eb)
-          body.putSigned(cs(1), eb)
+          // order-2 polynomial predictor, through the fixed path or
+          // (every 4th frame) the LPC path with coefs {2, -1}/shift 0
+          // — identical residuals, distinct decode machinery
+          val lpc = frameIdx % 4 == 3
+          if (lpc) {
+            body.put(33, 6) // LPC, order 2 (0b100000 | order-1)
+            body.put(0, 1)
+            body.putSigned(cs(0), eb)
+            body.putSigned(cs(1), eb)
+            body.put(4, 4)  // precision 5
+            body.putSigned(0, 5) // shift 0
+            body.putSigned(2, 5)
+            body.putSigned(-1, 5)
+          } else {
+            body.put(10, 6) // fixed, order 2
+            body.put(0, 1)
+            body.putSigned(cs(0), eb)
+            body.putSigned(cs(1), eb)
+          }
           val err = new Array[Int](n)
           var i = 2
           while (i < n) {

@@ -30,10 +30,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * decode never throws — truncated chunks, corrupt deflate streams,
   * preset-dictionary (FDICT) streams, undersized pixel buffers,
   * missing palettes, out-of-range palette indices, or unsupported
-  * color modes (16-bit palette, sub-8-bit depths) return None.
+  * color modes (16-bit palette, sub-byte RGB) return None.
   * Adam7-interlaced streams decode through the 7-pass walker (each
   * pass an independently filtered sub-image scattered on the 8×8
-  * tile pattern).
+  * tile pattern); 1/2/4-bit gray and palette depths unpack MSB-first
+  * behind the same filter loop.
   */
 object PixelCodec {
 
@@ -131,6 +132,7 @@ object PixelCodec {
     var p = 8
     var w = 0; var h = 0; var colorType = -1; var ok = false
     var stride = 1
+    var depthBits = 8
     var interlaced = false
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -143,15 +145,20 @@ object PixelCodec {
           if (len != 13) return None
           w = be32(b, p + 8); h = be32(b, p + 12)
           colorType = u8(b, p + 17)
-          val depth = u8(b, p + 16)
-          // bit depth 8 or 16 (palette: 8 only), deflate, adaptive
-          // filtering, interlace 0 (sequential) or 1 (Adam7)
+          depthBits = u8(b, p + 16)
+          // gray: 1/2/4/8/16; palette: 1/2/4/8; RGB/RGBA: 8/16 —
+          // the PNG §11.2.2 matrix; deflate, adaptive filtering,
+          // interlace 0 (sequential) or 1 (Adam7)
           val il = u8(b, p + 20)
-          if ((depth != 8 && depth != 16) ||
-              (depth == 16 && colorType == 3) || bppOf(colorType) < 0 ||
+          val depthOk = colorType match {
+            case 0 => Set(1, 2, 4, 8, 16)(depthBits)
+            case 3 => Set(1, 2, 4, 8)(depthBits)
+            case _ => depthBits == 8 || depthBits == 16
+          }
+          if (!depthOk || bppOf(colorType) < 0 ||
               u8(b, p + 18) != 0 || u8(b, p + 19) != 0 ||
               (il != 0 && il != 1)) return None
-          stride = depth / 8
+          stride = math.max(depthBits / 8, 1)
           interlaced = il == 1
         case "PLTE" =>
           if (len % 3 != 0 || len == 0 || len > 768) return None
@@ -165,6 +172,14 @@ object PixelCodec {
     if (!ok || w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
         colorType < 0) return None
     if (colorType == 3 && plte == null) return None
+    if (depthBits < 8) {
+      // sub-byte depths (1/2/4-bit gray or palette): samples pack
+      // MSB-first, the filter bpp is 1 byte (RFC 2083 §6), row bytes
+      // are ⌈w·depth/8⌉; gray scales by 255/(2^d−1) (exact: 255 =
+      // 3·5·17), palette indices look up directly
+      return decodeSubByte(b, idat.toByteArray, w, h, colorType,
+        depthBits, interlaced, plte)
+    }
     val bpp = bppOf(colorType) * stride
     val rowBytes = w * bpp
     if (rowBytes.toLong * h > (1L << 28)) return None
@@ -240,6 +255,76 @@ object PixelCodec {
         x += 1
       }
       y += 1
+    }
+    Some(Gray(w, h, px))
+  }
+
+  /** The sub-byte decode path: defilter at bpp 1 (sequential or per
+    * Adam7 pass), unpack MSB-first samples, map to luma. */
+  private def decodeSubByte(b: Array[Byte], idat: Array[Byte], w: Int,
+      h: Int, colorType: Int, depth: Int, interlaced: Boolean,
+      plte: Array[Byte]): Option[Gray] = {
+    val maxv = (1 << depth) - 1
+    val scale = 255 / maxv // exact for depths 1/2/4 (255 = 3·5·17)
+    val px = new Array[Int](w * h)
+    def rowB(wpx: Int): Int = (wpx * depth + 7) / 8
+    def sample(raw: Array[Byte], rowOff: Int, x: Int): Int = {
+      val bit = x * depth
+      (u8(raw, rowOff + (bit >> 3)) >> (8 - depth - (bit & 7))) & maxv
+    }
+    def lumaOf(v: Int): Int =
+      if (colorType == 0) v * scale
+      else if (v * 3 + 2 >= plte.length) -1
+      else lum(u8(plte, v * 3), u8(plte, v * 3 + 1), u8(plte, v * 3 + 2))
+    if (!interlaced) {
+      val rb = rowB(w)
+      val raw = inflate(idat, (rb + 1) * h).getOrElse(return None)
+      if (!defilter(raw, 0, h, rb, 1)) return None
+      var y = 0
+      while (y < h) {
+        val off = y * (rb + 1) + 1
+        var x = 0
+        while (x < w) {
+          val l = lumaOf(sample(raw, off, x))
+          if (l < 0) return None
+          px(y * w + x) = l
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var total = 0
+      var pi = 0
+      while (pi < 7) {
+        val (pw, ph) = a7Dims(pi, w, h)
+        if (pw > 0 && ph > 0) total += (rowB(pw) + 1) * ph
+        pi += 1
+      }
+      val pr = inflate(idat, total).getOrElse(return None)
+      var off = 0
+      pi = 0
+      while (pi < 7) {
+        val (pw, ph) = a7Dims(pi, w, h)
+        if (pw > 0 && ph > 0) {
+          val prb = rowB(pw)
+          if (!defilter(pr, off, ph, prb, 1)) return None
+          var j = 0
+          while (j < ph) {
+            val y = A7ys(pi) + j * A7yd(pi)
+            val rowOff = off + j * (prb + 1) + 1
+            var i = 0
+            while (i < pw) {
+              val l = lumaOf(sample(pr, rowOff, i))
+              if (l < 0) return None
+              px(y * w + A7xs(pi) + i * A7xd(pi)) = l
+              i += 1
+            }
+            j += 1
+          }
+          off += (prb + 1) * ph
+        }
+        pi += 1
+      }
     }
     Some(Gray(w, h, px))
   }
@@ -498,6 +583,79 @@ object PixelCodec {
     val idat = deflateBytes(all.toByteArray)
     assemblePng(g.width, g.height, if (rgbSalt.isDefined) 2 else 0,
       None, idat, None, interlace = 1)
+  }
+
+  /** Encode a 1/2/4-bit PNG (gray, or palette with [[colorize]]d
+    * entries), sequential or Adam7-interlaced — the sub-byte spec
+    * round-trip path. Gray luma values must be multiples of
+    * 255/(2^depth−1); palette images must carry ≤ 2^depth distinct
+    * lumas. */
+  def encodeSubBytePng(g: Gray, depth: Int, palette: Boolean = false,
+      interlaced: Boolean = false, filterType: Int = 0,
+      salt: Int = 7): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4)
+    val maxv = (1 << depth) - 1
+    val scale = 255 / maxv
+    val (toSample, plteOpt): (Int => Int, Option[Array[Byte]]) =
+      if (!palette) {
+        require(g.luma.forall(v => v % scale == 0 && v / scale <= maxv),
+          s"gray luma must be multiples of $scale")
+        (v => v / scale, None)
+      } else {
+        val values = g.luma.distinct.sorted
+        require(values.length <= (1 << depth),
+          s"palette depth $depth holds <= ${1 << depth} colors")
+        val index = values.zipWithIndex.toMap
+        val plte = new Array[Byte](values.length * 3)
+        for (i <- values.indices) {
+          val (r, gg, bb) = colorize(values(i), salt)
+          plte(i * 3) = r.toByte; plte(i * 3 + 1) = gg.toByte
+          plte(i * 3 + 2) = bb.toByte
+        }
+        (v => index(v), Some(plte))
+      }
+    def rowB(wpx: Int): Int = (wpx * depth + 7) / 8
+    def pack(get: Int => Int, wpx: Int, hpx: Int): Array[Byte] = {
+      val rb = rowB(wpx)
+      val rows = new Array[Byte](rb * hpx)
+      var y = 0
+      while (y < hpx) {
+        var x = 0
+        while (x < wpx) {
+          val bit = x * depth
+          val off = y * rb + (bit >> 3)
+          rows(off) = (rows(off) |
+            (toSample(get(y * wpx + x)) << (8 - depth - (bit & 7)))).toByte
+          x += 1
+        }
+        y += 1
+      }
+      rows
+    }
+    val idat =
+      if (!interlaced)
+        deflateFiltered(pack(i => g.luma(i), g.width, g.height),
+          rowB(g.width), 1, filterType)
+      else {
+        val all = new java.io.ByteArrayOutputStream()
+        var pi = 0
+        while (pi < 7) {
+          val pw = (g.width - A7xs(pi) + A7xd(pi) - 1) / A7xd(pi)
+          val ph = (g.height - A7ys(pi) + A7yd(pi) - 1) / A7yd(pi)
+          if (pw > 0 && ph > 0) {
+            val get = (i: Int) => {
+              val x = A7xs(pi) + (i % pw) * A7xd(pi)
+              val y = A7ys(pi) + (i / pw) * A7yd(pi)
+              g.luma(y * g.width + x)
+            }
+            all.write(filteredRaw(pack(get, pw, ph), rowB(pw), 1, pi % 5))
+          }
+          pi += 1
+        }
+        deflateBytes(all.toByteArray)
+      }
+    assemblePng(g.width, g.height, if (palette) 3 else 0, plteOpt,
+      idat, None, depth = depth, interlace = if (interlaced) 1 else 0)
   }
 
   /** Encode a 16-bit grayscale PNG with both sample bytes = v (i.e.

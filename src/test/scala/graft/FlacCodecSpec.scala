@@ -19,7 +19,8 @@ class FlacCodecSpec extends AnyFunSuite {
   test("mono round-trips bit-exactly across frame boundaries and subframe types") {
     // lengths chosen to hit: single short frame, exact multiple of the
     // block size, and a short trailing frame; index-rotation inside
-    // the encoder covers fixed-order-2 AND verbatim frames
+    // the encoder covers fixed-order-2, verbatim, AND order-2 LPC
+    // frames (≥4 blocks at n ≥ 2048: the %4 rotation lands each type)
     for (n <- Seq(64, 512, 1024, 1600, 2531)) {
       val s = noisySamples(n, n)
       val d = FlacCodec.decodeFlac16(FlacCodec.encodeFlac16(s, 8000, 1))

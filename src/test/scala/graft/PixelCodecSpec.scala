@@ -77,6 +77,37 @@ class PixelCodecSpec extends AnyFunSuite {
       assert(PixelCodec.decodePng(enc.take(n)).isEmpty, s"take($n)")
   }
 
+  test("sub-byte depths (1/2/4-bit gray + palette) round-trip, sequential and Adam7") {
+    for (depth <- Seq(1, 2, 4); (w, h) <- Seq((8, 8), (17, 9), (9, 13));
+         il <- Seq(false, true)) {
+      val scale = 255 / ((1 << depth) - 1)
+      // gray values on the exact sub-byte grid
+      val img = Gray(w, h, Array.tabulate(w * h)(i =>
+        ((i * 2654435761L).toInt & ((1 << depth) - 1)) * scale))
+      val enc = PixelCodec.encodeSubBytePng(img, depth,
+        interlaced = il, filterType = depth % 5)
+      val dec = PixelCodec.decodePng(enc)
+      assert(dec.isDefined, s"gray d=$depth ${w}x$h il=$il")
+      assert(dec.get.luma.toSeq === img.luma.toSeq,
+        s"gray d=$depth ${w}x$h il=$il")
+      // palette at the same depth: arbitrary lumas, <= 2^depth distinct
+      val vals = Array.tabulate(1 << depth)(k => (k * 37 + 11) % 256)
+      val pimg = Gray(w, h, Array.tabulate(w * h)(i =>
+        vals((i * 7 + i / w) % vals.length)))
+      val pdec = PixelCodec.decodePng(PixelCodec.encodeSubBytePng(
+        pimg, depth, palette = true, interlaced = il))
+      assert(pdec.isDefined, s"plte d=$depth ${w}x$h il=$il")
+      assert(pdec.get.luma.toSeq === pimg.luma.toSeq,
+        s"plte d=$depth ${w}x$h il=$il")
+    }
+    // truncation never throws
+    val enc = PixelCodec.encodeSubBytePng(
+      Gray(16, 16, Array.tabulate(256)(i => (i % 16) * 17)), 4,
+      interlaced = true)
+    for (n <- 0 until enc.length)
+      assert(PixelCodec.decodePng(enc.take(n)).isEmpty, s"take($n)")
+  }
+
   test("color modes decode to exact luma: RGB every filter, RGBA, palette") {
     val img = noisy(16, 24, 3)
     for (f <- 0 to 4) {
