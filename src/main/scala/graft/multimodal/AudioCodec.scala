@@ -2,14 +2,18 @@ package graft.multimodal
 
 /** Sample-level audio codec for the perceptual-fingerprint tier — REAL
   * PCM decode with no codec library: RIFF/WAVE chunk walk to `fmt ` +
-  * `data`, 16-bit little-endian PCM samples, stereo downmixed to mono
-  * by the exact integer mean ⌊(l + r) / 2⌋. That covers the decode
-  * side an audio near-dup needs (re-encoded containers with extra
-  * metadata chunks, resampled renderings, channel-layout conversions
-  * of one recording all reach the same energy envelope); FLAC decodes
-  * through [[FlacCodec]]'s lossless tier; lossy codecs (MP3/AAC/Opus)
-  * stay behind the open codec seam ([[Multimodal.MediaDecoder]]) —
-  * lossy audio would need the JPEG-style exactness trick or tolerance
+  * `data` (16- or 24-bit little-endian samples; plain PCM or
+  * WAVE_FORMAT_EXTENSIBLE with the PCM subformat GUID), the AIFF
+  * FORM/COMM/SSND walk (big-endian samples, 80-bit extended sample
+  * rate), stereo downmixed to mono by the exact integer mean
+  * ⌊(l + r) / 2⌋. That covers the decode side an audio near-dup needs
+  * (re-encoded containers with extra metadata chunks, resampled
+  * renderings, channel-layout conversions, bit-depth remasters, and
+  * cross-container copies of one recording all reach the same — or
+  * exactly scaled — energy envelope); FLAC decodes through
+  * [[FlacCodec]]'s lossless tier; lossy codecs (MP3/AAC/Opus) stay
+  * behind the open codec seam ([[Multimodal.MediaDecoder]]) — lossy
+  * audio would need the JPEG-style exactness trick or tolerance
   * anchors, not the bit-exact fixture discipline.
   *
   * The fingerprint is the audio analog of [[PixelCodec]]'s dHash:
@@ -36,15 +40,26 @@ object AudioCodec {
     (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)).toLong |
       (u8(b, i + 3).toLong << 24)
 
-  /** Decoded mono PCM: signed 16-bit samples (stereo already
-    * downmixed), plus the container's declared rate. */
+  /** Decoded mono PCM: signed integer samples (stereo already
+    * downmixed; 16-bit magnitude for 16-bit containers, 24-bit for
+    * 24-bit ones — the envelope's gradient signs are scale-invariant),
+    * plus the container's declared rate. */
   case class Pcm(sampleRate: Int, samples: Array[Int])
 
-  /** Decode a RIFF/WAVE file holding 16-bit PCM (format tag 1, 1 or 2
-    * channels) to mono samples. Unknown chunks (LIST metadata etc.)
-    * are skipped — a re-encoded container with stripped/added tags
-    * decodes to the same samples. None on anything malformed. */
-  def decodePcm16(b: Array[Byte]): Option[Pcm] = {
+  /** The KSDATAFORMAT_SUBTYPE_PCM GUID a WAVE_FORMAT_EXTENSIBLE fmt
+    * chunk carries (little-endian fields, RFC 2361 / mmreg.h):
+    * 00000001-0000-0010-8000-00aa00389b71. */
+  private val PcmGuid: Array[Byte] = Array(
+    0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+    0x80, 0x00, 0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71).map(_.toByte)
+
+  /** Decode a RIFF/WAVE file holding integer PCM — format tag 1, or
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) with the PCM subformat GUID —
+    * at 16 or 24 bits, 1 or 2 channels, to mono samples. Unknown
+    * chunks (LIST metadata etc.) are skipped — a re-encoded container
+    * with stripped/added tags decodes to the same samples. None on
+    * anything malformed. */
+  def decodePcmWav(b: Array[Byte]): Option[Pcm] = {
     if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
         b(11) == 'E')) return None
@@ -56,7 +71,15 @@ object AudioCodec {
       val sz = le32(b, p + 4)
       if (sz < 0 || p + 8 + sz > b.length) return None // declared past buffer
       if (id == "fmt " && sz >= 16) {
-        if (le16(b, p + 8) != 1) return None           // PCM only
+        val tag = le16(b, p + 8)
+        if (tag == 0xfffe) {
+          // extensible: cbSize >= 22, SubFormat GUID at fmt+24 must
+          // be integer PCM (the GUID's first u16 is the wrapped tag)
+          if (sz < 40 ||
+              !java.util.Arrays.equals(
+                java.util.Arrays.copyOfRange(b, p + 32, p + 48),
+                PcmGuid)) return None
+        } else if (tag != 1) return None               // PCM only
         channels = le16(b, p + 10)
         rate = le32(b, p + 12).toInt
         bits = le16(b, p + 22)
@@ -66,19 +89,88 @@ object AudioCodec {
       }
       p += 8 + sz.toInt + (sz.toInt & 1)               // word-aligned
     }
-    if (!haveFmt || dataOff < 0 || bits != 16 || rate <= 0 ||
-        (channels != 1 && channels != 2)) return None
-    val frameBytes = channels * 2
+    if (!haveFmt || dataOff < 0 || (bits != 16 && bits != 24) ||
+        rate <= 0 || (channels != 1 && channels != 2)) return None
+    val sampleBytes = bits / 8
+    val frameBytes = channels * sampleBytes
     val n = dataLen / frameBytes
     if (n <= 0) return None
+    def sample(off: Int): Int =
+      if (sampleBytes == 2) le16(b, off).toShort.toInt
+      else (u8(b, off) | (u8(b, off + 1) << 8) |
+        (b(off + 2).toInt << 16))                      // sign-extends
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {
       val off = dataOff + i * frameBytes
-      val s0 = le16(b, off).toShort.toInt
+      val s0 = sample(off)
       out(i) =
         if (channels == 1) s0
-        else Math.floorDiv(s0 + le16(b, off + 2).toShort.toInt, 2)
+        else Math.floorDiv(s0 + sample(off + sampleBytes), 2)
+      i += 1
+    }
+    Some(Pcm(rate, out))
+  }
+
+  /** Decode an AIFF (IFF FORM/AIFF) file holding 16-bit big-endian
+    * PCM, 1 or 2 channels, to mono samples — the Apple-lineage
+    * container a real audio corpus carries next to WAV. The COMM
+    * chunk's sample rate is an 80-bit IEEE 754 extended float
+    * (sign/15-bit exponent/explicit-integer-bit 64-bit mantissa);
+    * integral rates recover exactly from the top mantissa bits.
+    * Unknown chunks are skipped; None on anything malformed. */
+  def decodeAiff16(b: Array[Byte]): Option[Pcm] = {
+    def be16(i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    def be32(i: Int): Long =
+      ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+        (u8(b, i + 2) << 8) | u8(b, i + 3))
+    if (b.length < 12 || !(b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+        b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
+        b(11) == 'F')) return None
+    var p = 12
+    var rate = 0; var channels = 0; var bits = 0; var haveComm = false
+    var nFrames = 0L
+    var sndOff = -1; var sndLen = 0
+    while (p + 8 <= b.length && (!haveComm || sndOff < 0)) {
+      val id = new String(b, p, 4, "US-ASCII")
+      val sz = be32(p + 4)
+      if (sz < 0 || p + 8 + sz > b.length) return None
+      if (id == "COMM" && sz >= 18) {
+        channels = be16(p + 8)
+        nFrames = be32(p + 10)
+        bits = be16(p + 14)
+        // 80-bit extended float at +16: 1 sign + 15 exponent bits,
+        // then a 64-bit mantissa with an explicit integer bit
+        val exp = be16(p + 16) & 0x7fff
+        val mantHi = be32(p + 18)
+        val shift = 16383 + 31 - exp
+        if ((be16(p + 16) & 0x8000) != 0 || shift < 0 || shift > 31)
+          return None
+        rate = (mantHi >>> shift).toInt
+        haveComm = true
+      } else if (id == "SSND") {
+        if (sz < 8) return None
+        // SSND payload: offset u32 + blockSize u32, then sample data
+        val off = be32(p + 8)
+        if (off < 0 || 8 + off > sz) return None
+        sndOff = p + 16 + off.toInt
+        sndLen = (sz - 8 - off).toInt
+      }
+      p += 8 + sz.toInt + (sz.toInt & 1)               // chunks even-padded
+    }
+    if (!haveComm || sndOff < 0 || bits != 16 || rate <= 0 ||
+        (channels != 1 && channels != 2)) return None
+    val frameBytes = channels * 2
+    val n = math.min(sndLen / frameBytes, nFrames).toInt
+    if (n <= 0) return None
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val off = sndOff + i * frameBytes
+      val s0 = be16(off).toShort.toInt
+      out(i) =
+        if (channels == 1) s0
+        else Math.floorDiv(s0 + be16(off + 2).toShort.toInt, 2)
       i += 1
     }
     Some(Pcm(rate, out))
@@ -119,12 +211,16 @@ object AudioCodec {
     h
   }
 
-  /** Sample decode across the supported containers: RIFF/PCM (WAV)
-    * here, FLAC via [[FlacCodec]]'s lossless tier — both land mono
-    * 16-bit samples under the same ⌊(l+r)/2⌋ downmix, so a FLAC
-    * re-encode of a WAV recording reaches the identical envelope. */
+  /** Sample decode across the supported containers: RIFF/PCM WAV
+    * (16/24-bit, plain or WAVE_FORMAT_EXTENSIBLE), AIFF (big-endian
+    * PCM), and FLAC via [[FlacCodec]]'s lossless tier — all land mono
+    * samples under the same ⌊(l+r)/2⌋ downmix, so an AIFF or FLAC
+    * re-encode of a WAV recording reaches the identical envelope (a
+    * 24-bit remaster reaches it ×256 — gradient signs are
+    * scale-invariant). */
   def decodeAudio(payload: Array[Byte]): Option[Pcm] =
-    decodePcm16(payload).orElse(FlacCodec.decodeFlac16(payload))
+    decodePcmWav(payload).orElse(FlacCodec.decodeFlac16(payload))
+      .orElse(decodeAiff16(payload))
 
   /** Payload → audio fingerprint in one step (None = not decodable
     * 16-bit PCM/FLAC, or under 64 samples). */
@@ -168,6 +264,88 @@ object AudioCodec {
     val dataC = "data".getBytes("US-ASCII") ++ le32b(data.length) ++ data
     val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ extra ++ dataC
     "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
+  /** Encode mono/stereo 24-bit PCM as a canonical WAV (the hi-res
+    * remaster shape): 3-byte little-endian samples, format tag 1. */
+  def encodeWav24(samples: Array[Int], sampleRate: Int,
+      channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 2)
+    require(samples.length % channels == 0)
+    val data = new Array[Byte](samples.length * 3)
+    var i = 0
+    while (i < samples.length) {
+      data(i * 3) = (samples(i) & 0xff).toByte
+      data(i * 3 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      data(i * 3 + 2) = ((samples(i) >> 16) & 0xff).toByte
+      i += 1
+    }
+    val blockAlign = channels * 3
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32b(16) ++
+      le16b(1) ++ le16b(channels) ++ le32b(sampleRate) ++
+      le32b(sampleRate * blockAlign) ++ le16b(blockAlign) ++ le16b(24)
+    val dataC = "data".getBytes("US-ASCII") ++ le32b(data.length) ++ data
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ dataC
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
+  /** Encode 16-bit PCM as a WAVE_FORMAT_EXTENSIBLE WAV (format tag
+    * 0xFFFE, 40-byte fmt with the PCM subformat GUID and a channel
+    * mask) — the multichannel-era header modern writers emit even for
+    * mono/stereo. */
+  def encodeWav16Ext(samples: Array[Int], sampleRate: Int,
+      channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 2)
+    require(samples.length % channels == 0)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(i * 2) = (samples(i) & 0xff).toByte
+      data(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val blockAlign = channels * 2
+    val mask = if (channels == 1) 0x4 else 0x3   // FC | (FL+FR)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32b(40) ++
+      le16b(0xfffe) ++ le16b(channels) ++ le32b(sampleRate) ++
+      le32b(sampleRate * blockAlign) ++ le16b(blockAlign) ++ le16b(16) ++
+      le16b(22) ++ le16b(16) ++ le32b(mask) ++ PcmGuid
+    val dataC = "data".getBytes("US-ASCII") ++ le32b(data.length) ++ data
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ dataC
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
+  /** Encode mono/stereo 16-bit PCM as an AIFF: FORM/AIFF with COMM
+    * (80-bit extended sample rate) + SSND, big-endian samples. */
+  def encodeAiff16(samples: Array[Int], sampleRate: Int,
+      channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 2)
+    require(samples.length % channels == 0 && sampleRate > 0)
+    def be16b(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32b(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // 80-bit extended: normalize the integral rate to 1.m × 2^k
+    val k = 31 - java.lang.Integer.numberOfLeadingZeros(sampleRate)
+    val exp = 16383 + k
+    val mantHi = sampleRate << (31 - k)   // integer bit at bit 31
+    val ext = be16b(exp) ++ be32b(mantHi) ++ be32b(0)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(i * 2) = ((samples(i) >> 8) & 0xff).toByte
+      data(i * 2 + 1) = (samples(i) & 0xff).toByte
+      i += 1
+    }
+    val comm = "COMM".getBytes("US-ASCII") ++ be32b(18) ++
+      be16b(channels) ++ be32b(samples.length / channels) ++
+      be16b(16) ++ ext
+    val ssnd = "SSND".getBytes("US-ASCII") ++ be32b(8 + data.length) ++
+      be32b(0) ++ be32b(0) ++ data
+    val ssndPad = if (data.length % 2 == 1) ssnd :+ 0.toByte else ssnd
+    val body = "AIFF".getBytes("US-ASCII") ++ comm ++ ssndPad
+    "FORM".getBytes("US-ASCII") ++ be32b(body.length) ++ body
   }
 
   /** Render a 64-segment constant-amplitude envelope as n mono

@@ -347,7 +347,8 @@ object Multimodal {
   val ExtToType: Map[String, String] =
     Map("mp4" -> "video", "img" -> "image", "wav" -> "audio",
       "png" -> "image", "jpg" -> "image", "gif" -> "image",
-      "bmp" -> "image", "flac" -> "audio")
+      "bmp" -> "image", "flac" -> "audio", "avi" -> "video",
+      "aif" -> "audio", "tif" -> "image", "webp" -> "image")
 
   /** REAL binary ingestion: `spark.read.format("binaryFile")` over a
     * directory of media blobs named `asset_<id>.<ext>`. This is the
@@ -460,14 +461,16 @@ object Multimodal {
   }
 
   /** Animated-clip frame decode across the supported containers:
-    * GIF (still/interlaced/animated — [[GifCodec.decodeGifFrames]])
-    * and MJPEG-in-MP4 ([[Mp4Codec.decodeMjpegFrames]] — the `stbl`
-    * sample-table walk feeding per-sample JPEG decode). ONE seam for
-    * the whole frame tier: sampling, dense hashing, and streamed clip
-    * admission all decode through here, so a new container lands in
-    * every path at once. */
+    * GIF (still/interlaced/animated — [[GifCodec.decodeGifFrames]]),
+    * MJPEG-in-MP4 ([[Mp4Codec.decodeMjpegFrames]] — the `stbl`
+    * sample-table walk feeding per-sample JPEG decode), and MJPEG AVI
+    * ([[AviCodec.decodeMjpegFrames]] — the RIFF `movi` chunk walk,
+    * `rec ` grouping included). ONE seam for the whole frame tier:
+    * sampling, dense hashing, and streamed clip admission all decode
+    * through here, so a new container lands in every path at once. */
   def decodeClipFrames(b: Array[Byte]): Option[Seq[PixelCodec.Gray]] =
     GifCodec.decodeGifFrames(b).orElse(Mp4Codec.decodeMjpegFrames(b))
+      .orElse(AviCodec.decodeMjpegFrames(b))
 
   /** Uniform frame sampling over animated media — the multimodal
     * "frame-sample" primitive: decode a clip's frames

@@ -386,12 +386,13 @@ object PixelCodec {
   }
 
   /** Pixel decode across the supported formats (PNG, BMP, baseline
-    * JPEG — [[JpegCodec]] carries the DCT tier — and GIF via
-    * [[GifCodec]]'s LZW tier). */
+    * JPEG — [[JpegCodec]] carries the DCT tier — GIF via [[GifCodec]]'s
+    * LZW tier, and baseline TIFF via [[TiffCodec]]'s IFD/strip walk). */
   def decodePixels(b: Array[Byte]): Option[Gray] =
     decodePng(b).orElse(decodeBmp24(b))
       .orElse(JpegCodec.decodeJpeg(b))
       .orElse(GifCodec.decodeGif(b))
+      .orElse(TiffCodec.decodeTiff(b))
 
   /** Downsample to an 8×8 luma grid (row-major, 64 ints) by BIN
     * PARTITION: pixel (x, y) belongs to cell (⌊8x/w⌋, ⌊8y/h⌋), each

@@ -69,6 +69,13 @@ object MultimodalFrameOps extends QueryModule {
     *                        clip at dist 0, so the cross-CONTAINER
     *                        copy pairs with clip, still, and re-edit
     *                        (300 implies %50 and %100: both exist);
+    *   +4·Offset (id%600): an MJPEG-AVI — the SAME frames in the RIFF
+    *                        container ([[graft.multimodal.AviCodec]]:
+    *                        hdrl stream walk, movi chunk collection —
+    *                        `rec `-grouped and color-JPEG for %1200).
+    *                        600 implies %50, %100, AND %300, so the
+    *                        AVI pairs with clip, still, re-edit, and
+    *                        the MP4 — a three-container copy set;
     *   +5·Offset (id%175): corrupt — the stream truncated at half, so
     *                        the frames walker MUST return None and the
     *                        clip drops at the decode gate (never
@@ -104,6 +111,11 @@ object MultimodalFrameOps extends QueryModule {
             put(s"asset_${id + 3 * Planting.Offset}.mp4",
               graft.multimodal.Mp4Codec.encodeMjpegMp4(frames,
                 chunkSize = 2, color = id % 600 == 0))
+          if (id % 600 == 0)
+            put(s"asset_${id + 4 * Planting.Offset}.avi",
+              graft.multimodal.AviCodec.encodeMjpegAvi(frames,
+                color = id % 1200 == 0,
+                recGroup = if (id % 1200 == 0) 2 else 0))
           if (id % 175 == 0) {
             val full = GifCodec.encodeGifAnimated(frames, salt = 3)
             put(s"asset_${id + 5 * Planting.Offset}.gif",
@@ -211,7 +223,9 @@ object MultimodalFrameOps extends QueryModule {
          UNION ALL SELECT doc_id + 200000, doc_id, (doc_id % 4) + 3 FROM d
            WHERE doc_id % 100 = 0
          UNION ALL SELECT doc_id + 300000, doc_id, (doc_id % 4) + 3 FROM d
-           WHERE doc_id % 300 = 0)"""
+           WHERE doc_id % 300 = 0
+         UNION ALL SELECT doc_id + 400000, doc_id, (doc_id % 4) + 3 FROM d
+           WHERE doc_id % 600 = 0)"""
 
   /** The frame-evolution luma at cell (gx, gy) of frame `fno` of
     * `scene` as DuckDB SQL — ONE rendering shared by the
@@ -293,8 +307,9 @@ object MultimodalFrameOps extends QueryModule {
     // the still shares frame 0 with its clip (distance 0); the re-edit
     // and the MP4 (cross-container, %300 implies %50 AND %100 so both
     // still and re-edit exist beside it) share every frame with all of
-    // them. Distinct scenes are ~32 bits apart (md5 mixing), far
-    // beyond maxDist=2, and within-clip frame pairs are excluded by
+    // them; the AVI (%600 implies %50/%100/%300) pairs with all four.
+    // Distinct scenes are ~32 bits apart (md5 mixing), far beyond
+    // maxDist=2, and within-clip frame pairs are excluded by
     // definition — so no other pair qualifies.
     "mm_frame_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
@@ -310,7 +325,15 @@ object MultimodalFrameOps extends QueryModule {
            UNION ALL SELECT doc_id + 100000, doc_id + 300000 FROM d
              WHERE doc_id % 300 = 0
            UNION ALL SELECT doc_id + 200000, doc_id + 300000 FROM d
-             WHERE doc_id % 300 = 0)
+             WHERE doc_id % 300 = 0
+           UNION ALL SELECT doc_id, doc_id + 400000 FROM d
+             WHERE doc_id % 600 = 0
+           UNION ALL SELECT doc_id + 100000, doc_id + 400000 FROM d
+             WHERE doc_id % 600 = 0
+           UNION ALL SELECT doc_id + 200000, doc_id + 400000 FROM d
+             WHERE doc_id % 600 = 0
+           UNION ALL SELECT doc_id + 300000, doc_id + 400000 FROM d
+             WHERE doc_id % 600 = 0)
          SELECT clip_a, clip_b FROM p ORDER BY clip_a, clip_b""",
   )
 }

@@ -228,6 +228,15 @@ object MultimodalOps extends QueryModule {
     *                        pass dims differ and the bin-rule resample
     *                        must recover the scene exactly (350 =
     *                        2·5²·7 shares %50 — members only, no new
+    *                        clusters);
+    *   +16·Offset (id%500): baseline TIFF — REAL IFD/strip walk
+    *                        ([[graft.multimodal.TiffCodec]]),
+    *                        PackBits-compressed multi-strip layout:
+    *                        grayscale little-endian for most,
+    *                        colorized big-endian (MM) for %1000,
+    *                        WhiteIsZero inverted storage for the
+    *                        %1500-not-%1000 ids (500 = 2²5³ shares
+    *                        %50/%100/%125 — members only, no new
     *                        clusters).
     * Block-constant tiles (and [[PixelCodec.renderGridSized]]'s
     * bin-rule coloring at odd sizes) make every rendering resample
@@ -312,6 +321,14 @@ object MultimodalOps extends QueryModule {
             put(s"asset_${id + 15 * Planting.Offset}.png",
               PixelCodec.encodeAdam7Png(
                 PixelCodec.renderGridSized(grid, 52, 45)))
+          if (id % 500 == 0)
+            put(s"asset_${id + 16 * Planting.Offset}.tif",
+              graft.multimodal.TiffCodec.encodeTiff(
+                PixelCodec.renderGrid(grid, 64),
+                rgbSalt = if (id % 1000 == 0) Some((id % 7).toInt) else None,
+                littleEndian = id % 1000 != 0,
+                packBitsComp = true, rowsPerStrip = 16,
+                whiteIsZero = id % 1500 == 0 && id % 1000 != 0))
           // corrupt variant (id%175, +5·Offset): a truncated PNG — the
           // IDAT stream cuts off mid-deflate, so pixel decode MUST
           // return None. Exercises the hostile-input path end-to-end:
@@ -377,7 +394,20 @@ object MultimodalOps extends QueryModule {
     *                        the compressed container reaches the SAME
     *                        samples and envelope as its WAV twin (200
     *                        = 2³5² shares %50/%100 — members only, no
-    *                        new clusters).
+    *                        new clusters);
+    *   +8·Offset (id%250): AIFF — the SAME samples in the big-endian
+    *                        FORM/COMM/SSND container (80-bit extended
+    *                        sample rate), a cross-container copy (250
+    *                        = 2·5³ shares %50/%125 — members only);
+    *   +9·Offset (id%300): 24-bit WAV — the samples ×256 (the exact
+    *                        16→24 remaster): envelope scales ×256 and
+    *                        gradient signs never reorder, the gain-
+    *                        family argument at a new bit depth (300
+    *                        shares %50/%75/%100/%150 — members only);
+    *   +10·Offset (id%225): WAVE_FORMAT_EXTENSIBLE — the SAME samples
+    *                        as L=R stereo behind the 0xFFFE fmt tag +
+    *                        PCM GUID + channel mask (225 = 3²5²
+    *                        shares %75 — members only).
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
     * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
@@ -433,6 +463,21 @@ object MultimodalOps extends QueryModule {
             put(s"asset_${id + 7 * Planting.Offset}.flac",
               graft.multimodal.FlacCodec.encodeFlac16(mono, 8000, 1,
                 blockSize = 256 + (id % 3).toInt * 128))
+          if (id % 250 == 0)
+            put(s"asset_${id + 8 * Planting.Offset}.aif",
+              AudioCodec.encodeAiff16(mono, 8000, 1))
+          if (id % 300 == 0)
+            put(s"asset_${id + 9 * Planting.Offset}.wav",
+              AudioCodec.encodeWav24(mono.map(_ * 256), 8000, 1))
+          if (id % 225 == 0) {
+            val st = new Array[Int](mono.length * 2)
+            var i = 0
+            while (i < mono.length) {
+              st(i * 2) = mono(i); st(i * 2 + 1) = mono(i); i += 1
+            }
+            put(s"asset_${id + 10 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16Ext(st, 8000, 2))
+          }
         }
       base
     }
@@ -602,7 +647,8 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 1200000, doc_id, FALSE FROM d WHERE doc_id % 375 = 0
          UNION ALL SELECT doc_id + 1300000, doc_id, FALSE FROM d WHERE doc_id % 250 = 0
          UNION ALL SELECT doc_id + 1400000, doc_id, FALSE FROM d WHERE doc_id % 450 = 0
-         UNION ALL SELECT doc_id + 1500000, doc_id, FALSE FROM d WHERE doc_id % 350 = 0)"""
+         UNION ALL SELECT doc_id + 1500000, doc_id, FALSE FROM d WHERE doc_id % 350 = 0
+         UNION ALL SELECT doc_id + 1600000, doc_id, FALSE FROM d WHERE doc_id % 500 = 0)"""
 
   /** The planted audio-asset schedule as a DuckDB CTE pair (shared by
     * the mm_audio_fp and pipeline_curate_v9 oracles) — decodable
@@ -617,7 +663,10 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 300000, doc_id, FALSE FROM d WHERE doc_id % 100 = 0
          UNION ALL SELECT doc_id + 400000, doc_id, TRUE  FROM d WHERE doc_id % 125 = 0
          UNION ALL SELECT doc_id + 500000, doc_id, FALSE FROM d WHERE doc_id % 150 = 0
-         UNION ALL SELECT doc_id + 700000, doc_id, FALSE FROM d WHERE doc_id % 200 = 0)"""
+         UNION ALL SELECT doc_id + 700000, doc_id, FALSE FROM d WHERE doc_id % 200 = 0
+         UNION ALL SELECT doc_id + 800000, doc_id, FALSE FROM d WHERE doc_id % 250 = 0
+         UNION ALL SELECT doc_id + 900000, doc_id, FALSE FROM d WHERE doc_id % 300 = 0
+         UNION ALL SELECT doc_id + 1000000, doc_id, FALSE FROM d WHERE doc_id % 225 = 0)"""
 
   /** The dHash-recomputation tail over an `assets(asset_id, scene,
     * pert)` CTE: md5-mixed 8×8 block luma → horizontal gradient signs
@@ -687,10 +736,11 @@ object MultimodalOps extends QueryModule {
     // variant (md5 mixing keeps distinct scenes ~32 fingerprint bits
     // apart — far beyond maxDist=2 — and the perturbed variant moves
     // at most the 2 gradients adjacent to segment 37: within it).
-    // %100 implies %50, %150 implies %75, and %200 (FLAC) implies
-    // %50/%100, so only %50/%75/%125 widen the canonical-member
-    // condition; the %175 corrupt family never enters the candidate
-    // space.
+    // %100 implies %50, %150 implies %75, %200 (FLAC) implies
+    // %50/%100, %250 (AIFF) implies %50/%125, %300 (24-bit) implies
+    // %50/%75/%100/%150, and %225 (extensible) implies %75 — so only
+    // %50/%75/%125 widen the canonical-member condition; the %175
+    // corrupt family never enters the candidate space.
     "mm_audio_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          m AS (
@@ -701,7 +751,10 @@ object MultimodalOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 300000 FROM d WHERE doc_id % 100 = 0
            UNION ALL SELECT doc_id, doc_id + 400000 FROM d WHERE doc_id % 125 = 0
            UNION ALL SELECT doc_id, doc_id + 500000 FROM d WHERE doc_id % 150 = 0
-           UNION ALL SELECT doc_id, doc_id + 700000 FROM d WHERE doc_id % 200 = 0)
+           UNION ALL SELECT doc_id, doc_id + 700000 FROM d WHERE doc_id % 200 = 0
+           UNION ALL SELECT doc_id, doc_id + 800000 FROM d WHERE doc_id % 250 = 0
+           UNION ALL SELECT doc_id, doc_id + 900000 FROM d WHERE doc_id % 300 = 0
+           UNION ALL SELECT doc_id, doc_id + 1000000 FROM d WHERE doc_id % 225 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids
@@ -766,9 +819,9 @@ object MultimodalOps extends QueryModule {
     // %225 imply %50 or %75, so only %275, %325, %425, and %475 (the
     // only-variant color/palette/JPEG/GIF families) widen the
     // canonical-member condition; %375 (interlaced GIF) implies %75,
-    // %250 (16-bit PNG) implies %50, and %450 (progressive JPEG)
-    // implies %50/%75, and %350 (Adam7 PNG) implies %50, so those add
-    // members, never new clusters.
+    // %250 (16-bit PNG) implies %50, %450 (progressive JPEG) implies
+    // %50/%75, %350 (Adam7 PNG) implies %50, and %500 (TIFF) implies
+    // %50/%100/%125, so those add members, never new clusters.
     "mm_dedup_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          m AS (
@@ -789,7 +842,8 @@ object MultimodalOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 1200000 FROM d WHERE doc_id % 375 = 0
            UNION ALL SELECT doc_id, doc_id + 1300000 FROM d WHERE doc_id % 250 = 0
            UNION ALL SELECT doc_id, doc_id + 1400000 FROM d WHERE doc_id % 450 = 0
-           UNION ALL SELECT doc_id, doc_id + 1500000 FROM d WHERE doc_id % 350 = 0)
+           UNION ALL SELECT doc_id, doc_id + 1500000 FROM d WHERE doc_id % 350 = 0
+           UNION ALL SELECT doc_id, doc_id + 1600000 FROM d WHERE doc_id % 500 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids

@@ -23,7 +23,7 @@ class AudioCodecSpec extends AnyFunSuite {
   test("WAV round-trip: mono samples decode bit-identically") {
     for ((n, rate) <- Seq((64, 8000), (1600, 16000), (2531, 44100), (1, 8000))) {
       val s = noisy(n, rate)
-      val d = AudioCodec.decodePcm16(AudioCodec.encodeWav16(s, rate, 1))
+      val d = AudioCodec.decodePcmWav(AudioCodec.encodeWav16(s, rate, 1))
       assert(d.isDefined, s"n=$n")
       assert(d.get.sampleRate === rate)
       assert(d.get.samples.toSeq === s.toSeq, s"n=$n rate=$rate")
@@ -34,7 +34,7 @@ class AudioCodecSpec extends AnyFunSuite {
     // interleave L,R with distinct channels incl. negative asymmetry
     val frames = Array(100, 101, -5, -6, 32767, 32766, -32768, -32767,
       0, 1, 7, -8)
-    val d = AudioCodec.decodePcm16(AudioCodec.encodeWav16(frames, 8000, 2))
+    val d = AudioCodec.decodePcmWav(AudioCodec.encodeWav16(frames, 8000, 2))
     assert(d.isDefined)
     val expect = frames.grouped(2)
       .map(p => Math.floorDiv(p(0) + p(1), 2)).toSeq
@@ -43,7 +43,7 @@ class AudioCodecSpec extends AnyFunSuite {
     val mono = noisy(200, 3)
     val st = new Array[Int](400)
     for (i <- 0 until 200) { st(2 * i) = mono(i); st(2 * i + 1) = mono(i) }
-    assert(AudioCodec.decodePcm16(AudioCodec.encodeWav16(st, 8000, 2)).get
+    assert(AudioCodec.decodePcmWav(AudioCodec.encodeWav16(st, 8000, 2)).get
       .samples.toSeq === mono.toSeq)
   }
 
@@ -52,10 +52,10 @@ class AudioCodecSpec extends AnyFunSuite {
     val plain = AudioCodec.encodeWav16(s, 8000, 1)
     val tagged = AudioCodec.encodeWav16(s, 8000, 1, Some("re-encoded"))
     assert(!tagged.sameElements(plain))            // bytes differ
-    assert(AudioCodec.decodePcm16(tagged).get.samples.toSeq === s.toSeq)
+    assert(AudioCodec.decodePcmWav(tagged).get.samples.toSeq === s.toSeq)
     // odd-length tag exercises the word-alignment pad byte
     val odd = AudioCodec.encodeWav16(s, 8000, 1, Some("x"))
-    assert(AudioCodec.decodePcm16(odd).get.samples.toSeq === s.toSeq)
+    assert(AudioCodec.decodePcmWav(odd).get.samples.toSeq === s.toSeq)
   }
 
   test("energyEnvelope: exact recovery of block-constant envelopes at any n >= 64") {
@@ -176,5 +176,82 @@ class AudioCodecSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_members"),
         r.getAs[String]("member_ids")))
     assert(out.toSeq === Seq((1L, 4L, "1,2,3,4"), (5L, 2L, "5,6")))
+  }
+
+  test("AIFF round-trip: big-endian samples and 80-bit extended rate decode exactly") {
+    for ((n, rate, ch) <- Seq((64, 8000, 1), (1600, 44100, 1),
+        (301, 48000, 1), (200, 8000, 2))) {
+      val s = noisy(n * ch, rate + ch)
+      val d = AudioCodec.decodeAiff16(AudioCodec.encodeAiff16(s, rate, ch))
+      assert(d.isDefined, s"n=$n rate=$rate ch=$ch")
+      assert(d.get.sampleRate === rate)
+      val expect = if (ch == 1) s.toSeq
+        else s.grouped(2).map(p => Math.floorDiv(p(0) + p(1), 2)).toSeq
+      assert(d.get.samples.toSeq === expect, s"n=$n rate=$rate ch=$ch")
+    }
+  }
+
+  test("24-bit WAV round-trip: 3-byte samples sign-extend exactly") {
+    val s = Array(0, 1, -1, 8388607, -8388608, 256 * 16320, -256 * 16320,
+      65536, -65537)
+    val d = AudioCodec.decodePcmWav(AudioCodec.encodeWav24(s, 8000, 1))
+    assert(d.isDefined)
+    assert(d.get.samples.toSeq === s.toSeq)
+    // the remaster law: x256 samples scale the envelope x256 and leave
+    // the fingerprint identical (gradient signs never reorder)
+    val env = AudioCodec.sceneEnvelope(777L)
+    val mono = AudioCodec.renderEnvelope(env, 1600)
+    val h16 = AudioCodec.afp(AudioCodec.encodeWav16(mono, 8000, 1)).get
+    val h24 = AudioCodec.afp(
+      AudioCodec.encodeWav24(mono.map(_ * 256), 8000, 1)).get
+    assert(h16 === h24)
+    assert(AudioCodec.decodeAudio(
+      AudioCodec.encodeWav24(mono.map(_ * 256), 8000, 1)).get
+      .samples.toSeq === mono.map(_ * 256).toSeq)
+  }
+
+  test("WAVE_FORMAT_EXTENSIBLE decodes through the PCM GUID; wrong GUID rejects") {
+    val env = AudioCodec.sceneEnvelope(778L)
+    val mono = AudioCodec.renderEnvelope(env, 1600)
+    val st = new Array[Int](mono.length * 2)
+    for (i <- mono.indices) { st(2 * i) = mono(i); st(2 * i + 1) = mono(i) }
+    val ext = AudioCodec.encodeWav16Ext(st, 8000, 2)
+    val d = AudioCodec.decodePcmWav(ext)
+    assert(d.isDefined)
+    assert(d.get.samples.toSeq === mono.toSeq)    // L=R downmix exact
+    assert(AudioCodec.afp(ext).get ===
+      AudioCodec.afp(AudioCodec.encodeWav16(mono, 8000, 1)).get)
+    // clobber one GUID byte: the subformat is no longer PCM
+    val guidAt = ext.length - st.length * 2 - 8 - 16
+    assert(AudioCodec.decodePcmWav(
+      ext.updated(guidAt, 0x55.toByte)).isEmpty)
+    // mono form round-trips too
+    val extMono = AudioCodec.encodeWav16Ext(mono, 8000, 1)
+    assert(AudioCodec.decodePcmWav(extMono).get.samples.toSeq === mono.toSeq)
+  }
+
+  test("cross-container copies fingerprint identically; hostile AIFF inputs return None") {
+    val env = AudioCodec.sceneEnvelope(779L)
+    val mono = AudioCodec.renderEnvelope(env, 1600)
+    val wav = AudioCodec.encodeWav16(mono, 8000, 1)
+    val aif = AudioCodec.encodeAiff16(mono, 8000, 1)
+    assert(!java.util.Arrays.equals(wav, aif))
+    assert(AudioCodec.afp(aif).get === AudioCodec.afp(wav).get)
+    // truncations at every byte never throw; cuts losing COMM or
+    // sample bytes return None or fewer-but-exact samples
+    for (n <- 0 until 40)
+      assert(AudioCodec.decodeAiff16(aif.take(n)).isEmpty, s"take($n)")
+    // a declared SSND size past the buffer
+    assert(AudioCodec.decodeAiff16(aif.take(aif.length - 1)).isEmpty)
+    // negative / non-integral rate exponent rejects
+    val commAt = aif.indexOfSlice("COMM".getBytes("US-ASCII"))
+    val badRate = aif.clone()
+    badRate(commAt + 16) = 0x80.toByte   // sign bit: negative rate
+    assert(AudioCodec.decodeAiff16(badRate).isEmpty)
+    assert(AudioCodec.decodeAiff16("FORMxxxxAIFF".getBytes).isEmpty)
+    assert(AudioCodec.decodeAiff16(Array.empty).isEmpty)
+    // an AIFF is not a WAV and vice versa — the chain dispatches
+    assert(AudioCodec.decodePcmWav(aif).isEmpty)
+    assert(AudioCodec.decodeAiff16(wav).isEmpty)
   }
 }

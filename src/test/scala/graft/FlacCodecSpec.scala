@@ -49,7 +49,7 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(d.get.samples.toSeq === expect.toSeq)
     // identical downmix to the WAV encoding of the same interleaved
     // frames — the cross-container identity the fixture tier leans on
-    val wav = AudioCodec.decodePcm16(
+    val wav = AudioCodec.decodePcmWav(
       AudioCodec.encodeWav16(inter, 16000, 2)).get
     assert(d.get.samples.toSeq === wav.samples.toSeq)
   }
