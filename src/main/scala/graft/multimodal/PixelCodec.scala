@@ -393,6 +393,7 @@ object PixelCodec {
       .orElse(JpegCodec.decodeJpeg(b))
       .orElse(GifCodec.decodeGif(b))
       .orElse(TiffCodec.decodeTiff(b))
+      .orElse(WebpCodec.decodeWebp(b))
 
   /** Downsample to an 8×8 luma grid (row-major, 64 ints) by BIN
     * PARTITION: pixel (x, y) belongs to cell (⌊8x/w⌋, ⌊8y/h⌋), each

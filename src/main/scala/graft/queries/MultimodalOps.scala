@@ -237,7 +237,18 @@ object MultimodalOps extends QueryModule {
     *                        WhiteIsZero inverted storage for the
     *                        %1500-not-%1000 ids (500 = 2²5³ shares
     *                        %50/%100/%125 — members only, no new
-    *                        clusters).
+    *                        clusters);
+    *   +17·Offset (id%200): lossless WebP — REAL RFC 9649 VP8L decode
+    *                        ([[graft.multimodal.WebpCodec]]): gray
+    *                        with the predictor transform at varying
+    *                        tile sizes (modes cycle all 14 laws),
+    *                        LZ77 + 2D distance map (200 = 2³5²
+    *                        shares %50/%100 — members only);
+    *   +18·Offset (id%300): lossless WebP, colorized — cross-color +
+    *                        subtract-green transforms and an 8-bit
+    *                        color cache over [[PixelCodec.colorize]]
+    *                        pixels (BT.601-exact luma; 300 = 2²·3·5²
+    *                        shares %50/%75/%100/%150 — members only).
     * Block-constant tiles (and [[PixelCodec.renderGridSized]]'s
     * bin-rule coloring at odd sizes) make every rendering resample
     * exactly back to the scene grid, so expected hashes (and clusters)
@@ -329,6 +340,16 @@ object MultimodalOps extends QueryModule {
                 littleEndian = id % 1000 != 0,
                 packBitsComp = true, rowsPerStrip = 16,
                 whiteIsZero = id % 1500 == 0 && id % 1000 != 0))
+          if (id % 200 == 0)
+            put(s"asset_${id + 17 * Planting.Offset}.webp",
+              graft.multimodal.WebpEncoder.encodeWebp(
+                PixelCodec.renderGrid(grid, 64), salt = (id % 13).toInt,
+                predictorBits = 2 + (id % 4).toInt))
+          if (id % 300 == 0)
+            put(s"asset_${id + 18 * Planting.Offset}.webp",
+              graft.multimodal.WebpEncoder.encodeWebp(
+                PixelCodec.renderGrid(grid, 64), salt = (id % 9).toInt,
+                color = true, crossColor = true, cacheBits = 8))
           // corrupt variant (id%175, +5·Offset): a truncated PNG — the
           // IDAT stream cuts off mid-deflate, so pixel decode MUST
           // return None. Exercises the hostile-input path end-to-end:
@@ -648,7 +669,9 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 1300000, doc_id, FALSE FROM d WHERE doc_id % 250 = 0
          UNION ALL SELECT doc_id + 1400000, doc_id, FALSE FROM d WHERE doc_id % 450 = 0
          UNION ALL SELECT doc_id + 1500000, doc_id, FALSE FROM d WHERE doc_id % 350 = 0
-         UNION ALL SELECT doc_id + 1600000, doc_id, FALSE FROM d WHERE doc_id % 500 = 0)"""
+         UNION ALL SELECT doc_id + 1600000, doc_id, FALSE FROM d WHERE doc_id % 500 = 0
+         UNION ALL SELECT doc_id + 1700000, doc_id, FALSE FROM d WHERE doc_id % 200 = 0
+         UNION ALL SELECT doc_id + 1800000, doc_id, FALSE FROM d WHERE doc_id % 300 = 0)"""
 
   /** The planted audio-asset schedule as a DuckDB CTE pair (shared by
     * the mm_audio_fp and pipeline_curate_v9 oracles) — decodable
@@ -820,8 +843,9 @@ object MultimodalOps extends QueryModule {
     // only-variant color/palette/JPEG/GIF families) widen the
     // canonical-member condition; %375 (interlaced GIF) implies %75,
     // %250 (16-bit PNG) implies %50, %450 (progressive JPEG) implies
-    // %50/%75, %350 (Adam7 PNG) implies %50, and %500 (TIFF) implies
-    // %50/%100/%125, so those add members, never new clusters.
+    // %50/%75, %350 (Adam7 PNG) implies %50, %500 (TIFF) implies
+    // %50/%100/%125, and the WebP families %200/%300 imply %50 and
+    // %50/%75/%100/%150, so those add members, never new clusters.
     "mm_dedup_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          m AS (
@@ -843,7 +867,9 @@ object MultimodalOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 1300000 FROM d WHERE doc_id % 250 = 0
            UNION ALL SELECT doc_id, doc_id + 1400000 FROM d WHERE doc_id % 450 = 0
            UNION ALL SELECT doc_id, doc_id + 1500000 FROM d WHERE doc_id % 350 = 0
-           UNION ALL SELECT doc_id, doc_id + 1600000 FROM d WHERE doc_id % 500 = 0)
+           UNION ALL SELECT doc_id, doc_id + 1600000 FROM d WHERE doc_id % 500 = 0
+           UNION ALL SELECT doc_id, doc_id + 1700000 FROM d WHERE doc_id % 200 = 0
+           UNION ALL SELECT doc_id, doc_id + 1800000 FROM d WHERE doc_id % 300 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids
