@@ -463,14 +463,18 @@ object Multimodal {
   /** Animated-clip frame decode across the supported containers:
     * GIF (still/interlaced/animated — [[GifCodec.decodeGifFrames]]),
     * MJPEG-in-MP4 ([[Mp4Codec.decodeMjpegFrames]] — the `stbl`
-    * sample-table walk feeding per-sample JPEG decode), and MJPEG AVI
+    * sample-table walk feeding per-sample JPEG decode), MJPEG AVI
     * ([[AviCodec.decodeMjpegFrames]] — the RIFF `movi` chunk walk,
-    * `rec ` grouping included). ONE seam for the whole frame tier:
+    * `rec ` grouping included), and animated WebP
+    * ([[WebpCodec.decodeWebpFrames]] — VP8X/ANIM/ANMF sub-rect
+    * compositing over lossless VP8L frames). ONE seam for the whole
+    * frame tier:
     * sampling, dense hashing, and streamed clip admission all decode
     * through here, so a new container lands in every path at once. */
   def decodeClipFrames(b: Array[Byte]): Option[Seq[PixelCodec.Gray]] =
     GifCodec.decodeGifFrames(b).orElse(Mp4Codec.decodeMjpegFrames(b))
       .orElse(AviCodec.decodeMjpegFrames(b))
+      .orElse(WebpCodec.decodeWebpFrames(b))
 
   /** Uniform frame sampling over animated media — the multimodal
     * "frame-sample" primitive: decode a clip's frames

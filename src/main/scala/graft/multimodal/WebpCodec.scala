@@ -88,6 +88,126 @@ object WebpCodec {
     None
   }
 
+  // ---- animation (VP8X + ANIM/ANMF container walk) ----
+
+  private val MaxFrames = 256
+
+  /** Decode an animated (or simple lossless) WebP to its composited
+    * frame sequence — the clip-tier analog of [[decodeWebp]]: VP8X
+    * canvas dims, ANIM background color, then per-ANMF sub-rect
+    * compositing (x/y stored halved per the container spec; disposal
+    * none / to-background honored after each emit). Frames must be
+    * opaque VP8L: lossy VP8 payloads, ALPH chunks, or an
+    * alpha-hinted frame under use-alpha blending return None — the
+    * luma canvas cannot honor translucent composition, so such clips
+    * drop at the decode gate rather than land wrong pixels. */
+  def decodeWebpFrames(b: Array[Byte]): Option[Seq[Gray]] =
+    try decodeFrames0(b)
+    catch { case _: RuntimeException => None }
+
+  private def decodeFrames0(b: Array[Byte]): Option[Seq[Gray]] = {
+    if (b.length < 20 || fourcc(b, 0) != "RIFF" ||
+        fourcc(b, 8) != "WEBP") return None
+    // a clip truncated at a chunk boundary must NOT surface as a
+    // shorter-but-valid clip (the admission tier would mis-pair it):
+    // the declared RIFF extent has to be fully present
+    if (8 + le32(b, 4) > b.length) return None
+    val riffEnd = math.min(b.length.toLong, 8 + le32(b, 4)).toInt
+    var canvasW = -1
+    var canvasH = -1
+    var animated = false
+    var bgLuma = 0
+    var canvas: Array[Int] = null
+    val frames = Seq.newBuilder[Gray]
+    var n = 0
+    var p = 12
+    while (p + 8 <= riffEnd) {
+      val sz = le32(b, p + 4)
+      if (sz < 0 || p + 8 + sz > riffEnd) return None
+      val body = p + 8
+      fourcc(b, p) match {
+        case "VP8L" if !animated =>        // simple lossless image
+          return decodeVp8l(b, body, (body + sz).toInt).map(Seq(_))
+        case "VP8 " => return None         // lossy
+        case "ALPH" => return None         // alpha plane unsupported
+        case "VP8X" =>
+          if (sz < 10) return None
+          animated = (u8(b, body) & 0x02) != 0
+          canvasW = 1 + le24(b, body + 4)
+          canvasH = 1 + le24(b, body + 7)
+          if (canvasW.toLong * canvasH > (1L << 26)) return None
+        case "ANIM" =>
+          if (sz < 6 || !animated) return None
+          // background color in [B, G, R, A] byte order
+          bgLuma = lum(u8(b, body + 2), u8(b, body + 1), u8(b, body))
+        case "ANMF" =>
+          if (!animated || canvasW < 0 || sz < 16) return None
+          if (canvas == null)
+            canvas = Array.fill(canvasW * canvasH)(bgLuma)
+          n += 1
+          if (n > MaxFrames) return None
+          val fx = 2 * le24(b, body)
+          val fy = 2 * le24(b, body + 3)
+          val fw = 1 + le24(b, body + 6)
+          val fh = 1 + le24(b, body + 9)
+          val flags = u8(b, body + 15)
+          val dispose = (flags & 1) != 0
+          val blend = (flags & 2) == 0     // 0 = use alpha blending
+          if (fx + fw > canvasW || fy + fh > canvasH) return None
+          // frame data: its own chunk(s); expect exactly one VP8L
+          val fEnd = (body + sz).toInt
+          var q = body + 16
+          var sub: Option[Gray] = None
+          while (q + 8 <= fEnd && sub.isEmpty) {
+            val csz = le32(b, q + 4)
+            if (csz < 0 || q + 8 + csz > fEnd) return None
+            fourcc(b, q) match {
+              case "VP8L" =>
+                // an alpha-hinted frame under use-alpha blending
+                // could be translucent — the luma canvas can't
+                // honor it
+                // the hint is bit 28 after the signature (LSB-first):
+                // byte sig+4, bit 4
+                if (blend && q + 8 < fEnd &&
+                    u8(b, q + 8) == 0x2f && q + 13 <= fEnd &&
+                    ((u8(b, q + 12) >> 4) & 1) == 1) return None
+                sub = decodeVp8l(b, q + 8, (q + 8 + csz).toInt)
+                if (sub.isEmpty) return None
+                if (sub.get.width != fw || sub.get.height != fh)
+                  return None
+              case "VP8 " | "ALPH" => return None
+              case _ => ()                 // unknown: skip
+            }
+            q += 8 + csz.toInt + (csz.toInt & 1)
+          }
+          if (sub.isEmpty) return None
+          val g = sub.get
+          var y = 0
+          while (y < fh) {
+            System.arraycopy(g.luma, y * fw, canvas,
+              (fy + y) * canvasW + fx, fw)
+            y += 1
+          }
+          frames += Gray(canvasW, canvasH, canvas.clone())
+          if (dispose) {
+            var yy = 0
+            while (yy < fh) {
+              java.util.Arrays.fill(canvas, (fy + yy) * canvasW + fx,
+                (fy + yy) * canvasW + fx + fw, bgLuma)
+              yy += 1
+            }
+          }
+        case _ => ()                       // metadata chunks: skip
+      }
+      p += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    val out = frames.result()
+    if (out.isEmpty) None else Some(out)
+  }
+
+  private def le24(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+
   private def decodeVp8l(b: Array[Byte], from: Int,
       until: Int): Option[Gray] = {
     if (from >= until || u8(b, from) != 0x2f) return None

@@ -45,7 +45,16 @@ object WebpEncoder {
   def encodeWebp(img: Gray, salt: Int = 0, color: Boolean = false,
       subtractGreen: Boolean = true, predictorBits: Int = 0,
       crossColor: Boolean = false, cacheBits: Int = 0,
-      palette: Boolean = false, lz77: Boolean = true): Array[Byte] = {
+      palette: Boolean = false, lz77: Boolean = true): Array[Byte] =
+    wrapRiff(vp8lPayload(img, salt, color, subtractGreen,
+      predictorBits, crossColor, cacheBits, palette, lz77))
+
+  /** The VP8L chunk payload (signature byte + bitstream) — shared by
+    * the still wrap and the per-ANMF frames of the animation
+    * encoder. */
+  private def vp8lPayload(img: Gray, salt: Int, color: Boolean,
+      subtractGreen: Boolean, predictorBits: Int, crossColor: Boolean,
+      cacheBits: Int, palette: Boolean, lz77: Boolean): Array[Byte] = {
     val w = img.width; val h = img.height
     require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384, "dims")
     require(cacheBits >= 0 && cacheBits <= 11, "cacheBits")
@@ -169,7 +178,102 @@ object WebpEncoder {
     }
     bw.writeBits(0, 1)                     // no more transforms
     writeImageData(bw, px, effW, h, isMain = true, cacheBits, lz77)
-    wrapRiff(Array[Byte](0x2f) ++ bw.result())
+    Array[Byte](0x2f) ++ bw.result()
+  }
+
+  /** Animated WebP: VP8X (animation flag, canvas dims) + ANIM
+    * (background color) + one ANMF per frame, each a lossless VP8L
+    * payload. `deltaRect` encodes frames 1+ as the even-aligned
+    * bounding rect of pixels changed since the previous frame (the
+    * container stores x/2, y/2, so offsets round DOWN to even and the
+    * rect widens to cover); otherwise every frame is full-canvas.
+    * Frames are opaque, blend = do-not-blend, disposal none (or
+    * to-background on every frame when `disposeBg` — which forces
+    * full-canvas rects so the composited result is frame-identical
+    * either way on our evolution clips). */
+  def encodeWebpAnimated(frames: Seq[Gray], salt: Int = 0,
+      deltaRect: Boolean = true, color: Boolean = false,
+      disposeBg: Boolean = false,
+      bg: (Int, Int, Int) = (0, 0, 0)): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    val w = frames.head.width; val h = frames.head.height
+    require(frames.forall(f => f.width == w && f.height == h), "dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Int, nBytes: Int): Unit = {
+      var i = 0
+      while (i < nBytes) { out.write((v >> (8 * i)) & 0xff); i += 1 }
+    }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def chunk(fc: String, body: Array[Byte]): Unit = {
+      tag(fc); le(body.length, 4); out.write(body)
+      if ((body.length & 1) == 1) out.write(0)
+    }
+    // VP8X: flags (animation), 3 reserved, canvas w-1 / h-1 (24-bit)
+    val vp8x = new java.io.ByteArrayOutputStream()
+    vp8x.write(0x02); vp8x.write(0); vp8x.write(0); vp8x.write(0)
+    def le24(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff); o.write((v >> 16) & 0xff)
+    }
+    le24(vp8x, w - 1); le24(vp8x, h - 1)
+    chunk("VP8X", vp8x.toByteArray)
+    // ANIM: background color [B, G, R, A] + loop count
+    val (br, bgG, bb) = bg
+    chunk("ANIM", Array[Byte](bb.toByte, bgG.toByte, br.toByte,
+      0xff.toByte, 0, 0))
+    var prev: Gray = null
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val (fx, fy, fw, fh) =
+        if (i == 0 || !deltaRect || disposeBg) (0, 0, w, h)
+        else {
+          var x0 = w; var y0 = h; var x1 = -1; var y1 = -1
+          var j = 0
+          while (j < f.luma.length) {
+            if (f.luma(j) != prev.luma(j)) {
+              val x = j % w; val y = j / w
+              if (x < x0) x0 = x
+              if (x > x1) x1 = x
+              if (y < y0) y0 = y
+              if (y > y1) y1 = y
+            }
+            j += 1
+          }
+          if (x1 < 0) (0, 0, 2, 2)         // identical frame: tiny rect
+          else {
+            val ex = x0 & ~1; val ey = y0 & ~1  // even-aligned origin
+            (ex, ey, x1 - ex + 1, y1 - ey + 1)
+          }
+        }
+      val sub =
+        if (fw == w && fh == h) f
+        else Gray(fw, fh, Array.tabulate(fw * fh)(j =>
+          f.luma((fy + j / fw) * w + fx + j % fw)))
+      val payload = vp8lPayload(sub, salt = salt + i, color = color,
+        subtractGreen = true, predictorBits = 0,
+        crossColor = color, cacheBits = if (i % 2 == 0) 6 else 0,
+        palette = false, lz77 = true)
+      val anmf = new java.io.ByteArrayOutputStream()
+      le24(anmf, fx / 2); le24(anmf, fy / 2)
+      le24(anmf, fw - 1); le24(anmf, fh - 1)
+      le24(anmf, 40)                       // duration ms
+      anmf.write(0x02 | (if (disposeBg) 1 else 0)) // no-blend (+dispose)
+      anmf.write("VP8L".getBytes("US-ASCII"))
+      val pl = payload.length
+      anmf.write(pl & 0xff); anmf.write((pl >> 8) & 0xff)
+      anmf.write((pl >> 16) & 0xff); anmf.write((pl >> 24) & 0xff)
+      anmf.write(payload)
+      if ((pl & 1) == 1) anmf.write(0)
+      chunk("ANMF", anmf.toByteArray)
+      prev = f
+    }
+    val body = out.toByteArray
+    val riff = new java.io.ByteArrayOutputStream()
+    def rle32(v: Int): Unit = {
+      riff.write(v & 0xff); riff.write((v >> 8) & 0xff)
+      riff.write((v >> 16) & 0xff); riff.write((v >> 24) & 0xff)
+    }
+    riff.write("RIFF".getBytes("US-ASCII")); rle32(4 + body.length)
+    riff.write("WEBP".getBytes("US-ASCII")); riff.write(body)
+    riff.toByteArray
   }
 
   private def divCeil(a: Int, b: Int): Int = (a + b - 1) / b

@@ -79,7 +79,17 @@ object MultimodalFrameOps extends QueryModule {
     *   +5·Offset (id%175): corrupt — the stream truncated at half, so
     *                        the frames walker MUST return None and the
     *                        clip drops at the decode gate (never
-    *                        reaches either oracle). */
+    *                        reaches either oracle);
+    *   +6·Offset (id%150): an animated WebP — the SAME frames in the
+    *                        VP8X/ANIM/ANMF container
+    *                        ([[graft.multimodal.WebpCodec
+    *                        .decodeWebpFrames]]): frames 1+ are
+    *                        even-aligned changed-pixel sub-rects of
+    *                        lossless VP8L, composited on decode.
+    *                        Colorized (BT.601-exact) for %450. 150
+    *                        implies %50 (pairs with clip AND still);
+    *                        %300 adds the re-edit/MP4 pairs and %600
+    *                        the AVI pair. */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -121,6 +131,10 @@ object MultimodalFrameOps extends QueryModule {
             put(s"asset_${id + 5 * Planting.Offset}.gif",
               full.take(full.length / 2))
           }
+          if (id % 150 == 0)
+            put(s"asset_${id + 6 * Planting.Offset}.webp",
+              graft.multimodal.WebpEncoder.encodeWebpAnimated(frames,
+                salt = (id % 5).toInt, color = id % 450 == 0))
         }
       base
     }
@@ -225,7 +239,9 @@ object MultimodalFrameOps extends QueryModule {
          UNION ALL SELECT doc_id + 300000, doc_id, (doc_id % 4) + 3 FROM d
            WHERE doc_id % 300 = 0
          UNION ALL SELECT doc_id + 400000, doc_id, (doc_id % 4) + 3 FROM d
-           WHERE doc_id % 600 = 0)"""
+           WHERE doc_id % 600 = 0
+         UNION ALL SELECT doc_id + 600000, doc_id, (doc_id % 4) + 3 FROM d
+           WHERE doc_id % 150 = 0)"""
 
   /** The frame-evolution luma at cell (gx, gy) of frame `fno` of
     * `scene` as DuckDB SQL — ONE rendering shared by the
@@ -307,7 +323,10 @@ object MultimodalFrameOps extends QueryModule {
     // the still shares frame 0 with its clip (distance 0); the re-edit
     // and the MP4 (cross-container, %300 implies %50 AND %100 so both
     // still and re-edit exist beside it) share every frame with all of
-    // them; the AVI (%600 implies %50/%100/%300) pairs with all four.
+    // them; the AVI (%600 implies %50/%100/%300) pairs with all four;
+    // the animated WebP (%150 implies %50) pairs with clip and still
+    // always, with the re-edit and MP4 when %300 (lcm(100,150) and
+    // lcm(300,150)), and with the AVI when %600.
     // Distinct scenes are ~32 bits apart (md5 mixing), far beyond
     // maxDist=2, and within-clip frame pairs are excluded by
     // definition — so no other pair qualifies.
@@ -333,6 +352,16 @@ object MultimodalFrameOps extends QueryModule {
            UNION ALL SELECT doc_id + 200000, doc_id + 400000 FROM d
              WHERE doc_id % 600 = 0
            UNION ALL SELECT doc_id + 300000, doc_id + 400000 FROM d
+             WHERE doc_id % 600 = 0
+           UNION ALL SELECT doc_id, doc_id + 600000 FROM d
+             WHERE doc_id % 150 = 0
+           UNION ALL SELECT doc_id + 100000, doc_id + 600000 FROM d
+             WHERE doc_id % 150 = 0
+           UNION ALL SELECT doc_id + 200000, doc_id + 600000 FROM d
+             WHERE doc_id % 300 = 0
+           UNION ALL SELECT doc_id + 300000, doc_id + 600000 FROM d
+             WHERE doc_id % 300 = 0
+           UNION ALL SELECT doc_id + 400000, doc_id + 600000 FROM d
              WHERE doc_id % 600 = 0)
          SELECT clip_a, clip_b FROM p ORDER BY clip_a, clip_b""",
   )

@@ -55,6 +55,9 @@ object MultimodalStreamOps extends QueryModule {
             PixelCodec.encodeGray8Png(PixelCodec.renderGrid(p, 64))
           case 5 => JpegCodec.encodeJpeg(PixelCodec.renderGrid(grid, 64),
             color = true, ySampH = 2, ySampV = 2, restartInterval = 3)
+          case 6 => graft.multimodal.WebpEncoder.encodeWebp(
+            PixelCodec.renderGrid(grid, 64), salt = (scene % 7).toInt,
+            color = true, crossColor = true, cacheBits = 6)
           case _ => PixelCodec.encodeGray8Png(
             PixelCodec.renderGrid(grid, 64)).take(60)
         }
@@ -99,7 +102,9 @@ object MultimodalStreamOps extends QueryModule {
     * 5 MJPEG-MP4 re-render — the SAME frames in a true video
     * container: the cross-FORMAT copy the stream must reject at
     * dist 0 through the shared decode seam (the clip analog of the
-    * image tier's baseline-JPEG copies). */
+    * image tier's baseline-JPEG copies), 6 animated-WebP re-render
+    * (VP8X/ANMF sub-rect VP8L frames) — a second cross-format copy
+    * rejected the same way. */
   private def clipPayloads(scenes: DataFrame): DataFrame = {
     val s = scenes.sparkSession
     import s.implicits._
@@ -121,6 +126,8 @@ object MultimodalStreamOps extends QueryModule {
             salt = (scene % 5).toInt)
           case 5 => graft.multimodal.Mp4Codec.encodeMjpegMp4(frames(),
             chunkSize = 2)
+          case 6 => graft.multimodal.WebpEncoder.encodeWebpAnimated(
+            frames(), salt = (scene % 5).toInt)
           case _ =>
             val full = GifCodec.encodeGifAnimated(frames(), salt = 3)
             full.take(full.length / 2)
@@ -134,8 +141,9 @@ object MultimodalStreamOps extends QueryModule {
     *   delivery A: %50 resized (+1·Offset) and %75 re-encoded
     *               (+2·Offset) copies of seeded scenes — plus %150
     *               cross-format re-renders (+6·Offset: baseline JPEG
-    *               on the image tier, MJPEG-MP4 on the clip tier) —
-    *               ALL rejected;
+    *               on the image tier, MJPEG-MP4 on the clip tier) and
+    *               %225 WebP re-renders (+7·Offset: lossless VP8L
+    *               still / animated VP8X clip) — ALL rejected;
     *   delivery B: %125 perturbed (+4·Offset, within maxDist) —
     *               rejected; %100 FRESH scenes (+3·Offset asset AND
     *               scene id — a scene space never seeded) — admitted;
@@ -164,11 +172,12 @@ object MultimodalStreamOps extends QueryModule {
       val base = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
         java.lang.Integer.toHexString(d.hashCode)
       val (src, cp, state) = (s"$base/src", s"$base/cp", s"$base/state")
-      // v3 on the clip tier: the r15 MP4-copy delivery changed its
-      // schedule, so v2 state dirs must rebuild
+      // schedule-version markers: the r15 WebP-copy delivery changed
+      // both the clip tier (v4) and the image tier (v3) — older state
+      // dirs must rebuild; the audio tier's schedule is unchanged (v2)
       val fp = graft.sources.FixtureMarker.fingerprint(
         java.nio.file.Paths.get(s"$d/documents.parquet"),
-        if (clipProtocol) "v3" else "v2")
+        if (clipProtocol) "v4" else if (jpegCopies) "v3" else "v2")
       val reusable = graft.sources.FixtureMarker.reusable(base, fp)
       if (!reusable) {
         graft.sources.TableSwap.deleteRecursively(
@@ -186,6 +195,7 @@ object MultimodalStreamOps extends QueryModule {
         // admitted-set oracles by construction)
         val incA = if (jpegCopies || clipProtocol)
           incA0.unionByName(sched(scenes, 150, 6 * Offset, 0, 5))
+            .unionByName(sched(scenes, 225, 7 * Offset, 0, 6))
           else incA0
         val incB = sched(scenes, 125, 4 * Offset, 0, 3)
           .unionByName(sched(scenes, 100, 3 * Offset, 3 * Offset, 0))

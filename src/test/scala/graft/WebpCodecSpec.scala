@@ -113,6 +113,75 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(d.isDefined && d.get.luma.toSeq === img.luma.toSeq)
   }
 
+  test("animated clips composite sub-rects back to the exact frames") {
+    val frames = graft.queries.MultimodalFrameOps.frameGrids(75L, 5)
+    for ((color, salt) <- Seq((false, 0), (true, 4))) {
+      val delta = WebpEncoder.encodeWebpAnimated(frames, salt,
+        deltaRect = true, color = color)
+      val full = WebpEncoder.encodeWebpAnimated(frames, salt,
+        deltaRect = false, color = color)
+      assert(!delta.sameElements(full))    // byte-distinct encodings
+      for (enc <- Seq(delta, full)) {
+        val dec = WebpCodec.decodeWebpFrames(enc)
+        assert(dec.isDefined && dec.get.length === frames.length)
+        dec.get.zip(frames).foreach { case (d, e) =>
+          assert(d.width === 64 && d.height === 64)
+          assert(d.luma.toSeq === e.luma.toSeq)
+        }
+      }
+    }
+    // dispose-to-background (full-canvas frames) lands the same frames
+    val disp = WebpCodec.decodeWebpFrames(
+      WebpEncoder.encodeWebpAnimated(frames, disposeBg = true,
+        bg = (200, 100, 50)))
+    assert(disp.isDefined)
+    disp.get.zip(frames).foreach { case (d, e) =>
+      assert(d.luma.toSeq === e.luma.toSeq)
+    }
+    // the clip seam dispatches WebP
+    val viaSeam = graft.multimodal.Multimodal.decodeClipFrames(
+      WebpEncoder.encodeWebpAnimated(frames))
+    assert(viaSeam.isDefined && viaSeam.get.length === frames.length)
+    // cross-container identity: the GIF rendering of the same frames
+    // decodes to identical pixels (the mm_frame_near planting law)
+    val gif = graft.multimodal.GifCodec.decodeGifFrames(
+      graft.multimodal.GifCodec.encodeGifAnimated(frames, salt = 2))
+    gif.get.zip(WebpCodec.decodeWebpFrames(
+      WebpEncoder.encodeWebpAnimated(frames)).get).foreach {
+      case (a, b) => assert(a.luma.toSeq === b.luma.toSeq)
+    }
+  }
+
+  test("animated: single-frame and simple-VP8L forms decode as 1-frame clips") {
+    val img = noisy(40, 24, 8)
+    val one = WebpCodec.decodeWebpFrames(
+      WebpEncoder.encodeWebpAnimated(Seq(img)))
+    assert(one.isDefined && one.get.length === 1)
+    assert(one.get.head.luma.toSeq === img.luma.toSeq)
+    val simple = WebpCodec.decodeWebpFrames(WebpEncoder.encodeWebp(img))
+    assert(simple.isDefined && simple.get.length === 1)
+    assert(simple.get.head.luma.toSeq === img.luma.toSeq)
+  }
+
+  test("animated hostile inputs return None and never throw") {
+    val frames = graft.queries.MultimodalFrameOps.frameGrids(100L, 4)
+    val enc = WebpEncoder.encodeWebpAnimated(frames)
+    // truncation at EVERY byte boundary — a clip cut at a chunk
+    // boundary must NOT surface as a shorter valid clip
+    for (n <- 0 until enc.length)
+      assert(WebpCodec.decodeWebpFrames(enc.take(n)).isEmpty,
+        s"truncated@$n")
+    // a lossy frame tag drops the whole clip
+    val lossy = enc.clone()
+    val at = lossy.indexOfSlice("VP8L".getBytes("US-ASCII").toSeq,
+      30) // first in-ANMF occurrence
+    System.arraycopy("VP8 ".getBytes, 0, lossy, at, 4)
+    assert(WebpCodec.decodeWebpFrames(lossy).isEmpty)
+    // garbage body never throws
+    WebpCodec.decodeWebpFrames(enc.take(40) ++
+      Array.fill[Byte](64)(0x3c))
+  }
+
   test("hostile inputs return None and never throw") {
     val img = noisy(24, 18, 2)
     val enc = WebpEncoder.encodeWebp(img, predictorBits = 3,
