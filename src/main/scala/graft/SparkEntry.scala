@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, EvalOps, GraphOps, Joins, LayoutOps, MultimodalFrameOps, MultimodalOps, MultimodalStreamOps, QueryModule, Relational, Retrieval, SamplingOps, SimOps, TokenOps, TrainPrep, Transforms, Windows}
+import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, EvalOps, GraphOps, Joins, LayoutOps, MultimodalFrameOps, MultimodalOps, MultimodalStreamOps, QueryModule, WarcOps, Relational, Retrieval, SamplingOps, SimOps, TokenOps, TrainPrep, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +32,7 @@ object SparkEntry {
     MultimodalOps,
     MultimodalFrameOps,
     MultimodalStreamOps,
+    WarcOps,
     EvalOps
   )
 

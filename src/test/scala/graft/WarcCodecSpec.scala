@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.WarcCodec
+import graft.sources.WarcCodec.WarcRecord
+
+/** The WARC (ISO 28500) crawl-container tier: record grammar round
+  * trips in both compressions, multi-member gzip, HTTP response
+  * unwrapping, non-response record passthrough, and the whole-file
+  * hostile-input discipline (any structural violation → None). */
+class WarcCodecSpec extends AnyFunSuite {
+
+  private def resp(id: Int, status: Int = 200,
+      body: String = "hello <b>world</b>"): Array[Byte] =
+    WarcCodec.encodeRecord("response", f"<urn:uuid:doc-$id%08d>",
+      s"https://example.org/doc/$id", "2026-01-01T00:00:00Z",
+      "application/http;msgtype=response",
+      WarcCodec.encodeHttpResponse(status, "OK",
+        "text/html; charset=UTF-8", body.getBytes("UTF-8")))
+
+  private def info(shard: Int): Array[Byte] =
+    WarcCodec.encodeRecord("warcinfo", f"<urn:uuid:info-$shard%02d>",
+      "", "2026-01-01T00:00:00Z", "application/warc-fields",
+      "software: graft-fixture\r\n".getBytes("UTF-8"))
+
+  test("plain and per-record-gzip round trips agree") {
+    val recs = Seq(info(0), resp(1), resp(2, 404), resp(3))
+    for (gz <- Seq(false, true)) {
+      val parsed = WarcCodec.parseWarc(WarcCodec.encodeWarc(recs, gz))
+      assert(parsed.isDefined, s"gz=$gz")
+      val v = parsed.get
+      assert(v.length === 4)
+      assert(v(0).warcType === "warcinfo" && v(0).httpStatus === 0)
+      assert(v(0).targetUri === "")
+      assert(new String(v(0).body, "UTF-8") ===
+        "software: graft-fixture\r\n")
+      assert(v(1).warcType === "response" && v(1).httpStatus === 200)
+      assert(v(1).recordId === "<urn:uuid:doc-00000001>")
+      assert(v(1).targetUri === "https://example.org/doc/1")
+      assert(v(1).contentType === "text/html; charset=UTF-8")
+      assert(new String(v(1).body, "UTF-8") === "hello <b>world</b>")
+      assert(v(2).httpStatus === 404)
+    }
+    // byte-identity across compressions (the decode seam, not bytes)
+    val a = WarcCodec.parseWarc(WarcCodec.encodeWarc(recs, false)).get
+    val b = WarcCodec.parseWarc(WarcCodec.encodeWarc(recs, true)).get
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.copy(body = null) === y.copy(body = null))
+      assert(x.body.toSeq === y.body.toSeq)
+    }
+  }
+
+  test("request and metadata records pass through untyped") {
+    val req = WarcCodec.encodeRecord("request", "<urn:uuid:req-1>",
+      "https://example.org/doc/1", "2026-01-01T00:00:00Z",
+      "application/http;msgtype=request",
+      "GET /doc/1 HTTP/1.1\r\nHost: example.org\r\n\r\n"
+        .getBytes("UTF-8"))
+    val meta = WarcCodec.encodeRecord("metadata", "<urn:uuid:m-1>",
+      "https://example.org/doc/1", "2026-01-01T00:00:00Z",
+      "text/plain", "via: fixture".getBytes("UTF-8"))
+    val v = WarcCodec.parseWarc(
+      WarcCodec.encodeWarc(Seq(req, meta), gzipped = false)).get
+    assert(v.map(_.warcType) === Vector("request", "metadata"))
+    assert(v.forall(_.httpStatus === 0))
+    assert(new String(v(0).body, "UTF-8").startsWith("GET /doc/1"))
+  }
+
+  test("UTF-8 bodies and empty payloads survive exactly") {
+    val utf = "héllo wörld ünïcode — em—dash"
+    val v = WarcCodec.parseWarc(WarcCodec.encodeWarc(
+      Seq(resp(9, body = utf), resp(10, body = "")), false)).get
+    assert(new String(v(0).body, "UTF-8") === utf)
+    assert(v(1).body.length === 0)
+  }
+
+  test("hostile inputs return None and never throw") {
+    val good = WarcCodec.encodeWarc(Seq(info(0), resp(1), resp(2)),
+      gzipped = false)
+    // truncation at every byte must fail the whole file (block
+    // lengths or terminators break) — except prefixes that end
+    // exactly at a record boundary, which are complete by grammar
+    val boundaries = {
+      val r0 = info(0).length
+      val r1 = r0 + resp(1).length
+      Set(r0, r1)
+    }
+    for (n <- 1 until good.length) {
+      val p = WarcCodec.parseWarc(good.take(n))
+      if (boundaries(n)) assert(p.isDefined, s"boundary@$n")
+      else assert(p.isEmpty, s"truncated@$n")
+    }
+    assert(WarcCodec.parseWarc(Array.emptyByteArray).isEmpty)
+    assert(WarcCodec.parseWarc("not a warc".getBytes).isEmpty)
+    // bad version line
+    val badV = good.clone(); badV(5) = '9'
+    assert(WarcCodec.parseWarc(badV).isEmpty)
+    // corrupt a Content-Length digit → block misaligns
+    val clAt = new String(good, "ISO-8859-1").indexOf("Content-Length: ")
+    val badCl = good.clone(); badCl(clAt + 16) = 'x'
+    assert(WarcCodec.parseWarc(badCl).isEmpty)
+    // bare LF line ending violates the grammar
+    val lf = new String(good, "ISO-8859-1").indexOf('\r')
+    val badEol = good.patch(lf, Nil, 1) // drop the CR
+    assert(WarcCodec.parseWarc(badEol.toArray).isEmpty)
+    // truncated gzip member
+    val gz = WarcCodec.encodeWarc(Seq(resp(1)), gzipped = true)
+    assert(WarcCodec.parseWarc(gz.take(gz.length - 6)).isEmpty)
+    // malformed HTTP status in a response record
+    val badHttp = WarcCodec.encodeRecord("response", "<urn:uuid:x>",
+      "https://example.org/x", "2026-01-01T00:00:00Z",
+      "application/http;msgtype=response",
+      "HTTP/1.1 banana OK\r\n\r\n".getBytes("UTF-8"))
+    assert(WarcCodec.parseWarc(
+      WarcCodec.encodeWarc(Seq(badHttp), false)).isEmpty)
+  }
+
+  test("multi-member gzip concatenation parses every member") {
+    val many = (0 until 40).map(i => resp(i, body = s"doc $i body"))
+    val v = WarcCodec.parseWarc(
+      WarcCodec.encodeWarc(many, gzipped = true)).get
+    assert(v.length === 40)
+    assert(v.zipWithIndex.forall { case (r, i) =>
+      new String(r.body, "UTF-8") === s"doc $i body"
+    })
+  }
+}
