@@ -82,7 +82,9 @@ object Stress {
     "pipeline_curate_v8", "mm_audio_fp", "mm_audio_near",
     "pipeline_curate_v9", "mm_stream_admit", "mm_audio_stream_admit",
     "mm_frame_sample", "mm_frame_near", "pipeline_curate_v10",
-    "mm_frame_stream_admit")
+    "mm_frame_stream_admit",
+    "warc_ingest", "warc_extract", "pipeline_curate_v11",
+    "pipeline_curate_v12")
 
   /** Relational / windows / layout tier (orders + lineitem + events —
     * amplified fact tables; region/nation/supplier/part stay dim-sized,
@@ -116,7 +118,7 @@ object Stress {
     "mm_frame_stream_admit_build", "mm_stream_admit_build",
     "mm_audio_stream_admit_build", "t2_wm_stream_build",
     "j8_scd2_stream_build", "pgn_stream_build",
-    "ops_incr_agg_stream_build")
+    "ops_incr_agg_stream_build", "warc_build")
 
   private def tokenSuffixed(text: Column, rep: Column): Column =
     array_join(

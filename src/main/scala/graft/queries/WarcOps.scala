@@ -61,8 +61,10 @@ object WarcOps extends QueryModule {
     * file `crawl_{doc_id % 16}` — odd shards gzipped per-record, the
     * standard layout; %9 docs also write a `request` record and each
     * shard opens with a `warcinfo` record (both skipped by the
-    * response filter but surfaced by `warc_ingest`). A corrupt shard
-    * (+Offset ids, truncated mid-record) MUST parse to None and
+    * response filter but surfaced by `warc_ingest`). %21 docs serve
+    * the IDENTICAL html again at a `/mirror/` URI (the classic crawl
+    * duplication `pipeline_curate_v12` must collapse). A corrupt
+    * shard (+Offset ids, truncated mid-record) MUST parse to None and
     * contribute nothing. */
   private def warcFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "warc_fixtures") {
@@ -78,11 +80,15 @@ object WarcOps extends QueryModule {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
         .sortBy(_._1)
       def respRecord(id: Long, source: String, text: String,
-          off: Long = 0): Array[Byte] = {
+          off: Long = 0, mirror: Boolean = false): Array[Byte] = {
         val status = if (id % 13 == 0) 404 else 200
         val reason = if (status == 404) "Not Found" else "OK"
+        val kind = if (mirror) "mir" else "doc"
+        val uri =
+          if (mirror) s"https://$source.example.org/mirror/${id + off}"
+          else uriFor(id + off, source)
         WarcCodec.encodeRecord("response",
-          s"<urn:uuid:doc-${pad8(id + off)}>", uriFor(id + off, source),
+          s"<urn:uuid:$kind-${pad8(id + off)}>", uri,
           Date, "application/http;msgtype=response",
           WarcCodec.encodeHttpResponse(status, reason,
             "text/html; charset=UTF-8",
@@ -102,7 +108,11 @@ object WarcOps extends QueryModule {
                   (s"GET /doc/$id HTTP/1.1\r\nHost: " +
                     s"$source.example.org\r\n\r\n").getBytes("UTF-8")))
               else Seq.empty
-            req :+ respRecord(id, source, text)
+            val mir =
+              if (id % 21 == 0)
+                Seq(respRecord(id, source, text, mirror = true))
+              else Seq.empty
+            (req :+ respRecord(id, source, text)) ++ mir
           }
         val gz = shard % 2 == 1
         val name = f"crawl_$shard%02d.warc" + (if (gz) ".gz" else "")
@@ -194,10 +204,46 @@ object WarcOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // Curate v12 — v11 plus the stage real crawls need most: EXACT
+  // content dedup across URLs (mirrors, tracking-param duplicates,
+  // re-hosted pages serve byte-identical documents). The md5 of the
+  // EXTRACTED text is the shuffle key — a 16-byte key next to
+  // kilobyte documents — and each content group keeps its
+  // lexicographically least URI, so mirrors collapse onto the
+  // canonical /doc/ form before the quality gate spends anything on
+  // them.
+  private def pipelineCurateV12(s: SparkSession, d: String): DataFrame = {
+    val resp = records(s, warcFixtureDir(s, d))
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200)
+      .select(col("target_uri"),
+        HtmlOps.cleanText(col("body").cast("string")).as("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val kept = resp
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("__keep", min(col("target_uri")).over(w))
+      .filter(col("target_uri") === col("__keep"))
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .as("__id"),
+        col("n_copies"), col("text"))
+      .filter(col("__id") =!= "")
+      .select(col("__id").cast("long").as("doc_id"), col("n_copies"),
+        col("text"))
+    graft.text.TextAnalysis.qualityGate(kept)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("n_copies"), col("n_words"),
+        col("mean_word_len"), col("symbol_ratio"),
+        graft.ops.Export.shardId(col("doc_id"), 8).as("shard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_ingest"          -> (warcIngest _),
     "warc_extract"         -> (warcExtract _),
-    "pipeline_curate_v11"  -> (pipelineCurateV11 _))
+    "pipeline_curate_v11"  -> (pipelineCurateV11 _),
+    "pipeline_curate_v12"  -> (pipelineCurateV12 _))
 
   override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
     Map("warc_build" -> ((s, d) => { warcFixtureDir(s, d); () }))
@@ -231,6 +277,16 @@ object WarcOps extends QueryModule {
                      || ' HTTP/1.1' || $crlf || 'Host: ' || source
                      || '.example.org' || $crlf || $crlf)) AS INT)
             FROM documents WHERE doc_id % 9 = 0
+            UNION ALL
+            SELECT '<urn:uuid:mir-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                     || '>',
+                   'response',
+                   'https://' || source || '.example.org/mirror/'
+                     || CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END,
+                   'text/html; charset=UTF-8',
+                   CAST(octet_length(encode($htmlSql)) AS INT)
+            FROM documents WHERE doc_id % 21 = 0
             UNION ALL
             SELECT '<urn:uuid:info-' || lpad(CAST(s AS VARCHAR), 2, '0')
                      || '>',
@@ -276,5 +332,28 @@ object WarcOps extends QueryModule {
                  ${graft.ops.Export.shardIdSql("doc_id", 8)} AS shard
           FROM m
           WHERE ${OracleCtes.qualityKeepSql}
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+
+    // v11's chain plus the mirror collapse: kept rows are exactly the
+    // /doc/ URIs (lexicographically least of each content group), and
+    // n_copies = 2 for the %21 mirrored docs — straight from the
+    // planting schedule
+    "pipeline_curate_v12" ->
+      s"""WITH h AS (
+            SELECT doc_id, $htmlSql AS html,
+                   CASE WHEN doc_id % 21 = 0 THEN CAST(2 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) END AS n_copies
+            FROM documents WHERE doc_id % 13 <> 0),
+          ext AS (
+            SELECT doc_id, n_copies,
+                   ${HtmlOps.oracleCleanTextExpr("html")} AS text
+            FROM h),
+          ${OracleCtes.tokCteFor("ext")},
+          ${OracleCtes.qualityMetricsCte}
+          SELECT m.doc_id, e.n_copies, m.n_words, m.mean_word_len,
+                 m.symbol_ratio,
+                 ${graft.ops.Export.shardIdSql("m.doc_id", 8)} AS shard
+          FROM m JOIN ext e USING (doc_id)
+          WHERE ${OracleCtes.qualityKeepSql}
+          ORDER BY m.doc_id""")
 }
