@@ -55,17 +55,18 @@ object AudioCodec {
 
   /** Decode a RIFF/WAVE file holding integer PCM — format tag 1, or
     * WAVE_FORMAT_EXTENSIBLE (0xFFFE) with the PCM subformat GUID —
-    * at 16 or 24 bits, 1 or 2 channels, to mono samples. Unknown
-    * chunks (LIST metadata etc.) are skipped — a re-encoded container
-    * with stripped/added tags decodes to the same samples. None on
-    * anything malformed. */
+    * at 16 or 24 bits, or G.711 companded audio (tag 7 μ-law / 6
+    * A-law, 8-bit codewords expanded to 16-bit scale), 1 or 2
+    * channels, to mono samples. Unknown chunks (LIST metadata etc.)
+    * are skipped — a re-encoded container with stripped/added tags
+    * decodes to the same samples. None on anything malformed. */
   def decodePcmWav(b: Array[Byte]): Option[Pcm] = {
     if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
         b(11) == 'E')) return None
     var p = 12
     var rate = 0; var channels = 0; var bits = 0; var haveFmt = false
-    var dataOff = -1; var dataLen = 0
+    var dataOff = -1; var dataLen = 0; var law = 0
     while (p + 8 <= b.length && (!haveFmt || dataOff < 0)) {
       val id = new String(b, p, 4, "US-ASCII")
       val sz = le32(b, p + 4)
@@ -79,7 +80,8 @@ object AudioCodec {
               !java.util.Arrays.equals(
                 java.util.Arrays.copyOfRange(b, p + 32, p + 48),
                 PcmGuid)) return None
-        } else if (tag != 1) return None               // PCM only
+        } else if (tag == 6 || tag == 7) law = tag     // G.711 A-law/μ-law
+        else if (tag != 1) return None                 // PCM only
         channels = le16(b, p + 10)
         rate = le32(b, p + 12).toInt
         bits = le16(b, p + 22)
@@ -89,14 +91,19 @@ object AudioCodec {
       }
       p += 8 + sz.toInt + (sz.toInt & 1)               // word-aligned
     }
-    if (!haveFmt || dataOff < 0 || (bits != 16 && bits != 24) ||
-        rate <= 0 || (channels != 1 && channels != 2)) return None
+    if (!haveFmt || dataOff < 0 || rate <= 0 ||
+        (channels != 1 && channels != 2)) return None
+    // G.711 carries 8-bit codewords; linear PCM is 16 or 24 bit
+    if (law != 0) { if (bits != 8) return None }
+    else if (bits != 16 && bits != 24) return None
     val sampleBytes = bits / 8
     val frameBytes = channels * sampleBytes
     val n = dataLen / frameBytes
     if (n <= 0) return None
     def sample(off: Int): Int =
-      if (sampleBytes == 2) le16(b, off).toShort.toInt
+      if (law == 7) MuLawTable(u8(b, off))
+      else if (law == 6) ALawTable(u8(b, off))
+      else if (sampleBytes == 2) le16(b, off).toShort.toInt
       else (u8(b, off) | (u8(b, off + 1) << 8) |
         (b(off + 2).toInt << 16))                      // sign-extends
     val out = new Array[Int](n)
@@ -263,6 +270,88 @@ object AudioCodec {
       le32b(sampleRate * blockAlign) ++ le16b(blockAlign) ++ le16b(16)
     val dataC = "data".getBytes("US-ASCII") ++ le32b(data.length) ++ data
     val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ extra ++ dataC
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
+  // ---- G.711 companding (ITU-T G.711 μ-law / A-law) ----
+  //
+  // The telephony/call-center slice of a real audio corpus: 8-bit
+  // logarithmic codewords, format tags 7 (μ-law) and 6 (A-law),
+  // decoded to 16-bit-scale linear PCM through the standard segment/
+  // mantissa expansion. Decode is exact table arithmetic; the tier is
+  // a DECODE CAPABILITY verified by spec (like sub-byte PNG depths):
+  // the planted md5-envelope families stay linear-PCM because
+  // companding quantizes amplitudes (step up to 256 at the top
+  // segment, envelope gaps are 64), so a companded variant could not
+  // share its twin's fingerprint bits — capability and oracle
+  // families are deliberately different populations here.
+
+  /** μ-law codeword → linear (±32124, 16-bit scale). */
+  private[graft] def muLawToLinear(code: Int): Int = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law codeword → linear (±32256, 16-bit scale). */
+  private[graft] def aLawToLinear(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  private[graft] val MuLawTable: Array[Int] =
+    Array.tabulate(256)(muLawToLinear)
+  private[graft] val ALawTable: Array[Int] =
+    Array.tabulate(256)(aLawToLinear)
+
+  /** Linear (16-bit scale) → μ-law codeword (clip at ±32635). */
+  private[graft] def linearToMuLaw(pcm: Int): Int = {
+    var x = pcm
+    val sign = if (x < 0) { x = -x; 0x80 } else 0
+    if (x > 32635) x = 32635
+    x += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (x >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mant) & 0xff
+  }
+
+  /** Linear (16-bit scale) → A-law codeword. */
+  private[graft] def linearToALaw(pcm: Int): Int = {
+    var x = pcm >> 3                       // 13-bit magnitude domain
+    val mask = if (x >= 0) 0xd5 else { x = -x - 1; 0x55 }
+    var seg = 0
+    while (seg < 8 && x > ((0x1f << seg) | ((1 << seg) - 1))) seg += 1
+    if (seg >= 8) 0x7f ^ mask
+    else {
+      val aval = (seg << 4) |
+        (if (seg < 2) (x >> 1) & 0x0f else (x >> seg) & 0x0f)
+      aval ^ mask
+    }
+  }
+
+  /** Encode G.711 codewords as an 8-bit WAV (format tag 7 = μ-law,
+    * 6 = A-law; 18-byte fmt with cbSize 0, the non-PCM convention).
+    * `codes` holds interleaved frames for stereo. */
+  def encodeWavG711(codes: Array[Int], sampleRate: Int, channels: Int,
+      aLaw: Boolean): Array[Byte] = {
+    require(channels == 1 || channels == 2)
+    require(codes.length % channels == 0)
+    val data = codes.map(c => (c & 0xff).toByte)
+    val tag = if (aLaw) 6 else 7
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32b(18) ++
+      le16b(tag) ++ le16b(channels) ++ le32b(sampleRate) ++
+      le32b(sampleRate * channels) ++ le16b(channels) ++ le16b(8) ++
+      le16b(0)
+    val dataC = "data".getBytes("US-ASCII") ++ le32b(data.length) ++ data
+    val pad = if (data.length % 2 == 1) Array(0.toByte)
+      else Array.emptyByteArray
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ dataC ++ pad
     "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
   }
 

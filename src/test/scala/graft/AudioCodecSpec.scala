@@ -254,4 +254,66 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioCodec.decodePcmWav(aif).isEmpty)
     assert(AudioCodec.decodeAiff16(wav).isEmpty)
   }
+
+  test("G.711 tables are the ITU expansions and encode inverts decode") {
+    // spot anchors from the standard tables
+    assert(AudioCodec.muLawToLinear(0xff) === 0)       // +0 code
+    assert(AudioCodec.muLawToLinear(0x7f) === 0)       // -0 code
+    assert(AudioCodec.muLawToLinear(0x00) === -32124)  // most negative
+    assert(AudioCodec.muLawToLinear(0x80) === 32124)   // most positive
+    assert(AudioCodec.aLawToLinear(0x55) === -8)       // least magnitude
+    assert(AudioCodec.aLawToLinear(0xd5) === 8)
+    assert(AudioCodec.aLawToLinear(0x2a) === -32256)   // extremes
+    assert(AudioCodec.aLawToLinear(0xaa) === 32256)
+    // code -> linear -> code identity (u-law's -0 canonicalizes to +0)
+    for (c <- 0 until 256) {
+      val mu = AudioCodec.linearToMuLaw(AudioCodec.muLawToLinear(c))
+      if (c == 0x7f) assert(mu === 0xff, s"mu -0")
+      else assert(mu === c, s"mu code $c")
+      assert(AudioCodec.linearToALaw(AudioCodec.aLawToLinear(c)) === c,
+        s"alaw code $c")
+    }
+    // linear -> code -> linear quantization bound: error <= half the
+    // local step (segment width / 16 / 2, >= 4 at the bottom)
+    var x = -32000
+    while (x <= 32000) {
+      val viaMu = AudioCodec.muLawToLinear(AudioCodec.linearToMuLaw(x))
+      val viaA = AudioCodec.aLawToLinear(AudioCodec.linearToALaw(x))
+      val bound = math.max(16, math.abs(x) / 16)
+      assert(math.abs(viaMu - x) <= bound, s"mu $x -> $viaMu")
+      assert(math.abs(viaA - x) <= bound, s"alaw $x -> $viaA")
+      x += 37
+    }
+  }
+
+  test("G.711 WAVs decode through the audio seam, stereo downmixes") {
+    val codes = Array.tabulate(700)(i => (i * 37 + 11) % 256)
+    for (aLaw <- Seq(false, true)) {
+      val table = if (aLaw) AudioCodec.ALawTable else AudioCodec.MuLawTable
+      val wav = AudioCodec.encodeWavG711(codes, 8000, 1, aLaw)
+      val d = AudioCodec.decodePcmWav(wav)
+      assert(d.isDefined && d.get.sampleRate === 8000)
+      assert(d.get.samples.toSeq === codes.map(table).toSeq, s"aLaw=$aLaw")
+      // the one decodeAudio seam dispatches it
+      assert(AudioCodec.decodeAudio(wav).isDefined)
+      // stereo: interleaved L,R downmixes by floor((l+r)/2)
+      val st = Array.tabulate(400)(i => (i * 53 + 5) % 256)
+      val ds = AudioCodec.decodePcmWav(
+        AudioCodec.encodeWavG711(st, 8000, 2, aLaw)).get
+      assert(ds.samples.length === 200)
+      assert(ds.samples.toSeq === (0 until 200).map(i =>
+        Math.floorDiv(table(st(2 * i)) + table(st(2 * i + 1)), 2)))
+      // hostile: an 8-bit claim on format tag 1 (linear) rejects, a
+      // G.711 claim at 16 bits rejects, truncation never throws
+      val bitsAt = wav.indexOfSlice("fmt ".getBytes("US-ASCII")) + 22
+      val bad = wav.clone(); bad(bitsAt) = 16.toByte
+      assert(AudioCodec.decodePcmWav(bad).isEmpty)
+      for (n <- 0 until 50)
+        assert(AudioCodec.decodePcmWav(wav.take(n)).isEmpty)
+    }
+    val pcm8 = AudioCodec.encodeWavG711(codes, 8000, 1, aLaw = false)
+    val tagAt = pcm8.indexOfSlice("fmt ".getBytes("US-ASCII")) + 8
+    val linear8 = pcm8.clone(); linear8(tagAt) = 1.toByte
+    assert(AudioCodec.decodePcmWav(linear8).isEmpty)
+  }
 }
