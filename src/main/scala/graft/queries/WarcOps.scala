@@ -218,9 +218,13 @@ object WarcOps extends QueryModule {
         col("http_status") === 200)
       .select(col("target_uri"),
         HtmlOps.cleanText(col("body").cast("string")).as("text"))
+    // materialize the content key ONCE: both window functions then
+    // share a single hashpartitioning on __k (two inline md5(text)
+    // specs would each project their own _w0 and shuffle twice)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("text")))
+      .partitionBy(col("__k"))
     val kept = resp
+      .withColumn("__k", md5(col("text")))
       .withColumn("n_copies", count(lit(1)).over(w))
       .withColumn("__keep", min(col("target_uri")).over(w))
       .filter(col("target_uri") === col("__keep"))
