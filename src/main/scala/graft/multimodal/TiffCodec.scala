@@ -132,7 +132,9 @@ object TiffCodec {
     val bits = array(TBits).getOrElse(Array(1L))
     if (bits.length != spp || bits.exists(_ != 8)) return None
     val compression = scalar(TCompression).getOrElse(1L)
-    if (compression != 1 && compression != 32773) return None
+    // 1 = none, 32773 = PackBits, 8/32946 = zlib Deflate (Adobe/old)
+    if (compression != 1 && compression != 32773 &&
+        compression != 8 && compression != 32946) return None
     if (scalar(TPlanarConfig).getOrElse(1L) != 1) return None
 
     val rowsPerStrip = scalar(TRowsPerStrip).getOrElse(h)
@@ -153,6 +155,9 @@ object TiffCodec {
       if (compression == 1) {
         if (counts(s) < need) return None
         System.arraycopy(b, offsets(s).toInt, px, filled, need)
+      } else if (compression == 8 || compression == 32946) {
+        if (!inflateStrip(b, offsets(s).toInt, counts(s).toInt,
+            px, filled, need)) return None
       } else {
         val got = unpackBits(b, offsets(s).toInt,
           (offsets(s) + counts(s)).toInt, px, filled, need)
@@ -175,6 +180,41 @@ object TiffCodec {
       p += 1
     }
     Some(Gray(w.toInt, h.toInt, out))
+  }
+
+  /** Zlib-Deflate one strip (encoder side of compression 8). */
+  private def deflateStrip(raw: Array[Byte], from: Int,
+      len: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(raw, from, len)
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream(len / 2 + 16)
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Zlib-Deflate (TIFF compression 8 / legacy 32946) decode of one
+    * strip: the stream must inflate to EXACTLY `need` bytes —
+    * truncated or malformed streams fail the whole image. */
+  private def inflateStrip(b: Array[Byte], from: Int, len: Int,
+      out: Array[Byte], at: Int, need: Int): Boolean = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, from, len)
+      var got = 0
+      while (got < need && !inf.finished()) {
+        val n = inf.inflate(out, at + got, need - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return false                     // truncated / preset-dict
+        got += n
+      }
+      got == need
+    } catch {
+      case _: java.util.zip.DataFormatException => false
+    } finally inf.end()
   }
 
   /** PackBits (TIFF 6.0 §9) decode of one strip into `out[at,
@@ -246,9 +286,11 @@ object TiffCodec {
     * is more than one strip (the value-offset rule). */
   def encodeTiff(g: Gray, rgbSalt: Option[Int] = None,
       littleEndian: Boolean = true, packBitsComp: Boolean = false,
-      rowsPerStrip: Int = 16, whiteIsZero: Boolean = false): Array[Byte] = {
+      rowsPerStrip: Int = 16, whiteIsZero: Boolean = false,
+      deflateComp: Boolean = false): Array[Byte] = {
     require(rowsPerStrip >= 1)
     require(!(whiteIsZero && rgbSalt.isDefined))
+    require(!(packBitsComp && deflateComp))
     val spp = if (rgbSalt.isDefined) 3 else 1
     val rowBytes = g.width * spp
     val raw = new Array[Byte](rowBytes * g.height)
@@ -269,6 +311,7 @@ object TiffCodec {
       val rows = math.min(rowsPerStrip, g.height - s * rowsPerStrip)
       val from = s * rowsPerStrip * rowBytes
       if (packBitsComp) packBits(raw, from, rows * rowBytes)
+      else if (deflateComp) deflateStrip(raw, from, rows * rowBytes)
       else java.util.Arrays.copyOfRange(raw, from, from + rows * rowBytes)
     }
 
@@ -311,7 +354,8 @@ object TiffCodec {
       entry(THeight, 4, 1, b32(g.height)),
       if (spp == 3) entry(TBits, 3, 3, b32(bitsAt))
       else entry(TBits, 3, 1, b16(8)),
-      entry(TCompression, 3, 1, b16(if (packBitsComp) 32773 else 1)),
+      entry(TCompression, 3, 1,
+        b16(if (packBitsComp) 32773 else if (deflateComp) 8 else 1)),
       entry(TPhotometric, 3, 1,
         b16(if (spp == 3) 2 else if (whiteIsZero) 0 else 1)),
       stripEntry(TStripOffsets, stripOffs(0), tablesAt),

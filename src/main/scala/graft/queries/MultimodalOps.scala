@@ -233,7 +233,8 @@ object MultimodalOps extends QueryModule {
     *                        ([[graft.multimodal.TiffCodec]]),
     *                        PackBits-compressed multi-strip layout:
     *                        grayscale little-endian for most,
-    *                        colorized big-endian (MM) for %1000,
+    *                        colorized big-endian Deflate-compressed
+    *                        (MM) for %1000,
     *                        WhiteIsZero inverted storage for the
     *                        %1500-not-%1000 ids (500 = 2²5³ shares
     *                        %50/%100/%125 — members only, no new
@@ -338,7 +339,8 @@ object MultimodalOps extends QueryModule {
                 PixelCodec.renderGrid(grid, 64),
                 rgbSalt = if (id % 1000 == 0) Some((id % 7).toInt) else None,
                 littleEndian = id % 1000 != 0,
-                packBitsComp = true, rowsPerStrip = 16,
+                packBitsComp = id % 1000 != 0,
+                deflateComp = id % 1000 == 0, rowsPerStrip = 16,
                 whiteIsZero = id % 1500 == 0 && id % 1000 != 0))
           if (id % 200 == 0)
             put(s"asset_${id + 17 * Planting.Offset}.webp",
