@@ -4,8 +4,9 @@ package graft.multimodal
   * scanned-document/archival format a real image corpus carries next
   * to PNG/JPEG/GIF/BMP: IFD tag walk in either byte order (II/MM),
   * strip-organized 8-bit grayscale (BlackIsZero AND WhiteIsZero) or
-  * chunky RGB samples, uncompressed or PackBits (the TIFF 6.0
-  * baseline's §9 RLE). Color collapses to luma through the same
+  * chunky RGB samples, uncompressed, PackBits (the TIFF 6.0
+  * baseline's §9 RLE), zlib-Deflate (compression 8 / legacy 32946),
+  * or LZW (§13, MSB-first with early change). Color collapses to luma through the same
   * BT.601 weights as every other format ([[PixelCodec.lum]]), so a
   * TIFF re-render of a PNG scene lands the identical pixels and joins
   * the md5-arithmetic oracles as a cross-format copy.
@@ -132,9 +133,11 @@ object TiffCodec {
     val bits = array(TBits).getOrElse(Array(1L))
     if (bits.length != spp || bits.exists(_ != 8)) return None
     val compression = scalar(TCompression).getOrElse(1L)
-    // 1 = none, 32773 = PackBits, 8/32946 = zlib Deflate (Adobe/old)
+    // 1 = none, 32773 = PackBits, 8/32946 = zlib Deflate (Adobe/old),
+    // 5 = LZW (TIFF 6.0 §13, MSB-first with early change)
     if (compression != 1 && compression != 32773 &&
-        compression != 8 && compression != 32946) return None
+        compression != 8 && compression != 32946 &&
+        compression != 5) return None
     if (scalar(TPlanarConfig).getOrElse(1L) != 1) return None
 
     val rowsPerStrip = scalar(TRowsPerStrip).getOrElse(h)
@@ -158,6 +161,10 @@ object TiffCodec {
       } else if (compression == 8 || compression == 32946) {
         if (!inflateStrip(b, offsets(s).toInt, counts(s).toInt,
             px, filled, need)) return None
+      } else if (compression == 5) {
+        if (!unLzw(b, offsets(s).toInt,
+            (offsets(s) + counts(s)).toInt, px, filled, need))
+          return None
       } else {
         val got = unpackBits(b, offsets(s).toInt,
           (offsets(s) + counts(s)).toInt, px, filled, need)
@@ -180,6 +187,119 @@ object TiffCodec {
       p += 1
     }
     Some(Gray(w.toInt, h.toInt, out))
+  }
+
+  // ---- LZW (TIFF 6.0 §13) ----
+  //
+  // MSB-first variable-width codes starting at 9 bits, ClearCode 256
+  // / EOI 257, and TIFF's "early change": the width bumps when the
+  // NEXT free entry reaches 2^width − 1 (one code earlier than GIF's
+  // LSB-first variant in [[GifCodec]] — the classic off-by-one that
+  // made early writers incompatible, standardized as mandatory by
+  // TIFF 6.0 and libtiff).
+
+  /** LZW-decode one strip into `out[at, at+need)`; strict: EOI (or
+    * end of input) must land exactly `need` bytes. */
+  private def unLzw(b: Array[Byte], from: Int, until: Int,
+      out: Array[Byte], at: Int, need: Int): Boolean = {
+    var pos = from
+    var acc = 0L
+    var nBits = 0
+    var width = 9
+    def read(): Int = {
+      while (nBits < width) {
+        if (pos >= until) return -1
+        acc = (acc << 8) | (b(pos) & 0xffL)
+        nBits += 8
+        pos += 1
+      }
+      val v = ((acc >>> (nBits - width)) & ((1 << width) - 1)).toInt
+      nBits -= width
+      v
+    }
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var prev: Array[Byte] = null
+    var got = 0
+    var code = read()
+    while (code != 257) {
+      if (code < 0) return false           // ran out of bits before EOI
+      if (code == 256) {                   // clear
+        next = 258; width = 9; prev = null
+      } else {
+        val entry =
+          if (code < next && code != 257 && table(code) != null)
+            table(code)
+          else if (code == next && prev != null) prev :+ prev(0)
+          else return false                // code past the table
+        if (got + entry.length > need) return false
+        System.arraycopy(entry, 0, out, at + got, entry.length)
+        got += entry.length
+        if (prev != null && next < 4096) {
+          table(next) = prev :+ entry(0)
+          next += 1
+        }
+        if (next == (1 << width) - 1 && width < 12) width += 1
+        prev = entry
+      }
+      code = read()
+    }
+    got == need
+  }
+
+  /** LZW-encode one strip (encoder side of compression 5), resetting
+    * the dictionary with a ClearCode whenever it fills. */
+  private def lzwStrip(raw: Array[Byte], from: Int,
+      len: Int): Array[Byte] = {
+    val outB = new java.io.ByteArrayOutputStream(len / 2 + 16)
+    var acc = 0L
+    var nBits = 0
+    var width = 9
+    def write(code: Int): Unit = {
+      acc = (acc << width) | code
+      nBits += width
+      while (nBits >= 8) {
+        outB.write(((acc >>> (nBits - 8)) & 0xff).toInt)
+        nBits -= 8
+      }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    var next = 258
+    def reset(): Unit = { dict = scala.collection.mutable.HashMap.empty
+      next = 258; width = 9 }
+    write(256)                             // leading ClearCode (§13)
+    var cur = Vector.empty[Byte]
+    var curCode = -1
+    var i = from
+    while (i < from + len) {
+      val c = raw(i)
+      val ext = cur :+ c
+      val hit = if (cur.isEmpty) Some(c & 0xff) else dict.get(ext)
+      hit match {
+        case Some(code) =>
+          cur = ext; curCode = code
+        case None =>
+          write(curCode)
+          if (next < 4094) {
+            dict(ext) = next; next += 1
+            // the encoder's table runs ONE entry ahead of the
+            // decoder's (the decoder's first add lags a code), so the
+            // early-change points reconcile as: encoder bumps at
+            // 2^w, decoder at 2^w − 1 (libtiff's MAXCODE(n)−1)
+            if (next == (1 << width) && width < 12) width += 1
+          } else {
+            write(256); reset()
+          }
+          cur = Vector(c); curCode = c & 0xff
+      }
+      i += 1
+    }
+    if (curCode >= 0) write(curCode)
+    write(257)                             // EOI
+    if (nBits > 0) outB.write(((acc << (8 - nBits)) & 0xff).toInt)
+    outB.toByteArray
   }
 
   /** Zlib-Deflate one strip (encoder side of compression 8). */
@@ -287,10 +407,11 @@ object TiffCodec {
   def encodeTiff(g: Gray, rgbSalt: Option[Int] = None,
       littleEndian: Boolean = true, packBitsComp: Boolean = false,
       rowsPerStrip: Int = 16, whiteIsZero: Boolean = false,
-      deflateComp: Boolean = false): Array[Byte] = {
+      deflateComp: Boolean = false,
+      lzwComp: Boolean = false): Array[Byte] = {
     require(rowsPerStrip >= 1)
     require(!(whiteIsZero && rgbSalt.isDefined))
-    require(!(packBitsComp && deflateComp))
+    require(Seq(packBitsComp, deflateComp, lzwComp).count(identity) <= 1)
     val spp = if (rgbSalt.isDefined) 3 else 1
     val rowBytes = g.width * spp
     val raw = new Array[Byte](rowBytes * g.height)
@@ -312,6 +433,7 @@ object TiffCodec {
       val from = s * rowsPerStrip * rowBytes
       if (packBitsComp) packBits(raw, from, rows * rowBytes)
       else if (deflateComp) deflateStrip(raw, from, rows * rowBytes)
+      else if (lzwComp) lzwStrip(raw, from, rows * rowBytes)
       else java.util.Arrays.copyOfRange(raw, from, from + rows * rowBytes)
     }
 
@@ -355,7 +477,8 @@ object TiffCodec {
       if (spp == 3) entry(TBits, 3, 3, b32(bitsAt))
       else entry(TBits, 3, 1, b16(8)),
       entry(TCompression, 3, 1,
-        b16(if (packBitsComp) 32773 else if (deflateComp) 8 else 1)),
+        b16(if (packBitsComp) 32773 else if (deflateComp) 8
+            else if (lzwComp) 5 else 1)),
       entry(TPhotometric, 3, 1,
         b16(if (spp == 3) 2 else if (whiteIsZero) 0 else 1)),
       stripEntry(TStripOffsets, stripOffs(0), tablesAt),
