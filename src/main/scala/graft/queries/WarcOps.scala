@@ -63,9 +63,11 @@ object WarcOps extends QueryModule {
     * shard opens with a `warcinfo` record (both skipped by the
     * response filter but surfaced by `warc_ingest`). %21 docs serve
     * the IDENTICAL html again at a `/mirror/` URI (the classic crawl
-    * duplication `pipeline_curate_v12` must collapse). A corrupt
-    * shard (+Offset ids, truncated mid-record) MUST parse to None and
-    * contribute nothing. */
+    * duplication `pipeline_curate_v12` must collapse). %11 docs
+    * deliver gzip-coded bodies, %17 chunked (%187 both) — wire
+    * encodings [[WarcCodec]] must strip before any oracle sees the
+    * body. A corrupt shard (+Offset ids, truncated mid-record) MUST
+    * parse to None and contribute nothing. */
   private def warcFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "warc_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_warc_" +
@@ -87,12 +89,18 @@ object WarcOps extends QueryModule {
         val uri =
           if (mirror) s"https://$source.example.org/mirror/${id + off}"
           else uriFor(id + off, source)
+        // delivery encodings (wire-transparent: every downstream
+        // oracle sees the identical decoded body): %11 docs arrive
+        // Content-Encoding: gzip, %17 docs Transfer-Encoding: chunked
+        // (with a chunk extension + trailer header), %187 both —
+        // gzip-inside-chunked, the RFC layering real crawlers emit
         WarcCodec.encodeRecord("response",
           s"<urn:uuid:$kind-${pad8(id + off)}>", uri,
           Date, "application/http;msgtype=response",
           WarcCodec.encodeHttpResponse(status, reason,
             "text/html; charset=UTF-8",
-            htmlFor(id + off, source, text).getBytes("UTF-8")))
+            htmlFor(id + off, source, text).getBytes("UTF-8"),
+            gzipBody = id % 11 == 0, chunked = id % 17 == 0))
       }
       (0 until NShards).foreach { shard =>
         val mine = rows.filter(_._1 % NShards == shard)

@@ -128,7 +128,15 @@ object WarcCodec {
   private def someIf(v: Vector[WarcRecord]): Option[Vector[WarcRecord]] =
     if (v.isEmpty) None else Some(v)
 
-  /** HTTP/1.x response message → (status, content type, payload). */
+  /** HTTP/1.x response message → (status, content type, payload).
+    * Real crawl responses deliver their bodies through the two wire
+    * encodings RFC 9112 defines: `Transfer-Encoding: chunked` (hex
+    * chunk-size lines, optional extensions/trailers) is spliced first,
+    * then `Content-Encoding: gzip`/`deflate` is inflated — so the
+    * surfaced payload is the REPRESENTATION, never wire bytes. An
+    * unknown coding, malformed chunk grammar, bytes after the last
+    * chunk, or a truncated compressed body fails the record (→ the
+    * whole shard, per the container discipline above). */
   private def parseHttp(
       b: Array[Byte]): Option[(Int, String, Array[Byte])] = {
     val sEnd = lineEnd(b, 0)
@@ -141,6 +149,8 @@ object WarcCodec {
     if (status < 100 || status > 599) return None
     var p = sEnd + 2
     var cType = ""
+    var cEnc = ""
+    var tEnc = ""
     var open = true
     while (open) {
       val e = lineEnd(b, p)
@@ -149,13 +159,86 @@ object WarcCodec {
       else {
         val line = ascii(b, p, e)
         val c = line.indexOf(':')
-        if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase(
-            "content-type"))
-          cType = line.substring(c + 1).trim
+        if (c > 0) {
+          val name = line.substring(0, c).trim.toLowerCase
+          val value = line.substring(c + 1).trim
+          name match {
+            case "content-type" => cType = value
+            case "content-encoding" => cEnc = value.toLowerCase
+            case "transfer-encoding" => tEnc = value.toLowerCase
+            case _ => ()
+          }
+        }
         p = e + 2
       }
     }
-    Some((status, cType, java.util.Arrays.copyOfRange(b, p, b.length)))
+    val wire = java.util.Arrays.copyOfRange(b, p, b.length)
+    val deChunked = tEnc match {
+      case "" | "identity" => wire
+      case "chunked" => deChunk(wire) match {
+        case Some(d) => d
+        case None => return None
+      }
+      case _ => return None
+    }
+    val body = cEnc match {
+      case "" | "identity" => deChunked
+      case "gzip" | "x-gzip" => gunzipAll(deChunked)
+      case "deflate" => inflateZlib(deChunked)
+      case _ => return None
+    }
+    Some((status, cType, body))
+  }
+
+  /** Splice a `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
+    * hex size line (extensions after `;` ignored), CRLF, data, CRLF;
+    * the 0-size last chunk, then trailer lines until the empty line.
+    * The WARC block's Content-Length bounds the message exactly, so
+    * anything after the trailer terminator — or a chunk running past
+    * the block, a non-hex size, a missing CRLF — is None. */
+  private def deChunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var p = 0
+    while (true) {
+      val e = lineEnd(b, p)
+      if (e < 0) return None
+      var sizeLine = ascii(b, p, e)
+      val semi = sizeLine.indexOf(';')
+      if (semi >= 0) sizeLine = sizeLine.substring(0, semi)
+      sizeLine = sizeLine.trim
+      if (sizeLine.isEmpty || sizeLine.length > 8 ||
+          !sizeLine.forall(c => Character.digit(c, 16) >= 0)) return None
+      val size = java.lang.Integer.parseInt(sizeLine, 16)
+      p = e + 2
+      if (size == 0) {
+        // trailer section: header lines until the empty line, which
+        // must close the block exactly
+        while (true) {
+          val t = lineEnd(b, p)
+          if (t < 0) return None
+          if (t == p)
+            return if (p + 2 == b.length) Some(out.toByteArray) else None
+          p = t + 2
+        }
+      }
+      if (p + size + 2 > b.length) return None
+      out.write(b, p, size)
+      p += size
+      if (b(p) != '\r' || b(p + 1) != '\n') return None
+      p += 2
+    }
+    None // unreachable
+  }
+
+  /** Inflate a zlib-wrapped (`Content-Encoding: deflate`) body. */
+  private def inflateZlib(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
   }
 
   /** Index of the CR of the next CRLF at/after `from`; −1 when the
@@ -195,15 +278,48 @@ object WarcCodec {
     out.toByteArray
   }
 
-  /** An HTTP response message wrapping `payload`. */
+  /** An HTTP response message wrapping `payload`. `gzipBody` delivers
+    * it `Content-Encoding: gzip`; `chunked` delivers the (possibly
+    * gzipped) bytes as `Transfer-Encoding: chunked` with a trailing
+    * chunk extension and a trailer header on the wire — the two real
+    * crawl delivery encodings, applied in RFC order (content coding
+    * first, transfer coding outermost). */
   def encodeHttpResponse(status: Int, reason: String,
-      contentType: String, payload: Array[Byte]): Array[Byte] = {
-    val head = (s"HTTP/1.1 $status $reason\r\n" +
-      s"Content-Type: $contentType\r\n" +
-      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8")
+      contentType: String, payload: Array[Byte],
+      gzipBody: Boolean = false, chunked: Boolean = false): Array[Byte] = {
+    val encoded = if (!gzipBody) payload else {
+      val bo = new java.io.ByteArrayOutputStream(payload.length)
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(payload); gz.finish()
+      bo.toByteArray
+    }
+    val head = new StringBuilder
+    head.append(s"HTTP/1.1 $status $reason\r\n")
+    head.append(s"Content-Type: $contentType\r\n")
+    if (gzipBody) head.append("Content-Encoding: gzip\r\n")
+    if (chunked) head.append("Transfer-Encoding: chunked\r\n")
+    else head.append(s"Content-Length: ${encoded.length}\r\n")
+    head.append("\r\n")
     val out = new java.io.ByteArrayOutputStream(
-      head.length + payload.length)
-    out.write(head); out.write(payload)
+      head.length + encoded.length + 64)
+    out.write(head.toString.getBytes("UTF-8"))
+    if (!chunked) out.write(encoded)
+    else {
+      // split at 100-byte chunks; first size line carries an
+      // extension, the last chunk a trailer — both must be skipped
+      var p = 0
+      var first = true
+      while (p < encoded.length) {
+        val n = math.min(100, encoded.length - p)
+        val ext = if (first) ";chk=fixture" else ""
+        out.write(s"${n.toHexString}$ext\r\n".getBytes("US-ASCII"))
+        out.write(encoded, p, n)
+        out.write("\r\n".getBytes("US-ASCII"))
+        p += n
+        first = false
+      }
+      out.write("0\r\nX-Fixture-Trailer: 1\r\n\r\n".getBytes("US-ASCII"))
+    }
     out.toByteArray
   }
 

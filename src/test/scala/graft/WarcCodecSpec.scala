@@ -116,6 +116,95 @@ class WarcCodecSpec extends AnyFunSuite {
       WarcCodec.encodeWarc(Seq(badHttp), false)).isEmpty)
   }
 
+  private def encResp(id: Int, body: String, gzipBody: Boolean,
+      chunked: Boolean): Array[Byte] =
+    WarcCodec.encodeRecord("response", f"<urn:uuid:doc-$id%08d>",
+      s"https://example.org/doc/$id", "2026-01-01T00:00:00Z",
+      "application/http;msgtype=response",
+      WarcCodec.encodeHttpResponse(200, "OK",
+        "text/html; charset=UTF-8", body.getBytes("UTF-8"),
+        gzipBody = gzipBody, chunked = chunked))
+
+  test("gzip / chunked / gzip-in-chunked bodies decode to the " +
+      "identical representation") {
+    val body = "x" * 257 + " <b>tail</b> é" // multi-chunk, non-ascii
+    for {
+      gz <- Seq(false, true)
+      ch <- Seq(false, true)
+      shardGz <- Seq(false, true)
+    } {
+      val v = WarcCodec.parseWarc(WarcCodec.encodeWarc(
+        Seq(encResp(1, body, gz, ch)), gzipped = shardGz))
+      assert(v.isDefined, s"gz=$gz ch=$ch shardGz=$shardGz")
+      assert(new String(v.get.head.body, "UTF-8") === body,
+        s"gz=$gz ch=$ch shardGz=$shardGz")
+    }
+  }
+
+  test("chunked grammar: extensions and trailers are skipped, empty " +
+      "bodies survive") {
+    // the encoder writes ;chk=fixture on the first size line and an
+    // X-Fixture-Trailer header — both must vanish from the payload
+    val v = WarcCodec.parseWarc(WarcCodec.encodeWarc(
+      Seq(encResp(1, "abc", gzipBody = false, chunked = true)), false)).get
+    assert(new String(v.head.body, "UTF-8") === "abc")
+    val empty = WarcCodec.parseWarc(WarcCodec.encodeWarc(
+      Seq(encResp(2, "", gzipBody = false, chunked = true)), false)).get
+    assert(empty.head.body.length === 0)
+  }
+
+  test("hostile delivery encodings return None") {
+    def msg(httpBytes: Array[Byte]): Array[Byte] =
+      WarcCodec.encodeWarc(Seq(WarcCodec.encodeRecord("response",
+        "<urn:uuid:x>", "https://example.org/x", "2026-01-01T00:00:00Z",
+        "application/http;msgtype=response", httpBytes)), false)
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n").getBytes("ISO-8859-1") ++ body
+    // truncated gzip body
+    val gzBody = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write("hello hello hello".getBytes("UTF-8")); g.finish()
+      bo.toByteArray
+    }
+    assert(WarcCodec.parseWarc(msg(http(
+      "Content-Encoding: gzip\r\n", gzBody.take(gzBody.length - 5)))).isEmpty)
+    // garbage under a gzip claim
+    assert(WarcCodec.parseWarc(msg(http(
+      "Content-Encoding: gzip\r\n", "plainly not gzip".getBytes))).isEmpty)
+    // unknown content coding
+    assert(WarcCodec.parseWarc(msg(http(
+      "Content-Encoding: br\r\n", "x".getBytes))).isEmpty)
+    // malformed chunk size
+    assert(WarcCodec.parseWarc(msg(http(
+      "Transfer-Encoding: chunked\r\n",
+      "zz\r\nabc\r\n0\r\n\r\n".getBytes))).isEmpty)
+    // chunk data missing its closing CRLF
+    assert(WarcCodec.parseWarc(msg(http(
+      "Transfer-Encoding: chunked\r\n",
+      "3\r\nabcXX0\r\n\r\n".getBytes))).isEmpty)
+    // chunk running past the block
+    assert(WarcCodec.parseWarc(msg(http(
+      "Transfer-Encoding: chunked\r\n",
+      "ff\r\nshort\r\n0\r\n\r\n".getBytes))).isEmpty)
+    // bytes after the terminating chunk
+    assert(WarcCodec.parseWarc(msg(http(
+      "Transfer-Encoding: chunked\r\n",
+      "3\r\nabc\r\n0\r\n\r\nextra".getBytes))).isEmpty)
+    // missing last chunk entirely
+    assert(WarcCodec.parseWarc(msg(http(
+      "Transfer-Encoding: chunked\r\n",
+      "3\r\nabc\r\n".getBytes))).isEmpty)
+    // unknown transfer coding
+    assert(WarcCodec.parseWarc(msg(http(
+      "Transfer-Encoding: rot13\r\n", "x".getBytes))).isEmpty)
+    // the valid layering still decodes (control for the above)
+    assert(WarcCodec.parseWarc(msg(http(
+      "Transfer-Encoding: chunked\r\n",
+      "3\r\nabc\r\n0\r\n\r\n".getBytes))).flatMap(_.headOption)
+      .exists(r => new String(r.body, "UTF-8") == "abc"))
+  }
+
   test("multi-member gzip concatenation parses every member") {
     val many = (0 until 40).map(i => resp(i, body = s"doc $i body"))
     val v = WarcCodec.parseWarc(
