@@ -94,7 +94,8 @@ object Stress {
     "ops_incr_distinct", "ops_incr_quantile", "ops_incr_quantile_stream",
     "a7_count_distinct", "a8_array_funcs", "j4_join_revenue_nation",
     "j8_scd2_merge",
-    "w1_sessionization", "w7_transitions", "w9_gap_fill",
+    "w1_sessionization", "w6_active_users", "w7_transitions",
+    "w8_interval_union", "w9_gap_fill",
     "w10_capped_sessions", "w10_capped_sessions_stream",
     "w11_windowed_quantile", "w11_windowed_quantile_stream",
     "t2_watermark_dedup", "a7_percentile_sketch",

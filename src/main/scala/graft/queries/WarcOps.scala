@@ -64,7 +64,8 @@ object WarcOps extends QueryModule {
     * response filter but surfaced by `warc_ingest`). %21 docs serve
     * the IDENTICAL html again at a `/mirror/` URI (the classic crawl
     * duplication `pipeline_curate_v12` must collapse). %11 docs
-    * deliver gzip-coded bodies, %17 chunked (%187 both) — wire
+    * deliver gzip-coded bodies, %17 chunked (%187 both),
+    * %19-not-%11 deflate (zlib for even ids, raw for odd) — wire
     * encodings [[WarcCodec]] must strip before any oracle sees the
     * body. A corrupt shard (+Offset ids, truncated mid-record) MUST
     * parse to None and contribute nothing. */
@@ -93,14 +94,18 @@ object WarcOps extends QueryModule {
         // oracle sees the identical decoded body): %11 docs arrive
         // Content-Encoding: gzip, %17 docs Transfer-Encoding: chunked
         // (with a chunk extension + trailer header), %187 both —
-        // gzip-inside-chunked, the RFC layering real crawlers emit
+        // gzip-inside-chunked, the RFC layering real crawlers emit;
+        // %19-not-%11 docs Content-Encoding: deflate (zlib-wrapped for
+        // even ids, the real-crawl RAW-deflate bug form for odd)
+        val defl = id % 19 == 0 && id % 11 != 0
         WarcCodec.encodeRecord("response",
           s"<urn:uuid:$kind-${pad8(id + off)}>", uri,
           Date, "application/http;msgtype=response",
           WarcCodec.encodeHttpResponse(status, reason,
             "text/html; charset=UTF-8",
             htmlFor(id + off, source, text).getBytes("UTF-8"),
-            gzipBody = id % 11 == 0, chunked = id % 17 == 0))
+            gzipBody = id % 11 == 0, chunked = id % 17 == 0,
+            deflateBody = defl, rawDeflate = defl && id % 2 == 1))
       }
       (0 until NShards).foreach { shard =>
         val mine = rows.filter(_._1 % NShards == shard)

@@ -46,21 +46,70 @@ object WarcCodec {
     try {
       val raw =
         if (b.length >= 2 && (b(0) & 0xff) == 0x1f &&
-            (b(1) & 0xff) == 0x8b) gunzipAll(b)
+            (b(1) & 0xff) == 0x8b) gunzipExact(b)
         else b
       parseRaw(raw)
     } catch { case _: Exception => None }
 
-  /** Inflate ALL concatenated gzip members (the per-record layout). */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b), 1 << 16)
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+  /** Inflate concatenated gzip members (RFC 1952) STRICTLY: every
+    * input byte must belong to a member — header (with the optional
+    * FEXTRA/FNAME/FCOMMENT/FHCRC fields), raw-deflate stream, CRC32 +
+    * ISIZE trailer — and members must tile the buffer exactly. The
+    * JDK's GZIPInputStream silently treats trailing non-gzip bytes
+    * after a valid member as end-of-stream, which would let a corrupt
+    * tail parse as success; both the per-record shard layer and
+    * `Content-Encoding: gzip` bodies share this one strict decode, so
+    * trailing garbage, a truncated member, or a checksum mismatch
+    * throws (→ the caller's whole-shard None). */
+  private def gunzipExact(b: Array[Byte]): Array[Byte] = {
+    def bad(): Nothing = throw new IllegalStateException("gzip")
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 4))
+    var p = 0
+    if (b.length < 18) bad()
+    while (p < b.length) {
+      if (p + 10 > b.length || (b(p) & 0xff) != 0x1f ||
+          (b(p + 1) & 0xff) != 0x8b || (b(p + 2) & 0xff) != 8) bad()
+      val flg = b(p + 3) & 0xff
+      p += 10
+      if ((flg & 4) != 0) {                // FEXTRA
+        if (p + 2 > b.length) bad()
+        p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+      }
+      def skipZString(): Unit = {
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) bad()
+        p += 1
+      }
+      if ((flg & 8) != 0) skipZString()    // FNAME
+      if ((flg & 16) != 0) skipZString()   // FCOMMENT
+      if ((flg & 2) != 0) p += 2           // FHCRC
+      if (p > b.length) bad()
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(b, p, b.length - p)
+        val crc = new java.util.zip.CRC32
+        val buf = new Array[Byte](1 << 16)
+        var memberLen = 0L
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) bad()   // truncated member
+          crc.update(buf, 0, n)
+          out.write(buf, 0, n)
+          memberLen += n
+        }
+        p = b.length - inf.getRemaining
+        if (p + 8 > b.length) bad()
+        if (crcLe32(b, p) != crc.getValue ||
+            crcLe32(b, p + 4) != (memberLen & 0xffffffffL)) bad()
+        p += 8
+      } finally inf.end()
+    }
     out.toByteArray
   }
+
+  private def crcLe32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
   private def parseRaw(b: Array[Byte]): Option[Vector[WarcRecord]] = {
     val out = Vector.newBuilder[WarcRecord]
@@ -183,8 +232,8 @@ object WarcCodec {
     }
     val body = cEnc match {
       case "" | "identity" => deChunked
-      case "gzip" | "x-gzip" => gunzipAll(deChunked)
-      case "deflate" => inflateZlib(deChunked)
+      case "gzip" | "x-gzip" => gunzipExact(deChunked)
+      case "deflate" => inflateDeflate(deChunked)
       case _ => return None
     }
     Some((status, cType, body))
@@ -221,7 +270,9 @@ object WarcCodec {
           p = t + 2
         }
       }
-      if (p + size + 2 > b.length) return None
+      // Long arithmetic: an 8-hex-digit size like 7fffffff must be
+      // rejected by this guard itself, not by a downstream overflow
+      if (p.toLong + size.toLong + 2L > b.length) return None
       out.write(b, p, size)
       p += size
       if (b(p) != '\r' || b(p + 1) != '\n') return None
@@ -230,15 +281,32 @@ object WarcCodec {
     None // unreachable
   }
 
-  /** Inflate a zlib-wrapped (`Content-Encoding: deflate`) body. */
-  private def inflateZlib(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.InflaterInputStream(
-      new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
+  /** Inflate a `Content-Encoding: deflate` body. RFC 9110 says
+    * zlib-wrapped (RFC 1950), but real crawls frequently carry raw
+    * deflate (the historic IIS/proxy bug) — try the spec form first,
+    * fall back to raw. Both forms are STRICT: the stream must reach
+    * its final block and consume every input byte (trailing garbage
+    * or truncation throws → the whole-shard None). */
+  private def inflateDeflate(b: Array[Byte]): Array[Byte] =
+    try inflateExact(b, raw = false)
+    catch { case _: Exception => inflateExact(b, raw = true) }
+
+  private def inflateExact(b: Array[Byte], raw: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(raw)
+    try {
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 4))
+      val buf = new Array[Byte](1 << 16)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished())
+          throw new IllegalStateException("truncated deflate")
+        out.write(buf, 0, n)
+      }
+      if (inf.getRemaining != 0)
+        throw new IllegalStateException("trailing bytes after deflate")
+      out.toByteArray
+    } finally inf.end()
   }
 
   /** Index of the CR of the next CRLF at/after `from`; −1 when the
@@ -279,24 +347,40 @@ object WarcCodec {
   }
 
   /** An HTTP response message wrapping `payload`. `gzipBody` delivers
-    * it `Content-Encoding: gzip`; `chunked` delivers the (possibly
-    * gzipped) bytes as `Transfer-Encoding: chunked` with a trailing
-    * chunk extension and a trailer header on the wire — the two real
-    * crawl delivery encodings, applied in RFC order (content coding
-    * first, transfer coding outermost). */
+    * it `Content-Encoding: gzip`, `deflateBody` as
+    * `Content-Encoding: deflate` (zlib-wrapped, or the real-crawl
+    * raw-deflate bug form when `rawDeflate`); `chunked` delivers the
+    * (possibly coded) bytes as `Transfer-Encoding: chunked` with a
+    * trailing chunk extension and a trailer header on the wire — the
+    * real crawl delivery encodings, applied in RFC order (content
+    * coding first, transfer coding outermost). */
   def encodeHttpResponse(status: Int, reason: String,
       contentType: String, payload: Array[Byte],
-      gzipBody: Boolean = false, chunked: Boolean = false): Array[Byte] = {
-    val encoded = if (!gzipBody) payload else {
-      val bo = new java.io.ByteArrayOutputStream(payload.length)
-      val gz = new java.util.zip.GZIPOutputStream(bo)
-      gz.write(payload); gz.finish()
-      bo.toByteArray
-    }
+      gzipBody: Boolean = false, chunked: Boolean = false,
+      deflateBody: Boolean = false,
+      rawDeflate: Boolean = false): Array[Byte] = {
+    require(!(gzipBody && deflateBody), "one content coding at a time")
+    val encoded =
+      if (gzipBody) {
+        val bo = new java.io.ByteArrayOutputStream(payload.length)
+        val gz = new java.util.zip.GZIPOutputStream(bo)
+        gz.write(payload); gz.finish()
+        bo.toByteArray
+      } else if (deflateBody) {
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, rawDeflate)
+        d.setInput(payload); d.finish()
+        val bo = new java.io.ByteArrayOutputStream(payload.length)
+        val buf = new Array[Byte](1 << 16)
+        while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+        d.end()
+        bo.toByteArray
+      } else payload
     val head = new StringBuilder
     head.append(s"HTTP/1.1 $status $reason\r\n")
     head.append(s"Content-Type: $contentType\r\n")
     if (gzipBody) head.append("Content-Encoding: gzip\r\n")
+    if (deflateBody) head.append("Content-Encoding: deflate\r\n")
     if (chunked) head.append("Transfer-Encoding: chunked\r\n")
     else head.append(s"Content-Length: ${encoded.length}\r\n")
     head.append("\r\n")

@@ -205,6 +205,85 @@ class WarcCodecSpec extends AnyFunSuite {
       .exists(r => new String(r.body, "UTF-8") == "abc"))
   }
 
+  test("deflate bodies decode in both wrap forms, strictly") {
+    def msg(httpBytes: Array[Byte]): Array[Byte] =
+      WarcCodec.encodeWarc(Seq(WarcCodec.encodeRecord("response",
+        "<urn:uuid:x>", "https://example.org/x", "2026-01-01T00:00:00Z",
+        "application/http;msgtype=response", httpBytes)), false)
+    val body = "deflated <b>content</b> é" * 9
+    for (raw <- Seq(false, true); ch <- Seq(false, true)) {
+      val v = WarcCodec.parseWarc(msg(WarcCodec.encodeHttpResponse(
+        200, "OK", "text/html", body.getBytes("UTF-8"),
+        deflateBody = true, rawDeflate = raw, chunked = ch)))
+      assert(v.isDefined, s"raw=$raw ch=$ch")
+      assert(new String(v.get.head.body, "UTF-8") === body,
+        s"raw=$raw ch=$ch")
+    }
+    // truncated (both wrap forms) and trailing-garbage bodies fail
+    def http(body: Array[Byte]): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    for (raw <- Seq(false, true)) {
+      val enc = WarcCodec.encodeHttpResponse(200, "OK", "text/html",
+        body.getBytes("UTF-8"), deflateBody = true, rawDeflate = raw)
+      val at = new String(enc, "ISO-8859-1").indexOf("\r\n\r\n") + 4
+      val defl = enc.drop(at)
+      assert(WarcCodec.parseWarc(msg(http(
+        defl.take(defl.length - 4)))).isEmpty, s"truncated raw=$raw")
+      assert(WarcCodec.parseWarc(msg(http(
+        defl ++ "tail".getBytes))).isEmpty, s"trailing raw=$raw")
+    }
+    assert(WarcCodec.parseWarc(msg(http(
+      "not deflate at all".getBytes))).isEmpty)
+  }
+
+  test("gzip member followed by trailing garbage fails the record") {
+    // JDK GZIPInputStream would silently stop at the garbage; the
+    // strict decoder must reject it — in the body layer AND the shard
+    val gzBody = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write("hello".getBytes("UTF-8")); g.finish()
+      bo.toByteArray
+    }
+    def msg(httpBytes: Array[Byte]): Array[Byte] =
+      WarcCodec.encodeWarc(Seq(WarcCodec.encodeRecord("response",
+        "<urn:uuid:x>", "https://example.org/x", "2026-01-01T00:00:00Z",
+        "application/http;msgtype=response", httpBytes)), false)
+    def http(body: Array[Byte]): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    assert(WarcCodec.parseWarc(msg(http(gzBody))).isDefined) // control
+    assert(WarcCodec.parseWarc(msg(http(
+      gzBody ++ "junk".getBytes))).isEmpty)
+    // corrupt trailer CRC
+    val badCrc = gzBody.clone()
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0x7f).toByte
+    assert(WarcCodec.parseWarc(msg(http(badCrc))).isEmpty)
+    // shard layer: valid gzipped shard + trailing garbage → None
+    val shard = WarcCodec.encodeWarc(Seq(resp(1)), gzipped = true)
+    assert(WarcCodec.parseWarc(shard).isDefined)             // control
+    assert(WarcCodec.parseWarc(shard ++ "garbage".getBytes).isEmpty)
+  }
+
+  test("oversized chunk sizes are rejected by the bounds guard") {
+    def msg(httpBytes: Array[Byte]): Array[Byte] =
+      WarcCodec.encodeWarc(Seq(WarcCodec.encodeRecord("response",
+        "<urn:uuid:x>", "https://example.org/x", "2026-01-01T00:00:00Z",
+        "application/http;msgtype=response", httpBytes)), false)
+    def http(body: String): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n$body")
+        .getBytes("ISO-8859-1")
+    // 7fffffff would overflow an Int bounds check — must be None, not
+    // an accidental downstream IndexOutOfBounds
+    assert(WarcCodec.parseWarc(msg(http("7fffffff\r\nx\r\n0\r\n\r\n")))
+      .isEmpty)
+    assert(WarcCodec.parseWarc(msg(http("ffffffff\r\nx\r\n0\r\n\r\n")))
+      .isEmpty)
+    assert(WarcCodec.parseWarc(msg(http("123456789\r\nx\r\n0\r\n\r\n")))
+      .isEmpty) // > 8 hex digits
+  }
+
   test("multi-member gzip concatenation parses every member") {
     val many = (0 until 40).map(i => resp(i, body = s"doc $i body"))
     val v = WarcCodec.parseWarc(
