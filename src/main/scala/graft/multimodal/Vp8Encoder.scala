@@ -1,0 +1,313 @@
+package graft.multimodal
+
+/** Spec-valid lossy-WebP (VP8 key frame) fixture encoder — the lossy
+  * analog of [[WebpEncoder]]: emits a REAL arithmetic-coded,
+  * transform-coded RFC 6386 key frame whose reconstruction is
+  * BIT-EXACT on the planted scenes, so lossy-WebP variants join the
+  * md5-arithmetic perceptual oracles (the same planted-exactness
+  * argument as the JPEG tier, carried to VP8's integer transforms):
+  *
+  *   - macroblocks whose 4×4 subblocks are constant (the 8×8-tile
+  *     scene grid guarantees this) encode as B_PRED with B_DC_PRED
+  *     submodes: each subblock's residual r is constant, carried by a
+  *     single DC token 8r/y1dc; the decoder's IDCT of a DC-only block
+  *     is exactly (8r+4)>>3 = r for either sign;
+  *   - fully uniform macroblocks encode as 16×16 DC_PRED, driving the
+  *     Y2 Walsh–Hadamard path: the single Y2 DC token dequantizes to
+  *     64r, the inverse WHT's (x+3)>>3 lands 8r in every subblock DC,
+  *     and the IDCT finishes the exact r;
+  *   - chroma is flat 128 (residual 0 everywhere), loop filter level
+  *     0, so reconstruction is untouched post-transform.
+  *
+  * Quantizer indices are restricted to the exactness-preserving set
+  * {0, 4} (luma DC steps 4 and 8 — the divisors of the IDCT's 8·r
+  * domain); `nParts` exercises the multi-partition token layout and
+  * `skipFlags` the mb_no_coeff_skip machinery with its context-reset
+  * rule. Encoder and decoder share every probability table and
+  * prediction law, so round-trip tests pin the machinery end to end.
+  */
+object Vp8Encoder {
+  import PixelCodec.Gray
+  import Vp8Entropy.BoolEncoder
+  import Vp8Tables._
+
+  /** Encode to a complete WebP (RIFF + `VP8 ` chunk) container.
+    * `filterLevel` 0 keeps the exactness guarantee; nonzero levels
+    * exercise the normal/simple deblocking paths (lossy like any real
+    * encoder — only flat content survives filtering unchanged). */
+  def encodeWebpLossy(g: Gray, qi: Int = 0, nParts: Int = 1,
+      skipFlags: Boolean = false, filterLevel: Int = 0,
+      simpleFilter: Boolean = false, sharpness: Int = 0): Array[Byte] = {
+    val payload = encodeVp8Frame(g, qi, nParts, skipFlags, filterLevel,
+      simpleFilter, sharpness)
+    val out = new java.io.ByteArrayOutputStream(payload.length + 32)
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    val chunk = payload.length + (payload.length & 1)
+    fourcc("RIFF"); le32(4 + 8 + chunk); fourcc("WEBP")
+    fourcc("VP8 "); le32(payload.length)
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** The raw VP8 key-frame payload. */
+  def encodeVp8Frame(g: Gray, qi: Int, nParts: Int,
+      skipFlags: Boolean, filterLevel: Int = 0,
+      simpleFilter: Boolean = false, sharpness: Int = 0): Array[Byte] = {
+    require(qi == 0 || qi == 4, "exactness-preserving quantizers only")
+    require(nParts == 1 || nParts == 2 || nParts == 4 || nParts == 8)
+    val w = g.width; val h = g.height
+    val mbCols = (w + 15) >> 4
+    val mbRows = (h + 15) >> 4
+    val stride = mbCols * 16
+    // pad to the MB grid by edge replication; recon == scene exactly,
+    // so this plane doubles as the decoder-state neighbor source
+    val plane = new Array[Int](stride * mbRows * 16)
+    var y = 0
+    while (y < mbRows * 16) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < stride) {
+        plane(y * stride + x) = g.luma(sy * w + math.min(x, w - 1))
+        x += 1
+      }
+      y += 1
+    }
+    val q = dequantFactors(qi, 0, 0, 0, 0, 0)
+
+    // ---- per-MB analysis: mode + residual DC tokens ----
+    // tokY2(mb): Y2 DC token or 0; tokY(mb)(16): per-subblock DC token
+    val nMbs = mbRows * mbCols
+    val useY2 = new Array[Boolean](nMbs)
+    val tokY2 = new Array[Int](nMbs)
+    val tokY = Array.ofDim[Int](nMbs, 16)
+    val mbSkip = new Array[Boolean](nMbs)
+    var mb = 0
+    var mbY = 0
+    while (mbY < mbRows) {
+      var mbX = 0
+      while (mbX < mbCols) {
+        val x0 = mbX * 16; val y0 = mbY * 16
+        val v0 = plane(y0 * stride + x0)
+        var uniform = true
+        var i = 0
+        while (uniform && i < 256) {
+          uniform = plane((y0 + i / 16) * stride + x0 + i % 16) == v0
+          i += 1
+        }
+        if (uniform) {
+          useY2(mb) = true
+          val r = v0 - Vp8Codec.dc16Value(plane, stride, mbX, mbY)
+          tokY2(mb) = 64 * r / q(2)          // q(2) = y2dc ∈ {8, 16}
+          mbSkip(mb) = r == 0
+        } else {
+          var allZero = true
+          i = 0
+          while (i < 16) {
+            val px = x0 + (i & 3) * 4
+            val py = y0 + (i >> 2) * 4
+            val r = plane(py * stride + px) -
+              Vp8Codec.bDcValue(plane, stride, px, py)
+            tokY(mb)(i) = 8 * r / q(0)       // q(0) = y1dc ∈ {4, 8}
+            allZero &= r == 0
+            i += 1
+          }
+          mbSkip(mb) = allZero
+        }
+        if (!skipFlags) mbSkip(mb) = false
+        mb += 1
+        mbX += 1
+      }
+      mbY += 1
+    }
+
+    // ---- first partition: header + modes ----
+    val d1 = new BoolEncoder
+    d1.bit(0); d1.bit(0)                     // color space, clamping
+    d1.bit(0)                                // segmentation off
+    d1.bit(if (simpleFilter) 1 else 0)
+    d1.literal(6, filterLevel)               // 0 = exact fixtures
+    d1.literal(3, sharpness)
+    d1.bit(0)                                // no lf adjustments
+    d1.literal(2, Integer.numberOfTrailingZeros(nParts))
+    d1.literal(7, qi)
+    var i = 0
+    while (i < 5) { d1.bit(0); i += 1 }      // five quantizer deltas: 0
+    d1.bit(1)                                // refresh entropy probs
+    i = 0
+    while (i < 4) {                          // coefficient probs: keep
+      var j = 0
+      while (j < 8) {
+        var k = 0
+        while (k < 3) {
+          var l = 0
+          while (l < 11) {
+            d1.bool(CoefUpdateProbs(i)(j)(k)(l), 0)
+            l += 1
+          }
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val probSkip = 170
+    d1.bit(if (skipFlags) 1 else 0)          // mb_no_coeff_skip
+    if (skipFlags) d1.literal(8, probSkip)
+
+    // modes (B-mode contexts mirror the decoder's pass 1)
+    val aboveB = Array.fill(mbCols * 4)(BDcPred)
+    mb = 0
+    mbY = 0
+    while (mbY < mbRows) {
+      val leftB = Array.fill(4)(BDcPred)
+      var mbX = 0
+      while (mbX < mbCols) {
+        if (skipFlags) d1.bool(probSkip, if (mbSkip(mb)) 1 else 0)
+        if (useY2(mb)) {
+          d1.tree(KfYmodeTree, KfYmodeProb, DcPred)
+          var c = 0
+          while (c < 4) {
+            aboveB(mbX * 4 + c) = BDcPred; leftB(c) = BDcPred; c += 1
+          }
+        } else {
+          d1.tree(KfYmodeTree, KfYmodeProb, BPred)
+          i = 0
+          while (i < 16) {
+            val sr = i >> 2; val sc = i & 3
+            val above = if (sr == 0) aboveB(mbX * 4 + sc) else BDcPred
+            val left = if (sc == 0) leftB(sr) else BDcPred
+            d1.tree(BmodeTree, KfBmodeProb(above)(left), BDcPred)
+            i += 1
+          }
+          var c = 0
+          while (c < 4) {
+            aboveB(mbX * 4 + c) = BDcPred; leftB(c) = BDcPred; c += 1
+          }
+        }
+        d1.tree(UvModeTree, KfUvModeProb, DcPred)
+        mb += 1
+        mbX += 1
+      }
+      mbY += 1
+    }
+    val part1 = d1.finish()
+
+    // ---- token partitions ----
+    val parts = Array.fill(nParts)(new BoolEncoder)
+    val aboveNz = Array.fill(mbCols * 9)(false)
+    mbY = 0
+    while (mbY < mbRows) {
+      val te = parts(mbY % nParts)
+      val leftNz = Array.fill(9)(false)
+      var mbX = 0
+      while (mbX < mbCols) {
+        mb = mbY * mbCols + mbX
+        if (mbSkip(mb)) {
+          var k = 0
+          while (k < 8) {
+            aboveNz(mbX * 9 + k) = false; leftNz(k) = false; k += 1
+          }
+          if (useY2(mb)) { aboveNz(mbX * 9 + 8) = false; leftNz(8) = false }
+        } else {
+          if (useY2(mb)) {
+            val ctx = (if (aboveNz(mbX * 9 + 8)) 1 else 0) +
+              (if (leftNz(8)) 1 else 0)
+            val nz = encodeDcBlock(te, hdrProbs(1), ctx, 0, tokY2(mb))
+            aboveNz(mbX * 9 + 8) = nz; leftNz(8) = nz
+          }
+          val plType = if (useY2(mb)) 0 else 3
+          val first = if (useY2(mb)) 1 else 0
+          i = 0
+          while (i < 16) {
+            val sr = i >> 2; val sc = i & 3
+            val ctx = (if (aboveNz(mbX * 9 + sc)) 1 else 0) +
+              (if (leftNz(sr)) 1 else 0)
+            val tok = if (useY2(mb)) 0 else tokY(mb)(i)
+            val nz = encodeDcBlock(te, hdrProbs(plType), ctx, first, tok)
+            aboveNz(mbX * 9 + sc) = nz; leftNz(sr) = nz
+            i += 1
+          }
+          i = 0
+          while (i < 8) {                    // chroma: all empty
+            val sr = (i >> 1) & 1; val sc = i & 1
+            val off = 4 + (if (i < 4) 0 else 2)
+            val ctx = (if (aboveNz(mbX * 9 + off + sc)) 1 else 0) +
+              (if (leftNz(off + sr)) 1 else 0)
+            val nz = encodeDcBlock(te, hdrProbs(2), ctx, 0, 0)
+            aboveNz(mbX * 9 + off + sc) = nz; leftNz(off + sr) = nz
+            i += 1
+          }
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
+    val partBytes = parts.map(_.finish())
+
+    // ---- assembly ----
+    val firstPartSize = part1.length
+    val out = new java.io.ByteArrayOutputStream()
+    val tag = (0 /* keyframe */) | (0 << 1) | (1 << 4) |
+      (firstPartSize << 5)
+    out.write(tag & 0xff); out.write((tag >> 8) & 0xff)
+    out.write((tag >> 16) & 0xff)
+    out.write(0x9d); out.write(0x01); out.write(0x2a)
+    out.write(w & 0xff); out.write((w >> 8) & 0x3f)
+    out.write(h & 0xff); out.write((h >> 8) & 0x3f)
+    out.write(part1)
+    var p = 0
+    while (p < nParts - 1) {
+      val sz = partBytes(p).length
+      out.write(sz & 0xff); out.write((sz >> 8) & 0xff)
+      out.write((sz >> 16) & 0xff)
+      p += 1
+    }
+    partBytes.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** The frame's coefficient probabilities — the defaults (the header
+    * writes no updates). */
+  private def hdrProbs(plane: Int): Array[Array[Array[Int]]] =
+    DefaultCoefProbs(plane)
+
+  /** Emit one block holding a single DC token (or nothing): the DC
+    * magnitude/sign at position `first`, then EOB. Returns the
+    * nonzero flag the context model tracks. */
+  private def encodeDcBlock(e: BoolEncoder,
+      probs: Array[Array[Array[Int]]], ctx0: Int, first: Int,
+      dcToken: Int): Boolean = {
+    if (dcToken == 0) {
+      e.tree(CoefTree, probs(CoefBands(first))(ctx0), TokEob)
+      false
+    } else {
+      val mag = math.abs(dcToken)
+      val p0 = probs(CoefBands(first))(ctx0)
+      if (mag <= 4) e.tree(CoefTree, p0, mag)
+      else {
+        // the category whose range contains mag
+        var cat = 0
+        while (cat < 5 && mag >= CatBase(cat + 1)) cat += 1
+        e.tree(CoefTree, p0, TokCat1 + cat)
+        val extra = mag - CatBase(cat)
+        val cp = CatProbs(cat)
+        var i = cp.length - 1
+        var k = 0
+        while (i >= 0) {
+          e.bool(cp(k), (extra >> i) & 1)
+          i -= 1; k += 1
+        }
+      }
+      e.bit(if (dcToken < 0) 1 else 0)
+      // next position: EOB with the post-DC context
+      val ctx1 = if (mag == 1) 1 else 2
+      e.tree(CoefTree, probs(CoefBands(first + 1))(ctx1), TokEob)
+      true
+    }
+  }
+}

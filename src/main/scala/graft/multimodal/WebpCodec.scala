@@ -1,18 +1,19 @@
 package graft.multimodal
 
-/** WebP lossless (VP8L) decode for the perceptual-hash tier — the
-  * dominant modern web image format next to JPEG/PNG: the RIFF
-  * container walk to the `VP8L` chunk, then the full RFC 9649
-  * lossless bitstream — LSB-first bit reading, canonical prefix codes
+/** WebP decode for the perceptual-hash tier — the dominant modern web
+  * image format next to JPEG/PNG, BOTH flavors: the RIFF container
+  * walk dispatches `VP8L` (lossless) chunks to the full RFC 9649
+  * bitstream here — LSB-first bit reading, canonical prefix codes
   * (simple and code-length-coded), color cache, meta prefix groups
   * via an entropy image, LZ77 backward references with the 120-entry
   * 2D distance map, and all four transforms (predictor with its 14
   * modes, cross-color, subtract-green, color indexing with sub-byte
-  * pixel bundling), applied inverse in reverse read order. Color
-  * collapses to luma through the same BT.601 weights as every other
-  * format ([[PixelCodec.lum]]), so a lossless-WebP re-render of a PNG
-  * scene lands the identical pixels and joins the md5-arithmetic
-  * oracles as a cross-format copy.
+  * pixel bundling), applied inverse in reverse read order — and
+  * `VP8 ` (lossy key frame) chunks to the RFC 6386 still decoder in
+  * [[Vp8Codec]]. Color collapses to luma through the same BT.601
+  * weights as every other format ([[PixelCodec.lum]]), so a
+  * lossless-WebP re-render of a PNG scene lands the identical pixels
+  * and joins the md5-arithmetic oracles as a cross-format copy.
   *
   * Hostile-input discipline matches the codec tier: decode never
   * throws — truncated chunks, incomplete prefix codes, references
@@ -66,8 +67,10 @@ object WebpCodec {
 
   // ---- container ----
 
-  /** Decode a lossless WebP to luma. None on lossy (VP8) payloads,
-    * anything outside the spec envelope, or malformed input. */
+  /** Decode a still WebP to luma — lossless (VP8L) through the RFC
+    * 9649 bitstream below, lossy (VP8 key frame) through
+    * [[Vp8Codec]]. None on anything outside the spec envelope or
+    * malformed input. */
   def decodeWebp(b: Array[Byte]): Option[Gray] =
     try decode0(b)
     catch { case _: RuntimeException => None }
@@ -76,13 +79,15 @@ object WebpCodec {
     if (b.length < 20 || fourcc(b, 0) != "RIFF" ||
         fourcc(b, 8) != "WEBP") return None
     val riffEnd = math.min(b.length.toLong, 8 + le32(b, 4)).toInt
-    // chunk walk to VP8L (skips VP8X metadata containers)
+    // chunk walk to the image chunk (skips VP8X metadata containers)
     var p = 12
     while (p + 8 <= riffEnd) {
       val sz = le32(b, p + 4)
       if (sz < 0 || p + 8 + sz > riffEnd) return None
       if (fourcc(b, p) == "VP8L")
         return decodeVp8l(b, p + 8, (p + 8 + sz).toInt)
+      if (fourcc(b, p) == "VP8 ")
+        return Vp8Codec.decodeFrame(b, p + 8, (p + 8 + sz).toInt)
       p += 8 + sz.toInt + (sz.toInt & 1)
     }
     None
@@ -97,10 +102,11 @@ object WebpCodec {
     * canvas dims, ANIM background color, then per-ANMF sub-rect
     * compositing (x/y stored halved per the container spec; disposal
     * none / to-background honored after each emit). Frames must be
-    * opaque VP8L: lossy VP8 payloads, ALPH chunks, or an
-    * alpha-hinted frame under use-alpha blending return None — the
-    * luma canvas cannot honor translucent composition, so such clips
-    * drop at the decode gate rather than land wrong pixels. */
+    * OPAQUE — lossless VP8L or lossy VP8 (which carries no alpha by
+    * construction): ALPH chunks or an alpha-hinted VP8L frame under
+    * use-alpha blending return None — the luma canvas cannot honor
+    * translucent composition, so such clips drop at the decode gate
+    * rather than land wrong pixels. */
   def decodeWebpFrames(b: Array[Byte]): Option[Seq[Gray]] =
     try decodeFrames0(b)
     catch { case _: RuntimeException => None }
@@ -128,7 +134,9 @@ object WebpCodec {
       fourcc(b, p) match {
         case "VP8L" if !animated =>        // simple lossless image
           return decodeVp8l(b, body, (body + sz).toInt).map(Seq(_))
-        case "VP8 " => return None         // lossy
+        case "VP8 " if !animated =>        // simple lossy image
+          return Vp8Codec.decodeFrame(b, body, (body + sz).toInt)
+            .map(Seq(_))
         case "ALPH" => return None         // alpha plane unsupported
         case "VP8X" =>
           if (sz < 10) return None
@@ -175,7 +183,14 @@ object WebpCodec {
                 if (sub.isEmpty) return None
                 if (sub.get.width != fw || sub.get.height != fh)
                   return None
-              case "VP8 " | "ALPH" => return None
+              case "VP8 " =>
+                // lossy frames carry no alpha: opaque under either
+                // blend mode, so the luma canvas composites exactly
+                sub = Vp8Codec.decodeFrame(b, q + 8, (q + 8 + csz).toInt)
+                if (sub.isEmpty) return None
+                if (sub.get.width != fw || sub.get.height != fh)
+                  return None
+              case "ALPH" => return None
               case _ => ()                 // unknown: skip
             }
             q += 8 + csz.toInt + (csz.toInt & 1)

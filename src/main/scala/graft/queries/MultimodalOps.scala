@@ -249,7 +249,16 @@ object MultimodalOps extends QueryModule {
     *                        subtract-green transforms and an 8-bit
     *                        color cache over [[PixelCodec.colorize]]
     *                        pixels (BT.601-exact luma; 300 = 2²·3·5²
-    *                        shares %50/%75/%100/%150 — members only).
+    *                        shares %50/%75/%100/%150 — members only);
+    *   +19·Offset (id%400): LOSSY WebP — REAL RFC 6386 VP8 key frame
+    *                        ([[graft.multimodal.Vp8Codec]]): boolean
+    *                        arithmetic coding, B_DC_PRED subblocks
+    *                        whose constant residuals ride single DC
+    *                        tokens bit-exactly through the integer
+    *                        IDCT (quantizer 4 at %800, multi-part
+    *                        token layout and skip flags cycling by
+    *                        id%3; 400 = 2⁴·5² shares %50/%100/%200 —
+    *                        members only, no new clusters).
     * Block-constant tiles (and [[PixelCodec.renderGridSized]]'s
     * bin-rule coloring at odd sizes) make every rendering resample
     * exactly back to the scene grid, so expected hashes (and clusters)
@@ -352,6 +361,13 @@ object MultimodalOps extends QueryModule {
               graft.multimodal.WebpEncoder.encodeWebp(
                 PixelCodec.renderGrid(grid, 64), salt = (id % 9).toInt,
                 color = true, crossColor = true, cacheBits = 8))
+          if (id % 400 == 0)
+            put(s"asset_${id + 19 * Planting.Offset}.webp",
+              graft.multimodal.Vp8Encoder.encodeWebpLossy(
+                PixelCodec.renderGrid(grid, 64),
+                qi = if (id % 800 == 0) 4 else 0,
+                nParts = 1 << (id % 3).toInt,
+                skipFlags = id % 3 == 0))
           // corrupt variant (id%175, +5·Offset): a truncated PNG — the
           // IDAT stream cuts off mid-deflate, so pixel decode MUST
           // return None. Exercises the hostile-input path end-to-end:
@@ -673,7 +689,8 @@ object MultimodalOps extends QueryModule {
          UNION ALL SELECT doc_id + 1500000, doc_id, FALSE FROM d WHERE doc_id % 350 = 0
          UNION ALL SELECT doc_id + 1600000, doc_id, FALSE FROM d WHERE doc_id % 500 = 0
          UNION ALL SELECT doc_id + 1700000, doc_id, FALSE FROM d WHERE doc_id % 200 = 0
-         UNION ALL SELECT doc_id + 1800000, doc_id, FALSE FROM d WHERE doc_id % 300 = 0)"""
+         UNION ALL SELECT doc_id + 1800000, doc_id, FALSE FROM d WHERE doc_id % 300 = 0
+         UNION ALL SELECT doc_id + 1900000, doc_id, FALSE FROM d WHERE doc_id % 400 = 0)"""
 
   /** The planted audio-asset schedule as a DuckDB CTE pair (shared by
     * the mm_audio_fp and pipeline_curate_v9 oracles) — decodable
@@ -846,8 +863,9 @@ object MultimodalOps extends QueryModule {
     // canonical-member condition; %375 (interlaced GIF) implies %75,
     // %250 (16-bit PNG) implies %50, %450 (progressive JPEG) implies
     // %50/%75, %350 (Adam7 PNG) implies %50, %500 (TIFF) implies
-    // %50/%100/%125, and the WebP families %200/%300 imply %50 and
-    // %50/%75/%100/%150, so those add members, never new clusters.
+    // %50/%100/%125, the WebP lossless families %200/%300 imply %50
+    // and %50/%75/%100/%150, and the LOSSY WebP family %400 implies
+    // %50/%100/%200, so those add members, never new clusters.
     "mm_dedup_near" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          m AS (
@@ -871,7 +889,8 @@ object MultimodalOps extends QueryModule {
            UNION ALL SELECT doc_id, doc_id + 1500000 FROM d WHERE doc_id % 350 = 0
            UNION ALL SELECT doc_id, doc_id + 1600000 FROM d WHERE doc_id % 500 = 0
            UNION ALL SELECT doc_id, doc_id + 1700000 FROM d WHERE doc_id % 200 = 0
-           UNION ALL SELECT doc_id, doc_id + 1800000 FROM d WHERE doc_id % 300 = 0)
+           UNION ALL SELECT doc_id, doc_id + 1800000 FROM d WHERE doc_id % 300 = 0
+           UNION ALL SELECT doc_id, doc_id + 1900000 FROM d WHERE doc_id % 400 = 0)
          SELECT canonical_id, count(*) AS n_members,
                 string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
                   AS member_ids

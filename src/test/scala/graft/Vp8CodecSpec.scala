@@ -1,0 +1,221 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal._
+import graft.multimodal.PixelCodec.Gray
+
+/** The lossy-WebP (VP8 key frame) tier: bool-coder and tree
+  * round-trips, the exact integer transform properties the fixture
+  * argument rests on, full encode→decode pixel identity across the
+  * quantizer/partition/skip dials, cross-format identity with the
+  * PNG rendering, and hostile-input discipline. */
+class Vp8CodecSpec extends AnyFunSuite {
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  test("bool coder round-trips arbitrary bit/probability sequences") {
+    val r = rng(0x1337)
+    val probs = Array.fill(5000)(1 + r.nextInt(254))
+    val bits = Array.fill(5000)(r.nextInt(2))
+    val e = new Vp8Entropy.BoolEncoder
+    var i = 0
+    while (i < bits.length) { e.bool(probs(i), bits(i)); i += 1 }
+    val bytes = e.finish()
+    val d = new Vp8Entropy.BoolDecoder(bytes, 0, bytes.length)
+    i = 0
+    while (i < bits.length) {
+      assert(d.bool(probs(i)) === bits(i), s"bit $i")
+      i += 1
+    }
+    assert(!d.overran)
+  }
+
+  test("literals and trees round-trip") {
+    val r = rng(0xbeef)
+    val e = new Vp8Entropy.BoolEncoder
+    val lits = Array.fill(200)(r.nextInt(256))
+    lits.foreach(v => e.literal(8, v))
+    val toks = Array.fill(300)(r.nextInt(12))
+    val probs = Array.fill(11)(1 + r.nextInt(254))
+    toks.foreach(t => e.tree(Vp8Tables.CoefTree, probs, t))
+    val modes = Array.fill(100)(r.nextInt(10))
+    modes.foreach(m =>
+      e.tree(Vp8Tables.BmodeTree, Vp8Tables.KfBmodeProb(0)(0), m))
+    val bytes = e.finish()
+    val d = new Vp8Entropy.BoolDecoder(bytes, 0, bytes.length)
+    lits.foreach(v => assert(d.literal(8) === v))
+    toks.foreach(t => assert(d.tree(Vp8Tables.CoefTree, probs) === t))
+    modes.foreach(m => assert(
+      d.tree(Vp8Tables.BmodeTree, Vp8Tables.KfBmodeProb(0)(0)) === m))
+    assert(!d.overran)
+  }
+
+  test("IDCT of a DC-only block is exactly (8r+4)>>3 = r, both signs") {
+    val out = new Array[Int](16)
+    for (r <- Seq(-255, -100, -1, 0, 1, 77, 255)) {
+      val c = new Array[Int](16)
+      c(0) = 8 * r
+      Vp8Codec.idct4x4(c, out)
+      assert(out.forall(_ == r), s"r=$r → ${out.toSeq}")
+    }
+  }
+
+  test("inverse WHT of a DC-only Y2 block lands 8r in every subblock") {
+    val out = new Array[Int](16)
+    for (r <- Seq(-200, -3, 0, 5, 127)) {
+      val c = new Array[Int](16)
+      c(0) = 64 * r
+      Vp8Codec.iwalsh(c, out)
+      assert(out.forall(_ == 8 * r), s"r=$r → ${out.toSeq}")
+    }
+  }
+
+  private def sceneGray(id: Long, size: Int): Gray = {
+    val grid = PixelCodec.sceneGrid(id)
+    PixelCodec.renderGrid(grid, size)
+  }
+
+  test("VP8 encode→decode is pixel-exact on tile-constant scenes " +
+      "across quantizer/partition/skip dials") {
+    for {
+      (id, size) <- Seq((25L, 64), (50L, 32), (75L, 64))
+      qi <- Seq(0, 4)
+      nParts <- Seq(1, 2, 4)
+      skip <- Seq(false, true)
+    } {
+      val g = sceneGray(id, size)
+      val webp = Vp8Encoder.encodeWebpLossy(g, qi = qi, nParts = nParts,
+        skipFlags = skip)
+      val back = WebpCodec.decodeWebp(webp)
+      assert(back.isDefined, s"id=$id qi=$qi parts=$nParts skip=$skip")
+      assert(back.get.width === g.width && back.get.height === g.height)
+      assert(back.get.luma.sameElements(g.luma),
+        s"id=$id qi=$qi parts=$nParts skip=$skip")
+    }
+  }
+
+  test("uniform images ride the 16×16 DC_PRED + Y2 WHT path exactly") {
+    for (v <- Seq(0, 1, 17, 128, 254, 255); qi <- Seq(0, 4)) {
+      val g = Gray(48, 48, Array.fill(48 * 48)(v))
+      val back = WebpCodec.decodeWebp(
+        Vp8Encoder.encodeWebpLossy(g, qi = qi, skipFlags = true))
+      assert(back.exists(_.luma.forall(_ == v)), s"v=$v qi=$qi")
+    }
+  }
+
+  test("non-MB-aligned dimensions pad and crop exactly") {
+    // 4×4-constant content at odd frame dims: replication padding
+    // keeps every subblock constant, so the round trip stays exact
+    for ((w, h) <- Seq((52, 45), (17, 9), (64, 4), (4, 64), (1, 1))) {
+      val g = Gray(w, h, Array.tabulate(w * h) { i =>
+        ((i % w) / 4 * 37 + (i / w) / 4 * 101) % 256
+      })
+      val back = WebpCodec.decodeWebp(Vp8Encoder.encodeWebpLossy(g))
+      assert(back.isDefined, s"${w}x$h")
+      assert(back.get.width === w && back.get.height === h)
+      assert(back.get.luma.sameElements(g.luma), s"${w}x$h")
+    }
+  }
+
+  test("lossy WebP decodes to the identical pixels as the PNG " +
+      "rendering (cross-format copy)") {
+    val g = sceneGray(100L, 64)
+    val png = PixelCodec.decodePng(PixelCodec.encodeGray8Png(g)).get
+    val vp8 = WebpCodec.decodeWebp(Vp8Encoder.encodeWebpLossy(g)).get
+    assert(vp8.luma.sameElements(png.luma))
+  }
+
+  test("lossy frames composite inside animated WebP clips") {
+    val g = sceneGray(125L, 32)
+    val webp = Vp8Encoder.encodeWebpLossy(g)
+    val frames = WebpCodec.decodeWebpFrames(webp)
+    assert(frames.exists(f =>
+      f.length == 1 && f.head.luma.sameElements(g.luma)))
+  }
+
+  test("container truncation at every byte returns None, never throws") {
+    val g = sceneGray(150L, 32)
+    val webp = Vp8Encoder.encodeWebpLossy(g, nParts = 2)
+    // cuts inside the payload must be None; a cut that removes only
+    // the RIFF pad byte leaves the full bitstream present and may
+    // legally decode
+    val payloadEnd = 20 + ((webp(16) & 0xff) | ((webp(17) & 0xff) << 8) |
+      ((webp(18) & 0xff) << 16))
+    var n = 0
+    while (n < webp.length) {
+      val r = WebpCodec.decodeWebp(webp.take(n))
+      if (n < payloadEnd) assert(r.isEmpty, s"@$n")
+      n += 1
+    }
+    assert(WebpCodec.decodeWebp(webp).isDefined)
+  }
+
+  test("raw-payload truncation never throws; deep cuts are None") {
+    val g = sceneGray(175L, 64)
+    val webp = Vp8Encoder.encodeWebpLossy(g)
+    // strip the RIFF wrap: payload starts at 20
+    val payload = webp.drop(20)
+    var n = 0
+    while (n < payload.length - 3) {
+      // the bool coder's legal 2-byte lookahead means the last couple
+      // of flush bytes may be reconstructible; anything deeper is None
+      val r = Vp8Codec.decodeFrame(payload, 0, n)
+      assert(r.isEmpty, s"@$n")
+      n += 1
+    }
+  }
+
+  test("hostile inputs never throw: header fuzz and bit flips") {
+    val g = sceneGray(200L, 32)
+    val webp = Vp8Encoder.encodeWebpLossy(g)
+    val r = rng(0xdead)
+    // interframe bit, bad start code, oversized dims
+    val t1 = webp.clone(); t1(20) = (t1(20) | 1).toByte
+    assert(WebpCodec.decodeWebp(t1).isEmpty)
+    val t2 = webp.clone(); t2(23) = 0x00
+    assert(WebpCodec.decodeWebp(t2).isEmpty)
+    var i = 0
+    while (i < 400) {
+      val t = webp.clone()
+      val at = 20 + r.nextInt(t.length - 20)
+      t(at) = (t(at) ^ (1 << r.nextInt(8))).toByte
+      WebpCodec.decodeWebp(t) // any Option is fine; must not throw
+      i += 1
+    }
+    i = 0
+    while (i < 200) {
+      val junk = new Array[Byte](8 + r.nextInt(120))
+      r.nextBytes(junk)
+      Vp8Codec.decodeFrame(junk, 0, junk.length)
+      i += 1
+    }
+  }
+
+  test("loop filter: flat content is invariant at any level; edges " +
+      "stay in range") {
+    // a uniform frame has zero gradients everywhere: every mask may
+    // pass but every adjustment is 0, so filtering must be identity
+    for {
+      lvl <- Seq(10, 40, 63)
+      simple <- Seq(false, true)
+      sharp <- Seq(0, 3, 7)
+    } {
+      val g = Gray(48, 48, Array.fill(48 * 48)(93))
+      val back = WebpCodec.decodeWebp(Vp8Encoder.encodeWebpLossy(
+        g, filterLevel = lvl, simpleFilter = simple, sharpness = sharp))
+      assert(back.exists(_.luma.forall(_ == 93)),
+        s"lvl=$lvl simple=$simple sharp=$sharp")
+    }
+    // tile content under filtering: lossy (as intended) but sane
+    val g = sceneGray(225L, 64)
+    for (simple <- Seq(false, true)) {
+      val back = WebpCodec.decodeWebp(Vp8Encoder.encodeWebpLossy(
+        g, filterLevel = 32, simpleFilter = simple))
+      assert(back.isDefined)
+      assert(back.get.luma.forall(v => v >= 0 && v <= 255))
+      // deblocking smooths tile edges: most interior mass unchanged
+      val diff = back.get.luma.zip(g.luma).count { case (a, b) => a != b }
+      assert(diff < g.luma.length / 2, s"diff=$diff simple=$simple")
+    }
+  }
+}
