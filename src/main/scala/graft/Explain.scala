@@ -63,7 +63,7 @@ object Explain {
         "pipeline_curate_v9", "mm_stream_admit", "mm_audio_stream_admit",
         "text_decontaminate_served", "text_decontaminate_spans_served",
         "mm_frame_sample", "mm_frame_near", "pipeline_curate_v10",
-        "mm_frame_stream_admit",
+        "mm_frame_stream_admit", "mm_clip_exact",
         "warc_ingest", "warc_extract", "pipeline_curate_v11",
         "pipeline_curate_v12")
     val spark = SparkSession.builder()

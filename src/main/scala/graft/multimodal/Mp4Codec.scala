@@ -23,6 +23,11 @@ package graft.multimodal
   * extents, inconsistent chunk runs, unsupported 64-bit offsets
   * (`co64`), or any undecodable sample return None (the clip drops
   * whole at the gate, like a truncated GIF).
+  *
+  * `avc1` (H.264) tracks ride the separate documented DIGEST tier
+  * ([[decodeAvcDigest]]): container metadata + per-sample content
+  * digests for exact clip dedup, with no pixel decode attempted —
+  * see the contract scaladoc there.
   */
 object Mp4Codec {
   import PixelCodec.Gray
@@ -101,6 +106,22 @@ object Mp4Codec {
     val fmt = fourcc(b, sdS + 12)
     if (fmt != "jpeg" && fmt != "mjpa") return None
 
+    val extents = sampleExtents(b, ss, se).getOrElse(return None)
+    val frames = Vector.newBuilder[Gray]
+    extents.foreach { case (off, sz) =>
+      val payload = java.util.Arrays.copyOfRange(b, off, off + sz)
+      frames += JpegCodec.decodeJpeg(payload).getOrElse(return None)
+    }
+    Some(frames.result())
+  }
+
+  /** Per-sample (offset, size) extents from the `stbl` sample tables
+    * — stsz sizes, stco chunk offsets, stsc sample-to-chunk runs —
+    * shared by the MJPEG pixel tier and the AVC digest tier. None on
+    * any inconsistency (missing table, out-of-range extent,
+    * non-monotone runs, 64-bit co64 offsets). */
+  private def sampleExtents(b: Array[Byte], ss: Int,
+      se: Int): Option[Vector[(Int, Int)]] = {
     // stsz: version/flags, sample_size (0 = per-sample table),
     // sample_count, then sizes
     val (szS, szE) = child(b, ss, se, "stsz").getOrElse(return None)
@@ -144,7 +165,7 @@ object Mp4Codec {
     }
 
     // walk chunks, laying samples at cumulative offsets
-    val frames = Vector.newBuilder[Gray]
+    val out = Vector.newBuilder[(Int, Int)]
     var sample = 0
     var run = 0
     var chunk = 0
@@ -158,9 +179,7 @@ object Mp4Codec {
       while (j < spc && sample < n) {
         val sz = sizes(sample)
         if (off < 0 || off + sz > b.length) return None
-        val payload = java.util.Arrays.copyOfRange(b, off.toInt,
-          (off + sz).toInt)
-        frames += JpegCodec.decodeJpeg(payload).getOrElse(return None)
+        out += ((off.toInt, sz.toInt))
         off += sz
         sample += 1
         j += 1
@@ -168,7 +187,139 @@ object Mp4Codec {
       chunk += 1
     }
     if (sample != n) return None
-    Some(frames.result())
+    Some(out.result())
+  }
+
+  // ---- AVC (H.264) honest tier: metadata + sample content digests ----
+
+  /** One AVC video track's digest view: coded dims, the avcC
+    * profile/level, and a per-sample content digest. */
+  final case class AvcClip(width: Int, height: Int, profile: Int,
+      level: Int, sampleDigests: Vector[String]) {
+    /** The clip fingerprint: md5 over the ordered sample digests —
+      * byte-identical content ⇒ identical fingerprint, regardless of
+      * container layout. */
+    def fingerprint: String = md5Hex(
+      sampleDigests.mkString("").getBytes("US-ASCII"))
+  }
+
+  def md5Hex(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+    d.map(x => f"${x & 0xff}%02x").mkString
+  }
+
+  /** The documented H.264/AVC tier CONTRACT: `avc1` tracks are NOT
+    * pixel-decoded — no entropy or transform decode is attempted.
+    * The tier surfaces container metadata (coded width/height, the
+    * AVCDecoderConfigurationRecord's profile and level) plus one
+    * CONTENT DIGEST per sample: md5 over the sample's NAL unit bytes
+    * with the length-prefix framing stripped and the 1-byte NAL
+    * header excluded — a value invariant under re-muxing (chunk
+    * layout, interleave, and NAL length-prefix width can all change
+    * without touching it), which is exactly what EXACT clip dedup
+    * needs at 100 TB: identical encodes collapse across containers
+    * without a transform decoder, while pixel-space NEAR-dup pairing
+    * remains the decodable tiers' job (MJPEG/GIF/WebP — and VP8 via
+    * [[Vp8Codec]]). Structural honesty is kept: the avcC record must
+    * parse (version 1, ≥1 SPS of NAL type 7 and ≥1 PPS of type 8,
+    * all within bounds, a legal length-prefix size), and every sample
+    * must tile EXACTLY into length-prefixed NAL units with a zero
+    * forbidden bit and a valid type — truncation or corruption drops
+    * the whole clip at the gate, never a partial digest. */
+  def decodeAvcDigest(b: Array[Byte]): Option[AvcClip] =
+    try decodeAvc0(b)
+    catch { case _: RuntimeException => None }
+
+  private def decodeAvc0(b: Array[Byte]): Option[AvcClip] = {
+    if (b.length < 16) return None
+    val (moovS, moovE) = child(b, 0, b.length, "moov").getOrElse(return None)
+    val videoTrak = children(b, moovS, moovE, "trak").find { case (ts, te) =>
+      (for {
+        (ms, me) <- child(b, ts, te, "mdia")
+        (hs, he) <- child(b, ms, me, "hdlr")
+        if hs + 12 <= he
+      } yield fourcc(b, hs + 8) == "vide").getOrElse(false)
+    }.getOrElse(return None)
+    val (ts, te) = videoTrak
+    val (ms, me) = child(b, ts, te, "mdia").getOrElse(return None)
+    val (mfs, mfe) = child(b, ms, me, "minf").getOrElse(return None)
+    val (ss, se) = child(b, mfs, mfe, "stbl").getOrElse(return None)
+
+    val (sdS, sdE) = child(b, ss, se, "stsd").getOrElse(return None)
+    if (sdS + 16 > sdE) return None
+    if (be32(b, sdS + 4) < 1) return None
+    if (fourcc(b, sdS + 12) != "avc1") return None
+    val entryEnd = math.min(sdE.toLong, sdS + 8 + be32(b, sdS + 8)).toInt
+    val body = sdS + 16                    // VisualSampleEntry body
+    if (body + 78 > entryEnd) return None
+    val width = be16(b, body + 24)
+    val height = be16(b, body + 26)
+    if (width <= 0 || height <= 0) return None
+
+    // avcC: AVCDecoderConfigurationRecord (ISO 14496-15 §5.2.4.1)
+    val (avS, avE) = child(b, body + 78, entryEnd, "avcC")
+      .getOrElse(return None)
+    if (avS + 7 > avE) return None
+    if (u8(b, avS) != 1) return None       // configurationVersion
+    val profile = u8(b, avS + 1)
+    val level = u8(b, avS + 3)
+    val lengthSize = (u8(b, avS + 4) & 3) + 1
+    if (lengthSize == 3) return None       // reserved in practice
+    var p = avS + 5
+    val nSps = u8(b, p) & 0x1f
+    if (nSps < 1) return None
+    p += 1
+    var i = 0
+    while (i < nSps) {
+      if (p + 2 > avE) return None
+      val len = be16(b, p)
+      p += 2
+      if (len < 1 || p + len > avE) return None
+      if ((u8(b, p) & 0x80) != 0 || (u8(b, p) & 0x1f) != 7) return None
+      p += len
+      i += 1
+    }
+    if (p + 1 > avE) return None
+    val nPps = u8(b, p)
+    if (nPps < 1) return None
+    p += 1
+    i = 0
+    while (i < nPps) {
+      if (p + 2 > avE) return None
+      val len = be16(b, p)
+      p += 2
+      if (len < 1 || p + len > avE) return None
+      if ((u8(b, p) & 0x80) != 0 || (u8(b, p) & 0x1f) != 8) return None
+      p += len
+      i += 1
+    }
+
+    val extents = sampleExtents(b, ss, se).getOrElse(return None)
+    val digests = Vector.newBuilder[String]
+    extents.foreach { case (off, sz) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var q = off
+      val end = off + sz
+      var nals = 0
+      while (q < end) {
+        if (q + lengthSize > end) return None
+        var len = 0L
+        var k = 0
+        while (k < lengthSize) { len = (len << 8) | u8(b, q + k); k += 1 }
+        q += lengthSize
+        if (len < 1 || q + len > end) return None
+        val hdr = u8(b, q)
+        if ((hdr & 0x80) != 0) return None // forbidden_zero_bit
+        val typ = hdr & 0x1f
+        if (typ < 1 || typ > 23) return None
+        md.update(b, q + 1, len.toInt - 1) // payload, header excluded
+        q += len.toInt
+        nals += 1
+      }
+      if (nals == 0) return None
+      digests += md.digest().map(x => f"${x & 0xff}%02x").mkString
+    }
+    Some(AvcClip(width, height, profile, level, digests.result()))
   }
 
   // ---- encoder (fixture planting + spec round-trips) ----
@@ -194,10 +345,83 @@ object Mp4Codec {
   def encodeMjpegMp4(frames: Seq[Gray], chunkSize: Int = 2,
       color: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty && frames.length <= MaxFrames)
-    require(chunkSize >= 1)
     val samples = frames.map(g => JpegCodec.encodeJpeg(g, color = color))
       .toArray
     val w = frames.head.width; val h = frames.head.height
+    assembleMp4(samples, visualSampleEntry("jpeg", w, h), w, h,
+      chunkSize)
+  }
+
+  /** A VisualSampleEntry box (ISO 14496-12 §12.1.3) with optional
+    * trailing extension boxes (the avc1 entry's avcC). */
+  private def visualSampleEntry(fmt: String, w: Int, h: Int,
+      extensions: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val body =
+      Array.fill[Byte](6)(0) ++ be16b(1) ++    // reserved + data_ref
+      be16b(0) ++ be16b(0) ++ be32b(0) ++ be32b(0) ++ be32b(0) ++
+      be16b(w) ++ be16b(h) ++
+      be32b(0x00480000) ++ be32b(0x00480000) ++ // 72 dpi
+      be32b(0) ++ be16b(1) ++                   // frame_count 1
+      Array.fill[Byte](32)(0) ++                // compressorname
+      be16b(24) ++ be16b(0xffff)                // depth, pre_defined -1
+    box(fmt, body ++ extensions)
+  }
+
+  /** The deterministic NAL payloads (header byte excluded) of sample
+    * `k` of the planted AVC scene — frame 0 carries an SEI + the IDR
+    * (the multi-NAL tiling case), later frames one IDR; the payload
+    * text is pure ascii md5 arithmetic so the DuckDB oracle recomputes
+    * every digest verbatim. */
+  private[multimodal] def avcSamplePayloads(scene: Long,
+      k: Int): Seq[Array[Byte]] = {
+    val idr = (s"avc:$scene:$k:" +
+      md5Hex(s"n${scene}_$k".getBytes("UTF-8"))).getBytes("US-ASCII")
+    if (k == 0) Seq(s"sei:$scene".getBytes("US-ASCII"), idr)
+    else Seq(idr)
+  }
+
+  /** Encode a planted AVC clip: `avc1` sample entry with a structurally
+    * complete avcC record (baseline profile 66, level 30, 1 SPS + 1
+    * PPS), samples as length-prefixed NAL units over the
+    * [[avcSamplePayloads]] content. `lengthSize` (1/2/4) and
+    * `chunkSize` vary the FRAMING without touching the content — the
+    * digest-tier invariance a re-muxed copy must exhibit. */
+  def encodeAvcMp4(scene: Long, nFrames: Int, w: Int, h: Int,
+      chunkSize: Int = 2, lengthSize: Int = 4): Array[Byte] = {
+    require(nFrames >= 1 && nFrames <= MaxFrames)
+    require(lengthSize == 1 || lengthSize == 2 || lengthSize == 4)
+    def lenPrefix(n: Int): Array[Byte] = lengthSize match {
+      case 1 => require(n < 256); Array(n.toByte)
+      case 2 => be16b(n)
+      case _ => be32b(n)
+    }
+    val samples = Array.tabulate(nFrames) { k =>
+      avcSamplePayloads(scene, k).toArray.flatMap { payload =>
+        val nalType: Byte = if (payload.startsWith(
+          "sei".getBytes("US-ASCII"))) 0x06 else 0x65
+        lenPrefix(1 + payload.length) ++ (nalType +: payload)
+      }
+    }
+    val sps = Array[Byte](0x67) ++ "sps-baseline-66".getBytes("US-ASCII")
+    val pps = Array[Byte](0x68) ++ "pps-0".getBytes("US-ASCII")
+    val avcC = box("avcC",
+      Array[Byte](1, 66, 0xc0.toByte, 30,
+        (0xfc | (lengthSize - 1)).toByte,
+        (0xe0 | 1).toByte) ++
+        be16b(sps.length) ++ sps ++
+        Array[Byte](1) ++ be16b(pps.length) ++ pps)
+    assembleMp4(samples, visualSampleEntry("avc1", w, h, avcC), w, h,
+      chunkSize)
+  }
+
+  /** `ftyp` + `mdat` + a complete `moov` over the given samples and
+    * stsd sample entry — the shared container assembly. Samples pack
+    * into chunks of `chunkSize`, so the decoder's `stsc` run walk and
+    * intra-chunk cumulative offsets are exercised by every fixture. */
+  private def assembleMp4(samples: Array[Array[Byte]],
+      sampleEntry: Array[Byte], w: Int, h: Int,
+      chunkSize: Int): Array[Byte] = {
+    require(chunkSize >= 1)
     val ftyp = box("ftyp",
       "isom".getBytes("US-ASCII") ++ be32b(0x200) ++
         "isomiso2".getBytes("US-ASCII"))
@@ -223,18 +447,7 @@ object Mp4Codec {
     val delta = 40 // 15 fps
     val dur = n * delta
 
-    val stsd = fullBox("stsd", be32b(1) ++ {
-      // VisualSampleEntry 'jpeg' (ISO 14496-12 §12.1.3)
-      val body =
-        Array.fill[Byte](6)(0) ++ be16b(1) ++    // reserved + data_ref
-        be16b(0) ++ be16b(0) ++ be32b(0) ++ be32b(0) ++ be32b(0) ++
-        be16b(w) ++ be16b(h) ++
-        be32b(0x00480000) ++ be32b(0x00480000) ++ // 72 dpi
-        be32b(0) ++ be16b(1) ++                   // frame_count 1
-        Array.fill[Byte](32)(0) ++                // compressorname
-        be16b(24) ++ be16b(0xffff)                // depth, pre_defined -1
-      box("jpeg", body)
-    })
+    val stsd = fullBox("stsd", be32b(1) ++ sampleEntry)
     val stts = fullBox("stts", be32b(1) ++ be32b(n) ++ be32b(delta))
     val stscRuns =
       if (n % chunkSize == 0 || nChunks == 1)

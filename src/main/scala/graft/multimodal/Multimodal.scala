@@ -534,6 +534,27 @@ object Multimodal {
     clipPairsFromFrameHashes(
       graft.CacheScope.track(frameHashes(assets)), maxDist)
 
+  /** The AVC (H.264) digest tier over a media corpus — the documented
+    * no-pixel-decode contract of [[Mp4Codec.decodeAvcDigest]]: one
+    * distributed projection extracts per-clip metadata + the ordered
+    * sample content digests, reduced to a 32-char clip fingerprint.
+    * Non-AVC or malformed payloads drop at the gate. Scale: the
+    * output is ~50 bytes/clip, so exact-dedup grouping downstream
+    * shuffles fingerprints, never video bytes — the same
+    * projection-first discipline as [[perceptualHashes]]. */
+  def avcClipDigests(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        Mp4Codec.decodeAvcDigest(a.payload).map { c =>
+          (a.asset_id, c.sampleDigests.length.toLong,
+            c.profile.toLong, c.level.toLong, c.fingerprint)
+        }
+      }
+    }.toDF("asset_id", "n_samples", "profile_idc", "level_idc",
+      "clip_fp")
+  }
+
   /** The pair machinery over precomputed (asset_id, frame_no, phash)
     * rows — exposed so pipelines (curate v10) can share ONE cached
     * decode projection between the decode gate and the pairing. */

@@ -89,7 +89,21 @@ object MultimodalFrameOps extends QueryModule {
     *                        Colorized (BT.601-exact) for %450. 150
     *                        implies %50 (pairs with clip AND still);
     *                        %300 adds the re-edit/MP4 pairs and %600
-    *                        the AVI pair. */
+    *                        the AVI pair;
+    *   +7·Offset (id%200): an AVC (H.264) MP4 — the documented DIGEST
+    *                        tier ([[graft.multimodal.Mp4Codec
+    *                        .decodeAvcDigest]]): deterministic NAL
+    *                        content, avcC baseline 66/level 30,
+    *                        4-byte length prefixes. NOT frame-
+    *                        decodable (invisible to the frame
+    *                        oracles); surfaces via mm_clip_exact;
+    *   +8·Offset (id%400): the AVC RE-MUX twin — same NAL content,
+    *                        3-sample chunks and 2-byte length
+    *                        prefixes: byte-distinct framing, the
+    *                        identical fingerprint (%400 implies %200:
+    *                        its primary always exists);
+    *   +9·Offset (id%800): a truncated AVC copy (moov cut away) —
+    *                        digest MUST be None; never surfaces. */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -135,9 +149,53 @@ object MultimodalFrameOps extends QueryModule {
             put(s"asset_${id + 6 * Planting.Offset}.webp",
               graft.multimodal.WebpEncoder.encodeWebpAnimated(frames,
                 salt = (id % 5).toInt, color = id % 450 == 0))
+          // the AVC digest-tier families (+7/+8/+9·Offset): H.264
+          // clips are NOT pixel-decodable here by the documented
+          // contract, so they are invisible to the frame oracles
+          // (they drop at the frame-decode gate like the corrupt
+          // family) and surface through mm_clip_exact instead. The
+          // %400 re-mux twin changes chunking AND NAL length-prefix
+          // width but not one content byte — its fingerprint must
+          // collapse onto the %200 primary. The %800 truncated copy
+          // (moov cut away) must digest to None.
+          if (id % 200 == 0) {
+            put(s"asset_${id + 7 * Planting.Offset}.mp4",
+              graft.multimodal.Mp4Codec.encodeAvcMp4(id, f, 64, 64,
+                chunkSize = 2, lengthSize = 4))
+            if (id % 400 == 0)
+              put(s"asset_${id + 8 * Planting.Offset}.mp4",
+                graft.multimodal.Mp4Codec.encodeAvcMp4(id, f, 64, 64,
+                  chunkSize = 3, lengthSize = 2))
+            if (id % 800 == 0) {
+              val full = graft.multimodal.Mp4Codec.encodeAvcMp4(
+                id, f, 64, 64, chunkSize = 2, lengthSize = 4)
+              put(s"asset_${id + 9 * Planting.Offset}.mp4",
+                full.take(full.length / 2))
+            }
+          }
         }
       base
     }
+
+  // The AVC digest tier end-to-end: binary ingest → the documented
+  // no-pixel-decode contract (container metadata + per-sample NAL
+  // content digests, Mp4Codec.decodeAvcDigest) → exact clip dedup by
+  // fingerprint (canonical = min asset id sharing it). The %400
+  // re-muxed twins (different chunking and length-prefix width, same
+  // content) MUST collapse onto their %200 primaries; the truncated
+  // %800 copies must never surface. Scale: digests are one
+  // projection, the dedup groups 32-char fingerprints — video bytes
+  // never shuffle.
+  private def mmClipExact(s: SparkSession, d: String): DataFrame = {
+    val digests = Multimodal.avcClipDigests(
+      Multimodal.ingestBinary(s, clipFixtureDir(s, d)))
+    val canon = digests.groupBy("clip_fp")
+      .agg(min(col("asset_id")).as("canonical_id"))
+    digests.join(canon, Seq("clip_fp"))
+      .select(col("asset_id"), col("n_samples"), col("profile_idc"),
+        col("level_idc"), col("clip_fp"), col("canonical_id"))
+      .orderBy("asset_id")
+  }
 
   // Uniform frame sampling end-to-end: binaryFile scan → animated
   // decode (sub-rect compositing) → keep min(3, F) frames at the bin
@@ -217,6 +275,7 @@ object MultimodalFrameOps extends QueryModule {
     "mm_frame_sample"     -> (mmFrameSample _),
     "mm_frame_near"       -> (mmFrameNear _),
     "pipeline_curate_v10" -> (pipelineCurateV10 _),
+    "mm_clip_exact"       -> (mmClipExact _),
   )
 
   /** Fixture planting is one-time per (session, dir) — an explicit
@@ -262,6 +321,42 @@ object MultimodalFrameOps extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // recomputes every expected AVC digest from the planting formula:
+    // sample k's NAL payload text is "avc:{scene}:{k}:" ||
+    // md5("n{scene}_{k}"), with an "sei:{scene}" NAL prepended on
+    // frame 0 — the per-sample digest is md5 of the concatenated
+    // payloads, the clip fingerprint md5 of the ordered digest
+    // string. The %400 re-mux twin recomputes to the SAME fingerprint
+    // (framing is excluded from the digest by contract), so its
+    // canonical_id is the %200 primary; the truncated %800 copies
+    // never appear (moov cut away ⇒ digest None).
+    "mm_clip_exact" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         avc AS (
+           SELECT doc_id + 700000 AS asset_id, doc_id AS scene FROM d
+             WHERE doc_id % 200 = 0
+           UNION ALL SELECT doc_id + 800000, doc_id FROM d
+             WHERE doc_id % 400 = 0),
+         samp AS (
+           SELECT a.asset_id, t.k,
+                  md5(CASE WHEN t.k = 0
+                           THEN 'sei:' || CAST(a.scene AS VARCHAR)
+                           ELSE '' END ||
+                      'avc:' || CAST(a.scene AS VARCHAR) || ':' ||
+                      CAST(t.k AS VARCHAR) || ':' ||
+                      md5('n' || CAST(a.scene AS VARCHAR) || '_' ||
+                          CAST(t.k AS VARCHAR))) AS dig
+           FROM avc a, range(6) t(k) WHERE t.k < (a.scene % 4) + 3),
+         clip AS (
+           SELECT asset_id, count(*) AS n_samples,
+                  md5(string_agg(dig, '' ORDER BY k)) AS clip_fp
+           FROM samp GROUP BY asset_id)
+         SELECT c.asset_id, c.n_samples, CAST(66 AS BIGINT) AS profile_idc,
+                CAST(30 AS BIGINT) AS level_idc, c.clip_fp,
+                (SELECT min(c2.asset_id) FROM clip c2
+                  WHERE c2.clip_fp = c.clip_fp) AS canonical_id
+         FROM clip c ORDER BY c.asset_id""",
 
     // recomputes every sampled frame's dHash from the planting
     // formula: the sampling rule picks frame_no = (j·F) // min(3, F)
