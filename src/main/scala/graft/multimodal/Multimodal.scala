@@ -348,7 +348,8 @@ object Multimodal {
     Map("mp4" -> "video", "img" -> "image", "wav" -> "audio",
       "png" -> "image", "jpg" -> "image", "gif" -> "image",
       "bmp" -> "image", "flac" -> "audio", "avi" -> "video",
-      "aif" -> "audio", "tif" -> "image", "webp" -> "image")
+      "aif" -> "audio", "tif" -> "image", "webp" -> "image",
+      "mp3" -> "audio")
 
   /** REAL binary ingestion: `spark.read.format("binaryFile")` over a
     * directory of media blobs named `asset_<id>.<ext>`. This is the
@@ -553,6 +554,29 @@ object Multimodal {
       }
     }.toDF("asset_id", "n_samples", "profile_idc", "level_idc",
       "clip_fp")
+  }
+
+  /** The MP3 digest tier over a media corpus — the documented
+    * no-PCM-synthesis contract of [[Mp3Codec.decodeMp3Digest]]: one
+    * distributed projection walks the frame grammar (ID3 tags
+    * excluded from content by construction) and reduces each stream
+    * to metadata + a fingerprint, so RE-TAGGED copies — the canonical
+    * crawl MP3 duplicate — collapse in exact dedup without an audio
+    * decoder. Non-MP3 or malformed payloads drop at the gate. Scale:
+    * ~60 bytes/stream out; dedup groups fingerprints, never audio
+    * bytes. */
+  def mp3StreamDigests(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        Mp3Codec.decodeMp3Digest(a.payload).map { s =>
+          (a.asset_id, s.frameDigests.length.toLong,
+            s.sampleRate.toLong, s.kbps.toLong, s.channels.toLong,
+            s.fingerprint)
+        }
+      }
+    }.toDF("asset_id", "n_frames", "sample_rate", "kbps", "channels",
+      "audio_fp")
   }
 
   /** The pair machinery over precomputed (asset_id, frame_no, phash)

@@ -446,7 +446,22 @@ object MultimodalOps extends QueryModule {
     *   +10·Offset (id%225): WAVE_FORMAT_EXTENSIBLE — the SAME samples
     *                        as L=R stereo behind the 0xFFFE fmt tag +
     *                        PCM GUID + channel mask (225 = 3²5²
-    *                        shares %75 — members only).
+    *                        shares %75 — members only);
+    *   +11·Offset (id%275): MP3 — the documented DIGEST tier
+    *                        ([[graft.multimodal.Mp3Codec]]): MPEG-1
+    *                        Layer III frame grammar with
+    *                        deterministic ascii content, 64 kbps for
+    *                        even scenes / 96 for odd. NOT
+    *                        PCM-decodable by contract (invisible to
+    *                        the envelope oracles); surfaces via
+    *                        mm_mp3_exact;
+    *   +12·Offset (id%550): the RE-TAGGED MP3 twin — identical frames
+    *                        wrapped in ID3v2 + ID3v1 tags:
+    *                        byte-distinct, the same fingerprint (the
+    *                        canonical crawl MP3 duplicate; %550
+    *                        implies %275 — its primary always exists);
+    *   +13·Offset (id%1100): a truncated MP3 copy (cut mid-frame) —
+    *                        digest MUST be None; never surfaces.
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
     * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
@@ -516,6 +531,28 @@ object MultimodalOps extends QueryModule {
             }
             put(s"asset_${id + 10 * Planting.Offset}.wav",
               AudioCodec.encodeWav16Ext(st, 8000, 2))
+          }
+          // the MP3 digest-tier families (+11/+12/+13·Offset): MP3
+          // payloads are NOT PCM-decodable here by the documented
+          // contract (Mp3Codec), so they are invisible to the
+          // envelope oracles and surface through mm_mp3_exact. The
+          // %550 RE-TAGGED twin wraps the identical frames in ID3v2 +
+          // ID3v1 tags — byte-distinct, the same fingerprint; the
+          // %1100 truncated copy (cut mid-frame) must digest to None.
+          if (id % 275 == 0) {
+            val nf = (id % 5).toInt + 2
+            val kb = if (id % 2 == 0) 64 else 96
+            put(s"asset_${id + 11 * Planting.Offset}.mp3",
+              graft.multimodal.Mp3Codec.encodeMp3(id, nf, kb))
+            if (id % 550 == 0)
+              put(s"asset_${id + 12 * Planting.Offset}.mp3",
+                graft.multimodal.Mp3Codec.encodeMp3(id, nf, kb,
+                  id3v2 = true, id3v1 = true))
+            if (id % 1100 == 0) {
+              val full = graft.multimodal.Mp3Codec.encodeMp3(id, nf, kb)
+              put(s"asset_${id + 13 * Planting.Offset}.mp3",
+                full.take(full.length - 100))
+            }
           }
         }
       base
@@ -656,7 +693,27 @@ object MultimodalOps extends QueryModule {
     "mm_decode_av"         -> (mmDecodeAv _),
     "mm_binary_ingest"     -> (mmBinaryIngest _),
     "mm_dedup_exact"       -> (mmDedupExact _),
+    "mm_mp3_exact"         -> (mmMp3Exact _),
   )
+
+  // The MP3 digest tier end-to-end: binary ingest over the audio
+  // fixture corpus → the documented no-PCM-synthesis contract
+  // (Mp3Codec.decodeMp3Digest: strict frame tiling, tags excluded
+  // from content) → exact stream dedup by fingerprint. The %550
+  // re-tagged twins MUST collapse onto their %275 primaries; the
+  // truncated %1100 copies never surface. Scale: one projection,
+  // fingerprint-keyed dedup — audio bytes never shuffle.
+  private def mmMp3Exact(s: SparkSession, d: String): DataFrame = {
+    val digests = Multimodal.mp3StreamDigests(
+      Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+    val canon = digests.groupBy("audio_fp")
+      .agg(min(col("asset_id")).as("canonical_id"))
+    digests.join(canon, Seq("audio_fp"))
+      .select(col("asset_id"), col("n_frames"), col("sample_rate"),
+        col("kbps"), col("channels"), col("audio_fp"),
+        col("canonical_id"))
+      .orderBy("asset_id")
+  }
 
   /** DuckDB rendering of [[graft.multimodal.PixelCodec.sceneLuma]]'s
     * first-md5-byte: per-hex-digit ascii arithmetic (DuckDB has no
@@ -772,6 +829,45 @@ object MultimodalOps extends QueryModule {
     "mm_audio_fp" ->
       s"""WITH $audioAssetsCte,
           $afpBitsTail""",
+
+    // recomputes every expected MP3 stream digest from the planting
+    // formula: frame k's data is "mp3:{scene}:{k}:" || md5("m{scene}_
+    // {k}") dot-padded to the CBR frame's data length (284 at 64 kbps
+    // for even scenes, 428 at 96 kbps for odd — 32 kHz MPEG-1 Layer
+    // III, no padding drift); the per-frame digest is md5 of that
+    // data, the stream fingerprint md5 of the ordered digest string.
+    // The %550 re-tagged twin (ID3v2 + ID3v1 around identical frames)
+    // recomputes to the SAME fingerprint — tags are excluded from
+    // content by the tier contract — so its canonical_id is the %275
+    // primary; the truncated %1100 copies never appear.
+    "mm_mp3_exact" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         mp3 AS (
+           SELECT doc_id + 1100000 AS asset_id, doc_id AS scene FROM d
+             WHERE doc_id % 275 = 0
+           UNION ALL SELECT doc_id + 1200000, doc_id FROM d
+             WHERE doc_id % 550 = 0),
+         fr AS (
+           SELECT a.asset_id, a.scene, t.k,
+                  md5(rpad('mp3:' || CAST(a.scene AS VARCHAR) || ':' ||
+                           CAST(t.k AS VARCHAR) || ':' ||
+                           md5('m' || CAST(a.scene AS VARCHAR) || '_' ||
+                               CAST(t.k AS VARCHAR)),
+                           CASE WHEN a.scene % 2 = 0
+                                THEN 284 ELSE 428 END, '.')) AS dig
+           FROM mp3 a, range(7) t(k) WHERE t.k < (a.scene % 5) + 2),
+         st AS (
+           SELECT asset_id, scene, count(*) AS n_frames,
+                  md5(string_agg(dig, '' ORDER BY k)) AS audio_fp
+           FROM fr GROUP BY asset_id, scene)
+         SELECT s.asset_id, s.n_frames,
+                CAST(32000 AS BIGINT) AS sample_rate,
+                CAST(CASE WHEN s.scene % 2 = 0 THEN 64 ELSE 96 END
+                     AS BIGINT) AS kbps,
+                CAST(1 AS BIGINT) AS channels, s.audio_fp,
+                (SELECT min(s2.asset_id) FROM st s2
+                  WHERE s2.audio_fp = s.audio_fp) AS canonical_id
+         FROM st s ORDER BY s.asset_id""",
 
     // expected audio clusters fall straight out of the variant
     // schedule: a scene clusters iff it planted at least one decodable
