@@ -34,7 +34,10 @@ object MultimodalStreamOps extends QueryModule {
     * (≤2 fingerprint bits — a NEAR duplicate), 4 corrupt (truncated —
     * MUST drop at the decode gate), 5 (image tier only) baseline-JPEG
     * re-render of the scene — a cross-FORMAT copy the stream must
-    * reject at dist 0. */
+    * reject at dist 0, 6 a lossless-WebP re-render, 7 (image tier
+    * only) a LOSSY WebP re-render (VP8 key frame —
+    * [[graft.multimodal.Vp8Encoder]]'s exact envelope, so it too
+    * lands dist 0) — rejected the same way. */
   private def imagePayloads(scenes: DataFrame): DataFrame = {
     val s = scenes.sparkSession
     import s.implicits._
@@ -58,6 +61,10 @@ object MultimodalStreamOps extends QueryModule {
           case 6 => graft.multimodal.WebpEncoder.encodeWebp(
             PixelCodec.renderGrid(grid, 64), salt = (scene % 7).toInt,
             color = true, crossColor = true, cacheBits = 6)
+          case 7 => graft.multimodal.Vp8Encoder.encodeWebpLossy(
+            PixelCodec.renderGrid(grid, 64),
+            qi = if (scene % 2 == 0) 4 else 0, nParts = 2,
+            skipFlags = scene % 3 == 0)
           case _ => PixelCodec.encodeGray8Png(
             PixelCodec.renderGrid(grid, 64)).take(60)
         }
@@ -141,9 +148,12 @@ object MultimodalStreamOps extends QueryModule {
     *   delivery A: %50 resized (+1·Offset) and %75 re-encoded
     *               (+2·Offset) copies of seeded scenes — plus %150
     *               cross-format re-renders (+6·Offset: baseline JPEG
-    *               on the image tier, MJPEG-MP4 on the clip tier) and
+    *               on the image tier, MJPEG-MP4 on the clip tier),
     *               %225 WebP re-renders (+7·Offset: lossless VP8L
-    *               still / animated VP8X clip) — ALL rejected;
+    *               still / animated VP8X clip), and — image tier
+    *               only — %275 LOSSY-WebP re-renders (+8·Offset: VP8
+    *               key frames, bit-exact on the planted envelope so
+    *               they land dist 0) — ALL rejected;
     *   delivery B: %125 perturbed (+4·Offset, within maxDist) —
     *               rejected; %100 FRESH scenes (+3·Offset asset AND
     *               scene id — a scene space never seeded) — admitted;
@@ -172,12 +182,13 @@ object MultimodalStreamOps extends QueryModule {
       val base = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
         java.lang.Integer.toHexString(d.hashCode)
       val (src, cp, state) = (s"$base/src", s"$base/cp", s"$base/state")
-      // schedule-version markers: the r15 WebP-copy delivery changed
-      // both the clip tier (v4) and the image tier (v3) — older state
-      // dirs must rebuild; the audio tier's schedule is unchanged (v2)
+      // schedule-version markers: the r17 lossy-WebP delivery bumped
+      // the image tier to v4 (r15's WebP copies set clip v4 / image
+      // v3) — older state dirs must rebuild; the audio tier's
+      // schedule is unchanged (v2)
       val fp = graft.sources.FixtureMarker.fingerprint(
         java.nio.file.Paths.get(s"$d/documents.parquet"),
-        if (clipProtocol) "v4" else if (jpegCopies) "v3" else "v2")
+        if (clipProtocol) "v4" else if (jpegCopies) "v4i" else "v2")
       val reusable = graft.sources.FixtureMarker.reusable(base, fp)
       if (!reusable) {
         graft.sources.TableSwap.deleteRecursively(
@@ -193,10 +204,13 @@ object MultimodalStreamOps extends QueryModule {
         // re-render; clip tier: an MJPEG-MP4 re-render — either way a
         // cross-format copy rejected at dist 0 (absent from the
         // admitted-set oracles by construction)
-        val incA = if (jpegCopies || clipProtocol)
+        val incA1 = if (jpegCopies || clipProtocol)
           incA0.unionByName(sched(scenes, 150, 6 * Offset, 0, 5))
             .unionByName(sched(scenes, 225, 7 * Offset, 0, 6))
           else incA0
+        val incA = if (jpegCopies)
+          incA1.unionByName(sched(scenes, 275, 8 * Offset, 0, 7))
+          else incA1
         val incB = sched(scenes, 125, 4 * Offset, 0, 3)
           .unionByName(sched(scenes, 100, 3 * Offset, 3 * Offset, 0))
           .unionByName(sched(scenes, 175, 5 * Offset, 0, 4))
