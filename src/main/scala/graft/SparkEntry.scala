@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, EvalOps, GraphOps, Joins, LayoutOps, MultimodalFrameOps, MultimodalOps, MultimodalStreamOps, QueryModule, WarcOps, Relational, Retrieval, SamplingOps, SimOps, TokenOps, TrainPrep, Transforms, Windows}
+import graft.queries.{Aggregates, ApiQueries, ChessPipeline, CorpusOps, DataOps, EvalOps, GraphOps, Joins, LayoutOps, MultimodalAudioOps, MultimodalFrameOps, MultimodalOps, MultimodalStreamOps, QueryModule, WarcOps, Relational, Retrieval, SamplingOps, SimOps, TokenOps, TrainPrep, Transforms, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,6 +30,7 @@ object SparkEntry {
     TokenOps,
     SimOps,
     MultimodalOps,
+    MultimodalAudioOps,
     MultimodalFrameOps,
     MultimodalStreamOps,
     WarcOps,

@@ -34,12 +34,19 @@ object Vp8Encoder {
   /** Encode to a complete WebP (RIFF + `VP8 ` chunk) container.
     * `filterLevel` 0 keeps the exactness guarantee; nonzero levels
     * exercise the normal/simple deblocking paths (lossy like any real
-    * encoder — only flat content survives filtering unchanged). */
+    * encoder — only flat content survives filtering unchanged).
+    * `segmented` enables 4-segment absolute-mode quantization cycling
+    * the two exactness-preserving indices (per-MB map coded with the
+    * segment tree) and `probUpdates` writes coefficient-probability
+    * updates in the header — both stay bit-exact, so the decoder's
+    * segmentation and prob-update paths are provable end to end. */
   def encodeWebpLossy(g: Gray, qi: Int = 0, nParts: Int = 1,
       skipFlags: Boolean = false, filterLevel: Int = 0,
-      simpleFilter: Boolean = false, sharpness: Int = 0): Array[Byte] = {
+      simpleFilter: Boolean = false, sharpness: Int = 0,
+      segmented: Boolean = false,
+      probUpdates: Seq[(Int, Int, Int, Int, Int)] = Nil): Array[Byte] = {
     val payload = encodeVp8Frame(g, qi, nParts, skipFlags, filterLevel,
-      simpleFilter, sharpness)
+      simpleFilter, sharpness, segmented, probUpdates)
     val out = new java.io.ByteArrayOutputStream(payload.length + 32)
     def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def le32(v: Int): Unit = {
@@ -57,13 +64,20 @@ object Vp8Encoder {
   /** The raw VP8 key-frame payload. */
   def encodeVp8Frame(g: Gray, qi: Int, nParts: Int,
       skipFlags: Boolean, filterLevel: Int = 0,
-      simpleFilter: Boolean = false, sharpness: Int = 0): Array[Byte] = {
+      simpleFilter: Boolean = false, sharpness: Int = 0,
+      segmented: Boolean = false,
+      probUpdates: Seq[(Int, Int, Int, Int, Int)] = Nil): Array[Byte] = {
     require(qi == 0 || qi == 4, "exactness-preserving quantizers only")
     require(nParts == 1 || nParts == 2 || nParts == 4 || nParts == 8)
     val w = g.width; val h = g.height
     val mbCols = (w + 15) >> 4
     val mbRows = (h + 15) >> 4
     val stride = mbCols * 16
+    // absolute per-segment quantizer indices, all exactness-preserving
+    val segQi = Array(qi, 4 - qi, qi, 4 - qi)
+    val segTreeProbs = Array(128, 128, 128)
+    def segOf(mbX: Int, mbY: Int): Int =
+      if (segmented) (mbX + mbY) & 3 else 0
     // pad to the MB grid by edge replication; recon == scene exactly,
     // so this plane doubles as the decoder-state neighbor source
     val plane = new Array[Int](stride * mbRows * 16)
@@ -77,7 +91,17 @@ object Vp8Encoder {
       }
       y += 1
     }
-    val q = dequantFactors(qi, 0, 0, 0, 0, 0)
+    val dq = Array.tabulate(4)(s =>
+      dequantFactors(if (segmented) segQi(s) else qi, 0, 0, 0, 0, 0))
+    // the frame's coefficient probabilities: defaults + any header
+    // updates (token coding below MUST use the same values)
+    val probs = Array.tabulate(4, 8, 3) { (i, j, k) =>
+      DefaultCoefProbs(i)(j)(k).clone()
+    }
+    probUpdates.foreach { case (i, j, k, l, v) =>
+      require(v >= 1 && v <= 255, "prob out of range")
+      probs(i)(j)(k)(l) = v
+    }
 
     // ---- per-MB analysis: mode + residual DC tokens ----
     // tokY2(mb): Y2 DC token or 0; tokY(mb)(16): per-subblock DC token
@@ -91,6 +115,7 @@ object Vp8Encoder {
     while (mbY < mbRows) {
       var mbX = 0
       while (mbX < mbCols) {
+        val q = dq(segOf(mbX, mbY))
         val x0 = mbX * 16; val y0 = mbY * 16
         val v0 = plane(y0 * stride + x0)
         var uniform = true
@@ -128,7 +153,20 @@ object Vp8Encoder {
     // ---- first partition: header + modes ----
     val d1 = new BoolEncoder
     d1.bit(0); d1.bit(0)                     // color space, clamping
-    d1.bit(0)                                // segmentation off
+    if (segmented) {
+      d1.bit(1)                              // segmentation enabled
+      d1.bit(1)                              // update the map
+      d1.bit(1)                              // update feature data
+      d1.bit(1)                              // absolute values
+      var s = 0
+      while (s < 4) { d1.signedUpdate(7, segQi(s)); s += 1 }
+      s = 0
+      while (s < 4) { d1.signedUpdate(6, 0); s += 1 }
+      s = 0
+      while (s < 3) {                        // segment tree probs
+        d1.bit(1); d1.literal(8, segTreeProbs(s)); s += 1
+      }
+    } else d1.bit(0)
     d1.bit(if (simpleFilter) 1 else 0)
     d1.literal(6, filterLevel)               // 0 = exact fixtures
     d1.literal(3, sharpness)
@@ -139,14 +177,17 @@ object Vp8Encoder {
     while (i < 5) { d1.bit(0); i += 1 }      // five quantizer deltas: 0
     d1.bit(1)                                // refresh entropy probs
     i = 0
-    while (i < 4) {                          // coefficient probs: keep
+    while (i < 4) {                          // coefficient prob walk
       var j = 0
       while (j < 8) {
         var k = 0
         while (k < 3) {
           var l = 0
           while (l < 11) {
-            d1.bool(CoefUpdateProbs(i)(j)(k)(l), 0)
+            if (probs(i)(j)(k)(l) != DefaultCoefProbs(i)(j)(k)(l)) {
+              d1.bool(CoefUpdateProbs(i)(j)(k)(l), 1)
+              d1.literal(8, probs(i)(j)(k)(l))
+            } else d1.bool(CoefUpdateProbs(i)(j)(k)(l), 0)
             l += 1
           }
           k += 1
@@ -167,6 +208,8 @@ object Vp8Encoder {
       val leftB = Array.fill(4)(BDcPred)
       var mbX = 0
       while (mbX < mbCols) {
+        if (segmented)
+          d1.tree(SegmentTree, segTreeProbs, segOf(mbX, mbY))
         if (skipFlags) d1.bool(probSkip, if (mbSkip(mb)) 1 else 0)
         if (useY2(mb)) {
           d1.tree(KfYmodeTree, KfYmodeProb, DcPred)
@@ -217,7 +260,7 @@ object Vp8Encoder {
           if (useY2(mb)) {
             val ctx = (if (aboveNz(mbX * 9 + 8)) 1 else 0) +
               (if (leftNz(8)) 1 else 0)
-            val nz = encodeDcBlock(te, hdrProbs(1), ctx, 0, tokY2(mb))
+            val nz = encodeDcBlock(te, probs(1), ctx, 0, tokY2(mb))
             aboveNz(mbX * 9 + 8) = nz; leftNz(8) = nz
           }
           val plType = if (useY2(mb)) 0 else 3
@@ -228,7 +271,7 @@ object Vp8Encoder {
             val ctx = (if (aboveNz(mbX * 9 + sc)) 1 else 0) +
               (if (leftNz(sr)) 1 else 0)
             val tok = if (useY2(mb)) 0 else tokY(mb)(i)
-            val nz = encodeDcBlock(te, hdrProbs(plType), ctx, first, tok)
+            val nz = encodeDcBlock(te, probs(plType), ctx, first, tok)
             aboveNz(mbX * 9 + sc) = nz; leftNz(sr) = nz
             i += 1
           }
@@ -238,7 +281,7 @@ object Vp8Encoder {
             val off = 4 + (if (i < 4) 0 else 2)
             val ctx = (if (aboveNz(mbX * 9 + off + sc)) 1 else 0) +
               (if (leftNz(off + sr)) 1 else 0)
-            val nz = encodeDcBlock(te, hdrProbs(2), ctx, 0, 0)
+            val nz = encodeDcBlock(te, probs(2), ctx, 0, 0)
             aboveNz(mbX * 9 + off + sc) = nz; leftNz(off + sr) = nz
             i += 1
           }
@@ -270,11 +313,6 @@ object Vp8Encoder {
     partBytes.foreach(out.write)
     out.toByteArray
   }
-
-  /** The frame's coefficient probabilities — the defaults (the header
-    * writes no updates). */
-  private def hdrProbs(plane: Int): Array[Array[Array[Int]]] =
-    DefaultCoefProbs(plane)
 
   /** Emit one block holding a single DC token (or nothing): the DC
     * magnitude/sign at position `first`, then EOB. Returns the

@@ -1,0 +1,417 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** The AUDIO half of the multimodal perceptual tier, split from
+  * [[MultimodalOps]] (which keeps the pixel/clip-byte families): the
+  * PCM fixture corpus (WAV/FLAC/AIFF/24-bit/extensible + the MP3
+  * digest families), the envelope fingerprint + near-dup queries,
+  * the audio curate composition, and the MP3 exact-dedup tier —
+  * with the shared DuckDB CTE fragments their oracles (and the
+  * streamed audio admission oracle) recompute. */
+object MultimodalAudioOps extends QueryModule {
+
+  private val Shards = 8
+
+  /** Plant SAMPLE-REAL audio files once per (session, dir) for the
+    * audio-fingerprint tier — the audio analog of [[pixelFixtureDir]]:
+    * every 25th doc is a "scene" — a 64-segment constant-amplitude
+    * envelope md5-mixed from (doc_id, k)
+    * ([[graft.multimodal.AudioCodec.segmentAmp]]) — rendered as 1600
+    * mono 16-bit PCM samples at 8 kHz. Selected scenes get
+    * byte-distinct, envelope-equivalent variants at offset ids:
+    *   +1·Offset (id%50):  resampled — the SAME envelope at 2531
+    *                        samples / 16 kHz (odd length: the bin
+    *                        partition, not equal tiles);
+    *   +2·Offset (id%75):  re-encoded — a LIST metadata chunk before
+    *                        data (same samples, new bytes);
+    *   +3·Offset (id%100): stereo — L=R duplicated frames, downmixed
+    *                        exactly back by ⌊(l+r)/2⌋;
+    *   +4·Offset (id%125): perturbed — segment 37 amp +512 (≤2
+    *                        fingerprint bits move: a NEAR duplicate);
+    *   +5·Offset (id%150): gain ×2 — exact doubling never reorders
+    *                        strict comparisons;
+    *   +6·Offset (id%175): corrupt — truncated mid-data (declared size
+    *                        past the buffer: decode MUST return None);
+    *   +7·Offset (id%200): FLAC — REAL lossless round trip
+    *                        ([[graft.multimodal.FlacCodec]]: fixed-
+    *                        predictor Rice frames, CRC-verified), so
+    *                        the compressed container reaches the SAME
+    *                        samples and envelope as its WAV twin (200
+    *                        = 2³5² shares %50/%100 — members only, no
+    *                        new clusters);
+    *   +8·Offset (id%250): AIFF — the SAME samples in the big-endian
+    *                        FORM/COMM/SSND container (80-bit extended
+    *                        sample rate), a cross-container copy (250
+    *                        = 2·5³ shares %50/%125 — members only);
+    *   +9·Offset (id%300): 24-bit WAV — the samples ×256 (the exact
+    *                        16→24 remaster): envelope scales ×256 and
+    *                        gradient signs never reorder, the gain-
+    *                        family argument at a new bit depth (300
+    *                        shares %50/%75/%100/%150 — members only);
+    *   +10·Offset (id%225): WAVE_FORMAT_EXTENSIBLE — the SAME samples
+    *                        as L=R stereo behind the 0xFFFE fmt tag +
+    *                        PCM GUID + channel mask (225 = 3²5²
+    *                        shares %75 — members only);
+    *   +11·Offset (id%275): MP3 — the documented DIGEST tier
+    *                        ([[graft.multimodal.Mp3Codec]]): MPEG-1
+    *                        Layer III frame grammar with
+    *                        deterministic ascii content, 64 kbps for
+    *                        even scenes / 96 for odd. NOT
+    *                        PCM-decodable by contract (invisible to
+    *                        the envelope oracles); surfaces via
+    *                        mm_mp3_exact;
+    *   +12·Offset (id%550): the RE-TAGGED MP3 twin — identical frames
+    *                        wrapped in ID3v2 + ID3v1 tags:
+    *                        byte-distinct, the same fingerprint (the
+    *                        canonical crawl MP3 duplicate; %550
+    *                        implies %275 — its primary always exists);
+    *   +13·Offset (id%1100): a truncated MP3 copy (cut mid-frame) —
+    *                        digest MUST be None; never surfaces.
+    * Constant segments make every rendering's energy envelope recover
+    * the scene exactly, so expected fingerprints (and clusters) are
+    * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
+  private def audioPcmFixtureDir(s: SparkSession, d: String): String =
+    SessionMemo(s, d, "mm_audio_pcm_fixtures") {
+      import graft.multimodal.AudioCodec
+      val base = s"${sys.props("java.io.tmpdir")}/graft_apcm_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val bp = java.nio.file.Paths.get(base)
+      graft.sources.TableSwap.deleteRecursively(bp)
+      java.nio.file.Files.createDirectories(bp)
+      val docs = Tables.documents(s, d)
+      Planting.requireHeadroom(docs, "doc_id", "mm_audio_near")
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/$name"), bytes)
+      docs.filter(col("doc_id") % 25 === 0).select("doc_id")
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val env = AudioCodec.sceneEnvelope(id)
+          val mono = AudioCodec.renderEnvelope(env, 1600)
+          put(s"asset_$id.wav", AudioCodec.encodeWav16(mono, 8000, 1))
+          if (id % 50 == 0)
+            put(s"asset_${id + Planting.Offset}.wav",
+              AudioCodec.encodeWav16(
+                AudioCodec.renderEnvelope(env, 2531), 16000, 1))
+          if (id % 75 == 0)
+            put(s"asset_${id + 2 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16(mono, 8000, 1, Some("re-encoded")))
+          if (id % 100 == 0) {
+            val st = new Array[Int](mono.length * 2)
+            var i = 0
+            while (i < mono.length) {
+              st(i * 2) = mono(i); st(i * 2 + 1) = mono(i); i += 1
+            }
+            put(s"asset_${id + 3 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16(st, 8000, 2))
+          }
+          if (id % 125 == 0) {
+            val p = env.clone(); p(37) += 512
+            put(s"asset_${id + 4 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16(
+                AudioCodec.renderEnvelope(p, 1600), 8000, 1))
+          }
+          if (id % 150 == 0)
+            put(s"asset_${id + 5 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16(
+                AudioCodec.renderEnvelope(env.map(_ * 2), 1600), 8000, 1))
+          if (id % 175 == 0)
+            put(s"asset_${id + 6 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16(mono, 8000, 1).take(300))
+          if (id % 200 == 0)
+            put(s"asset_${id + 7 * Planting.Offset}.flac",
+              graft.multimodal.FlacCodec.encodeFlac16(mono, 8000, 1,
+                blockSize = 256 + (id % 3).toInt * 128))
+          if (id % 250 == 0)
+            put(s"asset_${id + 8 * Planting.Offset}.aif",
+              AudioCodec.encodeAiff16(mono, 8000, 1))
+          if (id % 300 == 0)
+            put(s"asset_${id + 9 * Planting.Offset}.wav",
+              AudioCodec.encodeWav24(mono.map(_ * 256), 8000, 1))
+          if (id % 225 == 0) {
+            val st = new Array[Int](mono.length * 2)
+            var i = 0
+            while (i < mono.length) {
+              st(i * 2) = mono(i); st(i * 2 + 1) = mono(i); i += 1
+            }
+            put(s"asset_${id + 10 * Planting.Offset}.wav",
+              AudioCodec.encodeWav16Ext(st, 8000, 2))
+          }
+          // the MP3 digest-tier families (+11/+12/+13·Offset): MP3
+          // payloads are NOT PCM-decodable here by the documented
+          // contract (Mp3Codec), so they are invisible to the
+          // envelope oracles and surface through mm_mp3_exact. The
+          // %550 RE-TAGGED twin wraps the identical frames in ID3v2 +
+          // ID3v1 tags — byte-distinct, the same fingerprint; the
+          // %1100 truncated copy (cut mid-frame) must digest to None.
+          if (id % 275 == 0) {
+            val nf = (id % 5).toInt + 2
+            val kb = if (id % 2 == 0) 64 else 96
+            put(s"asset_${id + 11 * Planting.Offset}.mp3",
+              graft.multimodal.Mp3Codec.encodeMp3(id, nf, kb))
+            if (id % 550 == 0)
+              put(s"asset_${id + 12 * Planting.Offset}.mp3",
+                graft.multimodal.Mp3Codec.encodeMp3(id, nf, kb,
+                  id3v2 = true, id3v1 = true))
+            if (id % 1100 == 0) {
+              val full = graft.multimodal.Mp3Codec.encodeMp3(id, nf, kb)
+              put(s"asset_${id + 13 * Planting.Offset}.mp3",
+                full.take(full.length - 100))
+            }
+          }
+        }
+      base
+    }
+
+
+  // Audio fingerprints end-to-end: binaryFile scan → REAL PCM decode
+  // (RIFF walk, 16-bit LE samples, stereo downmix) → 64-bin energy
+  // envelope → gradient fingerprint, surfaced LSB-first as a bit
+  // string (same comparator rationale as mm_phash). The oracle
+  // recomputes every expected fingerprint from the planting formula.
+  private def mmAudioFp(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFingerprints(
+        Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+      .select(col("asset_id"),
+        reverse(lpad(bin(col("afp")), 64, "0")).as("afp_bits"))
+      .orderBy("asset_id")
+
+  // The dedup ∩ audio closure: byte-distinct envelope-near copies
+  // (re-encode, resample, channel conversion, gain, slight perturb)
+  // recovered into clusters; the oracle enumerates expected clusters
+  // straight from the planting schedule.
+  private def mmAudioNear(s: SparkSession, d: String): DataFrame =
+    Multimodal.nearDupAudioClusters(
+        Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+      .orderBy("canonical_id")
+
+  /** Fixture planting is one-time per (session, dir) — an explicit
+    * build line, like the other mm fixture dirs. */
+  override val benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Map(
+
+      "mm_audio_build"  -> ((s, d) => { audioPcmFixtureDir(s, d); () }))
+
+  /** Curate v9 — the audio+text composition (v8's shape on the audio
+    * tier), every stage rule verbatim from its per-operator oracle:
+    *   1. binary ingest over the PCM fixture corpus (incl. its corrupt
+    *      family);
+    *   2. decode gate = audio fingerprinting (mm_audio_fp's rule:
+    *      assets whose payload PCM-decodes with ≥64 samples —
+    *      truncated WAVs drop here, never throw);
+    *   3. audio near-dup keep-best (mm_audio_near's clusters: keep the
+    *      canonical = min member, count the dropped copies);
+    *   4. transcript quality gate (text_quality_gate's dials verbatim
+    *      on the scene document's text — the transcript of a real
+    *      audio+text corpus);
+    *   5. mixture shard (export_shard_manifest's md5 shard rule).
+    * Scale shape: decode is one projection over payloads; everything
+    * after shuffles 16-byte fingerprints and transcript METRICS, never
+    * audio bytes; the transcript join is by scene id. */
+  private def pipelineCurateV9(s: SparkSession, d: String): DataFrame = {
+    val hashed = Multimodal.audioFingerprints(
+      Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+    val labels = Multimodal.audioLabels(hashed)
+    val dropped = labels.groupBy(col("cluster_id").as("__cid"))
+      .agg((count(lit(1)) - 1).as("n_dups_dropped"))
+    val kept = hashed
+      .join(labels.withColumnRenamed("id", "asset_id"),
+        Seq("asset_id"), "left")
+      .filter(col("cluster_id").isNull ||
+        col("cluster_id") === col("asset_id"))
+      .join(dropped, col("cluster_id") === col("__cid"), "left")
+      .select(col("asset_id"),
+        coalesce(col("n_dups_dropped"), lit(0L)).as("n_dups_dropped"),
+        pmod(col("asset_id"), lit(Planting.Offset)).as("doc_id"))
+    val transcripts = graft.text.TextAnalysis
+      .qualityGate(Tables.documents(s, d))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "keep")
+    kept.join(transcripts, Seq("doc_id"))
+      .filter(col("keep"))
+      .select(col("asset_id"), col("doc_id"), col("n_dups_dropped"),
+        col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+        graft.ops.Export.shardId(col("asset_id"), Shards).as("shard"))
+      .orderBy("asset_id")
+  }
+
+
+  // The MP3 digest tier end-to-end: binary ingest over the audio
+  // fixture corpus → the documented no-PCM-synthesis contract
+  // (Mp3Codec.decodeMp3Digest: strict frame tiling, tags excluded
+  // from content) → exact stream dedup by fingerprint. The %550
+  // re-tagged twins MUST collapse onto their %275 primaries; the
+  // truncated %1100 copies never surface. Scale: one projection,
+  // fingerprint-keyed dedup — audio bytes never shuffle.
+  private def mmMp3Exact(s: SparkSession, d: String): DataFrame = {
+    val digests = Multimodal.mp3StreamDigests(
+      Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+    val canon = digests.groupBy("audio_fp")
+      .agg(min(col("asset_id")).as("canonical_id"))
+    digests.join(canon, Seq("audio_fp"))
+      .select(col("asset_id"), col("n_frames"), col("sample_rate"),
+        col("kbps"), col("channels"), col("audio_fp"),
+        col("canonical_id"))
+      .orderBy("asset_id")
+  }
+
+  /** The planted audio-asset schedule as a DuckDB CTE pair (shared by
+    * the mm_audio_fp and pipeline_curate_v9 oracles) — decodable
+    * variants only: the %175 corrupt family (truncated mid-data)
+    * falls at the decode gate and never reaches any result. */
+  private val audioAssetsCte: String =
+    """d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+       assets AS (
+         SELECT doc_id AS asset_id, doc_id AS scene, FALSE AS pert FROM d
+         UNION ALL SELECT doc_id + 100000, doc_id, FALSE FROM d WHERE doc_id % 50 = 0
+         UNION ALL SELECT doc_id + 200000, doc_id, FALSE FROM d WHERE doc_id % 75 = 0
+         UNION ALL SELECT doc_id + 300000, doc_id, FALSE FROM d WHERE doc_id % 100 = 0
+         UNION ALL SELECT doc_id + 400000, doc_id, TRUE  FROM d WHERE doc_id % 125 = 0
+         UNION ALL SELECT doc_id + 500000, doc_id, FALSE FROM d WHERE doc_id % 150 = 0
+         UNION ALL SELECT doc_id + 700000, doc_id, FALSE FROM d WHERE doc_id % 200 = 0
+         UNION ALL SELECT doc_id + 800000, doc_id, FALSE FROM d WHERE doc_id % 250 = 0
+         UNION ALL SELECT doc_id + 900000, doc_id, FALSE FROM d WHERE doc_id % 300 = 0
+         UNION ALL SELECT doc_id + 1000000, doc_id, FALSE FROM d WHERE doc_id % 225 = 0)"""
+
+  /** The audio-fingerprint tail over an `assets(asset_id, scene, pert)`
+    * CTE: md5-mixed 64-segment amplitudes (+512 on segment 37 when
+    * perturbed) → gradient signs wrapping 63→0, LSB-first bit string.
+    * Shared by the mm_audio_fp and mm_audio_stream_admit oracles. The
+    * gain-×2 family needs no case of its own: exact doubling never
+    * reorders strict comparisons, so unscaled amps yield its exact
+    * bits too. */
+  private[queries] val afpBitsTail: String =
+    s"""e AS (
+          SELECT a.asset_id, t.k,
+                 ${MultimodalOps.hexByteSql("md5('a' || CAST(a.scene AS VARCHAR) || " +
+                   "'_' || CAST(t.k AS VARCHAR))")} * 64
+                 + CASE WHEN a.pert AND t.k = 37 THEN 512 ELSE 0 END
+                   AS amp
+          FROM assets a, range(64) t(k)),
+        bits AS (
+          SELECT e1.asset_id, e1.k,
+                 CASE WHEN e2.amp > e1.amp THEN '1' ELSE '0' END AS bit
+          FROM e e1 JOIN e e2 ON e1.asset_id = e2.asset_id
+           AND e2.k = (e1.k + 1) % 64)
+        SELECT asset_id, string_agg(bit, '' ORDER BY k) AS afp_bits
+        FROM bits GROUP BY asset_id ORDER BY asset_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_v9"   -> (pipelineCurateV9 _),
+    "mm_audio_fp"          -> (mmAudioFp _),
+    "mm_audio_near"        -> (mmAudioNear _),
+    "mm_mp3_exact"         -> (mmMp3Exact _),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // recomputes every expected audio fingerprint from the planting
+    // formula — amp(scene,k) = 64 * first md5 byte of "a{scene}_{k}"
+    // (AudioCodec.segmentAmp), +512 on segment 37 for the perturbed
+    // family — then the gradient rule: bit k = (amp(k+1 mod 64) >
+    // amp(k)), LSB-first bit string. The resampled / re-encoded /
+    // stereo variants carry the SAME envelope, so their rows prove the
+    // RIFF walk, bin partition, and downmix land on identical
+    // envelopes; the gain-x2 family needs no case of its own because
+    // exact doubling never reorders strict comparisons — the unscaled
+    // amps yield its exact bits too.
+    "mm_audio_fp" ->
+      s"""WITH $audioAssetsCte,
+          $afpBitsTail""",
+
+    // recomputes every expected MP3 stream digest from the planting
+    // formula: frame k's data is "mp3:{scene}:{k}:" || md5("m{scene}_
+    // {k}") dot-padded to the CBR frame's data length (284 at 64 kbps
+    // for even scenes, 428 at 96 kbps for odd — 32 kHz MPEG-1 Layer
+    // III, no padding drift); the per-frame digest is md5 of that
+    // data, the stream fingerprint md5 of the ordered digest string.
+    // The %550 re-tagged twin (ID3v2 + ID3v1 around identical frames)
+    // recomputes to the SAME fingerprint — tags are excluded from
+    // content by the tier contract — so its canonical_id is the %275
+    // primary; the truncated %1100 copies never appear.
+    "mm_mp3_exact" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         mp3 AS (
+           SELECT doc_id + 1100000 AS asset_id, doc_id AS scene FROM d
+             WHERE doc_id % 275 = 0
+           UNION ALL SELECT doc_id + 1200000, doc_id FROM d
+             WHERE doc_id % 550 = 0),
+         fr AS (
+           SELECT a.asset_id, a.scene, t.k,
+                  md5(rpad('mp3:' || CAST(a.scene AS VARCHAR) || ':' ||
+                           CAST(t.k AS VARCHAR) || ':' ||
+                           md5('m' || CAST(a.scene AS VARCHAR) || '_' ||
+                               CAST(t.k AS VARCHAR)),
+                           CASE WHEN a.scene % 2 = 0
+                                THEN 284 ELSE 428 END, '.')) AS dig
+           FROM mp3 a, range(7) t(k) WHERE t.k < (a.scene % 5) + 2),
+         st AS (
+           SELECT asset_id, scene, count(*) AS n_frames,
+                  md5(string_agg(dig, '' ORDER BY k)) AS audio_fp
+           FROM fr GROUP BY asset_id, scene)
+         SELECT s.asset_id, s.n_frames,
+                CAST(32000 AS BIGINT) AS sample_rate,
+                CAST(CASE WHEN s.scene % 2 = 0 THEN 64 ELSE 96 END
+                     AS BIGINT) AS kbps,
+                CAST(1 AS BIGINT) AS channels, s.audio_fp,
+                (SELECT min(s2.asset_id) FROM st s2
+                  WHERE s2.audio_fp = s.audio_fp) AS canonical_id
+         FROM st s ORDER BY s.asset_id""",
+
+    // expected audio clusters fall straight out of the variant
+    // schedule: a scene clusters iff it planted at least one decodable
+    // variant (md5 mixing keeps distinct scenes ~32 fingerprint bits
+    // apart — far beyond maxDist=2 — and the perturbed variant moves
+    // at most the 2 gradients adjacent to segment 37: within it).
+    // %100 implies %50, %150 implies %75, %200 (FLAC) implies
+    // %50/%100, %250 (AIFF) implies %50/%125, %300 (24-bit) implies
+    // %50/%75/%100/%150, and %225 (extensible) implies %75 — so only
+    // %50/%75/%125 widen the canonical-member condition; the %175
+    // corrupt family never enters the candidate space.
+    "mm_audio_near" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         m AS (
+           SELECT doc_id AS canonical_id, doc_id AS member FROM d
+             WHERE doc_id % 50 = 0 OR doc_id % 75 = 0 OR doc_id % 125 = 0
+           UNION ALL SELECT doc_id, doc_id + 100000 FROM d WHERE doc_id % 50 = 0
+           UNION ALL SELECT doc_id, doc_id + 200000 FROM d WHERE doc_id % 75 = 0
+           UNION ALL SELECT doc_id, doc_id + 300000 FROM d WHERE doc_id % 100 = 0
+           UNION ALL SELECT doc_id, doc_id + 400000 FROM d WHERE doc_id % 125 = 0
+           UNION ALL SELECT doc_id, doc_id + 500000 FROM d WHERE doc_id % 150 = 0
+           UNION ALL SELECT doc_id, doc_id + 700000 FROM d WHERE doc_id % 200 = 0
+           UNION ALL SELECT doc_id, doc_id + 800000 FROM d WHERE doc_id % 250 = 0
+           UNION ALL SELECT doc_id, doc_id + 900000 FROM d WHERE doc_id % 300 = 0
+           UNION ALL SELECT doc_id, doc_id + 1000000 FROM d WHERE doc_id % 225 = 0)
+         SELECT canonical_id, count(*) AS n_members,
+                string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
+                  AS member_ids
+         FROM m GROUP BY canonical_id ORDER BY canonical_id""",
+
+    // every stage rule re-expressed from its own per-operator oracle
+    // (the v8 discipline on the audio tier): the decodable audio-asset
+    // schedule, cluster sizes from the variant schedule, the SHARED
+    // text_quality_gate metric/keep fragments on the scene document
+    // (its transcript), and the export shard rule
+    "pipeline_curate_v9" ->
+      s"""WITH $audioAssetsCte,
+          counts AS (SELECT scene, count(*) AS n FROM assets GROUP BY scene),
+          ${OracleCtes.tokCte},
+          ${OracleCtes.qualityMetricsCte}
+          SELECT a.asset_id, a.scene AS doc_id,
+                 CAST(c.n - 1 AS BIGINT) AS n_dups_dropped,
+                 q.n_words, q.mean_word_len, q.symbol_ratio,
+                 ${graft.ops.Export.shardIdSql("a.asset_id", 8)} AS shard
+          FROM assets a
+          JOIN counts c USING (scene)
+          JOIN m q ON q.doc_id = a.scene
+          WHERE a.asset_id = a.scene
+            AND ${OracleCtes.qualityKeepSql}
+          ORDER BY a.asset_id""",
+
+  )
+}

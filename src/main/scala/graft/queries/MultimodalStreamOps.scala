@@ -323,7 +323,7 @@ object MultimodalStreamOps extends QueryModule {
             UNION ALL
             SELECT doc_id + 300000, doc_id + 300000, FALSE
             FROM d WHERE doc_id % 100 = 0),
-          ${MultimodalOps.afpBitsTail}""",
+          ${MultimodalAudioOps.afpBitsTail}""",
 
     // admitted clips = seeds + the %100 fresh family; the re-edit
     // (every frame dist 0), TRIMMED (surviving frames dist 0 — the

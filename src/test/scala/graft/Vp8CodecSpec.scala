@@ -94,6 +94,38 @@ class Vp8CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("4-segment quantization round-trips exactly through the " +
+      "segment map and per-segment dequant") {
+    for ((id, size) <- Seq((25L, 64), (50L, 32))) {
+      val g = sceneGray(id, size)
+      for (qi <- Seq(0, 4); skip <- Seq(false, true)) {
+        val webp = Vp8Encoder.encodeWebpLossy(g, qi = qi,
+          skipFlags = skip, segmented = true)
+        val back = WebpCodec.decodeWebp(webp)
+        assert(back.exists(_.luma.sameElements(g.luma)),
+          s"id=$id qi=$qi skip=$skip")
+        // segmentation changes the bitstream vs the unsegmented form
+        assert(!webp.sameElements(
+          Vp8Encoder.encodeWebpLossy(g, qi = qi, skipFlags = skip)))
+      }
+    }
+  }
+
+  test("coefficient-probability updates in the header round-trip " +
+      "exactly (decode honors the updated values)") {
+    val g = sceneGray(75L, 64)
+    // shift probabilities the DC tokens actually ride: plane 3
+    // (B_PRED Y), bands 0-1, all contexts and several tree nodes
+    val updates = for {
+      j <- Seq(0, 1); k <- Seq(0, 1, 2); l <- Seq(0, 1, 2, 5)
+    } yield (3, j, k, l, 77 + 13 * l)
+    val webp = Vp8Encoder.encodeWebpLossy(g, probUpdates = updates)
+    assert(WebpCodec.decodeWebp(webp).exists(
+      _.luma.sameElements(g.luma)))
+    // control: the stream differs from the no-update form
+    assert(!webp.sameElements(Vp8Encoder.encodeWebpLossy(g)))
+  }
+
   test("uniform images ride the 16×16 DC_PRED + Y2 WHT path exactly") {
     for (v <- Seq(0, 1, 17, 128, 254, 255); qi <- Seq(0, 4)) {
       val g = Gray(48, 48, Array.fill(48 * 48)(v))
