@@ -640,6 +640,23 @@ object Vp8Codec {
     * frame's right edge the rightmost above pixel is replicated. */
   private def predictB(p: Array[Int], stride: Int, planeH: Int,
       px: Int, py: Int, mode: Int, mbX: Int, mbCols: Int): Unit = {
+    val o = predictBValues(p, stride, px, py, mode, mbX)
+    var r = 0
+    while (r < 4) {
+      var c = 0
+      while (c < 4) {
+        p((py + r) * stride + px + c) = o(r * 4 + c)
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** The 16 predicted values of one 4×4 subblock — exposed so
+    * [[Vp8Encoder]] can sniff exact-match submodes by the identical
+    * law. */
+  def predictBValues(p: Array[Int], stride: Int,
+      px: Int, py: Int, mode: Int, mbX: Int): Array[Int] = {
     val a = new Array[Int](8)
     val l = new Array[Int](4)
     var i = 0
@@ -767,15 +784,7 @@ object Vp8Codec {
         o(14) = l(3); o(15) = l(3)
       case _ => fail("bmode")
     }
-    var r = 0
-    while (r < 4) {
-      var c = 0
-      while (c < 4) {
-        p((py + r) * stride + px + c) = o(r * 4 + c)
-        c += 1
-      }
-      r += 1
-    }
+    o
   }
 
   // ---- loop-filter access helpers ----

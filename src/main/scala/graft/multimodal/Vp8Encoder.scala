@@ -7,15 +7,21 @@ package graft.multimodal
   * md5-arithmetic perceptual oracles (the same planted-exactness
   * argument as the JPEG tier, carried to VP8's integer transforms):
   *
-  *   - macroblocks whose 4×4 subblocks are constant (the 8×8-tile
-  *     scene grid guarantees this) encode as B_PRED with B_DC_PRED
-  *     submodes: each subblock's residual r is constant, carried by a
-  *     single DC token 8r/y1dc; the decoder's IDCT of a DC-only block
-  *     is exactly (8r+4)>>3 = r for either sign;
-  *   - fully uniform macroblocks encode as 16×16 DC_PRED, driving the
-  *     Y2 Walsh–Hadamard path: the single Y2 DC token dequantizes to
-  *     64r, the inverse WHT's (x+3)>>3 lands 8r in every subblock DC,
-  *     and the IDCT finishes the exact r;
+  *   - the encoder SNIFFS every intra predictor for an exact match
+  *     (zero residual): fully uniform macroblocks ride 16×16 DC_PRED
+  *     + the Y2 Walsh–Hadamard path (the single Y2 DC token
+  *     dequantizes to 64r; the inverse WHT's (x+3)>>3 lands 8r in
+  *     every subblock DC and the IDCT finishes the exact r); MBs
+  *     equal to their V/H/TM prediction ride those 16×16 modes with
+  *     empty blocks; every other MB is B_PRED, whose subblocks try
+  *     the nine non-DC submodes for an exact match before falling
+  *     back to B_DC_PRED — so ALL 14 prediction laws (and the
+  *     kf_bmode context tree over varied neighbor modes) are
+  *     round-trip-provable;
+  *   - the B_DC fallback requires constant subblocks (the 8×8-tile
+  *     scene grid guarantees this): the constant residual r rides a
+  *     single DC token 8r/y1dc, and the decoder's IDCT of a DC-only
+  *     block is exactly (8r+4)>>3 = r for either sign;
   *   - chroma is flat 128 (residual 0 everywhere), loop filter level
   *     0, so reconstruction is untouched post-transform.
   *
@@ -103,13 +109,50 @@ object Vp8Encoder {
       probs(i)(j)(k)(l) = v
     }
 
-    // ---- per-MB analysis: mode + residual DC tokens ----
-    // tokY2(mb): Y2 DC token or 0; tokY(mb)(16): per-subblock DC token
+    // ---- per-MB analysis: MODE SNIFFING + residual DC tokens ----
+    // Every intra predictor is usable when it matches the content
+    // EXACTLY (zero residual — the encoder stays bit-exact by
+    // construction): uniform MBs ride 16×16 DC_PRED + Y2; MBs equal
+    // to their V/H/TM prediction ride those 16×16 modes with empty
+    // blocks; everything else is B_PRED, where each subblock sniffs
+    // the nine non-DC submodes for an exact match before falling back
+    // to B_DC_PRED with its constant-residual DC token. This makes
+    // all 14 prediction laws (and the kf_bmode context tree across
+    // varied neighbor modes) round-trip-provable, not just B_DC.
     val nMbs = mbRows * mbCols
-    val useY2 = new Array[Boolean](nMbs)
+    val mbMode = new Array[Int](nMbs)        // DC/V/H/TM/B_PRED
+    val subModes = Array.ofDim[Int](nMbs, 16)
     val tokY2 = new Array[Int](nMbs)
     val tokY = Array.ofDim[Int](nMbs, 16)
     val mbSkip = new Array[Boolean](nMbs)
+    def useY2(mb: Int): Boolean = mbMode(mb) != BPred
+
+    def matches16(mbX: Int, mbY: Int, mode: Int): Boolean = {
+      val x0 = mbX * 16; val y0 = mbY * 16
+      val tl = if (mbY == 0) 127
+        else if (mbX == 0) 129
+        else plane((y0 - 1) * stride + x0 - 1)
+      var y = 0
+      while (y < 16) {
+        val l = Vp8Codec.leftAt(plane, stride, x0, y0 + y)
+        var x = 0
+        while (x < 16) {
+          val a = Vp8Codec.aboveAt(plane, stride, x0 + x, y0)
+          val pred = mode match {
+            case VPred => a
+            case HPred => l
+            case _ =>                         // TM
+              val v = l + a - tl
+              if (v < 0) 0 else if (v > 255) 255 else v
+          }
+          if (plane((y0 + y) * stride + x0 + x) != pred) return false
+          x += 1
+        }
+        y += 1
+      }
+      true
+    }
+
     var mb = 0
     var mbY = 0
     while (mbY < mbRows) {
@@ -125,23 +168,64 @@ object Vp8Encoder {
           i += 1
         }
         if (uniform) {
-          useY2(mb) = true
+          mbMode(mb) = DcPred
           val r = v0 - Vp8Codec.dc16Value(plane, stride, mbX, mbY)
           tokY2(mb) = 64 * r / q(2)          // q(2) = y2dc ∈ {8, 16}
           mbSkip(mb) = r == 0
+        } else if (matches16(mbX, mbY, VPred)) {
+          mbMode(mb) = VPred; mbSkip(mb) = true
+        } else if (matches16(mbX, mbY, HPred)) {
+          mbMode(mb) = HPred; mbSkip(mb) = true
+        } else if (matches16(mbX, mbY, TmPred)) {
+          mbMode(mb) = TmPred; mbSkip(mb) = true
         } else {
+          mbMode(mb) = BPred
           var allZero = true
           i = 0
           while (i < 16) {
             val px = x0 + (i & 3) * 4
             val py = y0 + (i >> 2) * 4
-            val r = plane(py * stride + px) -
-              Vp8Codec.bDcValue(plane, stride, px, py)
-            tokY(mb)(i) = 8 * r / q(0)       // q(0) = y1dc ∈ {4, 8}
-            allZero &= r == 0
+            // sniff the nine non-DC submodes for an exact match
+            var chosen = -1
+            var m = BTmPred
+            while (chosen < 0 && m <= BHuPred) {
+              val pred = Vp8Codec.predictBValues(plane, stride, px, py,
+                m, mbX)
+              var ok = true
+              var r2 = 0
+              while (ok && r2 < 4) {
+                var c2 = 0
+                while (ok && c2 < 4) {
+                  ok = plane((py + r2) * stride + px + c2) ==
+                    pred(r2 * 4 + c2)
+                  c2 += 1
+                }
+                r2 += 1
+              }
+              if (ok) chosen = m
+              m += 1
+            }
+            if (chosen >= 0) {
+              subModes(mb)(i) = chosen       // zero residual
+            } else {
+              // B_DC needs a CONSTANT residual, i.e. constant content
+              var const = true
+              var j2 = 1
+              while (const && j2 < 16) {
+                const = plane((py + j2 / 4) * stride + px + j2 % 4) ==
+                  plane(py * stride + px)
+                j2 += 1
+              }
+              require(const, "subblock not exactly encodable")
+              subModes(mb)(i) = BDcPred
+              val r = plane(py * stride + px) -
+                Vp8Codec.bDcValue(plane, stride, px, py)
+              tokY(mb)(i) = 8 * r / q(0)     // q(0) = y1dc ∈ {4, 8}
+              allZero &= r == 0
+            }
             i += 1
           }
-          mbSkip(mb) = allZero
+          mbSkip(mb) = allZero && tokY(mb).forall(_ == 0)
         }
         if (!skipFlags) mbSkip(mb) = false
         mb += 1
@@ -200,7 +284,8 @@ object Vp8Encoder {
     d1.bit(if (skipFlags) 1 else 0)          // mb_no_coeff_skip
     if (skipFlags) d1.literal(8, probSkip)
 
-    // modes (B-mode contexts mirror the decoder's pass 1)
+    // modes (B-mode contexts mirror the decoder's pass 1: actual
+    // submodes, with 16×16 modes presenting their fixed equivalents)
     val aboveB = Array.fill(mbCols * 4)(BDcPred)
     mb = 0
     mbY = 0
@@ -211,26 +296,36 @@ object Vp8Encoder {
         if (segmented)
           d1.tree(SegmentTree, segTreeProbs, segOf(mbX, mbY))
         if (skipFlags) d1.bool(probSkip, if (mbSkip(mb)) 1 else 0)
-        if (useY2(mb)) {
-          d1.tree(KfYmodeTree, KfYmodeProb, DcPred)
-          var c = 0
-          while (c < 4) {
-            aboveB(mbX * 4 + c) = BDcPred; leftB(c) = BDcPred; c += 1
-          }
+        val eq = mbMode(mb) match {
+          case DcPred => BDcPred
+          case VPred => BVePred
+          case HPred => BHePred
+          case _ => BTmPred
+        }
+        if (mbMode(mb) != BPred) {
+          d1.tree(KfYmodeTree, KfYmodeProb, mbMode(mb))
+          java.util.Arrays.fill(subModes(mb), eq)
         } else {
           d1.tree(KfYmodeTree, KfYmodeProb, BPred)
           i = 0
           while (i < 16) {
             val sr = i >> 2; val sc = i & 3
-            val above = if (sr == 0) aboveB(mbX * 4 + sc) else BDcPred
-            val left = if (sc == 0) leftB(sr) else BDcPred
-            d1.tree(BmodeTree, KfBmodeProb(above)(left), BDcPred)
+            val above =
+              if (sr == 0) aboveB(mbX * 4 + sc)
+              else subModes(mb)(i - 4)
+            val left =
+              if (sc == 0) leftB(sr)
+              else subModes(mb)(i - 1)
+            d1.tree(BmodeTree, KfBmodeProb(above)(left),
+              subModes(mb)(i))
             i += 1
           }
-          var c = 0
-          while (c < 4) {
-            aboveB(mbX * 4 + c) = BDcPred; leftB(c) = BDcPred; c += 1
-          }
+        }
+        var c = 0
+        while (c < 4) {
+          aboveB(mbX * 4 + c) = subModes(mb)(12 + c)
+          leftB(c) = subModes(mb)(c * 4 + 3)
+          c += 1
         }
         d1.tree(UvModeTree, KfUvModeProb, DcPred)
         mb += 1

@@ -94,6 +94,91 @@ class Vp8CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("all 14 intra prediction laws round-trip exactly via " +
+      "encoder mode sniffing") {
+    val r = rng(0x14)
+    // 16×16 V/H/TM: content constructed as the exact mode prediction
+    // from an arbitrary seeded top MB row
+    val w = 48; val h = 48
+    val base = Array.tabulate(w * h) { i =>
+      if (i / w < 16) ((i % w) / 4 * 37 + (i / w) / 4 * 101) % 256
+      else 0
+    }
+    def fill(mode: Int): Gray = {
+      val px = base.clone()
+      var y = 16
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = mode match {
+            case 1 => px(15 * w + x)                 // V: extend row 15
+            case 2 => px(y * w + math.min(x, 15))    // H-ish rows
+            case _ => px(15 * w + x)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Gray(w, h, px)
+    }
+    // V_PRED: rows 16+ equal row 15 → MB rows 1-2 are exact vertical
+    // extensions (and non-uniform, so DC can't claim them)
+    val gv = fill(1)
+    assert(WebpCodec.decodeWebp(Vp8Encoder.encodeWebpLossy(gv))
+      .exists(_.luma.sameElements(gv.luma)))
+    // H_PRED: build columns 16+ as copies of column 15
+    val gh = {
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        if (x < 16) (x / 4 * 53 + y / 4 * 29) % 256 else -1
+      }
+      var y = 0
+      while (y < h) {
+        var x = 16
+        while (x < w) { px(y * w + x) = px(y * w + 15); x += 1 }
+        y += 1
+      }
+      Gray(w, h, px)
+    }
+    assert(WebpCodec.decodeWebp(Vp8Encoder.encodeWebpLossy(gh))
+      .exists(_.luma.sameElements(gh.luma)))
+    // B_PRED submodes: synthesize content by APPLYING each predictor
+    // with zero residual from a seeded border — whatever exact mode
+    // the sniffer picks, the round trip must land the identical
+    // pixels. Build several frames with different seeds/mode mixes.
+    for (seed <- Seq(1, 2, 3)) {
+      val rr = rng(seed)
+      val size = 32
+      val mbCols = size / 16
+      val plane = new Array[Int](size * size)
+      // seeded top-left content (tile-constant so B_DC stays legal)
+      var i = 0
+      while (i < size * size) {
+        val x = i % size; val y = i / size
+        plane(i) = ((x / 4) * 31 + (y / 4) * 17 + seed * 7) % 256
+        i += 1
+      }
+      // overwrite interior subblocks with pure predictor outputs
+      for {
+        sy <- 1 until size / 4
+        sx <- 1 until size / 4
+      } {
+        val mode = 1 + rr.nextInt(9)  // a non-DC submode
+        val px = sx * 4; val py = sy * 4
+        val pred = Vp8Codec.predictBValues(plane, size, px, py, mode,
+          px / 16)
+        var k = 0
+        while (k < 16) {
+          plane((py + k / 4) * size + px + k % 4) = pred(k)
+          k += 1
+        }
+      }
+      val g = Gray(size, size, plane)
+      val back = WebpCodec.decodeWebp(Vp8Encoder.encodeWebpLossy(g))
+      assert(back.exists(_.luma.sameElements(g.luma)), s"seed=$seed")
+    }
+  }
+
   test("4-segment quantization round-trips exactly through the " +
       "segment map and per-segment dequant") {
     for ((id, size) <- Seq((25L, 64), (50L, 32))) {
