@@ -71,6 +71,18 @@ object MultimodalAudioOps extends QueryModule {
     *                        canonical crawl MP3 duplicate; %550
     *                        implies %275 — its primary always exists);
     *   +13·Offset (id%1100): a truncated MP3 copy (cut mid-frame) —
+    *                        digest MUST be None; never surfaces;
+    *   +14·Offset (id%325): Ogg/Vorbis — the documented DIGEST tier
+    *                        ([[graft.multimodal.OggCodec]]):
+    *                        CRC-verified RFC 3533 pages around
+    *                        deterministic ascii packets. NOT
+    *                        PCM-decodable by contract; surfaces via
+    *                        mm_ogg_exact;
+    *   +15·Offset (id%650): the RE-PAGINATED Ogg twin — identical
+    *                        packets, one per page with a mid-packet
+    *                        255-continuation split: byte-distinct,
+    *                        the same fingerprint (%650 implies %325);
+    *   +16·Offset (id%1300): a truncated Ogg copy (EOS page cut) —
     *                        digest MUST be None; never surfaces.
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
@@ -164,9 +176,49 @@ object MultimodalAudioOps extends QueryModule {
                 full.take(full.length - 100))
             }
           }
+          // the Ogg/Vorbis digest-tier families (+14/+15/+16·Offset):
+          // page-grammar walk with per-page CRC verification, packets
+          // digested (pages are framing) — the %650 RE-PAGINATED twin
+          // changes page layout (packets per page, a mid-packet
+          // 255-continuation split) but not one packet byte, so its
+          // fingerprint collapses onto the %325 primary; the %1300
+          // truncated copy (EOS page cut away) must digest to None.
+          if (id % 325 == 0) {
+            val np = (id % 4).toInt + 2
+            put(s"asset_${id + 14 * Planting.Offset}.ogg",
+              graft.multimodal.OggCodec.encodeOgg(id, np,
+                packetsPerPage = 2))
+            if (id % 650 == 0)
+              put(s"asset_${id + 15 * Planting.Offset}.ogg",
+                graft.multimodal.OggCodec.encodeOgg(id, np,
+                  packetsPerPage = 1, splitAcrossPages = true))
+            if (id % 1300 == 0) {
+              val full = graft.multimodal.OggCodec.encodeOgg(id, np,
+                packetsPerPage = 2)
+              put(s"asset_${id + 16 * Planting.Offset}.ogg",
+                full.take(full.length - 80))
+            }
+          }
         }
       base
     }
+
+  // The Ogg digest tier end-to-end: binary ingest → the documented
+  // no-PCM-synthesis contract (OggCodec.decodeOggDigest: CRC-verified
+  // page walk, packet reassembly, Vorbis ident metadata; the three
+  // header packets are setup, not content) → exact stream dedup by
+  // fingerprint. The %650 re-paginated twins MUST collapse onto their
+  // %325 primaries; the truncated %1300 copies never surface.
+  private def mmOggExact(s: SparkSession, d: String): DataFrame = {
+    val digests = Multimodal.oggStreamDigests(
+      Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+    val canon = digests.groupBy("audio_fp")
+      .agg(min(col("asset_id")).as("canonical_id"))
+    digests.join(canon, Seq("audio_fp"))
+      .select(col("asset_id"), col("n_packets"), col("sample_rate"),
+        col("channels"), col("audio_fp"), col("canonical_id"))
+      .orderBy("asset_id")
+  }
 
 
   // Audio fingerprints end-to-end: binaryFile scan → REAL PCM decode
@@ -306,9 +358,46 @@ object MultimodalAudioOps extends QueryModule {
     "mm_audio_fp"          -> (mmAudioFp _),
     "mm_audio_near"        -> (mmAudioNear _),
     "mm_mp3_exact"         -> (mmMp3Exact _),
+    "mm_ogg_exact"         -> (mmOggExact _),
   )
 
   val oracles: Map[String, String] = Map(
+
+    // recomputes every expected Ogg stream digest from the planting
+    // formula: packet k's payload is "ogg:{scene}:{k}:" ||
+    // md5("g{scene}_{k}") dot-padded to 300 bytes; the per-packet
+    // digest is md5 of that payload, the stream fingerprint md5 of
+    // the ordered digest string. The %650 re-paginated twin (one
+    // packet per page + a mid-packet 255-continuation split around
+    // the same packets) recomputes to the SAME fingerprint — pages
+    // are framing, excluded from content by the tier contract — so
+    // its canonical_id is the %325 primary; truncated %1300 copies
+    // (EOS page cut) never appear.
+    "mm_ogg_exact" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         ogg AS (
+           SELECT doc_id + 1400000 AS asset_id, doc_id AS scene FROM d
+             WHERE doc_id % 325 = 0
+           UNION ALL SELECT doc_id + 1500000, doc_id FROM d
+             WHERE doc_id % 650 = 0),
+         pk AS (
+           SELECT a.asset_id, a.scene, t.k,
+                  md5(rpad('ogg:' || CAST(a.scene AS VARCHAR) || ':' ||
+                           CAST(t.k AS VARCHAR) || ':' ||
+                           md5('g' || CAST(a.scene AS VARCHAR) || '_' ||
+                               CAST(t.k AS VARCHAR)),
+                           300, '.')) AS dig
+           FROM ogg a, range(6) t(k) WHERE t.k < (a.scene % 4) + 2),
+         st AS (
+           SELECT asset_id, count(*) AS n_packets,
+                  md5(string_agg(dig, '' ORDER BY k)) AS audio_fp
+           FROM pk GROUP BY asset_id)
+         SELECT s.asset_id, s.n_packets,
+                CAST(8000 AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS channels, s.audio_fp,
+                (SELECT min(s2.asset_id) FROM st s2
+                  WHERE s2.audio_fp = s.audio_fp) AS canonical_id
+         FROM st s ORDER BY s.asset_id""",
 
     // recomputes every expected audio fingerprint from the planting
     // formula — amp(scene,k) = 64 * first md5 byte of "a{scene}_{k}"
