@@ -18,10 +18,14 @@ package graft.multimodal
   * Why this is the 100 TB-relevant surface: the canonical MP3
   * duplicate in a crawl is the RE-TAGGED copy — identical audio
   * frames under different ID3 metadata. Tags are excluded from the
-  * digest by construction, so exact dedup collapses re-tagged copies
-  * without an audio decoder, while lossy-content NEAR-dup pairing
-  * stays on the PCM tiers (WAV/FLAC/AIFF envelopes). A PCM synthesis
-  * tier can slot in behind the same walk later.
+  * digest by construction — and so is a leading LAME/Xing VBR-header
+  * FRAME ("Xing"/"Info" at the spec offset past the Layer III side
+  * info): it is encoder metadata tag tools rewrite freely, the same
+  * invariance class. Exact dedup therefore collapses re-tagged and
+  * Xing-rewritten copies without an audio decoder, while
+  * lossy-content NEAR-dup pairing stays on the PCM tiers
+  * (WAV/FLAC/AIFF envelopes). A PCM synthesis tier can slot in behind
+  * the same walk later.
   *
   * Strictness: frames must tile the stream EXACTLY (any slack that is
   * not a valid ID3v1 trailer fails), every frame must share the
@@ -152,16 +156,35 @@ object Mp3Codec {
         if (br / 1000 != kbps0) vbr = true
       }
       val dataAt = p + 4 + (if (crcPresent) 2 else 0)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(b, dataAt, p + frameLen - dataAt)
-      digests += md.digest().map(x => f"${x & 0xff}%02x").mkString
+      // a LAME/Xing VBR-header FRAME (first frame, "Xing"/"Info" at
+      // the spec offset past the Layer III side info) is encoder
+      // metadata, not audio: tag tools rewrite it freely, so it is
+      // excluded from the content digest — the same invariance class
+      // as ID3 tags. It still must parse as a well-formed frame.
+      val sideInfo =
+        if (lay == 3) {
+          if (ver == 10) { if (mode == 3) 17 else 32 }
+          else { if (mode == 3) 9 else 17 }
+        } else -1
+      val xingAt = dataAt + sideInfo
+      val isVbrHeader = n == 0 && sideInfo >= 0 &&
+        xingAt + 4 <= p + frameLen && {
+          val t = new String(b, xingAt, 4, "US-ASCII")
+          t == "Xing" || t == "Info"
+        }
+      if (!isVbrHeader) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(b, dataAt, p + frameLen - dataAt)
+        digests += md.digest().map(x => f"${x & 0xff}%02x").mkString
+      }
       n += 1
       if (n > MaxFrames) return None
       p += frameLen
     }
-    if (n == 0) return None
+    val ds = digests.result()
+    if (n == 0 || ds.isEmpty) return None
     Some(Mp3Stream(version, layer, sampleRate, channels, kbps0, vbr,
-      digests.result()))
+      ds))
   }
 
   // ---- fixture encoder ----
@@ -182,10 +205,12 @@ object Mp3Codec {
   /** Encode a planted MPEG-1 Layer III mono stream at 32 kHz:
     * `kbps` ∈ {64, 96} (frame lengths 288/432 — exact at 32 kHz, no
     * padding drift). `id3v2`/`id3v1` wrap the SAME frames in
-    * deterministic tags — the re-tagged copy whose fingerprint must
-    * not move. */
+    * deterministic tags, and `xingHeader` prepends a LAME-style
+    * "Xing" VBR-header frame (17 zero side-info bytes then the
+    * magic) — all three are metadata the fingerprint must ignore. */
   def encodeMp3(scene: Long, nFrames: Int, kbps: Int = 64,
-      id3v2: Boolean = false, id3v1: Boolean = false): Array[Byte] = {
+      id3v2: Boolean = false, id3v1: Boolean = false,
+      xingHeader: Boolean = false): Array[Byte] = {
     require(nFrames >= 1)
     val brIdx = kbps match {
       case 64 => 5
@@ -203,6 +228,16 @@ object Mp3Codec {
       out.write((content.length >> 7) & 0x7f)
       out.write(content.length & 0x7f)
       out.write(content)
+    }
+    if (xingHeader) {
+      out.write(0xff); out.write(0xfb)
+      out.write((brIdx << 4) | (2 << 2))
+      out.write((3 << 6) | (1 << 2))
+      val body = new Array[Byte](frameLen - 4)   // 17 zero side-info
+      val magic = ("Xing" + "0000" + s"lame-ish-$scene")
+        .getBytes("US-ASCII")
+      System.arraycopy(magic, 0, body, 17, magic.length)
+      out.write(body)
     }
     var k = 0
     while (k < nFrames) {

@@ -66,7 +66,9 @@ object MultimodalAudioOps extends QueryModule {
     *                        the envelope oracles); surfaces via
     *                        mm_mp3_exact;
     *   +12·Offset (id%550): the RE-TAGGED MP3 twin — identical frames
-    *                        wrapped in ID3v2 + ID3v1 tags:
+    *                        wrapped in ID3v2 + ID3v1 tags AND a
+    *                        LAME-style Xing VBR-header frame (all
+    *                        metadata the digest excludes):
     *                        byte-distinct, the same fingerprint (the
     *                        canonical crawl MP3 duplicate; %550
     *                        implies %275 — its primary always exists);
@@ -159,7 +161,8 @@ object MultimodalAudioOps extends QueryModule {
           // contract (Mp3Codec), so they are invisible to the
           // envelope oracles and surface through mm_mp3_exact. The
           // %550 RE-TAGGED twin wraps the identical frames in ID3v2 +
-          // ID3v1 tags — byte-distinct, the same fingerprint; the
+          // ID3v1 tags AND a LAME-style Xing VBR-header frame — all
+          // metadata, byte-distinct, the same fingerprint; the
           // %1100 truncated copy (cut mid-frame) must digest to None.
           if (id % 275 == 0) {
             val nf = (id % 5).toInt + 2
@@ -169,7 +172,7 @@ object MultimodalAudioOps extends QueryModule {
             if (id % 550 == 0)
               put(s"asset_${id + 12 * Planting.Offset}.mp3",
                 graft.multimodal.Mp3Codec.encodeMp3(id, nf, kb,
-                  id3v2 = true, id3v1 = true))
+                  id3v2 = true, id3v1 = true, xingHeader = true))
             if (id % 1100 == 0) {
               val full = graft.multimodal.Mp3Codec.encodeMp3(id, nf, kb)
               put(s"asset_${id + 13 * Planting.Offset}.mp3",

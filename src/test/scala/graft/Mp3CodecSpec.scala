@@ -39,6 +39,23 @@ class Mp3CodecSpec extends AnyFunSuite {
         .get.fingerprint)
   }
 
+  test("a leading Xing/LAME VBR-header frame is metadata: excluded " +
+      "from the fingerprint, like tags") {
+    val plain = Mp3Codec.decodeMp3Digest(
+      Mp3Codec.encodeMp3(42L, 3)).get
+    val xing = Mp3Codec.decodeMp3Digest(
+      Mp3Codec.encodeMp3(42L, 3, xingHeader = true)).get
+    assert(xing.frameDigests.length === 3)      // audio frames only
+    assert(xing.fingerprint === plain.fingerprint)
+    val all = Mp3Codec.decodeMp3Digest(Mp3Codec.encodeMp3(
+      42L, 3, id3v2 = true, id3v1 = true, xingHeader = true)).get
+    assert(all.fingerprint === plain.fingerprint)
+    // a stream that is ONLY a Xing frame has no content: None
+    assert(Mp3Codec.decodeMp3Digest(
+      Mp3Codec.encodeMp3(42L, 1, xingHeader = true)
+        .dropRight(288)).isEmpty)
+  }
+
   test("the digest matches the oracle formula") {
     val d = Mp3Codec.decodeMp3Digest(Mp3Codec.encodeMp3(100L, 2)).get
     // frame data = "mp3:{s}:{k}:" + md5("m{s}_{k}") dot-padded to 284
