@@ -87,11 +87,26 @@ object Mp3Codec {
       p = 10 + size + (if ((u8(b, 5) & 0x10) != 0) 10 else 0)
       if (p >= b.length) return None
     }
-    // trailing ID3v1 tag: exactly 128 bytes starting "TAG"
-    var end = b.length
-    if (end - p >= 128 && b(end - 128) == 'T' && b(end - 127) == 'A' &&
-        b(end - 126) == 'G') end -= 128
+    // trailing ID3v1 tag: exactly 128 bytes starting "TAG". The
+    // trailer sniff must not override a valid tiling — a stream whose
+    // FINAL FRAME happens to contain 'TAG' 128 bytes from EOF is a
+    // legal frame sequence, not a tagged one — so the strict walk
+    // runs untrimmed first and the trailer is only stripped as the
+    // retry when the untrimmed stream fails to tile.
+    walk(b, p, b.length).orElse {
+      val end = b.length
+      if (end - p >= 128 && b(end - 128) == 'T' &&
+          b(end - 127) == 'A' && b(end - 126) == 'G')
+        walk(b, p, end - 128)
+      else None
+    }
+  }
 
+  /** The strict frame tiling of [p, end): every byte must belong to a
+    * well-formed frame of one (version, layer, samplerate) stream. */
+  private def walk(b: Array[Byte], from: Int,
+      end: Int): Option[Mp3Stream] = {
+    var p = from
     var version = 0      // 10 / 20 / 25
     var layer = 0
     var sampleRate = 0

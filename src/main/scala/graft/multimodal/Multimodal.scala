@@ -349,7 +349,8 @@ object Multimodal {
       "png" -> "image", "jpg" -> "image", "gif" -> "image",
       "bmp" -> "image", "flac" -> "audio", "avi" -> "video",
       "aif" -> "audio", "tif" -> "image", "webp" -> "image",
-      "mp3" -> "audio", "ogg" -> "audio")
+      "mp3" -> "audio", "ogg" -> "audio", "opus" -> "audio",
+      "m4a" -> "audio", "aac" -> "audio")
 
   /** REAL binary ingestion: `spark.read.format("binaryFile")` over a
     * directory of media blobs named `asset_<id>.<ext>`. This is the
@@ -579,24 +580,26 @@ object Multimodal {
       "audio_fp")
   }
 
-  /** The Ogg/Vorbis digest tier over a media corpus — the documented
-    * no-PCM-synthesis contract of [[OggCodec.decodeOggDigest]]:
-    * CRC-verified page walk, packet reassembly, ident-header
+  /** The Ogg (Vorbis/Opus) digest tier over a media corpus — the
+    * documented no-PCM-synthesis contract of
+    * [[OggCodec.decodeOggDigest]]: CRC-verified page walk, per-serial
+    * demux of grouped files, packet reassembly, ident-header
     * metadata, per-packet content digests. Pages are framing and
-    * excluded from content, so RE-PAGINATED copies — the canonical
-    * Ogg duplicate — collapse in exact dedup without a Vorbis
-    * decoder. Same projection-first scale posture as the MP3/AVC
-    * digest tiers. */
+    * excluded from content, so RE-PAGINATED and RE-MUXED-beside-a-
+    * sibling-stream copies — the canonical Ogg duplicates — collapse
+    * in exact dedup without an audio decoder. The `codec` column
+    * ("vorbis"/"opus") keys the downstream tier split. Same
+    * projection-first scale posture as the MP3/AVC digest tiers. */
   def oggStreamDigests(assets: Dataset[MediaAsset]): DataFrame = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
         OggCodec.decodeOggDigest(a.payload).map { s =>
-          (a.asset_id, s.packetDigests.length.toLong,
+          (a.asset_id, s.codec, s.packetDigests.length.toLong,
             s.sampleRate.toLong, s.channels.toLong, s.fingerprint)
         }
       }
-    }.toDF("asset_id", "n_packets", "sample_rate", "channels",
+    }.toDF("asset_id", "codec", "n_packets", "sample_rate", "channels",
       "audio_fp")
   }
 

@@ -2,40 +2,56 @@ package graft.multimodal
 
 /** Ogg (RFC 3533) container walk for the audio-corpus tier — the
   * OGG half of the lossy-audio gap, closed the same documented way as
-  * MP3: Vorbis payloads are NOT synthesized to PCM (no MDCT/floor/
-  * residue decode is attempted or implied). The tier walks the REAL
-  * page grammar — capture pattern, version 0, header-type flags,
-  * granule/serial/sequence fields, the spec's CRC-32 (polynomial
-  * 0x04c11db7, unreflected, checksum field zeroed during computation)
-  * verified on EVERY page, lacing-value segment tables with
-  * 255-continuation packet reassembly across pages — plus the Vorbis
-  * identification header (packet type 1, "vorbis" magic, version 0,
-  * channels, sample rate) for stream metadata, and surfaces one
-  * CONTENT DIGEST per audio packet (the three Vorbis header packets
-  * are stream SETUP, not content, and are excluded), reduced to a
-  * stream fingerprint.
+  * MP3: Vorbis/Opus payloads are NOT synthesized to PCM (no MDCT/
+  * floor/residue/CELT/SILK decode is attempted or implied). The tier
+  * walks the REAL page grammar — capture pattern, version 0,
+  * header-type flags, granule/serial/sequence fields, the spec's
+  * CRC-32 (polynomial 0x04c11db7, unreflected, checksum field zeroed
+  * during computation) verified on EVERY page, lacing-value segment
+  * tables with 255-continuation packet reassembly across pages — and
+  * DEMULTIPLEXES grouped (multiplexed) files per RFC 3533 §6: pages
+  * of interleaved logical streams are routed to per-serial reassembly
+  * before the per-stream strictness below, with all BOS pages
+  * required at the front of the file (the spec's grouping rule).
+  * Codec identification comes from each stream's first packet:
+  *   - Vorbis I: packet type 1 + "vorbis" magic, version 0, channels,
+  *     sample rate; three header packets (ident/comment/setup) are
+  *     stream SETUP, excluded from content;
+  *   - Opus (RFC 7845): "OpusHead" magic, major version 0, channel
+  *     count, input sample rate (informational — Opus decodes at
+  *     48 kHz; surfaced as 48000 when the ident says 0); TWO header
+  *     packets (OpusHead/OpusTags) excluded from content.
+  * The digest view is one CONTENT DIGEST per audio packet, reduced to
+  * a stream fingerprint; non-audio sibling streams in a grouped file
+  * (skeleton/subtitle/video serials) are tolerated — their pages must
+  * still satisfy the page grammar, but they carry no digest.
   *
   * Why this is the scale-relevant surface: the canonical Ogg
   * duplicate is the RE-PAGINATED copy — identical packets under a
   * different page layout (muxers repage freely; granule positions and
-  * page sequence numbers all change). Pages are framing, packets are
-  * content; digesting packets makes exact dedup invariant under
-  * repagination with no audio decoder, while PCM-space NEAR-dup stays
-  * on the decodable tiers. A Vorbis packet decoder can slot in behind
-  * the same reassembly later.
+  * page sequence numbers all change) — and its grouped sibling, the
+  * SAME audio stream re-muxed next to a metadata/video stream. Pages
+  * are framing, packets are content; digesting the audio stream's
+  * packets makes exact dedup invariant under both with no audio
+  * decoder, while PCM-space NEAR-dup stays on the decodable tiers.
+  * A Vorbis/Opus packet decoder can slot in behind the same
+  * reassembly later.
   *
-  * Strictness: every page CRC must verify, sequence numbers must be
-  * consecutive per stream, the first page must carry
-  * beginning-of-stream and a complete Vorbis identification header,
-  * the last must carry end-of-stream, a continued packet must
-  * actually span (continuation flag on the next page), and trailing
-  * bytes after the EOS page fail. Decode never throws.
+  * Strictness (per logical stream): every page CRC must verify,
+  * sequence numbers must be consecutive, the first page must carry
+  * beginning-of-stream with sequence 0, the last must carry
+  * end-of-stream, no page may follow a stream's EOS, a continued
+  * packet must actually span (continuation flag on the next page),
+  * and trailing bytes after the final page fail. At least one stream
+  * must carry a recognized audio ident (the first such stream in BOS
+  * order is the digest subject). Decode never throws.
   */
 object OggCodec {
 
-  /** One Ogg/Vorbis stream's digest view: ident-header metadata plus
-    * per-audio-packet digests (setup packets excluded). */
-  final case class OggStream(serial: Long, channels: Int,
+  /** One Ogg audio stream's digest view: codec ("vorbis"/"opus"),
+    * ident-header metadata, and per-audio-packet digests (setup/tag
+    * packets excluded). */
+  final case class OggStream(serial: Long, codec: String, channels: Int,
       sampleRate: Int, packetDigests: Vector[String]) {
     def fingerprint: String = Mp4Codec.md5Hex(
       packetDigests.mkString("").getBytes("US-ASCII"))
@@ -64,7 +80,7 @@ object OggCodec {
     t
   }
 
-  private[multimodal] def crc(b: Array[Byte], from: Int, until: Int,
+  private[graft] def crc(b: Array[Byte], from: Int, until: Int,
       zeroAt: Int = -1): Int = {
     var r = 0
     var i = from
@@ -78,6 +94,17 @@ object OggCodec {
   }
 
   private val MaxPackets = 1 << 16
+  private val MaxStreams = 8
+
+  /** Per-serial reassembly state during the demux walk. */
+  private final class StreamAcc(val serial: Long, val bosOrder: Int) {
+    var nextSeq = 1L
+    var sawEos = false
+    var carry = new java.io.ByteArrayOutputStream()
+    var carryOpen = false
+    val packets = Vector.newBuilder[Array[Byte]]
+    var nPackets = 0
+  }
 
   def decodeOggDigest(b: Array[Byte]): Option[OggStream] =
     try decode0(b)
@@ -86,19 +113,11 @@ object OggCodec {
   private def decode0(b: Array[Byte]): Option[OggStream] = {
     if (b.length < 28) return None
     var p = 0
-    var pageNo = -1L
-    var serial = 0L
-    var sawBos = false
-    var sawEos = false
-    var channels = 0
-    var sampleRate = 0
-    val packets = Vector.newBuilder[Array[Byte]]
-    var carry = new java.io.ByteArrayOutputStream()
-    var carryOpen = false
-    var nPackets = 0
+    var bosSection = true                  // grouped files front-load BOS
+    val streams = new java.util.LinkedHashMap[Long, StreamAcc]()
+    var totalPackets = 0
 
     while (p < b.length) {
-      if (sawEos) return None              // bytes after the EOS page
       if (p + 27 > b.length) return None
       if (b(p) != 'O' || b(p + 1) != 'g' || b(p + 2) != 'g' ||
           b(p + 3) != 'S') return None
@@ -123,18 +142,26 @@ object OggCodec {
       if ((crc(b, p, pageEnd, zeroAt = p + 22) & 0xffffffffL) != wantCrc)
         return None
 
-      if (pageNo < 0) {
-        if (!bos || seq != 0) return None
-        serial = pageSerial
-        sawBos = true
+      val st = if (bos) {
+        // all BOS pages must precede any data page (RFC 3533 §6), a
+        // serial may begin only once, and the first page is seq 0
+        if (!bosSection || streams.containsKey(pageSerial) ||
+            seq != 0 || cont) return None
+        if (streams.size >= MaxStreams) return None
+        val s = new StreamAcc(pageSerial, streams.size)
+        streams.put(pageSerial, s)
+        s
       } else {
-        if (bos) return None               // single logical stream
-        if (pageSerial != serial) return None
-        if (seq != pageNo + 1) return None // lost page
+        bosSection = false
+        val s = streams.get(pageSerial)
+        if (s == null) return None         // data page of an unopened stream
+        if (s.sawEos) return None          // pages after the stream's EOS
+        if (seq != s.nextSeq) return None  // lost page
+        s.nextSeq += 1
+        s
       }
-      pageNo = seq
-      if (cont != carryOpen) return None   // continuation mismatch
-      if (eos) sawEos = true
+      if (cont != st.carryOpen) return None // continuation mismatch
+      if (eos) st.sawEos = true
 
       // packet reassembly: each lacing value < 255 ends a packet;
       // a trailing 255 leaves the packet open across the page edge
@@ -142,49 +169,91 @@ object OggCodec {
       i = 0
       while (i < nSegs) {
         val lace = u8(b, segTable + i)
-        carry.write(b, q, lace)
+        st.carry.write(b, q, lace)
         q += lace
         if (lace < 255) {
-          packets += carry.toByteArray
-          carry = new java.io.ByteArrayOutputStream()
-          carryOpen = false
-          nPackets += 1
-          if (nPackets > MaxPackets) return None
-        } else carryOpen = true
+          st.packets += st.carry.toByteArray
+          st.carry = new java.io.ByteArrayOutputStream()
+          st.carryOpen = false
+          st.nPackets += 1
+          totalPackets += 1
+          if (totalPackets > MaxPackets) return None
+        } else st.carryOpen = true
         i += 1
       }
       p = pageEnd
     }
-    if (!sawBos || !sawEos || carryOpen) return None
-    val all = packets.result()
-    // the three Vorbis header packets: identification, comment, setup
-    if (all.length < 3) return None
-    val ident = all(0)
-    if (ident.length < 30 || u8(ident, 0) != 1 ||
-        new String(ident, 1, 6, "US-ASCII") != "vorbis") return None
-    if (le32(ident, 7) != 0) return None   // vorbis version
-    channels = u8(ident, 11)
-    sampleRate = le32(ident, 12).toInt
-    if (channels < 1 || sampleRate <= 0) return None
-    if (all(1).length < 7 || u8(all(1), 0) != 3 ||
-        new String(all(1), 1, 6, "US-ASCII") != "vorbis") return None
-    if (all(2).length < 7 || u8(all(2), 0) != 5 ||
-        new String(all(2), 1, 6, "US-ASCII") != "vorbis") return None
-    val audio = all.drop(3)
-    if (audio.isEmpty) return None
-    Some(OggStream(serial, channels, sampleRate,
-      audio.map(pk => Mp4Codec.md5Hex(pk))))
+    if (streams.isEmpty) return None
+    // every logical stream must be complete and closed
+    val it = streams.values().iterator()
+    var first: Option[OggStream] = None
+    while (it.hasNext) {
+      val st = it.next()
+      if (!st.sawEos || st.carryOpen) return None
+      // the first recognized audio stream in BOS order is the digest
+      // subject; unrecognized siblings are tolerated grouped streams
+      if (first.isEmpty) first = identify(st)
+    }
+    first                                   // None when no audio stream
   }
 
-  // ---- fixture encoder ----
+  /** Codec identification + header/content split for one reassembled
+    * logical stream; None when the ident is neither Vorbis nor Opus
+    * (a tolerated non-audio sibling in a grouped file). */
+  private def identify(st: StreamAcc): Option[OggStream] = {
+    val all = st.packets.result()
+    if (all.isEmpty) return None
+    val ident = all(0)
+    // Vorbis I: three header packets (ident 1, comment 3, setup 5)
+    if (ident.length >= 30 && u8(ident, 0) == 1 &&
+        new String(ident, 1, 6, "US-ASCII") == "vorbis") {
+      if (le32(ident, 7) != 0) return None // vorbis version
+      val channels = u8(ident, 11)
+      val sampleRate = le32(ident, 12).toInt
+      if (channels < 1 || sampleRate <= 0) return None
+      if (all.length < 3) return None
+      if (all(1).length < 7 || u8(all(1), 0) != 3 ||
+          new String(all(1), 1, 6, "US-ASCII") != "vorbis") return None
+      if (all(2).length < 7 || u8(all(2), 0) != 5 ||
+          new String(all(2), 1, 6, "US-ASCII") != "vorbis") return None
+      val audio = all.drop(3)
+      if (audio.isEmpty) return None
+      return Some(OggStream(st.serial, "vorbis", channels, sampleRate,
+        audio.map(pk => Mp4Codec.md5Hex(pk))))
+    }
+    // Opus (RFC 7845 §5): OpusHead ident + OpusTags comment
+    if (ident.length >= 19 &&
+        new String(ident, 0, 8, "US-ASCII") == "OpusHead") {
+      val version = u8(ident, 8)
+      // major version 0 required; minor bumps are compatible
+      if (version < 1 || (version & 0xf0) != 0) return None
+      val channels = u8(ident, 9)
+      if (channels < 1) return None
+      // the ident's input rate is informational; Opus output is 48 kHz
+      val inRate = le32(ident, 12).toInt
+      val sampleRate = if (inRate > 0) inRate else 48000
+      if (all.length < 2) return None
+      if (all(1).length < 8 ||
+          new String(all(1), 0, 8, "US-ASCII") != "OpusTags") return None
+      val audio = all.drop(2)
+      if (audio.isEmpty) return None
+      return Some(OggStream(st.serial, "opus", channels, sampleRate,
+        audio.map(pk => Mp4Codec.md5Hex(pk))))
+    }
+    None
+  }
+
+  // ---- fixture encoders ----
 
   /** The deterministic ascii audio-packet payload of packet `k` —
-    * "ogg:{scene}:{k}:" + md5("g{scene}_{k}"), dot-padded to `len`:
-    * pure md5 arithmetic the DuckDB oracle recomputes verbatim. */
+    * "{tag}:{scene}:{k}:" + md5("{key}{scene}_{k}"), dot-padded to
+    * `len`: pure md5 arithmetic the DuckDB oracle recomputes verbatim
+    * (tag "ogg"/key 'g' for Vorbis, "opus"/'o' for Opus — distinct
+    * key spaces keep the two fixture families disjoint). */
   private[multimodal] def packetPayload(scene: Long, k: Int,
-      len: Int): Array[Byte] = {
-    val head = s"ogg:$scene:$k:" +
-      Mp4Codec.md5Hex(s"g${scene}_$k".getBytes("UTF-8"))
+      len: Int, tag: String = "ogg", key: String = "g"): Array[Byte] = {
+    val head = s"$tag:$scene:$k:" +
+      Mp4Codec.md5Hex(s"$key${scene}_$k".getBytes("UTF-8"))
     require(head.length <= len, "packet too small")
     (head + "." * (len - head.length)).getBytes("US-ASCII")
   }
@@ -209,19 +278,48 @@ object OggCodec {
     (typ.toByte +: "vorbis".getBytes("US-ASCII")) ++
       body.getBytes("US-ASCII") :+ 1.toByte
 
-  /** Encode a planted Ogg/Vorbis-framed stream: the three header
-    * packets on page 0 (BOS), then `nPackets` deterministic audio
-    * packets of `packetLen` bytes laid out `packetsPerPage` at a time
-    * (packets longer than 255 exercise multi-lacing reassembly;
-    * `splitAcrossPages` ends a page mid-packet so the 255-continuation
-    * path runs for real). Re-paginated copies (different layout knobs)
-    * keep the identical packets — the fingerprint must not move. */
-  def encodeOgg(scene: Long, nPackets: Int, channels: Int = 1,
-      rate: Int = 8000, serial: Long = 0x67726166L,
-      packetLen: Int = 300, packetsPerPage: Int = 2,
-      splitAcrossPages: Boolean = false): Array[Byte] = {
-    require(nPackets >= 1 && packetLen >= 60 && packetsPerPage >= 1)
-    val out = new java.io.ByteArrayOutputStream()
+  /** RFC 7845 §5.1 identification header: magic, version 1, channel
+    * count, pre-skip, input sample rate, output gain 0, mapping
+    * family 0 (mono/stereo). */
+  private def opusHead(channels: Int, rate: Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("OpusHead".getBytes("US-ASCII"))
+    o.write(1)                             // version
+    o.write(channels)
+    o.write(312 & 0xff); o.write(312 >> 8) // pre-skip
+    o.write(rate & 0xff); o.write((rate >> 8) & 0xff)
+    o.write((rate >> 16) & 0xff); o.write((rate >>> 24) & 0xff)
+    o.write(0); o.write(0)                 // output gain
+    o.write(0)                             // mapping family
+    o.toByteArray
+  }
+
+  /** RFC 7845 §5.2 comment header: magic + vendor + zero tags. */
+  private def opusTags(scene: Long): Array[Byte] = {
+    val vendor = s"graft-fixture-$scene".getBytes("US-ASCII")
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("OpusTags".getBytes("US-ASCII"))
+    o.write(vendor.length & 0xff); o.write((vendor.length >> 8) & 0xff)
+    o.write(0); o.write(0)
+    o.write(vendor)
+    o.write(0); o.write(0); o.write(0); o.write(0) // tag count
+    o.toByteArray
+  }
+
+  /** Build the complete encoded page sequence of ONE logical stream:
+    * `headerLayout` header packets per page group (the spec layouts:
+    * Vorbis puts ident alone on the BOS page then comment+setup
+    * together; Opus puts OpusHead alone then OpusTags alone), then
+    * `pkts` laid out `packetsPerPage` at a time (packets longer than
+    * 255 exercise multi-lacing; `splitAcrossPages` ends a page
+    * mid-packet so the 255-continuation path runs for real). First
+    * page carries BOS, last carries EOS. */
+  private def buildPages(serial: Long,
+      headerLayout: Seq[Seq[Array[Byte]]], pkts: Array[Array[Byte]],
+      packetsPerPage: Int, splitAcrossPages: Boolean)
+      : Vector[Array[Byte]] = {
+    require(pkts.nonEmpty && packetsPerPage >= 1)
+    val pages = Vector.newBuilder[Array[Byte]]
     var seq = 0L
 
     def page(flags: Int, granule: Long,
@@ -260,19 +358,14 @@ object OggCodec {
       pageBytes(23) = ((c >> 8) & 0xff).toByte
       pageBytes(24) = ((c >> 16) & 0xff).toByte
       pageBytes(25) = ((c >>> 24) & 0xff).toByte
-      out.write(pageBytes)
+      pages += pageBytes
       seq += 1
     }
 
-    // page 0: BOS with the identification header alone (the spec's
-    // required layout), then comment+setup on page 1
-    page(2, 0, Seq(identPacket(channels, rate)), openTail = false)
-    page(0, 0, Seq(
-      headerPacket(3, s"comment-for-$scene"),
-      headerPacket(5, s"setup-for-$scene")), openTail = false)
-
-    val pkts = Array.tabulate(nPackets)(k =>
-      packetPayload(scene, k, packetLen))
+    headerLayout.zipWithIndex.foreach { case (group, i) =>
+      page(if (i == 0) 2 else 0, 0, group, openTail = false)
+    }
+    val nPackets = pkts.length
     var k = 0
     while (k < nPackets) {
       val n = math.min(packetsPerPage, nPackets - k)
@@ -300,6 +393,74 @@ object OggCodec {
           openTail = false)
         k += n
       }
+    }
+    pages.result()
+  }
+
+  /** Encode a planted Ogg/Vorbis-framed stream: the three header
+    * packets (ident alone on the BOS page, comment+setup on page 1),
+    * then `nPackets` deterministic audio packets of `packetLen` bytes.
+    * Re-paginated copies (different layout knobs) keep the identical
+    * packets — the fingerprint must not move. */
+  def encodeOgg(scene: Long, nPackets: Int, channels: Int = 1,
+      rate: Int = 8000, serial: Long = 0x67726166L,
+      packetLen: Int = 300, packetsPerPage: Int = 2,
+      splitAcrossPages: Boolean = false): Array[Byte] = {
+    require(nPackets >= 1 && packetLen >= 60 && packetsPerPage >= 1)
+    val pkts = Array.tabulate(nPackets)(k =>
+      packetPayload(scene, k, packetLen))
+    val pages = buildPages(serial,
+      Seq(Seq(identPacket(channels, rate)),
+        Seq(headerPacket(3, s"comment-for-$scene"),
+          headerPacket(5, s"setup-for-$scene"))),
+      pkts, packetsPerPage, splitAcrossPages)
+    pages.toArray.flatten
+  }
+
+  /** Encode a planted Ogg/Opus stream (RFC 7845 layout: OpusHead
+    * alone on the BOS page, OpusTags alone on page 1, then audio
+    * packets) — the Opus half of the digest tier's fixture corpus. */
+  def encodeOpus(scene: Long, nPackets: Int, channels: Int = 2,
+      rate: Int = 48000, serial: Long = 0x6f707573L,
+      packetLen: Int = 300, packetsPerPage: Int = 2,
+      splitAcrossPages: Boolean = false): Array[Byte] = {
+    require(nPackets >= 1 && packetLen >= 60 && packetsPerPage >= 1)
+    val pkts = Array.tabulate(nPackets)(k =>
+      packetPayload(scene, k, packetLen, tag = "opus", key = "o"))
+    val pages = buildPages(serial,
+      Seq(Seq(opusHead(channels, rate)), Seq(opusTags(scene))),
+      pkts, packetsPerPage, splitAcrossPages)
+    pages.toArray.flatten
+  }
+
+  /** Encode a GROUPED (multiplexed) Ogg file: the SAME Opus audio
+    * stream as [[encodeOpus]] interleaved with a non-audio metadata
+    * sibling stream (an unrecognized ident the demux must tolerate).
+    * Both BOS pages lead the file per RFC 3533 §6; data pages
+    * alternate. The audio packets are byte-identical to the plain
+    * encode, so the fingerprint must not move — the grouped re-mux
+    * is the duplicate shape this encoder exists to plant. */
+  def encodeOpusMultiplexed(scene: Long, nPackets: Int,
+      channels: Int = 2, rate: Int = 48000,
+      packetLen: Int = 300): Array[Byte] = {
+    val audio = buildPages(0x6f707573L,
+      Seq(Seq(opusHead(channels, rate)), Seq(opusTags(scene))),
+      Array.tabulate(nPackets)(k =>
+        packetPayload(scene, k, packetLen, tag = "opus", key = "o")),
+      packetsPerPage = 1, splitAcrossPages = false)
+    val metaPkts = Array.tabulate(2)(k =>
+      s"meta-$scene-$k".getBytes("US-ASCII"))
+    val meta = buildPages(0x6d657461L,
+      Seq(Seq(s"graftmeta-$scene".getBytes("US-ASCII"))),
+      metaPkts, packetsPerPage = 1, splitAcrossPages = false)
+    // BOS section first (audio then meta), then alternate data pages
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(audio.head); out.write(meta.head)
+    val a = audio.tail.iterator
+    val m = meta.tail.iterator
+    while (a.hasNext || m.hasNext) {
+      if (a.hasNext) out.write(a.next())
+      if (m.hasNext) out.write(m.next())
     }
     out.toByteArray
   }

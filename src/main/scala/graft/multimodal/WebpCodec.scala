@@ -88,6 +88,11 @@ object WebpCodec {
         return decodeVp8l(b, p + 8, (p + 8 + sz).toInt)
       if (fourcc(b, p) == "VP8 ")
         return Vp8Codec.decodeFrame(b, p + 8, (p + 8 + sz).toInt)
+      // an extended-format still with an alpha plane (VP8X+ALPH+VP8):
+      // the opaque frame decode would IGNORE the alpha plane and land
+      // wrong pixels — drop at the gate, the same alpha discipline as
+      // [[decodeWebpFrames]]
+      if (fourcc(b, p) == "ALPH") return None
       p += 8 + sz.toInt + (sz.toInt & 1)
     }
     None

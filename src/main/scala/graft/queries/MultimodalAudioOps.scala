@@ -85,6 +85,19 @@ object MultimodalAudioOps extends QueryModule {
     *                        255-continuation split: byte-distinct,
     *                        the same fingerprint (%650 implies %325);
     *   +16·Offset (id%1300): a truncated Ogg copy (EOS page cut) —
+    *                        digest MUST be None; never surfaces;
+    *   +17·Offset (id%425): Ogg/OPUS — the modern-crawl half of the
+    *                        Ogg digest tier ([[graft.multimodal
+    *                        .OggCodec]] RFC 7845 ident: OpusHead/
+    *                        OpusTags headers excluded from content).
+    *                        Surfaces via mm_opus_exact;
+    *   +18·Offset (id%850): the MULTIPLEXED Opus twin — the SAME
+    *                        audio stream grouped with a non-audio
+    *                        metadata sibling stream (RFC 3533 §6
+    *                        interleaved pages, BOS pages front-
+    *                        loaded): byte-distinct, the same
+    *                        fingerprint (%850 implies %425);
+    *   +19·Offset (id%1700): a truncated Opus copy (EOS page cut) —
     *                        digest MUST be None; never surfaces.
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
@@ -165,7 +178,10 @@ object MultimodalAudioOps extends QueryModule {
           // metadata, byte-distinct, the same fingerprint; the
           // %1100 truncated copy (cut mid-frame) must digest to None.
           if (id % 275 == 0) {
-            val nf = (id % 5).toInt + 2
+            // frame count from id/275 — a knob COPRIME to the planting
+            // modulus (id%5 is always 0 for multiples of 275), so the
+            // fixture corpus carries real multi-frame streams
+            val nf = ((id / 275) % 5).toInt + 2
             val kb = if (id % 2 == 0) 64 else 96
             put(s"asset_${id + 11 * Planting.Offset}.mp3",
               graft.multimodal.Mp3Codec.encodeMp3(id, nf, kb))
@@ -202,6 +218,30 @@ object MultimodalAudioOps extends QueryModule {
                 full.take(full.length - 80))
             }
           }
+          // the Ogg/OPUS digest-tier families (+17/+18/+19·Offset):
+          // the same page-grammar walk behind an RFC 7845 ident
+          // (OpusHead/OpusTags are setup, excluded from content). The
+          // %850 MULTIPLEXED twin re-muxes the identical audio stream
+          // beside a non-audio metadata sibling (grouped pages, BOS
+          // section front-loaded), so its fingerprint collapses onto
+          // the %425 primary; the %1700 truncated copy (EOS page cut
+          // away) must digest to None. Packet count from id/425 — a
+          // knob coprime to the planting modulus.
+          if (id % 425 == 0) {
+            val np = ((id / 425) % 4).toInt + 2
+            put(s"asset_${id + 17 * Planting.Offset}.opus",
+              graft.multimodal.OggCodec.encodeOpus(id, np,
+                packetsPerPage = 2))
+            if (id % 850 == 0)
+              put(s"asset_${id + 18 * Planting.Offset}.opus",
+                graft.multimodal.OggCodec.encodeOpusMultiplexed(id, np))
+            if (id % 1700 == 0) {
+              val full = graft.multimodal.OggCodec.encodeOpus(id, np,
+                packetsPerPage = 2)
+              put(s"asset_${id + 19 * Planting.Offset}.opus",
+                full.take(full.length - 80))
+            }
+          }
         }
       base
     }
@@ -212,9 +252,21 @@ object MultimodalAudioOps extends QueryModule {
   // header packets are setup, not content) → exact stream dedup by
   // fingerprint. The %650 re-paginated twins MUST collapse onto their
   // %325 primaries; the truncated %1300 copies never surface.
-  private def mmOggExact(s: SparkSession, d: String): DataFrame = {
+  private def mmOggExact(s: SparkSession, d: String): DataFrame =
+    oggTier(s, d, "vorbis")
+
+  // The Opus half of the Ogg digest tier: the %850 MULTIPLEXED twins
+  // (same audio stream grouped beside a metadata sibling) MUST
+  // collapse onto their %425 primaries; truncated %1700 copies never
+  // surface.
+  private def mmOpusExact(s: SparkSession, d: String): DataFrame =
+    oggTier(s, d, "opus")
+
+  private def oggTier(s: SparkSession, d: String,
+      codec: String): DataFrame = {
     val digests = Multimodal.oggStreamDigests(
-      Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+        Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+      .filter(col("codec") === codec)
     val canon = digests.groupBy("audio_fp")
       .agg(min(col("asset_id")).as("canonical_id"))
     digests.join(canon, Seq("audio_fp"))
@@ -362,6 +414,7 @@ object MultimodalAudioOps extends QueryModule {
     "mm_audio_near"        -> (mmAudioNear _),
     "mm_mp3_exact"         -> (mmMp3Exact _),
     "mm_ogg_exact"         -> (mmOggExact _),
+    "mm_opus_exact"        -> (mmOpusExact _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -398,6 +451,42 @@ object MultimodalAudioOps extends QueryModule {
          SELECT s.asset_id, s.n_packets,
                 CAST(8000 AS BIGINT) AS sample_rate,
                 CAST(1 AS BIGINT) AS channels, s.audio_fp,
+                (SELECT min(s2.asset_id) FROM st s2
+                  WHERE s2.audio_fp = s.audio_fp) AS canonical_id
+         FROM st s ORDER BY s.asset_id""",
+
+    // the Opus twin of the mm_ogg_exact oracle: packet k's payload is
+    // "opus:{scene}:{k}:" || md5("o{scene}_{k}") dot-padded to 300
+    // bytes, packet count ((scene // 425) % 4) + 2. The %850
+    // MULTIPLEXED twin (the same audio stream grouped with a metadata
+    // sibling — interleaved pages, front-loaded BOS section)
+    // recomputes to the SAME fingerprint — sibling streams and page
+    // framing are both excluded from content by the tier contract —
+    // so its canonical_id is the %425 primary; truncated %1700
+    // copies (EOS page cut) never appear.
+    "mm_opus_exact" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         op AS (
+           SELECT doc_id + 1700000 AS asset_id, doc_id AS scene FROM d
+             WHERE doc_id % 425 = 0
+           UNION ALL SELECT doc_id + 1800000, doc_id FROM d
+             WHERE doc_id % 850 = 0),
+         pk AS (
+           SELECT a.asset_id, a.scene, t.k,
+                  md5(rpad('opus:' || CAST(a.scene AS VARCHAR) || ':' ||
+                           CAST(t.k AS VARCHAR) || ':' ||
+                           md5('o' || CAST(a.scene AS VARCHAR) || '_' ||
+                               CAST(t.k AS VARCHAR)),
+                           300, '.')) AS dig
+           FROM op a, range(5) t(k)
+           WHERE t.k < ((a.scene // 425) % 4) + 2),
+         st AS (
+           SELECT asset_id, count(*) AS n_packets,
+                  md5(string_agg(dig, '' ORDER BY k)) AS audio_fp
+           FROM pk GROUP BY asset_id)
+         SELECT s.asset_id, s.n_packets,
+                CAST(48000 AS BIGINT) AS sample_rate,
+                CAST(2 AS BIGINT) AS channels, s.audio_fp,
                 (SELECT min(s2.asset_id) FROM st s2
                   WHERE s2.audio_fp = s.audio_fp) AS canonical_id
          FROM st s ORDER BY s.asset_id""",
@@ -441,7 +530,8 @@ object MultimodalAudioOps extends QueryModule {
                                CAST(t.k AS VARCHAR)),
                            CASE WHEN a.scene % 2 = 0
                                 THEN 284 ELSE 428 END, '.')) AS dig
-           FROM mp3 a, range(7) t(k) WHERE t.k < (a.scene % 5) + 2),
+           FROM mp3 a, range(7) t(k)
+           WHERE t.k < ((a.scene // 275) % 5) + 2),
          st AS (
            SELECT asset_id, scene, count(*) AS n_frames,
                   md5(string_agg(dig, '' ORDER BY k)) AS audio_fp

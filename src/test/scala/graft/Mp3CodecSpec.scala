@@ -98,6 +98,28 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(Mp3Codec.decodeMp3Digest(bad ++ second).isEmpty)
   }
 
+  test("a final frame containing 'TAG' 128 bytes from EOF is NOT an " +
+      "ID3v1 trailer: the untrimmed tiling wins") {
+    // 3 × 288-byte frames; the bytes at len-128 sit inside frame 3's
+    // payload — overwriting them with 'TAG' leaves a legal stream
+    // that only parses if the walk tries the untrimmed extent first
+    val good = Mp3Codec.encodeMp3(21L, 3)
+    assert(good.length === 864)
+    val m = good.clone()
+    m(736) = 'T'; m(737) = 'A'; m(738) = 'G'
+    val d = Mp3Codec.decodeMp3Digest(m)
+    assert(d.exists(_.frameDigests.length == 3))
+    // frames 0/1 digest unchanged; frame 2 digests the modified bytes
+    val ref = Mp3Codec.decodeMp3Digest(good).get
+    assert(d.get.frameDigests.take(2) === ref.frameDigests.take(2))
+    assert(d.get.frameDigests(2) !== ref.frameDigests(2))
+    // the retry path still strips a REAL trailer (128 tag bytes that
+    // cannot tile as frames)
+    val tagged = Mp3Codec.encodeMp3(21L, 3, id3v1 = true)
+    assert(Mp3Codec.decodeMp3Digest(tagged).get.fingerprint ===
+      ref.fingerprint)
+  }
+
   test("strict tiling: truncation, slack, and bad fields reject") {
     val good = Mp3Codec.encodeMp3(9L, 3)
     assert(Mp3Codec.decodeMp3Digest(good).isDefined)

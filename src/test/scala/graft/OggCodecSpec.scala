@@ -56,6 +56,97 @@ class OggCodecSpec extends AnyFunSuite {
     assert(dp.packetDigests.length === 3)
   }
 
+  test("Opus streams decode with RFC 7845 ident metadata and " +
+      "re-paginated copies fingerprint identically") {
+    val a = OggCodec.encodeOpus(50L, 3, packetsPerPage = 2)
+    val b = OggCodec.encodeOpus(50L, 3, packetsPerPage = 1,
+      splitAcrossPages = true)
+    assert(!a.sameElements(b))
+    val da = OggCodec.decodeOggDigest(a).get
+    val db = OggCodec.decodeOggDigest(b).get
+    assert(da.codec === "opus")
+    assert(da.channels === 2 && da.sampleRate === 48000)
+    assert(da.packetDigests.length === 3)
+    assert(da.fingerprint === db.fingerprint)
+    // the oracle formula: packet payload "opus:{scene}:{k}:" +
+    // md5("o{scene}_{k}") dot-padded to 300
+    val head = "opus:50:1:" + Mp4Codec.md5Hex("o50_1".getBytes("UTF-8"))
+    assert(da.packetDigests(1) === Mp4Codec.md5Hex(
+      (head + "." * (300 - head.length)).getBytes("US-ASCII")))
+    // vorbis and opus fixture key spaces are disjoint
+    assert(da.fingerprint !==
+      OggCodec.decodeOggDigest(OggCodec.encodeOgg(50L, 3)).get
+        .fingerprint)
+  }
+
+  test("a multiplexed (grouped) copy demuxes per serial and " +
+      "fingerprints onto its plain primary") {
+    val plain = OggCodec.encodeOpus(75L, 4)
+    val mux = OggCodec.encodeOpusMultiplexed(75L, 4)
+    assert(!plain.sameElements(mux))
+    val dp = OggCodec.decodeOggDigest(plain).get
+    val dm = OggCodec.decodeOggDigest(mux).get
+    assert(dm.codec === "opus")
+    assert(dp.fingerprint === dm.fingerprint)
+    assert(dp.packetDigests === dm.packetDigests)
+    // grouped-file strictness: truncation at every byte still drops
+    // the whole file (a cut always loses an EOS page or breaks a
+    // CRC/extent in one of the sibling streams)
+    var n = 0
+    while (n < mux.length) {
+      assert(OggCodec.decodeOggDigest(mux.take(n)).isEmpty, s"@$n")
+      n += 1
+    }
+  }
+
+  test("hostile idents and demux shapes reject") {
+    val good = OggCodec.encodeOpus(9L, 2)
+    // version with a major bump (high nibble) rejects; minor is fine
+    def patchIdent(at: Int, v: Int): Option[OggCodec.OggStream] = {
+      val m = good.clone()
+      // page 0: 28-byte header (1 lacing entry) then OpusHead; the
+      // ident byte sits at 28 + at, and the page CRC must be redone
+      m(28 + at) = v.toByte
+      val pageEnd = 28 + (m(26 + 1) & 0xff)
+      val c = OggCodec.crc(m, 0, pageEnd, zeroAt = 22)
+      m(22) = (c & 0xff).toByte
+      m(23) = ((c >> 8) & 0xff).toByte
+      m(24) = ((c >> 16) & 0xff).toByte
+      m(25) = ((c >>> 24) & 0xff).toByte
+      OggCodec.decodeOggDigest(m)
+    }
+    assert(patchIdent(8, 0x11).isEmpty)    // major version 1
+    assert(patchIdent(8, 0x02).isDefined)  // minor bump tolerated
+    assert(patchIdent(9, 0).isEmpty)       // zero channels
+    // a file whose only stream has an unrecognized ident is not an
+    // audio file — None, even though every page verifies
+    val metaOnly = {
+      // reuse the multiplexed encoder's meta sibling alone by
+      // stripping the audio serial's pages
+      val mux = OggCodec.encodeOpusMultiplexed(9L, 2)
+      val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var p = 0
+      while (p < mux.length) {
+        val nSegs = mux(p + 26) & 0xff
+        var bodyLen = 0
+        var i = 0
+        while (i < nSegs) { bodyLen += mux(p + 27 + i) & 0xff; i += 1 }
+        val end = p + 27 + nSegs + bodyLen
+        pages += java.util.Arrays.copyOfRange(mux, p, end)
+        p = end
+      }
+      def serialOf(pg: Array[Byte]): Long =
+        (pg(14) & 0xffL) | ((pg(15) & 0xffL) << 8) |
+          ((pg(16) & 0xffL) << 16) | ((pg(17) & 0xffL) << 24)
+      pages.filter(pg => serialOf(pg) == 0x6d657461L).toArray.flatten
+    }
+    assert(OggCodec.decodeOggDigest(metaOnly).isEmpty)
+    // a second BOS page AFTER a data page violates the grouping rule
+    val vorb = OggCodec.encodeOgg(9L, 2)
+    val lateBos = vorb ++ OggCodec.encodeOpus(9L, 2)
+    assert(OggCodec.decodeOggDigest(lateBos).isEmpty)
+  }
+
   test("strict grammar: CRC damage, lost pages, truncation, and " +
       "trailing bytes reject") {
     val good = OggCodec.encodeOgg(5L, 3)

@@ -182,6 +182,25 @@ class WebpCodecSpec extends AnyFunSuite {
       Array.fill[Byte](64)(0x3c))
   }
 
+  test("an ALPH chunk before the image chunk drops the still at the " +
+      "gate (the decodeWebpFrames alpha discipline)") {
+    val img = noisy(16, 12, 4)
+    val enc = WebpEncoder.encodeWebp(img)
+    assert(WebpCodec.decodeWebp(enc).isDefined)
+    // splice an ALPH chunk (size 1 + pad) ahead of the image chunk:
+    // decoding the opaque frame would ignore the alpha plane and land
+    // wrong pixels — the still path must return None like the clip path
+    val alph = "ALPH".getBytes ++
+      Array[Byte](1, 0, 0, 0) ++ Array[Byte](0, 0)
+    val spliced = enc.take(12) ++ alph ++ enc.drop(12)
+    val riffSz = (enc.length - 8) + alph.length
+    spliced(4) = (riffSz & 0xff).toByte
+    spliced(5) = ((riffSz >> 8) & 0xff).toByte
+    spliced(6) = ((riffSz >> 16) & 0xff).toByte
+    spliced(7) = ((riffSz >> 24) & 0xff).toByte
+    assert(WebpCodec.decodeWebp(spliced).isEmpty)
+  }
+
   test("hostile inputs return None and never throw") {
     val img = noisy(24, 18, 2)
     val enc = WebpEncoder.encodeWebp(img, predictorBits = 3,
