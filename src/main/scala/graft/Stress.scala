@@ -81,7 +81,7 @@ object Stress {
     "web_anchor_bm25", "mm_phash", "mm_dedup_near",
     "pipeline_curate_v8", "mm_audio_fp", "mm_audio_near",
     "pipeline_curate_v9", "mm_stream_admit", "mm_audio_stream_admit",
-    "mm_mp3_exact", "mm_ogg_exact",
+    "mm_mp3_exact", "mm_ogg_exact", "mm_opus_exact", "mm_m4a_exact",
     "mm_frame_sample", "mm_frame_near", "pipeline_curate_v10",
     "mm_frame_stream_admit", "mm_clip_exact",
     "warc_ingest", "warc_extract", "pipeline_curate_v11",

@@ -20,9 +20,12 @@ package graft.multimodal
   *
   * Hostile-input discipline matches the codec tier: decode never
   * throws — truncated boxes, missing tables, out-of-range sample
-  * extents, inconsistent chunk runs, unsupported 64-bit offsets
-  * (`co64`), or any undecodable sample return None (the clip drops
-  * whole at the gate, like a truncated GIF).
+  * extents, inconsistent chunk runs, or any undecodable sample
+  * return None (the clip drops whole at the gate, like a truncated
+  * GIF). 64-bit forms parse on both tiers: `largesize` box headers
+  * and `co64` chunk-offset tables (the >4 GiB shapes — offsets must
+  * still land inside the buffer), and the AVC digest tier also walks
+  * FRAGMENTED files (`moof`/`traf`/`trun` — see [[fragmentExtents]]).
   *
   * `avc1` (H.264) tracks ride the separate documented DIGEST tier
   * ([[decodeAvcDigest]]): container metadata + per-sample content
@@ -38,38 +41,68 @@ object Mp4Codec {
   private def be32(b: Array[Byte], i: Int): Long =
     ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
       (u8(b, i + 2) << 8) | u8(b, i + 3))
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
   private def fourcc(b: Array[Byte], i: Int): String =
     new String(b, i, 4, "US-ASCII")
 
+  /** One box at `p` in [p, until): (payloadStart, payloadEnd), or
+    * None when malformed. Size 1 reads the 64-bit `largesize` (the
+    * >4 GiB form DASH-era files use — the payload must still land in
+    * this buffer); size 0 (to-end-of-file) rejects — an unbounded box
+    * defeats the strict-extent discipline every tier here relies on. */
+  private def boxAt(b: Array[Byte], p: Int,
+      until: Int): Option[(Int, Int)] = {
+    if (p + 8 > until) return None
+    val sz32 = be32(b, p)
+    if (sz32 == 1) {
+      if (p + 16 > until) return None
+      val sz = be64(b, p + 8)
+      if (sz < 16 || sz > until - p) return None
+      Some((p + 16, p + sz.toInt))
+    } else {
+      if (sz32 < 8 || sz32 > until - p) return None
+      Some((p + 8, p + sz32.toInt))
+    }
+  }
+
   /** First child box `target` in [from, until): Some(payload offset,
-    * payload end). Boxes with size 1 (64-bit) or 0 (to-end) reject —
-    * fixture and web-scale MJPEG files use plain 32-bit sizes. */
+    * payload end). */
   private def child(b: Array[Byte], from: Int, until: Int,
       target: String): Option[(Int, Int)] = {
     var p = from
     while (p + 8 <= until) {
-      val sz = be32(b, p)
-      if (sz < 8 || p + sz > until) return None
-      if (fourcc(b, p + 4) == target)
-        return Some((p + 8, (p + sz).toInt))
-      p += sz.toInt
+      val (ps, pe) = boxAt(b, p, until).getOrElse(return None)
+      if (fourcc(b, p + 4) == target) return Some((ps, pe))
+      p = pe
     }
     None
   }
 
-  /** All child boxes named `target` (for the trak scan). */
-  private def children(b: Array[Byte], from: Int, until: Int,
-      target: String): Seq[(Int, Int)] = {
-    val out = Seq.newBuilder[(Int, Int)]
+  /** All child boxes named `target` as (boxStart, payloadStart,
+    * payloadEnd) — boxStart feeds the fragment walk's
+    * default-base-is-moof anchoring. */
+  private def childBoxes(b: Array[Byte], from: Int, until: Int,
+      target: String): Seq[(Int, Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int, Int)]
     var p = from
     while (p + 8 <= until) {
-      val sz = be32(b, p)
-      if (sz < 8 || p + sz > until) return out.result()
-      if (fourcc(b, p + 4) == target) out += ((p + 8, (p + sz).toInt))
-      p += sz.toInt
+      val (ps, pe) = boxAt(b, p, until) match {
+        case Some(x) => x
+        case None => return out.result()
+      }
+      if (fourcc(b, p + 4) == target) out += ((p, ps, pe))
+      p = pe
     }
     out.result()
   }
+
+  /** All child boxes named `target` (for the trak scan). */
+  private def children(b: Array[Byte], from: Int, until: Int,
+      target: String): Seq[(Int, Int)] =
+    childBoxes(b, from, until, target).map { case (_, ps, pe) =>
+      (ps, pe)
+    }
 
   private val MaxFrames = 256
 
@@ -116,10 +149,10 @@ object Mp4Codec {
   }
 
   /** Per-sample (offset, size) extents from the `stbl` sample tables
-    * — stsz sizes, stco chunk offsets, stsc sample-to-chunk runs —
-    * shared by the MJPEG pixel tier and the AVC digest tier. None on
-    * any inconsistency (missing table, out-of-range extent,
-    * non-monotone runs, 64-bit co64 offsets). */
+    * — stsz sizes, stco/co64 chunk offsets, stsc sample-to-chunk runs
+    * — shared by the MJPEG pixel tier and the AVC digest tier. None
+    * on any inconsistency (missing table, out-of-range extent,
+    * non-monotone runs). */
   private def sampleExtents(b: Array[Byte], ss: Int,
       se: Int): Option[Vector[(Int, Int)]] = {
     // stsz: version/flags, sample_size (0 = per-sample table),
@@ -139,14 +172,23 @@ object Mp4Codec {
     }
     if (sizes.exists(s => s <= 0 || s > (1 << 26))) return None
 
-    // stco: chunk offsets (co64 intentionally unsupported)
-    val (coS, coE) = child(b, ss, se, "stco").getOrElse(return None)
-    if (coS + 8 > coE) return None
-    val nChunks = be32(b, coS + 4)
-    if (nChunks <= 0 || nChunks > MaxFrames ||
-        coS + 8 + 4L * nChunks > coE) return None
-    val chunkOff = Array.tabulate(nChunks.toInt)(i =>
-      be32(b, coS + 8 + 4 * i))
+    // chunk offsets: stco (32-bit) or co64 (64-bit — the >4 GiB form;
+    // offsets must still land inside this buffer)
+    val chunkOff: Array[Long] = child(b, ss, se, "stco") match {
+      case Some((coS, coE)) =>
+        if (coS + 8 > coE) return None
+        val nChunks = be32(b, coS + 4)
+        if (nChunks <= 0 || nChunks > MaxFrames ||
+            coS + 8 + 4L * nChunks > coE) return None
+        Array.tabulate(nChunks.toInt)(i => be32(b, coS + 8 + 4 * i))
+      case None =>
+        val (coS, coE) = child(b, ss, se, "co64").getOrElse(return None)
+        if (coS + 8 > coE) return None
+        val nChunks = be32(b, coS + 4)
+        if (nChunks <= 0 || nChunks > MaxFrames ||
+            coS + 8 + 8L * nChunks > coE) return None
+        Array.tabulate(nChunks.toInt)(i => be64(b, coS + 8 + 8 * i))
+    }
 
     // stsc: (first_chunk, samples_per_chunk, desc_index) runs
     val (scS, scE) = child(b, ss, se, "stsc").getOrElse(return None)
@@ -188,6 +230,117 @@ object Mp4Codec {
     }
     if (sample != n) return None
     Some(out.result())
+  }
+
+  /** The trak's track_ID from its tkhd (version 0 or 1) — the key the
+    * fragment walk matches traf headers against. */
+  private def trackId(b: Array[Byte], ts: Int, te: Int): Option[Long] = {
+    val (hs, he) = child(b, ts, te, "tkhd").getOrElse(return None)
+    u8(b, hs) match {
+      case 0 => if (hs + 16 > he) None else Some(be32(b, hs + 12))
+      case 1 => if (hs + 24 > he) None else Some(be32(b, hs + 20))
+      case _ => None
+    }
+  }
+
+  /** Per-sample (offset, size) extents of a FRAGMENTED track: walk
+    * every top-level `moof` in file order, its `traf`s for the given
+    * track, and their `trun` sample runs (ISO 14496-12 §8.8). The
+    * supported grammar is the shape real DASH/streaming muxers emit:
+    * tfhd anchored by an explicit base-data-offset or the
+    * default-base-is-moof flag (0x20000), sample sizes from the trun's
+    * per-sample table or the tfhd default, the first trun carrying an
+    * explicit data offset and later truns continuing contiguously.
+    * Anything outside that grammar — a tfhd with neither anchor, a
+    * leading trun without a data offset, a sample extent past the
+    * buffer (the truncated-fragment case) — drops the whole clip:
+    * None, never a partial sample list. A file cut exactly at a
+    * fragment boundary is structurally complete and parses with that
+    * many fragments (the MP3 frame-boundary / WARC record-boundary
+    * precedent). trex-level defaults (mvex) are intentionally not
+    * consulted: a stream whose sizes live only in trex is outside the
+    * envelope and drops at the gate. */
+  private def fragmentExtents(b: Array[Byte],
+      tid: Long): Option[Vector[(Int, Int)]] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    var total = 0
+    // the top level must tile EXACTLY into well-formed boxes: a file
+    // cut inside a box header (or carrying trailing garbage) fails
+    // whole, so only exact fragment-boundary cuts parse as the
+    // legal-shorter-stream case
+    val moofsB = Seq.newBuilder[(Int, Int, Int)]
+    var tp = 0
+    while (tp < b.length) {
+      val (ps, pe) = boxAt(b, tp, b.length).getOrElse(return None)
+      if (fourcc(b, tp + 4) == "moof") moofsB += ((tp, ps, pe))
+      tp = pe
+    }
+    val moofs = moofsB.result()
+    if (moofs.isEmpty) return None
+    moofs.foreach { case (moofStart, ms, me) =>
+      children(b, ms, me, "traf").foreach { case (fs, fe) =>
+        val (hS, hE) = child(b, fs, fe, "tfhd").getOrElse(return None)
+        if (hS + 8 > hE) return None
+        val tfFlags = (be32(b, hS) & 0xffffff).toInt
+        if (be32(b, hS + 4) == tid) {
+          var q = hS + 8
+          var base = -1L
+          if ((tfFlags & 0x1) != 0) {      // base-data-offset-present
+            if (q + 8 > hE) return None
+            base = be64(b, q); q += 8
+          }
+          if ((tfFlags & 0x2) != 0) q += 4 // sample-description-index
+          if ((tfFlags & 0x8) != 0) q += 4 // default-sample-duration
+          var defSize = -1L
+          if ((tfFlags & 0x10) != 0) {     // default-sample-size
+            if (q + 4 > hE) return None
+            defSize = be32(b, q); q += 4
+          }
+          if (q > hE) return None
+          if (base < 0) {
+            if ((tfFlags & 0x20000) == 0) return None // no anchor
+            base = moofStart                // default-base-is-moof
+          }
+          var off = -1L                     // running offset, per traf
+          children(b, fs, fe, "trun").foreach { case (tS, tE) =>
+            if (tS + 8 > tE) return None
+            val trFlags = (be32(b, tS) & 0xffffff).toInt
+            val count = be32(b, tS + 4)
+            if (count <= 0 || count > MaxFrames) return None
+            var r = tS + 8
+            if ((trFlags & 0x1) != 0) {     // data-offset-present
+              if (r + 4 > tE) return None
+              off = base + be32(b, r).toInt // signed 32-bit offset
+              r += 4
+            } else if (off < 0) return None // leading trun unanchored
+            if ((trFlags & 0x4) != 0) r += 4 // first-sample-flags
+            val perSample =
+              (if ((trFlags & 0x100) != 0) 4 else 0) + // duration
+              (if ((trFlags & 0x200) != 0) 4 else 0) + // size
+              (if ((trFlags & 0x400) != 0) 4 else 0) + // flags
+              (if ((trFlags & 0x800) != 0) 4 else 0)   // cts offset
+            if (r + count * perSample.toLong > tE) return None
+            var i = 0L
+            while (i < count) {
+              val sz =
+                if ((trFlags & 0x200) != 0)
+                  be32(b, (r + i * perSample +
+                    (if ((trFlags & 0x100) != 0) 4 else 0)).toInt)
+                else defSize
+              if (sz <= 0 || sz > (1 << 26)) return None
+              if (off < 0 || off + sz > b.length) return None
+              out += ((off.toInt, sz.toInt))
+              off += sz
+              total += 1
+              if (total > MaxFrames) return None
+              i += 1
+            }
+          }
+        }
+      }
+    }
+    val v = out.result()
+    if (v.isEmpty) None else Some(v)
   }
 
   // ---- AVC (H.264) honest tier: metadata + sample content digests ----
@@ -294,7 +447,16 @@ object Mp4Codec {
       i += 1
     }
 
-    val extents = sampleExtents(b, ss, se).getOrElse(return None)
+    // flat layout (samples in stbl) vs fragmented (DASH-era: an empty
+    // stbl sample-size table, samples carried by top-level moof/traf/
+    // trun runs). An stsz with sample_count 0 dispatches to the
+    // fragment walk; a populated stbl uses the table walk unchanged.
+    val (szS, szE) = child(b, ss, se, "stsz").getOrElse(return None)
+    if (szS + 12 > szE) return None
+    val extents =
+      (if (be32(b, szS + 8) == 0)
+         trackId(b, ts, te).flatMap(tid => fragmentExtents(b, tid))
+       else sampleExtents(b, ss, se)).getOrElse(return None)
     val digests = Vector.newBuilder[String]
     extents.foreach { case (off, sz) =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -320,6 +482,177 @@ object Mp4Codec {
       digests += md.digest().map(x => f"${x & 0xff}%02x").mkString
     }
     Some(AvcClip(width, height, profile, level, digests.result()))
+  }
+
+  // ---- AAC audio tier: M4A sample digests + ADTS frame digests ----
+
+  /** One AAC audio track's digest view: channel count and sample rate
+    * (from the sample entry / ADTS header), and one content digest
+    * per raw access unit. */
+  final case class AacTrack(channels: Int, sampleRate: Int,
+      sampleDigests: Vector[String]) {
+    def fingerprint: String = md5Hex(
+      sampleDigests.mkString("").getBytes("US-ASCII"))
+  }
+
+  /** The documented AAC tier CONTRACT (the audio twin of
+    * [[decodeAvcDigest]]): `mp4a` tracks are NOT decoded to PCM — no
+    * filterbank/huffman decode is attempted. The tier walks the
+    * `soun`-handler track's sample tables (flat or fragmented, stco
+    * or co64) and surfaces one CONTENT DIGEST per sample. MP4 samples
+    * ARE the raw AAC access units — framing lives in the container —
+    * so the digest is invariant under re-chunking/re-fragmenting AND
+    * equals the [[decodeAdtsDigest]] digest of the same units behind
+    * ADTS headers: a `.aac` re-wrap of a `.m4a` (the dominant
+    * cross-container audio duplicate) collapses in exact dedup.
+    * Structural honesty: the `esds` descriptor chain must parse
+    * (ES_Descriptor tag 3 with no optional fields,
+    * DecoderConfigDescriptor tag 4 with an MPEG-4/MPEG-2 AAC
+    * objectTypeIndication, a ≥2-byte DecoderSpecificInfo tag 5), and
+    * every sample extent must land in the buffer — truncation or a
+    * malformed chain drops the whole track at the gate. */
+  def decodeM4aDigest(b: Array[Byte]): Option[AacTrack] =
+    try decodeM4a0(b)
+    catch { case _: RuntimeException => None }
+
+  private def decodeM4a0(b: Array[Byte]): Option[AacTrack] = {
+    if (b.length < 16) return None
+    val (moovS, moovE) = child(b, 0, b.length, "moov").getOrElse(return None)
+    val audioTrak = children(b, moovS, moovE, "trak").find { case (ts, te) =>
+      (for {
+        (ms, me) <- child(b, ts, te, "mdia")
+        (hs, he) <- child(b, ms, me, "hdlr")
+        if hs + 12 <= he
+      } yield fourcc(b, hs + 8) == "soun").getOrElse(false)
+    }.getOrElse(return None)
+    val (ts, te) = audioTrak
+    val (ms, me) = child(b, ts, te, "mdia").getOrElse(return None)
+    val (mfs, mfe) = child(b, ms, me, "minf").getOrElse(return None)
+    val (ss, se) = child(b, mfs, mfe, "stbl").getOrElse(return None)
+
+    val (sdS, sdE) = child(b, ss, se, "stsd").getOrElse(return None)
+    if (sdS + 16 > sdE) return None
+    if (be32(b, sdS + 4) < 1) return None
+    if (fourcc(b, sdS + 12) != "mp4a") return None
+    val entryEnd = math.min(sdE.toLong, sdS + 8 + be32(b, sdS + 8)).toInt
+    val body = sdS + 16                    // AudioSampleEntry body
+    if (body + 28 > entryEnd) return None
+    val channels = be16(b, body + 16)
+    val sampleRate = (be32(b, body + 24) >> 16).toInt
+    if (channels < 1 || sampleRate <= 0) return None
+
+    // esds: ES_Descriptor → DecoderConfigDescriptor (AAC) → DSI
+    val (esS, esE) = child(b, body + 28, entryEnd, "esds")
+      .getOrElse(return None)
+    if (esS + 4 > esE) return None
+    val es = readDescriptor(b, esS + 4, esE).getOrElse(return None)
+    if (es._1 != 0x03) return None
+    var q = es._2 + 2                      // ES_ID
+    if (q + 1 > es._3) return None
+    if (u8(b, q) != 0) return None         // no optional ES fields
+    q += 1
+    val dcd = readDescriptor(b, q, es._3).getOrElse(return None)
+    if (dcd._1 != 0x04) return None
+    val oti = u8(b, dcd._2)
+    // 0x40 = MPEG-4 audio; 0x66..0x68 = MPEG-2 AAC profiles
+    if (oti != 0x40 && (oti < 0x66 || oti > 0x68)) return None
+    if (dcd._2 + 13 > dcd._3) return None
+    val dsi = readDescriptor(b, dcd._2 + 13, dcd._3)
+      .getOrElse(return None)
+    if (dsi._1 != 0x05 || dsi._3 - dsi._2 < 2) return None
+
+    val extents =
+      (if ({
+        val (szS, szE) = child(b, ss, se, "stsz").getOrElse(return None)
+        szS + 12 <= szE && be32(b, szS + 8) == 0
+      }) trackId(b, ts, te).flatMap(tid => fragmentExtents(b, tid))
+       else sampleExtents(b, ss, se)).getOrElse(return None)
+    val digests = Vector.newBuilder[String]
+    extents.foreach { case (off, sz) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(b, off, sz)
+      digests += md.digest().map(x => f"${x & 0xff}%02x").mkString
+    }
+    Some(AacTrack(channels, sampleRate, digests.result()))
+  }
+
+  /** One MPEG-4 descriptor at `at`: (tag, payloadStart, payloadEnd).
+    * Sizes use the 7-bit continuation encoding (≤4 bytes). */
+  private def readDescriptor(b: Array[Byte], at: Int,
+      end: Int): Option[(Int, Int, Int)] = {
+    if (at + 2 > end) return None
+    val tag = u8(b, at)
+    var p = at + 1
+    var size = 0L
+    var n = 0
+    var more = true
+    while (more) {
+      if (p >= end || n >= 4) return None
+      val v = u8(b, p)
+      size = (size << 7) | (v & 0x7f)
+      more = (v & 0x80) != 0
+      p += 1
+      n += 1
+    }
+    if (size < 0 || p + size > end) return None
+    Some((tag, p, (p + size).toInt))
+  }
+
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** ADTS (`.aac`) stream walk — the file-level framing of the same
+    * raw AAC access units [[decodeM4aDigest]] reads from MP4 sample
+    * tables: strict frame tiling (12-bit sync, layer 00, a valid
+    * sampling-frequency index, channel configuration 1..7, one raw
+    * data block per frame, frame length covering its own header),
+    * constant profile/rate/channels across the stream, digest per
+    * frame over the payload AFTER the 7/9-byte header (+CRC) — so an
+    * ADTS re-wrap fingerprints identically to its M4A twin. Decode
+    * never throws; truncation or slack → None (a cut at an exact
+    * frame boundary is a legal shorter stream — the MP3 precedent). */
+  def decodeAdtsDigest(b: Array[Byte]): Option[AacTrack] =
+    try decodeAdts0(b)
+    catch { case _: RuntimeException => None }
+
+  private def decodeAdts0(b: Array[Byte]): Option[AacTrack] = {
+    if (b.length < 7) return None
+    var p = 0
+    var channels = 0
+    var rate = 0
+    var profile = -1
+    val digests = Vector.newBuilder[String]
+    var n = 0
+    while (p < b.length) {
+      if (p + 7 > b.length) return None
+      if (u8(b, p) != 0xff || (u8(b, p + 1) & 0xf6) != 0xf0) return None
+      val protAbsent = u8(b, p + 1) & 1
+      val prof = (u8(b, p + 2) >> 6) & 3
+      val freqIdx = (u8(b, p + 2) >> 2) & 0xf
+      if (freqIdx >= AdtsRates.length) return None
+      val chanCfg = ((u8(b, p + 2) & 1) << 2) | ((u8(b, p + 3) >> 6) & 3)
+      if (chanCfg < 1) return None         // in-stream PCE: outside envelope
+      val frameLen = ((u8(b, p + 3) & 3) << 11) |
+        (u8(b, p + 4) << 3) | ((u8(b, p + 5) >> 5) & 7)
+      val rdb = u8(b, p + 6) & 3
+      if (rdb != 0) return None            // one raw data block per frame
+      val hdr = 7 + (if (protAbsent == 0) 2 else 0)
+      if (frameLen < hdr + 1 || p + frameLen > b.length) return None
+      if (n == 0) {
+        profile = prof; rate = AdtsRates(freqIdx); channels = chanCfg
+      } else {
+        if (prof != profile || AdtsRates(freqIdx) != rate ||
+            chanCfg != channels) return None
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(b, p + hdr, frameLen - hdr)
+      digests += md.digest().map(x => f"${x & 0xff}%02x").mkString
+      n += 1
+      if (n > (1 << 16)) return None       // audio streams run long
+      p += frameLen
+    }
+    if (n == 0) return None
+    Some(AacTrack(channels, rate, digests.result()))
   }
 
   // ---- encoder (fixture planting + spec round-trips) ----
@@ -367,6 +700,88 @@ object Mp4Codec {
     box(fmt, body ++ extensions)
   }
 
+  /** The deterministic raw AAC access unit of sample `k` of the
+    * planted scene — "aac:{scene}:{k}:" + md5("c{scene}_{k}"),
+    * dot-padded to 200 bytes: pure md5 arithmetic the DuckDB oracle
+    * recomputes verbatim (ascii can never carry an 0xFF ADTS sync). */
+  private[multimodal] def aacSamplePayload(scene: Long,
+      k: Int): Array[Byte] = {
+    val head = s"aac:$scene:$k:" +
+      md5Hex(s"c${scene}_$k".getBytes("UTF-8"))
+    (head + "." * (200 - head.length)).getBytes("US-ASCII")
+  }
+
+  /** An AudioSampleEntry box (ISO 14496-12 §12.2.3) with trailing
+    * extension boxes (the mp4a entry's esds). */
+  private def audioSampleEntry(fmt: String, channels: Int, rate: Int,
+      extensions: Array[Byte]): Array[Byte] = {
+    val body =
+      Array.fill[Byte](6)(0) ++ be16b(1) ++    // reserved + data_ref
+      be32b(0) ++ be32b(0) ++                  // reserved
+      be16b(channels) ++ be16b(16) ++          // channelcount, samplesize
+      be16b(0) ++ be16b(0) ++                  // pre_defined, reserved
+      be32b(rate << 16)                        // 16.16 fixed
+    box(fmt, body ++ extensions)
+  }
+
+  /** The esds descriptor chain for AAC-LC: ES_Descriptor(3) →
+    * DecoderConfigDescriptor(4, objectTypeIndication 0x40) →
+    * DecoderSpecificInfo(5, the 2-byte AudioSpecificConfig) +
+    * SLConfigDescriptor(6). */
+  private def aacEsds(freqIdx: Int, chanCfg: Int): Array[Byte] = {
+    def desc(tag: Int, payload: Array[Byte]): Array[Byte] =
+      Array(tag.toByte, payload.length.toByte) ++ payload
+    // AudioSpecificConfig: 5-bit AOT (2 = LC), 4-bit freq index,
+    // 4-bit channel configuration, 3 pad bits
+    val asc = Array(
+      ((2 << 3) | (freqIdx >> 1)).toByte,
+      (((freqIdx & 1) << 7) | (chanCfg << 3)).toByte)
+    val dcd = desc(0x04,
+      Array[Byte](0x40, 0x15, 0, 0, 0) ++ be32b(0) ++ be32b(0) ++
+        desc(0x05, asc))
+    val es = desc(0x03, be16b(1) ++ Array[Byte](0) ++ dcd ++
+      desc(0x06, Array[Byte](2)))
+    fullBox("esds", es)
+  }
+
+  /** Encode a planted AAC-LC audio MP4 (`.m4a`): `soun`-handler
+    * track, `mp4a` sample entry with a complete esds chain, raw
+    * access units in the sample tables. `chunkSize`/`useCo64` vary
+    * the FRAMING without touching the units — the re-mux invariance
+    * the digest tier must exhibit (44.1 kHz stereo). */
+  def encodeAacM4a(scene: Long, nFrames: Int, chunkSize: Int = 2,
+      useCo64: Boolean = false): Array[Byte] = {
+    require(nFrames >= 1 && nFrames <= MaxFrames)
+    val samples = Array.tabulate(nFrames)(k => aacSamplePayload(scene, k))
+    assembleMp4(samples,
+      audioSampleEntry("mp4a", 2, 44100, aacEsds(freqIdx = 4,
+        chanCfg = 2)),
+      0, 0, chunkSize, useCo64, audio = true)
+  }
+
+  /** Encode the SAME access units behind 7-byte ADTS headers (the
+    * `.aac` file form): profile AAC-LC, 44.1 kHz, stereo, one raw
+    * data block per frame — byte-distinct from the M4A, identical
+    * fingerprint. */
+  def encodeAacAdts(scene: Long, nFrames: Int): Array[Byte] = {
+    require(nFrames >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    var k = 0
+    while (k < nFrames) {
+      val au = aacSamplePayload(scene, k)
+      val len = 7 + au.length
+      out.write(0xff); out.write(0xf1)     // MPEG-4, layer 00, no CRC
+      out.write((1 << 6) | (4 << 2))       // AAC-LC, freq index 4
+      out.write((2 << 6) | ((len >> 11) & 3))
+      out.write((len >> 3) & 0xff)
+      out.write(((len & 7) << 5) | 0x1f)   // fullness high bits
+      out.write(0xfc)                      // fullness low, 0 RDBs
+      out.write(au)
+      k += 1
+    }
+    out.toByteArray
+  }
+
   /** The deterministic NAL payloads (header byte excluded) of sample
     * `k` of the planted AVC scene — frame 0 carries an SEI + the IDR
     * (the multi-NAL tiling case), later frames one IDR; the payload
@@ -380,14 +795,12 @@ object Mp4Codec {
     else Seq(idr)
   }
 
-  /** Encode a planted AVC clip: `avc1` sample entry with a structurally
-    * complete avcC record (baseline profile 66, level 30, 1 SPS + 1
-    * PPS), samples as length-prefixed NAL units over the
-    * [[avcSamplePayloads]] content. `lengthSize` (1/2/4) and
-    * `chunkSize` vary the FRAMING without touching the content — the
-    * digest-tier invariance a re-muxed copy must exhibit. */
-  def encodeAvcMp4(scene: Long, nFrames: Int, w: Int, h: Int,
-      chunkSize: Int = 2, lengthSize: Int = 4): Array[Byte] = {
+  /** The length-prefixed NAL sample bytes + the avc1 sample entry of
+    * the planted AVC scene — shared by the flat and fragmented
+    * encoders so a re-fragmented copy carries byte-identical sample
+    * content. */
+  private def avcSamplesAndEntry(scene: Long, nFrames: Int, w: Int,
+      h: Int, lengthSize: Int): (Array[Array[Byte]], Array[Byte]) = {
     require(nFrames >= 1 && nFrames <= MaxFrames)
     require(lengthSize == 1 || lengthSize == 2 || lengthSize == 4)
     def lenPrefix(n: Int): Array[Byte] = lengthSize match {
@@ -410,17 +823,123 @@ object Mp4Codec {
         (0xe0 | 1).toByte) ++
         be16b(sps.length) ++ sps ++
         Array[Byte](1) ++ be16b(pps.length) ++ pps)
-    assembleMp4(samples, visualSampleEntry("avc1", w, h, avcC), w, h,
-      chunkSize)
+    (samples, visualSampleEntry("avc1", w, h, avcC))
+  }
+
+  /** Encode a planted AVC clip: `avc1` sample entry with a structurally
+    * complete avcC record (baseline profile 66, level 30, 1 SPS + 1
+    * PPS), samples as length-prefixed NAL units over the
+    * [[avcSamplePayloads]] content. `lengthSize` (1/2/4), `chunkSize`,
+    * and `useCo64` (64-bit chunk offsets) vary the FRAMING without
+    * touching the content — the digest-tier invariance a re-muxed
+    * copy must exhibit. */
+  def encodeAvcMp4(scene: Long, nFrames: Int, w: Int, h: Int,
+      chunkSize: Int = 2, lengthSize: Int = 4,
+      useCo64: Boolean = false): Array[Byte] = {
+    val (samples, entry) =
+      avcSamplesAndEntry(scene, nFrames, w, h, lengthSize)
+    assembleMp4(samples, entry, w, h, chunkSize, useCo64)
+  }
+
+  /** Encode the planted AVC clip as a FRAGMENTED MP4 (the DASH /
+    * streaming-era duplicate shape): `ftyp`, a `moov` whose stbl
+    * tables are structurally present but EMPTY (stsz sample_count 0)
+    * plus an `mvex`/`trex`, then one `moof`+`mdat` pair per
+    * `samplesPerFrag` samples — tfhd anchored default-base-is-moof,
+    * trun with explicit data offset and per-sample sizes. The sample
+    * bytes are byte-identical to [[encodeAvcMp4]]'s, so the clip
+    * fingerprint must not move. `largesizeMdat` emits every mdat with
+    * the 64-bit `largesize` header form — the top-level walk must
+    * step over it. */
+  def encodeAvcFragmentedMp4(scene: Long, nFrames: Int, w: Int, h: Int,
+      samplesPerFrag: Int = 2, lengthSize: Int = 4,
+      largesizeMdat: Boolean = false): Array[Byte] = {
+    require(samplesPerFrag >= 1)
+    val (samples, entry) =
+      avcSamplesAndEntry(scene, nFrames, w, h, lengthSize)
+    val n = samples.length
+    val timescale = 600
+    val delta = 40
+    val dur = n * delta
+
+    // empty-but-present sample tables: the fragmented dispatch key
+    val stsd = fullBox("stsd", be32b(1) ++ entry)
+    val stts = fullBox("stts", be32b(0))
+    val stsc = fullBox("stsc", be32b(0))
+    val stsz = fullBox("stsz", be32b(0) ++ be32b(0))
+    val stco = fullBox("stco", be32b(0))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val moov = moovAround(stbl, w, h, timescale, dur,
+      extra = box("mvex", fullBox("trex",
+        be32b(1) ++ be32b(1) ++ be32b(delta) ++ be32b(0) ++ be32b(0))))
+    val ftyp = box("ftyp",
+      "iso5".getBytes("US-ASCII") ++ be32b(0x200) ++
+        "iso5iso6".getBytes("US-ASCII"))
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    var s = 0
+    var seq = 1
+    while (s < n) {
+      val group = samples.slice(s, math.min(s + samplesPerFrag, n))
+      val mfhd = fullBox("mfhd", be32b(seq))
+      // tfhd: default-base-is-moof (0x20000), track 1, no optionals
+      val tfhd = fullBox("tfhd", be32b(1))
+      val tfhdAnchored = {
+        val t = tfhd.clone()
+        // set the flags bytes (fullBox wrote version/flags = 0)
+        t(8 + 1) = 0x02                    // 0x020000
+        t
+      }
+      // trun: data-offset + per-sample sizes (flags 0x000201)
+      val trunPayload = be32b(group.length) ++ be32b(0) ++
+        group.flatMap(g => be32b(g.length))
+      val trun = {
+        val t = fullBox("trun", trunPayload)
+        t(8 + 3) = 0x01                    // flags low byte: data-offset
+        t(8 + 2) = 0x02                    // flags mid byte: sample-size
+        t
+      }
+      val traf = box("traf", tfhdAnchored ++ trun)
+      val moof = box("moof", mfhd ++ traf)
+      // data offset: samples start right after the mdat header, which
+      // follows the moof; relative to the moof's first byte
+      val mdatHdr = if (largesizeMdat) 16 else 8
+      val dataOff = moof.length + mdatHdr
+      // trun box layout: size(4) type(4) ver/flags(4) count(4) then
+      // the data_offset field at bytes 16..19
+      val trunAt = moof.length - trun.length
+      moof(trunAt + 16) = ((dataOff >> 24) & 0xff).toByte
+      moof(trunAt + 17) = ((dataOff >> 16) & 0xff).toByte
+      moof(trunAt + 18) = ((dataOff >> 8) & 0xff).toByte
+      moof(trunAt + 19) = (dataOff & 0xff).toByte
+      out.write(moof)
+      val body = group.flatten
+      if (largesizeMdat) {
+        out.write(be32b(1))
+        out.write("mdat".getBytes("US-ASCII"))
+        out.write(be32b(0))                // largesize high word
+        out.write(be32b(16 + body.length)) // largesize low word
+      } else {
+        out.write(be32b(8 + body.length))
+        out.write("mdat".getBytes("US-ASCII"))
+      }
+      out.write(body)
+      s += group.length
+      seq += 1
+    }
+    out.toByteArray
   }
 
   /** `ftyp` + `mdat` + a complete `moov` over the given samples and
     * stsd sample entry — the shared container assembly. Samples pack
     * into chunks of `chunkSize`, so the decoder's `stsc` run walk and
-    * intra-chunk cumulative offsets are exercised by every fixture. */
+    * intra-chunk cumulative offsets are exercised by every fixture;
+    * `useCo64` emits the 64-bit chunk-offset table form. */
   private def assembleMp4(samples: Array[Array[Byte]],
       sampleEntry: Array[Byte], w: Int, h: Int,
-      chunkSize: Int): Array[Byte] = {
+      chunkSize: Int, useCo64: Boolean = false,
+      audio: Boolean = false): Array[Byte] = {
     require(chunkSize >= 1)
     val ftyp = box("ftyp",
       "isom".getBytes("US-ASCII") ++ be32b(0x200) ++
@@ -458,16 +977,32 @@ object Mp4Codec {
         be32b(fc) ++ be32b(spc) ++ be32b(1) })
     val stsz = fullBox("stsz", be32b(0) ++ be32b(n) ++
       samples.flatMap(sm => be32b(sm.length)))
-    val stco = fullBox("stco", be32b(nChunks) ++ chunkOffs.flatMap(be32b))
+    val stco =
+      if (useCo64) fullBox("co64", be32b(nChunks) ++
+        chunkOffs.flatMap(o => be32b(0) ++ be32b(o)))
+      else fullBox("stco", be32b(nChunks) ++ chunkOffs.flatMap(be32b))
     val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val moov = moovAround(stbl, w, h, timescale, dur, audio = audio)
+    ftyp ++ mdat ++ moov
+  }
 
-    val vmhd = box("vmhd", be32b(1) ++ Array.fill[Byte](8)(0))
+  /** The moov shell around a ready stbl: mvhd + trak(tkhd track 1 +
+    * mdia(mdhd + vide hdlr + minf(vmhd + dinf + stbl))) [+ extra —
+    * the fragmented form's mvex]. */
+  private def moovAround(stbl: Array[Byte], w: Int, h: Int,
+      timescale: Int, dur: Int,
+      extra: Array[Byte] = Array.emptyByteArray,
+      audio: Boolean = false): Array[Byte] = {
+    val vmhd =
+      if (audio) fullBox("smhd", be16b(0) ++ be16b(0))
+      else box("vmhd", be32b(1) ++ Array.fill[Byte](8)(0))
     val dref = fullBox("dref", be32b(1) ++
       box("url ", be32b(1))) // flags = 1: self-contained data
     val dinf = box("dinf", dref)
     val minf = box("minf", vmhd ++ dinf ++ stbl)
     val hdlr = fullBox("hdlr", be32b(0) ++
-      "vide".getBytes("US-ASCII") ++ Array.fill[Byte](12)(0) ++
+      (if (audio) "soun" else "vide").getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(0) ++
       "graft ".getBytes("US-ASCII"))
     val mdhd = fullBox("mdhd", be32b(0) ++ be32b(0) ++
       be32b(timescale) ++ be32b(dur) ++ be16b(0x55c4) ++ be16b(0))
@@ -487,7 +1022,6 @@ object Mp4Codec {
        be32b(0) ++ be32b(0x00010000) ++ be32b(0) ++
        be32b(0) ++ be32b(0) ++ be32b(0x40000000)) ++
       Array.fill[Byte](24)(0) ++ be32b(2))
-    val moov = box("moov", mvhd ++ trak)
-    ftyp ++ mdat ++ moov
+    box("moov", mvhd ++ trak ++ extra)
   }
 }

@@ -603,6 +603,29 @@ object Multimodal {
       "audio_fp")
   }
 
+  /** The AAC digest tier over a media corpus — the documented
+    * no-PCM-synthesis contract of [[Mp4Codec.decodeM4aDigest]] /
+    * [[Mp4Codec.decodeAdtsDigest]]: one distributed projection walks
+    * either container form (M4A sample tables or ADTS frame tiling)
+    * down to the SAME raw access units and digests them, so a `.aac`
+    * re-wrap of a `.m4a` — the dominant cross-container audio
+    * duplicate — collapses in exact dedup without an AAC decoder.
+    * Same projection-first scale posture as the other digest tiers:
+    * ~60 bytes/stream out, audio bytes never shuffle. */
+  def aacStreamDigests(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        Mp4Codec.decodeM4aDigest(a.payload)
+          .orElse(Mp4Codec.decodeAdtsDigest(a.payload)).map { t =>
+            (a.asset_id, t.sampleDigests.length.toLong,
+              t.sampleRate.toLong, t.channels.toLong, t.fingerprint)
+          }
+      }
+    }.toDF("asset_id", "n_samples", "sample_rate", "channels",
+      "audio_fp")
+  }
+
   /** The pair machinery over precomputed (asset_id, frame_no, phash)
     * rows — exposed so pipelines (curate v10) can share ONE cached
     * decode projection between the decode gate and the pairing. */

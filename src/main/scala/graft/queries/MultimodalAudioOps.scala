@@ -98,7 +98,21 @@ object MultimodalAudioOps extends QueryModule {
     *                        loaded): byte-distinct, the same
     *                        fingerprint (%850 implies %425);
     *   +19·Offset (id%1700): a truncated Opus copy (EOS page cut) —
-    *                        digest MUST be None; never surfaces.
+    *                        digest MUST be None; never surfaces;
+    *   +20·Offset (id%375): AAC-in-MP4 (.m4a) — the audio-container
+    *                        digest tier ([[graft.multimodal.Mp4Codec
+    *                        .decodeM4aDigest]]: soun/mp4a sample-table
+    *                        walk, esds chain, raw access units
+    *                        digested). Surfaces via mm_m4a_exact;
+    *   +21·Offset (id%750): the RE-MUXED m4a twin — identical access
+    *                        units behind 3-sample chunks and a co64
+    *                        offset table: byte-distinct, the same
+    *                        fingerprint (%750 implies %375);
+    *   +22·Offset (id%750): the ADTS (.aac) twin — the SAME units
+    *                        behind 7-byte ADTS frame headers (the
+    *                        cross-CONTAINER copy): same fingerprint;
+    *   +23·Offset (id%1500): a truncated m4a (moov cut away) — digest
+    *                        MUST be None; never surfaces.
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
     * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
@@ -242,6 +256,31 @@ object MultimodalAudioOps extends QueryModule {
                 full.take(full.length - 80))
             }
           }
+          // the AAC digest-tier families (+20/+21/+22/+23·Offset):
+          // raw access units digested out of either container form.
+          // The %750 twins re-frame the identical units — one as a
+          // re-muxed m4a (3-sample chunks, co64), one as an ADTS
+          // .aac — so both fingerprints collapse onto the %375
+          // primary; the %1500 truncated copy (moov cut away) must
+          // digest to None. Unit count from id/375 — coprime knob.
+          if (id % 375 == 0) {
+            val nu = ((id / 375) % 4).toInt + 2
+            put(s"asset_${id + 20 * Planting.Offset}.m4a",
+              graft.multimodal.Mp4Codec.encodeAacM4a(id, nu,
+                chunkSize = 2))
+            if (id % 750 == 0) {
+              put(s"asset_${id + 21 * Planting.Offset}.m4a",
+                graft.multimodal.Mp4Codec.encodeAacM4a(id, nu,
+                  chunkSize = 3, useCo64 = true))
+              put(s"asset_${id + 22 * Planting.Offset}.aac",
+                graft.multimodal.Mp4Codec.encodeAacAdts(id, nu))
+            }
+            if (id % 1500 == 0) {
+              val full = graft.multimodal.Mp4Codec.encodeAacM4a(id, nu)
+              put(s"asset_${id + 23 * Planting.Offset}.m4a",
+                full.take(full.length / 2))
+            }
+          }
         }
       base
     }
@@ -261,6 +300,22 @@ object MultimodalAudioOps extends QueryModule {
   // surface.
   private def mmOpusExact(s: SparkSession, d: String): DataFrame =
     oggTier(s, d, "opus")
+
+  // The AAC digest tier end-to-end: binary ingest → either container
+  // walk (M4A sample tables / ADTS tiling) down to the same raw
+  // access units → exact stream dedup by fingerprint. BOTH %750
+  // twins (re-muxed m4a with co64; ADTS re-wrap) MUST collapse onto
+  // their %375 primaries; truncated %1500 copies never surface.
+  private def mmM4aExact(s: SparkSession, d: String): DataFrame = {
+    val digests = Multimodal.aacStreamDigests(
+      Multimodal.ingestBinary(s, audioPcmFixtureDir(s, d)))
+    val canon = digests.groupBy("audio_fp")
+      .agg(min(col("asset_id")).as("canonical_id"))
+    digests.join(canon, Seq("audio_fp"))
+      .select(col("asset_id"), col("n_samples"), col("sample_rate"),
+        col("channels"), col("audio_fp"), col("canonical_id"))
+      .orderBy("asset_id")
+  }
 
   private def oggTier(s: SparkSession, d: String,
       codec: String): DataFrame = {
@@ -415,6 +470,7 @@ object MultimodalAudioOps extends QueryModule {
     "mm_mp3_exact"         -> (mmMp3Exact _),
     "mm_ogg_exact"         -> (mmOggExact _),
     "mm_opus_exact"        -> (mmOpusExact _),
+    "mm_m4a_exact"         -> (mmM4aExact _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -451,6 +507,43 @@ object MultimodalAudioOps extends QueryModule {
          SELECT s.asset_id, s.n_packets,
                 CAST(8000 AS BIGINT) AS sample_rate,
                 CAST(1 AS BIGINT) AS channels, s.audio_fp,
+                (SELECT min(s2.asset_id) FROM st s2
+                  WHERE s2.audio_fp = s.audio_fp) AS canonical_id
+         FROM st s ORDER BY s.asset_id""",
+
+    // recomputes every expected AAC stream digest from the planting
+    // formula: unit k is "aac:{scene}:{k}:" || md5("c{scene}_{k}")
+    // dot-padded to 200 bytes, unit count ((scene // 375) % 4) + 2.
+    // All THREE containers of a scene — the m4a primary, the re-muxed
+    // co64 m4a, and the ADTS .aac — digest the identical raw units
+    // (container framing excluded by contract), so both %750 twins'
+    // canonical_id is the %375 primary; truncated %1500 copies never
+    // appear.
+    "mm_m4a_exact" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         aac AS (
+           SELECT doc_id + 2000000 AS asset_id, doc_id AS scene FROM d
+             WHERE doc_id % 375 = 0
+           UNION ALL SELECT doc_id + 2100000, doc_id FROM d
+             WHERE doc_id % 750 = 0
+           UNION ALL SELECT doc_id + 2200000, doc_id FROM d
+             WHERE doc_id % 750 = 0),
+         un AS (
+           SELECT a.asset_id, a.scene, t.k,
+                  md5(rpad('aac:' || CAST(a.scene AS VARCHAR) || ':' ||
+                           CAST(t.k AS VARCHAR) || ':' ||
+                           md5('c' || CAST(a.scene AS VARCHAR) || '_' ||
+                               CAST(t.k AS VARCHAR)),
+                           200, '.')) AS dig
+           FROM aac a, range(5) t(k)
+           WHERE t.k < ((a.scene // 375) % 4) + 2),
+         st AS (
+           SELECT asset_id, count(*) AS n_samples,
+                  md5(string_agg(dig, '' ORDER BY k)) AS audio_fp
+           FROM un GROUP BY asset_id)
+         SELECT s.asset_id, s.n_samples,
+                CAST(44100 AS BIGINT) AS sample_rate,
+                CAST(2 AS BIGINT) AS channels, s.audio_fp,
                 (SELECT min(s2.asset_id) FROM st s2
                   WHERE s2.audio_fp = s.audio_fp) AS canonical_id
          FROM st s ORDER BY s.asset_id""",

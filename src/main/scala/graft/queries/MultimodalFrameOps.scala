@@ -98,12 +98,20 @@ object MultimodalFrameOps extends QueryModule {
     *                        decodable (invisible to the frame
     *                        oracles); surfaces via mm_clip_exact;
     *   +8·Offset (id%400): the AVC RE-MUX twin — same NAL content,
-    *                        3-sample chunks and 2-byte length
-    *                        prefixes: byte-distinct framing, the
-    *                        identical fingerprint (%400 implies %200:
-    *                        its primary always exists);
+    *                        3-sample chunks, 2-byte length prefixes,
+    *                        AND a 64-bit co64 chunk-offset table:
+    *                        byte-distinct framing, the identical
+    *                        fingerprint (%400 implies %200: its
+    *                        primary always exists);
     *   +9·Offset (id%800): a truncated AVC copy (moov cut away) —
-    *                        digest MUST be None; never surfaces. */
+    *                        digest MUST be None; never surfaces;
+    *   +10·Offset (id%400): the RE-FRAGMENTED twin — the same NAL
+    *                        content as a DASH-era fragmented MP4
+    *                        (empty stbl, per-fragment moof/traf/trun,
+    *                        largesize mdat headers): byte-distinct,
+    *                        the identical fingerprint;
+    *   +11·Offset (id%800): a fragmented copy truncated MID-FRAGMENT
+    *                        — digest MUST be None; never surfaces. */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -162,15 +170,29 @@ object MultimodalFrameOps extends QueryModule {
             put(s"asset_${id + 7 * Planting.Offset}.mp4",
               graft.multimodal.Mp4Codec.encodeAvcMp4(id, f, 64, 64,
                 chunkSize = 2, lengthSize = 4))
-            if (id % 400 == 0)
+            if (id % 400 == 0) {
               put(s"asset_${id + 8 * Planting.Offset}.mp4",
                 graft.multimodal.Mp4Codec.encodeAvcMp4(id, f, 64, 64,
-                  chunkSize = 3, lengthSize = 2))
+                  chunkSize = 3, lengthSize = 2, useCo64 = true))
+              // the DASH-era RE-FRAGMENTED twin: identical NAL bytes
+              // behind moof/traf/trun runs and largesize mdat headers
+              put(s"asset_${id + 10 * Planting.Offset}.mp4",
+                graft.multimodal.Mp4Codec.encodeAvcFragmentedMp4(
+                  id, f, 64, 64, samplesPerFrag = 2,
+                  largesizeMdat = true))
+            }
             if (id % 800 == 0) {
               val full = graft.multimodal.Mp4Codec.encodeAvcMp4(
                 id, f, 64, 64, chunkSize = 2, lengthSize = 4)
               put(s"asset_${id + 9 * Planting.Offset}.mp4",
                 full.take(full.length / 2))
+              // truncated MID-FRAGMENT (not at a fragment boundary):
+              // the strict top-level tiling must drop it whole
+              val ffull = graft.multimodal.Mp4Codec
+                .encodeAvcFragmentedMp4(id, f, 64, 64,
+                  samplesPerFrag = 2)
+              put(s"asset_${id + 11 * Planting.Offset}.mp4",
+                ffull.take(ffull.length - 30))
             }
           }
         }
@@ -181,9 +203,10 @@ object MultimodalFrameOps extends QueryModule {
   // no-pixel-decode contract (container metadata + per-sample NAL
   // content digests, Mp4Codec.decodeAvcDigest) → exact clip dedup by
   // fingerprint (canonical = min asset id sharing it). The %400
-  // re-muxed twins (different chunking and length-prefix width, same
-  // content) MUST collapse onto their %200 primaries; the truncated
-  // %800 copies must never surface. Scale: digests are one
+  // re-muxed twins (different chunking, 2-byte length prefixes, co64
+  // offsets) AND the %400 re-fragmented twins (moof/traf/trun,
+  // largesize mdat) MUST collapse onto their %200 primaries; the
+  // truncated %800 copies must never surface. Scale: digests are one
   // projection, the dedup groups 32-char fingerprints — video bytes
   // never shuffle.
   private def mmClipExact(s: SparkSession, d: String): DataFrame = {
@@ -327,16 +350,20 @@ object MultimodalFrameOps extends QueryModule {
     // md5("n{scene}_{k}"), with an "sei:{scene}" NAL prepended on
     // frame 0 — the per-sample digest is md5 of the concatenated
     // payloads, the clip fingerprint md5 of the ordered digest
-    // string. The %400 re-mux twin recomputes to the SAME fingerprint
-    // (framing is excluded from the digest by contract), so its
-    // canonical_id is the %200 primary; the truncated %800 copies
-    // never appear (moov cut away ⇒ digest None).
+    // string. The %400 re-mux twin (3-sample chunks, 2-byte prefixes,
+    // co64 offsets) AND the %400 RE-FRAGMENTED twin (moof/traf/trun,
+    // largesize mdat) both recompute to the SAME fingerprint — framing
+    // is excluded from the digest by contract — so their canonical_id
+    // is the %200 primary; the truncated %800 copies (flat moov cut
+    // away; fragmented cut mid-fragment) never appear.
     "mm_clip_exact" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          avc AS (
            SELECT doc_id + 700000 AS asset_id, doc_id AS scene FROM d
              WHERE doc_id % 200 = 0
            UNION ALL SELECT doc_id + 800000, doc_id FROM d
+             WHERE doc_id % 400 = 0
+           UNION ALL SELECT doc_id + 1000000, doc_id FROM d
              WHERE doc_id % 400 = 0),
          samp AS (
            SELECT a.asset_id, t.k,

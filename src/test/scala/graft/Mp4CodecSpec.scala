@@ -85,6 +85,153 @@ class Mp4CodecSpec extends AnyFunSuite {
       Mp4Codec.md5Hex(k0Payload.getBytes("US-ASCII")))
   }
 
+  test("AVC digest tier: re-fragmented (moof/traf/trun), co64, and " +
+      "largesize forms all fingerprint onto the flat primary") {
+    val flat = Mp4Codec.encodeAvcMp4(80L, 5, 64, 64, chunkSize = 2,
+      lengthSize = 4)
+    val frag = Mp4Codec.encodeAvcFragmentedMp4(80L, 5, 64, 64,
+      samplesPerFrag = 2)
+    val frag1 = Mp4Codec.encodeAvcFragmentedMp4(80L, 5, 64, 64,
+      samplesPerFrag = 1, largesizeMdat = true)
+    val co64 = Mp4Codec.encodeAvcMp4(80L, 5, 64, 64, chunkSize = 3,
+      lengthSize = 2, useCo64 = true)
+    val all = Seq(flat, frag, frag1, co64)
+    for (i <- all.indices; j <- all.indices if i < j)
+      assert(!all(i).sameElements(all(j)), s"$i/$j byte-identical")
+    val ds = all.map(x => Mp4Codec.decodeAvcDigest(x).get)
+    assert(ds.forall(_.fingerprint == ds.head.fingerprint))
+    assert(ds.forall(_.sampleDigests == ds.head.sampleDigests))
+    assert(ds(1).width === 64 && ds(1).profile === 66)
+    assert(ds(1).sampleDigests.length === 5)
+  }
+
+  test("fragment-walk strictness: truncation, unanchored tfhd/trun, " +
+      "and foreign-track trafs") {
+    val frag = Mp4Codec.encodeAvcFragmentedMp4(44L, 4, 64, 64,
+      samplesPerFrag = 2)
+    val full = Mp4Codec.decodeAvcDigest(frag).get
+    assert(full.sampleDigests.length === 4)
+    // fragment boundaries: end of moov (0 samples → None) and the end
+    // of each moof+mdat pair (a structurally complete shorter file —
+    // the MP3 frame-boundary / WARC record-boundary precedent);
+    // every other cut must be None
+    def boxEnds(): Seq[(Int, String)] = {
+      val out = Seq.newBuilder[(Int, String)]
+      var p = 0
+      while (p + 8 <= frag.length) {
+        val sz =
+          if (frag(p) == 0 && frag(p + 1) == 0 && frag(p + 2) == 0 &&
+              frag(p + 3) == 1)
+            ((frag(p + 12) & 0xffL) << 24 | (frag(p + 13) & 0xffL) << 16 |
+             (frag(p + 14) & 0xffL) << 8 | (frag(p + 15) & 0xffL)).toInt
+          else
+            ((frag(p) & 0xff) << 24 | (frag(p + 1) & 0xff) << 16 |
+             (frag(p + 2) & 0xff) << 8 | (frag(p + 3) & 0xff))
+        val typ = new String(frag, p + 4, 4, "US-ASCII")
+        out += ((p + sz, typ))
+        p += sz
+      }
+      out.result()
+    }
+    val mdatEnds = boxEnds().filter(_._2 == "mdat").map(_._1).toSet
+    var n = 0
+    while (n < frag.length) {
+      val r = Mp4Codec.decodeAvcDigest(frag.take(n))
+      if (mdatEnds.contains(n)) {
+        // 2 samples per fragment: k complete fragments survive
+        assert(r.exists(_.sampleDigests.length % 2 == 0), s"@$n")
+        assert(r.get.sampleDigests ===
+          full.sampleDigests.take(r.get.sampleDigests.length), s"@$n")
+      } else assert(r.isEmpty, s"@$n")
+      n += 1
+    }
+    // clearing the tfhd default-base-is-moof flag leaves no anchor
+    val tfhdAt = frag.indexOfSlice("tfhd".getBytes("US-ASCII"))
+    assert(Mp4Codec.decodeAvcDigest(
+      frag.updated(tfhdAt + 5, 0.toByte)).isEmpty)
+    // clearing the trun data-offset flag leaves the leading trun
+    // unanchored
+    val trunAt = frag.indexOfSlice("trun".getBytes("US-ASCII"))
+    assert(Mp4Codec.decodeAvcDigest(
+      frag.updated(trunAt + 7, 0x00.toByte)).isEmpty)
+    // retargeting ONE traf to a foreign track id skips that fragment
+    // (real fMP4 interleaves per-track moofs — an audio moof is not an
+    // error for the video walk) but keeps the others…
+    val oneForeign = Mp4Codec.decodeAvcDigest(
+      frag.updated(tfhdAt + 11, 9.toByte))
+    assert(oneForeign.exists(_.sampleDigests ==
+      full.sampleDigests.drop(2)))
+    // …while a file whose every traf is foreign has no video samples
+    val allForeign = frag.clone()
+    var fAt = frag.indexOfSlice("tfhd".getBytes("US-ASCII"))
+    while (fAt >= 0) {
+      allForeign(fAt + 11) = 9.toByte
+      fAt = frag.indexOfSlice("tfhd".getBytes("US-ASCII"), fAt + 1)
+    }
+    assert(Mp4Codec.decodeAvcDigest(allForeign).isEmpty)
+    // a nudged data offset breaks the NAL tiling → whole-clip None
+    val bent = frag.clone()
+    bent(trunAt + 15) = (bent(trunAt + 15) + 1).toByte
+    assert(Mp4Codec.decodeAvcDigest(bent).isEmpty)
+  }
+
+  test("AAC digest tier: m4a re-mux and ADTS re-wrap fingerprint " +
+      "onto the m4a primary; strictness holds") {
+    val m4a = Mp4Codec.encodeAacM4a(60L, 4, chunkSize = 2)
+    val remux = Mp4Codec.encodeAacM4a(60L, 4, chunkSize = 3,
+      useCo64 = true)
+    val adts = Mp4Codec.encodeAacAdts(60L, 4)
+    assert(!m4a.sameElements(remux))
+    val dm = Mp4Codec.decodeM4aDigest(m4a).get
+    val dr = Mp4Codec.decodeM4aDigest(remux).get
+    val da = Mp4Codec.decodeAdtsDigest(adts).get
+    assert(dm.channels === 2 && dm.sampleRate === 44100)
+    assert(da.channels === 2 && da.sampleRate === 44100)
+    assert(dm.sampleDigests.length === 4)
+    assert(dm.sampleDigests === dr.sampleDigests)
+    assert(dm.sampleDigests === da.sampleDigests)
+    assert(dm.fingerprint === da.fingerprint)
+    // the oracle formula
+    val head = "aac:60:1:" + Mp4Codec.md5Hex("c60_1".getBytes("UTF-8"))
+    assert(dm.sampleDigests(1) === Mp4Codec.md5Hex(
+      (head + "." * (200 - head.length)).getBytes("US-ASCII")))
+    // different content → different fingerprint
+    assert(Mp4Codec.decodeM4aDigest(
+      Mp4Codec.encodeAacM4a(61L, 4)).get.fingerprint !== dm.fingerprint)
+    // contract boundaries: the AAC walk rejects video containers and
+    // vice versa
+    assert(Mp4Codec.decodeM4aDigest(
+      Mp4Codec.encodeAvcMp4(60L, 3, 64, 64)).isEmpty)
+    assert(Mp4Codec.decodeAvcDigest(m4a).isEmpty)
+    assert(Mp4Codec.decodeAdtsDigest(m4a).isEmpty)
+    // m4a truncation at every byte (moov last) → None
+    for (n <- 0 until m4a.length)
+      assert(Mp4Codec.decodeM4aDigest(m4a.take(n)).isEmpty, s"@$n")
+    // ADTS: frame-boundary cuts are legal shorter streams; all other
+    // cuts reject (the MP3 tiling discipline)
+    val flen = adts.length / 4
+    var n = 0
+    while (n < adts.length) {
+      val r = Mp4Codec.decodeAdtsDigest(adts.take(n))
+      if (n > 0 && n % flen == 0)
+        assert(r.exists(_.sampleDigests.length == n / flen), s"@$n")
+      else assert(r.isEmpty, s"@$n")
+      n += 1
+    }
+    // trailing slack and a corrupted esds objectTypeIndication reject
+    assert(Mp4Codec.decodeAdtsDigest(adts ++ "x".getBytes).isEmpty)
+    val esdsAt = m4a.indexOfSlice("esds".getBytes("US-ASCII"))
+    // ver/flags(4) then ES tag(1) size(1) ES_ID(2) flags(1) then
+    // DecoderConfig tag(1) size(1) objectTypeIndication
+    val otiAt = esdsAt + 4 + 4 + 2 + 2 + 1 + 2
+    assert((m4a(otiAt) & 0xff) === 0x40)
+    assert(Mp4Codec.decodeM4aDigest(
+      m4a.updated(otiAt, 0x21.toByte)).isEmpty)
+    // a multi-RDB ADTS frame is outside the envelope
+    val rdb = adts.clone(); rdb(6) = (rdb(6) | 1).toByte
+    assert(Mp4Codec.decodeAdtsDigest(rdb).isEmpty)
+  }
+
   test("AVC digest tier: the contract boundary holds both ways") {
     val avc = Mp4Codec.encodeAvcMp4(100L, 3, 64, 64)
     // no pixel decode is attempted on AVC tracks
