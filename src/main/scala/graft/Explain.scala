@@ -61,10 +61,10 @@ object Explain {
         "mm_phash", "mm_dedup_near", "t2_watermark_dedup",
         "pipeline_curate_v8", "mm_audio_fp", "mm_audio_near",
         "pipeline_curate_v9", "mm_stream_admit", "mm_audio_stream_admit",
-        "mm_mp3_exact", "mm_ogg_exact",
+        "mm_mp3_exact", "mm_ogg_exact", "mm_opus_exact", "mm_m4a_exact",
         "text_decontaminate_served", "text_decontaminate_spans_served",
         "mm_frame_sample", "mm_frame_near", "pipeline_curate_v10",
-        "mm_frame_stream_admit", "mm_clip_exact",
+        "mm_frame_stream_admit", "mm_clip_exact", "mm_webm_exact",
         "warc_ingest", "warc_extract", "pipeline_curate_v11",
         "pipeline_curate_v12")
     val spark = SparkSession.builder()

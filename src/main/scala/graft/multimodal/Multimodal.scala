@@ -350,7 +350,8 @@ object Multimodal {
       "bmp" -> "image", "flac" -> "audio", "avi" -> "video",
       "aif" -> "audio", "tif" -> "image", "webp" -> "image",
       "mp3" -> "audio", "ogg" -> "audio", "opus" -> "audio",
-      "m4a" -> "audio", "aac" -> "audio")
+      "m4a" -> "audio", "aac" -> "audio", "webm" -> "video",
+      "mkv" -> "video", "weba" -> "audio")
 
   /** REAL binary ingestion: `spark.read.format("binaryFile")` over a
     * directory of media blobs named `asset_<id>.<ext>`. This is the
@@ -601,6 +602,28 @@ object Multimodal {
       }
     }.toDF("asset_id", "codec", "n_packets", "sample_rate", "channels",
       "audio_fp")
+  }
+
+  /** The WebM/Matroska digest tier over a media corpus — the
+    * documented no-pixel-decode contract of
+    * [[WebmCodec.decodeWebmDigest]]: one distributed projection walks
+    * the EBML grammar (DocType, Tracks, every Cluster's blocks) and
+    * digests the selected track's frame payloads, so RE-CLUSTERED and
+    * RE-GROUPED copies — the canonical WebM duplicates — collapse in
+    * exact dedup without a VP8/VP9 decoder. Same projection-first
+    * scale posture as the other digest tiers: ~60 bytes/stream out,
+    * video bytes never shuffle. */
+  def webmClipDigests(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        WebmCodec.decodeWebmDigest(a.payload).map { s =>
+          (a.asset_id, s.codecId, s.frameDigests.length.toLong,
+            s.width.toLong, s.height.toLong, s.fingerprint)
+        }
+      }
+    }.toDF("asset_id", "codec_id", "n_blocks", "width", "height",
+      "clip_fp")
   }
 
   /** The AAC digest tier over a media corpus — the documented

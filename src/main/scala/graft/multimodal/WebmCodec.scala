@@ -1,0 +1,476 @@
+package graft.multimodal
+
+/** WebM / Matroska (EBML, RFC 8794 + the public Matroska element
+  * registry) container walk for the clip-corpus tier — the other
+  * dominant crawl VIDEO container beside MP4, closed with the same
+  * documented DIGEST contract as [[Mp4Codec.decodeAvcDigest]]: coded
+  * frames are NOT pixel-decoded (no VP8/VP9/AV1 inter decode is
+  * attempted or implied). The tier walks the REAL EBML grammar —
+  * vint-coded element IDs and sizes (unknown-size elements reject:
+  * an unbounded element defeats strict extents), the EBML header's
+  * DocType, the Segment's Tracks (track number/type/CodecID, video
+  * dims, audio channels), then every Cluster's SimpleBlocks and
+  * BlockGroup Blocks in stream order — and surfaces one CONTENT
+  * DIGEST per block frame of the selected track (first video track,
+  * else first audio track, so `.weba` audio-only files ride the same
+  * tier), reduced to a stream fingerprint.
+  *
+  * Why this is the scale-relevant surface: the canonical WebM
+  * duplicate is the RE-MUXED copy — identical coded frames under a
+  * different cluster layout (muxers re-cluster freely; cluster
+  * timecodes, block grouping, and SimpleBlock-vs-BlockGroup framing
+  * all change). Blocks are framing, frames are content: digesting
+  * frame payloads makes exact dedup invariant under re-clustering
+  * and re-grouping with no video decoder, while pixel-space NEAR-dup
+  * stays on the decodable tiers.
+  *
+  * Strictness: every element's size must land in its parent, the
+  * EBML header must carry a webm/matroska DocType, the Segment must
+  * have a known size reaching exactly end-of-file (trailing bytes
+  * fail; a streaming-era unknown-size segment is outside the
+  * envelope and drops at the gate), block track numbers must parse,
+  * laced blocks reject (lacing re-frames content — outside the
+  * envelope until a fixture family proves it), and a block extent
+  * past the buffer drops the whole file. Decode never throws.
+  */
+object WebmCodec {
+
+  /** One WebM stream's digest view. `width`/`height` are 0 for an
+    * audio-track selection; `channels` is 0 for video. */
+  final case class WebmStream(trackType: Int, codecId: String,
+      width: Int, height: Int, channels: Int,
+      frameDigests: Vector[String]) {
+    def fingerprint: String = Mp4Codec.md5Hex(
+      frameDigests.mkString("").getBytes("US-ASCII"))
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  /** Read an EBML element ID at `p` (raw bytes INCLUDING the length
+    * marker, per RFC 8794 §5): Some(id, nextOffset). */
+  private def readId(b: Array[Byte], p: Int, end: Int): Option[(Long, Int)] = {
+    if (p >= end) return None
+    val first = u8(b, p)
+    if (first == 0) return None
+    val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+    if (len < 1 || len > 4 || p + len > end) return None
+    var v = 0L
+    var i = 0
+    while (i < len) { v = (v << 8) | u8(b, p + i); i += 1 }
+    Some((v, p + len))
+  }
+
+  /** Read an EBML size vint at `p` (marker stripped): Some(size,
+    * nextOffset). The all-ones "unknown size" pattern returns None —
+    * rejected by the tier contract. */
+  private def readSize(b: Array[Byte], p: Int, end: Int): Option[(Long, Int)] = {
+    if (p >= end) return None
+    val first = u8(b, p)
+    if (first == 0) return None
+    val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+    if (len < 1 || len > 8 || p + len > end) return None
+    var v = (first & (0xff >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | u8(b, p + i); i += 1 }
+    // unknown size: all data bits set
+    if (v == (1L << (7 * len)) - 1) return None
+    Some((v, p + len))
+  }
+
+  /** Unsigned integer element payload (1..8 bytes). */
+  private def uint(b: Array[Byte], from: Int, until: Int): Option[Long] = {
+    val n = until - from
+    if (n < 1 || n > 8) return None
+    var v = 0L
+    var i = from
+    while (i < until) { v = (v << 8) | u8(b, i); i += 1 }
+    Some(v)
+  }
+
+  private val MaxBlocks = 1 << 16
+  private val MaxTracks = 16
+
+  private final case class Track(number: Long, trackType: Int,
+    codecId: String, width: Int, height: Int, channels: Int)
+
+  def decodeWebmDigest(b: Array[Byte]): Option[WebmStream] =
+    try decode0(b)
+    catch { case _: RuntimeException => None }
+
+  private def decode0(b: Array[Byte]): Option[WebmStream] = {
+    if (b.length < 8) return None
+    // EBML header
+    val (hid, hs) = readId(b, 0, b.length).getOrElse(return None)
+    if (hid != 0x1A45DFA3L) return None
+    val (hsz, hps) = readSize(b, hs, b.length).getOrElse(return None)
+    val hEnd = hps + hsz
+    if (hEnd > b.length) return None
+    var docTypeOk = false
+    var p = hps
+    while (p < hEnd) {
+      val (id, ip) = readId(b, p, hEnd.toInt).getOrElse(return None)
+      val (sz, sp) = readSize(b, ip, hEnd.toInt).getOrElse(return None)
+      if (sp + sz > hEnd) return None
+      if (id == 0x4282L) {                  // DocType
+        val dt = new String(b, sp, sz.toInt, "US-ASCII")
+        docTypeOk = dt == "webm" || dt == "matroska"
+      }
+      p = (sp + sz).toInt
+    }
+    if (!docTypeOk) return None
+
+    // Segment: known size reaching exactly end-of-file
+    val (sid, ss) = readId(b, hEnd.toInt, b.length).getOrElse(return None)
+    if (sid != 0x18538067L) return None
+    val (ssz, sps) = readSize(b, ss, b.length).getOrElse(return None)
+    if (sps + ssz != b.length) return None  // trailing bytes / truncation
+    val segEnd = b.length
+
+    val tracks = Seq.newBuilder[Track]
+    var nTracks = 0
+    val frames = Vector.newBuilder[(Long, Array[Byte])]
+    var nBlocks = 0
+
+    // one block (SimpleBlock payload or BlockGroup>Block payload):
+    // track vint, 2-byte timecode, flags, then the frame data —
+    // either a single frame or a LACED run (Matroska §10.3: Xiph
+    // 255-continuation sizes, fixed-size equal split, or EBML
+    // first-size + signed-vint deltas). Laced frames digest
+    // individually in order, so a re-laced copy of the same frames
+    // fingerprints identically. Malformed lacing (sizes overrunning
+    // the block, a non-dividing fixed split, slack after the last
+    // frame) drops the whole file.
+    def block(from: Int, until: Int): Boolean = {
+      val first = if (from < until) u8(b, from) else return false
+      if (first == 0) return false
+      val tlen = java.lang.Integer.numberOfLeadingZeros(first) - 23
+      if (tlen < 1 || tlen > 8 || from + tlen + 3 > until) return false
+      var tn = (first & (0xff >>> tlen)).toLong
+      var i = 1
+      while (i < tlen) { tn = (tn << 8) | u8(b, from + i); i += 1 }
+      val flags = u8(b, from + tlen + 2)
+      var q = from + tlen + 3
+      val lacing = (flags >> 1) & 3
+      if (lacing == 0) {
+        frames += ((tn, java.util.Arrays.copyOfRange(b, q, until)))
+        nBlocks += 1
+        return nBlocks <= MaxBlocks
+      }
+      if (q >= until) return false
+      val n = u8(b, q) + 1                  // frame count
+      q += 1
+      val sizes = new Array[Int](n)
+      lacing match {
+        case 1 =>                           // Xiph: 255-run sizes
+          i = 0
+          while (i < n - 1) {
+            var sz = 0
+            var v = 255
+            while (v == 255) {
+              if (q >= until) return false
+              v = u8(b, q); q += 1; sz += v
+            }
+            sizes(i) = sz
+            i += 1
+          }
+        case 2 =>                           // fixed-size: equal split
+          val rest = until - q
+          if (n == 0 || rest % n != 0) return false
+          java.util.Arrays.fill(sizes, rest / n)
+        case _ if n == 1 => ()              // no size table for one frame
+        case _ =>                           // EBML: vint + signed deltas
+          if (q >= until) return false
+          val f0 = u8(b, q)
+          if (f0 == 0) return false
+          val l0 = java.lang.Integer.numberOfLeadingZeros(f0) - 23
+          if (l0 < 1 || l0 > 8 || q + l0 > until) return false
+          var v0 = (f0 & (0xff >>> l0)).toLong
+          i = 1
+          while (i < l0) { v0 = (v0 << 8) | u8(b, q + i); i += 1 }
+          q += l0
+          if (v0 > (1 << 26)) return false
+          sizes(0) = v0.toInt
+          var prev = v0
+          i = 1
+          while (i < n - 1) {
+            if (q >= until) return false
+            val fd = u8(b, q)
+            if (fd == 0) return false
+            val ld = java.lang.Integer.numberOfLeadingZeros(fd) - 23
+            if (ld < 1 || ld > 8 || q + ld > until) return false
+            var dv = (fd & (0xff >>> ld)).toLong
+            var j = 1
+            while (j < ld) { dv = (dv << 8) | u8(b, q + j); j += 1 }
+            q += ld
+            val delta = dv - ((1L << (7 * ld - 1)) - 1)
+            prev += delta
+            if (prev <= 0 || prev > (1 << 26)) return false
+            sizes(i) = prev.toInt
+            i += 1
+          }
+      }
+      if (lacing != 2) {                    // last frame = remainder
+        var sum = 0L
+        i = 0
+        while (i < n - 1) { sum += sizes(i); i += 1 }
+        val last = (until - q) - sum
+        if (last < 0 || last > (1 << 26)) return false
+        sizes(n - 1) = last.toInt
+      }
+      i = 0
+      while (i < n) {
+        val sz = sizes(i)
+        if (sz < 0 || q + sz > until) return false
+        frames += ((tn, java.util.Arrays.copyOfRange(b, q, q + sz)))
+        q += sz
+        nBlocks += 1
+        if (nBlocks > MaxBlocks) return false
+        i += 1
+      }
+      q == until                            // laced frames tile exactly
+    }
+
+    var q = sps
+    while (q < segEnd) {
+      val (id, ip) = readId(b, q, segEnd).getOrElse(return None)
+      val (sz, sp) = readSize(b, ip, segEnd).getOrElse(return None)
+      val e = sp + sz
+      if (e > segEnd) return None
+      id match {
+        case 0x1654AE6BL =>                 // Tracks
+          var t = sp
+          while (t < e) {
+            val (tid, tip) = readId(b, t, e.toInt).getOrElse(return None)
+            val (tsz, tsp) = readSize(b, tip, e.toInt).getOrElse(return None)
+            if (tsp + tsz > e) return None
+            if (tid == 0xAEL) {             // TrackEntry
+              nTracks += 1
+              if (nTracks > MaxTracks) return None
+              var num = -1L; var typ = -1; var codec = ""
+              var w = 0; var h = 0; var ch = 0
+              var u = tsp
+              val tEnd = (tsp + tsz).toInt
+              while (u < tEnd) {
+                val (eid, eip) = readId(b, u, tEnd).getOrElse(return None)
+                val (esz, esp) = readSize(b, eip, tEnd).getOrElse(return None)
+                if (esp + esz > tEnd) return None
+                val eEnd = (esp + esz).toInt
+                eid match {
+                  case 0xD7L => num = uint(b, esp, eEnd).getOrElse(return None)
+                  case 0x83L => typ = uint(b, esp, eEnd).getOrElse(return None).toInt
+                  case 0x86L => codec = new String(b, esp, esz.toInt, "US-ASCII")
+                  case 0xE0L =>             // Video
+                    var v = esp
+                    while (v < eEnd) {
+                      val (vid, vip) = readId(b, v, eEnd).getOrElse(return None)
+                      val (vsz, vsp) = readSize(b, vip, eEnd).getOrElse(return None)
+                      if (vsp + vsz > eEnd) return None
+                      if (vid == 0xB0L)
+                        w = uint(b, vsp, (vsp + vsz).toInt).getOrElse(return None).toInt
+                      if (vid == 0xBAL)
+                        h = uint(b, vsp, (vsp + vsz).toInt).getOrElse(return None).toInt
+                      v = (vsp + vsz).toInt
+                    }
+                  case 0xE1L =>             // Audio
+                    var v = esp
+                    while (v < eEnd) {
+                      val (vid, vip) = readId(b, v, eEnd).getOrElse(return None)
+                      val (vsz, vsp) = readSize(b, vip, eEnd).getOrElse(return None)
+                      if (vsp + vsz > eEnd) return None
+                      if (vid == 0x9FL)     // Channels
+                        ch = uint(b, vsp, (vsp + vsz).toInt).getOrElse(return None).toInt
+                      v = (vsp + vsz).toInt
+                    }
+                  case _ => ()
+                }
+                u = eEnd
+              }
+              if (num < 1 || typ < 0 || codec.isEmpty) return None
+              tracks += Track(num, typ, codec, w, h, ch)
+            }
+            t = (tsp + tsz).toInt
+          }
+        case 0x1F43B675L =>                 // Cluster
+          var c = sp
+          while (c < e) {
+            val (cid, cip) = readId(b, c, e.toInt).getOrElse(return None)
+            val (csz, csp) = readSize(b, cip, e.toInt).getOrElse(return None)
+            if (csp + csz > e) return None
+            val cEnd = (csp + csz).toInt
+            cid match {
+              case 0xA3L =>                 // SimpleBlock
+                if (!block(csp, cEnd)) return None
+              case 0xA0L =>                 // BlockGroup
+                var g = csp
+                while (g < cEnd) {
+                  val (gid, gip) = readId(b, g, cEnd).getOrElse(return None)
+                  val (gsz, gsp) = readSize(b, gip, cEnd).getOrElse(return None)
+                  if (gsp + gsz > cEnd) return None
+                  if (gid == 0xA1L && !block(gsp, (gsp + gsz).toInt))
+                    return None
+                  g = (gsp + gsz).toInt
+                }
+              case _ => ()                  // Timecode, CRC-32, Void, …
+            }
+            c = cEnd
+          }
+        case _ => ()                        // Info, SeekHead, Cues, …
+      }
+      q = e.toInt
+    }
+
+    val ts = tracks.result()
+    // the digest subject: first video track, else first audio track
+    val sel = ts.find(_.trackType == 1).orElse(ts.find(_.trackType == 2))
+      .getOrElse(return None)
+    val mine = frames.result().filter(_._1 == sel.number).map(_._2)
+    if (mine.isEmpty) return None
+    Some(WebmStream(sel.trackType, sel.codecId, sel.width, sel.height,
+      sel.channels, mine.map(fr => Mp4Codec.md5Hex(fr))))
+  }
+
+  // ---- fixture encoder ----
+
+  /** The deterministic ascii frame payload of block `k` —
+    * "webm:{scene}:{k}:" + md5("w{scene}_{k}") dot-padded to `len`
+    * (the planted families keep the oracle's 180): pure md5
+    * arithmetic the DuckDB oracle recomputes verbatim. */
+  private[multimodal] def framePayload(scene: Long, k: Int,
+      len: Int = 180): Array[Byte] = {
+    val head = s"webm:$scene:$k:" +
+      Mp4Codec.md5Hex(s"w${scene}_$k".getBytes("UTF-8"))
+    require(head.length <= len, "frame too small")
+    (head + "." * (len - head.length)).getBytes("US-ASCII")
+  }
+
+  private def idBytes(id: Long): Array[Byte] = {
+    val n =
+      if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+      else if (id <= 0xffffffL) 3 else 4
+    Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte)
+  }
+
+  private def sizeBytes(sz: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && sz >= (1L << (7 * n)) - 1) n += 1
+    val out = new Array[Byte](n)
+    var v = sz | (1L << (7 * n))
+    var i = n - 1
+    while (i >= 0) { out(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
+    out
+  }
+
+  private def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    idBytes(id) ++ sizeBytes(payload.length) ++ payload
+
+  /** Write a vint of FORCED byte length `n` (the EBML-lacing signed
+    * deltas pick their length from the delta's magnitude). */
+  private def vint0(o: java.io.ByteArrayOutputStream, v: Long,
+      n: Int): Unit = {
+    var x = v | (1L << (7 * n))
+    val out = new Array[Byte](n)
+    var i = n - 1
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    o.write(out, 0, n)
+  }
+
+  private def uintEl(id: Long, v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && v >= (1L << (8 * n))) n += 1
+    el(id, Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte))
+  }
+
+  /** Encode a planted WebM clip: EBML header (DocType webm), Segment
+    * with Info + one V_VP8 video TrackEntry + Clusters of
+    * `framesPerCluster` blocks. `useBlockGroups` frames every block
+    * as BlockGroup>Block instead of SimpleBlock; `lacing` (0 none /
+    * 1 Xiph / 2 fixed / 3 EBML) packs each cluster's frames into ONE
+    * laced block — three re-mux knobs for byte-distinct twins whose
+    * frame payloads (and so the fingerprint) stay fixed. `frameLen`
+    * grows by `lenStep` per frame (spec-only: nonzero deltas for the
+    * EBML lacing path and multi-byte Xiph sizes; planted families
+    * keep the oracle's fixed 180). */
+  def encodeWebm(scene: Long, nFrames: Int, w: Int = 64, h: Int = 64,
+      framesPerCluster: Int = 2,
+      useBlockGroups: Boolean = false, lacing: Int = 0,
+      frameLen: Int = 180, lenStep: Int = 0): Array[Byte] = {
+    require(nFrames >= 1 && framesPerCluster >= 1)
+    require(lacing >= 0 && lacing <= 3)
+    require(lacing != 2 || lenStep == 0,
+      "fixed-size lacing needs equal frames")
+    val ebml = el(0x1A45DFA3L,
+      uintEl(0x4286L, 1) ++ uintEl(0x42F7L, 1) ++
+      uintEl(0x42F2L, 4) ++ uintEl(0x42F3L, 8) ++
+      el(0x4282L, "webm".getBytes("US-ASCII")) ++
+      uintEl(0x4287L, 2) ++ uintEl(0x4285L, 2))
+    val info = el(0x1549A966L, uintEl(0x2AD7B1L, 1000000L))
+    val trackEntry = el(0xAEL,
+      uintEl(0xD7L, 1) ++ uintEl(0x73C5L, 0xC0FFEEL + scene) ++
+      uintEl(0x83L, 1) ++
+      el(0x86L, "V_VP8".getBytes("US-ASCII")) ++
+      el(0xE0L, uintEl(0xB0L, w) ++ uintEl(0xBAL, h)))
+    val tracksEl = el(0x1654AE6BL, trackEntry)
+
+    def payload(k: Int): Array[Byte] =
+      framePayload(scene, k, frameLen + lenStep * k)
+
+    def wrap(body: Array[Byte]): Array[Byte] =
+      if (useBlockGroups) el(0xA0L, el(0xA1L, body))
+      else el(0xA3L, body)
+
+    val keyBit = (if (useBlockGroups) 0x00 else 0x80).toByte
+
+    def blockEl(k: Int): Array[Byte] =
+      wrap(Array[Byte](0x81.toByte, 0, 0, keyBit) ++ payload(k))
+
+    /** One laced block carrying all of `ks`' frames. */
+    def lacedBlockEl(ks: Seq[Int]): Array[Byte] = {
+      val ps = ks.map(payload)
+      val flags = (keyBit | (lacing << 1)).toByte
+      val head = new java.io.ByteArrayOutputStream()
+      head.write(0x81); head.write(0); head.write(0); head.write(flags)
+      head.write(ps.length - 1)
+      lacing match {
+        case 1 =>                           // Xiph 255-run sizes
+          ps.init.foreach { p =>
+            var rem = p.length
+            while (rem >= 255) { head.write(255); rem -= 255 }
+            head.write(rem)
+          }
+        case 2 => ()                        // fixed: no size table
+        case _ if ps.length == 1 => ()      // no size table for one frame
+        case _ =>                           // EBML: vint + signed deltas
+          def vint(v: Long): Unit = {
+            var n = 1
+            while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
+            var x = v | (1L << (7 * n))
+            var i = n - 1
+            val out = new Array[Byte](n)
+            while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+            head.write(out)
+          }
+          vint(ps.head.length.toLong)
+          ps.init.zip(ps.tail.init).foreach { case (a, b2) =>
+            // delta of frame i (1..n-2) vs its predecessor, biased
+            val delta = (b2.length - a.length).toLong
+            var n = 1
+            while (n < 8 &&
+                (delta > (1L << (7 * n - 1)) - 1 ||
+                 delta < -((1L << (7 * n - 1)) - 1))) n += 1
+            vint0(head, delta + ((1L << (7 * n - 1)) - 1), n)
+          }
+      }
+      ps.foreach(head.write)
+      wrap(head.toByteArray)
+    }
+
+    val clusters = (0 until nFrames).grouped(framesPerCluster).map { ks =>
+      val body =
+        if (lacing == 0) ks.toArray.flatMap(blockEl)
+        else lacedBlockEl(ks)
+      el(0x1F43B675L, uintEl(0xE7L, ks.head.toLong * 40L) ++ body)
+    }.toArray.flatten
+    val segment = el(0x18538067L, info ++ tracksEl ++ clusters)
+    ebml ++ segment
+  }
+}

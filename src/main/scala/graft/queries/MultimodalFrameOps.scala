@@ -111,7 +111,27 @@ object MultimodalFrameOps extends QueryModule {
     *                        largesize mdat headers): byte-distinct,
     *                        the identical fingerprint;
     *   +11·Offset (id%800): a fragmented copy truncated MID-FRAGMENT
-    *                        — digest MUST be None; never surfaces. */
+    *                        — digest MUST be None; never surfaces;
+    *   +12·Offset (id%250): a WebM clip — the EBML-container digest
+    *                        tier ([[graft.multimodal.WebmCodec]]:
+    *                        DocType/Tracks/Cluster walk, per-block
+    *                        frame digests). NOT pixel-decodable
+    *                        (invisible to the frame oracles);
+    *                        surfaces via mm_webm_exact;
+    *   +13·Offset (id%500): the RE-CLUSTERED WebM twin — identical
+    *                        frame payloads, one block per cluster
+    *                        framed as BlockGroup>Block instead of
+    *                        SimpleBlock: byte-distinct, the same
+    *                        fingerprint (%500 implies %250);
+    *   +14·Offset (id%1000): a truncated WebM copy (segment cut) —
+    *                        digest MUST be None; never surfaces;
+    *   +15·Offset (id%500): the XIPH-LACED WebM twin — the same
+    *                        frames packed one laced block per
+    *                        cluster (255-run size table):
+    *                        byte-distinct, the same fingerprint;
+    *   +16·Offset (id%1000): the EBML-LACED WebM twin — vint first
+    *                        size + signed-delta table: byte-distinct,
+    *                        the same fingerprint. */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -195,6 +215,42 @@ object MultimodalFrameOps extends QueryModule {
                 ffull.take(ffull.length - 30))
             }
           }
+          // the WebM digest-tier families (+12/+13/+14·Offset): EBML
+          // grammar walk, frame payloads digested (clusters and block
+          // framing are container layout). The %500 RE-CLUSTERED twin
+          // changes clustering AND SimpleBlock→BlockGroup framing but
+          // not one frame byte — its fingerprint collapses onto the
+          // %250 primary; the %1000 truncated copy (segment cut
+          // short) must digest to None. Frame count from id/250 — a
+          // knob coprime to the planting modulus.
+          if (id % 250 == 0) {
+            val nb = ((id / 250) % 4).toInt + 2
+            put(s"asset_${id + 12 * Planting.Offset}.webm",
+              graft.multimodal.WebmCodec.encodeWebm(id, nb,
+                framesPerCluster = 2))
+            if (id % 500 == 0)
+              put(s"asset_${id + 13 * Planting.Offset}.webm",
+                graft.multimodal.WebmCodec.encodeWebm(id, nb,
+                  framesPerCluster = 1, useBlockGroups = true))
+            if (id % 1000 == 0) {
+              val full = graft.multimodal.WebmCodec.encodeWebm(id, nb,
+                framesPerCluster = 2)
+              put(s"asset_${id + 14 * Planting.Offset}.webm",
+                full.take(full.length - 40))
+            }
+            // the RE-LACED twins: identical frames, one laced block
+            // per cluster — Xiph 255-run sizes at %500, EBML
+            // vint+signed-delta sizes at %1000; both collapse onto
+            // the %250 primary
+            if (id % 500 == 0)
+              put(s"asset_${id + 15 * Planting.Offset}.webm",
+                graft.multimodal.WebmCodec.encodeWebm(id, nb,
+                  framesPerCluster = 3, lacing = 1))
+            if (id % 1000 == 0)
+              put(s"asset_${id + 16 * Planting.Offset}.webm",
+                graft.multimodal.WebmCodec.encodeWebm(id, nb,
+                  framesPerCluster = 3, lacing = 3))
+          }
         }
       base
     }
@@ -217,6 +273,25 @@ object MultimodalFrameOps extends QueryModule {
     digests.join(canon, Seq("clip_fp"))
       .select(col("asset_id"), col("n_samples"), col("profile_idc"),
         col("level_idc"), col("clip_fp"), col("canonical_id"))
+      .orderBy("asset_id")
+  }
+
+  // The WebM digest tier end-to-end: binary ingest → the documented
+  // no-pixel-decode contract (EBML walk, per-block frame digests,
+  // WebmCodec.decodeWebmDigest) → exact clip dedup by fingerprint.
+  // The %500 re-clustered/re-grouped twins AND the %500/%1000
+  // re-laced twins (Xiph / EBML lacing) MUST collapse onto their
+  // %250 primaries; truncated %1000 copies never surface. Scale: one
+  // projection, fingerprint-keyed dedup — video bytes never shuffle.
+  private def mmWebmExact(s: SparkSession, d: String): DataFrame = {
+    val digests = Multimodal.webmClipDigests(
+      Multimodal.ingestBinary(s, clipFixtureDir(s, d)))
+    val canon = digests.groupBy("clip_fp")
+      .agg(min(col("asset_id")).as("canonical_id"))
+    digests.join(canon, Seq("clip_fp"))
+      .select(col("asset_id"), col("codec_id"), col("n_blocks"),
+        col("width"), col("height"), col("clip_fp"),
+        col("canonical_id"))
       .orderBy("asset_id")
   }
 
@@ -299,6 +374,7 @@ object MultimodalFrameOps extends QueryModule {
     "mm_frame_near"       -> (mmFrameNear _),
     "pipeline_curate_v10" -> (pipelineCurateV10 _),
     "mm_clip_exact"       -> (mmClipExact _),
+    "mm_webm_exact"       -> (mmWebmExact _),
   )
 
   /** Fixture planting is one-time per (session, dir) — an explicit
@@ -384,6 +460,49 @@ object MultimodalFrameOps extends QueryModule {
                 (SELECT min(c2.asset_id) FROM clip c2
                   WHERE c2.clip_fp = c.clip_fp) AS canonical_id
          FROM clip c ORDER BY c.asset_id""",
+
+    // recomputes every expected WebM digest from the planting
+    // formula: block k's frame payload is "webm:{scene}:{k}:" ||
+    // md5("w{scene}_{k}") dot-padded to 180, block count
+    // ((scene // 250) % 4) + 2; per-frame digest md5 of the payload,
+    // clip fingerprint md5 of the ordered digest string. The %500
+    // re-clustered twin (one block per cluster, BlockGroup framing)
+    // AND the re-laced twins (Xiph %500, EBML %1000 — frames packed
+    // into laced blocks) all recompute to the SAME fingerprint —
+    // clusters, block framing, and lacing are container layout,
+    // excluded from content by the tier contract — so their
+    // canonical_id is the %250 primary; truncated %1000 copies
+    // (segment cut) never appear.
+    "mm_webm_exact" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         wb AS (
+           SELECT doc_id + 1200000 AS asset_id, doc_id AS scene FROM d
+             WHERE doc_id % 250 = 0
+           UNION ALL SELECT doc_id + 1300000, doc_id FROM d
+             WHERE doc_id % 500 = 0
+           UNION ALL SELECT doc_id + 1500000, doc_id FROM d
+             WHERE doc_id % 500 = 0
+           UNION ALL SELECT doc_id + 1600000, doc_id FROM d
+             WHERE doc_id % 1000 = 0),
+         fr AS (
+           SELECT a.asset_id, a.scene, t.k,
+                  md5(rpad('webm:' || CAST(a.scene AS VARCHAR) || ':' ||
+                           CAST(t.k AS VARCHAR) || ':' ||
+                           md5('w' || CAST(a.scene AS VARCHAR) || '_' ||
+                               CAST(t.k AS VARCHAR)),
+                           180, '.')) AS dig
+           FROM wb a, range(5) t(k)
+           WHERE t.k < ((a.scene // 250) % 4) + 2),
+         st AS (
+           SELECT asset_id, count(*) AS n_blocks,
+                  md5(string_agg(dig, '' ORDER BY k)) AS clip_fp
+           FROM fr GROUP BY asset_id)
+         SELECT s.asset_id, 'V_VP8' AS codec_id, s.n_blocks,
+                CAST(64 AS BIGINT) AS width,
+                CAST(64 AS BIGINT) AS height, s.clip_fp,
+                (SELECT min(s2.asset_id) FROM st s2
+                  WHERE s2.clip_fp = s.clip_fp) AS canonical_id
+         FROM st s ORDER BY s.asset_id""",
 
     // recomputes every sampled frame's dHash from the planting
     // formula: the sampling rule picks frame_no = (j·F) // min(3, F)
