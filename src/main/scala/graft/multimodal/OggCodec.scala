@@ -37,14 +37,24 @@ package graft.multimodal
   * A Vorbis/Opus packet decoder can slot in behind the same
   * reassembly later.
   *
+  * CHAINED files (RFC 3533 sequential multiplexing — the icecast/
+  * radio-dump shape) are accepted: after every stream of a link has
+  * reached end-of-stream, a new BOS section may open the next link
+  * (serials may repeat across links). The digest view concatenates
+  * the links' audio packets in order — the file's content identity —
+  * so a re-paginated chained copy collapses while a single-link
+  * prefix stays a distinct stream; every link must carry an audio
+  * stream of the same codec, and metadata surfaces from the first.
+  *
   * Strictness (per logical stream): every page CRC must verify,
   * sequence numbers must be consecutive, the first page must carry
   * beginning-of-stream with sequence 0, the last must carry
-  * end-of-stream, no page may follow a stream's EOS, a continued
-  * packet must actually span (continuation flag on the next page),
-  * and trailing bytes after the final page fail. At least one stream
-  * must carry a recognized audio ident (the first such stream in BOS
-  * order is the digest subject). Decode never throws.
+  * end-of-stream, no page may follow a stream's EOS within its link,
+  * a continued packet must actually span (continuation flag on the
+  * next page), and trailing bytes after the final page fail. At
+  * least one stream per link must carry a recognized audio ident
+  * (the first such stream in BOS order is the link's digest
+  * subject). Decode never throws.
   */
 object OggCodec {
 
@@ -110,11 +120,15 @@ object OggCodec {
     try decode0(b)
     catch { case _: RuntimeException => None }
 
+  private val MaxLinks = 64
+
   private def decode0(b: Array[Byte]): Option[OggStream] = {
     if (b.length < 28) return None
     var p = 0
     var bosSection = true                  // grouped files front-load BOS
-    val streams = new java.util.LinkedHashMap[Long, StreamAcc]()
+    var streams = new java.util.LinkedHashMap[Long, StreamAcc]()
+    val links = Vector.newBuilder[java.util.LinkedHashMap[Long, StreamAcc]]
+    var nLinks = 1
     var totalPackets = 0
 
     while (p < b.length) {
@@ -143,9 +157,25 @@ object OggCodec {
         return None
 
       val st = if (bos) {
-        // all BOS pages must precede any data page (RFC 3533 §6), a
-        // serial may begin only once, and the first page is seq 0
-        if (!bosSection || streams.containsKey(pageSerial) ||
+        // a BOS after the link's data pages is legal ONLY as a chain
+        // boundary (RFC 3533 sequential multiplexing): every stream
+        // of the current link must be complete, then a fresh link
+        // opens with its own BOS section (serials may repeat)
+        if (!bosSection) {
+          val it0 = streams.values().iterator()
+          while (it0.hasNext) {
+            val s = it0.next()
+            if (!s.sawEos || s.carryOpen) return None
+          }
+          links += streams
+          streams = new java.util.LinkedHashMap[Long, StreamAcc]()
+          bosSection = true
+          nLinks += 1
+          if (nLinks > MaxLinks) return None
+        }
+        // within a link's BOS section: a serial may begin only once,
+        // and the first page is seq 0
+        if (streams.containsKey(pageSerial) ||
             seq != 0 || cont) return None
         if (streams.size >= MaxStreams) return None
         val s = new StreamAcc(pageSerial, streams.size)
@@ -184,17 +214,33 @@ object OggCodec {
       p = pageEnd
     }
     if (streams.isEmpty) return None
-    // every logical stream must be complete and closed
-    val it = streams.values().iterator()
-    var first: Option[OggStream] = None
-    while (it.hasNext) {
-      val st = it.next()
-      if (!st.sawEos || st.carryOpen) return None
-      // the first recognized audio stream in BOS order is the digest
-      // subject; unrecognized siblings are tolerated grouped streams
-      if (first.isEmpty) first = identify(st)
+    links += streams
+    // per link: every logical stream must be complete and closed, and
+    // the first recognized audio stream in BOS order is the link's
+    // digest subject (unrecognized siblings are tolerated grouped
+    // streams). A CHAINED file concatenates its links' audio packets
+    // — the file's content identity — so a re-paginated chained copy
+    // collapses while a single-link prefix stays distinct. Every
+    // link must carry an audio stream of the SAME codec; metadata
+    // surfaces from the first link.
+    var head: Option[OggStream] = None
+    val digests = Vector.newBuilder[String]
+    val lit = links.result().iterator
+    while (lit.hasNext) {
+      val link = lit.next()
+      val it = link.values().iterator()
+      var linkAudio: Option[OggStream] = None
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.sawEos || st.carryOpen) return None
+        if (linkAudio.isEmpty) linkAudio = identify(st)
+      }
+      val la = linkAudio.getOrElse(return None)
+      if (head.isEmpty) head = Some(la)
+      else if (head.get.codec != la.codec) return None
+      digests ++= la.packetDigests
     }
-    first                                   // None when no audio stream
+    head.map(h => h.copy(packetDigests = digests.result()))
   }
 
   /** Codec identification + header/content split for one reassembled
@@ -431,6 +477,34 @@ object OggCodec {
       Seq(Seq(opusHead(channels, rate)), Seq(opusTags(scene))),
       pkts, packetsPerPage, splitAcrossPages)
     pages.toArray.flatten
+  }
+
+  /** Encode a CHAINED Ogg/Vorbis file (RFC 3533 sequential
+    * multiplexing — the icecast/radio-dump shape): one complete
+    * logical stream per entry of `linkPacketCounts`, concatenated,
+    * each link with its own header packets and serial. Audio packets
+    * carry GLOBAL indices (link boundaries are framing), so the
+    * chained file's fingerprint equals the ordered concatenation of
+    * its links' packets and a re-paginated chained copy collapses. */
+  def encodeOggChained(scene: Long, linkPacketCounts: Seq[Int],
+      channels: Int = 1, rate: Int = 8000, packetLen: Int = 300,
+      packetsPerPage: Int = 2,
+      splitAcrossPages: Boolean = false): Array[Byte] = {
+    require(linkPacketCounts.nonEmpty && linkPacketCounts.forall(_ >= 1))
+    val out = new java.io.ByteArrayOutputStream()
+    var base = 0
+    linkPacketCounts.zipWithIndex.foreach { case (np, j) =>
+      val pkts = Array.tabulate(np)(k =>
+        packetPayload(scene, base + k, packetLen))
+      buildPages(0x67726166L + j,
+        Seq(Seq(identPacket(channels, rate)),
+          Seq(headerPacket(3, s"comment-for-$scene-link$j"),
+            headerPacket(5, s"setup-for-$scene-link$j"))),
+        pkts, packetsPerPage, splitAcrossPages)
+        .foreach(out.write)
+      base += np
+    }
+    out.toByteArray
   }
 
   /** Encode a GROUPED (multiplexed) Ogg file: the SAME Opus audio

@@ -332,13 +332,16 @@ object WebmCodec {
   // ---- fixture encoder ----
 
   /** The deterministic ascii frame payload of block `k` —
-    * "webm:{scene}:{k}:" + md5("w{scene}_{k}") dot-padded to `len`
-    * (the planted families keep the oracle's 180): pure md5
-    * arithmetic the DuckDB oracle recomputes verbatim. */
+    * "{tag}:{scene}:{k}:" + md5("{key}{scene}_{k}") dot-padded to
+    * `len` (the planted families keep the oracle's 180): pure md5
+    * arithmetic the DuckDB oracle recomputes verbatim (tag "webm"/
+    * key "w" for video tracks, "weba"/"x" for audio — distinct key
+    * spaces keep the two fixture families' fingerprints disjoint). */
   private[multimodal] def framePayload(scene: Long, k: Int,
-      len: Int = 180): Array[Byte] = {
-    val head = s"webm:$scene:$k:" +
-      Mp4Codec.md5Hex(s"w${scene}_$k".getBytes("UTF-8"))
+      len: Int = 180, tag: String = "webm",
+      key: String = "w"): Array[Byte] = {
+    val head = s"$tag:$scene:$k:" +
+      Mp4Codec.md5Hex(s"$key${scene}_$k".getBytes("UTF-8"))
     require(head.length <= len, "frame too small")
     (head + "." * (len - head.length)).getBytes("US-ASCII")
   }
@@ -389,30 +392,56 @@ object WebmCodec {
     * frame payloads (and so the fingerprint) stay fixed. `frameLen`
     * grows by `lenStep` per frame (spec-only: nonzero deltas for the
     * EBML lacing path and multi-byte Xiph sizes; planted families
-    * keep the oracle's fixed 180). */
+    * keep the oracle's fixed 180). `audioTrack` emits an audio-only
+    * A_OPUS TrackEntry instead (the .weba/.mka shape, disjoint
+    * "weba"/"x" payload key space); `audioSibling` interleaves a
+    * second A_OPUS track's blocks beside the video — the re-muxed-
+    * with-audio duplicate the track filter must ignore. */
   def encodeWebm(scene: Long, nFrames: Int, w: Int = 64, h: Int = 64,
       framesPerCluster: Int = 2,
       useBlockGroups: Boolean = false, lacing: Int = 0,
-      frameLen: Int = 180, lenStep: Int = 0): Array[Byte] = {
+      frameLen: Int = 180, lenStep: Int = 0,
+      audioTrack: Boolean = false,
+      audioSibling: Boolean = false): Array[Byte] = {
     require(nFrames >= 1 && framesPerCluster >= 1)
     require(lacing >= 0 && lacing <= 3)
     require(lacing != 2 || lenStep == 0,
       "fixed-size lacing needs equal frames")
+    require(!(audioTrack && audioSibling))
     val ebml = el(0x1A45DFA3L,
       uintEl(0x4286L, 1) ++ uintEl(0x42F7L, 1) ++
       uintEl(0x42F2L, 4) ++ uintEl(0x42F3L, 8) ++
       el(0x4282L, "webm".getBytes("US-ASCII")) ++
       uintEl(0x4287L, 2) ++ uintEl(0x4285L, 2))
     val info = el(0x1549A966L, uintEl(0x2AD7B1L, 1000000L))
-    val trackEntry = el(0xAEL,
-      uintEl(0xD7L, 1) ++ uintEl(0x73C5L, 0xC0FFEEL + scene) ++
-      uintEl(0x83L, 1) ++
-      el(0x86L, "V_VP8".getBytes("US-ASCII")) ++
-      el(0xE0L, uintEl(0xB0L, w) ++ uintEl(0xBAL, h)))
-    val tracksEl = el(0x1654AE6BL, trackEntry)
+    val trackEntry =
+      if (audioTrack) el(0xAEL,
+        uintEl(0xD7L, 1) ++ uintEl(0x73C5L, 0xC0FFEEL + scene) ++
+        uintEl(0x83L, 2) ++
+        el(0x86L, "A_OPUS".getBytes("US-ASCII")) ++
+        el(0xE1L, uintEl(0x9FL, 2)))
+      else el(0xAEL,
+        uintEl(0xD7L, 1) ++ uintEl(0x73C5L, 0xC0FFEEL + scene) ++
+        uintEl(0x83L, 1) ++
+        el(0x86L, "V_VP8".getBytes("US-ASCII")) ++
+        el(0xE0L, uintEl(0xB0L, w) ++ uintEl(0xBAL, h)))
+    // the interleaved audio sibling (track 2, A_OPUS): real WebM
+    // carries audio beside video — its blocks must be FILTERED, not
+    // digested, so a video re-muxed with an audio track collapses
+    // onto its video-only primary
+    val sibEntry =
+      if (!audioSibling) Array.emptyByteArray
+      else el(0xAEL,
+        uintEl(0xD7L, 2) ++ uintEl(0x73C5L, 0xBEEFL + scene) ++
+        uintEl(0x83L, 2) ++
+        el(0x86L, "A_OPUS".getBytes("US-ASCII")) ++
+        el(0xE1L, uintEl(0x9FL, 2)))
+    val tracksEl = el(0x1654AE6BL, trackEntry ++ sibEntry)
 
     def payload(k: Int): Array[Byte] =
-      framePayload(scene, k, frameLen + lenStep * k)
+      framePayload(scene, k, frameLen + lenStep * k,
+        if (audioTrack) "weba" else "webm",
+        if (audioTrack) "x" else "w")
 
     def wrap(body: Array[Byte]): Array[Byte] =
       if (useBlockGroups) el(0xA0L, el(0xA1L, body))
@@ -464,10 +493,16 @@ object WebmCodec {
       wrap(head.toByteArray)
     }
 
+    def sibBlockEl(k: Int): Array[Byte] =
+      if (!audioSibling) Array.emptyByteArray
+      else el(0xA3L, Array[Byte](0x82.toByte, 0, 0, 0x80.toByte) ++
+        s"sib:$scene:$k:opus-bytes".getBytes("US-ASCII"))
+
     val clusters = (0 until nFrames).grouped(framesPerCluster).map { ks =>
       val body =
-        if (lacing == 0) ks.toArray.flatMap(blockEl)
-        else lacedBlockEl(ks)
+        if (lacing == 0)
+          ks.toArray.flatMap(k => blockEl(k) ++ sibBlockEl(k))
+        else lacedBlockEl(ks) ++ sibBlockEl(ks.head)
       el(0x1F43B675L, uintEl(0xE7L, ks.head.toLong * 40L) ++ body)
     }.toArray.flatten
     val segment = el(0x18538067L, info ++ tracksEl ++ clusters)

@@ -112,7 +112,18 @@ object MultimodalAudioOps extends QueryModule {
     *                        behind 7-byte ADTS frame headers (the
     *                        cross-CONTAINER copy): same fingerprint;
     *   +23·Offset (id%1500): a truncated m4a (moov cut away) — digest
-    *                        MUST be None; never surfaces.
+    *                        MUST be None; never surfaces;
+    *   +24·Offset (id%475): a CHAINED Ogg/Vorbis file (RFC 3533
+    *                        sequential multiplexing, two complete
+    *                        links) — packets carry global indices,
+    *                        so the digest is the links' ordered
+    *                        concatenation. Surfaces via mm_ogg_exact;
+    *   +25·Offset (id%950): the RE-PAGINATED chained twin — identical
+    *                        packets in both links, different page
+    *                        layout: byte-distinct, the same
+    *                        fingerprint (%950 implies %475);
+    *   +26·Offset (id%1900): a chained copy truncated mid-link-2 —
+    *                        digest MUST be None; never surfaces.
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
     * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
@@ -279,6 +290,27 @@ object MultimodalAudioOps extends QueryModule {
               val full = graft.multimodal.Mp4Codec.encodeAacM4a(id, nu)
               put(s"asset_${id + 23 * Planting.Offset}.m4a",
                 full.take(full.length / 2))
+            }
+          }
+          // the CHAINED Ogg families (+24/+25/+26·Offset): two
+          // complete Vorbis links back-to-back (link 1 carries
+          // ((id/475)%3)+2 packets, link 2 two more, global indices).
+          // The %950 re-paginated twin keeps both links' packets and
+          // changes only page layout — same fingerprint; the %1900
+          // copy truncated mid-link-2 must digest to None.
+          if (id % 475 == 0) {
+            val counts = Seq(((id / 475) % 3).toInt + 2, 2)
+            put(s"asset_${id + 24 * Planting.Offset}.ogg",
+              graft.multimodal.OggCodec.encodeOggChained(id, counts))
+            if (id % 950 == 0)
+              put(s"asset_${id + 25 * Planting.Offset}.ogg",
+                graft.multimodal.OggCodec.encodeOggChained(id, counts,
+                  packetsPerPage = 1, splitAcrossPages = true))
+            if (id % 1900 == 0) {
+              val full = graft.multimodal.OggCodec
+                .encodeOggChained(id, counts)
+              put(s"asset_${id + 26 * Planting.Offset}.ogg",
+                full.take(full.length - 50))
             }
           }
         }
@@ -488,10 +520,18 @@ object MultimodalAudioOps extends QueryModule {
     "mm_ogg_exact" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          ogg AS (
-           SELECT doc_id + 1400000 AS asset_id, doc_id AS scene FROM d
+           SELECT doc_id + 1400000 AS asset_id, doc_id AS scene,
+                  (doc_id % 4) + 2 AS np FROM d
              WHERE doc_id % 325 = 0
-           UNION ALL SELECT doc_id + 1500000, doc_id FROM d
-             WHERE doc_id % 650 = 0),
+           UNION ALL SELECT doc_id + 1500000, doc_id, (doc_id % 4) + 2
+             FROM d WHERE doc_id % 650 = 0
+           -- the CHAINED families: two links whose packets carry
+           -- global indices, so the digest run is one range of
+           -- ((scene // 475) % 3) + 2 + 2 packets
+           UNION ALL SELECT doc_id + 2400000, doc_id,
+             ((doc_id // 475) % 3) + 4 FROM d WHERE doc_id % 475 = 0
+           UNION ALL SELECT doc_id + 2500000, doc_id,
+             ((doc_id // 475) % 3) + 4 FROM d WHERE doc_id % 950 = 0),
          pk AS (
            SELECT a.asset_id, a.scene, t.k,
                   md5(rpad('ogg:' || CAST(a.scene AS VARCHAR) || ':' ||
@@ -499,7 +539,7 @@ object MultimodalAudioOps extends QueryModule {
                            md5('g' || CAST(a.scene AS VARCHAR) || '_' ||
                                CAST(t.k AS VARCHAR)),
                            300, '.')) AS dig
-           FROM ogg a, range(6) t(k) WHERE t.k < (a.scene % 4) + 2),
+           FROM ogg a, range(7) t(k) WHERE t.k < a.np),
          st AS (
            SELECT asset_id, count(*) AS n_packets,
                   md5(string_agg(dig, '' ORDER BY k)) AS audio_fp

@@ -131,7 +131,17 @@ object MultimodalFrameOps extends QueryModule {
     *                        byte-distinct, the same fingerprint;
     *   +16·Offset (id%1000): the EBML-LACED WebM twin — vint first
     *                        size + signed-delta table: byte-distinct,
-    *                        the same fingerprint. */
+    *                        the same fingerprint;
+    *   +17·Offset (id%350): an audio-only WebM (.weba, A_OPUS) — the
+    *                        audio-track selection path, in the
+    *                        disjoint "weba"/"x" payload key space;
+    *   +18·Offset (id%700): the re-laced .weba twin (Xiph) — same
+    *                        fingerprint as its %350 primary;
+    *   +19·Offset (id%500): the AUDIO-SIBLING WebM twin — the %250
+    *                        video frames re-muxed beside an
+    *                        interleaved A_OPUS track whose blocks the
+    *                        track filter must ignore: byte-distinct,
+    *                        collapses onto the %250 primary. */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -250,6 +260,25 @@ object MultimodalFrameOps extends QueryModule {
               put(s"asset_${id + 16 * Planting.Offset}.webm",
                 graft.multimodal.WebmCodec.encodeWebm(id, nb,
                   framesPerCluster = 3, lacing = 3))
+            // the AUDIO-SIBLING twin: the same video frames with an
+            // interleaved A_OPUS track — the filter must ignore it
+            if (id % 500 == 0)
+              put(s"asset_${id + 19 * Planting.Offset}.webm",
+                graft.multimodal.WebmCodec.encodeWebm(id, nb,
+                  framesPerCluster = 2, audioSibling = true))
+          }
+          // the audio-only WebM families (+17/+18·Offset): A_OPUS
+          // .weba in the disjoint "weba"/"x" key space; the %700
+          // re-laced twin collapses onto its %350 primary
+          if (id % 350 == 0) {
+            val na = ((id / 350) % 4).toInt + 2
+            put(s"asset_${id + 17 * Planting.Offset}.weba",
+              graft.multimodal.WebmCodec.encodeWebm(id, na,
+                framesPerCluster = 2, audioTrack = true))
+            if (id % 700 == 0)
+              put(s"asset_${id + 18 * Planting.Offset}.weba",
+                graft.multimodal.WebmCodec.encodeWebm(id, na,
+                  framesPerCluster = 3, lacing = 1, audioTrack = true))
           }
         }
       base
@@ -476,30 +505,44 @@ object MultimodalFrameOps extends QueryModule {
     "mm_webm_exact" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          wb AS (
-           SELECT doc_id + 1200000 AS asset_id, doc_id AS scene FROM d
+           SELECT doc_id + 1200000 AS asset_id, doc_id AS scene,
+                  'webm' AS tag, 'w' AS kpfx, 250 AS m FROM d
              WHERE doc_id % 250 = 0
-           UNION ALL SELECT doc_id + 1300000, doc_id FROM d
-             WHERE doc_id % 500 = 0
-           UNION ALL SELECT doc_id + 1500000, doc_id FROM d
-             WHERE doc_id % 500 = 0
-           UNION ALL SELECT doc_id + 1600000, doc_id FROM d
-             WHERE doc_id % 1000 = 0),
+           UNION ALL SELECT doc_id + 1300000, doc_id, 'webm', 'w', 250
+             FROM d WHERE doc_id % 500 = 0
+           UNION ALL SELECT doc_id + 1500000, doc_id, 'webm', 'w', 250
+             FROM d WHERE doc_id % 500 = 0
+           UNION ALL SELECT doc_id + 1600000, doc_id, 'webm', 'w', 250
+             FROM d WHERE doc_id % 1000 = 0
+           -- the audio-sibling twin keeps the VIDEO track's frames
+           UNION ALL SELECT doc_id + 1900000, doc_id, 'webm', 'w', 250
+             FROM d WHERE doc_id % 500 = 0
+           -- the audio-only .weba families: disjoint key space
+           UNION ALL SELECT doc_id + 1700000, doc_id, 'weba', 'x', 350
+             FROM d WHERE doc_id % 350 = 0
+           UNION ALL SELECT doc_id + 1800000, doc_id, 'weba', 'x', 350
+             FROM d WHERE doc_id % 700 = 0),
          fr AS (
-           SELECT a.asset_id, a.scene, t.k,
-                  md5(rpad('webm:' || CAST(a.scene AS VARCHAR) || ':' ||
-                           CAST(t.k AS VARCHAR) || ':' ||
-                           md5('w' || CAST(a.scene AS VARCHAR) || '_' ||
-                               CAST(t.k AS VARCHAR)),
+           SELECT a.asset_id, a.scene, a.tag, t.k,
+                  md5(rpad(a.tag || ':' || CAST(a.scene AS VARCHAR) ||
+                           ':' || CAST(t.k AS VARCHAR) || ':' ||
+                           md5(a.kpfx || CAST(a.scene AS VARCHAR) ||
+                               '_' || CAST(t.k AS VARCHAR)),
                            180, '.')) AS dig
            FROM wb a, range(5) t(k)
-           WHERE t.k < ((a.scene // 250) % 4) + 2),
+           WHERE t.k < ((a.scene // a.m) % 4) + 2),
          st AS (
-           SELECT asset_id, count(*) AS n_blocks,
+           SELECT asset_id, tag, count(*) AS n_blocks,
                   md5(string_agg(dig, '' ORDER BY k)) AS clip_fp
-           FROM fr GROUP BY asset_id)
-         SELECT s.asset_id, 'V_VP8' AS codec_id, s.n_blocks,
-                CAST(64 AS BIGINT) AS width,
-                CAST(64 AS BIGINT) AS height, s.clip_fp,
+           FROM fr GROUP BY asset_id, tag)
+         SELECT s.asset_id,
+                CASE WHEN s.tag = 'webm' THEN 'V_VP8'
+                     ELSE 'A_OPUS' END AS codec_id,
+                s.n_blocks,
+                CAST(CASE WHEN s.tag = 'webm' THEN 64 ELSE 0 END
+                     AS BIGINT) AS width,
+                CAST(CASE WHEN s.tag = 'webm' THEN 64 ELSE 0 END
+                     AS BIGINT) AS height, s.clip_fp,
                 (SELECT min(s2.asset_id) FROM st s2
                   WHERE s2.clip_fp = s.clip_fp) AS canonical_id
          FROM st s ORDER BY s.asset_id""",

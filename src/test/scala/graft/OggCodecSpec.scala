@@ -141,10 +141,58 @@ class OggCodecSpec extends AnyFunSuite {
       pages.filter(pg => serialOf(pg) == 0x6d657461L).toArray.flatten
     }
     assert(OggCodec.decodeOggDigest(metaOnly).isEmpty)
-    // a second BOS page AFTER a data page violates the grouping rule
+    // a mixed-codec chain (vorbis link then opus link) rejects
     val vorb = OggCodec.encodeOgg(9L, 2)
-    val lateBos = vorb ++ OggCodec.encodeOpus(9L, 2)
-    assert(OggCodec.decodeOggDigest(lateBos).isEmpty)
+    assert(OggCodec.decodeOggDigest(
+      vorb ++ OggCodec.encodeOpus(9L, 2)).isEmpty)
+    // a chain boundary is only legal once the current link is fully
+    // closed: append a second file after cutting the first's final
+    // (EOS) page away
+    def lastPageAt(x: Array[Byte]): Int = {
+      var at = -1
+      var i = 0
+      while (i < x.length - 4) {
+        if (x(i) == 'O' && x(i + 1) == 'g' && x(i + 2) == 'g' &&
+            x(i + 3) == 'S') at = i
+        i += 1
+      }
+      at
+    }
+    val unclosed = vorb.take(lastPageAt(vorb))
+    assert(OggCodec.decodeOggDigest(
+      unclosed ++ OggCodec.encodeOgg(10L, 2)).isEmpty)
+  }
+
+  test("chained files concatenate their links' packets; link " +
+      "boundaries are framing") {
+    val chained = OggCodec.encodeOggChained(30L, Seq(3, 2))
+    val d = OggCodec.decodeOggDigest(chained).get
+    assert(d.codec === "vorbis")
+    assert(d.packetDigests.length === 5)
+    // global packet indices: the chain digests equal one 5-packet run
+    val head = "ogg:30:4:" + Mp4Codec.md5Hex("g30_4".getBytes("UTF-8"))
+    assert(d.packetDigests(4) === Mp4Codec.md5Hex(
+      (head + "." * (300 - head.length)).getBytes("US-ASCII")))
+    // a re-paginated chained copy collapses
+    val repag = OggCodec.encodeOggChained(30L, Seq(3, 2),
+      packetsPerPage = 1, splitAcrossPages = true)
+    assert(!chained.sameElements(repag))
+    assert(OggCodec.decodeOggDigest(repag).get.fingerprint ===
+      d.fingerprint)
+    // a cut at the exact link boundary is a complete single-link
+    // file — a DISTINCT (shorter) stream, not a collapse; any other
+    // cut must be None
+    val boundary = OggCodec.encodeOggChained(30L, Seq(3)).length
+    val dPrefix = OggCodec.decodeOggDigest(chained.take(boundary))
+    assert(dPrefix.exists(_.packetDigests.length == 3))
+    assert(dPrefix.get.fingerprint !== d.fingerprint)
+    var n = 0
+    while (n < chained.length) {
+      val r = OggCodec.decodeOggDigest(chained.take(n))
+      if (n == boundary) assert(r.isDefined, s"@$n")
+      else assert(r.isEmpty, s"@$n")
+      n += 1
+    }
   }
 
   test("strict grammar: CRC damage, lost pages, truncation, and " +

@@ -76,6 +76,34 @@ class WebmCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("audio-only tracks select through the same tier, and an " +
+      "interleaved audio sibling never leaks into a video digest") {
+    val weba = WebmCodec.encodeWebm(33L, 3, audioTrack = true)
+    val da = WebmCodec.decodeWebmDigest(weba).get
+    assert(da.trackType === 2)
+    assert(da.codecId === "A_OPUS")
+    assert(da.channels === 2 && da.width === 0 && da.height === 0)
+    assert(da.frameDigests.length === 3)
+    // the disjoint key space: audio and video files of one scene
+    // never share a fingerprint
+    val video = WebmCodec.encodeWebm(33L, 3)
+    val dv = WebmCodec.decodeWebmDigest(video).get
+    assert(da.fingerprint !== dv.fingerprint)
+    // a re-laced audio copy collapses
+    val relaced = WebmCodec.encodeWebm(33L, 3, framesPerCluster = 3,
+      lacing = 1, audioTrack = true)
+    assert(WebmCodec.decodeWebmDigest(relaced).get.fingerprint ===
+      da.fingerprint)
+    // the audio-sibling re-mux: same video frames + an interleaved
+    // A_OPUS track — the track filter must ignore the foreign blocks
+    val sib = WebmCodec.encodeWebm(33L, 3, audioSibling = true)
+    assert(!video.sameElements(sib))
+    val ds = WebmCodec.decodeWebmDigest(sib).get
+    assert(ds.codecId === "V_VP8")
+    assert(ds.frameDigests === dv.frameDigests)
+    assert(ds.fingerprint === dv.fingerprint)
+  }
+
   test("the digest matches the oracle formula") {
     val d = WebmCodec.decodeWebmDigest(WebmCodec.encodeWebm(100L, 2)).get
     val head = "webm:100:1:" + Mp4Codec.md5Hex("w100_1".getBytes("UTF-8"))
