@@ -153,15 +153,15 @@ object Mp4Codec {
     * — shared by the MJPEG pixel tier and the AVC digest tier. None
     * on any inconsistency (missing table, out-of-range extent,
     * non-monotone runs). */
-  private def sampleExtents(b: Array[Byte], ss: Int,
-      se: Int): Option[Vector[(Int, Int)]] = {
+  private def sampleExtents(b: Array[Byte], ss: Int, se: Int,
+      maxSamples: Int = MaxFrames): Option[Vector[(Int, Int)]] = {
     // stsz: version/flags, sample_size (0 = per-sample table),
     // sample_count, then sizes
     val (szS, szE) = child(b, ss, se, "stsz").getOrElse(return None)
     if (szS + 12 > szE) return None
     val uniform = be32(b, szS + 4)
     val nSamples = be32(b, szS + 8)
-    if (nSamples <= 0 || nSamples > MaxFrames) return None
+    if (nSamples <= 0 || nSamples > maxSamples) return None
     val n = nSamples.toInt
     val sizes = new Array[Long](n)
     if (uniform != 0) java.util.Arrays.fill(sizes, uniform)
@@ -178,14 +178,14 @@ object Mp4Codec {
       case Some((coS, coE)) =>
         if (coS + 8 > coE) return None
         val nChunks = be32(b, coS + 4)
-        if (nChunks <= 0 || nChunks > MaxFrames ||
+        if (nChunks <= 0 || nChunks > maxSamples ||
             coS + 8 + 4L * nChunks > coE) return None
         Array.tabulate(nChunks.toInt)(i => be32(b, coS + 8 + 4 * i))
       case None =>
         val (coS, coE) = child(b, ss, se, "co64").getOrElse(return None)
         if (coS + 8 > coE) return None
         val nChunks = be32(b, coS + 4)
-        if (nChunks <= 0 || nChunks > MaxFrames ||
+        if (nChunks <= 0 || nChunks > maxSamples ||
             coS + 8 + 8L * nChunks > coE) return None
         Array.tabulate(nChunks.toInt)(i => be64(b, coS + 8 + 8 * i))
     }
@@ -194,7 +194,7 @@ object Mp4Codec {
     val (scS, scE) = child(b, ss, se, "stsc").getOrElse(return None)
     if (scS + 8 > scE) return None
     val nRuns = be32(b, scS + 4)
-    if (nRuns <= 0 || nRuns > MaxFrames ||
+    if (nRuns <= 0 || nRuns > maxSamples ||
         scS + 8 + 12L * nRuns > scE) return None
     val runs = Array.tabulate(nRuns.toInt) { i =>
       (be32(b, scS + 8 + 12 * i), be32(b, scS + 8 + 12 * i + 4))
@@ -215,7 +215,7 @@ object Mp4Codec {
       while (run + 1 < runs.length && runs(run + 1)._1 <= chunk + 1)
         run += 1
       val spc = runs(run)._2
-      if (spc <= 0 || spc > MaxFrames) return None
+      if (spc <= 0 || spc > maxSamples) return None
       var off = chunkOff(chunk)
       var j = 0L
       while (j < spc && sample < n) {
@@ -230,6 +230,22 @@ object Mp4Codec {
     }
     if (sample != n) return None
     Some(out.result())
+  }
+
+  /** The flat-vs-fragmented dispatch shared by the AVC and AAC digest
+    * walks: an stsz with sample_count 0 routes to the fragment walk,
+    * a populated one to the stbl table walk. `maxSamples` is the
+    * track-kind cap (256 video frames; 65536 audio access units —
+    * matching the ADTS walk, so the cross-container collapse holds at
+    * real stream lengths). */
+  private def trackExtents(b: Array[Byte], ss: Int, se: Int, ts: Int,
+      te: Int, maxSamples: Int): Option[Vector[(Int, Int)]] = {
+    val (szS, szE) = child(b, ss, se, "stsz").getOrElse(return None)
+    if (szS + 12 > szE) return None
+    if (be32(b, szS + 8) == 0)
+      trackId(b, ts, te).flatMap(tid =>
+        fragmentExtents(b, tid, maxSamples))
+    else sampleExtents(b, ss, se, maxSamples)
   }
 
   /** The trak's track_ID from its tkhd (version 0 or 1) — the key the
@@ -260,8 +276,8 @@ object Mp4Codec {
     * precedent). trex-level defaults (mvex) are intentionally not
     * consulted: a stream whose sizes live only in trex is outside the
     * envelope and drops at the gate. */
-  private def fragmentExtents(b: Array[Byte],
-      tid: Long): Option[Vector[(Int, Int)]] = {
+  private def fragmentExtents(b: Array[Byte], tid: Long,
+      maxSamples: Int = MaxFrames): Option[Vector[(Int, Int)]] = {
     val out = Vector.newBuilder[(Int, Int)]
     var total = 0
     // the top level must tile EXACTLY into well-formed boxes: a file
@@ -306,7 +322,7 @@ object Mp4Codec {
             if (tS + 8 > tE) return None
             val trFlags = (be32(b, tS) & 0xffffff).toInt
             val count = be32(b, tS + 4)
-            if (count <= 0 || count > MaxFrames) return None
+            if (count <= 0 || count > maxSamples) return None
             var r = tS + 8
             if ((trFlags & 0x1) != 0) {     // data-offset-present
               if (r + 4 > tE) return None
@@ -332,7 +348,7 @@ object Mp4Codec {
               out += ((off.toInt, sz.toInt))
               off += sz
               total += 1
-              if (total > MaxFrames) return None
+              if (total > maxSamples) return None
               i += 1
             }
           }
@@ -449,14 +465,9 @@ object Mp4Codec {
 
     // flat layout (samples in stbl) vs fragmented (DASH-era: an empty
     // stbl sample-size table, samples carried by top-level moof/traf/
-    // trun runs). An stsz with sample_count 0 dispatches to the
-    // fragment walk; a populated stbl uses the table walk unchanged.
-    val (szS, szE) = child(b, ss, se, "stsz").getOrElse(return None)
-    if (szS + 12 > szE) return None
-    val extents =
-      (if (be32(b, szS + 8) == 0)
-         trackId(b, ts, te).flatMap(tid => fragmentExtents(b, tid))
-       else sampleExtents(b, ss, se)).getOrElse(return None)
+    // trun runs) — the shared dispatch
+    val extents = trackExtents(b, ss, se, ts, te, MaxFrames)
+      .getOrElse(return None)
     val digests = Vector.newBuilder[String]
     extents.foreach { case (off, sz) =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -561,19 +572,12 @@ object Mp4Codec {
       .getOrElse(return None)
     if (dsi._1 != 0x05 || dsi._3 - dsi._2 < 2) return None
 
-    val extents =
-      (if ({
-        val (szS, szE) = child(b, ss, se, "stsz").getOrElse(return None)
-        szS + 12 <= szE && be32(b, szS + 8) == 0
-      }) trackId(b, ts, te).flatMap(tid => fragmentExtents(b, tid))
-       else sampleExtents(b, ss, se)).getOrElse(return None)
-    val digests = Vector.newBuilder[String]
-    extents.foreach { case (off, sz) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(b, off, sz)
-      digests += md.digest().map(x => f"${x & 0xff}%02x").mkString
-    }
-    Some(AacTrack(channels, sampleRate, digests.result()))
+    val extents = trackExtents(b, ss, se, ts, te, 1 << 16)
+      .getOrElse(return None)
+    Some(AacTrack(channels, sampleRate,
+      extents.map { case (off, sz) =>
+        md5Hex(java.util.Arrays.copyOfRange(b, off, off + sz))
+      }))
   }
 
   /** One MPEG-4 descriptor at `at`: (tag, payloadStart, payloadEnd).
@@ -638,11 +642,14 @@ object Mp4Codec {
       if (rdb != 0) return None            // one raw data block per frame
       val hdr = 7 + (if (protAbsent == 0) 2 else 0)
       if (frameLen < hdr + 1 || p + frameLen > b.length) return None
+      // channel_configuration 7 means 8 channels (ISO 14496-3
+      // Table 1.19); 1..6 map directly
+      val nch = if (chanCfg == 7) 8 else chanCfg
       if (n == 0) {
-        profile = prof; rate = AdtsRates(freqIdx); channels = chanCfg
+        profile = prof; rate = AdtsRates(freqIdx); channels = nch
       } else {
         if (prof != profile || AdtsRates(freqIdx) != rate ||
-            chanCfg != channels) return None
+            nch != channels) return None
       }
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(b, p + hdr, frameLen - hdr)
@@ -751,7 +758,7 @@ object Mp4Codec {
     * the digest tier must exhibit (44.1 kHz stereo). */
   def encodeAacM4a(scene: Long, nFrames: Int, chunkSize: Int = 2,
       useCo64: Boolean = false): Array[Byte] = {
-    require(nFrames >= 1 && nFrames <= MaxFrames)
+    require(nFrames >= 1 && nFrames <= (1 << 16))
     val samples = Array.tabulate(nFrames)(k => aacSamplePayload(scene, k))
     assembleMp4(samples,
       audioSampleEntry("mp4a", 2, 44100, aacEsds(freqIdx = 4,

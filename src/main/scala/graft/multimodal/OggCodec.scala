@@ -106,14 +106,15 @@ object OggCodec {
   private val MaxPackets = 1 << 16
   private val MaxStreams = 8
 
-  /** Per-serial reassembly state during the demux walk. */
-  private final class StreamAcc(val serial: Long, val bosOrder: Int) {
+  /** Per-serial reassembly state during the demux walk (BOS order is
+    * the LinkedHashMap's insertion order; the packet cap is the
+    * file-level totalPackets counter). */
+  private final class StreamAcc(val serial: Long) {
     var nextSeq = 1L
     var sawEos = false
     var carry = new java.io.ByteArrayOutputStream()
     var carryOpen = false
     val packets = Vector.newBuilder[Array[Byte]]
-    var nPackets = 0
   }
 
   def decodeOggDigest(b: Array[Byte]): Option[OggStream] =
@@ -157,28 +158,35 @@ object OggCodec {
         return None
 
       val st = if (bos) {
-        // a BOS after the link's data pages is legal ONLY as a chain
-        // boundary (RFC 3533 sequential multiplexing): every stream
-        // of the current link must be complete, then a fresh link
-        // opens with its own BOS section (serials may repeat)
-        if (!bosSection) {
+        // a BOS page starts the NEXT LINK (RFC 3533 sequential
+        // multiplexing) exactly when every stream of the current link
+        // is already complete — including the degenerate single-page
+        // link whose BOS carries EOS, which never leaves its BOS
+        // section; otherwise it must sit in the current link's BOS
+        // section as a grouped sibling, and a BOS with any stream
+        // still open past that section fails
+        val allClosed = !streams.isEmpty && {
           val it0 = streams.values().iterator()
+          var ok = true
           while (it0.hasNext) {
             val s = it0.next()
-            if (!s.sawEos || s.carryOpen) return None
+            if (!s.sawEos || s.carryOpen) ok = false
           }
+          ok
+        }
+        if (allClosed) {
           links += streams
           streams = new java.util.LinkedHashMap[Long, StreamAcc]()
           bosSection = true
           nLinks += 1
           if (nLinks > MaxLinks) return None
-        }
+        } else if (!bosSection) return None
         // within a link's BOS section: a serial may begin only once,
         // and the first page is seq 0
         if (streams.containsKey(pageSerial) ||
             seq != 0 || cont) return None
         if (streams.size >= MaxStreams) return None
-        val s = new StreamAcc(pageSerial, streams.size)
+        val s = new StreamAcc(pageSerial)
         streams.put(pageSerial, s)
         s
       } else {
@@ -205,7 +213,6 @@ object OggCodec {
           st.packets += st.carry.toByteArray
           st.carry = new java.io.ByteArrayOutputStream()
           st.carryOpen = false
-          st.nPackets += 1
           totalPackets += 1
           if (totalPackets > MaxPackets) return None
         } else st.carryOpen = true
@@ -233,7 +240,13 @@ object OggCodec {
       while (it.hasNext) {
         val st = it.next()
         if (!st.sawEos || st.carryOpen) return None
-        if (linkAudio.isEmpty) linkAudio = identify(st)
+        val decoded = identify(st)
+        // a stream whose first packet CLAIMS an audio ident (the
+        // vorbis/OpusHead magic) but fails validation is a MALFORMED
+        // audio stream, not a tolerated non-audio sibling — it
+        // poisons the whole file at the gate
+        if (decoded.isEmpty && looksAudio(st)) return None
+        if (linkAudio.isEmpty) linkAudio = decoded
       }
       val la = linkAudio.getOrElse(return None)
       if (head.isEmpty) head = Some(la)
@@ -241,6 +254,20 @@ object OggCodec {
       digests ++= la.packetDigests
     }
     head.map(h => h.copy(packetDigests = digests.result()))
+  }
+
+  /** Whether a reassembled stream's first packet carries an audio
+    * ident MAGIC (regardless of whether the rest validates) — the
+    * malformed-vs-foreign discriminator for the strictness gate. */
+  private def looksAudio(st: StreamAcc): Boolean = {
+    val all = st.packets.result()
+    all.nonEmpty && {
+      val id = all(0)
+      (id.length >= 7 && u8(id, 0) == 1 &&
+        new String(id, 1, 6, "US-ASCII") == "vorbis") ||
+      (id.length >= 8 &&
+        new String(id, 0, 8, "US-ASCII") == "OpusHead")
+    }
   }
 
   /** Codec identification + header/content split for one reassembled

@@ -197,29 +197,34 @@ object MultimodalFrameOps extends QueryModule {
           // collapse onto the %200 primary. The %800 truncated copy
           // (moov cut away) must digest to None.
           if (id % 200 == 0) {
+            // sample count from id/200 — a knob coprime to the
+            // planting modulus ((id%4)+3 is constant 3 for multiples
+            // of 200), so the AVC corpus carries varying clip lengths
+            // and >2-fragment walks
+            val fa = ((id / 200) % 4).toInt + 3
             put(s"asset_${id + 7 * Planting.Offset}.mp4",
-              graft.multimodal.Mp4Codec.encodeAvcMp4(id, f, 64, 64,
+              graft.multimodal.Mp4Codec.encodeAvcMp4(id, fa, 64, 64,
                 chunkSize = 2, lengthSize = 4))
             if (id % 400 == 0) {
               put(s"asset_${id + 8 * Planting.Offset}.mp4",
-                graft.multimodal.Mp4Codec.encodeAvcMp4(id, f, 64, 64,
+                graft.multimodal.Mp4Codec.encodeAvcMp4(id, fa, 64, 64,
                   chunkSize = 3, lengthSize = 2, useCo64 = true))
               // the DASH-era RE-FRAGMENTED twin: identical NAL bytes
               // behind moof/traf/trun runs and largesize mdat headers
               put(s"asset_${id + 10 * Planting.Offset}.mp4",
                 graft.multimodal.Mp4Codec.encodeAvcFragmentedMp4(
-                  id, f, 64, 64, samplesPerFrag = 2,
+                  id, fa, 64, 64, samplesPerFrag = 2,
                   largesizeMdat = true))
             }
             if (id % 800 == 0) {
               val full = graft.multimodal.Mp4Codec.encodeAvcMp4(
-                id, f, 64, 64, chunkSize = 2, lengthSize = 4)
+                id, fa, 64, 64, chunkSize = 2, lengthSize = 4)
               put(s"asset_${id + 9 * Planting.Offset}.mp4",
                 full.take(full.length / 2))
               // truncated MID-FRAGMENT (not at a fragment boundary):
               // the strict top-level tiling must drop it whole
               val ffull = graft.multimodal.Mp4Codec
-                .encodeAvcFragmentedMp4(id, f, 64, 64,
+                .encodeAvcFragmentedMp4(id, fa, 64, 64,
                   samplesPerFrag = 2)
               put(s"asset_${id + 11 * Planting.Offset}.mp4",
                 ffull.take(ffull.length - 30))
@@ -479,7 +484,8 @@ object MultimodalFrameOps extends QueryModule {
                       CAST(t.k AS VARCHAR) || ':' ||
                       md5('n' || CAST(a.scene AS VARCHAR) || '_' ||
                           CAST(t.k AS VARCHAR))) AS dig
-           FROM avc a, range(6) t(k) WHERE t.k < (a.scene % 4) + 3),
+           FROM avc a, range(7) t(k)
+           WHERE t.k < ((a.scene // 200) % 4) + 3),
          clip AS (
            SELECT asset_id, count(*) AS n_samples,
                   md5(string_agg(dig, '' ORDER BY k)) AS clip_fp

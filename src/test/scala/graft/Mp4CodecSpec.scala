@@ -230,6 +230,15 @@ class Mp4CodecSpec extends AnyFunSuite {
     // a multi-RDB ADTS frame is outside the envelope
     val rdb = adts.clone(); rdb(6) = (rdb(6) | 1).toByte
     assert(Mp4Codec.decodeAdtsDigest(rdb).isEmpty)
+    // the audio cap is the AUDIO-scale 65536, not the 256-frame video
+    // cap: a real-length stream (>256 units) must collapse across
+    // containers too
+    val long4a = Mp4Codec.encodeAacM4a(9L, 300)
+    val longAdts = Mp4Codec.encodeAacAdts(9L, 300)
+    val dl = Mp4Codec.decodeM4aDigest(long4a)
+    assert(dl.exists(_.sampleDigests.length == 300))
+    assert(dl.get.fingerprint ===
+      Mp4Codec.decodeAdtsDigest(longAdts).get.fingerprint)
   }
 
   test("AVC digest tier: the contract boundary holds both ways") {

@@ -195,6 +195,111 @@ class OggCodecSpec extends AnyFunSuite {
     }
   }
 
+  // a raw page builder for shapes the fixture encoder never emits
+  private def rawPage(serial: Long, seq: Long, flags: Int,
+      packets: Seq[Array[Byte]]): Array[Byte] = {
+    require(packets.forall(_.length < 255))
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("OggS".getBytes("US-ASCII"))
+    o.write(0); o.write(flags)
+    for (_ <- 0 until 8) o.write(0)        // granule
+    def le(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    le(serial); le(seq); le(0)
+    o.write(packets.length)
+    packets.foreach(p => o.write(p.length))
+    packets.foreach(p => o.write(p, 0, p.length))
+    val page = o.toByteArray
+    val c = OggCodec.crc(page, 0, page.length)
+    page(22) = (c & 0xff).toByte
+    page(23) = ((c >> 8) & 0xff).toByte
+    page(24) = ((c >> 16) & 0xff).toByte
+    page(25) = ((c >>> 24) & 0xff).toByte
+    page
+  }
+
+  private def vorbisIdent(channels: Int, rate: Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(1); o.write("vorbis".getBytes("US-ASCII"))
+    def le(v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >>> 24) & 0xff)
+    }
+    le(0); o.write(channels); le(rate)
+    le(0); le(rate * 16); le(0)
+    o.write(0xb8); o.write(1)
+    o.toByteArray
+  }
+
+  test("a single-page link (BOS|EOS together) chains correctly " +
+      "instead of masquerading as a grouped sibling") {
+    // link 1: ONE page carrying ident+comment+setup+audio with both
+    // BOS and EOS set — it never leaves its BOS section
+    val au = "solo-audio-packet".getBytes("US-ASCII")
+    val link1 = rawPage(7L, 0L, 2 | 4, Seq(
+      vorbisIdent(1, 8000),
+      (3.toByte +: "vorbis".getBytes("US-ASCII")) ++
+        "c".getBytes :+ 1.toByte,
+      (5.toByte +: "vorbis".getBytes("US-ASCII")) ++
+        "s".getBytes :+ 1.toByte,
+      au))
+    assert(OggCodec.decodeOggDigest(link1)
+      .exists(_.packetDigests == Vector(Mp4Codec.md5Hex(au))))
+    // link 2 appended: the digest must CONCATENATE both links
+    val link2 = OggCodec.encodeOgg(11L, 2)
+    val d2 = OggCodec.decodeOggDigest(link2).get
+    val chained = OggCodec.decodeOggDigest(link1 ++ link2).get
+    assert(chained.packetDigests ===
+      Mp4Codec.md5Hex(au) +: d2.packetDigests)
+  }
+
+  test("a malformed audio ident in a grouped file poisons the whole " +
+      "file instead of falling through to a sibling stream") {
+    // interleave two AUDIO streams: opus (serial A) + vorbis (serial
+    // B), BOS pages first
+    def pages(x: Array[Byte]): Seq[Array[Byte]] = {
+      val out = Seq.newBuilder[Array[Byte]]
+      var p = 0
+      while (p < x.length) {
+        val nSegs = x(p + 26) & 0xff
+        var bodyLen = 0
+        var i = 0
+        while (i < nSegs) { bodyLen += x(p + 27 + i) & 0xff; i += 1 }
+        val end = p + 27 + nSegs + bodyLen
+        out += java.util.Arrays.copyOfRange(x, p, end)
+        p = end
+      }
+      out.result()
+    }
+    val a = pages(OggCodec.encodeOpus(1L, 2))
+    val b = pages(OggCodec.encodeOgg(2L, 2))
+    val mux = new java.io.ByteArrayOutputStream()
+    mux.write(a.head); mux.write(b.head)
+    val ia = a.tail.iterator; val ib = b.tail.iterator
+    while (ia.hasNext || ib.hasNext) {
+      if (ia.hasNext) mux.write(ia.next())
+      if (ib.hasNext) mux.write(ib.next())
+    }
+    val good = mux.toByteArray
+    // uncorrupted: the FIRST audio stream in BOS order (opus) wins
+    val d = OggCodec.decodeOggDigest(good).get
+    assert(d.codec === "opus")
+    // corrupt the opus ident's version byte (page 0 payload offset 8,
+    // page body starts at 28) and re-CRC: the file must drop WHOLE —
+    // not silently digest the vorbis sibling
+    val m = good.clone()
+    m(28 + 8) = 0x11
+    val pageEnd = 28 + (m(27) & 0xff)
+    val c = OggCodec.crc(m, 0, pageEnd, zeroAt = 22)
+    m(22) = (c & 0xff).toByte
+    m(23) = ((c >> 8) & 0xff).toByte
+    m(24) = ((c >> 16) & 0xff).toByte
+    m(25) = ((c >>> 24) & 0xff).toByte
+    assert(OggCodec.decodeOggDigest(m).isEmpty)
+  }
+
   test("strict grammar: CRC damage, lost pages, truncation, and " +
       "trailing bytes reject") {
     val good = OggCodec.encodeOgg(5L, 3)
