@@ -627,8 +627,8 @@ object Multimodal {
   }
 
   /** The AAC digest tier over a media corpus — the documented
-    * no-PCM-synthesis contract of [[Mp4Codec.decodeM4aDigest]] /
-    * [[Mp4Codec.decodeAdtsDigest]]: one distributed projection walks
+    * no-PCM-synthesis contract of [[AacCodec.decodeM4aDigest]] /
+    * [[AacCodec.decodeAdtsDigest]]: one distributed projection walks
     * either container form (M4A sample tables or ADTS frame tiling)
     * down to the SAME raw access units and digests them, so a `.aac`
     * re-wrap of a `.m4a` — the dominant cross-container audio
@@ -639,8 +639,8 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        Mp4Codec.decodeM4aDigest(a.payload)
-          .orElse(Mp4Codec.decodeAdtsDigest(a.payload)).map { t =>
+        AacCodec.decodeM4aDigest(a.payload)
+          .orElse(AacCodec.decodeAdtsDigest(a.payload)).map { t =>
             (a.asset_id, t.sampleDigests.length.toLong,
               t.sampleRate.toLong, t.channels.toLong, t.fingerprint)
           }

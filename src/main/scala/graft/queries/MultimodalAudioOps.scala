@@ -100,7 +100,7 @@ object MultimodalAudioOps extends QueryModule {
     *   +19·Offset (id%1700): a truncated Opus copy (EOS page cut) —
     *                        digest MUST be None; never surfaces;
     *   +20·Offset (id%375): AAC-in-MP4 (.m4a) — the audio-container
-    *                        digest tier ([[graft.multimodal.Mp4Codec
+    *                        digest tier ([[graft.multimodal.AacCodec
     *                        .decodeM4aDigest]]: soun/mp4a sample-table
     *                        walk, esds chain, raw access units
     *                        digested). Surfaces via mm_m4a_exact;
@@ -277,17 +277,17 @@ object MultimodalAudioOps extends QueryModule {
           if (id % 375 == 0) {
             val nu = ((id / 375) % 4).toInt + 2
             put(s"asset_${id + 20 * Planting.Offset}.m4a",
-              graft.multimodal.Mp4Codec.encodeAacM4a(id, nu,
+              graft.multimodal.AacCodec.encodeAacM4a(id, nu,
                 chunkSize = 2))
             if (id % 750 == 0) {
               put(s"asset_${id + 21 * Planting.Offset}.m4a",
-                graft.multimodal.Mp4Codec.encodeAacM4a(id, nu,
+                graft.multimodal.AacCodec.encodeAacM4a(id, nu,
                   chunkSize = 3, useCo64 = true))
               put(s"asset_${id + 22 * Planting.Offset}.aac",
-                graft.multimodal.Mp4Codec.encodeAacAdts(id, nu))
+                graft.multimodal.AacCodec.encodeAacAdts(id, nu))
             }
             if (id % 1500 == 0) {
-              val full = graft.multimodal.Mp4Codec.encodeAacM4a(id, nu)
+              val full = graft.multimodal.AacCodec.encodeAacM4a(id, nu)
               put(s"asset_${id + 23 * Planting.Offset}.m4a",
                 full.take(full.length / 2))
             }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{Mp4Codec, Multimodal, PixelCodec}
+import graft.multimodal.{AacCodec, Mp4Codec, Multimodal, PixelCodec}
 import graft.multimodal.PixelCodec.Gray
 
 /** The MJPEG-in-MP4 tier: box-tree walk to the video track, sample-
@@ -177,14 +177,14 @@ class Mp4CodecSpec extends AnyFunSuite {
 
   test("AAC digest tier: m4a re-mux and ADTS re-wrap fingerprint " +
       "onto the m4a primary; strictness holds") {
-    val m4a = Mp4Codec.encodeAacM4a(60L, 4, chunkSize = 2)
-    val remux = Mp4Codec.encodeAacM4a(60L, 4, chunkSize = 3,
+    val m4a = AacCodec.encodeAacM4a(60L, 4, chunkSize = 2)
+    val remux = AacCodec.encodeAacM4a(60L, 4, chunkSize = 3,
       useCo64 = true)
-    val adts = Mp4Codec.encodeAacAdts(60L, 4)
+    val adts = AacCodec.encodeAacAdts(60L, 4)
     assert(!m4a.sameElements(remux))
-    val dm = Mp4Codec.decodeM4aDigest(m4a).get
-    val dr = Mp4Codec.decodeM4aDigest(remux).get
-    val da = Mp4Codec.decodeAdtsDigest(adts).get
+    val dm = AacCodec.decodeM4aDigest(m4a).get
+    val dr = AacCodec.decodeM4aDigest(remux).get
+    val da = AacCodec.decodeAdtsDigest(adts).get
     assert(dm.channels === 2 && dm.sampleRate === 44100)
     assert(da.channels === 2 && da.sampleRate === 44100)
     assert(dm.sampleDigests.length === 4)
@@ -196,49 +196,49 @@ class Mp4CodecSpec extends AnyFunSuite {
     assert(dm.sampleDigests(1) === Mp4Codec.md5Hex(
       (head + "." * (200 - head.length)).getBytes("US-ASCII")))
     // different content → different fingerprint
-    assert(Mp4Codec.decodeM4aDigest(
-      Mp4Codec.encodeAacM4a(61L, 4)).get.fingerprint !== dm.fingerprint)
+    assert(AacCodec.decodeM4aDigest(
+      AacCodec.encodeAacM4a(61L, 4)).get.fingerprint !== dm.fingerprint)
     // contract boundaries: the AAC walk rejects video containers and
     // vice versa
-    assert(Mp4Codec.decodeM4aDigest(
+    assert(AacCodec.decodeM4aDigest(
       Mp4Codec.encodeAvcMp4(60L, 3, 64, 64)).isEmpty)
     assert(Mp4Codec.decodeAvcDigest(m4a).isEmpty)
-    assert(Mp4Codec.decodeAdtsDigest(m4a).isEmpty)
+    assert(AacCodec.decodeAdtsDigest(m4a).isEmpty)
     // m4a truncation at every byte (moov last) → None
     for (n <- 0 until m4a.length)
-      assert(Mp4Codec.decodeM4aDigest(m4a.take(n)).isEmpty, s"@$n")
+      assert(AacCodec.decodeM4aDigest(m4a.take(n)).isEmpty, s"@$n")
     // ADTS: frame-boundary cuts are legal shorter streams; all other
     // cuts reject (the MP3 tiling discipline)
     val flen = adts.length / 4
     var n = 0
     while (n < adts.length) {
-      val r = Mp4Codec.decodeAdtsDigest(adts.take(n))
+      val r = AacCodec.decodeAdtsDigest(adts.take(n))
       if (n > 0 && n % flen == 0)
         assert(r.exists(_.sampleDigests.length == n / flen), s"@$n")
       else assert(r.isEmpty, s"@$n")
       n += 1
     }
     // trailing slack and a corrupted esds objectTypeIndication reject
-    assert(Mp4Codec.decodeAdtsDigest(adts ++ "x".getBytes).isEmpty)
+    assert(AacCodec.decodeAdtsDigest(adts ++ "x".getBytes).isEmpty)
     val esdsAt = m4a.indexOfSlice("esds".getBytes("US-ASCII"))
     // ver/flags(4) then ES tag(1) size(1) ES_ID(2) flags(1) then
     // DecoderConfig tag(1) size(1) objectTypeIndication
     val otiAt = esdsAt + 4 + 4 + 2 + 2 + 1 + 2
     assert((m4a(otiAt) & 0xff) === 0x40)
-    assert(Mp4Codec.decodeM4aDigest(
+    assert(AacCodec.decodeM4aDigest(
       m4a.updated(otiAt, 0x21.toByte)).isEmpty)
     // a multi-RDB ADTS frame is outside the envelope
     val rdb = adts.clone(); rdb(6) = (rdb(6) | 1).toByte
-    assert(Mp4Codec.decodeAdtsDigest(rdb).isEmpty)
+    assert(AacCodec.decodeAdtsDigest(rdb).isEmpty)
     // the audio cap is the AUDIO-scale 65536, not the 256-frame video
     // cap: a real-length stream (>256 units) must collapse across
     // containers too
-    val long4a = Mp4Codec.encodeAacM4a(9L, 300)
-    val longAdts = Mp4Codec.encodeAacAdts(9L, 300)
-    val dl = Mp4Codec.decodeM4aDigest(long4a)
+    val long4a = AacCodec.encodeAacM4a(9L, 300)
+    val longAdts = AacCodec.encodeAacAdts(9L, 300)
+    val dl = AacCodec.decodeM4aDigest(long4a)
     assert(dl.exists(_.sampleDigests.length == 300))
     assert(dl.get.fingerprint ===
-      Mp4Codec.decodeAdtsDigest(longAdts).get.fingerprint)
+      AacCodec.decodeAdtsDigest(longAdts).get.fingerprint)
   }
 
   test("AVC digest tier: the contract boundary holds both ways") {
