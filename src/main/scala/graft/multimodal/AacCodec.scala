@@ -129,9 +129,17 @@ object AacCodec {
     * data block per frame, frame length covering its own header),
     * constant profile/rate/channels across the stream, digest per
     * frame over the payload AFTER the 7/9-byte header (+CRC) — so an
-    * ADTS re-wrap fingerprints identically to its M4A twin. Decode
-    * never throws; truncation or slack → None (a cut at an exact
-    * frame boundary is a legal shorter stream — the MP3 precedent). */
+    * ADTS re-wrap fingerprints identically to its M4A twin. ID3 tags
+    * — the re-tag duplicate shape standalone `.aac` files carry in
+    * the wild — are handled on the MP3 precedent: a leading ID3v2
+    * header (syncsafe size, optional footer) is skipped ('I' can
+    * never be an 0xFF sync byte, so a tagged stream could never tile
+    * from byte 0), and a trailing 128-byte ID3v1 block is stripped
+    * ONLY when the untrimmed walk fails to tile — a stream whose
+    * final frame happens to contain 'TAG' 128 bytes from EOF stays a
+    * legal frame sequence. Decode never throws; truncation or slack
+    * → None (a cut at an exact frame boundary is a legal shorter
+    * stream — the MP3 precedent). */
   def decodeAdtsDigest(b: Array[Byte]): Option[AacTrack] =
     try decodeAdts0(b)
     catch { case _: RuntimeException => None }
@@ -139,13 +147,41 @@ object AacCodec {
   private def decodeAdts0(b: Array[Byte]): Option[AacTrack] = {
     if (b.length < 7) return None
     var p = 0
+    // leading ID3v2: "ID3" version(2) flags(1) syncsafe-size(4),
+    // optional 10-byte footer when flag 0x10
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      var i = 6
+      var size = 0
+      while (i < 10) {
+        if ((u8(b, i) & 0x80) != 0) return None // not syncsafe
+        size = (size << 7) | u8(b, i)
+        i += 1
+      }
+      p = 10 + size + (if ((u8(b, 5) & 0x10) != 0) 10 else 0)
+      if (p >= b.length) return None
+    }
+    // the strict walk runs untrimmed first; the ID3v1 trailer is only
+    // stripped as the retry when the untrimmed stream fails to tile
+    adtsWalk(b, p, b.length).orElse {
+      val end = b.length
+      if (end - p >= 128 && b(end - 128) == 'T' &&
+          b(end - 127) == 'A' && b(end - 126) == 'G')
+        adtsWalk(b, p, end - 128)
+      else None
+    }
+  }
+
+  /** The strict ADTS frame tiling of [from, end). */
+  private def adtsWalk(b: Array[Byte], from: Int,
+      end: Int): Option[AacTrack] = {
+    var p = from
     var channels = 0
     var rate = 0
     var profile = -1
     val digests = Vector.newBuilder[String]
     var n = 0
-    while (p < b.length) {
-      if (p + 7 > b.length) return None
+    while (p < end) {
+      if (p + 7 > end) return None
       if (u8(b, p) != 0xff || (u8(b, p + 1) & 0xf6) != 0xf0) return None
       val protAbsent = u8(b, p + 1) & 1
       val prof = (u8(b, p + 2) >> 6) & 3
@@ -158,7 +194,7 @@ object AacCodec {
       val rdb = u8(b, p + 6) & 3
       if (rdb != 0) return None            // one raw data block per frame
       val hdr = 7 + (if (protAbsent == 0) 2 else 0)
-      if (frameLen < hdr + 1 || p + frameLen > b.length) return None
+      if (frameLen < hdr + 1 || p + frameLen > end) return None
       // channel_configuration 7 means 8 channels (ISO 14496-3
       // Table 1.19); 1..6 map directly
       val nch = if (chanCfg == 7) 8 else chanCfg
@@ -242,10 +278,23 @@ object AacCodec {
   /** Encode the SAME access units behind 7-byte ADTS headers (the
     * `.aac` file form): profile AAC-LC, 44.1 kHz, stereo, one raw
     * data block per frame — byte-distinct from the M4A, identical
-    * fingerprint. */
-  def encodeAacAdts(scene: Long, nFrames: Int): Array[Byte] = {
+    * fingerprint. `id3v2`/`id3v1` wrap the stream in deterministic
+    * ID3 tags (the re-tagged `.aac` duplicate shape) — metadata the
+    * fingerprint must ignore. */
+  def encodeAacAdts(scene: Long, nFrames: Int,
+      id3v2: Boolean = false, id3v1: Boolean = false): Array[Byte] = {
     require(nFrames >= 1)
     val out = new java.io.ByteArrayOutputStream()
+    if (id3v2) {
+      val content = (s"AACv2-for-$scene " + "=" * 21)
+        .getBytes("US-ASCII").take(32)
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0)   // v2.3, no flags
+      out.write(0); out.write(0)                 // syncsafe size
+      out.write((content.length >> 7) & 0x7f)
+      out.write(content.length & 0x7f)
+      out.write(content)
+    }
     var k = 0
     while (k < nFrames) {
       val au = aacSamplePayload(scene, k)
@@ -258,6 +307,12 @@ object AacCodec {
       out.write(0xfc)                      // fullness low, 0 RDBs
       out.write(au)
       k += 1
+    }
+    if (id3v1) {
+      val tag = new Array[Byte](128)
+      val txt = s"TAGretagged-aac-of-$scene".getBytes("US-ASCII")
+      System.arraycopy(txt, 0, tag, 0, math.min(txt.length, 128))
+      out.write(tag)
     }
     out.toByteArray
   }

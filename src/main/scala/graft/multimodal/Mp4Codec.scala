@@ -248,6 +248,20 @@ object Mp4Codec {
     else sampleExtents(b, ss, se, maxSamples)
   }
 
+  /** The `moov/mvex/trex` default_sample_size for track `tid`
+    * (0 = none): the DASH init-segment home for sample defaults.
+    * trex payload (after the fullBox version/flags): track_ID,
+    * default_sample_description_index, default_sample_duration,
+    * default_sample_size, default_sample_flags — 4 bytes each. */
+  private def trexDefaultSize(b: Array[Byte], tid: Long): Long =
+    (for {
+      (ms, me) <- child(b, 0, b.length, "moov")
+      (xs, xe) <- child(b, ms, me, "mvex")
+    } yield children(b, xs, xe, "trex").collectFirst {
+      case (ts, te) if te - ts >= 24 && be32(b, ts + 4) == tid =>
+        be32(b, ts + 16)
+    }.getOrElse(0L)).getOrElse(0L)
+
   /** The trak's track_ID from its tkhd (version 0 or 1) — the key the
     * fragment walk matches traf headers against. */
   private def trackId(b: Array[Byte], ts: Int, te: Int): Option[Long] = {
@@ -273,11 +287,14 @@ object Mp4Codec {
     * None, never a partial sample list. A file cut exactly at a
     * fragment boundary is structurally complete and parses with that
     * many fragments (the MP3 frame-boundary / WARC record-boundary
-    * precedent). trex-level defaults (mvex) are intentionally not
-    * consulted: a stream whose sizes live only in trex is outside the
-    * envelope and drops at the gate. */
+    * precedent). Sample sizes resolve trun per-sample table → tfhd
+    * default-sample-size → the `mvex/trex` default (the DASH
+    * init-segment layout, ISO 14496-12 §8.8.3: uniform-size streams
+    * routinely put default_sample_size in trex and omit it from both
+    * tfhd and trun); sizes present NOWHERE still drop the clip. */
   private def fragmentExtents(b: Array[Byte], tid: Long,
       maxSamples: Int = MaxFrames): Option[Vector[(Int, Int)]] = {
+    val trexSize = trexDefaultSize(b, tid)
     val out = Vector.newBuilder[(Int, Int)]
     var total = 0
     // the top level must tile EXACTLY into well-formed boxes: a file
@@ -313,6 +330,9 @@ object Mp4Codec {
             defSize = be32(b, q); q += 4
           }
           if (q > hE) return None
+          // tfhd overrides trex; trex fills the gap (§8.8.3's
+          // precedence order)
+          if (defSize < 0 && trexSize > 0) defSize = trexSize
           if (base < 0) {
             if ((tfFlags & 0x20000) == 0) return None // no anchor
             base = moofStart                // default-base-is-moof
@@ -608,10 +628,14 @@ object Mp4Codec {
     * bytes are byte-identical to [[encodeAvcMp4]]'s, so the clip
     * fingerprint must not move. `largesizeMdat` emits every mdat with
     * the 64-bit `largesize` header form — the top-level walk must
-    * step over it. */
+    * step over it. `trexSizeDefaults` emits the DASH init-segment
+    * layout: trex carries default_sample_size (the uniform non-first
+    * sample length) and every all-uniform trun OMITS its per-sample
+    * size table — the walk must resolve those sizes from trex. */
   def encodeAvcFragmentedMp4(scene: Long, nFrames: Int, w: Int, h: Int,
       samplesPerFrag: Int = 2, lengthSize: Int = 4,
-      largesizeMdat: Boolean = false): Array[Byte] = {
+      largesizeMdat: Boolean = false,
+      trexSizeDefaults: Boolean = false): Array[Byte] = {
     require(samplesPerFrag >= 1)
     val (samples, entry) =
       avcSamplesAndEntry(scene, nFrames, w, h, lengthSize)
@@ -619,6 +643,10 @@ object Mp4Codec {
     val timescale = 600
     val delta = 40
     val dur = n * delta
+    // samples 1.. share one length (single-digit k, IDR-only); sample
+    // 0 is longer (the SEI NAL) — so fragment 0 keeps per-sample
+    // sizes while later fragments exercise the trex default for real
+    val trexSz = if (trexSizeDefaults) samples(n - 1).length else 0
 
     // empty-but-present sample tables: the fragmented dispatch key
     val stsd = fullBox("stsd", be32b(1) ++ entry)
@@ -629,7 +657,8 @@ object Mp4Codec {
     val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
     val moov = moovAround(stbl, w, h, timescale, dur,
       extra = box("mvex", fullBox("trex",
-        be32b(1) ++ be32b(1) ++ be32b(delta) ++ be32b(0) ++ be32b(0))))
+        be32b(1) ++ be32b(1) ++ be32b(delta) ++ be32b(trexSz) ++
+          be32b(0))))
     val ftyp = box("ftyp",
       "iso5".getBytes("US-ASCII") ++ be32b(0x200) ++
         "iso5iso6".getBytes("US-ASCII"))
@@ -649,13 +678,18 @@ object Mp4Codec {
         t(8 + 1) = 0x02                    // 0x020000
         t
       }
-      // trun: data-offset + per-sample sizes (flags 0x000201)
+      // trun: data-offset always; per-sample sizes only when the
+      // group is non-uniform or trex defaults are off (flags
+      // 0x000201 vs the trex-backed 0x000001)
+      val uniform = trexSz > 0 && group.forall(_.length == trexSz)
       val trunPayload = be32b(group.length) ++ be32b(0) ++
-        group.flatMap(g => be32b(g.length))
+        (if (uniform) Array.emptyByteArray
+         else group.flatMap(g => be32b(g.length)))
       val trun = {
         val t = fullBox("trun", trunPayload)
         t(8 + 3) = 0x01                    // flags low byte: data-offset
-        t(8 + 2) = 0x02                    // flags mid byte: sample-size
+        if (!uniform)
+          t(8 + 2) = 0x02                  // flags mid byte: sample-size
         t
       }
       val traf = box("traf", tfhdAnchored ++ trun)

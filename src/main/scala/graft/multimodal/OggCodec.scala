@@ -38,9 +38,16 @@ package graft.multimodal
   * reassembly later.
   *
   * CHAINED files (RFC 3533 sequential multiplexing — the icecast/
-  * radio-dump shape) are accepted: after every stream of a link has
-  * reached end-of-stream, a new BOS section may open the next link
-  * (serials may repeat across links). The digest view concatenates
+  * radio-dump shape) are accepted: after a data page has closed a
+  * link's BOS section and every stream of the link has reached
+  * end-of-stream, a new BOS section may open the next link (serials
+  * may repeat across links). A BOS page arriving while the file is
+  * still inside a link's OPENING BOS section is a grouped sibling,
+  * never a chain boundary — the skeleton shape (a single-page
+  * BOS+EOS metadata stream preceding the audio BOS) reads as a
+  * grouped file, which also resolves the grammar's one true
+  * ambiguity (a complete single-page stream followed by another
+  * BOS) toward the grouped reading. The digest view concatenates
   * the links' audio packets in order — the file's content identity —
   * so a re-paginated chained copy collapses while a single-link
   * prefix stays a distinct stream; every link must carry an audio
@@ -159,28 +166,30 @@ object OggCodec {
 
       val st = if (bos) {
         // a BOS page starts the NEXT LINK (RFC 3533 sequential
-        // multiplexing) exactly when every stream of the current link
-        // is already complete — including the degenerate single-page
-        // link whose BOS carries EOS, which never leaves its BOS
-        // section; otherwise it must sit in the current link's BOS
-        // section as a grouped sibling, and a BOS with any stream
-        // still open past that section fails
-        val allClosed = !streams.isEmpty && {
+        // multiplexing) exactly when a data page has already closed
+        // the current link's BOS section AND every stream of the
+        // link is complete. While the file is still inside a link's
+        // OPENING BOS section, an incoming BOS page is a grouped
+        // sibling — even when every earlier stream is already closed
+        // (the skeleton shape: a single-page BOS+EOS metadata stream
+        // may legally precede the audio stream's BOS, and reading it
+        // as a completed chain link would reject the whole file).
+        // That rule also resolves the grammar's one true ambiguity —
+        // a complete single-page stream followed by another BOS —
+        // toward the grouped reading. A BOS page arriving past the
+        // BOS section with any stream still open fails.
+        if (!bosSection) {
           val it0 = streams.values().iterator()
-          var ok = true
           while (it0.hasNext) {
             val s = it0.next()
-            if (!s.sawEos || s.carryOpen) ok = false
+            if (!s.sawEos || s.carryOpen) return None
           }
-          ok
-        }
-        if (allClosed) {
           links += streams
           streams = new java.util.LinkedHashMap[Long, StreamAcc]()
           bosSection = true
           nLinks += 1
           if (nLinks > MaxLinks) return None
-        } else if (!bosSection) return None
+        }
         // within a link's BOS section: a serial may begin only once,
         // and the first page is seq 0
         if (streams.containsKey(pageSerial) ||

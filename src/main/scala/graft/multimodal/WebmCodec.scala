@@ -6,8 +6,10 @@ package graft.multimodal
   * documented DIGEST contract as [[Mp4Codec.decodeAvcDigest]]: coded
   * frames are NOT pixel-decoded (no VP8/VP9/AV1 inter decode is
   * attempted or implied). The tier walks the REAL EBML grammar —
-  * vint-coded element IDs and sizes (unknown-size elements reject:
-  * an unbounded element defeats strict extents), the EBML header's
+  * vint-coded element IDs and sizes (the all-ones "unknown size"
+  * form is accepted exactly where the Matroska schema allows it:
+  * Segment and Cluster — the browser-MediaRecorder / live-mux shape;
+  * everywhere else it rejects), the EBML header's
   * DocType, the Segment's Tracks (track number/type/CodecID, video
   * dims, audio channels), then every Cluster's SimpleBlocks and
   * BlockGroup Blocks in stream order — and surfaces one CONTENT
@@ -25,13 +27,19 @@ package graft.multimodal
   * stays on the decodable tiers.
   *
   * Strictness: every element's size must land in its parent, the
-  * EBML header must carry a webm/matroska DocType, the Segment must
-  * have a known size reaching exactly end-of-file (trailing bytes
-  * fail; a streaming-era unknown-size segment is outside the
-  * envelope and drops at the gate), block track numbers must parse,
-  * laced blocks reject (lacing re-frames content — outside the
-  * envelope until a fixture family proves it), and a block extent
-  * past the buffer drops the whole file. Decode never throws.
+  * EBML header must carry a webm/matroska DocType, a known-size
+  * Segment must reach exactly end-of-file (trailing bytes fail), an
+  * UNKNOWN-size Segment extends to end-of-file with every byte still
+  * tiling into well-formed elements, an UNKNOWN-size Cluster ends at
+  * the next top-level element ID (RFC 8794 §6.2's next-non-child
+  * rule) and admits only recognized cluster children, block track
+  * numbers must parse and TrackEntry numbers must be unique, laced
+  * frames must tile their block with no size-0 frames, and a block
+  * extent past the buffer drops the whole file. A cut at an exact
+  * element boundary of an unknown-size file is a structurally
+  * complete shorter stream (the MP4 fragment-boundary / MP3
+  * frame-boundary precedent); any other cut fails whole. Decode
+  * never throws.
   */
 object WebmCodec {
 
@@ -61,9 +69,11 @@ object WebmCodec {
   }
 
   /** Read an EBML size vint at `p` (marker stripped): Some(size,
-    * nextOffset). The all-ones "unknown size" pattern returns None —
-    * rejected by the tier contract. */
-  private def readSize(b: Array[Byte], p: Int, end: Int): Option[(Long, Int)] = {
+    * nextOffset), with size -1 for the all-ones "unknown size"
+    * pattern. Only the two elements the Matroska schema marks
+    * unknown-size-allowed (Segment, Cluster) accept it — every other
+    * caller goes through [[readSize]], which rejects it. */
+  private def readSizeU(b: Array[Byte], p: Int, end: Int): Option[(Long, Int)] = {
     if (p >= end) return None
     val first = u8(b, p)
     if (first == 0) return None
@@ -73,9 +83,30 @@ object WebmCodec {
     var i = 1
     while (i < len) { v = (v << 8) | u8(b, p + i); i += 1 }
     // unknown size: all data bits set
-    if (v == (1L << (7 * len)) - 1) return None
-    Some((v, p + len))
+    if (v == (1L << (7 * len)) - 1) Some((-1L, p + len))
+    else Some((v, p + len))
   }
+
+  /** [[readSizeU]] with the unknown-size form rejected — the rule for
+    * every element except Segment and Cluster. */
+  private def readSize(b: Array[Byte], p: Int, end: Int): Option[(Long, Int)] =
+    readSizeU(b, p, end).filter(_._1 >= 0)
+
+  /** The top-level-of-Segment element IDs — the boundary set that
+    * terminates an unknown-size Cluster (the standard parser rule: an
+    * unknown-size element ends where the next element that is not a
+    * valid child begins, RFC 8794 §6.2). */
+  private val TopLevelIds: Set[Long] = Set(
+    0x1F43B675L, 0x1654AE6BL, 0x1549A966L, 0x114D9B74L, 0x1C53BB6BL,
+    0x1043A770L, 0x1254C367L, 0x1941A469L)
+
+  /** The Cluster child IDs the walk recognizes — inside an
+    * UNKNOWN-size Cluster every child must come from this set (an
+    * unrecognized ID is indistinguishable from the cluster's end, so
+    * strictness demands the drop); a KNOWN-size Cluster keeps the
+    * original skip-with-bounds tolerance. */
+  private val ClusterChildIds: Set[Long] = Set(
+    0xE7L, 0xA7L, 0xABL, 0xA3L, 0xA0L, 0xECL, 0xBFL, 0x5854L)
 
   /** Unsigned integer element payload (1..8 bytes). */
   private def uint(b: Array[Byte], from: Int, until: Int): Option[Long] = {
@@ -119,14 +150,19 @@ object WebmCodec {
     }
     if (!docTypeOk) return None
 
-    // Segment: known size reaching exactly end-of-file
+    // Segment: a KNOWN size must reach exactly end-of-file (trailing
+    // bytes / truncation fail); the UNKNOWN-size form — what browser
+    // MediaRecorder and live muxers emit — extends to end-of-file by
+    // definition, and every byte must still parse into well-formed
+    // elements (the loop below enforces exact tiling either way)
     val (sid, ss) = readId(b, hEnd.toInt, b.length).getOrElse(return None)
     if (sid != 0x18538067L) return None
-    val (ssz, sps) = readSize(b, ss, b.length).getOrElse(return None)
-    if (sps + ssz != b.length) return None  // trailing bytes / truncation
+    val (ssz, sps) = readSizeU(b, ss, b.length).getOrElse(return None)
+    if (ssz >= 0 && sps + ssz != b.length) return None
     val segEnd = b.length
 
     val tracks = Seq.newBuilder[Track]
+    val trackNums = scala.collection.mutable.Set.empty[Long]
     var nTracks = 0
     val frames = Vector.newBuilder[(Long, Array[Byte])]
     var nBlocks = 0
@@ -170,12 +206,15 @@ object WebmCodec {
               if (q >= until) return false
               v = u8(b, q); q += 1; sz += v
             }
+            // size-0 laced frames reject uniformly across all three
+            // lacing forms (matching the EBML delta path's rule)
+            if (sz == 0) return false
             sizes(i) = sz
             i += 1
           }
         case 2 =>                           // fixed-size: equal split
           val rest = until - q
-          if (n == 0 || rest % n != 0) return false
+          if (n == 0 || rest == 0 || rest % n != 0) return false
           java.util.Arrays.fill(sizes, rest / n)
         case _ if n == 1 => ()              // no size table for one frame
         case _ =>                           // EBML: vint + signed deltas
@@ -188,7 +227,7 @@ object WebmCodec {
           i = 1
           while (i < l0) { v0 = (v0 << 8) | u8(b, q + i); i += 1 }
           q += l0
-          if (v0 > (1 << 26)) return false
+          if (v0 <= 0 || v0 > (1 << 26)) return false
           sizes(0) = v0.toInt
           var prev = v0
           i = 1
@@ -214,7 +253,7 @@ object WebmCodec {
         i = 0
         while (i < n - 1) { sum += sizes(i); i += 1 }
         val last = (until - q) - sum
-        if (last < 0 || last > (1 << 26)) return false
+        if (last < 1 || last > (1 << 26)) return false
         sizes(n - 1) = last.toInt
       }
       i = 0
@@ -233,9 +272,12 @@ object WebmCodec {
     var q = sps
     while (q < segEnd) {
       val (id, ip) = readId(b, q, segEnd).getOrElse(return None)
-      val (sz, sp) = readSize(b, ip, segEnd).getOrElse(return None)
-      val e = sp + sz
+      val (sz, sp) = readSizeU(b, ip, segEnd).getOrElse(return None)
+      // only Cluster may be unknown-size below the Segment
+      if (sz < 0 && id != 0x1F43B675L) return None
+      val e = sp + math.max(sz, 0L)
       if (e > segEnd) return None
+      q = e.toInt                           // cluster case may override
       id match {
         case 0x1654AE6BL =>                 // Tracks
           var t = sp
@@ -286,37 +328,56 @@ object WebmCodec {
                 u = eEnd
               }
               if (num < 1 || typ < 0 || codec.isEmpty) return None
+              // a duplicated TrackNumber would merge two tracks'
+              // blocks into one digest stream — malformed, drop whole
+              if (!trackNums.add(num)) return None
               tracks += Track(num, typ, codec, w, h, ch)
             }
             t = (tsp + tsz).toInt
           }
         case 0x1F43B675L =>                 // Cluster
+          // a KNOWN size bounds the children, which must tile it
+          // exactly; the UNKNOWN-size form (the MediaRecorder /
+          // live-mux shape) ends where the next TOP-LEVEL element ID
+          // begins — or at end-of-file. Inside an unknown-size
+          // cluster every child must be a RECOGNIZED cluster child:
+          // an unrecognized ID is indistinguishable from the
+          // cluster's end, so strictness drops the file whole.
+          val unknown = sz < 0
+          val bound = if (unknown) segEnd else e.toInt
           var c = sp
-          while (c < e) {
-            val (cid, cip) = readId(b, c, e.toInt).getOrElse(return None)
-            val (csz, csp) = readSize(b, cip, e.toInt).getOrElse(return None)
-            if (csp + csz > e) return None
-            val cEnd = (csp + csz).toInt
-            cid match {
-              case 0xA3L =>                 // SimpleBlock
-                if (!block(csp, cEnd)) return None
-              case 0xA0L =>                 // BlockGroup
-                var g = csp
-                while (g < cEnd) {
-                  val (gid, gip) = readId(b, g, cEnd).getOrElse(return None)
-                  val (gsz, gsp) = readSize(b, gip, cEnd).getOrElse(return None)
-                  if (gsp + gsz > cEnd) return None
-                  if (gid == 0xA1L && !block(gsp, (gsp + gsz).toInt))
-                    return None
-                  g = (gsp + gsz).toInt
-                }
-              case _ => ()                  // Timecode, CRC-32, Void, …
+          var open = true
+          while (open && c < bound) {
+            val (cid, cip) = readId(b, c, bound).getOrElse(return None)
+            if (unknown && TopLevelIds.contains(cid)) open = false
+            else if (unknown && !ClusterChildIds.contains(cid))
+              return None
+            else {
+              val (csz, csp) = readSize(b, cip, bound)
+                .getOrElse(return None)
+              if (csp + csz > bound) return None
+              val cEnd = (csp + csz).toInt
+              cid match {
+                case 0xA3L =>               // SimpleBlock
+                  if (!block(csp, cEnd)) return None
+                case 0xA0L =>               // BlockGroup
+                  var g = csp
+                  while (g < cEnd) {
+                    val (gid, gip) = readId(b, g, cEnd).getOrElse(return None)
+                    val (gsz, gsp) = readSize(b, gip, cEnd).getOrElse(return None)
+                    if (gsp + gsz > cEnd) return None
+                    if (gid == 0xA1L && !block(gsp, (gsp + gsz).toInt))
+                      return None
+                    g = (gsp + gsz).toInt
+                  }
+                case _ => ()                // Timecode, CRC-32, Void, …
+              }
+              c = cEnd
             }
-            c = cEnd
           }
+          q = c
         case _ => ()                        // Info, SeekHead, Cues, …
       }
-      q = e.toInt
     }
 
     val ts = tracks.result()
@@ -366,6 +427,11 @@ object WebmCodec {
   private def el(id: Long, payload: Array[Byte]): Array[Byte] =
     idBytes(id) ++ sizeBytes(payload.length) ++ payload
 
+  /** The unknown-size element form: a 1-byte all-ones size vint — the
+    * shape streaming muxers emit for Segment and Cluster. */
+  private def elU(id: Long, payload: Array[Byte]): Array[Byte] =
+    idBytes(id) ++ Array(0xff.toByte) ++ payload
+
   /** Write a vint of FORCED byte length `n` (the EBML-lacing signed
     * deltas pick their length from the delta's magnitude). */
   private def vint0(o: java.io.ByteArrayOutputStream, v: Long,
@@ -396,13 +462,19 @@ object WebmCodec {
     * A_OPUS TrackEntry instead (the .weba/.mka shape, disjoint
     * "weba"/"x" payload key space); `audioSibling` interleaves a
     * second A_OPUS track's blocks beside the video — the re-muxed-
-    * with-audio duplicate the track filter must ignore. */
+    * with-audio duplicate the track filter must ignore.
+    * `unknownSizeSegment`/`unknownSizeClusters` emit the Segment /
+    * every Cluster with the all-ones unknown-size vint — the
+    * browser-MediaRecorder live-capture shape, byte-distinct framing
+    * over identical frame payloads. */
   def encodeWebm(scene: Long, nFrames: Int, w: Int = 64, h: Int = 64,
       framesPerCluster: Int = 2,
       useBlockGroups: Boolean = false, lacing: Int = 0,
       frameLen: Int = 180, lenStep: Int = 0,
       audioTrack: Boolean = false,
-      audioSibling: Boolean = false): Array[Byte] = {
+      audioSibling: Boolean = false,
+      unknownSizeSegment: Boolean = false,
+      unknownSizeClusters: Boolean = false): Array[Byte] = {
     require(nFrames >= 1 && framesPerCluster >= 1)
     require(lacing >= 0 && lacing <= 3)
     require(lacing != 2 || lenStep == 0,
@@ -503,9 +575,14 @@ object WebmCodec {
         if (lacing == 0)
           ks.toArray.flatMap(k => blockEl(k) ++ sibBlockEl(k))
         else lacedBlockEl(ks) ++ sibBlockEl(ks.head)
-      el(0x1F43B675L, uintEl(0xE7L, ks.head.toLong * 40L) ++ body)
+      val payload = uintEl(0xE7L, ks.head.toLong * 40L) ++ body
+      if (unknownSizeClusters) elU(0x1F43B675L, payload)
+      else el(0x1F43B675L, payload)
     }.toArray.flatten
-    val segment = el(0x18538067L, info ++ tracksEl ++ clusters)
+    val segPayload = info ++ tracksEl ++ clusters
+    val segment =
+      if (unknownSizeSegment) elU(0x18538067L, segPayload)
+      else el(0x18538067L, segPayload)
     ebml ++ segment
   }
 }

@@ -123,7 +123,13 @@ object MultimodalAudioOps extends QueryModule {
     *                        layout: byte-distinct, the same
     *                        fingerprint (%950 implies %475);
     *   +26·Offset (id%1900): a chained copy truncated mid-link-2 —
-    *                        digest MUST be None; never surfaces.
+    *                        digest MUST be None; never surfaces;
+    *   +27·Offset (id%750): the ID3-TAGGED ADTS twin — the SAME
+    *                        units behind ADTS headers wrapped in
+    *                        ID3v2 + ID3v1 tags (the re-tagged `.aac`
+    *                        crawl duplicate; the MP3 walk-first-
+    *                        strip-on-retry precedent): byte-distinct,
+    *                        the same fingerprint as the %375 primary.
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
     * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
@@ -285,6 +291,11 @@ object MultimodalAudioOps extends QueryModule {
                   chunkSize = 3, useCo64 = true))
               put(s"asset_${id + 22 * Planting.Offset}.aac",
                 graft.multimodal.AacCodec.encodeAacAdts(id, nu))
+              // the ID3-TAGGED ADTS twin: identical units, ID3v2 +
+              // ID3v1 wrapping — metadata the digest must ignore
+              put(s"asset_${id + 27 * Planting.Offset}.aac",
+                graft.multimodal.AacCodec.encodeAacAdts(id, nu,
+                  id3v2 = true, id3v1 = true))
             }
             if (id % 1500 == 0) {
               val full = graft.multimodal.AacCodec.encodeAacM4a(id, nu)
@@ -554,11 +565,11 @@ object MultimodalAudioOps extends QueryModule {
     // recomputes every expected AAC stream digest from the planting
     // formula: unit k is "aac:{scene}:{k}:" || md5("c{scene}_{k}")
     // dot-padded to 200 bytes, unit count ((scene // 375) % 4) + 2.
-    // All THREE containers of a scene — the m4a primary, the re-muxed
-    // co64 m4a, and the ADTS .aac — digest the identical raw units
-    // (container framing excluded by contract), so both %750 twins'
-    // canonical_id is the %375 primary; truncated %1500 copies never
-    // appear.
+    // All FOUR containers of a scene — the m4a primary, the re-muxed
+    // co64 m4a, the ADTS .aac, and the ID3-tagged .aac — digest the
+    // identical raw units (container framing and ID3 metadata both
+    // excluded by contract), so all three %750 twins' canonical_id is
+    // the %375 primary; truncated %1500 copies never appear.
     "mm_m4a_exact" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          aac AS (
@@ -567,6 +578,9 @@ object MultimodalAudioOps extends QueryModule {
            UNION ALL SELECT doc_id + 2100000, doc_id FROM d
              WHERE doc_id % 750 = 0
            UNION ALL SELECT doc_id + 2200000, doc_id FROM d
+             WHERE doc_id % 750 = 0
+           -- the ID3-tagged ADTS twin: tags are metadata, same units
+           UNION ALL SELECT doc_id + 2700000, doc_id FROM d
              WHERE doc_id % 750 = 0),
          un AS (
            SELECT a.asset_id, a.scene, t.k,

@@ -141,7 +141,24 @@ object MultimodalFrameOps extends QueryModule {
     *                        video frames re-muxed beside an
     *                        interleaved A_OPUS track whose blocks the
     *                        track filter must ignore: byte-distinct,
-    *                        collapses onto the %250 primary. */
+    *                        collapses onto the %250 primary;
+    *   +20·Offset (id%400): the TREX-DEFAULT fragmented AVC twin —
+    *                        the same NAL content re-fragmented with
+    *                        default_sample_size carried by mvex/trex
+    *                        and the uniform truns' size tables
+    *                        OMITTED (the DASH init-segment layout):
+    *                        byte-distinct, the identical fingerprint;
+    *   +21·Offset (id%500): the UNKNOWN-SIZE-SEGMENT WebM twin — the
+    *                        %250 frames under an all-ones Segment
+    *                        size vint (sized clusters): byte-
+    *                        distinct, the same fingerprint;
+    *   +22·Offset (id%1000): the full MediaRecorder-shape WebM twin —
+    *                        unknown-size Segment AND Clusters (each
+    *                        cluster bounded by the next top-level
+    *                        ID): byte-distinct, the same fingerprint;
+    *   +23·Offset (id%1000): a MediaRecorder-shape copy truncated
+    *                        MID-BLOCK — digest MUST be None; never
+    *                        surfaces. */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -215,6 +232,13 @@ object MultimodalFrameOps extends QueryModule {
                 graft.multimodal.Mp4Codec.encodeAvcFragmentedMp4(
                   id, fa, 64, 64, samplesPerFrag = 2,
                   largesizeMdat = true))
+              // the TREX-DEFAULT twin: the DASH init-segment layout —
+              // default_sample_size in mvex/trex, uniform truns with
+              // their size tables omitted
+              put(s"asset_${id + 20 * Planting.Offset}.mp4",
+                graft.multimodal.Mp4Codec.encodeAvcFragmentedMp4(
+                  id, fa, 64, 64, samplesPerFrag = 2,
+                  trexSizeDefaults = true))
             }
             if (id % 800 == 0) {
               val full = graft.multimodal.Mp4Codec.encodeAvcMp4(
@@ -271,6 +295,27 @@ object MultimodalFrameOps extends QueryModule {
               put(s"asset_${id + 19 * Planting.Offset}.webm",
                 graft.multimodal.WebmCodec.encodeWebm(id, nb,
                   framesPerCluster = 2, audioSibling = true))
+            // the UNKNOWN-SIZE twins (the browser-MediaRecorder /
+            // live-mux shape): an all-ones Segment size vint at %500,
+            // unknown Segment AND Clusters at %1000 — both collapse
+            // onto the %250 primary. The %1000 truncated copy cuts
+            // 40 bytes into the last block's 180-byte payload, so
+            // the known block size overruns and it must never surface
+            if (id % 500 == 0)
+              put(s"asset_${id + 21 * Planting.Offset}.webm",
+                graft.multimodal.WebmCodec.encodeWebm(id, nb,
+                  framesPerCluster = 2, unknownSizeSegment = true))
+            if (id % 1000 == 0) {
+              put(s"asset_${id + 22 * Planting.Offset}.webm",
+                graft.multimodal.WebmCodec.encodeWebm(id, nb,
+                  framesPerCluster = 2, unknownSizeSegment = true,
+                  unknownSizeClusters = true))
+              val ufull = graft.multimodal.WebmCodec.encodeWebm(id, nb,
+                framesPerCluster = 2, unknownSizeSegment = true,
+                unknownSizeClusters = true)
+              put(s"asset_${id + 23 * Planting.Offset}.webm",
+                ufull.take(ufull.length - 40))
+            }
           }
           // the audio-only WebM families (+17/+18·Offset): A_OPUS
           // .weba in the disjoint "weba"/"x" key space; the %700
@@ -461,11 +506,13 @@ object MultimodalFrameOps extends QueryModule {
     // frame 0 — the per-sample digest is md5 of the concatenated
     // payloads, the clip fingerprint md5 of the ordered digest
     // string. The %400 re-mux twin (3-sample chunks, 2-byte prefixes,
-    // co64 offsets) AND the %400 RE-FRAGMENTED twin (moof/traf/trun,
-    // largesize mdat) both recompute to the SAME fingerprint — framing
-    // is excluded from the digest by contract — so their canonical_id
-    // is the %200 primary; the truncated %800 copies (flat moov cut
-    // away; fragmented cut mid-fragment) never appear.
+    // co64 offsets), the %400 RE-FRAGMENTED twin (moof/traf/trun,
+    // largesize mdat), AND the %400 TREX-DEFAULT twin (sizes carried
+    // by mvex/trex, uniform truns sizeless) all recompute to the SAME
+    // fingerprint — framing is excluded from the digest by contract —
+    // so their canonical_id is the %200 primary; the truncated %800
+    // copies (flat moov cut away; fragmented cut mid-fragment) never
+    // appear.
     "mm_clip_exact" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          avc AS (
@@ -474,6 +521,9 @@ object MultimodalFrameOps extends QueryModule {
            UNION ALL SELECT doc_id + 800000, doc_id FROM d
              WHERE doc_id % 400 = 0
            UNION ALL SELECT doc_id + 1000000, doc_id FROM d
+             WHERE doc_id % 400 = 0
+           -- the trex-default fragmented twin: same NAL content
+           UNION ALL SELECT doc_id + 2000000, doc_id FROM d
              WHERE doc_id % 400 = 0),
          samp AS (
            SELECT a.asset_id, t.k,
@@ -501,13 +551,15 @@ object MultimodalFrameOps extends QueryModule {
     // md5("w{scene}_{k}") dot-padded to 180, block count
     // ((scene // 250) % 4) + 2; per-frame digest md5 of the payload,
     // clip fingerprint md5 of the ordered digest string. The %500
-    // re-clustered twin (one block per cluster, BlockGroup framing)
-    // AND the re-laced twins (Xiph %500, EBML %1000 — frames packed
-    // into laced blocks) all recompute to the SAME fingerprint —
-    // clusters, block framing, and lacing are container layout,
-    // excluded from content by the tier contract — so their
-    // canonical_id is the %250 primary; truncated %1000 copies
-    // (segment cut) never appear.
+    // re-clustered twin (one block per cluster, BlockGroup framing),
+    // the re-laced twins (Xiph %500, EBML %1000 — frames packed
+    // into laced blocks), AND the unknown-size twins (%500 segment,
+    // %1000 segment+clusters — the MediaRecorder shape) all recompute
+    // to the SAME fingerprint — clusters, block framing, lacing, and
+    // the size-vint form are container layout, excluded from content
+    // by the tier contract — so their canonical_id is the %250
+    // primary; truncated %1000 copies (segment cut; MediaRecorder
+    // copy cut mid-block) never appear.
     "mm_webm_exact" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          wb AS (
@@ -523,6 +575,12 @@ object MultimodalFrameOps extends QueryModule {
            -- the audio-sibling twin keeps the VIDEO track's frames
            UNION ALL SELECT doc_id + 1900000, doc_id, 'webm', 'w', 250
              FROM d WHERE doc_id % 500 = 0
+           -- the unknown-size twins (MediaRecorder shape): segment
+           -- at %500, segment+clusters at %1000 — same frames
+           UNION ALL SELECT doc_id + 2100000, doc_id, 'webm', 'w', 250
+             FROM d WHERE doc_id % 500 = 0
+           UNION ALL SELECT doc_id + 2200000, doc_id, 'webm', 'w', 250
+             FROM d WHERE doc_id % 1000 = 0
            -- the audio-only .weba families: disjoint key space
            UNION ALL SELECT doc_id + 1700000, doc_id, 'weba', 'x', 350
              FROM d WHERE doc_id % 350 = 0

@@ -105,6 +105,44 @@ class Mp4CodecSpec extends AnyFunSuite {
     assert(ds(1).sampleDigests.length === 5)
   }
 
+  test("trex-provided default sample sizes resolve (the DASH " +
+      "init-segment layout); sizes nowhere still drop the clip") {
+    val flat = Mp4Codec.encodeAvcMp4(80L, 5, 64, 64)
+    val trex = Mp4Codec.encodeAvcFragmentedMp4(80L, 5, 64, 64,
+      samplesPerFrag = 2, trexSizeDefaults = true)
+    val plain = Mp4Codec.encodeAvcFragmentedMp4(80L, 5, 64, 64,
+      samplesPerFrag = 2)
+    assert(!trex.sameElements(plain))
+    // the trex form genuinely omits per-sample sizes: fragments past
+    // the first carry the 0x000001 (data-offset-only) trun flags
+    var sizeless = 0
+    var at = trex.indexOfSlice("trun".getBytes("US-ASCII"))
+    while (at >= 0) {
+      if (trex(at + 6) == 0 && trex(at + 7) == 0x01) sizeless += 1
+      at = trex.indexOfSlice("trun".getBytes("US-ASCII"), at + 1)
+    }
+    assert(sizeless >= 2, "no sizeless truns — the knob did nothing")
+    val dt = Mp4Codec.decodeAvcDigest(trex).get
+    val df = Mp4Codec.decodeAvcDigest(flat).get
+    assert(dt.sampleDigests === df.sampleDigests)
+    assert(dt.fingerprint === df.fingerprint)
+    // zeroing the trex default leaves the sizeless truns with sizes
+    // NOWHERE → the whole clip drops
+    val trexAt = trex.indexOfSlice("trex".getBytes("US-ASCII"))
+    val noSz = trex.clone()
+    for (i <- 0 until 4) noSz(trexAt + 20 + i) = 0
+    assert(Mp4Codec.decodeAvcDigest(noSz).isEmpty)
+    // a tfhd default-sample-size OVERRIDES trex: leave trex at a
+    // WRONG size and verify the file drops (the bent size breaks the
+    // NAL tiling), then that precedence is what saves a correct tfhd
+    val bentTrex = trex.clone()
+    bentTrex(trexAt + 23) = (bentTrex(trexAt + 23) + 1).toByte
+    assert(Mp4Codec.decodeAvcDigest(bentTrex).isEmpty)
+    // truncation at every byte still rejects except mdat boundaries
+    for (n <- 1 until trex.length if n % 97 == 0)
+      Mp4Codec.decodeAvcDigest(trex.take(n)) // never throws
+  }
+
   test("fragment-walk strictness: truncation, unanchored tfhd/trun, " +
       "and foreign-track trafs") {
     val frag = Mp4Codec.encodeAvcFragmentedMp4(44L, 4, 64, 64,
@@ -230,6 +268,33 @@ class Mp4CodecSpec extends AnyFunSuite {
     // a multi-RDB ADTS frame is outside the envelope
     val rdb = adts.clone(); rdb(6) = (rdb(6) | 1).toByte
     assert(AacCodec.decodeAdtsDigest(rdb).isEmpty)
+    // ID3-tagged ADTS (the re-tag duplicate shape): ID3v2 + ID3v1
+    // wrap the identical frames — byte-distinct, same fingerprint
+    val tagged = AacCodec.encodeAacAdts(60L, 4, id3v2 = true,
+      id3v1 = true)
+    assert(!tagged.sameElements(adts))
+    val dtag = AacCodec.decodeAdtsDigest(tagged).get
+    assert(dtag.sampleDigests === da.sampleDigests)
+    assert(dtag.fingerprint === dm.fingerprint)
+    // the trailer sniff must not override a valid tiling: plant 'TAG'
+    // 128 bytes from EOF inside the last frame's dot padding — the
+    // untrimmed walk still tiles, so all 4 frames survive
+    val planted = adts.clone()
+    val tagAt = planted.length - 128
+    planted(tagAt) = 'T'.toByte; planted(tagAt + 1) = 'A'.toByte
+    planted(tagAt + 2) = 'G'.toByte
+    assert(AacCodec.decodeAdtsDigest(planted)
+      .exists(_.sampleDigests.length == 4))
+    // a corrupted ID3v1 trailer magic leaves slack → None
+    val badTag = tagged.clone()
+    badTag(badTag.length - 128) = 'X'.toByte
+    assert(AacCodec.decodeAdtsDigest(badTag).isEmpty)
+    // a tagged stream truncated mid-frame drops whole
+    assert(AacCodec.decodeAdtsDigest(
+      tagged.take(tagged.length - 150)).isEmpty)
+    // a non-syncsafe ID3v2 size byte rejects
+    val badV2 = tagged.clone(); badV2(6) = 0x80.toByte
+    assert(AacCodec.decodeAdtsDigest(badV2).isEmpty)
     // the audio cap is the AUDIO-scale 65536, not the 256-frame video
     // cap: a real-length stream (>256 units) must collapse across
     // containers too

@@ -233,26 +233,40 @@ class OggCodecSpec extends AnyFunSuite {
     o.toByteArray
   }
 
-  test("a single-page link (BOS|EOS together) chains correctly " +
-      "instead of masquerading as a grouped sibling") {
-    // link 1: ONE page carrying ident+comment+setup+audio with both
-    // BOS and EOS set — it never leaves its BOS section
+  test("a BOS inside the opening BOS section is a grouped sibling, " +
+      "never a chain boundary (the skeleton shape)") {
+    // the skeleton shape: a single-page BOS+EOS METADATA stream (an
+    // unrecognized ident) precedes the audio stream's BOS. Reading
+    // the metadata page as a completed chain link would reject the
+    // whole file (a link with no audio) — it must read as a grouped
+    // sibling, with the audio stream the digest subject.
+    val meta = rawPage(7L, 0L, 2 | 4,
+      Seq("fishead-metadata".getBytes("US-ASCII")))
+    val audio = OggCodec.encodeOgg(11L, 2)
+    val da = OggCodec.decodeOggDigest(audio).get
+    val grouped = OggCodec.decodeOggDigest(meta ++ audio).get
+    assert(grouped.packetDigests === da.packetDigests)
+    assert(grouped.fingerprint === da.fingerprint)
+    // the ambiguous twin — the single-page complete stream carries a
+    // VALID vorbis ident — resolves the same way: grouped, and the
+    // FIRST audio stream in BOS order is the digest subject
     val au = "solo-audio-packet".getBytes("US-ASCII")
-    val link1 = rawPage(7L, 0L, 2 | 4, Seq(
+    val solo = rawPage(7L, 0L, 2 | 4, Seq(
       vorbisIdent(1, 8000),
       (3.toByte +: "vorbis".getBytes("US-ASCII")) ++
         "c".getBytes :+ 1.toByte,
       (5.toByte +: "vorbis".getBytes("US-ASCII")) ++
         "s".getBytes :+ 1.toByte,
       au))
-    assert(OggCodec.decodeOggDigest(link1)
+    assert(OggCodec.decodeOggDigest(solo)
       .exists(_.packetDigests == Vector(Mp4Codec.md5Hex(au))))
-    // link 2 appended: the digest must CONCATENATE both links
-    val link2 = OggCodec.encodeOgg(11L, 2)
-    val d2 = OggCodec.decodeOggDigest(link2).get
-    val chained = OggCodec.decodeOggDigest(link1 ++ link2).get
+    val asGrouped = OggCodec.decodeOggDigest(solo ++ audio).get
+    assert(asGrouped.packetDigests === Vector(Mp4Codec.md5Hex(au)))
+    // chaining still works once a data page has closed the BOS
+    // section: audio THEN the single-page stream concatenates
+    val chained = OggCodec.decodeOggDigest(audio ++ solo).get
     assert(chained.packetDigests ===
-      Mp4Codec.md5Hex(au) +: d2.packetDigests)
+      da.packetDigests :+ Mp4Codec.md5Hex(au))
   }
 
   test("a malformed audio ident in a grouped file poisons the whole " +

@@ -142,15 +142,17 @@ class WebmCodecSpec extends AnyFunSuite {
     val flagsAt = sbAt + 1 + sbSzLen + 3
     laced(flagsAt) = (laced(flagsAt) | 0x06).toByte
     assert(WebmCodec.decodeWebmDigest(laced).isEmpty)
-    // an unknown-size segment (all-ones size vint) rejects
-    val segAt = good.indexOfSlice(
-      Array[Byte](0x18, 0x53.toByte, 0x80.toByte, 0x67))
-    val segSizeLen =
-      java.lang.Integer.numberOfLeadingZeros(good(segAt + 4) & 0xff) - 23
-    assert(segSizeLen === 2, "fixture segment size is a 2-byte vint")
-    val unk = good.clone()
-    unk(segAt + 4) = 0x7f.toByte; unk(segAt + 5) = 0xff.toByte
-    assert(WebmCodec.decodeWebmDigest(unk).isEmpty)
+    // an unknown-size TRACKS element (all-ones size vint) rejects —
+    // only Segment and Cluster are unknown-size-allowed
+    val trkAt = good.indexOfSlice(
+      Array[Byte](0x16, 0x54.toByte, 0xAE.toByte, 0x6B))
+    assert(trkAt > 0)
+    val trkSzLen =
+      java.lang.Integer.numberOfLeadingZeros(good(trkAt + 4) & 0xff) - 23
+    assert(trkSzLen === 1, "fixture tracks size is a 1-byte vint")
+    val unkTrk = good.clone()
+    unkTrk(trkAt + 4) = 0xff.toByte
+    assert(WebmCodec.decodeWebmDigest(unkTrk).isEmpty)
     // a webm with only a metadata-free track list is not a clip
     assert(WebmCodec.decodeWebmDigest("not ebml".getBytes).isEmpty)
     assert(WebmCodec.decodeWebmDigest(Array.empty[Byte]).isEmpty)
@@ -163,5 +165,118 @@ class WebmCodecSpec extends AnyFunSuite {
       junk(3) = 0xA3.toByte
       WebmCodec.decodeWebmDigest(junk)
     }
+  }
+
+  test("unknown-size Segment and Clusters (the MediaRecorder shape) " +
+      "collapse onto the sized primary") {
+    val sized = WebmCodec.encodeWebm(21L, 5)
+    val ds = WebmCodec.decodeWebmDigest(sized).get
+    // unknown-size segment, sized clusters
+    val unkSeg = WebmCodec.encodeWebm(21L, 5, unknownSizeSegment = true)
+    // the full live-capture shape: unknown segment AND clusters
+    val unkBoth = WebmCodec.encodeWebm(21L, 5,
+      unknownSizeSegment = true, unknownSizeClusters = true)
+    // unknown clusters inside a SIZED segment
+    val unkClu = WebmCodec.encodeWebm(21L, 5,
+      unknownSizeClusters = true)
+    val all = Seq(sized, unkSeg, unkBoth, unkClu)
+    for (i <- all.indices; j <- all.indices if i < j)
+      assert(!all(i).sameElements(all(j)), s"$i/$j byte-identical")
+    for (x <- Seq(unkSeg, unkBoth, unkClu)) {
+      val d = WebmCodec.decodeWebmDigest(x).get
+      assert(d.frameDigests === ds.frameDigests)
+      assert(d.fingerprint === ds.fingerprint)
+    }
+    // lacing and block-grouping still collapse under the unknown form
+    val laced = WebmCodec.encodeWebm(21L, 5, framesPerCluster = 3,
+      lacing = 1, unknownSizeSegment = true,
+      unknownSizeClusters = true)
+    assert(WebmCodec.decodeWebmDigest(laced).get.fingerprint ===
+      ds.fingerprint)
+    // the audio sibling filter holds under the unknown form too
+    val sib = WebmCodec.encodeWebm(21L, 5, audioSibling = true,
+      unknownSizeSegment = true, unknownSizeClusters = true)
+    assert(WebmCodec.decodeWebmDigest(sib).get.fingerprint ===
+      ds.fingerprint)
+  }
+
+  test("unknown-size strictness: mid-element cuts drop whole, " +
+      "element-boundary cuts are legal shorter streams, and an " +
+      "unrecognized child in an unknown cluster rejects") {
+    val unk = WebmCodec.encodeWebm(13L, 4,
+      unknownSizeSegment = true, unknownSizeClusters = true)
+    val full = WebmCodec.decodeWebmDigest(unk).get
+    assert(full.frameDigests.length === 4)
+    // a cut 40 bytes short lands inside the last block's 180-byte
+    // frame payload → the known block size overruns → None
+    assert(WebmCodec.decodeWebmDigest(
+      unk.take(unk.length - 40)).isEmpty)
+    // with 2 frames/cluster, cutting the entire LAST CLUSTER lands on
+    // an element boundary — a structurally complete shorter capture
+    // (the live-mux reality: the recorder died mid-stream)
+    val lastClusterAt = {
+      // cluster id 1F43B675 — find the final occurrence
+      var at = -1; var from = 0
+      val pat = Array[Byte](0x1F, 0x43, 0xB6.toByte, 0x75)
+      var x = unk.indexOfSlice(pat, from)
+      while (x >= 0) { at = x; x = unk.indexOfSlice(pat, x + 1) }
+      at
+    }
+    val shorter = WebmCodec.decodeWebmDigest(unk.take(lastClusterAt))
+    assert(shorter.exists(_.frameDigests == full.frameDigests.take(2)))
+    // element-boundary cuts inside the last cluster are ALSO legal
+    // shorter captures: right after the unknown-size cluster header
+    // (+5: an empty cluster) and right after its 3-byte Timecode
+    // (+8) — both still carry only the first two frames
+    for (n <- Seq(lastClusterAt + 5, lastClusterAt + 8))
+      assert(WebmCodec.decodeWebmDigest(unk.take(n))
+        .exists(_.frameDigests == full.frameDigests.take(2)), s"@$n")
+    // every mid-element cut near the end drops whole
+    for (n <- (lastClusterAt + 1 until lastClusterAt + 12)
+        if n != lastClusterAt + 5 && n != lastClusterAt + 8)
+      assert(WebmCodec.decodeWebmDigest(unk.take(n)).isEmpty, s"@$n")
+    // an unrecognized child ID inside an unknown-size cluster is
+    // indistinguishable from the cluster's end → drop whole. Patch
+    // the Timecode id byte (0xE7, first child of the last cluster)
+    // to a foreign one-byte id
+    val foreign = unk.clone()
+    assert((foreign(lastClusterAt + 5) & 0xff) === 0xE7)
+    foreign(lastClusterAt + 5) = 0xD9.toByte
+    assert(WebmCodec.decodeWebmDigest(foreign).isEmpty)
+    // trailing garbage after the final cluster of an unknown-size
+    // segment fails the exact-tiling rule
+    assert(WebmCodec.decodeWebmDigest(unk ++ "x".getBytes).isEmpty)
+  }
+
+  test("duplicate TrackEntry numbers and size-0 laced frames reject") {
+    // duplicate track number: patch the audio sibling's TrackNumber
+    // (the SECOND TrackEntry, number 2) to collide with the video
+    // track's 1 — two entries sharing a number would merge their
+    // blocks into one digest stream, so the gate must drop whole
+    val sib = WebmCodec.encodeWebm(17L, 3, audioSibling = true)
+    assert(WebmCodec.decodeWebmDigest(sib).isDefined)
+    val pat = Array[Byte](0xD7.toByte, 0x81.toByte, 2)
+    val dupAt = sib.indexOfSlice(pat)
+    assert(dupAt > 0)
+    val dup = sib.clone(); dup(dupAt + 2) = 1
+    assert(WebmCodec.decodeWebmDigest(dup).isEmpty)
+    // size-0 laced frames reject in the XIPH path too (consistency
+    // with the EBML delta path's prev<=0 rule): take a 2-frame Xiph
+    // lace (one size byte, 180) and zero the size entry — the lace
+    // still tiles (remainder absorbs all 360 bytes), so only the
+    // explicit size-0 rule can reject it
+    val laced = WebmCodec.encodeWebm(19L, 2, framesPerCluster = 2,
+      lacing = 1)
+    assert(WebmCodec.decodeWebmDigest(laced).isDefined)
+    val sbAt = laced.indexOfSlice(Array[Byte](0xA3.toByte), 4)
+    assert(sbAt > 0)
+    val szLen =
+      java.lang.Integer.numberOfLeadingZeros(laced(sbAt + 1) & 0xff) - 23
+    val bodyAt = sbAt + 1 + szLen
+    assert((laced(bodyAt + 3) & 0x06) === 0x02, "xiph lacing flags")
+    assert((laced(bodyAt + 4) & 0xff) === 1, "two frames in the lace")
+    assert((laced(bodyAt + 5) & 0xff) === 180, "first frame's size")
+    val zeroLace = laced.clone(); zeroLace(bodyAt + 5) = 0
+    assert(WebmCodec.decodeWebmDigest(zeroLace).isEmpty)
   }
 }
