@@ -280,9 +280,12 @@ object AacCodec {
     * data block per frame — byte-distinct from the M4A, identical
     * fingerprint. `id3v2`/`id3v1` wrap the stream in deterministic
     * ID3 tags (the re-tagged `.aac` duplicate shape) — metadata the
-    * fingerprint must ignore. */
+    * fingerprint must ignore. `crc` emits the protection_absent=0
+    * form: 9-byte headers whose 2 CRC bytes the walk skips without
+    * verifying (the MP3 CRC-slot precedent) — framing, not content. */
   def encodeAacAdts(scene: Long, nFrames: Int,
-      id3v2: Boolean = false, id3v1: Boolean = false): Array[Byte] = {
+      id3v2: Boolean = false, id3v1: Boolean = false,
+      crc: Boolean = false): Array[Byte] = {
     require(nFrames >= 1)
     val out = new java.io.ByteArrayOutputStream()
     if (id3v2) {
@@ -298,13 +301,18 @@ object AacCodec {
     var k = 0
     while (k < nFrames) {
       val au = aacSamplePayload(scene, k)
-      val len = 7 + au.length
-      out.write(0xff); out.write(0xf1)     // MPEG-4, layer 00, no CRC
+      val len = (if (crc) 9 else 7) + au.length
+      out.write(0xff)
+      out.write(if (crc) 0xf0 else 0xf1)   // MPEG-4, layer 00, ±CRC
       out.write((1 << 6) | (4 << 2))       // AAC-LC, freq index 4
       out.write((2 << 6) | ((len >> 11) & 3))
       out.write((len >> 3) & 0xff)
       out.write(((len & 7) << 5) | 0x1f)   // fullness high bits
       out.write(0xfc)                      // fullness low, 0 RDBs
+      if (crc) {                           // skipped-not-verified slot
+        out.write((scene ^ k).toInt & 0xff)
+        out.write(0x5a)
+      }
       out.write(au)
       k += 1
     }

@@ -34,8 +34,13 @@ package graft.multimodal
   * the next top-level element ID (RFC 8794 §6.2's next-non-child
   * rule) and admits only recognized cluster children, block track
   * numbers must parse and TrackEntry numbers must be unique, laced
-  * frames must tile their block with no size-0 frames, and a block
-  * extent past the buffer drops the whole file. A cut at an exact
+  * frames must tile their block with no size-0 frames, a block
+  * extent past the buffer drops the whole file, and a CRC-32
+  * element in the spec position (first child of Segment, Tracks,
+  * TrackEntry, Cluster, or BlockGroup) is VERIFIED — RFC 8794
+  * §11.3.1 little-endian IEEE CRC over the master's remainder,
+  * deferred to the found boundary for unknown-size clusters — with
+  * a mismatch dropping the file whole. A cut at an exact
   * element boundary of an unknown-size file is a structurally
   * complete shorter stream (the MP4 fragment-boundary / MP3
   * frame-boundary precedent); any other cut fails whole. Decode
@@ -120,6 +125,32 @@ object WebmCodec {
 
   private val MaxBlocks = 1 << 16
   private val MaxTracks = 16
+
+  /** RFC 8794 §11.3.1 CRC-32 gate: when a master element's FIRST
+    * child is the CRC-32 element (id 0xBF, 4-byte little-endian IEEE
+    * CRC over the REMAINDER of the master's data), verify it and
+    * return the offset past it; Some(from) when absent; None on a
+    * malformed CRC element or a mismatch (a wrong checksum means the
+    * master's bytes are damaged — drop whole, the tier's rule). Only
+    * the spec position (first child) is verified; the spec forbids
+    * any other placement. */
+  private def crcGate(b: Array[Byte], from: Int, until: Int): Option[Int] = {
+    if (from >= until || u8(b, from) != 0xBF) return Some(from)
+    val (sz, sp) = readSize(b, from + 1, until).getOrElse(return None)
+    if (sz != 4 || sp + 4 > until) return None
+    if (crc32(b, sp + 4, until) != leU32(b, sp)) None
+    else Some(sp + 4)
+  }
+
+  private def leU32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  private def crc32(b: Array[Byte], from: Int, until: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, from, until - from)
+    c.getValue
+  }
 
   private final case class Track(number: Long, trackType: Int,
     codecId: String, width: Int, height: Int, channels: Int)
@@ -269,7 +300,7 @@ object WebmCodec {
       q == until                            // laced frames tile exactly
     }
 
-    var q = sps
+    var q = crcGate(b, sps, segEnd).getOrElse(return None)
     while (q < segEnd) {
       val (id, ip) = readId(b, q, segEnd).getOrElse(return None)
       val (sz, sp) = readSizeU(b, ip, segEnd).getOrElse(return None)
@@ -280,7 +311,7 @@ object WebmCodec {
       q = e.toInt                           // cluster case may override
       id match {
         case 0x1654AE6BL =>                 // Tracks
-          var t = sp
+          var t = crcGate(b, sp, e.toInt).getOrElse(return None)
           while (t < e) {
             val (tid, tip) = readId(b, t, e.toInt).getOrElse(return None)
             val (tsz, tsp) = readSize(b, tip, e.toInt).getOrElse(return None)
@@ -290,8 +321,8 @@ object WebmCodec {
               if (nTracks > MaxTracks) return None
               var num = -1L; var typ = -1; var codec = ""
               var w = 0; var h = 0; var ch = 0
-              var u = tsp
               val tEnd = (tsp + tsz).toInt
+              var u = crcGate(b, tsp, tEnd).getOrElse(return None)
               while (u < tEnd) {
                 val (eid, eip) = readId(b, u, tEnd).getOrElse(return None)
                 val (esz, esp) = readSize(b, eip, tEnd).getOrElse(return None)
@@ -347,6 +378,20 @@ object WebmCodec {
           val bound = if (unknown) segEnd else e.toInt
           var c = sp
           var open = true
+          // CRC-32 as the first child covers the cluster's REMAINDER;
+          // for an unknown-size cluster that extent is only known
+          // once the boundary is found, so verification is deferred
+          // to after the walk (covering [crcFrom, c) either way)
+          var crcWant = -1L
+          var crcFrom = -1
+          if (c < bound && u8(b, c) == 0xBF) {
+            val (xsz, xsp) = readSize(b, c + 1, bound)
+              .getOrElse(return None)
+            if (xsz != 4 || xsp + 4 > bound) return None
+            crcWant = leU32(b, xsp)
+            crcFrom = xsp + 4
+            c = crcFrom
+          }
           while (open && c < bound) {
             val (cid, cip) = readId(b, c, bound).getOrElse(return None)
             if (unknown && TopLevelIds.contains(cid)) open = false
@@ -361,7 +406,7 @@ object WebmCodec {
                 case 0xA3L =>               // SimpleBlock
                   if (!block(csp, cEnd)) return None
                 case 0xA0L =>               // BlockGroup
-                  var g = csp
+                  var g = crcGate(b, csp, cEnd).getOrElse(return None)
                   while (g < cEnd) {
                     val (gid, gip) = readId(b, g, cEnd).getOrElse(return None)
                     val (gsz, gsp) = readSize(b, gip, cEnd).getOrElse(return None)
@@ -375,6 +420,8 @@ object WebmCodec {
               c = cEnd
             }
           }
+          if (crcWant >= 0 && crc32(b, crcFrom, c) != crcWant)
+            return None
           q = c
         case _ => ()                        // Info, SeekHead, Cues, …
       }
@@ -432,6 +479,16 @@ object WebmCodec {
   private def elU(id: Long, payload: Array[Byte]): Array[Byte] =
     idBytes(id) ++ Array(0xff.toByte) ++ payload
 
+  /** Prefix `payload` with its RFC 8794 CRC-32 element (id 0xBF,
+    * little-endian IEEE CRC over the rest of the master's data). */
+  private def crcPrefixed(payload: Array[Byte]): Array[Byte] = {
+    val c = new java.util.zip.CRC32()
+    c.update(payload)
+    val v = c.getValue
+    el(0xBFL, Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)) ++ payload
+  }
+
   /** Write a vint of FORCED byte length `n` (the EBML-lacing signed
     * deltas pick their length from the delta's magnitude). */
   private def vint0(o: java.io.ByteArrayOutputStream, v: Long,
@@ -466,7 +523,10 @@ object WebmCodec {
     * `unknownSizeSegment`/`unknownSizeClusters` emit the Segment /
     * every Cluster with the all-ones unknown-size vint — the
     * browser-MediaRecorder live-capture shape, byte-distinct framing
-    * over identical frame payloads. */
+    * over identical frame payloads. `crc32Elements` prefixes the
+    * Tracks element and every Cluster (and BlockGroup) with its
+    * RFC 8794 CRC-32 element — checksummed framing the decode must
+    * VERIFY and exclude from content. */
   def encodeWebm(scene: Long, nFrames: Int, w: Int = 64, h: Int = 64,
       framesPerCluster: Int = 2,
       useBlockGroups: Boolean = false, lacing: Int = 0,
@@ -474,7 +534,8 @@ object WebmCodec {
       audioTrack: Boolean = false,
       audioSibling: Boolean = false,
       unknownSizeSegment: Boolean = false,
-      unknownSizeClusters: Boolean = false): Array[Byte] = {
+      unknownSizeClusters: Boolean = false,
+      crc32Elements: Boolean = false): Array[Byte] = {
     require(nFrames >= 1 && framesPerCluster >= 1)
     require(lacing >= 0 && lacing <= 3)
     require(lacing != 2 || lenStep == 0,
@@ -508,7 +569,9 @@ object WebmCodec {
         uintEl(0x83L, 2) ++
         el(0x86L, "A_OPUS".getBytes("US-ASCII")) ++
         el(0xE1L, uintEl(0x9FL, 2)))
-    val tracksEl = el(0x1654AE6BL, trackEntry ++ sibEntry)
+    val tracksEl = el(0x1654AE6BL,
+      if (crc32Elements) crcPrefixed(trackEntry ++ sibEntry)
+      else trackEntry ++ sibEntry)
 
     def payload(k: Int): Array[Byte] =
       framePayload(scene, k, frameLen + lenStep * k,
@@ -516,7 +579,10 @@ object WebmCodec {
         if (audioTrack) "x" else "w")
 
     def wrap(body: Array[Byte]): Array[Byte] =
-      if (useBlockGroups) el(0xA0L, el(0xA1L, body))
+      if (useBlockGroups) el(0xA0L, {
+        val g = el(0xA1L, body)
+        if (crc32Elements) crcPrefixed(g) else g
+      })
       else el(0xA3L, body)
 
     val keyBit = (if (useBlockGroups) 0x00 else 0x80).toByte
@@ -575,7 +641,9 @@ object WebmCodec {
         if (lacing == 0)
           ks.toArray.flatMap(k => blockEl(k) ++ sibBlockEl(k))
         else lacedBlockEl(ks) ++ sibBlockEl(ks.head)
-      val payload = uintEl(0xE7L, ks.head.toLong * 40L) ++ body
+      val payload0 = uintEl(0xE7L, ks.head.toLong * 40L) ++ body
+      val payload =
+        if (crc32Elements) crcPrefixed(payload0) else payload0
       if (unknownSizeClusters) elU(0x1F43B675L, payload)
       else el(0x1F43B675L, payload)
     }.toArray.flatten

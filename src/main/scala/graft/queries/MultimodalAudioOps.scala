@@ -129,7 +129,12 @@ object MultimodalAudioOps extends QueryModule {
     *                        ID3v2 + ID3v1 tags (the re-tagged `.aac`
     *                        crawl duplicate; the MP3 walk-first-
     *                        strip-on-retry precedent): byte-distinct,
-    *                        the same fingerprint as the %375 primary.
+    *                        the same fingerprint as the %375 primary;
+    *   +28·Offset (id%1500): the CRC-FORM ADTS twin — the SAME units
+    *                        behind protection_absent=0 9-byte headers
+    *                        (2 CRC bytes skipped-not-verified, the
+    *                        MP3 CRC-slot precedent): byte-distinct,
+    *                        the same fingerprint.
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
     * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
@@ -301,6 +306,10 @@ object MultimodalAudioOps extends QueryModule {
               val full = graft.multimodal.AacCodec.encodeAacM4a(id, nu)
               put(s"asset_${id + 23 * Planting.Offset}.m4a",
                 full.take(full.length / 2))
+              // the CRC-form ADTS twin: 9-byte headers, same units
+              put(s"asset_${id + 28 * Planting.Offset}.aac",
+                graft.multimodal.AacCodec.encodeAacAdts(id, nu,
+                  crc = true))
             }
           }
           // the CHAINED Ogg families (+24/+25/+26·Offset): two
@@ -565,11 +574,12 @@ object MultimodalAudioOps extends QueryModule {
     // recomputes every expected AAC stream digest from the planting
     // formula: unit k is "aac:{scene}:{k}:" || md5("c{scene}_{k}")
     // dot-padded to 200 bytes, unit count ((scene // 375) % 4) + 2.
-    // All FOUR containers of a scene — the m4a primary, the re-muxed
-    // co64 m4a, the ADTS .aac, and the ID3-tagged .aac — digest the
-    // identical raw units (container framing and ID3 metadata both
-    // excluded by contract), so all three %750 twins' canonical_id is
-    // the %375 primary; truncated %1500 copies never appear.
+    // All FIVE container forms of a scene — the m4a primary, the
+    // re-muxed co64 m4a, the ADTS .aac, the ID3-tagged .aac, and the
+    // CRC-form .aac — digest the identical raw units (container
+    // framing, ID3 metadata, and the skipped CRC slot all excluded
+    // by contract), so every twin's canonical_id is the %375
+    // primary; truncated %1500 copies never appear.
     "mm_m4a_exact" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          aac AS (
@@ -581,7 +591,10 @@ object MultimodalAudioOps extends QueryModule {
              WHERE doc_id % 750 = 0
            -- the ID3-tagged ADTS twin: tags are metadata, same units
            UNION ALL SELECT doc_id + 2700000, doc_id FROM d
-             WHERE doc_id % 750 = 0),
+             WHERE doc_id % 750 = 0
+           -- the CRC-form ADTS twin: the 9-byte-header framing
+           UNION ALL SELECT doc_id + 2800000, doc_id FROM d
+             WHERE doc_id % 1500 = 0),
          un AS (
            SELECT a.asset_id, a.scene, t.k,
                   md5(rpad('aac:' || CAST(a.scene AS VARCHAR) || ':' ||

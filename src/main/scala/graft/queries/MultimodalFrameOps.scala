@@ -158,7 +158,13 @@ object MultimodalFrameOps extends QueryModule {
     *                        ID): byte-distinct, the same fingerprint;
     *   +23·Offset (id%1000): a MediaRecorder-shape copy truncated
     *                        MID-BLOCK — digest MUST be None; never
-    *                        surfaces. */
+    *                        surfaces;
+    *   +24·Offset (id%1000): the CRC-32-CHECKSUMMED WebM twin — the
+    *                        %250 frames with RFC 8794 CRC-32 elements
+    *                        leading Tracks and every Cluster
+    *                        (verified framing, excluded from
+    *                        content): byte-distinct, the same
+    *                        fingerprint. */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -315,6 +321,11 @@ object MultimodalFrameOps extends QueryModule {
                 unknownSizeClusters = true)
               put(s"asset_${id + 23 * Planting.Offset}.webm",
                 ufull.take(ufull.length - 40))
+              // the CRC-32-checksummed twin: verified framing the
+              // digest excludes
+              put(s"asset_${id + 24 * Planting.Offset}.webm",
+                graft.multimodal.WebmCodec.encodeWebm(id, nb,
+                  framesPerCluster = 3, crc32Elements = true))
             }
           }
           // the audio-only WebM families (+17/+18·Offset): A_OPUS
@@ -580,6 +591,10 @@ object MultimodalFrameOps extends QueryModule {
            UNION ALL SELECT doc_id + 2100000, doc_id, 'webm', 'w', 250
              FROM d WHERE doc_id % 500 = 0
            UNION ALL SELECT doc_id + 2200000, doc_id, 'webm', 'w', 250
+             FROM d WHERE doc_id % 1000 = 0
+           -- the CRC-32-checksummed twin: verified framing, same
+           -- frames
+           UNION ALL SELECT doc_id + 2400000, doc_id, 'webm', 'w', 250
              FROM d WHERE doc_id % 1000 = 0
            -- the audio-only .weba families: disjoint key space
            UNION ALL SELECT doc_id + 1700000, doc_id, 'weba', 'x', 350

@@ -295,6 +295,25 @@ class Mp4CodecSpec extends AnyFunSuite {
     // a non-syncsafe ID3v2 size byte rejects
     val badV2 = tagged.clone(); badV2(6) = 0x80.toByte
     assert(AacCodec.decodeAdtsDigest(badV2).isEmpty)
+    // the CRC form (protection_absent=0, 9-byte headers): the 2 CRC
+    // bytes are framing the digest skips — byte-distinct, the same
+    // fingerprint as the no-CRC and m4a forms
+    val crcForm = AacCodec.encodeAacAdts(60L, 4, crc = true)
+    assert(!crcForm.sameElements(adts))
+    assert(crcForm.length === adts.length + 2 * 4)
+    val dcrc = AacCodec.decodeAdtsDigest(crcForm).get
+    assert(dcrc.sampleDigests === da.sampleDigests)
+    assert(dcrc.fingerprint === dm.fingerprint)
+    // a CRC-form frame whose length field forgets the CRC bytes
+    // breaks the tiling → None
+    val shortLen = AacCodec.encodeAacAdts(60L, 1, crc = true)
+    val goodLen = ((shortLen(3) & 3) << 11) |
+      ((shortLen(4) & 0xff) << 3) | ((shortLen(5) >> 5) & 7)
+    assert(goodLen === shortLen.length)
+    val bent = shortLen.clone()
+    bent(4) = ((goodLen - 2) >> 3).toByte
+    bent(5) = (((goodLen - 2) & 7) << 5 | 0x1f).toByte
+    assert(AacCodec.decodeAdtsDigest(bent).isEmpty)
     // the audio cap is the AUDIO-scale 65536, not the 256-frame video
     // cap: a real-length stream (>256 units) must collapse across
     // containers too

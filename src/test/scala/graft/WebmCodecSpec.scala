@@ -279,4 +279,52 @@ class WebmCodecSpec extends AnyFunSuite {
     val zeroLace = laced.clone(); zeroLace(bodyAt + 5) = 0
     assert(WebmCodec.decodeWebmDigest(zeroLace).isEmpty)
   }
+
+  test("CRC-32 elements are verified and excluded from content") {
+    val plain = WebmCodec.encodeWebm(23L, 4)
+    val dp = WebmCodec.decodeWebmDigest(plain).get
+    // checksummed framing (CRC-32 first child of Tracks + every
+    // Cluster): byte-distinct, the same fingerprint
+    val crcd = WebmCodec.encodeWebm(23L, 4, crc32Elements = true)
+    assert(!crcd.sameElements(plain))
+    val dc = WebmCodec.decodeWebmDigest(crcd).get
+    assert(dc.frameDigests === dp.frameDigests)
+    assert(dc.fingerprint === dp.fingerprint)
+    // BlockGroup CRC children verify too
+    val grouped = WebmCodec.encodeWebm(23L, 4, useBlockGroups = true,
+      crc32Elements = true)
+    assert(WebmCodec.decodeWebmDigest(grouped).get.fingerprint ===
+      dp.fingerprint)
+    // … and under the unknown-size forms (deferred verification)
+    val unk = WebmCodec.encodeWebm(23L, 4, crc32Elements = true,
+      unknownSizeSegment = true, unknownSizeClusters = true)
+    assert(WebmCodec.decodeWebmDigest(unk).get.fingerprint ===
+      dp.fingerprint)
+    // a damaged CONTENT byte under a CRC must now fail the file
+    // whole (without the CRC it would silently digest differently):
+    // flip a dot in the last frame's payload
+    def flipTail(x: Array[Byte]): Array[Byte] = {
+      val m = x.clone()
+      val at = m.length - 10
+      assert(m(at) === '.'.toByte)
+      m(at) = ','.toByte
+      m
+    }
+    assert(WebmCodec.decodeWebmDigest(flipTail(crcd)).isEmpty)
+    assert(WebmCodec.decodeWebmDigest(flipTail(unk)).isEmpty)
+    // without a CRC the same flip digests (differently) — proving
+    // the rejection above comes from CRC verification, not tiling
+    assert(WebmCodec.decodeWebmDigest(flipTail(plain))
+      .exists(_.fingerprint != dp.fingerprint))
+    // a damaged CRC VALUE byte fails too
+    val bfAt = crcd.indexOfSlice(Array[Byte](0xBF.toByte, 0x84.toByte))
+    assert(bfAt > 0)
+    val badCrc = crcd.clone()
+    badCrc(bfAt + 2) = (badCrc(bfAt + 2) ^ 0x40).toByte
+    assert(WebmCodec.decodeWebmDigest(badCrc).isEmpty)
+    // a malformed CRC element (wrong payload size) fails
+    val shortCrc = crcd.clone()
+    shortCrc(bfAt + 1) = 0x83.toByte
+    assert(WebmCodec.decodeWebmDigest(shortCrc).isEmpty)
+  }
 }
