@@ -631,11 +631,18 @@ object Mp4Codec {
     * step over it. `trexSizeDefaults` emits the DASH init-segment
     * layout: trex carries default_sample_size (the uniform non-first
     * sample length) and every all-uniform trun OMITS its per-sample
-    * size table — the walk must resolve those sizes from trex. */
+    * size table — the walk must resolve those sizes from trex.
+    * `splitTruns` splits each multi-sample fragment into TWO truns —
+    * the first anchored by an explicit data offset, the second
+    * carrying NO offset and continuing contiguously (ISO 14496-12
+    * permits it; real muxers emit multi-trun trafs around
+    * sample-flag changes) — the walk's running-offset continuation
+    * path. */
   def encodeAvcFragmentedMp4(scene: Long, nFrames: Int, w: Int, h: Int,
       samplesPerFrag: Int = 2, lengthSize: Int = 4,
       largesizeMdat: Boolean = false,
-      trexSizeDefaults: Boolean = false): Array[Byte] = {
+      trexSizeDefaults: Boolean = false,
+      splitTruns: Boolean = false): Array[Byte] = {
     require(samplesPerFrag >= 1)
     val (samples, entry) =
       avcSamplesAndEntry(scene, nFrames, w, h, lengthSize)
@@ -678,29 +685,39 @@ object Mp4Codec {
         t(8 + 1) = 0x02                    // 0x020000
         t
       }
-      // trun: data-offset always; per-sample sizes only when the
-      // group is non-uniform or trex defaults are off (flags
-      // 0x000201 vs the trex-backed 0x000001)
-      val uniform = trexSz > 0 && group.forall(_.length == trexSz)
-      val trunPayload = be32b(group.length) ++ be32b(0) ++
-        (if (uniform) Array.emptyByteArray
-         else group.flatMap(g => be32b(g.length)))
-      val trun = {
-        val t = fullBox("trun", trunPayload)
-        t(8 + 3) = 0x01                    // flags low byte: data-offset
+      // trun: data-offset on the LEADING trun; per-sample sizes only
+      // when that trun's samples are non-uniform or trex defaults are
+      // off (flags 0x000201 vs the trex-backed 0x000001). splitTruns
+      // breaks a multi-sample group into a leading anchored trun plus
+      // a CONTINUING one with no offset of its own.
+      def mkTrun(g: Array[Array[Byte]],
+          withOffset: Boolean): Array[Byte] = {
+        val uniform = trexSz > 0 && g.forall(_.length == trexSz)
+        val payload = be32b(g.length) ++
+          (if (withOffset) be32b(0) else Array.emptyByteArray) ++
+          (if (uniform) Array.emptyByteArray
+           else g.flatMap(x => be32b(x.length)))
+        val t = fullBox("trun", payload)
+        if (withOffset)
+          t(8 + 3) = 0x01                  // flags low byte: data-offset
         if (!uniform)
           t(8 + 2) = 0x02                  // flags mid byte: sample-size
         t
       }
-      val traf = box("traf", tfhdAnchored ++ trun)
+      val truns =
+        if (splitTruns && group.length >= 2)
+          mkTrun(group.take(1), withOffset = true) ++
+            mkTrun(group.drop(1), withOffset = false)
+        else mkTrun(group, withOffset = true)
+      val traf = box("traf", tfhdAnchored ++ truns)
       val moof = box("moof", mfhd ++ traf)
       // data offset: samples start right after the mdat header, which
       // follows the moof; relative to the moof's first byte
       val mdatHdr = if (largesizeMdat) 16 else 8
       val dataOff = moof.length + mdatHdr
       // trun box layout: size(4) type(4) ver/flags(4) count(4) then
-      // the data_offset field at bytes 16..19
-      val trunAt = moof.length - trun.length
+      // the data_offset field at bytes 16..19 of the LEADING trun
+      val trunAt = moof.length - truns.length
       moof(trunAt + 16) = ((dataOff >> 24) & 0xff).toByte
       moof(trunAt + 17) = ((dataOff >> 16) & 0xff).toByte
       moof(trunAt + 18) = ((dataOff >> 8) & 0xff).toByte

@@ -526,7 +526,10 @@ object WebmCodec {
     * over identical frame payloads. `crc32Elements` prefixes the
     * Tracks element and every Cluster (and BlockGroup) with its
     * RFC 8794 CRC-32 element — checksummed framing the decode must
-    * VERIFY and exclude from content. */
+    * VERIFY and exclude from content. `tagsElement` appends a
+    * Matroska Tags element (Tag > SimpleTag > TagName/TagString)
+    * after the clusters — the RE-TAGGED duplicate shape (mkvpropedit
+    * adds tags in place): metadata the fingerprint must ignore. */
   def encodeWebm(scene: Long, nFrames: Int, w: Int = 64, h: Int = 64,
       framesPerCluster: Int = 2,
       useBlockGroups: Boolean = false, lacing: Int = 0,
@@ -535,7 +538,8 @@ object WebmCodec {
       audioSibling: Boolean = false,
       unknownSizeSegment: Boolean = false,
       unknownSizeClusters: Boolean = false,
-      crc32Elements: Boolean = false): Array[Byte] = {
+      crc32Elements: Boolean = false,
+      tagsElement: Boolean = false): Array[Byte] = {
     require(nFrames >= 1 && framesPerCluster >= 1)
     require(lacing >= 0 && lacing <= 3)
     require(lacing != 2 || lenStep == 0,
@@ -647,7 +651,15 @@ object WebmCodec {
       if (unknownSizeClusters) elU(0x1F43B675L, payload)
       else el(0x1F43B675L, payload)
     }.toArray.flatten
-    val segPayload = info ++ tracksEl ++ clusters
+    // the re-tag shape: a Tags element (Tag > SimpleTag > TagName +
+    // TagString) after the clusters — top-level metadata the walk
+    // must step over without touching the digest
+    val tags =
+      if (!tagsElement) Array.emptyByteArray
+      else el(0x1254C367L, el(0x7373L, el(0x67C8L,
+        el(0x45A3L, "TITLE".getBytes("US-ASCII")) ++
+        el(0x4487L, s"retag-of-$scene".getBytes("US-ASCII")))))
+    val segPayload = info ++ tracksEl ++ clusters ++ tags
     val segment =
       if (unknownSizeSegment) elU(0x18538067L, segPayload)
       else el(0x18538067L, segPayload)

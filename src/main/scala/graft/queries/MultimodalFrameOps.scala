@@ -164,7 +164,17 @@ object MultimodalFrameOps extends QueryModule {
     *                        leading Tracks and every Cluster
     *                        (verified framing, excluded from
     *                        content): byte-distinct, the same
-    *                        fingerprint. */
+    *                        fingerprint;
+    *   +25·Offset (id%500): the RE-TAGGED WebM twin — a Matroska
+    *                        Tags element appended after the clusters
+    *                        (the mkvpropedit shape): metadata the
+    *                        fingerprint must ignore;
+    *   +26·Offset (id%800): the SPLIT-TRUN fragmented AVC twin — each
+    *                        fragment's samples across TWO truns, the
+    *                        second with no data offset (contiguous
+    *                        continuation): byte-distinct, the
+    *                        identical fingerprint (%800 implies %200:
+    *                        its primary always exists). */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -251,6 +261,12 @@ object MultimodalFrameOps extends QueryModule {
                 id, fa, 64, 64, chunkSize = 2, lengthSize = 4)
               put(s"asset_${id + 9 * Planting.Offset}.mp4",
                 full.take(full.length / 2))
+              // the SPLIT-TRUN twin: two truns per traf, the second
+              // continuing contiguously with no data offset
+              put(s"asset_${id + 26 * Planting.Offset}.mp4",
+                graft.multimodal.Mp4Codec.encodeAvcFragmentedMp4(
+                  id, fa, 64, 64, samplesPerFrag = 2,
+                  splitTruns = true))
               // truncated MID-FRAGMENT (not at a fragment boundary):
               // the strict top-level tiling must drop it whole
               val ffull = graft.multimodal.Mp4Codec
@@ -327,6 +343,11 @@ object MultimodalFrameOps extends QueryModule {
                 graft.multimodal.WebmCodec.encodeWebm(id, nb,
                   framesPerCluster = 3, crc32Elements = true))
             }
+            // the RE-TAGGED twin: a Tags element after the clusters
+            if (id % 500 == 0)
+              put(s"asset_${id + 25 * Planting.Offset}.webm",
+                graft.multimodal.WebmCodec.encodeWebm(id, nb,
+                  framesPerCluster = 2, tagsElement = true))
           }
           // the audio-only WebM families (+17/+18·Offset): A_OPUS
           // .weba in the disjoint "weba"/"x" key space; the %700
@@ -535,7 +556,10 @@ object MultimodalFrameOps extends QueryModule {
              WHERE doc_id % 400 = 0
            -- the trex-default fragmented twin: same NAL content
            UNION ALL SELECT doc_id + 2000000, doc_id FROM d
-             WHERE doc_id % 400 = 0),
+             WHERE doc_id % 400 = 0
+           -- the split-trun fragmented twin: same NAL content
+           UNION ALL SELECT doc_id + 2600000, doc_id FROM d
+             WHERE doc_id % 800 = 0),
          samp AS (
            SELECT a.asset_id, t.k,
                   md5(CASE WHEN t.k = 0
@@ -596,6 +620,9 @@ object MultimodalFrameOps extends QueryModule {
            -- frames
            UNION ALL SELECT doc_id + 2400000, doc_id, 'webm', 'w', 250
              FROM d WHERE doc_id % 1000 = 0
+           -- the re-tagged twin: a Tags element is metadata
+           UNION ALL SELECT doc_id + 2500000, doc_id, 'webm', 'w', 250
+             FROM d WHERE doc_id % 500 = 0
            -- the audio-only .weba families: disjoint key space
            UNION ALL SELECT doc_id + 1700000, doc_id, 'weba', 'x', 350
              FROM d WHERE doc_id % 350 = 0

@@ -141,6 +141,18 @@ class Mp4CodecSpec extends AnyFunSuite {
     // truncation at every byte still rejects except mdat boundaries
     for (n <- 1 until trex.length if n % 97 == 0)
       Mp4Codec.decodeAvcDigest(trex.take(n)) // never throws
+    // multi-trun trafs: the second trun carries NO data offset and
+    // continues contiguously from the first — the running-offset
+    // continuation path, alone and combined with trex defaults
+    val split = Mp4Codec.encodeAvcFragmentedMp4(80L, 5, 64, 64,
+      samplesPerFrag = 2, splitTruns = true)
+    assert(!split.sameElements(plain))
+    assert(Mp4Codec.decodeAvcDigest(split).get.fingerprint ===
+      df.fingerprint)
+    val splitTrex = Mp4Codec.encodeAvcFragmentedMp4(80L, 5, 64, 64,
+      samplesPerFrag = 2, splitTruns = true, trexSizeDefaults = true)
+    assert(Mp4Codec.decodeAvcDigest(splitTrex).get.fingerprint ===
+      df.fingerprint)
   }
 
   test("fragment-walk strictness: truncation, unanchored tfhd/trun, " +

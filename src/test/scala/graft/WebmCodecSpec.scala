@@ -327,4 +327,24 @@ class WebmCodecSpec extends AnyFunSuite {
     shortCrc(bfAt + 1) = 0x83.toByte
     assert(WebmCodec.decodeWebmDigest(shortCrc).isEmpty)
   }
+
+  test("a re-tagged copy (Tags element appended) collapses onto its " +
+      "untagged primary") {
+    val plain = WebmCodec.encodeWebm(29L, 3)
+    val tagged = WebmCodec.encodeWebm(29L, 3, tagsElement = true)
+    assert(!tagged.sameElements(plain))
+    assert(tagged.length > plain.length)
+    val dp = WebmCodec.decodeWebmDigest(plain).get
+    val dt = WebmCodec.decodeWebmDigest(tagged).get
+    assert(dt.frameDigests === dp.frameDigests)
+    assert(dt.fingerprint === dp.fingerprint)
+    // tags + CRC together (the mkvpropedit-on-mkvmerge-output shape)
+    val both = WebmCodec.encodeWebm(29L, 3, tagsElement = true,
+      crc32Elements = true)
+    assert(WebmCodec.decodeWebmDigest(both).get.fingerprint ===
+      dp.fingerprint)
+    // a Tags element TRUNCATED mid-way breaks the segment tiling
+    assert(WebmCodec.decodeWebmDigest(
+      tagged.take(tagged.length - 5)).isEmpty)
+  }
 }
