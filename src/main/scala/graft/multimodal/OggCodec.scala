@@ -377,8 +377,10 @@ object OggCodec {
   }
 
   /** RFC 7845 §5.2 comment header: magic + vendor + zero tags. */
-  private def opusTags(scene: Long): Array[Byte] = {
-    val vendor = s"graft-fixture-$scene".getBytes("US-ASCII")
+  private def opusTags(scene: Long,
+      vendorText: Option[String] = None): Array[Byte] = {
+    val vendor = vendorText.getOrElse(s"graft-fixture-$scene")
+      .getBytes("US-ASCII")
     val o = new java.io.ByteArrayOutputStream()
     o.write("OpusTags".getBytes("US-ASCII"))
     o.write(vendor.length & 0xff); o.write((vendor.length >> 8) & 0xff)
@@ -483,17 +485,22 @@ object OggCodec {
     * packets (ident alone on the BOS page, comment+setup on page 1),
     * then `nPackets` deterministic audio packets of `packetLen` bytes.
     * Re-paginated copies (different layout knobs) keep the identical
-    * packets — the fingerprint must not move. */
+    * packets — the fingerprint must not move. `commentText` rewrites
+    * the comment header's body (the RE-TAGGED duplicate shape —
+    * vorbiscomment edits metadata in place): setup packets are
+    * excluded from content, so the fingerprint must not move. */
   def encodeOgg(scene: Long, nPackets: Int, channels: Int = 1,
       rate: Int = 8000, serial: Long = 0x67726166L,
       packetLen: Int = 300, packetsPerPage: Int = 2,
-      splitAcrossPages: Boolean = false): Array[Byte] = {
+      splitAcrossPages: Boolean = false,
+      commentText: Option[String] = None): Array[Byte] = {
     require(nPackets >= 1 && packetLen >= 60 && packetsPerPage >= 1)
     val pkts = Array.tabulate(nPackets)(k =>
       packetPayload(scene, k, packetLen))
     val pages = buildPages(serial,
       Seq(Seq(identPacket(channels, rate)),
-        Seq(headerPacket(3, s"comment-for-$scene"),
+        Seq(headerPacket(3,
+            commentText.getOrElse(s"comment-for-$scene")),
           headerPacket(5, s"setup-for-$scene"))),
       pkts, packetsPerPage, splitAcrossPages)
     pages.toArray.flatten
@@ -501,16 +508,21 @@ object OggCodec {
 
   /** Encode a planted Ogg/Opus stream (RFC 7845 layout: OpusHead
     * alone on the BOS page, OpusTags alone on page 1, then audio
-    * packets) — the Opus half of the digest tier's fixture corpus. */
+    * packets) — the Opus half of the digest tier's fixture corpus.
+    * `vendorText` rewrites the OpusTags vendor string (the RE-TAGGED
+    * duplicate shape): header packets are excluded from content, so
+    * the fingerprint must not move. */
   def encodeOpus(scene: Long, nPackets: Int, channels: Int = 2,
       rate: Int = 48000, serial: Long = 0x6f707573L,
       packetLen: Int = 300, packetsPerPage: Int = 2,
-      splitAcrossPages: Boolean = false): Array[Byte] = {
+      splitAcrossPages: Boolean = false,
+      vendorText: Option[String] = None): Array[Byte] = {
     require(nPackets >= 1 && packetLen >= 60 && packetsPerPage >= 1)
     val pkts = Array.tabulate(nPackets)(k =>
       packetPayload(scene, k, packetLen, tag = "opus", key = "o"))
     val pages = buildPages(serial,
-      Seq(Seq(opusHead(channels, rate)), Seq(opusTags(scene))),
+      Seq(Seq(opusHead(channels, rate)),
+        Seq(opusTags(scene, vendorText))),
       pkts, packetsPerPage, splitAcrossPages)
     pages.toArray.flatten
   }

@@ -134,7 +134,17 @@ object MultimodalAudioOps extends QueryModule {
     *                        behind protection_absent=0 9-byte headers
     *                        (2 CRC bytes skipped-not-verified, the
     *                        MP3 CRC-slot precedent): byte-distinct,
-    *                        the same fingerprint.
+    *                        the same fingerprint;
+    *   +29·Offset (id%650): the COMMENT-REWRITTEN Vorbis twin — the
+    *                        SAME packets under a rewritten comment
+    *                        header (the vorbiscomment re-tag shape;
+    *                        setup packets are excluded from content):
+    *                        byte-distinct, the same fingerprint as
+    *                        the %325 primary;
+    *   +30·Offset (id%850): the RE-TAGGED Opus twin — the SAME
+    *                        packets under a rewritten OpusTags vendor
+    *                        string: byte-distinct, the same
+    *                        fingerprint as the %425 primary.
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
     * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
@@ -243,10 +253,17 @@ object MultimodalAudioOps extends QueryModule {
             put(s"asset_${id + 14 * Planting.Offset}.ogg",
               graft.multimodal.OggCodec.encodeOgg(id, np,
                 packetsPerPage = 2))
-            if (id % 650 == 0)
+            if (id % 650 == 0) {
               put(s"asset_${id + 15 * Planting.Offset}.ogg",
                 graft.multimodal.OggCodec.encodeOgg(id, np,
                   packetsPerPage = 1, splitAcrossPages = true))
+              // the COMMENT-REWRITTEN twin: same packets, rewritten
+              // comment header (setup packets are not content)
+              put(s"asset_${id + 29 * Planting.Offset}.ogg",
+                graft.multimodal.OggCodec.encodeOgg(id, np,
+                  packetsPerPage = 2,
+                  commentText = Some(s"ARTIST=retag-$id;YEAR=2026")))
+            }
             if (id % 1300 == 0) {
               val full = graft.multimodal.OggCodec.encodeOgg(id, np,
                 packetsPerPage = 2)
@@ -268,9 +285,14 @@ object MultimodalAudioOps extends QueryModule {
             put(s"asset_${id + 17 * Planting.Offset}.opus",
               graft.multimodal.OggCodec.encodeOpus(id, np,
                 packetsPerPage = 2))
-            if (id % 850 == 0)
+            if (id % 850 == 0) {
               put(s"asset_${id + 18 * Planting.Offset}.opus",
                 graft.multimodal.OggCodec.encodeOpusMultiplexed(id, np))
+              // the RE-TAGGED twin: same packets, rewritten OpusTags
+              put(s"asset_${id + 30 * Planting.Offset}.opus",
+                graft.multimodal.OggCodec.encodeOpus(id, np,
+                  vendorText = Some(s"opustags-rewrite-$id")))
+            }
             if (id % 1700 == 0) {
               val full = graft.multimodal.OggCodec.encodeOpus(id, np,
                 packetsPerPage = 2)
@@ -545,6 +567,9 @@ object MultimodalAudioOps extends QueryModule {
              WHERE doc_id % 325 = 0
            UNION ALL SELECT doc_id + 1500000, doc_id, (doc_id % 4) + 2
              FROM d WHERE doc_id % 650 = 0
+           -- the comment-rewritten twin: setup packets aren't content
+           UNION ALL SELECT doc_id + 2900000, doc_id, (doc_id % 4) + 2
+             FROM d WHERE doc_id % 650 = 0
            -- the CHAINED families: two links whose packets carry
            -- global indices, so the digest run is one range of
            -- ((scene // 475) % 3) + 2 + 2 packets
@@ -630,6 +655,9 @@ object MultimodalAudioOps extends QueryModule {
            SELECT doc_id + 1700000 AS asset_id, doc_id AS scene FROM d
              WHERE doc_id % 425 = 0
            UNION ALL SELECT doc_id + 1800000, doc_id FROM d
+             WHERE doc_id % 850 = 0
+           -- the re-tagged twin: OpusTags is setup, not content
+           UNION ALL SELECT doc_id + 3000000, doc_id FROM d
              WHERE doc_id % 850 = 0),
          pk AS (
            SELECT a.asset_id, a.scene, t.k,

@@ -31,6 +31,18 @@ class OggCodecSpec extends AnyFunSuite {
     assert(da.fingerprint !==
       OggCodec.decodeOggDigest(OggCodec.encodeOgg(75L, 3)).get
         .fingerprint)
+    // the RE-TAGGED twins: a rewritten Vorbis comment header or
+    // OpusTags vendor string is setup, not content — byte-distinct,
+    // the fingerprint must not move
+    val retagged = OggCodec.encodeOgg(75L, 4,
+      commentText = Some("ARTIST=someone-else;YEAR=2026"))
+    assert(!retagged.sameElements(a))
+    assert(OggCodec.decodeOggDigest(retagged).get.fingerprint ===
+      da.fingerprint)
+    val opus = OggCodec.decodeOggDigest(OggCodec.encodeOpus(75L, 4)).get
+    val opusRetag = OggCodec.decodeOggDigest(OggCodec.encodeOpus(75L, 4,
+      vendorText = Some("opustags-rewrite"))).get
+    assert(opusRetag.fingerprint === opus.fingerprint)
   }
 
   test("the digest matches the oracle formula") {
