@@ -217,22 +217,53 @@ object Mp3Codec {
     (head + "." * (dataLen - head.length)).getBytes("US-ASCII")
   }
 
-  /** Encode a planted MPEG-1 Layer III mono stream at 32 kHz:
-    * `kbps` ∈ {64, 96} (frame lengths 288/432 — exact at 32 kHz, no
-    * padding drift). `id3v2`/`id3v1` wrap the SAME frames in
-    * deterministic tags, and `xingHeader` prepends a LAME-style
-    * "Xing" VBR-header frame (17 zero side-info bytes then the
-    * magic) — all three are metadata the fingerprint must ignore. */
+  /** Encode a planted mono MP3 stream. The fixture envelope spans
+    * three (version, layer) forms, all chosen so the frame length is
+    * EXACT (no padding drift):
+    *   - (10, 3) MPEG-1 Layer III @ 32 kHz — `kbps` ∈ {64, 96},
+    *     frame lengths 288/432 (the 144·br/sr rule);
+    *   - (20, 3) MPEG-2 Layer III @ 24 kHz — `kbps` ∈ {64, 96},
+    *     frame lengths 192/288 (the HALVED 72·br/sr rule);
+    *   - (10, 1) MPEG-1 Layer I @ 32 kHz — `kbps` ∈ {64, 96},
+    *     frame lengths 96/144 (the (12·br/sr)·4 SLOT rule).
+    * `id3v2`/`id3v1` wrap the SAME frames in deterministic tags, and
+    * `xingHeader` (MPEG-1 L3 only) prepends a LAME-style "Xing"
+    * VBR-header frame (17 zero side-info bytes then the magic) — all
+    * metadata the fingerprint must ignore. */
   def encodeMp3(scene: Long, nFrames: Int, kbps: Int = 64,
       id3v2: Boolean = false, id3v1: Boolean = false,
-      xingHeader: Boolean = false): Array[Byte] = {
+      xingHeader: Boolean = false, version: Int = 10,
+      layer: Int = 3): Array[Byte] = {
     require(nFrames >= 1)
-    val brIdx = kbps match {
-      case 64 => 5
-      case 96 => 7
+    require((version, layer) match {
+      case (10, 3) | (20, 3) | (10, 1) => true
+      case _ => false
+    }, "fixture forms: V1-L3, V2-L3, V1-L1")
+    require(!xingHeader || (version == 10 && layer == 3),
+      "the Xing fixture frame is the MPEG-1 L3 shape")
+    val sr = if (version == 20) 24000 else 32000
+    val brIdx = ((version, layer), kbps) match {
+      case ((10, 3), 64) => 5
+      case ((10, 3), 96) => 7
+      case ((20, 3), 64) => 8              // BrV2L23
+      case ((20, 3), 96) => 10
+      case ((10, 1), 64) => 2              // BrV1L1
+      case ((10, 1), 96) => 3
       case _ => sys.error("fixture bitrates: 64/96")
     }
-    val frameLen = 144 * (kbps * 1000) / 32000
+    val frameLen = (version, layer) match {
+      case (10, 1) => (12 * (kbps * 1000) / sr) * 4
+      case (20, 3) => 72 * (kbps * 1000) / sr
+      case _ => 144 * (kbps * 1000) / sr
+    }
+    // header byte 2: sync low bits, version bits (V1=3, V2=2), layer
+    // bits (L3=1, L1=3), protection absent
+    val verBits = if (version == 20) 2 else 3
+    val layBits = if (layer == 1) 3 else 1
+    val hdr1 = 0xe0 | (verBits << 3) | (layBits << 1) | 1
+    // header byte 3: bitrate index, samplerate index (32 kHz is idx 2
+    // in the V1 table; 24 kHz idx 1 in the V2 table), no padding
+    val srIdx = if (version == 20) 1 else 2
     val out = new java.io.ByteArrayOutputStream()
     if (id3v2) {
       val content = (s"TAGv2-for-$scene " + "=" * 21)
@@ -256,9 +287,8 @@ object Mp3Codec {
     }
     var k = 0
     while (k < nFrames) {
-      // sync + MPEG-1 + Layer III + no CRC
-      out.write(0xff); out.write(0xfb)
-      out.write((brIdx << 4) | (2 << 2))         // 32 kHz, no padding
+      out.write(0xff); out.write(hdr1)
+      out.write((brIdx << 4) | (srIdx << 2))     // no padding
       out.write((3 << 6) | (1 << 2))             // mono, original
       out.write(framePayload(scene, k, frameLen - 4))
       k += 1

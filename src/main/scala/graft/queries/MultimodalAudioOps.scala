@@ -144,7 +144,16 @@ object MultimodalAudioOps extends QueryModule {
     *   +30·Offset (id%850): the RE-TAGGED Opus twin — the SAME
     *                        packets under a rewritten OpusTags vendor
     *                        string: byte-distinct, the same
-    *                        fingerprint as the %425 primary.
+    *                        fingerprint as the %425 primary;
+    *   +31·Offset (id%550): an MPEG-2 Layer III MP3 @ 24 kHz — the
+    *                        HALVED 72·br/sr frame-length rule, its
+    *                        own primary (the V2 data length makes the
+    *                        digests disjoint from the V1 family);
+    *   +32·Offset (id%1100): the RE-TAGGED V2 twin (ID3v2+ID3v1
+    *                        around identical frames): byte-distinct,
+    *                        collapses onto the %550 V2 primary;
+    *   +33·Offset (id%825): an MPEG-1 Layer I MP3 @ 32 kHz — the
+    *                        (12·br/sr)·4 SLOT rule, its own primary.
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
     * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
@@ -240,6 +249,28 @@ object MultimodalAudioOps extends QueryModule {
               put(s"asset_${id + 13 * Planting.Offset}.mp3",
                 full.take(full.length - 100))
             }
+          }
+          // the VERSION/LAYER MP3 families (+31/+32/+33·Offset):
+          // MPEG-2 Layer III (the halved 72·br/sr length rule, 24 kHz)
+          // and MPEG-1 Layer I (the ×4 slot rule) — each family its
+          // own primary (different data lengths ⇒ disjoint digests);
+          // the %1100 re-tagged V2 twin collapses onto the %550 V2
+          // primary. Frame counts from coprime id/550 and id/825.
+          if (id % 550 == 0) {
+            val n2 = ((id / 550) % 5).toInt + 2
+            put(s"asset_${id + 31 * Planting.Offset}.mp3",
+              graft.multimodal.Mp3Codec.encodeMp3(id, n2, 64,
+                version = 20))
+            if (id % 1100 == 0)
+              put(s"asset_${id + 32 * Planting.Offset}.mp3",
+                graft.multimodal.Mp3Codec.encodeMp3(id, n2, 64,
+                  id3v2 = true, id3v1 = true, version = 20))
+          }
+          if (id % 825 == 0) {
+            val n1 = ((id / 825) % 5).toInt + 2
+            put(s"asset_${id + 33 * Planting.Offset}.mp3",
+              graft.multimodal.Mp3Codec.encodeMp3(id, n1, 96,
+                layer = 1))
           }
           // the Ogg/Vorbis digest-tier families (+14/+15/+16·Offset):
           // page-grammar walk with per-page CRC verification, packets
@@ -706,28 +737,43 @@ object MultimodalAudioOps extends QueryModule {
     "mm_mp3_exact" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
          mp3 AS (
-           SELECT doc_id + 1100000 AS asset_id, doc_id AS scene FROM d
-             WHERE doc_id % 275 = 0
-           UNION ALL SELECT doc_id + 1200000, doc_id FROM d
-             WHERE doc_id % 550 = 0),
+           -- (dlen, sr, kb, m) per family: V1-L3 frame data lengths
+           -- 284/428 by scene parity; the V2-L3 families at the
+           -- HALVED length (192-4=188, 24 kHz); the V1-L1 family at
+           -- the slot-rule length (144-4=140... 96 kbps: (12*96000/
+           -- 32000)*4-4 = 140); frame counts from the coprime knobs
+           SELECT doc_id + 1100000 AS asset_id, doc_id AS scene,
+                  CASE WHEN doc_id % 2 = 0 THEN 284 ELSE 428 END
+                    AS dlen, 32000 AS sr,
+                  CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 96 END AS kb,
+                  275 AS m FROM d WHERE doc_id % 275 = 0
+           UNION ALL SELECT doc_id + 1200000, doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN 284 ELSE 428 END,
+                  32000,
+                  CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 96 END, 275
+             FROM d WHERE doc_id % 550 = 0
+           UNION ALL SELECT doc_id + 3100000, doc_id, 188, 24000, 64,
+                  550 FROM d WHERE doc_id % 550 = 0
+           UNION ALL SELECT doc_id + 3200000, doc_id, 188, 24000, 64,
+                  550 FROM d WHERE doc_id % 1100 = 0
+           UNION ALL SELECT doc_id + 3300000, doc_id, 140, 32000, 96,
+                  825 FROM d WHERE doc_id % 825 = 0),
          fr AS (
-           SELECT a.asset_id, a.scene, t.k,
+           SELECT a.asset_id, a.scene, a.sr, a.kb, t.k,
                   md5(rpad('mp3:' || CAST(a.scene AS VARCHAR) || ':' ||
                            CAST(t.k AS VARCHAR) || ':' ||
                            md5('m' || CAST(a.scene AS VARCHAR) || '_' ||
                                CAST(t.k AS VARCHAR)),
-                           CASE WHEN a.scene % 2 = 0
-                                THEN 284 ELSE 428 END, '.')) AS dig
+                           a.dlen, '.')) AS dig
            FROM mp3 a, range(7) t(k)
-           WHERE t.k < ((a.scene // 275) % 5) + 2),
+           WHERE t.k < ((a.scene // a.m) % 5) + 2),
          st AS (
-           SELECT asset_id, scene, count(*) AS n_frames,
+           SELECT asset_id, sr, kb, count(*) AS n_frames,
                   md5(string_agg(dig, '' ORDER BY k)) AS audio_fp
-           FROM fr GROUP BY asset_id, scene)
+           FROM fr GROUP BY asset_id, sr, kb)
          SELECT s.asset_id, s.n_frames,
-                CAST(32000 AS BIGINT) AS sample_rate,
-                CAST(CASE WHEN s.scene % 2 = 0 THEN 64 ELSE 96 END
-                     AS BIGINT) AS kbps,
+                CAST(s.sr AS BIGINT) AS sample_rate,
+                CAST(s.kb AS BIGINT) AS kbps,
                 CAST(1 AS BIGINT) AS channels, s.audio_fp,
                 (SELECT min(s2.asset_id) FROM st s2
                   WHERE s2.audio_fp = s.audio_fp) AS canonical_id

@@ -67,6 +67,45 @@ class Mp3CodecSpec extends AnyFunSuite {
       Mp4Codec.md5Hex(d.frameDigests.mkString("").getBytes("US-ASCII")))
   }
 
+  test("MPEG-2 L3 (halved length rule) and MPEG-1 Layer I (x4 slot " +
+      "rule) encode, walk, and re-tag-collapse") {
+    // V2 L3 @ 24 kHz 64 kbps: frameLen = 72*64000/24000 = 192
+    val v2 = Mp3Codec.encodeMp3(50L, 3, 64, version = 20)
+    assert(v2.length === 3 * 192)
+    val d2 = Mp3Codec.decodeMp3Digest(v2).get
+    assert(d2.version === 20 && d2.layer === 3)
+    assert(d2.sampleRate === 24000 && d2.kbps === 64)
+    assert(d2.frameDigests.length === 3)
+    // the digest formula at the V2 data length (192 - 4 = 188)
+    val head = "mp3:50:1:" + Mp4Codec.md5Hex("m50_1".getBytes("UTF-8"))
+    assert(d2.frameDigests(1) === Mp4Codec.md5Hex(
+      (head + "." * (188 - head.length)).getBytes("US-ASCII")))
+    // the re-tagged V2 twin collapses
+    val v2t = Mp3Codec.encodeMp3(50L, 3, 64, id3v2 = true,
+      id3v1 = true, version = 20)
+    assert(!v2t.sameElements(v2))
+    assert(Mp3Codec.decodeMp3Digest(v2t).get.fingerprint ===
+      d2.fingerprint)
+    // V1 L1 @ 32 kHz 96 kbps: frameLen = (12*96000/32000)*4 = 144
+    val l1 = Mp3Codec.encodeMp3(50L, 3, 96, layer = 1)
+    assert(l1.length === 3 * 144)
+    val d1 = Mp3Codec.decodeMp3Digest(l1).get
+    assert(d1.version === 10 && d1.layer === 1)
+    assert(d1.sampleRate === 32000 && d1.kbps === 96)
+    assert(d1.frameDigests.length === 3)
+    // same scene, different (version, layer) framing → different
+    // data lengths → DISTINCT fingerprints (each family its own
+    // primary, never cross-collapsing)
+    val v1 = Mp3Codec.decodeMp3Digest(Mp3Codec.encodeMp3(50L, 3)).get
+    assert(Set(v1.fingerprint, d2.fingerprint, d1.fingerprint)
+      .size === 3)
+    // truncation discipline holds on both new forms
+    assert(Mp3Codec.decodeMp3Digest(v2.take(v2.length - 50)).isEmpty)
+    assert(Mp3Codec.decodeMp3Digest(l1.take(l1.length - 50)).isEmpty)
+    assert(Mp3Codec.decodeMp3Digest(v2.take(192))
+      .exists(_.frameDigests.length == 1))
+  }
+
   test("CRC-present frames parse with the CRC slot skipped") {
     // hand-build one frame with protection_bit = 0 (CRC present):
     // the digest must cover the data AFTER the 2 CRC bytes
