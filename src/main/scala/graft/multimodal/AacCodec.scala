@@ -282,10 +282,13 @@ object AacCodec {
     * ID3 tags (the re-tagged `.aac` duplicate shape) — metadata the
     * fingerprint must ignore. `crc` emits the protection_absent=0
     * form: 9-byte headers whose 2 CRC bytes the walk skips without
-    * verifying (the MP3 CRC-slot precedent) — framing, not content. */
+    * verifying (the MP3 CRC-slot precedent) — framing, not content.
+    * `mpeg2Id` sets the header's ID bit (the MPEG-2 ADTS variant —
+    * same layout, same raw units; old encoders emit it): framing the
+    * digest must ignore. */
   def encodeAacAdts(scene: Long, nFrames: Int,
       id3v2: Boolean = false, id3v1: Boolean = false,
-      crc: Boolean = false): Array[Byte] = {
+      crc: Boolean = false, mpeg2Id: Boolean = false): Array[Byte] = {
     require(nFrames >= 1)
     val out = new java.io.ByteArrayOutputStream()
     if (id3v2) {
@@ -303,7 +306,9 @@ object AacCodec {
       val au = aacSamplePayload(scene, k)
       val len = (if (crc) 9 else 7) + au.length
       out.write(0xff)
-      out.write(if (crc) 0xf0 else 0xf1)   // MPEG-4, layer 00, ±CRC
+      // byte 2: sync low nibble, ID bit (MPEG-4=0 / MPEG-2=1),
+      // layer 00, protection_absent
+      out.write(0xf0 | (if (mpeg2Id) 8 else 0) | (if (crc) 0 else 1))
       out.write((1 << 6) | (4 << 2))       // AAC-LC, freq index 4
       out.write((2 << 6) | ((len >> 11) & 3))
       out.write((len >> 3) & 0xff)

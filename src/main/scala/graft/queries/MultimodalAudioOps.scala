@@ -153,7 +153,11 @@ object MultimodalAudioOps extends QueryModule {
     *                        around identical frames): byte-distinct,
     *                        collapses onto the %550 V2 primary;
     *   +33·Offset (id%825): an MPEG-1 Layer I MP3 @ 32 kHz — the
-    *                        (12·br/sr)·4 SLOT rule, its own primary.
+    *                        (12·br/sr)·4 SLOT rule, its own primary;
+    *   +34·Offset (id%1500): the MPEG-2-ID ADTS twin — the SAME
+    *                        units behind headers with the ID bit set
+    *                        (the MPEG-2 ADTS variant): byte-distinct,
+    *                        the same fingerprint as the %375 primary.
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
     * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
@@ -363,6 +367,10 @@ object MultimodalAudioOps extends QueryModule {
               put(s"asset_${id + 28 * Planting.Offset}.aac",
                 graft.multimodal.AacCodec.encodeAacAdts(id, nu,
                   crc = true))
+              // the MPEG-2-ID ADTS twin: ID bit set, same units
+              put(s"asset_${id + 34 * Planting.Offset}.aac",
+                graft.multimodal.AacCodec.encodeAacAdts(id, nu,
+                  mpeg2Id = true))
             }
           }
           // the CHAINED Ogg families (+24/+25/+26·Offset): two
@@ -650,6 +658,9 @@ object MultimodalAudioOps extends QueryModule {
              WHERE doc_id % 750 = 0
            -- the CRC-form ADTS twin: the 9-byte-header framing
            UNION ALL SELECT doc_id + 2800000, doc_id FROM d
+             WHERE doc_id % 1500 = 0
+           -- the MPEG-2-ID ADTS twin: the ID bit is framing
+           UNION ALL SELECT doc_id + 3400000, doc_id FROM d
              WHERE doc_id % 1500 = 0),
          un AS (
            SELECT a.asset_id, a.scene, t.k,

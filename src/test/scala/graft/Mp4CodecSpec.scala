@@ -316,6 +316,11 @@ class Mp4CodecSpec extends AnyFunSuite {
     val dcrc = AacCodec.decodeAdtsDigest(crcForm).get
     assert(dcrc.sampleDigests === da.sampleDigests)
     assert(dcrc.fingerprint === dm.fingerprint)
+    // the MPEG-2-ID variant (ID bit set, same layout): collapses too
+    val m2 = AacCodec.encodeAacAdts(60L, 4, mpeg2Id = true)
+    assert(!m2.sameElements(adts))
+    assert(AacCodec.decodeAdtsDigest(m2).get.fingerprint ===
+      dm.fingerprint)
     // a CRC-form frame whose length field forgets the CRC bytes
     // breaks the tiling → None
     val shortLen = AacCodec.encodeAacAdts(60L, 1, crc = true)
