@@ -133,7 +133,9 @@ object WebmCodec {
     * malformed CRC element or a mismatch (a wrong checksum means the
     * master's bytes are damaged — drop whole, the tier's rule). Only
     * the spec position (first child) is verified; the spec forbids
-    * any other placement. */
+    * any other placement, and the walk REJECTS a 0xBF child seen past
+    * the first position in every master it descends — a mis-placed
+    * checksum is malformed framing, never silently skipped. */
   private def crcGate(b: Array[Byte], from: Int, until: Int): Option[Int] = {
     if (from >= until || u8(b, from) != 0xBF) return Some(from)
     val (sz, sp) = readSize(b, from + 1, until).getOrElse(return None)
@@ -314,6 +316,7 @@ object WebmCodec {
           var t = crcGate(b, sp, e.toInt).getOrElse(return None)
           while (t < e) {
             val (tid, tip) = readId(b, t, e.toInt).getOrElse(return None)
+            if (tid == 0xBFL) return None   // CRC-32 past first child
             val (tsz, tsp) = readSize(b, tip, e.toInt).getOrElse(return None)
             if (tsp + tsz > e) return None
             if (tid == 0xAEL) {             // TrackEntry
@@ -325,6 +328,7 @@ object WebmCodec {
               var u = crcGate(b, tsp, tEnd).getOrElse(return None)
               while (u < tEnd) {
                 val (eid, eip) = readId(b, u, tEnd).getOrElse(return None)
+                if (eid == 0xBFL) return None // CRC-32 past first child
                 val (esz, esp) = readSize(b, eip, tEnd).getOrElse(return None)
                 if (esp + esz > tEnd) return None
                 val eEnd = (esp + esz).toInt
@@ -333,9 +337,10 @@ object WebmCodec {
                   case 0x83L => typ = uint(b, esp, eEnd).getOrElse(return None).toInt
                   case 0x86L => codec = new String(b, esp, esz.toInt, "US-ASCII")
                   case 0xE0L =>             // Video
-                    var v = esp
+                    var v = crcGate(b, esp, eEnd).getOrElse(return None)
                     while (v < eEnd) {
                       val (vid, vip) = readId(b, v, eEnd).getOrElse(return None)
+                      if (vid == 0xBFL) return None
                       val (vsz, vsp) = readSize(b, vip, eEnd).getOrElse(return None)
                       if (vsp + vsz > eEnd) return None
                       if (vid == 0xB0L)
@@ -345,9 +350,10 @@ object WebmCodec {
                       v = (vsp + vsz).toInt
                     }
                   case 0xE1L =>             // Audio
-                    var v = esp
+                    var v = crcGate(b, esp, eEnd).getOrElse(return None)
                     while (v < eEnd) {
                       val (vid, vip) = readId(b, v, eEnd).getOrElse(return None)
+                      if (vid == 0xBFL) return None
                       val (vsz, vsp) = readSize(b, vip, eEnd).getOrElse(return None)
                       if (vsp + vsz > eEnd) return None
                       if (vid == 0x9FL)     // Channels
@@ -392,6 +398,13 @@ object WebmCodec {
             crcFrom = xsp + 4
             c = crcFrom
           }
+          // Void is both a valid Cluster child and a valid top-level
+          // element, so a trailing Void run before the found boundary
+          // is genuinely ambiguous — the walk attributes it to the
+          // SEGMENT level (tail tracks the end of the last non-Void
+          // child), so a CRC-leading unknown-size cluster never has
+          // its checksum stretched over a top-level-adjacent Void
+          var tail = c
           while (open && c < bound) {
             val (cid, cip) = readId(b, c, bound).getOrElse(return None)
             if (unknown && TopLevelIds.contains(cid)) open = false
@@ -409,20 +422,25 @@ object WebmCodec {
                   var g = crcGate(b, csp, cEnd).getOrElse(return None)
                   while (g < cEnd) {
                     val (gid, gip) = readId(b, g, cEnd).getOrElse(return None)
+                    if (gid == 0xBFL) return None // CRC-32 past first
                     val (gsz, gsp) = readSize(b, gip, cEnd).getOrElse(return None)
                     if (gsp + gsz > cEnd) return None
                     if (gid == 0xA1L && !block(gsp, (gsp + gsz).toInt))
                       return None
                     g = (gsp + gsz).toInt
                   }
-                case _ => ()                // Timecode, CRC-32, Void, …
+                case 0xBFL => return None   // CRC-32 past first child
+                case _ => ()                // Timecode, Void, …
               }
               c = cEnd
+              if (cid != 0xECL) tail = c
             }
           }
-          if (crcWant >= 0 && crc32(b, crcFrom, c) != crcWant)
+          val cBoundary = if (unknown) tail else c
+          if (crcWant >= 0 && crc32(b, crcFrom, cBoundary) != crcWant)
             return None
-          q = c
+          q = cBoundary
+        case 0xBFL => return None           // CRC-32 past first child
         case _ => ()                        // Info, SeekHead, Cues, …
       }
     }

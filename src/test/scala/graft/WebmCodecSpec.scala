@@ -347,4 +347,51 @@ class WebmCodecSpec extends AnyFunSuite {
     assert(WebmCodec.decodeWebmDigest(
       tagged.take(tagged.length - 5)).isEmpty)
   }
+
+  test("a trailing top-level-adjacent Void is attributed to the " +
+      "Segment, not absorbed into an unknown-size cluster") {
+    val dp = WebmCodec.decodeWebmDigest(WebmCodec.encodeWebm(31L, 4)).get
+    // Void is a valid Cluster child AND a valid top-level element —
+    // after an unknown-size cluster the grouping is ambiguous. The
+    // walk excludes a trailing Void run from the cluster's extent,
+    // so a CRC-leading unknown-size cluster is never verified over
+    // Void bytes the muxer wrote at the Segment level.
+    val voidEl = Array[Byte](0xEC.toByte, 0x82.toByte, 0, 0)
+    val unk = WebmCodec.encodeWebm(31L, 4,
+      unknownSizeSegment = true, unknownSizeClusters = true)
+    assert(WebmCodec.decodeWebmDigest(unk ++ voidEl)
+      .exists(_.fingerprint == dp.fingerprint))
+    // with CRC-32 framing the choice is OBSERVABLE: absorbing the
+    // Void would stretch the deferred checksum over it and drop a
+    // structurally valid file — the exclusion keeps it green
+    val crcd = WebmCodec.encodeWebm(31L, 4, crc32Elements = true,
+      unknownSizeSegment = true, unknownSizeClusters = true)
+    assert(WebmCodec.decodeWebmDigest(crcd ++ voidEl)
+      .exists(_.fingerprint == dp.fingerprint))
+    // two stacked Voids (a trailing RUN) exclude together
+    assert(WebmCodec.decodeWebmDigest(crcd ++ voidEl ++ voidEl)
+      .exists(_.fingerprint == dp.fingerprint))
+  }
+
+  test("a CRC-32 element past the first-child position rejects " +
+      "(RFC 8794 forbids the placement — never skipped unverified)") {
+    val crc0 = Array[Byte](0xBF.toByte, 0x84.toByte, 0, 0, 0, 0)
+    // appended at EOF under an unknown-size SEGMENT = a top-level
+    // CRC past the first child: malformed framing, drop whole
+    val unkSeg = WebmCodec.encodeWebm(31L, 4, unknownSizeSegment = true)
+    assert(WebmCodec.decodeWebmDigest(unkSeg).nonEmpty)
+    assert(WebmCodec.decodeWebmDigest(unkSeg ++ crc0).isEmpty)
+    // appended at EOF under an unknown-size CLUSTER = a cluster
+    // child CRC past the first position: same rule
+    val unkAll = WebmCodec.encodeWebm(31L, 4,
+      unknownSizeSegment = true, unknownSizeClusters = true)
+    assert(WebmCodec.decodeWebmDigest(unkAll).nonEmpty)
+    assert(WebmCodec.decodeWebmDigest(unkAll ++ crc0).isEmpty)
+    // a mis-placed CRC with a CORRECT first-child CRC ahead of it
+    // still rejects — position, not value, is what's malformed
+    val crcd = WebmCodec.encodeWebm(31L, 4, crc32Elements = true,
+      unknownSizeSegment = true, unknownSizeClusters = true)
+    assert(WebmCodec.decodeWebmDigest(crcd).nonEmpty)
+    assert(WebmCodec.decodeWebmDigest(crcd ++ crc0).isEmpty)
+  }
 }
