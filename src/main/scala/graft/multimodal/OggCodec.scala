@@ -256,6 +256,15 @@ object OggCodec {
         // poisons the whole file at the gate
         if (decoded.isEmpty && looksAudio(st)) return None
         if (linkAudio.isEmpty) linkAudio = decoded
+        else decoded.foreach { d =>
+          // a SECOND valid audio stream of the SAME codec in one
+          // grouped link makes "the link's content" ambiguous —
+          // digesting only the first would collapse byte-distinct
+          // audio (solo vs solo+sibling), so the file drops whole.
+          // A different-codec audio sibling stays tolerated under
+          // the documented first-audio-in-BOS-order rule.
+          if (d.codec == linkAudio.get.codec) return None
+        }
       }
       val la = linkAudio.getOrElse(return None)
       if (head.isEmpty) head = Some(la)
@@ -275,7 +284,9 @@ object OggCodec {
       (id.length >= 7 && u8(id, 0) == 1 &&
         new String(id, 1, 6, "US-ASCII") == "vorbis") ||
       (id.length >= 8 &&
-        new String(id, 0, 8, "US-ASCII") == "OpusHead")
+        new String(id, 0, 8, "US-ASCII") == "OpusHead") ||
+      (id.length >= 5 && u8(id, 0) == 0x7f &&
+        new String(id, 1, 4, "US-ASCII") == "FLAC")
     }
   }
 
@@ -320,6 +331,42 @@ object OggCodec {
       val audio = all.drop(2)
       if (audio.isEmpty) return None
       return Some(OggStream(st.serial, "opus", channels, sampleRate,
+        audio.map(pk => Mp4Codec.md5Hex(pk))))
+    }
+    // FLAC-in-Ogg (the xiph Ogg-FLAC mapping, what `flac --ogg`
+    // emits): first packet = 0x7F 'FLAC' major minor n-headers
+    // 'fLaC' STREAMINFO; the DECLARED count of metadata header
+    // packets follows (each a FLAC metadata block, excluded from
+    // content like Vorbis setup / OpusTags); then audio frames.
+    if (ident.length >= 51 && u8(ident, 0) == 0x7f &&
+        new String(ident, 1, 4, "US-ASCII") == "FLAC") {
+      if (u8(ident, 5) != 1) return None // mapping major version 1
+      val nHdr = (u8(ident, 7) << 8) | u8(ident, 8)
+      if (new String(ident, 9, 4, "US-ASCII") != "fLaC") return None
+      // STREAMINFO block: type 0, length 34 (the FLAC spec's fixed
+      // size) — sample rate 20 bits, channels-1 3 bits at bytes 10-12
+      if ((u8(ident, 13) & 0x7f) != 0) return None
+      val blen = (u8(ident, 14) << 16) | (u8(ident, 15) << 8) |
+        u8(ident, 16)
+      if (blen != 34 || ident.length < 17 + 34) return None
+      val sampleRate = (u8(ident, 27) << 12) | (u8(ident, 28) << 4) |
+        (u8(ident, 29) >> 4)
+      val channels = ((u8(ident, 29) >> 1) & 7) + 1
+      if (sampleRate <= 0) return None
+      if (all.length < 1 + nHdr + 1) return None
+      // the declared header packets must be well-formed metadata
+      // blocks (4-byte header whose length covers the rest exactly)
+      var h = 1
+      while (h <= nHdr) {
+        val p = all(h)
+        if (p.length < 4 || (u8(p, 0) & 0x7f) > 6) return None
+        if (((u8(p, 1) << 16) | (u8(p, 2) << 8) | u8(p, 3)) !=
+          p.length - 4) return None
+        h += 1
+      }
+      val audio = all.drop(1 + nHdr)
+      if (audio.isEmpty) return None
+      return Some(OggStream(st.serial, "flac", channels, sampleRate,
         audio.map(pk => Mp4Codec.md5Hex(pk))))
     }
     None
@@ -523,6 +570,71 @@ object OggCodec {
     val pages = buildPages(serial,
       Seq(Seq(opusHead(channels, rate)),
         Seq(opusTags(scene, vendorText))),
+      pkts, packetsPerPage, splitAcrossPages)
+    pages.toArray.flatten
+  }
+
+  /** The Ogg-FLAC mapping's first packet: 0x7F 'FLAC' 1 0, the
+    * declared header-packet count, 'fLaC', and a 34-byte STREAMINFO
+    * (16-bit stereo-capable fields; sample rate and channels packed
+    * per the FLAC spec). */
+  private def flacFirstPacket(channels: Int, rate: Int,
+      nHeaders: Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(0x7f); o.write("FLAC".getBytes("US-ASCII"))
+    o.write(1); o.write(0)                 // mapping version 1.0
+    o.write((nHeaders >> 8) & 0xff); o.write(nHeaders & 0xff)
+    o.write("fLaC".getBytes("US-ASCII"))
+    o.write(0x00)                          // STREAMINFO, not last
+    o.write(0); o.write(0); o.write(34)    // block length
+    o.write(0x10); o.write(0)              // min blocksize 4096
+    o.write(0x10); o.write(0)              // max blocksize 4096
+    o.write(0); o.write(0); o.write(0)     // min framesize
+    o.write(0); o.write(0); o.write(0)     // max framesize
+    o.write((rate >> 12) & 0xff)           // sr[19:12]
+    o.write((rate >> 4) & 0xff)            // sr[11:4]
+    o.write(((rate & 0xf) << 4) | ((channels - 1) << 1)) // +bps hi
+    o.write(0xf0)                          // bps-1 = 15 (16-bit), ts
+    var i = 0
+    while (i < 4 + 16) { o.write(0); i += 1 } // total samples + md5
+    o.toByteArray
+  }
+
+  /** A FLAC VORBIS_COMMENT metadata block (type 4) as an Ogg-FLAC
+    * header packet — the re-taggable metadata slot. */
+  private def flacCommentBlock(text: String): Array[Byte] = {
+    val vendor = text.getBytes("US-ASCII")
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(vendor.length & 0xff); body.write((vendor.length >> 8) & 0xff)
+    body.write(0); body.write(0)
+    body.write(vendor, 0, vendor.length)
+    body.write(0); body.write(0); body.write(0); body.write(0)
+    val b = body.toByteArray
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(0x84)                          // last-metadata | type 4
+    o.write((b.length >> 16) & 0xff); o.write((b.length >> 8) & 0xff)
+    o.write(b.length & 0xff)
+    o.write(b, 0, b.length)
+    o.toByteArray
+  }
+
+  /** Encode a planted Ogg-FLAC stream (the xiph mapping `flac --ogg`
+    * emits: the 0x7F'FLAC' first packet alone on the BOS page, the
+    * declared metadata header packet, then audio frames). Header
+    * packets are excluded from content, so a `commentText` rewrite —
+    * the metaflac re-tag shape — must not move the fingerprint. */
+  def encodeOggFlac(scene: Long, nPackets: Int, channels: Int = 2,
+      rate: Int = 44100, serial: Long = 0x666c6163L,
+      packetLen: Int = 300, packetsPerPage: Int = 2,
+      splitAcrossPages: Boolean = false,
+      commentText: Option[String] = None): Array[Byte] = {
+    require(nPackets >= 1 && packetLen >= 60 && packetsPerPage >= 1)
+    val pkts = Array.tabulate(nPackets)(k =>
+      packetPayload(scene, k, packetLen, tag = "flac", key = "f"))
+    val pages = buildPages(serial,
+      Seq(Seq(flacFirstPacket(channels, rate, nHeaders = 1)),
+        Seq(flacCommentBlock(
+          commentText.getOrElse(s"flac-fixture-$scene")))),
       pkts, packetsPerPage, splitAcrossPages)
     pages.toArray.flatten
   }

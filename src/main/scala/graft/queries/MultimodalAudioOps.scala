@@ -157,7 +157,25 @@ object MultimodalAudioOps extends QueryModule {
     *   +34·Offset (id%1500): the MPEG-2-ID ADTS twin — the SAME
     *                        units behind headers with the ID bit set
     *                        (the MPEG-2 ADTS variant): byte-distinct,
-    *                        the same fingerprint as the %375 primary.
+    *                        the same fingerprint as the %375 primary;
+    *   +35·Offset (id%450): Ogg-FLAC (.oga) — the xiph mapping
+    *                        (`flac --ogg`): the 0x7F'FLAC' first
+    *                        packet + a declared VORBIS_COMMENT
+    *                        header packet, then audio frames. Rides
+    *                        the same page-grammar walk; surfaces via
+    *                        mm_oggflac_exact. (Native-FLAC files
+    *                        stay in the REAL-PCM-decode tier —
+    *                        different contract, so no cross-container
+    *                        collapse is claimed between the two);
+    *   +36·Offset (id%900): the RE-PAGINATED + RE-TAGGED Ogg-FLAC
+    *                        twin — identical frames, one packet per
+    *                        page with a 255-continuation split AND a
+    *                        rewritten comment block (the metaflac
+    *                        shape): byte-distinct, the same
+    *                        fingerprint (%900 implies %450);
+    *   +37·Offset (id%1800): a truncated Ogg-FLAC copy (EOS page
+    *                        cut) — digest MUST be None; never
+    *                        surfaces.
     * Constant segments make every rendering's energy envelope recover
     * the scene exactly, so expected fingerprints (and clusters) are
     * pure integer+md5 arithmetic the DuckDB oracle recomputes. */
@@ -335,6 +353,30 @@ object MultimodalAudioOps extends QueryModule {
                 full.take(full.length - 80))
             }
           }
+          // the Ogg-FLAC digest-tier families (+35/+36/+37·Offset):
+          // the xiph FLAC-in-Ogg mapping riding the same CRC-verified
+          // page walk — the %900 twin re-paginates AND re-tags the
+          // identical frames (metadata blocks are excluded from
+          // content), so its fingerprint collapses onto the %450
+          // primary; the %1800 truncated copy must digest to None.
+          // Packet count from id/450 — coprime to the modulus.
+          if (id % 450 == 0) {
+            val np = ((id / 450) % 4).toInt + 2
+            put(s"asset_${id + 35 * Planting.Offset}.oga",
+              graft.multimodal.OggCodec.encodeOggFlac(id, np,
+                packetsPerPage = 2))
+            if (id % 900 == 0)
+              put(s"asset_${id + 36 * Planting.Offset}.oga",
+                graft.multimodal.OggCodec.encodeOggFlac(id, np,
+                  packetsPerPage = 1, splitAcrossPages = true,
+                  commentText = Some(s"metaflac-retag-$id")))
+            if (id % 1800 == 0) {
+              val full = graft.multimodal.OggCodec.encodeOggFlac(id, np,
+                packetsPerPage = 2)
+              put(s"asset_${id + 37 * Planting.Offset}.oga",
+                full.take(full.length - 80))
+            }
+          }
           // the AAC digest-tier families (+20/+21/+22/+23·Offset):
           // raw access units digested out of either container form.
           // The %750 twins re-frame the identical units — one as a
@@ -413,6 +455,16 @@ object MultimodalAudioOps extends QueryModule {
   // surface.
   private def mmOpusExact(s: SparkSession, d: String): DataFrame =
     oggTier(s, d, "opus")
+
+  // The FLAC half of the Ogg digest tier (the xiph `flac --ogg`
+  // mapping): the %900 RE-PAGINATED + RE-TAGGED twins (identical
+  // frames, rewritten VORBIS_COMMENT block, different page layout)
+  // MUST collapse onto their %450 primaries; truncated %1800 copies
+  // never surface. Native-FLAC files are deliberately NOT in this
+  // tier — they take the REAL-PCM-decode path (FlacCodec), a
+  // different contract, so no cross-container collapse is claimed.
+  private def mmOggFlacExact(s: SparkSession, d: String): DataFrame =
+    oggTier(s, d, "flac")
 
   // The AAC digest tier end-to-end: binary ingest → either container
   // walk (M4A sample tables / ADTS tiling) down to the same raw
@@ -583,6 +635,7 @@ object MultimodalAudioOps extends QueryModule {
     "mm_mp3_exact"         -> (mmMp3Exact _),
     "mm_ogg_exact"         -> (mmOggExact _),
     "mm_opus_exact"        -> (mmOpusExact _),
+    "mm_oggflac_exact"     -> (mmOggFlacExact _),
     "mm_m4a_exact"         -> (mmM4aExact _),
   )
 
@@ -676,6 +729,42 @@ object MultimodalAudioOps extends QueryModule {
                   md5(string_agg(dig, '' ORDER BY k)) AS audio_fp
            FROM un GROUP BY asset_id)
          SELECT s.asset_id, s.n_samples,
+                CAST(44100 AS BIGINT) AS sample_rate,
+                CAST(2 AS BIGINT) AS channels, s.audio_fp,
+                (SELECT min(s2.asset_id) FROM st s2
+                  WHERE s2.audio_fp = s.audio_fp) AS canonical_id
+         FROM st s ORDER BY s.asset_id""",
+
+    // the FLAC third of the Ogg digest tier's oracle: packet k's
+    // payload is "flac:{scene}:{k}:" || md5("f{scene}_{k}")
+    // dot-padded to 300 bytes, packet count ((scene // 450) % 4) + 2.
+    // The %900 re-paginated + re-tagged twin (identical frames under
+    // a rewritten VORBIS_COMMENT block and a different page layout)
+    // recomputes to the SAME fingerprint — pages AND metadata blocks
+    // are excluded from content by the tier contract — so its
+    // canonical_id is the %450 primary; truncated %1800 copies (EOS
+    // page cut) never appear.
+    "mm_oggflac_exact" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         fl AS (
+           SELECT doc_id + 3500000 AS asset_id, doc_id AS scene FROM d
+             WHERE doc_id % 450 = 0
+           UNION ALL SELECT doc_id + 3600000, doc_id FROM d
+             WHERE doc_id % 900 = 0),
+         pk AS (
+           SELECT a.asset_id, a.scene, t.k,
+                  md5(rpad('flac:' || CAST(a.scene AS VARCHAR) || ':' ||
+                           CAST(t.k AS VARCHAR) || ':' ||
+                           md5('f' || CAST(a.scene AS VARCHAR) || '_' ||
+                               CAST(t.k AS VARCHAR)),
+                           300, '.')) AS dig
+           FROM fl a, range(7) t(k)
+           WHERE t.k < ((a.scene // 450) % 4) + 2),
+         st AS (
+           SELECT asset_id, count(*) AS n_packets,
+                  md5(string_agg(dig, '' ORDER BY k)) AS audio_fp
+           FROM pk GROUP BY asset_id)
+         SELECT s.asset_id, s.n_packets,
                 CAST(44100 AS BIGINT) AS sample_rate,
                 CAST(2 AS BIGINT) AS channels, s.audio_fp,
                 (SELECT min(s2.asset_id) FROM st s2

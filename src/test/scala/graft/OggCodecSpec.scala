@@ -260,8 +260,11 @@ class OggCodecSpec extends AnyFunSuite {
     assert(grouped.packetDigests === da.packetDigests)
     assert(grouped.fingerprint === da.fingerprint)
     // the ambiguous twin — the single-page complete stream carries a
-    // VALID vorbis ident — resolves the same way: grouped, and the
-    // FIRST audio stream in BOS order is the digest subject
+    // VALID vorbis ident — still reads as grouped (never a chain
+    // boundary), but a grouped link carrying a SECOND valid audio
+    // stream of the SAME codec drops WHOLE: digesting only the first
+    // would make `solo ++ audio` fingerprint identically to `solo`
+    // alone, a false-positive collapse between byte-distinct audio
     val au = "solo-audio-packet".getBytes("US-ASCII")
     val solo = rawPage(7L, 0L, 2 | 4, Seq(
       vorbisIdent(1, 8000),
@@ -272,8 +275,7 @@ class OggCodecSpec extends AnyFunSuite {
       au))
     assert(OggCodec.decodeOggDigest(solo)
       .exists(_.packetDigests == Vector(Mp4Codec.md5Hex(au))))
-    val asGrouped = OggCodec.decodeOggDigest(solo ++ audio).get
-    assert(asGrouped.packetDigests === Vector(Mp4Codec.md5Hex(au)))
+    assert(OggCodec.decodeOggDigest(solo ++ audio).isEmpty)
     // chaining still works once a data page has closed the BOS
     // section: audio THEN the single-page stream concatenates
     val chained = OggCodec.decodeOggDigest(audio ++ solo).get
@@ -373,5 +375,85 @@ class OggCodecSpec extends AnyFunSuite {
       junk(0) = 'O'; junk(1) = 'g'; junk(2) = 'g'; junk(3) = 'S'
       OggCodec.decodeOggDigest(junk)
     }
+  }
+
+  test("Ogg-FLAC streams decode through the xiph mapping and " +
+      "re-paginated/re-tagged copies fingerprint identically") {
+    val plain = OggCodec.encodeOggFlac(23L, 4)
+    val d0 = OggCodec.decodeOggDigest(plain).get
+    assert(d0.codec === "flac")
+    assert(d0.sampleRate === 44100)
+    assert(d0.channels === 2)
+    assert(d0.packetDigests.length === 4)
+    // re-paginated + re-tagged (the metaflac shape): byte-distinct,
+    // identical frames → the same fingerprint
+    val re = OggCodec.encodeOggFlac(23L, 4, packetsPerPage = 1,
+      splitAcrossPages = true,
+      commentText = Some("metaflac-rewrite"))
+    assert(!re.sameElements(plain))
+    val d1 = OggCodec.decodeOggDigest(re).get
+    assert(d1.packetDigests === d0.packetDigests)
+    assert(d1.fingerprint === d0.fingerprint)
+    // the digest matches the oracle formula
+    def md5s(s: String) = Mp4Codec.md5Hex(s.getBytes("US-ASCII"))
+    val head = "flac:23:0:" + md5s("f23_0")
+    assert(d0.packetDigests.head ===
+      md5s(head + "." * (300 - head.length)))
+    // distinct scenes and the Vorbis family stay distinct
+    assert(OggCodec.decodeOggDigest(OggCodec.encodeOggFlac(24L, 4))
+      .get.fingerprint !== d0.fingerprint)
+    assert(OggCodec.decodeOggDigest(OggCodec.encodeOgg(23L, 4)).get
+      .fingerprint !== d0.fingerprint)
+    // truncation (EOS page cut) drops whole
+    assert(OggCodec.decodeOggDigest(
+      plain.take(plain.length - 80)).isEmpty)
+  }
+
+  test("malformed Ogg-FLAC idents poison the file (the looksAudio " +
+      "gate) instead of reading as tolerated siblings") {
+    // corrupt the mapping major-version byte inside the BOS page
+    // (body starts at 28: 0x7F F L A C maj ...) and re-CRC the page
+    val good = OggCodec.encodeOggFlac(29L, 3)
+    val m = good.clone()
+    assert(m(28) === 0x7f.toByte)
+    m(28 + 5) = 9
+    val pageEnd = {
+      val nSegs = m(26) & 0xff
+      var bodyLen = 0
+      var i = 0
+      while (i < nSegs) { bodyLen += m(27 + i) & 0xff; i += 1 }
+      27 + nSegs + bodyLen
+    }
+    val c = OggCodec.crc(m, 0, pageEnd, zeroAt = 22)
+    m(22) = (c & 0xff).toByte
+    m(23) = ((c >> 8) & 0xff).toByte
+    m(24) = ((c >> 16) & 0xff).toByte
+    m(25) = ((c >>> 24) & 0xff).toByte
+    assert(OggCodec.decodeOggDigest(m).isEmpty)
+    // a header packet whose declared block length lies also drops:
+    // the VORBIS_COMMENT block header is the first 4 bytes of the
+    // second packet (page 1's body) — shrink its length field
+    val h = good.clone()
+    var pages = 0
+    var p2 = -1
+    var i2 = 0
+    while (i2 < h.length - 4 && p2 < 0) {
+      if (h(i2) == 'O' && h(i2 + 1) == 'g' && h(i2 + 2) == 'g' &&
+          h(i2 + 3) == 'S') { pages += 1; if (pages == 2) p2 = i2 }
+      i2 += 1
+    }
+    assert(p2 > 0)
+    val body2 = p2 + 27 + (h(p2 + 26) & 0xff)
+    h(body2 + 3) = (h(body2 + 3) - 1).toByte
+    val nSegs2 = h(p2 + 26) & 0xff
+    var blen2 = 0
+    var j2 = 0
+    while (j2 < nSegs2) { blen2 += h(p2 + 27 + j2) & 0xff; j2 += 1 }
+    val c2 = OggCodec.crc(h, p2, body2 + blen2, zeroAt = p2 + 22)
+    h(p2 + 22) = (c2 & 0xff).toByte
+    h(p2 + 23) = ((c2 >> 8) & 0xff).toByte
+    h(p2 + 24) = ((c2 >> 16) & 0xff).toByte
+    h(p2 + 25) = ((c2 >>> 24) & 0xff).toByte
+    assert(OggCodec.decodeOggDigest(h).isEmpty)
   }
 }
