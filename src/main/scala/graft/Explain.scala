@@ -65,6 +65,7 @@ object Explain {
         "text_decontaminate_served", "text_decontaminate_spans_served",
         "mm_frame_sample", "mm_frame_near", "pipeline_curate_v10",
         "mm_frame_stream_admit", "mm_clip_exact", "mm_webm_exact",
+        "mm_ts_exact", "mm_avif_exact", "mm_oggflac_exact",
         "warc_ingest", "warc_extract", "pipeline_curate_v11",
         "pipeline_curate_v12")
     val spark = SparkSession.builder()

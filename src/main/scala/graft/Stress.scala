@@ -84,6 +84,7 @@ object Stress {
     "mm_mp3_exact", "mm_ogg_exact", "mm_opus_exact", "mm_m4a_exact",
     "mm_frame_sample", "mm_frame_near", "pipeline_curate_v10",
     "mm_frame_stream_admit", "mm_clip_exact", "mm_webm_exact",
+    "mm_ts_exact", "mm_avif_exact", "mm_oggflac_exact",
     "warc_ingest", "warc_extract", "pipeline_curate_v11",
     "pipeline_curate_v12")
 

@@ -351,7 +351,8 @@ object Multimodal {
       "aif" -> "audio", "tif" -> "image", "webp" -> "image",
       "mp3" -> "audio", "ogg" -> "audio", "opus" -> "audio",
       "m4a" -> "audio", "aac" -> "audio", "webm" -> "video",
-      "mkv" -> "video", "weba" -> "audio")
+      "mkv" -> "video", "weba" -> "audio", "ts" -> "video",
+      "avif" -> "image", "heic" -> "image", "oga" -> "audio")
 
   /** REAL binary ingestion: `spark.read.format("binaryFile")` over a
     * directory of media blobs named `asset_<id>.<ext>`. This is the
@@ -550,6 +551,51 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.flatMap { a =>
         Mp4Codec.decodeAvcDigest(a.payload).map { c =>
+          (a.asset_id, c.sampleDigests.length.toLong,
+            c.profile.toLong, c.level.toLong, c.fingerprint)
+        }
+      }
+    }.toDF("asset_id", "n_samples", "profile_idc", "level_idc",
+      "clip_fp")
+  }
+
+  /** The AVIF/HEIC digest tier over a media corpus — the documented
+    * no-pixel-decode contract of [[AvifCodec.decodeAvifDigest]]: one
+    * distributed projection walks the HEIF item grammar (meta/pitm/
+    * iinf/iloc/iprp) and reduces each still to codec + ispe
+    * dimensions + the primary item's coded-payload md5, so RE-BOXED
+    * copies — the canonical packager duplicate (idat vs mdat
+    * carriage, extent splits, iloc versions) — collapse in exact
+    * dedup without an AV1/HEVC decoder. Non-HEIF or malformed
+    * payloads drop at the gate. Scale: ~60 bytes/item out; dedup
+    * groups fingerprints, never image bytes. */
+  def avifItemDigests(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        AvifCodec.decodeAvifDigest(a.payload).map { c =>
+          (a.asset_id, c.codec, c.width.toLong, c.height.toLong,
+            c.itemFp)
+        }
+      }
+    }.toDF("asset_id", "codec", "width", "height", "item_fp")
+  }
+
+  /** The MPEG-TS digest tier over a media corpus — the documented
+    * no-transform-decode contract of [[TsCodec.decodeTsDigest]]: one
+    * distributed projection walks the 188-byte packet grammar
+    * (PAT→PMT→PES, PSI CRC-verified, continuity counters enforced)
+    * and reduces each HLS-shaped segment to PMT metadata + per-
+    * access-unit content digests whose fingerprint formula is SHARED
+    * with [[Mp4Codec.AvcClip]] — so a TS↔MP4 re-mux of the same AVC
+    * units collapses CROSS-CONTAINER in exact dedup. Non-TS or
+    * malformed payloads drop at the gate. Scale: ~60 bytes/stream
+    * out; dedup groups fingerprints, never video bytes. */
+  def tsClipDigests(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        TsCodec.decodeTsDigest(a.payload).map { c =>
           (a.asset_id, c.sampleDigests.length.toLong,
             c.profile.toLong, c.level.toLong, c.fingerprint)
         }

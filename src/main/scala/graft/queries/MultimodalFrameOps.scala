@@ -174,7 +174,43 @@ object MultimodalFrameOps extends QueryModule {
     *                        second with no data offset (contiguous
     *                        continuation): byte-distinct, the
     *                        identical fingerprint (%800 implies %200:
-    *                        its primary always exists). */
+    *                        its primary always exists);
+    *   +27·Offset (id%200): an MPEG-TS segment (HLS `.ts`) — the SAME
+    *                        AVC access units as the %200 MP4 primary
+    *                        re-muxed into 188-byte transport packets
+    *                        ([[graft.multimodal.TsCodec]]: PAT→PMT→
+    *                        PES walk, Annex-B NAL split, SPS/PPS/AUD
+    *                        excluded as carried-configuration) — the
+    *                        CROSS-CONTAINER packager duplicate, whose
+    *                        fingerprint collapses onto the MP4;
+    *   +28·Offset (id%400): the RE-PACKETIZED TS twin — repeated PSI,
+    *                        null-packet padding, unbounded PES
+    *                        lengths, 4-byte start codes, per-AU
+    *                        parameter sets: byte-distinct, the
+    *                        identical fingerprint;
+    *   +29·Offset (id%800): a TS copy truncated MID-PACKET (length no
+    *                        longer a multiple of 188) — digest MUST
+    *                        be None; never surfaces;
+    *   +30·Offset (id%250): an AVIF still — the HEIF ITEM path
+    *                        ([[graft.multimodal.AvifCodec]]: meta/
+    *                        pitm/iinf/iloc/iprp walk, the primary
+    *                        av01 item's coded payload digested, no
+    *                        pixel decode by contract); surfaces via
+    *                        mm_avif_exact;
+    *   +31·Offset (id%500): the RE-BOXED AVIF twin — the same coded
+    *                        payload carried in meta's idat across
+    *                        TWO extents under a v1 iloc with 8-byte
+    *                        fields, a free box, shuffled meta
+    *                        children: byte-distinct, the identical
+    *                        fingerprint;
+    *   +32·Offset (id%1000): an AVIF copy with a TRUNCATED iloc
+    *                        extent — digest MUST be None; never
+    *                        surfaces;
+    *   +33·Offset (id%500): a HEIC still (hvc1 item + hvcC property)
+    *                        — the same walk, its own disjoint
+    *                        fingerprint key space;
+    *   +34·Offset (id%1000): the RE-BOXED HEIC twin — collapses onto
+    *                        its %500 primary. */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -256,7 +292,26 @@ object MultimodalFrameOps extends QueryModule {
                   id, fa, 64, 64, samplesPerFrag = 2,
                   trexSizeDefaults = true))
             }
+            // the MPEG-TS families (+27/+28/+29·Offset): the same
+            // access units behind 188-byte transport packets — the
+            // HLS packager duplicate. The %200 TS primary itself
+            // collapses CROSS-CONTAINER onto the %200 MP4 (min asset
+            // id); the %400 re-packetized twin changes PSI cadence,
+            // padding, PES bounding, start-code width, and parameter-
+            // set carriage without touching one digested byte; the
+            // %800 mid-packet truncation must never surface.
+            put(s"asset_${id + 27 * Planting.Offset}.ts",
+              graft.multimodal.TsCodec.encodeAvcTs(id, fa))
+            if (id % 400 == 0)
+              put(s"asset_${id + 28 * Planting.Offset}.ts",
+                graft.multimodal.TsCodec.encodeAvcTs(id, fa,
+                  psiRepeat = true, nullPadding = true,
+                  pesLenZero = true, longStartCodes = true,
+                  psRepeat = true))
             if (id % 800 == 0) {
+              val tfull = graft.multimodal.TsCodec.encodeAvcTs(id, fa)
+              put(s"asset_${id + 29 * Planting.Offset}.ts",
+                tfull.take(tfull.length - 30))
               val full = graft.multimodal.Mp4Codec.encodeAvcMp4(
                 id, fa, 64, 64, chunkSize = 2, lengthSize = 4)
               put(s"asset_${id + 9 * Planting.Offset}.mp4",
@@ -348,6 +403,32 @@ object MultimodalFrameOps extends QueryModule {
               put(s"asset_${id + 25 * Planting.Offset}.webm",
                 graft.multimodal.WebmCodec.encodeWebm(id, nb,
                   framesPerCluster = 2, tagsElement = true))
+            // the AVIF/HEIC item families (+30..+34·Offset): the
+            // HEIF still-image tier riding the same fixture corpus.
+            // The %500 re-boxed twins (idat carriage, split extents,
+            // v1 iloc) collapse onto their primaries; the %1000
+            // truncated-extent copy never surfaces. Dimensions are
+            // oracle-computable pure arithmetic.
+            val aw = (id % 512 + 16).toInt
+            val ah = (id * 7 % 512 + 16).toInt
+            put(s"asset_${id + 30 * Planting.Offset}.avif",
+              graft.multimodal.AvifCodec.encodeAvif(id, aw, ah))
+            if (id % 500 == 0) {
+              put(s"asset_${id + 31 * Planting.Offset}.avif",
+                graft.multimodal.AvifCodec.encodeAvif(id, aw, ah,
+                  reBoxed = true))
+              put(s"asset_${id + 33 * Planting.Offset}.heic",
+                graft.multimodal.AvifCodec.encodeAvif(id, aw, ah,
+                  heic = true))
+            }
+            if (id % 1000 == 0) {
+              val afull = graft.multimodal.AvifCodec.encodeAvif(id, aw, ah)
+              put(s"asset_${id + 32 * Planting.Offset}.avif",
+                afull.take(afull.length - 30))
+              put(s"asset_${id + 34 * Planting.Offset}.heic",
+                graft.multimodal.AvifCodec.encodeAvif(id, aw, ah,
+                  heic = true, reBoxed = true))
+            }
           }
           // the audio-only WebM families (+17/+18·Offset): A_OPUS
           // .weba in the disjoint "weba"/"x" key space; the %700
@@ -384,6 +465,51 @@ object MultimodalFrameOps extends QueryModule {
     digests.join(canon, Seq("clip_fp"))
       .select(col("asset_id"), col("n_samples"), col("profile_idc"),
         col("level_idc"), col("clip_fp"), col("canonical_id"))
+      .orderBy("asset_id")
+  }
+
+  // The MPEG-TS digest tier end-to-end, CROSS-CONTAINER with MP4:
+  // binary ingest → the two AVC digest walks (TsCodec over the HLS
+  // .ts families, Mp4Codec.decodeAvcDigest over the flat/fragmented
+  // MP4 families) → one exact dedup over the UNION, keyed by the
+  // shared fingerprint formula. The %200 TS primary and the %400
+  // re-packetized TS twin MUST collapse onto the %200 MP4 primary
+  // (min asset id across containers — the packager re-mux is the
+  // canonical HLS duplicate); truncated copies in either container
+  // never surface. Scale: two scan-side projections, fingerprint-
+  // keyed dedup — video bytes never shuffle.
+  private def mmTsExact(s: SparkSession, d: String): DataFrame = {
+    val assets = Multimodal.ingestBinary(s, clipFixtureDir(s, d))
+    val digests = Multimodal.tsClipDigests(assets)
+      .withColumn("container", lit("ts"))
+      .unionByName(Multimodal.avcClipDigests(assets)
+        .withColumn("container", lit("mp4")))
+    val canon = digests.groupBy("clip_fp")
+      .agg(min(col("asset_id")).as("canonical_id"))
+    digests.join(canon, Seq("clip_fp"))
+      .select(col("asset_id"), col("container"), col("n_samples"),
+        col("profile_idc"), col("level_idc"), col("clip_fp"),
+        col("canonical_id"))
+      .orderBy("asset_id")
+  }
+
+  // The AVIF/HEIC digest tier end-to-end: binary ingest → the
+  // documented no-pixel-decode contract (HEIF item walk,
+  // AvifCodec.decodeAvifDigest) → exact still dedup by the primary
+  // item's coded-payload fingerprint. The %500 re-boxed twins (idat
+  // carriage, split extents, v1 iloc, shuffled meta) MUST collapse
+  // onto their %250/%500 primaries; the truncated-extent %1000 copy
+  // never surfaces; the av01 and hvc1 families stay disjoint. Scale:
+  // one projection, fingerprint-keyed dedup — image bytes never
+  // shuffle.
+  private def mmAvifExact(s: SparkSession, d: String): DataFrame = {
+    val digests = Multimodal.avifItemDigests(
+      Multimodal.ingestBinary(s, clipFixtureDir(s, d)))
+    val canon = digests.groupBy("item_fp")
+      .agg(min(col("asset_id")).as("canonical_id"))
+    digests.join(canon, Seq("item_fp"))
+      .select(col("asset_id"), col("codec"), col("width"),
+        col("height"), col("item_fp"), col("canonical_id"))
       .orderBy("asset_id")
   }
 
@@ -486,6 +612,8 @@ object MultimodalFrameOps extends QueryModule {
     "pipeline_curate_v10" -> (pipelineCurateV10 _),
     "mm_clip_exact"       -> (mmClipExact _),
     "mm_webm_exact"       -> (mmWebmExact _),
+    "mm_ts_exact"         -> (mmTsExact _),
+    "mm_avif_exact"       -> (mmAvifExact _),
   )
 
   /** Fixture planting is one-time per (session, dir) — an explicit
@@ -580,6 +708,89 @@ object MultimodalFrameOps extends QueryModule {
                 (SELECT min(c2.asset_id) FROM clip c2
                   WHERE c2.clip_fp = c.clip_fp) AS canonical_id
          FROM clip c ORDER BY c.asset_id""",
+
+    // the CROSS-CONTAINER dedup oracle: every decodable AVC asset in
+    // BOTH containers recomputes to the same per-sample digest
+    // formula (SPS/PPS/AUD are carried configuration — excluded from
+    // content on the TS side exactly as avcC keeps them out of MP4
+    // samples), so the %200 TS primary and the %400 re-packetized TS
+    // twin share the %200 MP4 primary's fingerprint and canonicalize
+    // onto it (min asset id across containers); mid-packet-truncated
+    // TS copies (%800) and truncated MP4 copies never appear.
+    "mm_ts_exact" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         avc AS (
+           SELECT doc_id + 700000 AS asset_id, doc_id AS scene,
+                  'mp4' AS container FROM d WHERE doc_id % 200 = 0
+           UNION ALL SELECT doc_id + 800000, doc_id, 'mp4' FROM d
+             WHERE doc_id % 400 = 0
+           UNION ALL SELECT doc_id + 1000000, doc_id, 'mp4' FROM d
+             WHERE doc_id % 400 = 0
+           UNION ALL SELECT doc_id + 2000000, doc_id, 'mp4' FROM d
+             WHERE doc_id % 400 = 0
+           UNION ALL SELECT doc_id + 2600000, doc_id, 'mp4' FROM d
+             WHERE doc_id % 800 = 0
+           -- the HLS TS families: the same access units, re-muxed
+           UNION ALL SELECT doc_id + 2700000, doc_id, 'ts' FROM d
+             WHERE doc_id % 200 = 0
+           UNION ALL SELECT doc_id + 2800000, doc_id, 'ts' FROM d
+             WHERE doc_id % 400 = 0),
+         samp AS (
+           SELECT a.asset_id, t.k,
+                  md5(CASE WHEN t.k = 0
+                           THEN 'sei:' || CAST(a.scene AS VARCHAR)
+                           ELSE '' END ||
+                      'avc:' || CAST(a.scene AS VARCHAR) || ':' ||
+                      CAST(t.k AS VARCHAR) || ':' ||
+                      md5('n' || CAST(a.scene AS VARCHAR) || '_' ||
+                          CAST(t.k AS VARCHAR))) AS dig
+           FROM avc a, range(7) t(k)
+           WHERE t.k < ((a.scene // 200) % 4) + 3),
+         clip AS (
+           SELECT asset_id, count(*) AS n_samples,
+                  md5(string_agg(dig, '' ORDER BY k)) AS clip_fp
+           FROM samp GROUP BY asset_id)
+         SELECT c.asset_id, a.container, c.n_samples,
+                CAST(66 AS BIGINT) AS profile_idc,
+                CAST(30 AS BIGINT) AS level_idc, c.clip_fp,
+                (SELECT min(c2.asset_id) FROM clip c2
+                  WHERE c2.clip_fp = c.clip_fp) AS canonical_id
+         FROM clip c JOIN avc a USING (asset_id)
+         ORDER BY c.asset_id""",
+
+    // recomputes every expected HEIF item digest from the planting
+    // formula: the coded payload is "{codec}:{scene}:" ||
+    // md5("{key}{scene}") dot-padded to 600; the fingerprint is its
+    // md5; dimensions are pure arithmetic. The re-boxed twins (idat,
+    // split extents, v1 iloc — container framing excluded from
+    // content by contract) recompute to the SAME fingerprint, so
+    // their canonical_id is the primary; the truncated-extent copy
+    // never appears; av01 and hvc1 key spaces stay disjoint.
+    "mm_avif_exact" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+         im AS (
+           SELECT doc_id + 3000000 AS asset_id, doc_id AS scene,
+                  'av01' AS codec, 'img' AS kp FROM d
+             WHERE doc_id % 250 = 0
+           UNION ALL SELECT doc_id + 3100000, doc_id, 'av01', 'img'
+             FROM d WHERE doc_id % 500 = 0
+           UNION ALL SELECT doc_id + 3300000, doc_id, 'hvc1', 'hvc'
+             FROM d WHERE doc_id % 500 = 0
+           UNION ALL SELECT doc_id + 3400000, doc_id, 'hvc1', 'hvc'
+             FROM d WHERE doc_id % 1000 = 0),
+         fp AS (
+           SELECT asset_id, codec, scene,
+                  md5(rpad(codec || ':' || CAST(scene AS VARCHAR) ||
+                       ':' || md5(kp || CAST(scene AS VARCHAR)),
+                       600, '.')) AS item_fp
+           FROM im)
+         SELECT f.asset_id, f.codec,
+                CAST(f.scene % 512 + 16 AS BIGINT) AS width,
+                CAST(f.scene * 7 % 512 + 16 AS BIGINT) AS height,
+                f.item_fp,
+                (SELECT min(f2.asset_id) FROM fp f2
+                  WHERE f2.item_fp = f.item_fp) AS canonical_id
+         FROM fp f ORDER BY f.asset_id""",
 
     // recomputes every expected WebM digest from the planting
     // formula: block k's frame payload is "webm:{scene}:{k}:" ||
