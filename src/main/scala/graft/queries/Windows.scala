@@ -277,14 +277,30 @@ object Windows extends QueryModule {
     val schema = s.read.parquet(s"$dir/slice_0.parquet").schema
     val sink = "t2_wm_dedup_sink"
     s.catalog.dropTempView(sink)            // re-runs re-register
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)      // one slice per micro-batch
-      .parquet(dir)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id", "ts")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    // state-store sizing: each micro-batch instantiates one
+    // HDFS-backed dedup state store PER shuffle partition, and this
+    // three-slice fixture pays that setup 3× — at 32 partitions the
+    // 96 store instances dominate the wall clock and swing with disk
+    // contention (the documented 4–11 s band). 8 partitions keep
+    // ~12.5k state rows per store at sf0.1 (far under memory) and cut
+    // the fixed store count 4×. At 100 TB the SAME dial scales the
+    // other way: size partitions so each store's state fits an
+    // executor, not by the default. Scoped to the stream and restored
+    // — batch queries keep the session's 32.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // the stream pins numShufflePartitions from the session conf at
+      // its first batch, so the restore must wait for completion
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)    // one slice per micro-batch
+        .parquet(dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id", "ts")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(sink)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"))
