@@ -185,6 +185,7 @@ object AvifCodec {
     }
     var extents: Vector[(Long, Long)] = null   // (offset, length)
     var method = 0
+    val allItems = Vector.newBuilder[(Int, Vector[(Long, Long)])]
     var it = 0L
     while (it < count) {
       val iid =
@@ -211,6 +212,7 @@ object AvifCodec {
         exts += ((base + off, len))
         e += 1
       }
+      allItems += ((cm, exts.result()))
       if (iid == primary) { extents = exts.result(); method = cm }
       it += 1
     }
@@ -219,19 +221,27 @@ object AvifCodec {
     if (method != 0 && method != 1) return None
 
     // the extent source: the file (method 0) or meta's idat (1)
-    val (srcFrom, srcUntil) = method match {
-      case 0 => (0L, b.length.toLong)
-      case _ =>
-        val (ds, de) = kid("idat").getOrElse(return None)
-        (ds.toLong, de.toLong)
+    def source(cm: Int): Option[(Long, Long)] = cm match {
+      case 0 => Some((0L, b.length.toLong))
+      case 1 => kid("idat").map { case (ds, de) => (ds.toLong, de.toLong) }
+      case _ => None
     }
+    // EVERY declared item's extents must resolve in bounds, not just
+    // the primary's — a sibling (Exif/thumbnail) iloc entry pointing
+    // past the file is damage the drop-whole contract rejects
+    allItems.result().foreach { case (cm, exts) =>
+      val (f, u) = source(cm).getOrElse(return None)
+      exts.foreach { case (off, len) =>
+        if (len < 1) return None
+        val s = f + off
+        if (s < f || s + len > u) return None
+      }
+    }
+    val (srcFrom, _) = source(method).getOrElse(return None)
     val md = java.security.MessageDigest.getInstance("MD5")
     var total = 0L
     extents.foreach { case (off, len) =>
-      if (len < 1) return None
-      val s = srcFrom + off
-      if (s < srcFrom || s + len > srcUntil) return None
-      md.update(b, s.toInt, len.toInt)
+      md.update(b, (srcFrom + off).toInt, len.toInt)
       total += len
     }
     if (total < 1) return None
@@ -321,10 +331,15 @@ object AvifCodec {
     * the SAME payload — iloc v1 with construction_method 1 (the
     * payload inside meta's `idat`, split across TWO extents, 8-byte
     * offset/length fields), a `free` box, shuffled meta children, a
-    * different ftyp major — without touching one digested byte. */
+    * different ftyp major — without touching one digested byte.
+    * `exifItem` adds a SECOND item (infe type `Exif` + its own iloc
+    * extent into the mdat) — the image re-tag duplicate (exiftool
+    * writes metadata as an item): the primary item's digest must not
+    * move. */
   def encodeAvif(scene: Long, w: Int, h: Int, heic: Boolean = false,
-      reBoxed: Boolean = false): Array[Byte] = {
+      reBoxed: Boolean = false, exifItem: Boolean = false): Array[Byte] = {
     require(w >= 1 && h >= 1)
+    require(!(reBoxed && exifItem), "one twin knob per fixture")
     val payload = itemPayload(scene, heic)
     val codec = if (heic) "hvc1" else "av01"
     val cfgType = if (heic) "hvcC" else "av1C"
@@ -332,12 +347,22 @@ object AvifCodec {
 
     val hdlr = fullBox("hdlr", be32b(0) ++
       "pict".getBytes("US-ASCII") ++ Array.fill[Byte](12)(0) ++
-      (if (reBoxed) "graft reboxed " else "graft image ")
-        .getBytes("US-ASCII"))
+      ((if (reBoxed) "graft reboxed" else "graft image")
+        .getBytes("US-ASCII") :+ 0.toByte))
     val pitm = fullBox("pitm", be16b(1))
+    val exif = (s"Exif  retag-of-$scene:" +
+      Mp4Codec.md5Hex(s"x$scene".getBytes("UTF-8")))
+      .getBytes("US-ASCII")
     val infe = fullBoxV("infe", 2, 0, be16b(1) ++ be16b(0) ++
-      codec.getBytes("US-ASCII") ++ "Image ".getBytes("US-ASCII"))
-    val iinf = fullBox("iinf", be16b(1) ++ infe)
+      codec.getBytes("US-ASCII") ++ ("Image".getBytes("US-ASCII") :+
+        0.toByte))
+    val infe2 =
+      if (!exifItem) Array.emptyByteArray
+      else fullBoxV("infe", 2, 0, be16b(2) ++ be16b(0) ++
+        "Exif".getBytes("US-ASCII") ++ ("Meta".getBytes("US-ASCII") :+
+          0.toByte))
+    val iinf = fullBox("iinf",
+      be16b(if (exifItem) 2 else 1) ++ infe ++ infe2)
     val ispe = fullBox("ispe", be32b(w) ++ be32b(h))
     // a structurally-present codec config property (the digest
     // contract does not parse inside it)
@@ -355,15 +380,21 @@ object AvifCodec {
         .getBytes("US-ASCII"))
 
     if (!reBoxed) {
-      // iloc v0: one file-offset extent into the trailing mdat
+      // iloc v0: file-offset extents into the trailing mdat (the
+      // Exif item, when planted, follows the coded payload there)
       def iloc(off: Int) = fullBox("iloc",
-        Array[Byte](0x44, 0x00) ++ be16b(1) ++
-          be16b(1) ++ be16b(0) ++ be16b(1) ++
-          be32b(off) ++ be32b(payload.length))
+        Array[Byte](0x44, 0x00) ++
+          be16b(if (exifItem) 2 else 1) ++
+          (be16b(1) ++ be16b(0) ++ be16b(1) ++
+            be32b(off) ++ be32b(payload.length)) ++
+          (if (!exifItem) Array.emptyByteArray
+           else be16b(2) ++ be16b(0) ++ be16b(1) ++
+             be32b(off + payload.length) ++ be32b(exif.length)))
       val metaFor = (off: Int) => fullBox("meta",
         hdlr ++ pitm ++ iinf ++ iloc(off) ++ iprp)
       val sz = ftyp.length + metaFor(0).length + 8
-      ftyp ++ metaFor(sz) ++ box("mdat", payload)
+      ftyp ++ metaFor(sz) ++ box("mdat",
+        if (exifItem) payload ++ exif else payload)
     } else {
       // iloc v1, construction_method 1: TWO idat-relative extents
       // with 8-byte fields; iinf precedes pitm (legal order), a free

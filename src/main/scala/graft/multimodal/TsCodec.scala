@@ -317,15 +317,21 @@ object TsCodec {
     *   - `pesLenZero`: the unbounded video PES_packet_length form;
     *   - `longStartCodes`: 4-byte Annex-B start codes;
     *   - `psRepeat`: SPS+PPS repeated in EVERY access unit (the
-    *     joinable-stream shape) — excluded NAL classes, digest-free.
+    *     joinable-stream shape) — excluded NAL classes, digest-free;
+    *   - `audioSibling`: a second program component (stream_type 0x0F
+    *     AAC on its own PID, ADTS-framed PES interleaved after each
+    *     video unit) — the real muxed HLS segment shape; sibling PIDs
+    *     are program components the video digest must ignore.
     */
   def encodeAvcTs(scene: Long, nFrames: Int,
       psiRepeat: Boolean = false, nullPadding: Boolean = false,
       pesLenZero: Boolean = false, longStartCodes: Boolean = false,
-      psRepeat: Boolean = false): Array[Byte] = {
+      psRepeat: Boolean = false,
+      audioSibling: Boolean = false): Array[Byte] = {
     require(nFrames >= 1 && nFrames <= MaxSamples)
     val pmtPid = 0x1000
     val vidPid = 0x0100
+    val audPid = 0x0101
     val ccs = new Array[Int](8192)
     val out = new java.io.ByteArrayOutputStream()
 
@@ -392,12 +398,17 @@ object TsCodec {
       // the AVC video descriptor: profile 66, constraints 0xc0,
       // level 30, AVC_still/24hr/FP-SEI flags + reserved '11111'
       val avcDesc = Array[Byte](40, 4, 66, 0xc0.toByte, 30, 0x1f)
+      val audEs =
+        if (!audioSibling) Array.emptyByteArray
+        else Array[Byte](0x0f,                 // stream_type ADTS AAC
+          (0xe0 | (audPid >> 8)).toByte, (audPid & 0xff).toByte,
+          0xf0.toByte, 0x00)
       val pmt = section(0x02, Array[Byte](
         (0xe0 | (vidPid >> 8)).toByte, (vidPid & 0xff).toByte, // PCR_PID
         0xf0.toByte, 0x00,                     // program_info_length 0
         0x1b,                                  // stream_type H.264
         (0xe0 | (vidPid >> 8)).toByte, (vidPid & 0xff).toByte,
-        0xf0.toByte, avcDesc.length.toByte) ++ avcDesc)
+        0xf0.toByte, avcDesc.length.toByte) ++ avcDesc ++ audEs)
       packet(0x0000, pusi = true, 0.toByte +: pat, psiStuff = true)
       packet(pmtPid, pusi = true, 0.toByte +: pmt, psiStuff = true)
       ()
@@ -451,6 +462,19 @@ object TsCodec {
       pes.write(ptsB, 0, ptsB.length)
       pes.write(esb, 0, esb.length)
       writePes(vidPid, pes.toByteArray)
+      if (audioSibling) {
+        // an interleaved audio PES (stream_id 0xC0) the video digest
+        // must ignore — its bytes vary per unit so a silent digest
+        // leak would move the fingerprint
+        val ab = s"adts-sib:$scene:$k".getBytes("US-ASCII")
+        val apes = new java.io.ByteArrayOutputStream()
+        apes.write(0); apes.write(0); apes.write(1); apes.write(0xc0)
+        val alen = 3 + ab.length
+        apes.write((alen >> 8) & 0xff); apes.write(alen & 0xff)
+        apes.write(0x80); apes.write(0x00); apes.write(0)
+        apes.write(ab, 0, ab.length)
+        writePes(audPid, apes.toByteArray)
+      }
       k += 1
     }
     out.toByteArray

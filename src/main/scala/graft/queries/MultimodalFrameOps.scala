@@ -210,7 +210,20 @@ object MultimodalFrameOps extends QueryModule {
     *                        — the same walk, its own disjoint
     *                        fingerprint key space;
     *   +34·Offset (id%1000): the RE-BOXED HEIC twin — collapses onto
-    *                        its %500 primary. */
+    *                        its %500 primary;
+    *   +35·Offset (id%400): the MUXED-A/V TS twin — the same video
+    *                        access units interleaved with an AAC
+    *                        sibling PID (stream_type 0x0F in the
+    *                        PMT, per-unit audio PES) — the real HLS
+    *                        segment shape; sibling program
+    *                        components are ignored by the video
+    *                        digest, so it collapses cross-container
+    *                        onto the %200 MP4 primary;
+    *   +36·Offset (id%500): the EXIF-TAGGED AVIF twin — a second
+    *                        item (infe type Exif + its own iloc
+    *                        extent) beside the untouched primary
+    *                        (the exiftool re-tag shape): collapses
+    *                        onto the %250 primary. */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -302,12 +315,18 @@ object MultimodalFrameOps extends QueryModule {
             // %800 mid-packet truncation must never surface.
             put(s"asset_${id + 27 * Planting.Offset}.ts",
               graft.multimodal.TsCodec.encodeAvcTs(id, fa))
-            if (id % 400 == 0)
+            if (id % 400 == 0) {
               put(s"asset_${id + 28 * Planting.Offset}.ts",
                 graft.multimodal.TsCodec.encodeAvcTs(id, fa,
                   psiRepeat = true, nullPadding = true,
                   pesLenZero = true, longStartCodes = true,
                   psRepeat = true))
+              // the muxed-A/V twin: an AAC sibling PID the video
+              // digest must ignore (the real HLS segment shape)
+              put(s"asset_${id + 35 * Planting.Offset}.ts",
+                graft.multimodal.TsCodec.encodeAvcTs(id, fa,
+                  audioSibling = true))
+            }
             if (id % 800 == 0) {
               val tfull = graft.multimodal.TsCodec.encodeAvcTs(id, fa)
               put(s"asset_${id + 29 * Planting.Offset}.ts",
@@ -420,6 +439,11 @@ object MultimodalFrameOps extends QueryModule {
               put(s"asset_${id + 33 * Planting.Offset}.heic",
                 graft.multimodal.AvifCodec.encodeAvif(id, aw, ah,
                   heic = true))
+              // the exiftool re-tag shape: a second (Exif) item
+              // beside the untouched primary
+              put(s"asset_${id + 36 * Planting.Offset}.avif",
+                graft.multimodal.AvifCodec.encodeAvif(id, aw, ah,
+                  exifItem = true))
             }
             if (id % 1000 == 0) {
               val afull = graft.multimodal.AvifCodec.encodeAvif(id, aw, ah)
@@ -734,6 +758,9 @@ object MultimodalFrameOps extends QueryModule {
            UNION ALL SELECT doc_id + 2700000, doc_id, 'ts' FROM d
              WHERE doc_id % 200 = 0
            UNION ALL SELECT doc_id + 2800000, doc_id, 'ts' FROM d
+             WHERE doc_id % 400 = 0
+           -- the muxed-A/V twin: the audio sibling PID is ignored
+           UNION ALL SELECT doc_id + 3500000, doc_id, 'ts' FROM d
              WHERE doc_id % 400 = 0),
          samp AS (
            SELECT a.asset_id, t.k,
@@ -773,6 +800,9 @@ object MultimodalFrameOps extends QueryModule {
                   'av01' AS codec, 'img' AS kp FROM d
              WHERE doc_id % 250 = 0
            UNION ALL SELECT doc_id + 3100000, doc_id, 'av01', 'img'
+             FROM d WHERE doc_id % 500 = 0
+           -- the Exif-tagged twin: the second item is metadata
+           UNION ALL SELECT doc_id + 3600000, doc_id, 'av01', 'img'
              FROM d WHERE doc_id % 500 = 0
            UNION ALL SELECT doc_id + 3300000, doc_id, 'hvc1', 'hvc'
              FROM d WHERE doc_id % 500 = 0

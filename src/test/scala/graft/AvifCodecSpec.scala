@@ -23,6 +23,16 @@ class AvifCodecSpec extends AnyFunSuite {
     // distinct scenes stay distinct
     assert(AvifCodec.decodeAvifDigest(AvifCodec.encodeAvif(24L, 320, 200))
       .get.itemFp !== d0.itemFp)
+    // the Exif-tagged twin (a second metadata item beside the
+    // untouched primary — the exiftool shape) collapses too
+    val tagged = AvifCodec.encodeAvif(23L, 320, 200, exifItem = true)
+    assert(!tagged.sameElements(plain))
+    assert(tagged.length > plain.length)
+    assert(AvifCodec.decodeAvifDigest(tagged).get === d0)
+    // ... and a cut into the EXIF item's extent still drops whole —
+    // every declared extent must resolve, not just the primary's
+    assert(AvifCodec.decodeAvifDigest(
+      tagged.take(tagged.length - 5)).isEmpty)
   }
 
   test("HEIC (hvc1 + hvcC) rides the same walk with its own " +

@@ -53,6 +53,28 @@ class TsCodecSpec extends AnyFunSuite {
       .fingerprint !== d0.fingerprint)
   }
 
+  test("a muxed-A/V segment (AAC sibling PID) collapses onto its " +
+      "video-only twin — program components are not the digest") {
+    val solo = TsCodec.decodeTsDigest(TsCodec.encodeAvcTs(31L, 4)).get
+    val muxed = TsCodec.encodeAvcTs(31L, 4, audioSibling = true)
+    val dm = TsCodec.decodeTsDigest(muxed).get
+    assert(dm.sampleDigests === solo.sampleDigests)
+    assert(dm.fingerprint === solo.fingerprint)
+    assert(dm.profile === solo.profile)
+    // the sibling PID's continuity is still enforced: dropping a
+    // MIDDLE audio packet (one seen before it, one after — removing
+    // the FIRST would just re-anchor the PID's counter) drops whole
+    val n = muxed.length / 188
+    val audIdx = (0 until n).filter { i =>
+      (((muxed(i * 188 + 1) & 0x1f) << 8) |
+        (muxed(i * 188 + 2) & 0xff)) == 0x0101
+    }
+    assert(audIdx.length >= 3)
+    val audAt = audIdx(1)
+    val lost = muxed.take(188 * audAt) ++ muxed.drop(188 * (audAt + 1))
+    assert(TsCodec.decodeTsDigest(lost).isEmpty)
+  }
+
   test("strict packet tiling: mid-packet cuts and non-188 lengths " +
       "drop whole; bounded-PES packet-boundary cuts drop too") {
     val full = TsCodec.encodeAvcTs(31L, 4)
