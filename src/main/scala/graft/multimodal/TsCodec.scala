@@ -244,6 +244,7 @@ object TsCodec {
             if (prog != 0 && found < 0) found = mpid
             q += 4
           }
+          if (q != e) return None            // program loop tiles exactly
           if (found < 0) return None
           if (pmtPid >= 0 && pmtPid != found) return None // re-routed PSI
           pmtPid = found
@@ -280,6 +281,7 @@ object TsCodec {
             }
             q += 5 + eil
           }
+          if (q != e) return None              // ES loop tiles exactly
           if (vp < 0) return None              // no H.264 stream
           if (videoPid >= 0 && videoPid != vp) return None
           videoPid = vp
