@@ -352,7 +352,8 @@ object Multimodal {
       "mp3" -> "audio", "ogg" -> "audio", "opus" -> "audio",
       "m4a" -> "audio", "aac" -> "audio", "webm" -> "video",
       "mkv" -> "video", "weba" -> "audio", "ts" -> "video",
-      "avif" -> "image", "heic" -> "image", "oga" -> "audio")
+      "avif" -> "image", "heic" -> "image", "oga" -> "audio",
+      "m2ts" -> "video")
 
   /** REAL binary ingestion: `spark.read.format("binaryFile")` over a
     * directory of media blobs named `asset_<id>.<ext>`. This is the

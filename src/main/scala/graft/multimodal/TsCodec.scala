@@ -87,8 +87,35 @@ object TsCodec {
   }
 
   def decodeTsDigest(b: Array[Byte]): Option[TsClip] =
-    try decode0(b)
+    try decode0(m2tsStrip(b).getOrElse(b))
     catch { case _: RuntimeException => None }
+
+  /** M2TS (BDAV / AVCHD) detection: 192-byte packets, each a 4-byte
+    * TP_extra_header (copy-permission + 30-bit arrival timestamp)
+    * before a standard 188-byte packet — what Blu-ray authoring and
+    * tsMuxeR emit. When EVERY 192-byte block carries sync 0x47 at
+    * offset 4 (and the file is not already a plain 188 tiling — the
+    * 4512-byte-lcm ambiguity resolves toward the plain reading), the
+    * extra headers are FRAMING: strip them and digest the inner
+    * stream, so an M2TS re-wrap collapses onto its TS (and MP4)
+    * primaries. A mid-packet cut breaks the 192 tiling and drops. */
+  private def m2tsStrip(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length < 192 || b.length % 192 != 0) return None
+    if (b.length % PacketLen == 0 && u8(b, 0) == 0x47) return None
+    val n = b.length / 192
+    var i = 0
+    while (i < n) {
+      if (u8(b, i * 192 + 4) != 0x47) return None
+      i += 1
+    }
+    val out = new Array[Byte](n * PacketLen)
+    i = 0
+    while (i < n) {
+      System.arraycopy(b, i * 192 + 4, out, i * PacketLen, PacketLen)
+      i += 1
+    }
+    Some(out)
+  }
 
   /** One PSI section read out of a packet payload: verify the CRC,
     * require trailing stuffing to be 0xFF, return [start, end) of the
@@ -323,13 +350,17 @@ object TsCodec {
     *   - `audioSibling`: a second program component (stream_type 0x0F
     *     AAC on its own PID, ADTS-framed PES interleaved after each
     *     video unit) — the real muxed HLS segment shape; sibling PIDs
-    *     are program components the video digest must ignore.
+    *     are program components the video digest must ignore;
+    *   - `m2ts`: the BDAV/AVCHD 192-byte form — every packet behind a
+    *     4-byte TP_extra_header (arrival timestamps): pure framing
+    *     the digest strips.
     */
   def encodeAvcTs(scene: Long, nFrames: Int,
       psiRepeat: Boolean = false, nullPadding: Boolean = false,
       pesLenZero: Boolean = false, longStartCodes: Boolean = false,
       psRepeat: Boolean = false,
-      audioSibling: Boolean = false): Array[Byte] = {
+      audioSibling: Boolean = false,
+      m2ts: Boolean = false): Array[Byte] = {
     require(nFrames >= 1 && nFrames <= MaxSamples)
     val pmtPid = 0x1000
     val vidPid = 0x0100
@@ -479,6 +510,26 @@ object TsCodec {
       }
       k += 1
     }
-    out.toByteArray
+    val flat = out.toByteArray
+    if (!m2ts) flat
+    else {
+      // wrap every packet with the 4-byte TP_extra_header: 2-bit
+      // copy-permission (00) + a 30-bit arrival timestamp ticking
+      // 300 × 27 MHz units per packet
+      val n = flat.length / PacketLen
+      val wrapped = new Array[Byte]((PacketLen + 4) * n)
+      var i = 0
+      while (i < n) {
+        val ats = (i.toLong * 300L) & 0x3fffffffL
+        val w = i * 192
+        wrapped(w) = ((ats >> 24) & 0x3f).toByte
+        wrapped(w + 1) = ((ats >> 16) & 0xff).toByte
+        wrapped(w + 2) = ((ats >> 8) & 0xff).toByte
+        wrapped(w + 3) = (ats & 0xff).toByte
+        System.arraycopy(flat, i * PacketLen, wrapped, w + 4, PacketLen)
+        i += 1
+      }
+      wrapped
+    }
   }
 }

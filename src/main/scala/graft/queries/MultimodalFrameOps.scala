@@ -223,7 +223,13 @@ object MultimodalFrameOps extends QueryModule {
     *                        item (infe type Exif + its own iloc
     *                        extent) beside the untouched primary
     *                        (the exiftool re-tag shape): collapses
-    *                        onto the %250 primary. */
+    *                        onto the %250 primary;
+    *   +37·Offset (id%400): the M2TS twin — the same transport
+    *                        packets behind 4-byte BDAV
+    *                        TP_extra_headers (192-byte form, the
+    *                        tsMuxeR/AVCHD re-wrap): pure framing,
+    *                        collapses cross-container onto the %200
+    *                        MP4 primary. */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -326,6 +332,10 @@ object MultimodalFrameOps extends QueryModule {
               put(s"asset_${id + 35 * Planting.Offset}.ts",
                 graft.multimodal.TsCodec.encodeAvcTs(id, fa,
                   audioSibling = true))
+              // the M2TS re-wrap: 192-byte BDAV packets, same stream
+              put(s"asset_${id + 37 * Planting.Offset}.m2ts",
+                graft.multimodal.TsCodec.encodeAvcTs(id, fa,
+                  m2ts = true))
             }
             if (id % 800 == 0) {
               val tfull = graft.multimodal.TsCodec.encodeAvcTs(id, fa)
@@ -761,6 +771,9 @@ object MultimodalFrameOps extends QueryModule {
              WHERE doc_id % 400 = 0
            -- the muxed-A/V twin: the audio sibling PID is ignored
            UNION ALL SELECT doc_id + 3500000, doc_id, 'ts' FROM d
+             WHERE doc_id % 400 = 0
+           -- the M2TS re-wrap: TP_extra_headers are framing
+           UNION ALL SELECT doc_id + 3700000, doc_id, 'ts' FROM d
              WHERE doc_id % 400 = 0),
          samp AS (
            SELECT a.asset_id, t.k,

@@ -75,6 +75,33 @@ class TsCodecSpec extends AnyFunSuite {
     assert(TsCodec.decodeTsDigest(lost).isEmpty)
   }
 
+  test("an M2TS (192-byte BDAV) re-wrap collapses onto its plain-TS " +
+      "and MP4 primaries; the 188/192 ambiguity resolves plain") {
+    val plain = TsCodec.encodeAvcTs(43L, 4)
+    val d0 = TsCodec.decodeTsDigest(plain).get
+    val m2 = TsCodec.encodeAvcTs(43L, 4, m2ts = true)
+    assert(m2.length === plain.length / 188 * 192)
+    val dm = TsCodec.decodeTsDigest(m2).get
+    assert(dm.sampleDigests === d0.sampleDigests)
+    assert(dm.fingerprint === d0.fingerprint)
+    assert(dm.fingerprint === Mp4Codec.decodeAvcDigest(
+      Mp4Codec.encodeAvcMp4(43L, 4, 64, 64)).get.fingerprint)
+    // mid-packet cuts of the 192 form drop whole
+    assert(TsCodec.decodeTsDigest(m2.take(m2.length - 30)).isEmpty)
+    // the lcm ambiguity: a PLAIN stream padded with null packets to a
+    // multiple of 48 packets is ALSO a multiple of 192 bytes — the
+    // walk must keep the plain reading (sync at byte 0), not strip
+    // phantom TP_extra_headers
+    val nullPkt = Array[Byte](0x47, 0x1f, 0xff.toByte, 0x10) ++
+      Array.fill[Byte](184)(0xff.toByte)
+    val n = plain.length / 188
+    val pad = (48 - n % 48) % 48
+    val padded = plain ++ Array.fill(pad)(nullPkt).flatten
+    assert(padded.length % 192 === 0 && padded.length % 188 === 0)
+    assert(TsCodec.decodeTsDigest(padded)
+      .exists(_.fingerprint == d0.fingerprint))
+  }
+
   test("strict packet tiling: mid-packet cuts and non-188 lengths " +
       "drop whole; bounded-PES packet-boundary cuts drop too") {
     val full = TsCodec.encodeAvcTs(31L, 4)
