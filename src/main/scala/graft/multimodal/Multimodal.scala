@@ -597,12 +597,12 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.flatMap { a =>
         TsCodec.decodeTsDigest(a.payload).map { c =>
-          (a.asset_id, c.sampleDigests.length.toLong,
+          (a.asset_id, c.codec, c.sampleDigests.length.toLong,
             c.profile.toLong, c.level.toLong, c.fingerprint)
         }
       }
-    }.toDF("asset_id", "n_samples", "profile_idc", "level_idc",
-      "clip_fp")
+    }.toDF("asset_id", "codec", "n_samples", "profile_idc",
+      "level_idc", "clip_fp")
   }
 
   /** The MP3 digest tier over a media corpus — the documented

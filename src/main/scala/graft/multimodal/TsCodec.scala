@@ -56,11 +56,12 @@ object TsCodec {
   private val MaxSamples = 256
 
   /** A digested TS clip: PMT-descriptor metadata + per-access-unit
-    * content digests. The fingerprint formula is SHARED with
-    * [[Mp4Codec.AvcClip]] — md5 over the ordered sample digests — so
-    * identical access units fingerprint identically across the two
-    * containers. */
-  final case class TsClip(profile: Int, level: Int,
+    * content digests. `codec` is "avc" (stream_type 0x1B) or "hevc"
+    * (0x24 — the other HLS video codec). The fingerprint formula is
+    * SHARED with [[Mp4Codec.AvcClip]] — md5 over the ordered sample
+    * digests — so identical access units fingerprint identically
+    * across the two containers. */
+  final case class TsClip(codec: String, profile: Int, level: Int,
       sampleDigests: Vector[String]) {
     def fingerprint: String = Mp4Codec.md5Hex(
       sampleDigests.mkString("").getBytes("US-ASCII"))
@@ -143,9 +144,13 @@ object TsCodec {
     Some((s + 3, end - 4))
   }
 
-  /** Digest one reassembled PES packet (one access unit). Returns
-    * null on a malformed unit (caller drops the file). */
-  private def pesDigest(pes: Array[Byte]): String = {
+  /** Digest one reassembled PES packet (one access unit). `hevc`
+    * selects the H.265 NAL grammar: a 2-byte header (forbidden bit,
+    * 6-bit type) with VPS(32)/SPS(33)/PPS(34) parameter sets,
+    * AUD(35), and filler(38) excluded as carried configuration —
+    * the mirror of the AVC exclusion set. Returns null on a
+    * malformed unit (caller drops the file). */
+  private def pesDigest(pes: Array[Byte], hevc: Boolean): String = {
     if (pes.length < 9) return null
     if (u8(pes, 0) != 0 || u8(pes, 1) != 0 || u8(pes, 2) != 1) return null
     val sid = u8(pes, 3)
@@ -179,8 +184,10 @@ object TsCodec {
       if (q >= pes.length) return null
       val hdr = u8(pes, q)
       if ((hdr & 0x80) != 0) return null       // forbidden_zero_bit
-      val typ = hdr & 0x1f
-      if (typ < 1 || typ > 23) return null
+      val typ = if (hevc) (hdr >> 1) & 0x3f else hdr & 0x1f
+      if (!hevc && (typ < 1 || typ > 23)) return null
+      if (hevc && typ > 40) return null        // reserved/unspecified
+      val hdrLen = if (hevc) 2 else 1
       // the NAL runs to the next start code or EOF
       var e = q + 1
       var found = -1
@@ -192,9 +199,13 @@ object TsCodec {
         else e += 1
       }
       val nalEnd = if (found >= 0) found else pes.length
-      if (nalEnd <= q) return null
-      if (typ != 7 && typ != 8 && typ != 9 && typ != 12) {
-        md.update(pes, q + 1, nalEnd - (q + 1))
+      if (nalEnd < q + hdrLen) return null
+      val excluded =
+        if (hevc) typ == 32 || typ == 33 || typ == 34 || typ == 35 ||
+          typ == 38
+        else typ == 7 || typ == 8 || typ == 9 || typ == 12
+      if (!excluded) {
+        md.update(pes, q + hdrLen, nalEnd - (q + hdrLen))
         digested += 1
       }
       q = nalEnd
@@ -208,6 +219,7 @@ object TsCodec {
     val n = b.length / PacketLen
     var pmtPid = -1
     var videoPid = -1
+    var videoHevc = false
     var profile = 0
     var level = 0
     val cc = new Array[Int](8192)
@@ -218,7 +230,7 @@ object TsCodec {
 
     def flushPes(): Boolean = {
       if (pesOpen == null) return true
-      val d = pesDigest(pesOpen.toByteArray)
+      val d = pesDigest(pesOpen.toByteArray, videoHevc)
       pesOpen = null
       if (d == null) return false
       digests += d
@@ -283,6 +295,7 @@ object TsCodec {
           val pil = ((u8(b, s + 7) & 0x0f) << 8) | u8(b, s + 8)
           var q = s + 9 + pil
           var vp = -1
+          var vHevc = false
           var prof = 0
           var lev = 0
           while (q + 5 <= e) {
@@ -290,18 +303,24 @@ object TsCodec {
             val epid = ((u8(b, q + 1) & 0x1f) << 8) | u8(b, q + 2)
             val eil = ((u8(b, q + 3) & 0x0f) << 8) | u8(b, q + 4)
             if (q + 5 + eil > e) return None
-            if (st == 0x1b && vp < 0) {        // H.264
+            if ((st == 0x1b || st == 0x24) && vp < 0) { // H.264/H.265
               vp = epid
+              vHevc = st == 0x24
               // descriptor loop: the AVC video descriptor (tag 40,
-              // ISO 13818-1 §2.6.64) carries profile/level
+              // ISO 13818-1 §2.6.64) and the HEVC descriptor
+              // (tag 56, §2.6.95) carry profile/level
               var dq = q + 5
               while (dq + 2 <= q + 5 + eil) {
                 val tag = u8(b, dq)
                 val dl = u8(b, dq + 1)
                 if (dq + 2 + dl > q + 5 + eil) return None
-                if (tag == 40 && dl >= 4) {
+                if (!vHevc && tag == 40 && dl >= 4) {
                   prof = u8(b, dq + 2)
                   lev = u8(b, dq + 4)
+                }
+                if (vHevc && tag == 56 && dl >= 12) {
+                  prof = u8(b, dq + 2) & 0x1f
+                  lev = u8(b, dq + 13)
                 }
                 dq += 2 + dl
               }
@@ -309,9 +328,10 @@ object TsCodec {
             q += 5 + eil
           }
           if (q != e) return None              // ES loop tiles exactly
-          if (vp < 0) return None              // no H.264 stream
+          if (vp < 0) return None              // no H.264/H.265 stream
           if (videoPid >= 0 && videoPid != vp) return None
           videoPid = vp
+          videoHevc = vHevc
           profile = prof
           level = lev
         } else if (pid == videoPid) {          // the AVC elementary stream
@@ -328,7 +348,8 @@ object TsCodec {
     }
     if (!flushPes()) return None
     if (videoPid < 0 || nSamples == 0) return None
-    Some(TsClip(profile, level, digests.result()))
+    Some(TsClip(if (videoHevc) "hevc" else "avc", profile, level,
+      digests.result()))
   }
 
   // ---- fixture encoder (planting + spec round-trips) ----
@@ -353,14 +374,20 @@ object TsCodec {
     *     are program components the video digest must ignore;
     *   - `m2ts`: the BDAV/AVCHD 192-byte form — every packet behind a
     *     4-byte TP_extra_header (arrival timestamps): pure framing
-    *     the digest strips.
+    *     the digest strips;
+    *   - `hevc`: the H.265 segment shape — stream_type 0x24, the
+    *     HEVC descriptor (tag 56, Main profile 1 / level 93), 2-byte
+    *     NAL headers with in-band VPS+SPS+PPS, an SEI-prefix NAL on
+    *     AU 0, and the "hev:"-keyed payload formula (its own
+    *     fingerprint family, disjoint from AVC).
     */
   def encodeAvcTs(scene: Long, nFrames: Int,
       psiRepeat: Boolean = false, nullPadding: Boolean = false,
       pesLenZero: Boolean = false, longStartCodes: Boolean = false,
       psRepeat: Boolean = false,
       audioSibling: Boolean = false,
-      m2ts: Boolean = false): Array[Byte] = {
+      m2ts: Boolean = false,
+      hevc: Boolean = false): Array[Byte] = {
     require(nFrames >= 1 && nFrames <= MaxSamples)
     val pmtPid = 0x1000
     val vidPid = 0x0100
@@ -428,9 +455,14 @@ object TsCodec {
     def writePsi(): Unit = {
       val pat = section(0x00, Array[Byte](0x00, 0x01,
         (0xe0 | (pmtPid >> 8)).toByte, (pmtPid & 0xff).toByte))
-      // the AVC video descriptor: profile 66, constraints 0xc0,
-      // level 30, AVC_still/24hr/FP-SEI flags + reserved '11111'
-      val avcDesc = Array[Byte](40, 4, 66, 0xc0.toByte, 30, 0x1f)
+      // the AVC video descriptor (profile 66, constraints 0xc0,
+      // level 30, flags+reserved) or the HEVC descriptor (tag 56:
+      // profile_space/tier/profile_idc 1, 4 compat bytes, 6
+      // constraint bytes, level_idc 93, a flags byte)
+      val avcDesc =
+        if (hevc) Array[Byte](56, 13, 0x01) ++
+          Array.fill[Byte](10)(0) ++ Array[Byte](93, 0x00)
+        else Array[Byte](40, 4, 66, 0xc0.toByte, 30, 0x1f)
       val audEs =
         if (!audioSibling) Array.emptyByteArray
         else Array[Byte](0x0f,                 // stream_type ADTS AAC
@@ -439,7 +471,7 @@ object TsCodec {
       val pmt = section(0x02, Array[Byte](
         (0xe0 | (vidPid >> 8)).toByte, (vidPid & 0xff).toByte, // PCR_PID
         0xf0.toByte, 0x00,                     // program_info_length 0
-        0x1b,                                  // stream_type H.264
+        (if (hevc) 0x24 else 0x1b).toByte,     // stream_type H.264/265
         (0xe0 | (vidPid >> 8)).toByte, (vidPid & 0xff).toByte,
         0xf0.toByte, avcDesc.length.toByte) ++ avcDesc ++ audEs)
       packet(0x0000, pusi = true, 0.toByte +: pat, psiStuff = true)
@@ -456,9 +488,21 @@ object TsCodec {
 
     val start: Array[Byte] =
       if (longStartCodes) Array[Byte](0, 0, 0, 1) else Array[Byte](0, 0, 1)
-    val sps = Array[Byte](0x67) ++ "sps-baseline-66".getBytes("US-ASCII")
-    val pps = Array[Byte](0x68) ++ "pps-0".getBytes("US-ASCII")
-    val aud = Array[Byte](0x09, 0xf0.toByte)
+    // HEVC NAL headers are 2 bytes: [f(1) type(6) layerId(6) tid(3)]
+    def hevcHdr(typ: Int): Array[Byte] =
+      Array[Byte]((typ << 1).toByte, 0x01)
+    val sps =
+      if (hevc) hevcHdr(33) ++ "sps-main-1".getBytes("US-ASCII")
+      else Array[Byte](0x67) ++ "sps-baseline-66".getBytes("US-ASCII")
+    val pps =
+      if (hevc) hevcHdr(34) ++ "pps-0".getBytes("US-ASCII")
+      else Array[Byte](0x68) ++ "pps-0".getBytes("US-ASCII")
+    val vps =
+      if (hevc) hevcHdr(32) ++ "vps-0".getBytes("US-ASCII")
+      else Array.emptyByteArray
+    val aud =
+      if (hevc) hevcHdr(35) :+ 0x50.toByte
+      else Array[Byte](0x09, 0xf0.toByte)
 
     writePsi()
     var k = 0
@@ -468,10 +512,28 @@ object TsCodec {
       val es = new java.io.ByteArrayOutputStream()
       es.write(start, 0, start.length); es.write(aud, 0, aud.length)
       if (k == 0 || psRepeat) {
+        if (hevc) {
+          es.write(start, 0, start.length); es.write(vps, 0, vps.length)
+        }
         es.write(start, 0, start.length); es.write(sps, 0, sps.length)
         es.write(start, 0, start.length); es.write(pps, 0, pps.length)
       }
-      Mp4Codec.avcSamplePayloads(scene, k).foreach { payload =>
+      if (hevc) {
+        // AU 0 carries an SEI-prefix NAL (type 39); every AU an IDR
+        // (type 19, IDR_W_RADL) over the "hev:"-keyed formula
+        if (k == 0) {
+          es.write(start, 0, start.length)
+          es.write(hevcHdr(39), 0, 2)
+          val sei = s"hsei:$scene".getBytes("US-ASCII")
+          es.write(sei, 0, sei.length)
+        }
+        es.write(start, 0, start.length)
+        es.write(hevcHdr(19), 0, 2)
+        val idr = (s"hev:$scene:$k:" +
+          Mp4Codec.md5Hex(s"h${scene}_$k".getBytes("UTF-8")))
+          .getBytes("US-ASCII")
+        es.write(idr, 0, idr.length)
+      } else Mp4Codec.avcSamplePayloads(scene, k).foreach { payload =>
         val nalType: Byte = if (payload.startsWith(
           "sei".getBytes("US-ASCII"))) 0x06 else 0x65
         es.write(start, 0, start.length)

@@ -229,7 +229,17 @@ object MultimodalFrameOps extends QueryModule {
     *                        TP_extra_headers (192-byte form, the
     *                        tsMuxeR/AVCHD re-wrap): pure framing,
     *                        collapses cross-container onto the %200
-    *                        MP4 primary. */
+    *                        MP4 primary;
+    *   +38·Offset (id%300): an HEVC TS segment (stream_type 0x24,
+    *                        2-byte NAL headers, in-band VPS+SPS+PPS,
+    *                        the HEVC descriptor) — the other HLS
+    *                        video codec, its own disjoint "hev"
+    *                        fingerprint family;
+    *   +39·Offset (id%600): the RE-PACKETIZED HEVC twin — repeated
+    *                        PSI, null padding, unbounded PES, long
+    *                        start codes, per-AU parameter sets:
+    *                        byte-distinct, collapses onto the %300
+    *                        HEVC primary. */
   private def clipFixtureDir(s: SparkSession, d: String): String =
     SessionMemo(s, d, "mm_clip_fixtures") {
       val base = s"${sys.props("java.io.tmpdir")}/graft_clip_" +
@@ -359,6 +369,23 @@ object MultimodalFrameOps extends QueryModule {
               put(s"asset_${id + 11 * Planting.Offset}.mp4",
                 ffull.take(ffull.length - 30))
             }
+          }
+          // the HEVC TS families (+38/+39·Offset): the other HLS
+          // video codec — stream_type 0x24, 2-byte NAL headers,
+          // in-band VPS+SPS+PPS, its own "hev" fingerprint key
+          // space; the %600 re-packetized twin collapses onto the
+          // %300 primary. Sample count from id/300 — coprime knob.
+          if (id % 300 == 0) {
+            val fh = ((id / 300) % 4).toInt + 3
+            put(s"asset_${id + 38 * Planting.Offset}.ts",
+              graft.multimodal.TsCodec.encodeAvcTs(id, fh,
+                hevc = true))
+            if (id % 600 == 0)
+              put(s"asset_${id + 39 * Planting.Offset}.ts",
+                graft.multimodal.TsCodec.encodeAvcTs(id, fh,
+                  hevc = true, psiRepeat = true, nullPadding = true,
+                  pesLenZero = true, longStartCodes = true,
+                  psRepeat = true))
           }
           // the WebM digest-tier families (+12/+13/+14·Offset): EBML
           // grammar walk, frame payloads digested (clusters and block
@@ -517,13 +544,14 @@ object MultimodalFrameOps extends QueryModule {
     val digests = Multimodal.tsClipDigests(assets)
       .withColumn("container", lit("ts"))
       .unionByName(Multimodal.avcClipDigests(assets)
-        .withColumn("container", lit("mp4")))
+        .withColumn("container", lit("mp4"))
+        .withColumn("codec", lit("avc")))
     val canon = digests.groupBy("clip_fp")
       .agg(min(col("asset_id")).as("canonical_id"))
     digests.join(canon, Seq("clip_fp"))
-      .select(col("asset_id"), col("container"), col("n_samples"),
-        col("profile_idc"), col("level_idc"), col("clip_fp"),
-        col("canonical_id"))
+      .select(col("asset_id"), col("container"), col("codec"),
+        col("n_samples"), col("profile_idc"), col("level_idc"),
+        col("clip_fp"), col("canonical_id"))
       .orderBy("asset_id")
   }
 
@@ -775,6 +803,14 @@ object MultimodalFrameOps extends QueryModule {
            -- the M2TS re-wrap: TP_extra_headers are framing
            UNION ALL SELECT doc_id + 3700000, doc_id, 'ts' FROM d
              WHERE doc_id % 400 = 0),
+         -- the HEVC families: their own "hev" payload key space —
+         -- the %600 re-packetized twin collapses onto the %300
+         -- primary, never onto an AVC fingerprint
+         hev AS (
+           SELECT doc_id + 3800000 AS asset_id, doc_id AS scene,
+                  'ts' AS container FROM d WHERE doc_id % 300 = 0
+           UNION ALL SELECT doc_id + 3900000, doc_id, 'ts' FROM d
+             WHERE doc_id % 600 = 0),
          samp AS (
            SELECT a.asset_id, t.k,
                   md5(CASE WHEN t.k = 0
@@ -785,17 +821,33 @@ object MultimodalFrameOps extends QueryModule {
                       md5('n' || CAST(a.scene AS VARCHAR) || '_' ||
                           CAST(t.k AS VARCHAR))) AS dig
            FROM avc a, range(7) t(k)
-           WHERE t.k < ((a.scene // 200) % 4) + 3),
+           WHERE t.k < ((a.scene // 200) % 4) + 3
+           UNION ALL
+           SELECT h.asset_id, t.k,
+                  md5(CASE WHEN t.k = 0
+                           THEN 'hsei:' || CAST(h.scene AS VARCHAR)
+                           ELSE '' END ||
+                      'hev:' || CAST(h.scene AS VARCHAR) || ':' ||
+                      CAST(t.k AS VARCHAR) || ':' ||
+                      md5('h' || CAST(h.scene AS VARCHAR) || '_' ||
+                          CAST(t.k AS VARCHAR))) AS dig
+           FROM hev h, range(7) t(k)
+           WHERE t.k < ((h.scene // 300) % 4) + 3),
          clip AS (
            SELECT asset_id, count(*) AS n_samples,
                   md5(string_agg(dig, '' ORDER BY k)) AS clip_fp
-           FROM samp GROUP BY asset_id)
-         SELECT c.asset_id, a.container, c.n_samples,
-                CAST(66 AS BIGINT) AS profile_idc,
-                CAST(30 AS BIGINT) AS level_idc, c.clip_fp,
+           FROM samp GROUP BY asset_id),
+         meta AS (
+           SELECT asset_id, container, 'avc' AS codec,
+                  66 AS p, 30 AS l FROM avc
+           UNION ALL SELECT asset_id, container, 'hevc', 1, 93
+             FROM hev)
+         SELECT c.asset_id, m.container, m.codec, c.n_samples,
+                CAST(m.p AS BIGINT) AS profile_idc,
+                CAST(m.l AS BIGINT) AS level_idc, c.clip_fp,
                 (SELECT min(c2.asset_id) FROM clip c2
                   WHERE c2.clip_fp = c.clip_fp) AS canonical_id
-         FROM clip c JOIN avc a USING (asset_id)
+         FROM clip c JOIN meta m USING (asset_id)
          ORDER BY c.asset_id""",
 
     // recomputes every expected HEIF item digest from the planting

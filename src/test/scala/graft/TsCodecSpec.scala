@@ -199,6 +199,44 @@ class TsCodecSpec extends AnyFunSuite {
     assert(TsCodec.decodeTsDigest(hdrOnly).isEmpty)
   }
 
+  test("HEVC segments (stream_type 0x24) digest their own family " +
+      "with the 2-byte NAL grammar and descriptor metadata") {
+    val h = TsCodec.decodeTsDigest(
+      TsCodec.encodeAvcTs(29L, 5, hevc = true)).get
+    assert(h.codec === "hevc")
+    assert(h.profile === 1)   // Main, from the HEVC descriptor
+    assert(h.level === 93)
+    assert(h.sampleDigests.length === 5)
+    // the digest matches the oracle formula: VPS/SPS/PPS/AUD are
+    // excluded; AU 0 carries the SEI-prefix NAL + the IDR
+    def md5s(s: String) = Mp4Codec.md5Hex(s.getBytes("US-ASCII"))
+    assert(h.sampleDigests.head ===
+      md5s("hsei:29" + "hev:29:0:" + md5s("h29_0")))
+    assert(h.sampleDigests(1) === md5s("hev:29:1:" + md5s("h29_1")))
+    // the re-packetized HEVC twin collapses within its family
+    val tw = TsCodec.decodeTsDigest(TsCodec.encodeAvcTs(29L, 5,
+      hevc = true, psiRepeat = true, nullPadding = true,
+      pesLenZero = true, longStartCodes = true, psRepeat = true)).get
+    assert(tw.fingerprint === h.fingerprint)
+    // ... and never onto the AVC family of the same scene
+    assert(h.fingerprint !==
+      TsCodec.decodeTsDigest(TsCodec.encodeAvcTs(29L, 5)).get
+        .fingerprint)
+    // a corrupted HEVC NAL header (forbidden bit) drops whole
+    val full = TsCodec.encodeAvcTs(29L, 5, hevc = true)
+    var hit = -1
+    var i = 188 * 2
+    while (hit < 0 && i < full.length - 4) {
+      if (full(i) == 0 && full(i + 1) == 0 && full(i + 2) == 1 &&
+          full(i + 3) == (19 << 1).toByte) hit = i + 3
+      i += 1
+    }
+    assert(hit > 0)
+    val m = full.clone()
+    m(hit) = (m(hit) | 0x80).toByte
+    assert(TsCodec.decodeTsDigest(m).isEmpty)
+  }
+
   test("the digest matches the oracle formula") {
     // sample k digests md5 of ('sei:{scene}' when k=0) ++
     // 'avc:{scene}:{k}:' ++ md5('n{scene}_{k}') — the SAME formula
