@@ -111,6 +111,10 @@ object Tables {
   // column (flows through) or narrow a type (widened back); a breaking
   // type change degrades to auditable NULLs instead of an analysis
   // error three operators downstream.
+  // NOT memoized per session (r21 note): sharing one analyzed relation
+  // object across queries was tried to skip repeated listing/footer
+  // reads and measured consistently SLOWER — every derived self-join
+  // then pays DeduplicateRelations rewrites. Fresh-per-call stays.
   private def contracted(s: SparkSession, d: String, name: String): DataFrame =
     conform(table(s, d, name), contracts(name),
       strict = false, keepExtras = true)

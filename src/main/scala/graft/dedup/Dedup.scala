@@ -184,14 +184,24 @@ object Dedup {
   def containmentPairsFromShingles(shAll: DataFrame, threshold: Double,
       maxShingleDf: Long = 1000L): DataFrame = {
     val common = cappedCommonPairs(shAll, maxShingleDf)
-    // each unordered pair fans out to its ≤2 qualifying directions
-    val d1 = common.select(col("id1").as("id_contained"),
-      col("id2").as("id_container"), col("n_common"),
-      (col("n_common").cast("double") / col("n1")).as("containment"))
-    val d2 = common.select(col("id2").as("id_contained"),
-      col("id1").as("id_container"), col("n_common"),
-      (col("n_common").cast("double") / col("n2")).as("containment"))
-    d1.unionByName(d2).filter(col("containment") > threshold)
+    // each unordered pair fans out to its ≤2 qualifying directions —
+    // as ONE explode over the pair stream, not a self-union: a union
+    // references `common` twice and recomputes the entire posting-list
+    // self-join per branch (r21 job profile: the two largest jobs of
+    // dedup_containment were the same join, twice, concurrently)
+    common.select(explode(array(
+        struct(col("id1").as("id_contained"),
+          col("id2").as("id_container"), col("n_common"),
+          (col("n_common").cast("double") / col("n1")).as("containment")),
+        struct(col("id2").as("id_contained"),
+          col("id1").as("id_container"), col("n_common"),
+          (col("n_common").cast("double") / col("n2")).as("containment"))))
+        .as("__d"))
+      .select(col("__d.id_contained").as("id_contained"),
+        col("__d.id_container").as("id_container"),
+        col("__d.n_common").as("n_common"),
+        col("__d.containment").as("containment"))
+      .filter(col("containment") > threshold)
   }
 
   /** MinHash signature arrays via the one-pass typed UDAF
@@ -273,7 +283,10 @@ object Dedup {
     val longIds = edges.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     // count() gated behind the schema check: non-long ids can never take
-    // the driver regime, so they skip the extra action entirely
+    // the driver regime, so they skip the extra action entirely.
+    // (r21 note: a limit(threshold+1).collect() single-probe variant was
+    // tried and reverted — CollectLimit's incremental scale-up runs
+    // MORE jobs than count+collect over the already-checkpointed edges.)
     if (longIds && edges.count() <= driverThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._

@@ -126,27 +126,37 @@ object LinkGraph {
     require(iters >= 1, "iters must be ≥ 1")
     val e = edges.select("src", "dst").localCheckpoint()
     val v = vertices.select("id").localCheckpoint()
-    var hubs = v.select(col("id"), lit(q).as("h")).localCheckpoint()
-    var auth = v.select(col("id"), lit(q).as("a")).localCheckpoint()
+    var hubs = v.select(col("id"), lit(q).as("h"))
+    // auth₀ is overwritten in iteration 1 before any use (iters ≥ 1);
+    // materializing it was a dead checkpoint job
+    var auth = v.select(col("id"), lit(q).as("a"))
     def normMax(df: DataFrame, c: String): Long = {
       val m = df.agg(max(col(c))).head()
       math.max(1L, if (m.isNullAt(0)) 0L else m.getLong(0))
     }
     for (_ <- 1 to iters) {
+      // checkpoint the RAW in/out sums, not the normalized vectors:
+      // the max-aggregate and the normalization join then both read
+      // the materialized sums, where checkpointing the normalized
+      // vector re-ran the edge⋈score join a second time per side per
+      // iteration (r21: graph_hits spent ~2× its propagation work on
+      // those recomputes). The normalized vectors are one shallow
+      // metadata join over a checkpoint — no lineage growth, so they
+      // need no checkpoint of their own. Arithmetic unchanged.
       val araw = e.join(hubs, e("src") === hubs("id"))
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint()
       val amax = normMax(araw, "ar")
       auth = v.join(araw, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(expr(s"(ar * ${q}L) div ${amax}L"), lit(0L)).as("a"))
-        .localCheckpoint()
       val hraw = e.join(auth, e("dst") === auth("id"))
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr"))
+        .localCheckpoint()
       val hmax = normMax(hraw, "hr")
       hubs = v.join(hraw, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(expr(s"(hr * ${q}L) div ${hmax}L"), lit(0L)).as("h"))
-        .localCheckpoint()
     }
     auth.join(hubs, Seq("id"))
       .select(col("id"), col("a").as("authority"), col("h").as("hub"))

@@ -82,38 +82,38 @@ object FuzzyJoin {
       pos: Int, len: Int, maxDel: Int): DataFrame = {
     require(maxDel <= 2,
       "deletion pass supports maxDel ≤ 2; higher τ → q-gram pass")
-    // Signatures come from a broadcast (i, j) mask cross join — one
-    // small CASE expression per output row — NOT from a per-row
-    // array of C(len, ≤2) pre-built columns: a 46-element array of
-    // nested concat(substring…) trees blows whole-stage codegen and
-    // falls back to interpreted eval (measured 2.5 s just to emit
-    // 118 k signature rows; the mask join emits them in ~0.1 s).
-    // (0,0) = no deletion, (0,j) = delete j, (i,j) i<j = delete both.
-    val spark = d.sparkSession
-    import spark.implicits._
-    val maskRows: Seq[(Int, Int)] =
-      Seq((0, 0)) ++ (1 to len).map((0, _)) ++
-        (for { i <- 1 to len; j <- i + 1 to len } yield (i, j))
-    val masks = broadcast(maskRows.toDF("__mi", "__mj"))
-    val sigExpr = expr(
-      s"""CASE WHEN __mi = 0 AND __mj = 0 THEN __w
-              WHEN __mi = 0 THEN concat(substring(__w, 1, __mj - 1),
-                                        substring(__w, __mj + 1, $len))
-              ELSE concat(substring(__w, 1, __mi - 1),
-                          substring(__w, __mi + 1, __mj - __mi - 1),
-                          substring(__w, __mj + 1, $len)) END""")
-    def keyed(df: DataFrame, s: Column, id: String) = df
+    // Signatures come from the codegen'd per-row kernel
+    // ([[graft.functions.DeletionSignatures]]): each row explodes its
+    // ALREADY-DISTINCT ≤2-deletion neighborhood, so the per-row dedup
+    // that used to be a `dropDuplicates(id, sig)` SHUFFLE of the full
+    // signature stream on each side (the two largest exchanges of
+    // this plan — guide §2.4) happens map-side for free. The earlier
+    // escalation note stands: a 46-element array of nested
+    // concat(substring…) expression trees blows whole-stage codegen
+    // (measured 2.5 s interpreted) — the kernel builds the same
+    // values imperatively inside codegen instead.
+    def keyed(df: DataFrame, s: Column) = df
       .filter(length(s) >= pos + len - 1)
-      .withColumn("__w", substring(s, pos, len))
-      .crossJoin(masks)
-      .withColumn("__bk", sigExpr)
-      // leading-repeat windows emit duplicate signatures under
-      // different masks — dedup per row before the join, or every
-      // duplicate multiplies the pair fan-out
-      .dropDuplicates(id, "__bk")
-      .drop("__w", "__mi", "__mj")
-    keyed(d, col("__dn"), "__did")
-      .join(keyed(c, col("__cn"), "__cid"), "__bk")
+      .select(col("*"),
+        explode(graft.functions.DeletionSignatures.del_signatures(
+          substring(s, pos, len), len)).as("__bk"))
+    // One explicit exchange on the join key (the probe side): the join
+    // needs the __bk partitioning anyway unless the master side
+    // broadcasts, and when it DOES broadcast, this is what spreads the
+    // signature probe + Levenshtein confirm across cores instead of
+    // riding the scan's partitioning (a single-file scan otherwise
+    // pins the whole confirm to one task). Net plan: ≤1 exchange
+    // before the join vs r20's two dropDuplicates exchanges.
+    keyed(d, col("__dn")).repartition(col("__bk"))
+      // SHUFFLE_HASH, not broadcast: the exploded master-side
+      // signature stream is C(len,≤2)× its row count — Catalyst's
+      // size estimate under a Generate is row-count-blind, so it
+      // broadcasts ~46× the master table (measured: the broadcast
+      // build dominated the join job). A shuffled hash join exchanges
+      // the stream once and builds per-partition tables instead —
+      // also the only shape that scales when the master side is a
+      // full entity table at 100 TB.
+      .join(keyed(c, col("__cn")).hint("shuffle_hash"), "__bk")
       .select("__did", "__dn", "__cid", "__cn")
   }
 
@@ -174,9 +174,14 @@ object FuzzyJoin {
     // threshold-bounded Levenshtein: the banded DP exits as soon as
     // the distance provably exceeds tau (returns -1), an O(len·tau)
     // confirm instead of O(len²) — same values on every kept pair
+    // ONE conjunct: the threshold-bounded levenshtein returns -1 for
+    // any distance > tau, so `>= 0` alone IS the τ-gate — the former
+    // `>= 0 && <= tau` pair was folded into the blocking join's
+    // condition by predicate pushdown and evaluated the DP TWICE per
+    // candidate pair (r21 plan audit).
     passes.reduce(_ unionByName _)
       .withColumn("__dist", levenshtein(col("__dn"), col("__cn"), tau))
-      .filter(col("__dist") >= 0 && col("__dist") <= tau)
+      .filter(col("__dist") >= 0)
       .select("__did", "__cid", "__dist").distinct()
       .groupBy("__did")
       .agg(min(struct(col("__dist"), col("__cid"))).as("__m"),

@@ -143,16 +143,23 @@ object ChessPipeline extends QueryModule {
           "within 5 minutes — refusing to read a partial table")
       }
       val docs = synthesizedDocs(s, d)
+      // The source WRITES stay at the session's partitioning — the
+      // CPU-heavy block-split parse executes inside them and wants all
+      // cores; only the stream MERGES are scoped to fixture-sized
+      // shuffle partitions (graft.queries.ScopedConf rationale; r20 t2
+      // precedent).
+      def scoped(body: => Unit): Unit =
+        graft.queries.ScopedConf.withShufflePartitions(s, 8)(body)
       val first = normalized(docs, "2025-05-01 00:00:00")
       first.write.mode("append").parquet(src)
-      runStream(first.schema)
+      scoped { runStream(first.schema) }
       // re-delivery of a quarter of the corpus, one minute later: same
       // games, later tm_ingested — LWW overwrite, zero duplicates
       normalized(docs.filter(col("src_file").isin(
           "synth0", "synth1", "synth2", "synth3", "synth4", "synth5",
           "synth6", "synth7")), "2025-05-01 00:01:00")
         .write.mode("append").parquet(src)
-      runStream(first.schema)
+      scoped { runStream(first.schema) }
       table
     }
 

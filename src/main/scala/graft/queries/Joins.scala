@@ -292,8 +292,13 @@ object Joins extends QueryModule {
         log.filter(col("ts") < c1),
         log.filter(col("ts") >= c1 && col("ts") < c2),
         log.filter(col("ts") >= c2))
-      slices.foreach(sl => graft.streaming.Scd2Stream.applyBatch(
-        sl, dir, "user_id", "ts", "event_type", "event_id"))
+      // fixture-sized per-batch merges: 8 shuffle partitions per
+      // delivery keeps task/file counts off the build's critical path
+      // (graft.queries.ScopedConf rationale; r20 t2 precedent)
+      graft.queries.ScopedConf.withShufflePartitions(s, 8) {
+        slices.foreach(sl => graft.streaming.Scd2Stream.applyBatch(
+          sl, dir, "user_id", "ts", "event_type", "event_id"))
+      }
       dir
     }
 

@@ -262,14 +262,18 @@ object LayoutOps extends QueryModule {
         o.filter(col("o_orderdate") < c1),
         o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
         o.filter(col("o_orderdate") >= c2))
-      slices.zipWithIndex.foreach { case (sl, i) =>
-        graft.streaming.IncrementalAggStream.applyBatch(sl, i.toLong,
-          dir, Seq("o_custkey"), "o_totalprice", "o_orderdate")
+      // per-batch state tables are fixture-sized — 8 shuffle
+      // partitions per delivery (the ScopedConf rationale)
+      val replayed = ScopedConf.withShufflePartitions(s, 8) {
+        slices.zipWithIndex.foreach { case (sl, i) =>
+          graft.streaming.IncrementalAggStream.applyBatch(sl, i.toLong,
+            dir, Seq("o_custkey"), "o_totalprice", "o_orderdate")
+        }
+        // replay of an already-applied id: must be skipped entirely
+        graft.streaming.IncrementalAggStream.applyBatch(
+          slices(1), 1L, dir, Seq("o_custkey"), "o_totalprice",
+          "o_orderdate")
       }
-      // replay of an already-applied id: must be skipped entirely
-      val replayed = graft.streaming.IncrementalAggStream.applyBatch(
-        slices(1), 1L, dir, Seq("o_custkey"), "o_totalprice",
-        "o_orderdate")
       require(!replayed, "ops_incr_agg_stream: replay was not skipped")
       dir
     }
@@ -342,13 +346,15 @@ object LayoutOps extends QueryModule {
         o.filter(col("o_orderdate") < c1),
         o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
         o.filter(col("o_orderdate") >= c2))
-      slices.zipWithIndex.foreach { case (sl, i) =>
-        graft.streaming.QuantileSketchStream.applyBatch(sl, i.toLong,
-          dir, Seq("o_custkey"), "o_totalprice", widthCents = 50000L)
+      val replayed = ScopedConf.withShufflePartitions(s, 8) {
+        slices.zipWithIndex.foreach { case (sl, i) =>
+          graft.streaming.QuantileSketchStream.applyBatch(sl, i.toLong,
+            dir, Seq("o_custkey"), "o_totalprice", widthCents = 50000L)
+        }
+        graft.streaming.QuantileSketchStream.applyBatch(
+          slices(1), 1L, dir, Seq("o_custkey"), "o_totalprice",
+          widthCents = 50000L)
       }
-      val replayed = graft.streaming.QuantileSketchStream.applyBatch(
-        slices(1), 1L, dir, Seq("o_custkey"), "o_totalprice",
-        widthCents = 50000L)
       require(!replayed, "ops_incr_quantile_stream: replay was not skipped")
       dir
     }
@@ -398,12 +404,14 @@ object LayoutOps extends QueryModule {
         e.filter(col("ts") < c1),
         e.filter(col("ts") >= c1 && col("ts") < c2),
         e.filter(col("ts") >= c2))
-      slices.zipWithIndex.foreach { case (sl, i) =>
-        graft.streaming.QuantileSketchStream.applyBatch(sl, i.toLong,
-          dir, w11Keys, "value", widthCents = 1000L)
+      val replayed = ScopedConf.withShufflePartitions(s, 8) {
+        slices.zipWithIndex.foreach { case (sl, i) =>
+          graft.streaming.QuantileSketchStream.applyBatch(sl, i.toLong,
+            dir, w11Keys, "value", widthCents = 1000L)
+        }
+        graft.streaming.QuantileSketchStream.applyBatch(
+          slices(1), 1L, dir, w11Keys, "value", widthCents = 1000L)
       }
-      val replayed = graft.streaming.QuantileSketchStream.applyBatch(
-        slices(1), 1L, dir, w11Keys, "value", widthCents = 1000L)
       require(!replayed, "w11_stream: replay was not skipped")
       dir
     }

@@ -38,20 +38,34 @@ trait QueryModule {
   * across sessions. Within one live session the memo is by design:
   * registry queries are read-only over immutable testdata dirs. */
 object SessionMemo {
+  /** Lazy holder: registered in the map cheaply, built OUTSIDE the
+    * map's lock — nested SessionMemo calls from inside a build thunk
+    * (e.g. a memoized corpus thunk loading a memoized table) are legal,
+    * where a direct `computeIfAbsent(_ => build)` would throw
+    * "Recursive update". `lazy val` gives once-only per-key
+    * construction under concurrency. */
+  private final class Holder(thunk: () => AnyRef) {
+    @volatile private var done = false
+    lazy val value: AnyRef = { val v = thunk(); done = true; v }
+    /** The value if the thunk already ran; never triggers a build. */
+    def builtValue: Option[AnyRef] = if (done) Some(value) else None
+  }
+
   private val bySession = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, Holder]]()
 
   def apply[T <: AnyRef](s: SparkSession, dir: String, tag: String)(
       build: => T): T = {
     val inner = bySession.synchronized {
       var m = bySession.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, Holder]()
         bySession.put(s, m)
       }
       m
     }
-    inner.computeIfAbsent(s"$tag|$dir", _ => build).asInstanceOf[T]
+    inner.computeIfAbsent(s"$tag|$dir", _ => new Holder(() => build))
+      .value.asInstanceOf[T]
   }
 
   /** Explicit lifecycle end for library consumers (one-shot mains call
@@ -61,11 +75,35 @@ object SessionMemo {
     * re-running a registry query simply rebuilds (and re-memoizes). */
   def release(s: SparkSession): Unit = {
     val inner = bySession.synchronized(bySession.remove(s))
-    if (inner != null) inner.values.forEach {
-      case df: org.apache.spark.sql.Dataset[_] => df.unpersist(false)
-      case _ => ()   // non-DataFrame memo values hold no storage
+    // only holders whose thunk actually RAN can pin storage — forcing
+    // unbuilt ones here would do the build just to throw it away
+    if (inner != null) inner.values.forEach { h =>
+      h.builtValue match {
+        case Some(df: org.apache.spark.sql.Dataset[_]) => df.unpersist(false)
+        case _ => ()   // non-DataFrame memo values hold no storage
+      }
     }
     graft.CacheScope.releaseAll(s)
+  }
+}
+
+/** Scoped session-conf override — the r20 t2_watermark_dedup
+  * state-store fix generalized (BASELINE.md r20: one HDFS-backed state
+  * store per shuffle partition per micro-batch; 8 partitions cut the
+  * fixed store count 4× and the build medians 2.6×). Streaming/seeded
+  * builds wrap their delivery loop in this so micro-batch machinery,
+  * state-store instances, and output file counts scale with the
+  * fixture instead of the session's core count; the conf is restored
+  * after completion (the stream pins its partition count at the first
+  * batch, so the restore must wait for it). At 100 TB the same dial
+  * sizes state stores to executors — a per-stream setting either way,
+  * never a session constant. */
+private[graft] object ScopedConf {
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
 
@@ -78,10 +116,20 @@ object Planting {
   val Offset = 100000L
 
   def requireHeadroom(df: DataFrame, idCol: String, name: String): Unit = {
-    val row = df.agg(max(idCol)).head()
-    // empty table: max is NULL — trivially under the bound
-    require(row.isNullAt(0) || row.getLong(0) < Offset,
-      s"$name planting assumes $idCol < $Offset")
+    // The max-id probe is an eager job per call, and most callers probe
+    // the SAME immutable testdata scan (the r21 job profile counted one
+    // ~0.1–0.3 s job per planted entry) — memoize the verdict per
+    // (session, analyzed-plan, id column). Distinct inputs (filtered
+    // slices, other tables) get their own entry; the check itself is
+    // unchanged.
+    val key = "headroom|" + idCol + "|" +
+      df.queryExecution.analyzed.semanticHash()
+    val ok = SessionMemo(df.sparkSession, "", key) {
+      val row = df.agg(max(idCol)).head()
+      // empty table: max is NULL — trivially under the bound
+      java.lang.Boolean.valueOf(row.isNullAt(0) || row.getLong(0) < Offset)
+    }
+    require(ok.booleanValue(), s"$name planting assumes $idCol < $Offset")
   }
 }
 

@@ -322,15 +322,19 @@ object TokenOps extends QueryModule {
       val dir = java.nio.file.Files.createTempDirectory("hh_stream")
         .toString + "/cells"
       val toks = tokenStream(s, d)
-      (0 until 3).foreach { i =>
+      // fixture-sized per-batch merges: 8 shuffle partitions per
+      // delivery (ScopedConf rationale; r20 t2 precedent)
+      val replayed = ScopedConf.withShufflePartitions(s, 8) {
+        (0 until 3).foreach { i =>
+          graft.streaming.MergeableStream.applyBatch(
+            toks.filter(col("doc_id") % 3 === i).select("token"),
+            i.toLong, dir,
+            b => CountMin.buildCells(b, "token"), CountMin.mergeCells)
+        }
         graft.streaming.MergeableStream.applyBatch(
-          toks.filter(col("doc_id") % 3 === i).select("token"),
-          i.toLong, dir,
+          toks.filter(col("doc_id") % 3 === 1).select("token"), 1L, dir,
           b => CountMin.buildCells(b, "token"), CountMin.mergeCells)
       }
-      val replayed = graft.streaming.MergeableStream.applyBatch(
-        toks.filter(col("doc_id") % 3 === 1).select("token"), 1L, dir,
-        b => CountMin.buildCells(b, "token"), CountMin.mergeCells)
       require(!replayed, "hh_stream: replay was not skipped")
       val streamed = s.read.parquet(dir)
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

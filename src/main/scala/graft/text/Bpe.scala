@@ -112,7 +112,18 @@ object Bpe {
     * serve side of [[loadMerges]] (a trained or shipped `merges.txt`
     * instead of the frozen built-in). Same consistency preconditions
     * as the frozen table (BpeSpec's invariants). */
-  def tokens(c: Column, merges: Seq[(String, String)]): Column = {
+  def tokens(c: Column, merges: Seq[(String, String)]): Column =
+    // the fused codegen kernel — one pass over (offset, length) token
+    // spans instead of ~|merges| full-string rebuilds; bit parity with
+    // the composable replace chain below is pinned in FunctionsSpec,
+    // and BpeSpec's classic-loop equivalence suite runs over it
+    graft.functions.BpeEncode.bpe_encode(c, merges)
+
+  /** The original composable replace-chain rendering — the SPEC
+    * reference the kernel is held to (FunctionsSpec parity), and the
+    * template [[oracleTokensExpr]] mirrors in DuckDB. Not on the hot
+    * path. */
+  def tokensComposable(c: Column, merges: Seq[(String, String)]): Column = {
     val framed = concat(lit(S),
       regexp_replace(replace(lower(c), lit(S), lit("")),
         lit("(?s)(.)"), lit("$1" + S + S)))

@@ -28,31 +28,28 @@ object LinearClassifier {
     * fastText uses 2^21 — the arithmetic is D-independent. */
   val D = 4096
 
-  /** Frozen stand-in weight: (bucket · 2654435761) mod 4001 − 2000,
-    * bucket = [[graft.functions.Md5Bucket]] of the salted feature. */
-  private def weight(b: Column): Column =
-    (b * lit(2654435761L)) % 4001L - 2000L
+  // Frozen stand-in weight: (bucket · 2654435761) mod 4001 − 2000,
+  // bucket = [[graft.functions.Md5Bucket]] of the salted feature —
+  // computed by the fused [[graft.functions.Md5FeatureSum]] kernel
+  // (and by [[weightSql]] on the oracle side).
 
-  private def featureWeight(salt: String, text: Column): Column =
-    weight(graft.functions.Md5Bucket.bucket(salt, text, D))
-
-  /** Unigram-feature sum over a token-array column. */
+  /** Unigram-feature sum over a token-array column — the fused codegen
+    * kernel ([[graft.functions.Md5FeatureSum]]); bit parity with the
+    * composable `aggregate(transform(ts, t => featureWeight("u:", t)),
+    * 0L, _ + _)` form (including its null edges) is pinned in
+    * FunctionsSpec, and [[weightSql]] still renders the same arithmetic
+    * for the oracles. */
   private def uniScore(ts: Column): Column =
-    aggregate(transform(ts, t => featureWeight("u:", t)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.Md5FeatureSum.uni(ts, "u:", D)
 
-  /** Bigram-feature sum over a token-array column.
-    * sequence(0, n-2) reverses when n<2 (negative-step default) —
-    * the guard is load-bearing. */
-  private def biScore(ts: Column): Column = {
-    val n = size(ts)
-    when(n >= 2, aggregate(
-        transform(sequence(lit(0), n - 2), i => featureWeight("b:",
-          concat(element_at(ts, i + 1), lit(" "),
-            element_at(ts, i + 2)))),
-        lit(0L), (acc, x) => acc + x))
-      .otherwise(0L)
-  }
+  /** Bigram-feature sum over a token-array column — fused kernel; the
+    * composable form's `when(size(ts) >= 2, …).otherwise(0)` guard
+    * maps a NULL array to 0 here (size(null) is null, so the `when`
+    * falls through), while the kernel itself returns 0 only for short
+    * arrays — hence the explicit null guard. */
+  private def biScore(ts: Column): Column =
+    when(isnull(ts), lit(0L))
+      .otherwise(graft.functions.Md5FeatureSum.bi(ts, "b:", D))
 
   /** The gate as ONE boolean Column over raw text — for callers that
     * only filter: `df.filter(LinearClassifier.keepExpr(col("text")))`

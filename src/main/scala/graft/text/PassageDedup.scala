@@ -42,49 +42,100 @@ object PassageDedup {
   private def toks(textCol: String) = Tokens.ws(textCol)
 
   /** (doc_id, pos, gram): every k-token window at stride 1, pos
-    * 0-based. Documents shorter than k produce no rows. */
+    * 0-based. Documents shorter than k produce no rows.
+    *
+    * Gram construction is the codegen'd [[graft.functions.WordNGrams]]
+    * kernel (bit parity with the interpreted
+    * `transform(sequence(0, n-k), i -> array_join(slice(ts, i+1, k), ' '))`
+    * composition pinned in FunctionsSpec) — this runs over every
+    * document of every passage-tier consumer, the same hottest-scan
+    * argument as the shingle pipeline's 3-gram kernel. WordNGrams
+    * emits a partial gram for docs shorter than k; the `when` guard
+    * preserves the no-rows contract for them. */
   def grams(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val n = size(col("__ts"))
     df.select(col(idCol).as("doc_id"), toks(textCol).as("__ts"))
-      // sequence(0, n-k) REVERSES when n<k (negative-step default) —
-      // the guard is load-bearing, not defensive
       .select(col("doc_id"),
         posexplode(when(n >= k,
-          transform(sequence(lit(0), n - k), i =>
-            array_join(slice(col("__ts"), i + 1, lit(k)), " ")))
+          graft.functions.WordNGrams.word_ngrams(col("__ts"), k))
           .otherwise(array().cast("array<string>"))))
       .withColumnRenamed("col", "gram")
   }
 
+  /** (doc_id, pos, gram, __h): [[grams]] with the rolling 64-bit
+    * window hash ([[graft.functions.HashedWordNGrams]], index-aligned
+    * with WordNGrams by construction) zipped on — the phase-2 stream
+    * that re-derives the SAME per-position key phase 1 counted,
+    * without hashing the built string. */
+  private def gramsWithHash(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val n = size(col("__ts"))
+    df.select(col(idCol).as("doc_id"), toks(textCol).as("__ts"))
+      .select(col("doc_id"),
+        posexplode(when(n >= k,
+          zip_with(
+            graft.functions.WordNGrams.word_ngrams(col("__ts"), k),
+            graft.functions.HashedWordNGrams
+              .hashed_word_ngrams(col("__ts"), k),
+            (g, h) => struct(g.as("gram"), h.as("__h"))))
+          .otherwise(array().cast("array<struct<gram:string,__h:bigint>>"))))
+      .select(col("doc_id"), col("pos"),
+        col("col.gram").as("gram"), col("col.__h").as("__h"))
+  }
+
+  /** (doc_id, pos, __h): the hash-ONLY gram stream — phase 1's input.
+    * No gram strings are built here at all (guide §2.3: decide with
+    * small keys, build payloads once): per position the kernel folds
+    * per-token XXH64s, so the unique-gram majority of the corpus never
+    * pays string materialization. */
+  private def gramHashes(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val n = size(col("__ts"))
+    df.select(col(idCol).as("doc_id"), toks(textCol).as("__ts"))
+      .select(col("doc_id"),
+        posexplode(when(n >= k,
+          graft.functions.HashedWordNGrams
+            .hashed_word_ngrams(col("__ts"), k))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumnRenamed("col", "__h")
+  }
+
   /** Occurrences of hash-duplicated grams — phase 1 of the exact
-    * two-phase finder: count by xxhash64 (8-byte shuffle keys, the
-    * only corpus-sized stage), semi-join the survivors back. All
-    * occurrences of one gram share one hash, so the candidate set
-    * holds either every occurrence of a gram or none. */
+    * two-phase finder: count by the rolling window hash (8-byte
+    * shuffle keys, the only corpus-sized stage; map-side partial
+    * aggregation reduces each task to one row per distinct hash),
+    * then semi-join the string-bearing stream against the hot set.
+    * All occurrences of one gram share one hash, so the candidate set
+    * holds either every occurrence of a gram or none — collisions can
+    * only ADD candidates. The corpus is scanned twice (once hash-only,
+    * once with strings) but gram strings are built exactly ONCE — the
+    * r20 shape built them four times (hash-agg side, semi-join probe,
+    * and twice more through the confirm's double reference). */
   private def hashCandidates(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
-    val g = grams(df, idCol, textCol, k)
-      .withColumn("__h", xxhash64(col("gram")))
-    val hotHashes = g.groupBy("__h").agg(count(lit(1)).as("__c"))
+    val hotHashes = gramHashes(df, idCol, textCol, k)
+      .groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__h")
-    g.join(hotHashes, Seq("__h"), "left_semi")
+    gramsWithHash(df, idCol, textCol, k)
+      .join(hotHashes, Seq("__h"), "left_semi")
   }
 
   /** (doc_id, pos) of every occurrence of a corpus-duplicated k-gram.
-    * Two-phase exact: hash-count prefilter, string-count confirm. */
+    * Two-phase exact: hash-count prefilter, string-count confirm. The
+    * confirm groups the (tiny) candidate set by gram CARRYING its
+    * positions — one pass over the candidates instead of the r20
+    * aggregate-then-probe double reference, which recomputed the whole
+    * gram stream per reference. */
   def duplicatedPositions(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val candidates = hashCandidates(df, idCol, textCol, k)
-    // phase 2: exact string confirm over the surviving fraction only —
-    // the candidate count per gram equals the corpus-wide count (see
-    // hashCandidates), so this is exact, not probabilistic.
-    val dupGrams = candidates.groupBy("gram").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select(col("gram").as("__dg"))
-    candidates.join(dupGrams, col("gram") === col("__dg"), "left_semi")
-      .select("doc_id", "pos")
-  }
+      k: Int): DataFrame =
+    hashCandidates(df, idCol, textCol, k)
+      .groupBy("gram")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("__occ"))
+      .filter(size(col("__occ")) > 1)
+      .select(explode(col("__occ")).as("__o"))
+      .select(col("__o.doc_id").as("doc_id"), col("__o.pos").as("pos"))
 
   /** (gram, n_occurrences, n_docs) for every corpus-duplicated k-gram —
     * the audit surface behind top-duplicated-passage reports. Same
@@ -115,10 +166,30 @@ object PassageDedup {
       k: Int, refGrams: DataFrame,
       broadcastRef: Boolean = true): DataFrame = {
     val ref = refGrams.select("gram").distinct()
-    grams(df, idCol, textCol, k)
-      .join(if (broadcastRef) broadcast(ref) else ref,
-        Seq("gram"), "left_semi")
-      .select("doc_id", "pos")
+    if (broadcastRef)
+      // bounded-benchmark case: the gram set broadcasts and the corpus
+      // side never shuffles — already the optimal shape
+      grams(df, idCol, textCol, k)
+        .join(broadcast(ref), Seq("gram"), "left_semi")
+        .select("doc_id", "pos")
+    else {
+      // corpus-fraction reference (e.g. curate v7's eval split): the
+      // r20 shape semi-joined on the gram STRING, so whichever side
+      // shuffled carried k-token text. Now the prefilter semi-join
+      // carries 8-byte window hashes (guide §2.3 — the same rolling
+      // kernel on both sides: the ref gram re-tokenized by the ' '
+      // join it was built with yields the identical window hash), and
+      // only the surviving candidates (matches + rare collisions)
+      // reach the exact string confirm — which keeps the result
+      // identical, never probabilistic.
+      val refH = ref.select(
+        element_at(graft.functions.HashedWordNGrams.hashed_word_ngrams(
+          split(col("gram"), " ", -1), k), 1).as("__h")).distinct()
+      gramsWithHash(df, idCol, textCol, k)
+        .join(refH, Seq("__h"), "left_semi")
+        .join(ref, Seq("gram"), "left_semi")
+        .select("doc_id", "pos")
+    }
   }
 
   /** Maximal duplicated token spans per document:

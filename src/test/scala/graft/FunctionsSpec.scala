@@ -183,6 +183,166 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nres(1).isNullAt(0))
   }
 
+  test("md5_feature_sum: fused kernel matches the aggregate∘transform " +
+      "composition bit-for-bit") {
+    import graft.functions.Md5FeatureSum
+    val D = graft.text.LinearClassifier.D
+    def weight(salt: String, inner: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(salt), inner)), 1, 4), 16, 10)
+        .cast("long") % D * lit(2654435761L) % 4001L - 2000L
+    def uniRef(ts: org.apache.spark.sql.Column) =
+      aggregate(transform(ts, t => weight("u:", t)), lit(0L), (a, x) => a + x)
+    def biRef(ts: org.apache.spark.sql.Column) = {
+      val n = size(ts)
+      when(n >= 2, aggregate(
+          transform(sequence(lit(0), n - 2), i => weight("b:",
+            concat(element_at(ts, i + 1), lit(" "), element_at(ts, i + 2)))),
+          lit(0L), (a, x) => a + x))
+        .otherwise(0L)
+    }
+    // real corpus: every document's token array
+    val docs = Tables.documents(spark, sf001)
+      .select(graft.text.Tokens.ws("text").as("ts"))
+    val mism = docs.select(
+        Md5FeatureSum.uni(col("ts"), "u:", D).as("fu"), uniRef(col("ts")).as("ru"),
+        when(isnull(col("ts")), lit(0L))
+          .otherwise(Md5FeatureSum.bi(col("ts"), "b:", D)).as("fb"),
+        biRef(col("ts")).as("rb"))
+      .filter(!(col("fu") <=> col("ru")) || !(col("fb") <=> col("rb"))).count()
+    assert(mism == 0)
+    // edge shapes: empty, one token, two tokens, unicode, null array,
+    // null element
+    val edge = Seq(
+      Some(Seq(Some("a"))), Some(Seq.empty[Option[String]]),
+      Some(Seq(Some("a"), Some("b"))),
+      Some(Seq(Some("héllo"), Some("wörld"), Some("日本"))),
+      None, Some(Seq(Some("a"), None, Some("c")))).toDF("ts")
+    val pairs = edge.select(
+        Md5FeatureSum.uni(col("ts"), "u:", D).as("fu"), uniRef(col("ts")).as("ru"),
+        when(isnull(col("ts")), lit(0L))
+          .otherwise(Md5FeatureSum.bi(col("ts"), "b:", D)).as("fb"),
+        biRef(col("ts")).as("rb")).collect()
+    pairs.foreach { r =>
+      assert(r.get(0) == r.get(1), s"uni: ${r.get(0)} != ${r.get(1)}")
+      assert(r.get(2) == r.get(3), s"bi: ${r.get(2)} != ${r.get(3)}")
+    }
+  }
+
+  test("hashed_word_ngrams: aligned with word_ngrams and injective on " +
+      "equal windows") {
+    import graft.functions.HashedWordNGrams.hashed_word_ngrams
+    import graft.functions.WordNGrams.word_ngrams
+    // every (gram string, window hash) pair over the real corpus: one
+    // hash per gram (alignment), and any two positions with the same
+    // gram string must carry the same hash (the no-miss prefilter
+    // contract of PassageDedup's phase 1)
+    val docs = Tables.documents(spark, sf001)
+      .select(graft.text.Tokens.ws("text").as("ts"))
+      .filter(size(col("ts")) >= 12)
+    val zipped = docs.select(posexplode(zip_with(
+        word_ngrams(col("ts"), 12), hashed_word_ngrams(col("ts"), 12),
+        (g, h) => struct(g.as("gram"), h.as("h")))))
+      .select(col("col.gram").as("gram"), col("col.h").as("h"))
+    val badAlign = docs.select(
+        (size(word_ngrams(col("ts"), 12)) =!=
+          size(hashed_word_ngrams(col("ts"), 12))).as("bad"))
+      .filter(col("bad")).count()
+    assert(badAlign == 0)
+    val multiHash = zipped.groupBy("gram")
+      .agg(countDistinct(col("h")).as("nh")).filter(col("nh") > 1).count()
+    assert(multiHash == 0)
+    // null array → null, mirroring word_ngrams
+    val nres = Seq((None: Option[Seq[String]])).toDF("ts")
+      .select(hashed_word_ngrams(col("ts"), 3)).collect()
+    assert(nres(0).isNullAt(0))
+  }
+
+  test("bpe_encode: fused kernel matches the composable replace chain " +
+      "bit-for-bit") {
+    import graft.text.Bpe
+    // real corpus (includes the fix-encoding mojibake shapes)
+    val docs = Tables.documents(spark, sf001)
+      .select(coalesce(col("text"), lit("")).as("t"))
+    val mism = docs.select(
+        Bpe.tokens(col("t")).as("fast"),
+        Bpe.tokensComposable(col("t"), Bpe.Merges).as("ref"))
+      .filter(!(col("fast") <=> col("ref"))).count()
+    assert(mism == 0)
+    // adversarial shapes: sentinel bytes in input, unicode + surrogate
+    // pairs, newlines/tabs, repeated-operand runs, uppercase folding,
+    // spaces everywhere, empty, null
+    val edge = Seq(
+      Some(""), Some(" "), Some("   "), Some("a"), Some("THE THEME"),
+      Some("t" * 30), Some("ererer"), Some("that"),
+      Some(""), Some("héllo wörld"), Some("日本語 text"),
+      Some("emoji 😀 pair"), Some("line1\nline2\tend\r"),
+      Some("that that forfor "), Some("of of of"),
+      None).toDF("t")
+    val rows = edge.select(
+        Bpe.tokens(col("t")).as("fast"),
+        Bpe.tokensComposable(col("t"), Bpe.Merges).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.get(0) == r.get(1), s"${r.get(0)} != ${r.get(1)}")
+    }
+    // a trained/loaded table goes through the same kernel — exercise a
+    // non-frozen table incl. an operand pair sharing a product prefix
+    val tbl = Vector(("a", "b"), ("ab", "ab"), ("c", "c"))
+    val rows2 = edge.select(
+        Bpe.tokens(col("t"), tbl).as("fast"),
+        Bpe.tokensComposable(col("t"), tbl).as("ref"))
+      .collect()
+    rows2.foreach { r =>
+      assert(r.get(0) == r.get(1), s"${r.get(0)} != ${r.get(1)}")
+    }
+    val abab = Seq("ababab ccc abab").toDF("t").select(
+        Bpe.tokens(col("t"), tbl).as("fast"),
+        Bpe.tokensComposable(col("t"), tbl).as("ref"))
+      .collect()
+    abab.foreach { r =>
+      assert(r.get(0) == r.get(1), s"${r.get(0)} != ${r.get(1)}")
+    }
+  }
+
+  test("del_signatures: kernel set equals the mask-join CASE expression's " +
+      "deduplicated signatures") {
+    import graft.functions.DeletionSignatures.del_signatures
+    val len = 9
+    // reference: the r20 mask-join rendering, deduplicated per row
+    val maskRows: Seq[(Int, Int)] =
+      Seq((0, 0)) ++ (1 to len).map((0, _)) ++
+        (for { i <- 1 to len; j <- i + 1 to len } yield (i, j))
+    val masks = broadcast(maskRows.toDF("__mi", "__mj"))
+    val sigExpr = expr(
+      s"""CASE WHEN __mi = 0 AND __mj = 0 THEN __w
+              WHEN __mi = 0 THEN concat(substring(__w, 1, __mj - 1),
+                                        substring(__w, __mj + 1, $len))
+              ELSE concat(substring(__w, 1, __mi - 1),
+                          substring(__w, __mi + 1, __mj - __mi - 1),
+                          substring(__w, __mj + 1, $len)) END""")
+    // windows incl. repeats (duplicate-signature source), unicode,
+    // and the real customer-name tail digits
+    val wins = Seq("123456789", "111111111", "120021003", "ab¢def€hi",
+      "000000000", "987654321").toDF("__w")
+      .unionByName(Tables.customer(spark, sf001)
+        .select(substring(col("c_name"), 10, 9).as("__w"))
+        .filter(length(col("__w")) === len).limit(200))
+    val ref = wins.crossJoin(masks).select(col("__w"), sigExpr.as("s"))
+      .groupBy("__w").agg(sort_array(collect_set(col("s"))).as("ref"))
+    val fast = wins.select(col("__w"),
+        sort_array(array_distinct(del_signatures(col("__w"), len))).as("fast"))
+      .groupBy("__w").agg(first(col("fast")).as("fast"))
+    val mism = fast.join(ref, Seq("__w"))
+      .filter(!(col("fast") <=> col("ref"))).count()
+    assert(mism == 0)
+    // the kernel's own array is already distinct
+    val dup = wins.select(
+        (size(del_signatures(col("__w"), len)) =!=
+          size(array_distinct(del_signatures(col("__w"), len)))).as("d"))
+      .filter(col("d")).count()
+    assert(dup == 0)
+  }
+
   test("multi_match: automaton matches the composable filter∘contains bit-for-bit") {
     import graft.functions.MultiMatch.multi_match
     val ps = Seq("slow fast", "table table", "hash value", "agg join",
