@@ -220,7 +220,14 @@ object Dedup {
       numHashes: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val bands = numHashes / rowsPerBand
-    val banded = sigs.select(col("id"), expr(
+    // materialize the signature vectors once: the banded self-join
+    // references them from BOTH sides, and the canonicalized plans
+    // differ in output aliases, so exchange reuse does not fire — the
+    // signature AGGREGATION (the only corpus-sized stage here) ran
+    // twice per call (r21 plan audit). One row of K longs per doc:
+    // checkpoint cost is metadata-scale at any corpus size.
+    val sigsOnce = sigs.localCheckpoint()
+    val banded = sigsOnce.select(col("id"), expr(
         s"""explode(transform(sequence(0, ${bands - 1}), b -> struct(
               b AS band,
               array_join(transform(slice(sigs, b * $rowsPerBand + 1, $rowsPerBand),
@@ -476,7 +483,9 @@ object Dedup {
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         expr(s"(simhash >> ${b * width}) & $mask").as("v")))
-    val banded = sketches
+    // same rationale as lshCandidatesFromSigs: both self-join sides
+    // re-ran the sketch aggregation without this materialization
+    val banded = sketches.localCheckpoint()
       .select(col("id"), col("simhash"),
         explode(array(bandCols: _*)).as("bv"))
       .select(col("id"), col("simhash"), col("bv.band"), col("bv.v"))

@@ -17,6 +17,12 @@ object Layout {
     games
       .withColumn("dt_part", coalesce(
         date_format(col("dt_game"), "yyyy-MM-dd"), lit("unknown")))
+      // cluster by the partition column before the partitioned write
+      // (guide §6 / Iceberg's hash distribution-mode): without it every
+      // upstream task opens one file per date it touches — N_tasks ×
+      // N_dates small files, paid again by every pruned scan. One
+      // shuffle of the rows being written is the standard price.
+      .repartition(col("dt_part"))
       .write.mode("overwrite")
       .partitionBy("dt_part")
       .parquet(path)

@@ -88,10 +88,14 @@ object QuantileSketch {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be integer percents in [1,100], got $pcts")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
-    val cum = state.withColumn("cum", sum(col("cnt")).over(w))
-    val tot = state.groupBy(keys.map(col): _*)
-      .agg(sum(col("cnt")).as("n"))
-    cum.join(tot, keys)
+    // per-key total as an UNBOUNDED window over the same partitioning,
+    // not an aggregate joined back: the join referenced `state` twice,
+    // and for the batch entries `state` is the whole slice-summary
+    // merge chain — it computed twice per call (r21 plan audit). Same
+    // values (Σ cnt per key), one shuffle, no self-join.
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    state.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
       .withColumn("pct", explode(array(pcts.map(lit): _*)))
       .filter(col("cum") * 100 >= col("n") * col("pct"))
       .groupBy((keys :+ "pct").map(col): _*)
