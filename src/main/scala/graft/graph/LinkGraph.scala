@@ -91,12 +91,25 @@ object LinkGraph {
         .select(col("dst"),
           expr("(17 * score) DIV (20 * __od)").as("__c"))
         .groupBy("dst").agg(sum(col("__c")).as("__in"))
-      ranks = tele
+      val next = tele
         .join(contrib, tele("id") === contrib("dst"), "left_outer")
         .select(tele("id"),
           (col("__tele") + coalesce(col("__in"), lit(0L))).as("score"))
         .localCheckpoint()
+      // generation i−1 is dead once generation i is materialized (the
+      // returned vector is the LAST checkpoint; each checkpoint's plan
+      // is lineage-free) — free its blocks now instead of waiting for
+      // GC + ContextCleaner (r21 verdict: orphaned checkpoint blocks)
+      graft.CacheScope.releaseCheckpoint(ranks)
+      ranks = next
     }
+    // the loop state is fully materialized: e2/tele are not in the
+    // returned vector's (truncated) lineage, so their blocks free now;
+    // the final vector itself is consumed lazily by callers — register
+    // it for session-level release
+    graft.CacheScope.releaseCheckpoint(e2)
+    graft.CacheScope.releaseCheckpoint(tele)
+    graft.CacheScope.registerCheckpoint(ranks)
     ranks
   }
 
@@ -125,11 +138,22 @@ object LinkGraph {
       q: Long = 1L << 20): DataFrame = {
     require(iters >= 1, "iters must be ≥ 1")
     val e = edges.select("src", "dst").localCheckpoint()
-    val v = vertices.select("id").localCheckpoint()
+    // v feeds the normalization joins AND the returned frame — its
+    // blocks live until the caller consumes the result (session-level
+    // release); e is freed at function end (the raw sums are
+    // checkpointed, so nothing downstream re-reads it)
+    val v = graft.CacheScope.trackLocalCheckpoint(vertices.select("id"))
     var hubs = v.select(col("id"), lit(q).as("h"))
     // auth₀ is overwritten in iteration 1 before any use (iters ≥ 1);
     // materializing it was a dead checkpoint job
     var auth = v.select(col("id"), lit(q).as("a"))
+    // superseded raw-sum generations: araw_i / hraw_i are dead once
+    // iteration i+1 has materialized its own sums (the only readers —
+    // auth_i / hubs_i — were last used to build them); the FINAL pair
+    // stays referenced by the returned frame, so it is registered for
+    // session-level release instead
+    var prevAraw: DataFrame = null
+    var prevHraw: DataFrame = null
     def normMax(df: DataFrame, c: String): Long = {
       val m = df.agg(max(col(c))).head()
       math.max(1L, if (m.isNullAt(0)) 0L else m.getLong(0))
@@ -146,6 +170,8 @@ object LinkGraph {
       val araw = e.join(hubs, e("src") === hubs("id"))
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar"))
         .localCheckpoint()
+      // hubs_{i-1} (→ hraw_{i-1}) was last read building araw above
+      if (prevHraw != null) graft.CacheScope.releaseCheckpoint(prevHraw)
       val amax = normMax(araw, "ar")
       auth = v.join(araw, Seq("id"), "left_outer")
         .select(col("id"),
@@ -153,11 +179,18 @@ object LinkGraph {
       val hraw = e.join(auth, e("dst") === auth("id"))
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr"))
         .localCheckpoint()
+      // auth_{i-1} (→ araw_{i-1}) is unreferenced since auth was rebound
+      if (prevAraw != null) graft.CacheScope.releaseCheckpoint(prevAraw)
       val hmax = normMax(hraw, "hr")
       hubs = v.join(hraw, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(expr(s"(hr * ${q}L) div ${hmax}L"), lit(0L)).as("h"))
+      prevAraw = araw
+      prevHraw = hraw
     }
+    graft.CacheScope.releaseCheckpoint(e)
+    if (prevAraw != null) graft.CacheScope.registerCheckpoint(prevAraw)
+    if (prevHraw != null) graft.CacheScope.registerCheckpoint(prevHraw)
     auth.join(hubs, Seq("id"))
       .select(col("id"), col("a").as("authority"), col("h").as("hub"))
   }

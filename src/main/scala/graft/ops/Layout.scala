@@ -22,7 +22,15 @@ object Layout {
       // upstream task opens one file per date it touches — N_tasks ×
       // N_dates small files, paid again by every pruned scan. One
       // shuffle of the rows being written is the standard price.
-      .repartition(col("dt_part"))
+      // REBALANCE, not repartition(dt_part) (the r21 shape): a plain
+      // hash repartition is one task per date, so a hot date becomes a
+      // single straggler task writing one enormous file at 100 TB
+      // (guide §2.5). The AQE rebalance keys the exchange on dt_part
+      // but SPLITS oversized date partitions to the advisory size
+      // (each split still writes only dt_part-pure files) and
+      // coalesces tiny dates — small-file behavior locally, no
+      // straggler at scale.
+      .hint("rebalance", col("dt_part"))
       .write.mode("overwrite")
       .partitionBy("dt_part")
       .parquet(path)

@@ -56,17 +56,26 @@ object ReadApi {
 
   /** Paged game history for one player (O2 pagination; J2-style
     * disjunctive match on either color, decomposed to a union).
-    * OFFSET-style: needs a global row numbering, so the window is
-    * single-partition — fine for interactive depths, but deep paging
-    * at corpus scale should use [[gameHistoryAfter]] (keyset). */
+    * OFFSET-style: needs a global row numbering — but only of the
+    * first (page+1)·pageSize rows, so a distributed top-k
+    * (`TakeOrderedAndProject`: per-partition limit, then a k-row
+    * merge) bounds the input BEFORE the single-partition numbering
+    * window. The window then sees ≤ k rows at any corpus size (the
+    * r21 shape ran it over every matching row — a single-partition
+    * global sort at scale). The order is total (unique id_game
+    * tiebreak), so the top-k prefix IS rows 1..k of the global
+    * numbering: results identical. Deep paging at corpus scale should
+    * still use [[gameHistoryAfter]] (keyset) — offset depth k is the
+    * price of the offset contract itself. */
   def gameHistory(games: DataFrame, user: String,
       page: Int, pageSize: Int): DataFrame = {
     val mine = games.filter(
       col("id_user_white") === user || col("id_user_black") === user)
+    val k = (page + 1) * pageSize
     val w = Window.orderBy(desc("dt_game"), asc("id_game"))
-    mine.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > page * pageSize &&
-        col("__rn") <= (page + 1) * pageSize)
+    mine.orderBy(desc("dt_game"), asc("id_game")).limit(k)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > page * pageSize)
       .drop("__rn")
   }
 

@@ -145,11 +145,13 @@ object ChessPipeline extends QueryModule {
       val docs = synthesizedDocs(s, d)
       // The source WRITES stay at the session's partitioning — the
       // CPU-heavy block-split parse executes inside them and wants all
-      // cores; only the stream MERGES are scoped to fixture-sized
-      // shuffle partitions (graft.queries.ScopedConf rationale; r20 t2
-      // precedent).
+      // cores; only the stream MERGES are scoped to data-derived
+      // shuffle partitions (ScopedConf.streamPartitions over the
+      // just-written parquet source — real file bytes, not estimates;
+      // r20 t2 precedent).
       def scoped(body: => Unit): Unit =
-        graft.queries.ScopedConf.withShufflePartitions(s, 8)(body)
+        graft.queries.ScopedConf.withStreamPartitions(
+          s, s.read.parquet(src))(body)
       val first = normalized(docs, "2025-05-01 00:00:00")
       first.write.mode("append").parquet(src)
       scoped { runStream(first.schema) }

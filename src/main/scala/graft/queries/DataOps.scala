@@ -503,13 +503,17 @@ object DataOps extends QueryModule {
     // on the SAME sample so recall stays well-defined.
     val docs = Tables.documents(s, d)
       .filter(col("doc_id") % 2 === 0 && col("doc_id") < 2000)
-    val sh = Dedup.shingles(docs, "doc_id", "text").cache()
+    // tracked caches (were bare .cache()): each call pinned two block
+    // sets for the rest of the session with no release handle
+    val sh = graft.CacheScope.track(
+      Dedup.shingles(docs, "doc_id", "text"))
     // truth must be EXACT: disable the stop-shingle cap here — the
     // capped variant is itself an approximation and would make the
     // recall floor self-referential.
-    val truth = Dedup.jaccardPairsFromShingles(sh, 0.5,
-        maxShingleDf = Long.MaxValue)
-      .select("id1", "id2").cache()
+    val truth = graft.CacheScope.track(
+      Dedup.jaccardPairsFromShingles(sh, 0.5,
+          maxShingleDf = Long.MaxValue)
+        .select("id1", "id2"))
     // One-pass tally: full-outer join of candidates and truth, then a
     // single aggregate — each candidate set is evaluated exactly once.
     def stats(path: String, cand: DataFrame): DataFrame =

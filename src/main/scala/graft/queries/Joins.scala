@@ -292,10 +292,10 @@ object Joins extends QueryModule {
         log.filter(col("ts") < c1),
         log.filter(col("ts") >= c1 && col("ts") < c2),
         log.filter(col("ts") >= c2))
-      // fixture-sized per-batch merges: 8 shuffle partitions per
-      // delivery keeps task/file counts off the build's critical path
-      // (graft.queries.ScopedConf rationale; r20 t2 precedent)
-      graft.queries.ScopedConf.withShufflePartitions(s, 8) {
+      // data-derived per-batch merge partitioning: task/file/state-store
+      // counts follow the batch source's size, capped at the core count
+      // (graft.queries.ScopedConf.streamPartitions; r20 t2 precedent)
+      graft.queries.ScopedConf.withStreamPartitions(s, log) {
         slices.foreach(sl => graft.streaming.Scd2Stream.applyBatch(
           sl, dir, "user_id", "ts", "event_type", "event_id"))
       }

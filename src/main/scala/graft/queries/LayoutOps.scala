@@ -262,9 +262,9 @@ object LayoutOps extends QueryModule {
         o.filter(col("o_orderdate") < c1),
         o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
         o.filter(col("o_orderdate") >= c2))
-      // per-batch state tables are fixture-sized — 8 shuffle
-      // partitions per delivery (the ScopedConf rationale)
-      val replayed = ScopedConf.withShufflePartitions(s, 8) {
+      // data-derived per-batch state partitioning (the ScopedConf
+      // .streamPartitions rationale)
+      val replayed = ScopedConf.withStreamPartitions(s, o) {
         slices.zipWithIndex.foreach { case (sl, i) =>
           graft.streaming.IncrementalAggStream.applyBatch(sl, i.toLong,
             dir, Seq("o_custkey"), "o_totalprice", "o_orderdate")
@@ -346,7 +346,7 @@ object LayoutOps extends QueryModule {
         o.filter(col("o_orderdate") < c1),
         o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
         o.filter(col("o_orderdate") >= c2))
-      val replayed = ScopedConf.withShufflePartitions(s, 8) {
+      val replayed = ScopedConf.withStreamPartitions(s, o) {
         slices.zipWithIndex.foreach { case (sl, i) =>
           graft.streaming.QuantileSketchStream.applyBatch(sl, i.toLong,
             dir, Seq("o_custkey"), "o_totalprice", widthCents = 50000L)
@@ -404,7 +404,7 @@ object LayoutOps extends QueryModule {
         e.filter(col("ts") < c1),
         e.filter(col("ts") >= c1 && col("ts") < c2),
         e.filter(col("ts") >= c2))
-      val replayed = ScopedConf.withShufflePartitions(s, 8) {
+      val replayed = ScopedConf.withStreamPartitions(s, e) {
         slices.zipWithIndex.foreach { case (sl, i) =>
           graft.streaming.QuantileSketchStream.applyBatch(sl, i.toLong,
             dir, w11Keys, "value", widthCents = 1000L)

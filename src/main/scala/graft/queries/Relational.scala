@@ -140,12 +140,18 @@ object Relational extends QueryModule {
       .orderBy("nationkey")
 
   // ---- O2: pagination (Flask read API, docs/CHANGELOG.md:50-51): page 3
-  //      of 50 by (price desc, key) via row_number window filter.
+  //      of 50 by (price desc, key) via row_number window filter. The
+  //      numbering window is global-order, so a distributed top-150
+  //      (TakeOrderedAndProject) bounds its input first — the single-
+  //      partition window sees 150 rows at any corpus size, and the
+  //      total order (unique o_orderkey tiebreak) makes the top-k
+  //      prefix identical to rows 1..150 of the global numbering.
   private def o2Pagination(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val w = Window.orderBy(desc("o_totalprice"), asc("o_orderkey"))
-    o.withColumn("page_row", row_number().over(w))
-      .filter(col("page_row") > 100 && col("page_row") <= 150)
+    o.orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(150)
+      .withColumn("page_row", row_number().over(w))
+      .filter(col("page_row") > 100)
       .select("page_row", "o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("page_row")
   }

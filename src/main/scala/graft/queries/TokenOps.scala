@@ -322,9 +322,9 @@ object TokenOps extends QueryModule {
       val dir = java.nio.file.Files.createTempDirectory("hh_stream")
         .toString + "/cells"
       val toks = tokenStream(s, d)
-      // fixture-sized per-batch merges: 8 shuffle partitions per
-      // delivery (ScopedConf rationale; r20 t2 precedent)
-      val replayed = ScopedConf.withShufflePartitions(s, 8) {
+      // data-derived per-batch merge partitioning (ScopedConf
+      // .streamPartitions; r20 t2 precedent)
+      val replayed = ScopedConf.withStreamPartitions(s, toks) {
         (0 until 3).foreach { i =>
           graft.streaming.MergeableStream.applyBatch(
             toks.filter(col("doc_id") % 3 === i).select("token"),

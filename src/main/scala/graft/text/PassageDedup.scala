@@ -124,18 +124,21 @@ object PassageDedup {
 
   /** (doc_id, pos) of every occurrence of a corpus-duplicated k-gram.
     * Two-phase exact: hash-count prefilter, string-count confirm. The
-    * confirm groups the (tiny) candidate set by gram CARRYING its
-    * positions — one pass over the candidates instead of the r20
-    * aggregate-then-probe double reference, which recomputed the whole
-    * gram stream per reference. */
+    * confirm is a per-gram count over ONE window pass of the (tiny)
+    * candidate set — no second reference to the candidate stream (the
+    * r20 aggregate-then-probe shape recomputed the whole gram stream
+    * per reference) and no per-gram occurrence LIST (the r21
+    * `collect_list(struct(doc_id, pos))` built one unbounded in-memory
+    * row per gram; a boilerplate gram — cookie banner, license header
+    * — has millions of occurrences at 100 TB, an executor OOM.
+    * WindowExec buffers its partition in a spillable row array, so a
+    * hot gram costs disk, never memory — guide §5). */
   def duplicatedPositions(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     hashCandidates(df, idCol, textCol, k)
-      .groupBy("gram")
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("__occ"))
-      .filter(size(col("__occ")) > 1)
-      .select(explode(col("__occ")).as("__o"))
-      .select(col("__o.doc_id").as("doc_id"), col("__o.pos").as("pos"))
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("__c") > 1)
+      .select("doc_id", "pos")
 
   /** (gram, n_occurrences, n_docs) for every corpus-duplicated k-gram —
     * the audit surface behind top-duplicated-passage reports. Same
