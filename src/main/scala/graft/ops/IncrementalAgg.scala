@@ -63,10 +63,18 @@ object IncrementalAgg {
     * every column's merge is associative and commutative, so any
     * batch arrival order converges to the same state. */
   def merge(state: DataFrame, delta: DataFrame, keys: Seq[String])
-      : DataFrame = {
+      : DataFrame = mergeAll(Seq(state, delta), keys)
+
+  /** N-way [[merge]] as ONE aggregation: union every state, one
+    * key-grouped fold. Every column's merge is associative, so this
+    * is ≡ `states.reduce(merge)` — which planned k−1 CHAINED shuffled
+    * aggregations for k states (guide §2.4). Pairwise merge stays the
+    * streaming seam (state + delta); this is the batch fold. */
+  def mergeAll(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAll needs at least one state")
     // sum over nullable partials skips nulls — matching a recompute
     // where the value column was null in one batch's rows
-    state.unionByName(delta).groupBy(keys.map(col): _*).agg(
+    states.reduce(_.unionByName(_)).groupBy(keys.map(col): _*).agg(
       sum(col("n_rows")).as("n_rows"),
       sum(col("sum_v")).cast(DecimalType(38, 4)).as("sum_v"),
       min(col("min_v")).as("min_v"),

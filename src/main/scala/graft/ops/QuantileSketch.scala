@@ -71,10 +71,20 @@ object QuantileSketch {
 
   /** Merge two histogram states: per-(key, bucket) count addition. */
   def merge(state: DataFrame, delta: DataFrame, keys: Seq[String])
-      : DataFrame =
-    state.unionByName(delta)
+      : DataFrame = mergeAll(Seq(state, delta), keys)
+
+  /** N-way [[merge]] as ONE aggregation: union every state, one
+    * (key, bucket) groupBy. Count addition is associative, so this is
+    * ≡ `states.reduce(merge)` — which planned k−1 CHAINED shuffled
+    * aggregations for k states (guide §2.4: one exchange where the
+    * fold needs one). The pairwise form stays the streaming seam
+    * (state + delta is its real shape); this is the batch fold. */
+  def mergeAll(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAll needs at least one state")
+    states.reduce(_.unionByName(_))
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** Read-side quantile estimates: one row per (key, pct) with
     * `est_cents` = the upper bound of the first bucket whose

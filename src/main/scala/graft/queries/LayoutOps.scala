@@ -241,7 +241,7 @@ object LayoutOps extends QueryModule {
         o.filter(pmod(col("o_orderkey"), lit(3)) === i),
         keys, "o_totalprice", "o_orderdate"))
     graft.ops.IncrementalAgg.finalizeView(
-        states.reduce(graft.ops.IncrementalAgg.merge(_, _, keys)))
+        graft.ops.IncrementalAgg.mergeAll(states, keys))
       .orderBy("o_custkey")
   }
 
@@ -324,7 +324,7 @@ object LayoutOps extends QueryModule {
         o.filter(pmod(col("o_orderkey"), lit(3)) === i),
         keys, "o_totalprice", widthCents = 50000L))
     graft.ops.QuantileSketch.quantiles(
-        states.reduce(graft.ops.QuantileSketch.merge(_, _, keys)),
+        graft.ops.QuantileSketch.mergeAll(states, keys),
         keys, pcts = Seq(50, 95), widthCents = 50000L)
       .orderBy("o_custkey", "pct")
   }
@@ -386,7 +386,7 @@ object LayoutOps extends QueryModule {
         e.filter(pmod(col("event_id"), lit(3)) === i),
         w11Keys, "value", widthCents = 1000L))
     graft.ops.QuantileSketch.quantiles(
-        states.reduce(graft.ops.QuantileSketch.merge(_, _, w11Keys)),
+        graft.ops.QuantileSketch.mergeAll(states, w11Keys),
         w11Keys, pcts = Seq(50, 95), widthCents = 1000L)
       .orderBy("wday", "event_type", "pct")
   }

@@ -90,10 +90,11 @@ object Pq {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // localCheckpoint, not cache: the Lloyd rounds run actions against
-    // vecs; checkpoint blocks are ContextCleaner-reclaimed when the
-    // model escapes scope (same rationale as buildIvfIndex)
-    val vecs = Similarity.withNorms(embeddings).select("vec_id", "vd")
-      .as[(Long, Seq[Double])].localCheckpoint()
+    // vecs; registered with CacheScope so session release frees the
+    // blocks deterministically (same rationale as buildIvfIndex)
+    val vecs = graft.CacheScope.trackLocalCheckpoint(
+      Similarity.withNorms(embeddings).select("vec_id", "vd")
+        .as[(Long, Seq[Double])])
     val seeds = vecs.orderBy("vec_id").limit(ksub).collect()
     require(seeds.nonEmpty, "cannot train PQ on an empty corpus")
     val d = seeds.head._2.length
@@ -210,7 +211,7 @@ object Pq {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.codebooks)
     val mLocal = model.m; val dsLocal = model.ds
-    val luts = Similarity.withNorms(embeddings).filter(queryPred)
+    val lutsRaw = Similarity.withNorms(embeddings).filter(queryPred)
       .select("vec_id", "vd", "norm")
       .as[(Long, Seq[Double], Double)]
       .mapPartitions { it =>
@@ -239,10 +240,10 @@ object Pq {
           (id, lut.toSeq, nrm)
         }
       }.toDF("query_id", "lut", "qnorm")
-      // checkpoint: each tile's collect otherwise re-runs the
-      // corpus-wide filter + LUT build (same rationale as
-      // bruteForceTopK's query-side checkpoint)
-      .localCheckpoint()
+    // checkpoint: each tile's collect otherwise re-runs the
+    // corpus-wide filter + LUT build (same rationale as
+    // bruteForceTopK's query-side checkpoint); tracked for release
+    val luts = graft.CacheScope.trackLocalCheckpoint(lutsRaw)
     val numTiles = math.max(1L,
       (luts.count() + tileRows - 1) / tileRows).toInt
     val w = Window.partitionBy("query_id")

@@ -72,7 +72,8 @@ object Quantize {
     // checkpoint job would be pure overhead
     val qProj = embeddings.filter(queryPred)
       .select(col("vec_id").as("query_id"), codes.as("__qc"))
-    val qAll = if (numTiles == 1) qProj else qProj.localCheckpoint()
+    val qAll = if (numTiles == 1) qProj
+      else graft.CacheScope.trackLocalCheckpoint(qProj)
     val w = Window.partitionBy("query_id")
       .orderBy(col("qdot").desc, col("cand_id"))
     val perTile = (0 until numTiles).map { t =>

@@ -107,7 +107,8 @@ object Similarity {
     // checkpoint the query side once: without it every tile's collect
     // re-runs the corpus-wide filter (2T+1 scans for T tiles); with it
     // tiles read executor-stored query rows
-    val q = embeddings.filter(queryPred).localCheckpoint()
+    val q = graft.CacheScope.trackLocalCheckpoint(
+      embeddings.filter(queryPred))
     val numTiles = math.max(1L,
       (q.count() + tileRows - 1) / tileRows).toInt
     val perTile = (0 until numTiles).flatMap { t =>
@@ -152,7 +153,8 @@ object Similarity {
       tileRows: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val q = embeddings.filter(queryPred).localCheckpoint()
+    val q = graft.CacheScope.trackLocalCheckpoint(
+      embeddings.filter(queryPred))
     val numTiles = math.max(1L,
       (q.count() + tileRows - 1) / tileRows).toInt
     val perTile = (0 until numTiles).flatMap { t =>
@@ -412,12 +414,12 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // localCheckpoint, not cache(): the Lloyd rounds below run actions
-    // against vecs, and the query plans read it again later —
-    // checkpoint blocks are reclaimed by the ContextCleaner when the
-    // caller drops the index, whereas a cache() here would pin corpus
-    // blocks for the session lifetime with no unpersist point.
-    val vecs = withNorms(embeddings)
-      .select("vec_id", "vd", "norm").localCheckpoint()
+    // against vecs, and the query plans read it again later. r22:
+    // registered with CacheScope so session release frees the blocks
+    // deterministically (GC + ContextCleaner was the only reclaim
+    // path before — orphaned O(docs) storage, r21 verdict ask #4).
+    val vecs = graft.CacheScope.trackLocalCheckpoint(withNorms(embeddings)
+      .select("vec_id", "vd", "norm"))
     var cents: Array[Array[Double]] = vecs.orderBy("vec_id")
       .limit(numCells).select("vd").as[Seq[Double]].collect()
       .map(_.toArray)
@@ -439,7 +441,8 @@ object Similarity {
     // cells materialized like vecs: without this every query batch
     // would re-run the corpus-wide assignment pass, defeating the
     // build-once amortization this split exists for
-    IvfIndex(cents, assignCells(vecs, cents).localCheckpoint(), vecs)
+    IvfIndex(cents,
+      graft.CacheScope.trackLocalCheckpoint(assignCells(vecs, cents)), vecs)
   }
 
   /** Append new vectors to a built index WITHOUT retraining — the
@@ -455,8 +458,8 @@ object Similarity {
     */
   def appendToIvfIndex(idx: IvfIndex, newEmbeddings: DataFrame,
       checkOverlap: Boolean = true): IvfIndex = {
-    val nv = withNorms(newEmbeddings)
-      .select("vec_id", "vd", "norm").localCheckpoint()
+    val nv = graft.CacheScope.trackLocalCheckpoint(
+      withNorms(newEmbeddings).select("vec_id", "vd", "norm"))
     // fail fast on id overlap (a duplicated vec_id would double-score
     // in every probe of its cell). The check semi-joins the FULL
     // indexed set — O(|index|), not O(|new|·C) — so production callers
@@ -470,9 +473,9 @@ object Similarity {
     // query batch re-runs the increment's assignment, and chained
     // daily appends would compound N-deep union plans
     IvfIndex(idx.centroids,
-      idx.cells.unionByName(assignCells(nv, idx.centroids))
-        .localCheckpoint(),
-      idx.vecs.unionByName(nv).localCheckpoint())
+      graft.CacheScope.trackLocalCheckpoint(
+        idx.cells.unionByName(assignCells(nv, idx.centroids))),
+      graft.CacheScope.trackLocalCheckpoint(idx.vecs.unionByName(nv)))
   }
 
   /** Persist a built index: centroids as a C-row metadata parquet,
@@ -512,10 +515,10 @@ object Similarity {
     * centroids (no Lloyd) — the reference point append is proven
     * against, and the rebuild step after a centroid retrain. */
   def reassignIndex(idx: IvfIndex, embeddings: DataFrame): IvfIndex = {
-    val v = withNorms(embeddings)
-      .select("vec_id", "vd", "norm").localCheckpoint()
+    val v = graft.CacheScope.trackLocalCheckpoint(
+      withNorms(embeddings).select("vec_id", "vd", "norm"))
     IvfIndex(idx.centroids,
-      assignCells(v, idx.centroids).localCheckpoint(), v)
+      graft.CacheScope.trackLocalCheckpoint(assignCells(v, idx.centroids)), v)
   }
 
   /** Serve one query batch from a built index: probe `nprobe` cells per

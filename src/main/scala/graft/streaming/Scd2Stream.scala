@@ -59,6 +59,8 @@ object Scd2Stream {
     graft.sources.TableSwap.recover(tablePath)
     val outCols =
       Seq(key, tieBreak, attr, "valid_from", "valid_to", "is_current")
+    var pinned: DataFrame = null
+    try {
     val (merged, nFresh) =
       if (!Files.exists(Paths.get(tablePath))) {
         (Upsert.scd2FromChangelog(batch, key, ts, attr, tieBreak)
@@ -79,13 +81,20 @@ object Scd2Stream {
         val frontier = hist.groupBy(col(key))
           .agg(max(struct(col("valid_from").as("t"),
             col(tieBreak).as("k"))).as("__hwm"))
+        // persist, not localCheckpoint (r22): the count below
+        // materializes the cache in ONE job where the eager checkpoint
+        // ran its own materialization job AND the count — one fewer
+        // action per micro-batch, and the cache is released as soon as
+        // the batch's write lands (a checkpoint's blocks have no
+        // recompute path, so they had to outlive the batch)
         val fresh = batch
           .join(frontier, Seq(key), "left_outer")
           .filter(col("__hwm").isNull ||
             struct(col(ts).as("t"), col(tieBreak).as("k"))
               > col("__hwm"))
           .drop("__hwm")
-          .localCheckpoint()
+          .persist()
+        pinned = fresh
         val n = fresh.count()
         if (n == 0) return 0L
         (Upsert.scd2MergeSlice(hist, fresh, key, ts, attr, tieBreak)
@@ -95,5 +104,6 @@ object Scd2Stream {
     merged.write.mode("overwrite").parquet(tmp)
     graft.sources.TableSwap.promoteTmp(tablePath)
     nFresh
+    } finally if (pinned != null) pinned.unpersist(false)
   }
 }

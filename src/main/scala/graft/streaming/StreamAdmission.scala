@@ -210,6 +210,10 @@ object StreamAdmission {
     trace("merge-docs")(
       MicroBatchIngest.mergeParquet(spark, admitted, s"$statePath/docs",
         "id", Seq(asc("id")), assumeDeduped = true))
+    // both checkpoints are fully consumed by the writes above — free
+    // their blocks now instead of leaving them to GC (r22 lifecycle)
+    graft.CacheScope.releaseCheckpoint(aSh)
+    graft.CacheScope.releaseCheckpoint(newDf)
   }
 
   /** Initialize state from an already-curated corpus (no admission
@@ -227,6 +231,7 @@ object StreamAdmission {
         coalesce(col("n_sh"), lit(0L)).as("n_sh"))
       .localCheckpoint()
     commitAdmitted(spark, sized, statePath)
+    graft.CacheScope.releaseCheckpoint(sized)   // consumed by the commit
   }
 
   /** One micro-batch: flag, then commit admitted rows. Returns the
@@ -234,9 +239,11 @@ object StreamAdmission {
   def admitAndCommit(spark: SparkSession, batch: DataFrame,
       statePath: String, idCol: String, textCol: String, tau: Double,
       maxShingleDf: Long, expectedBatch: Long): DataFrame = {
-    val flags = trace("flag")(
+    // tracked, not bare: the flags frame is RETURNED (stats/tests), so
+    // its blocks live until session release rather than lingering to GC
+    val flags = trace("flag")(graft.CacheScope.trackLocalCheckpoint(
       flagBatch(batch, loadState(spark, statePath), idCol,
-        textCol, tau, maxShingleDf, expectedBatch).localCheckpoint())
+        textCol, tau, maxShingleDf, expectedBatch)))
     val admitted = flags.filter(col("admitted"))
       .select("id", "text", "n_sh")
     if (trace("isEmpty")(!admitted.isEmpty))

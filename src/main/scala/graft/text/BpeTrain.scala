@@ -72,7 +72,7 @@ object BpeTrain {
         learned += ((rank, l, r, l + r, n))
         // greedy left-to-right merge fold; literals bound as Columns
         // (never string-spliced — operands may carry SQL metachars)
-        words = words
+        val next = words
           .withColumn("sym", aggregate(
             col("sym"),
             array().cast("array<string>"),
@@ -81,9 +81,15 @@ object BpeTrain {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(x)))))
           .localCheckpoint()
+        // rank k's histogram is dead once rank k+1 is materialized
+        // (the learned table is driver-local rows) — free it now
+        graft.CacheScope.releaseCheckpoint(words)
+        words = next
         rank += 1
       }
     }
+    // the final generation is not referenced by the returned table
+    graft.CacheScope.releaseCheckpoint(words)
     learned.result()
       .toDF(MergeCols: _*)
       .select(col("rank").cast("int"), col("left"), col("right"),
