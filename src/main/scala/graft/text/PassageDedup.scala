@@ -136,7 +136,16 @@ object PassageDedup {
   def duplicatedPositions(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     hashCandidates(df, idCol, textCol, k)
-      .withColumn("__c", count(lit(1)).over(Window.partitionBy("gram")))
+      // partition key leads with the 8-byte window hash: equal grams ⟹
+      // equal hashes (the gram is the ' '-join of exactly its k tokens,
+      // so gram equality ⟺ token-window equality), hence counting per
+      // (__h, gram) ≡ counting per gram — but WindowExec's sort now
+      // resolves almost every comparison on the long prefix instead of
+      // comparing k-token strings (measured at sf1: the gram-keyed
+      // window sorted the whole candidate stream by string and pushed
+      // the passage tier super-linear)
+      .withColumn("__c",
+        count(lit(1)).over(Window.partitionBy("__h", "gram")))
       .filter(col("__c") > 1)
       .select("doc_id", "pos")
 
